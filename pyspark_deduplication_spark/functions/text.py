@@ -1,0 +1,145 @@
+"""Text-analysis kernels for training-data pipelines.
+
+Beyond the reference (which only compares short name/IBAN strings), a
+100 TB document pipeline needs per-document text statistics. Everything
+here is built from native ``pyspark.sql.functions`` — regex, split, array
+ops — so it stays inside whole-stage codegen; no Python in the hot path.
+
+All functions are column-expression factories: they compose into a single
+projection over the ``documents`` table (one scan, one pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker vocabularies for the n-gram/stopword language-ID
+# heuristic. Deliberately deterministic and SQL-expressible so the DuckDB
+# oracle can replicate the exact scores.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+
+def _as_col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form: lowercase, punctuation stripped, whitespace
+    collapsed, trimmed. The shared preprocessing step for fingerprinting
+    and shingling."""
+    s = F.lower(_as_col(col))
+    s = F.regexp_replace(s, r"[^a-z0-9\s]", " ")
+    s = F.regexp_replace(s, r"\s+", " ")
+    return F.trim(s)
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text as ``array<string>``."""
+    return F.split(normalize_text(col), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (LongType); empty/blank text counts 0."""
+    norm = normalize_text(col)
+    return F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, r"\s+"))
+    ).cast("long")
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) over the normalized tokens —
+    the shingling step for MinHash document dedup."""
+    toks = tokenize(col)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text.
+
+    Collapses formatting-only variants (case, punctuation, whitespace) to
+    one key — the exact-dedup key for documents. md5 is chosen over
+    xxhash/murmur because every engine (Spark, DuckDB, Python) agrees on
+    it, making the operator cross-engine verifiable.
+    """
+    return F.md5(normalize_text(col))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Heuristic document-quality features, all single-pass native exprs:
+
+    - ``n_tokens``     whitespace token count
+    - ``mean_token_len`` average token length (0.0 for empty docs)
+    - ``punct_ratio``  punctuation chars / total chars
+    - ``stopword_ratio`` English stopword tokens / tokens
+    - ``quality_score`` composite in [0, 1]: penalizes very short docs,
+      high punctuation, and stopword-free (non-linguistic) text.
+    """
+    s = _as_col(col)
+    n_chars = F.length(s)
+    n_punct = n_chars - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
+    toks = tokenize(s)
+    n_tokens = token_count(s)
+    norm = normalize_text(s)
+    mean_token_len = F.when(n_tokens > 0,
+                            F.length(F.regexp_replace(norm, r"\s", ""))
+                            .cast("double") / n_tokens.cast("double")
+                            ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stopword_ratio = F.when(n_tokens > 0,
+                            n_stop.cast("double") / n_tokens.cast("double")
+                            ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0,
+                         n_punct.cast("double") / n_chars.cast("double")
+                         ).otherwise(F.lit(0.0))
+    length_score = F.least(n_tokens.cast("double") / F.lit(20.0), F.lit(1.0))
+    quality = (
+        F.lit(0.5) * length_score
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+        + F.lit(0.25) * F.least(stopword_ratio * 5, F.lit(1.0))
+    )
+    return {
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_token_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stopword_ratio,
+        "quality_score": quality,
+    }
+
+
+def language_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-word hit count per language (the language-ID heuristic).
+    Deterministic and replicable in ANSI SQL for the oracle."""
+    toks = tokenize(col)
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def detect_language(col: Column | str) -> Column:
+    """argmax over ``language_scores`` with deterministic tie-break on
+    language code; 'und' (undetermined) when no marker hits at all."""
+    scores = language_scores(col)
+    pairs = F.array(*[
+        F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_MARKERS)
+    ])
+    best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
+    # array_max on struct compares field-by-field: score first, then lang —
+    # highest score wins, lexicographically-last lang breaks ties.
+    return F.when(best.isNull(), F.lit("und")).otherwise(best["lang"])

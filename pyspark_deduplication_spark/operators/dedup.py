@@ -1,0 +1,339 @@
+"""Deduplication operators — the engine's namesake (SURVEY.md §2.5).
+
+Exact family (reference parity):
+- ``dedup_exact``      ≙ ``dropDuplicates(keys)``  (``soulutionOne.py:41``)
+- ``dedup_full_row``   ≙ ``dropDuplicates()``      (``DAG/sample.py:41``)
+- ``dedup_keep_first`` deterministic keep-one via ``row_number() = 1`` —
+  the testable spelling of A1 (the reference keeps an *arbitrary* row,
+  which cannot be oracle-checked; SURVEY §5 normalization rule).
+- ``with_surrogate_id`` ≙ ``monotonically_increasing_id``
+  (``soulutionOne.py:44``) with a deterministic ``row_number`` variant.
+
+Near-duplicate family (training-data-pipeline extensions):
+- ``dedup_fingerprint``        md5-of-normalized-text exact-content dedup
+- ``minhash_candidate_pairs``  MinHash + LSH banding, all native exprs
+- ``minhash_dedup``            LSH candidates → Jaccard verify → connected
+  components → keep one doc per near-dup cluster
+- ``simhash_dedup``            64-bit SimHash + Hamming-ball grouping
+
+Scale notes: every operator here is a shuffle-on-key hash aggregation or
+an equi-join on a derived blocking key — no cross products anywhere. The
+MinHash path turns O(n²) pair generation into O(candidates) via banding:
+at 100 TB the band-key join shuffles only (band_id, signature-slice) keys,
+and AQE's skew-join splitting handles hot buckets (e.g. boilerplate docs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_deduplication_spark.functions.similarity import jaccard
+from pyspark_deduplication_spark.functions.text import (
+    doc_fingerprint,
+    normalize_text,
+    tokenize,
+    word_ngrams,
+)
+
+
+def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Keep one arbitrary row per key tuple (reference semantics).
+    ``keys=None`` → full-row dedup (A2)."""
+    return df.dropDuplicates(keys) if keys else df.dropDuplicates()
+
+
+def dedup_full_row(df: DataFrame) -> DataFrame:
+    return df.distinct()
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order_by: list[str | Column]
+) -> DataFrame:
+    """Deterministic dedup: keep the first row per key under an explicit
+    tiebreak order. ``row_number`` over a window = one shuffle on ``keys``,
+    same cost shape as ``dropDuplicates`` but reproducible."""
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def with_surrogate_id(
+    df: DataFrame,
+    id_col: str = "id",
+    deterministic_order: list[str] | None = None,
+) -> DataFrame:
+    """Surrogate key assignment (reference ``soulutionOne.py:44``).
+
+    Default: ``monotonically_increasing_id`` — zero-shuffle, unique, but
+    non-contiguous and run-dependent. With ``deterministic_order``:
+    ``row_number`` over a global order — reproducible, but forces a
+    single-partition sort; only for test-sized data or final small outputs.
+    """
+    if deterministic_order:
+        w = Window.orderBy(*deterministic_order)
+        return df.withColumn(id_col, F.row_number().over(w).cast("long"))
+    return df.withColumn(id_col, F.monotonically_increasing_id())
+
+
+def dedup_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-content dedup for documents: group by md5(normalized text),
+    keep the row with the smallest id. One hash-shuffle; the md5 key is
+    16 bytes regardless of document size, so the shuffle stays narrow at
+    100 TB (only id + fingerprint move if the caller projects first)."""
+    fp = doc_fingerprint(F.col(text_col))
+    return dedup_keep_first(
+        df.withColumn("fingerprint", fp), ["fingerprint"], [id_col]
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature as ``array<bigint>`` of length ``num_hashes``.
+
+    Hash function family: ``xxhash64(seed_i, shingle)`` — mixing a
+    distinct literal seed per function through xxhash64 gives independent
+    64-bit hash functions entirely JVM-side (no Python, no MLlib vector
+    conversion). ``array_min`` over the transformed shingle array is the
+    row-local min — MinHash needs no shuffle at all to compute signatures.
+    """
+    mins = [
+        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, shingles, signature) — the signature stage of MinHash dedup."""
+    shingles = word_ngrams(F.col(text_col), shingle_size)
+    return df.select(
+        F.col(id_col),
+        shingles.alias("shingles"),
+        _minhash_signature(shingles, num_hashes).alias("signature"),
+    ).filter(F.size("shingles") > 0)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band hash become a
+    candidate pair. Returns distinct (id_a, id_b, jaccard_sim) with
+    id_a < id_b, Jaccard computed exactly on the shingle sets.
+
+    Plan shape: signatures (narrow) → explode to (band_key, id) →
+    self-equi-join on band_key → distinct pairs → exact verify. The only
+    shuffles are the band-key join and the pair distinct — both on
+    compact keys. A band shared by m docs yields m² pair candidates;
+    boilerplate-heavy corpora should pre-filter with ``dedup_fingerprint``
+    (removes exact clones, the usual source of mega-buckets).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.lit(b),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "shingles", "bk.band", "bk.bucket")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Near-duplicate removal: LSH candidates → exact-Jaccard verify at
+    ``threshold`` → connected components over the surviving pair graph →
+    keep the min-id doc per component. Returns the deduplicated frame."""
+    from pyspark_deduplication_spark.operators.linkage import connected_components
+
+    edges = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_size
+    ).filter(F.col("jaccard_sim") >= threshold)
+    comps = connected_components(edges, "id_a", "id_b")  # (node, component)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over token arrays (Arrow-batched NumPy kernel).
+
+    Per token: a stable 64-bit hash (blake2b-derived, seed-free so rows
+    are independent); per bit position: sum of ±1 votes across tokens;
+    sign → bit. NumPy does the 64-lane vote accumulation per batch —
+    this is the genuinely non-SQL-expressible hot kernel, hence the one
+    pandas_udf in the dedup family.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def h64(tok: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+
+    out = []
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    for toks in tokens:
+        if toks is None or len(toks) == 0:
+            out.append(0)
+            continue
+        hs = np.fromiter((h64(t) for t in toks), dtype=np.uint64, count=len(toks))
+        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_tok, 64)
+        votes = bits.sum(axis=0) * 2 - len(toks)
+        sig = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out.append(int(np.int64(sig)))
+    return pd.Series(out, dtype="int64")
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), _simhash64(tokenize(F.col(text_col))).alias("simhash")
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup removal.
+
+    Pigeonhole blocking: split the 64-bit signature into ``blocks``
+    16-bit chunks; any pair within Hamming distance < ``blocks`` must
+    agree on at least one chunk, so an equi-join per chunk finds all
+    candidates without a cross product. Verify with native
+    ``bit_count(a XOR b) <= max_hamming``, cluster, keep min id.
+    """
+    from pyspark_deduplication_spark.operators.linkage import connected_components
+
+    assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
+    width = _SIMHASH_BITS // blocks
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunked = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_id"),
+                    F.shiftright("simhash", i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                )
+                for i in range(blocks)
+            ])
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
+
+    a, b = chunked.alias("a"), chunked.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= max_hamming)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(edges, "id_a", "id_b")
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

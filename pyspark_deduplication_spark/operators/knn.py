@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Training-data-pipeline extension (BASELINE.json north star): given the
+``embeddings`` table (vec_id, embedding, label), find nearest neighbors
+by cosine similarity.
+
+- ``brute_force_knn``  exact top-k: broadcast the (small) query set
+  against every vector — one scan, no shuffle of the big side, native
+  ``zip_with``/``aggregate`` arithmetic, window top-k per query.
+- ``ivf_knn``          the scale path: IVF-style cell pruning. Vectors
+  are assigned once to their nearest centroid cell; a query probes only
+  ``n_probe`` cells, so the scored candidate set shrinks by
+  ~n_cells/n_probe. Approximate (recall < 1.0 near cell borders) —
+  recall measured against brute force in tests.
+- ``embedding_near_dup_pairs``  near-duplicate detection: all pairs with
+  cosine ≥ threshold, label-blocked or full, for the dedup family.
+
+At 100 TB the big side never shuffles in any of these: queries and
+centroids are broadcast, candidates are filtered before scoring, and
+top-k is a partial-aggregate-friendly window over a small result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_deduplication_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def brute_force_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); ``vectors``
+    streams through in place. Returns (query_id, neighbor_id, score,
+    rank), ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_col).alias("__qvec")
+    )
+    joined = vectors.join(F.broadcast(q), how="cross")
+    if exclude_self:
+        joined = joined.filter(F.col(vec_id) != F.col("__qid"))
+    scored = joined.select(
+        F.col("__qid").alias(query_id),
+        F.col(vec_id).alias("neighbor_id"),
+        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def train_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF 'centroids': one representative vector per cell,
+    chosen by hash of the vector id (a seeded reservoir stand-in for
+    k-means — deterministic, single pass, no iteration). Returns
+    (cell_id, centroid). Real k-means (pyspark.ml) slots in here without
+    touching the rest of the pipeline."""
+    w = Window.partitionBy("__cell").orderBy(F.col(vec_id))
+    return (
+        vectors.select(
+            F.col(vec_id),
+            F.col(vec_col),
+            F.pmod(F.xxhash64(F.col(vec_id)), F.lit(n_cells)).alias("__cell"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("__cell").alias("cell_id"), F.col(vec_col).alias("centroid"))
+    )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    n_assign: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_assign`` nearest centroid cells
+    (n_assign > 1 = multi-probe indexing, trades storage for recall).
+    Centroids are broadcast; the big side does not shuffle."""
+    with_row = vectors.withColumn("__row", F.monotonically_increasing_id())
+    scored = with_row.join(F.broadcast(centroids), how="cross").withColumn(
+        "__csim", cosine_similarity(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy("__row").orderBy(
+        F.col("__csim").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_assign)
+        .drop("centroid", "__csim", "__rn", "__row")
+    )
+
+
+def ivf_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose cell is among the
+    query's ``n_probe`` nearest cells. Same output schema as
+    ``brute_force_knn``; recall rises with n_probe (== n_cells ⇒ exact).
+    """
+    centroids = train_centroids(vectors, n_cells, vec_id, vec_col)
+    indexed = assign_cells(vectors, centroids, vec_col)  # + cell_id
+
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_col).alias("__qvec")
+    )
+    q_cells = q.join(F.broadcast(centroids), how="cross").withColumn(
+        "__csim", cosine_similarity(F.col("__qvec"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("__qid").orderBy(
+        F.col("__csim").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        q_cells.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("__qid", "__qvec", "cell_id")
+    )
+
+    candidates = indexed.join(
+        F.broadcast(probes), on="cell_id", how="inner"
+    ).filter(F.col(vec_id) != F.col("__qid"))
+    scored = candidates.select(
+        F.col("__qid").alias(query_id),
+        F.col(vec_id).alias("neighbor_id"),
+        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    With ``block_col`` the self-join is an equi-join on the block (e.g. a
+    coarse IVF cell or label) — the scale path. Without it, a full
+    O(n²) cross pair scan — exact but only for small/test n.
+    """
+    a = vectors.select(
+        F.col(vec_id).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        *([F.col(block_col).alias("block_a")] if block_col else []),
+    )
+    b = vectors.select(
+        F.col(vec_id).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        *([F.col(block_col).alias("block_b")] if block_col else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("block_a") == F.col("block_b"))
+    pairs = a.join(b, cond)
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"),
+    )
+    return out.filter(F.col("cosine_sim") >= threshold)

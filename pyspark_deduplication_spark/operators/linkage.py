@@ -1,0 +1,283 @@
+"""Fuzzy record linkage / entity resolution (SURVEY.md §2.4-§2.5, §7 M2-M3).
+
+The reference's Task 2 in three flavors, all reproduced here:
+- ``similarity_join_faithful``  ≙ UDF-theta self-join (``soulutionOne.py:53-57``)
+  — kept for small-n parity; O(n²), never the scale path.
+- ``levenshtein_link``          ≙ edit-distance self-join + per-anchor
+  collect_list(struct) (``solutionThree.py:16-27``), with the string-``+``
+  concat bug fixed to real ``concat`` (SURVEY §2.8 F6).
+- ``blocked_similarity_join``   the 100 TB path: cheap blocking key →
+  equi-join → native n-gram-Jaccard / levenshtein prefilter → optional
+  difflib rescore on survivors only.
+- ``connected_components``      distributed transitive closure over the
+  match graph (alternating large-star/small-star joins) — the scalable
+  rewrite of the reference's driver-side greedy clustering
+  (``solutionTwo.py:56-78``, SURVEY §2.5 A7).
+- ``cluster_members`` / ``transitive_clusters``  cluster-level set
+  aggregation ≙ windowed ``collect_set`` (``soulutionOne.py:65-72``).
+
+Semantics policy (SURVEY §7 risk 2): the engine implements the evident
+intent — transitive closure over the ≥-threshold pair graph — and
+documents the reference's quirks (one row merging into several clusters,
+``>80`` vs ``>=80``) as deviations rather than reproducing them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_deduplication_spark.functions.similarity import (
+    canonical_pair_key,
+    ngram_jaccard,
+    ratcliff_similarity,
+)
+
+
+def similarity_join_faithful(
+    df: DataFrame,
+    name_col: str = "name",
+    iban_col: str = "iban",
+    threshold: float = 80.0,
+) -> DataFrame:
+    """Reference-parity fuzzy self-join (``soulutionOne.py:53-62``).
+
+    Inner theta self-join where names differ, both IBANs non-empty, and
+    difflib similarity of names OR ibans ≥ threshold. Output matches the
+    reference's projection: canonical pair key (``least``) + both sides.
+    O(n²) with Python scoring per pair — parity mode only; use
+    ``blocked_similarity_join`` beyond toy sizes.
+    """
+    a, b = df.alias("a"), df.alias("b")
+    an, bn = F.col(f"a.{name_col}"), F.col(f"b.{name_col}")
+    ai, bi = F.col(f"a.{iban_col}"), F.col(f"b.{iban_col}")
+    cond = (
+        (an != bn)                      # P4: 3VL — null names drop
+        & (ai != "") & (bi != "")       # P5: non-empty iban guard
+        & (
+            (ratcliff_similarity(an, bn) >= threshold)
+            | (ratcliff_similarity(ai, bi) >= threshold)
+        )
+    )
+    return a.join(b, cond, "inner").select(
+        canonical_pair_key(an, bn).alias("uniq_id"),
+        an.alias("name_a"),
+        bn.alias("name_b"),
+        ai.alias("iban_a"),
+        bi.alias("iban_b"),
+    )
+
+
+def levenshtein_link(
+    df: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    iban_col: str = "iban",
+    max_dist: int = 3,
+) -> DataFrame:
+    """Edit-distance linkage ≙ ``solutionThree.py:16-27``, intent-fixed:
+
+    - ``concat(name, iban)`` (the reference's string ``+`` nulls out,
+      SURVEY §2.8 F6),
+    - self-pairs excluded via id inequality (the reference includes them),
+    - per-anchor aggregation of matched (name, iban) structs, sorted for
+      determinism.
+    """
+    keyed = df.withColumn(
+        "name_iban", F.concat(F.col(name_col), F.col(iban_col))
+    )
+    from pyspark_deduplication_spark.functions.similarity import levenshtein_within
+
+    a, b = keyed.alias("a"), keyed.alias("b")
+    linked = a.join(
+        b,
+        levenshtein_within(F.col("a.name_iban"), F.col("b.name_iban"), max_dist)
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    )
+    return (
+        linked.groupBy(F.col(f"a.{id_col}").alias(id_col))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(f"b.{name_col}").alias("name"),
+                        F.col(f"b.{iban_col}").alias("iban"),
+                    )
+                )
+            ).alias("linked_counterparts")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocking (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def sorted_token_key(col: Column | str, num_tokens: int = 2) -> Column:
+    """Blocking key: first ``num_tokens`` tokens of the name after
+    lowercase+sort — robust to word reordering and trailing edits."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.sort_array(F.split(F.lower(F.trim(c)), r"\s+"))
+    return F.concat_ws(" ", F.slice(toks, 1, num_tokens))
+
+
+def prefix_key(col: Column | str, length: int = 4) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.lower(F.trim(c)), 1, length)
+
+
+def blocked_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    blocking: str = "prefix",
+    block_len: int = 4,
+    ngram: int = 3,
+    rescore_difflib: bool = False,
+    difflib_threshold: float = 80.0,
+) -> DataFrame:
+    """Scalable similarity self-join: equi-join on a blocking key, then
+    native n-gram Jaccard ≥ ``threshold``, then (optionally) difflib
+    rescore ≥ ``difflib_threshold`` on the survivors.
+
+    Returns (id_a, id_b, text_a, text_b, sim) with id_a < id_b.
+
+    Plan shape at 100 TB: one shuffle on the blocking key (hash equi-join,
+    AQE-skew-splittable), Jaccard evaluated inside codegen on candidate
+    pairs only, Python (difflib) touched only by rescore survivors. The
+    reference's equivalent is an unblocked O(n²) UDF nested-loop join.
+    """
+    keyers = {"prefix": prefix_key, "sorted_token": sorted_token_key}
+    key_fn = keyers[blocking]
+    keyed = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        key_fn(F.col(text_col), block_len).alias("__block"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    ta, tb = F.col(f"a.{text_col}"), F.col(f"b.{text_col}")
+    pairs = a.join(
+        b,
+        (F.col("a.__block") == F.col("b.__block"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        ta.alias("text_a"),
+        tb.alias("text_b"),
+        ngram_jaccard(ta, tb, ngram).alias("sim"),
+    ).filter(F.col("sim") >= threshold)
+    if rescore_difflib:
+        pairs = pairs.withColumn(
+            "difflib_sim", ratcliff_similarity(F.col("text_a"), F.col("text_b"))
+        ).filter(F.col("difflib_sim") >= difflib_threshold)
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Connected components (distributed transitive clustering)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list via alternating
+    star contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) simplified to min-label propagation:
+
+    repeat: every node adopts the minimum label in its neighborhood
+    (including its own); stop when no label changes.
+
+    Returns (node, component) with component = min node id reachable.
+    Each iteration is one shuffle on node id; convergence is
+    O(log(diameter)) iterations for typical dedup graphs (tiny diameters).
+    ``localCheckpoint`` truncates lineage each round so plans don't grow
+    exponentially — required for iterative algorithms on Spark.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    sym = sym.localCheckpoint()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node, "inner")
+            .select(F.col("u").alias("node"), F.col("component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def transitive_clusters(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Attach a ``component`` column to every row of ``df`` given the match
+    edge list; singletons (unmatched rows) become their own component."""
+    comps = connected_components(edges, src, dst)
+    return (
+        df.join(comps, df[id_col] == comps.node, "left")
+        .drop("node")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    )
+
+
+def cluster_members(
+    clustered: DataFrame,
+    component_col: str = "component",
+    member_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cluster-level set aggregation ≙ the reference's windowed
+    ``collect_set`` + dedup (``soulutionOne.py:65-72``) and the driver
+    dict's name/iban sets (``solutionTwo.py:40-53``), distributed.
+
+    For each component: member count and the sorted distinct values of
+    each requested column (sorted ⇒ deterministic, testable — SURVEY §5).
+    The idiomatic spelling is groupBy, not a window: every row in a
+    partition got the same windowed value in the reference and was then
+    dropDuplicated away, so the group-by is semantically identical with
+    one fewer shuffle.
+    """
+    member_cols = member_cols or []
+    aggs = [F.count(F.lit(1)).alias("cluster_size")]
+    for c in member_cols:
+        aggs.append(F.sort_array(F.collect_set(F.col(c))).alias(f"{c}s"))
+    return clustered.groupBy(F.col(component_col)).agg(*aggs)

@@ -1,0 +1,172 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Training-data pipelines carry media as opaque ``binary`` columns plus
+typed metadata structs. This module makes the Spark-side plumbing real —
+schemas, Arrow batch shapes, ``mapInPandas`` operator signatures,
+partition sizing — while the actual codec work is stubbed: the container
+has no image/audio libraries, so ``decode_image``/``extract_audio_features``
+either raise ``NotImplementedError`` (strict mode) or produce a
+deterministic fake derived from the bytes (test mode). Swapping in a real
+decoder (PIL / torchaudio / ffmpeg) changes ONLY the inner function body;
+every schema, batch and partitioning decision is already exercised by
+tests.
+
+Scale notes: media rows are huge and skew-prone. ``mapInPandas`` keeps
+them in Arrow batches (no per-row pickling); ``media_repartition`` sizes
+partitions by *bytes* (sum of payload sizes), not row count, so a
+partition of 4K thumbnails and a partition of 4K videos get comparable
+memory footprints.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),      # image|audio|video
+    T.StructField("payload", T.BinaryType(), True),    # opaque encoded bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]), True),
+])
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, payload_sha long, feature array<double>"
+)
+
+_FEATURE_DIM = 8
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder: fold the bytes into a
+    fixed-dim feature vector. Replace with PIL/torch decode in prod."""
+    if payload is None:
+        return [0.0] * _FEATURE_DIM
+    acc = [0] * _FEATURE_DIM
+    for i, byte in enumerate(payload):
+        acc[i % _FEATURE_DIM] = (acc[i % _FEATURE_DIM] * 31 + byte) % 1_000_003
+    return [a / 1_000_003 for a in acc]
+
+
+def decode_image(payload: bytes):  # pragma: no cover - strict stub
+    """Real decoder hook. The container ships no imaging libraries."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv, not present in this "
+        "environment; use extract_image_features(strict=False) which "
+        "exercises the identical Spark plumbing with a deterministic fake"
+    )
+
+
+def extract_image_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """Per-image feature extraction over Arrow batches via ``mapInPandas``.
+
+    Demonstrates the canonical media-operator shape: iterator of pandas
+    batches in, iterator out, nothing collected, schema declared up front.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                feats = [decode_image(p) for p in pdf[payload_col]]
+            else:
+                feats = [_fake_decode(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "n_bytes": [0 if p is None else len(p) for p in pdf[payload_col]],
+                "payload_sha": [
+                    0 if p is None else hash_bytes(p) for p in pdf[payload_col]
+                ],
+                "feature": feats,
+            })
+
+    return df.mapInPandas(op, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def hash_bytes(payload: bytes) -> int:
+    """Stable 63-bit content hash for binary payloads (exact-dup key)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(payload, digest_size=8).digest(), "big"
+    ) >> 1
+
+
+def media_exact_dedup(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact binary dedup: group on sha2 of the payload (computed
+    JVM-side — no Python), keep min id. The md5/sha key is what shuffles,
+    never the payload bytes."""
+    from pyspark_deduplication_spark.operators.dedup import dedup_keep_first
+
+    hashed = df.withColumn(
+        "__content_key", F.sha2(F.col(payload_col), 256)
+    )
+    return dedup_keep_first(hashed, ["__content_key"], [id_col]).drop(
+        "__content_key"
+    )
+
+
+def media_repartition(
+    df: DataFrame,
+    target_bytes: int = 128 * 1024 * 1024,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Byte-aware repartitioning: estimate total payload bytes, derive a
+    partition count targeting ``target_bytes`` per partition. Uses one
+    cheap aggregate (sum of lengths) — acceptable planning cost next to
+    a decode pass."""
+    total = df.select(
+        F.sum(F.coalesce(F.length(F.col(payload_col)), F.lit(0))).alias("b")
+    ).first()["b"] or 0
+    n = max(1, int(total // target_bytes) + 1)
+    return df.repartition(n)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled timestamp with
+    a (stubbed) frame payload. Real ffmpeg extraction replaces
+    ``_fake_decode``; the explode/one-to-many shape, schema and batch
+    handling are what this operator pins down."""
+    out_schema = (
+        f"{id_col} long, frame_ts_ms long, frame_feature array<double>"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ts, feats = [], [], []
+            for mid, payload, meta in zip(
+                pdf[id_col], pdf[payload_col], pdf["meta"]
+            ):
+                duration = 0
+                if meta is not None:
+                    duration = (meta.get("duration_ms") or 0) if isinstance(
+                        meta, dict) else (meta["duration_ms"] or 0)
+                for t in range(0, max(duration, 1), every_ms):
+                    ids.append(mid)
+                    ts.append(t)
+                    feats.append(_fake_decode((payload or b"") + str(t).encode()))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_ts_ms": ts, "frame_feature": feats}
+            )
+
+    return df.mapInPandas(op, schema=out_schema)

@@ -1,0 +1,1113 @@
+"""Query catalog — every operator exposed as a named (Spark, oracle-SQL) pair.
+
+This is the engine's public query surface and the driver's correctness
+contract (``__spark_entry__.py``): each entry has a Spark implementation
+``fn(spark, sf_dir) -> DataFrame`` and, where ANSI-SQL-expressible, an
+equivalent DuckDB SQL string run against the same parquet tables. Results
+must match on row count, schema and order-insensitive value hash.
+
+Cross-engine determinism rules used throughout (SURVEY.md §5):
+- no raw double sums: cast to DECIMAL, sum exactly, cast the result to
+  double (both engines round the same exact decimal to the same double);
+- collected sets rendered as sorted comma-joined strings;
+- surrogate ids via ``row_number`` over an explicit order;
+- timestamps rendered as 'yyyy-MM-dd HH:mm:ss' strings;
+- every computed column aliased identically on both sides.
+
+Ops that SQL cannot express (difflib scoring, MinHash/SimHash/IVF —
+probabilistic or Python-kernel) carry ``oracle=None`` and are instead
+property-tested in ``tests/`` (e.g. LSH recall vs exact Jaccard).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_deduplication_spark.functions.similarity import ngram_jaccard, ratcliff_similarity
+from pyspark_deduplication_spark.functions.text import (
+    LANG_MARKERS,
+    detect_language,
+    doc_fingerprint,
+    quality_features,
+    token_count,
+    word_ngrams,
+)
+from pyspark_deduplication_spark.functions.vectors import cosine_similarity
+from pyspark_deduplication_spark.operators.dedup import (
+    dedup_exact,
+    dedup_keep_first,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    simhash_dedup,
+    with_surrogate_id,
+)
+from pyspark_deduplication_spark.operators.knn import (
+    brute_force_knn,
+    embedding_near_dup_pairs,
+    ivf_knn,
+)
+from pyspark_deduplication_spark.operators.linkage import (
+    blocked_similarity_join,
+    cluster_members,
+    connected_components,
+    levenshtein_link,
+    transitive_clusters,
+)
+from pyspark_deduplication_spark.streaming.ops import sessionize_batch
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    bench: bool = False          # include in bench.py headline set
+    tags: list[str] = field(default_factory=list)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with ``ts`` normalized to TimestampType. The fixture
+    stores TIMESTAMP(NANOS), which Spark reads as epoch-nanos long (see
+    session config); integer-divide to micros — the same truncation DuckDB
+    applies when casting TIMESTAMP_NS → TIMESTAMP."""
+    try:
+        # Runtime-settable; required even on sessions we didn't build
+        # (the driver constructs its own vanilla SparkSession).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+# ---------------------------------------------------------------------------
+# Relational core (TPC-H-style analytics over the star schema)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate over lineitem. Decimal-exact
+    sums cast to double for cross-engine determinism."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    tax = F.col("l_tax").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    # per-row terms stay exact: (18,2)x(18,4) → scale 6; the downcast to
+    # decimal(18,6) is scale-preserving (no rounding) and keeps the second
+    # multiply inside 38 digits on BOTH engines (DuckDB would fall back to
+    # double past 38 — silently breaking exactness).
+    disc_price = (price * (one - disc)).cast("decimal(18,6)")
+    charge = disc_price * (one + tax)  # scale 10, exact
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,10)").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(18,6)))
+            AS DECIMAL(38,6)) AS sum_disc_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(18,6))
+                * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))
+            AS DECIMAL(38,10)) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q1_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same Q1 through the SQL surface (temp view + spark.sql ≙
+    reference ``DAG/ETL.py:29,42``) — exercises Q1/Q2/Q3 of SURVEY §2.10."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+_Q1_SQL_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filter, group, top-10. The customer
+    dim side is broadcast (small after the segment filter)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc))
+                   .cast("decimal(18,6)"))
+             .cast("decimal(38,6)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_ORACLE = """
+SELECT o_orderkey,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(18,6)))
+            AS DECIMAL(38,6)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join. All dims broadcast; lineitem
+    (the fact) never shuffles for the joins — only for the final group."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc))
+                   .cast("decimal(18,6)"))
+             .cast("decimal(38,6)").alias("revenue"))
+    )
+
+
+_Q5_ORACLE = """
+SELECT n_name,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(18,6)))
+            AS DECIMAL(38,6)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking (SURVEY §2.6 extension): top-3 customers by account
+    balance per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", "c_acctbal", "rank_in_nation")
+    )
+
+
+_TOP3_ORACLE = """
+SELECT n_name, c_custkey, c_acctbal, rank_in_nation
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rank_in_nation
+  FROM customer
+) r
+JOIN nation ON c_nationkey = n_nationkey
+WHERE rank_in_nation <= 3
+"""
+
+
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (grouping-sets family)."""
+    orders = _t(spark, sf_dir, "orders")
+    total = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(total).cast("decimal(38,2)").alias("sum_total"))
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no URGENT order, by segment
+    (the filter on the right side keeps the result non-trivial)."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts, status × priority, fixed pivot values (so the
+    schema is static — required at scale and for the oracle)."""
+    orders = _t(spark, sf_dir, "orders")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aliases = ["urgent", "high", "medium", "not_specified", "low"]
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pri)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = pivoted.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"n_{a}")
+          for p, a in zip(pri, aliases)],
+    )
+    return renamed
+
+
+_PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+       count(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_not_specified,
+       count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def lineitem_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frame (lag + running sum) per supplier over time —
+    the ranking/analytic family the reference lacks (SURVEY §2.6)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 3)
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey",
+                                                "l_linenumber")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(qty).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,2)").alias("running_qty"),
+        F.lag(qty, 1).over(w).cast("decimal(18,2)").alias("prev_qty"),
+    )
+
+
+_RUNNING_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+            OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(38,2)) AS running_qty,
+       CAST(lag(CAST(l_quantity AS DECIMAL(18,2)), 1)
+            OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber)
+            AS DECIMAL(18,2)) AS prev_qty
+FROM lineitem
+WHERE l_suppkey <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family (the reference's namesake operators)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 deterministic spelling: keep-first per p_name by p_partkey
+    (reference ``dropDuplicates(['name','iban'])``, ``soulutionOne.py:41``)."""
+    part = _t(spark, sf_dir, "part")
+    return dedup_keep_first(part, ["p_name"], ["p_partkey"]).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT p_partkey, p_name, p_brand
+FROM (
+  SELECT p_partkey, p_name, p_brand,
+         row_number() OVER (PARTITION BY p_name ORDER BY p_partkey) AS rn
+  FROM part
+) t WHERE rn = 1
+"""
+
+
+def dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 faithful spelling (arbitrary keep): ``dropDuplicates(keys)``;
+    only the cardinality is deterministic, so that is what's checked —
+    the generalization of the reference's own pandas oracle
+    (``solutionFour.py:3-6``: row counts before/after dedup)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        dedup_exact(part, ["p_name", "p_brand"])
+        .agg(F.count(F.lit(1)).alias("n_after_dedup"))
+        .crossJoin(part.agg(F.count(F.lit(1)).alias("n_before_dedup")))
+        .select("n_before_dedup", "n_after_dedup")
+    )
+
+
+_DEDUP_COUNT_ORACLE = """
+SELECT (SELECT count(*) FROM part) AS n_before_dedup,
+       (SELECT count(DISTINCT (p_name, p_brand)) FROM part) AS n_after_dedup
+"""
+
+
+def dedup_full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: full-row distinct on a projection (reference
+    ``DAG/sample.py:41``)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select("p_name", "p_brand").distinct()
+
+
+_DEDUP_FULLROW_ORACLE = "SELECT DISTINCT p_name, p_brand FROM part"
+
+
+def surrogate_ids_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 surrogate-id assignment, deterministic variant (``row_number``
+    over explicit order ≙ testable ``monotonically_increasing_id``,
+    reference ``soulutionOne.py:44``)."""
+    deduped = dedup_keep_first(_t(spark, sf_dir, "part"), ["p_name"], ["p_partkey"])
+    return with_surrogate_id(
+        deduped.select("p_name"), id_col="id", deterministic_order=["p_name"]
+    ).select("id", "p_name")
+
+
+_SURROGATE_ORACLE = """
+SELECT row_number() OVER (ORDER BY p_name) AS id, p_name
+FROM (
+  SELECT p_name
+  FROM (SELECT p_name, row_number() OVER (PARTITION BY p_name ORDER BY p_partkey) rn
+        FROM part) t
+  WHERE rn = 1
+) d
+"""
+
+
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content document dedup via md5-of-normalized-text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"), doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+
+
+_FINGERPRINT_ORACLE = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                               '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy linkage (reference Task 2) on part names
+# ---------------------------------------------------------------------------
+
+
+def _distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part names with min partkey as stable id — the dedup →
+    linkage pipeline shape of the reference (Task 1 feeds Task 2)."""
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy("p_name").agg(F.min("p_partkey").alias("pid"))
+
+
+def levenshtein_links_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 ≙ ``solutionThree.py:16-27``: edit-distance self-join, per-anchor
+    sorted member list (rendered as a comma-joined string for the
+    cross-engine hash)."""
+    names = _distinct_parts(spark, sf_dir)
+    linked = levenshtein_link(
+        names.select(F.col("pid").alias("id"),
+                     F.col("p_name").alias("name"),
+                     F.lit("").alias("iban")),
+        id_col="id", name_col="name", iban_col="iban", max_dist=3,
+    )
+    return linked.select(
+        F.col("id").alias("pid"),
+        F.concat_ws(",", F.transform(
+            F.col("linked_counterparts"), lambda s: s["name"]
+        )).alias("linked_names"),
+    )
+
+
+_LEV_LINK_ORACLE = """
+WITH names AS (SELECT min(p_partkey) AS pid, p_name FROM part GROUP BY p_name)
+SELECT a.pid AS pid,
+       string_agg(b.p_name, ',' ORDER BY b.p_name, b.pid) AS linked_names
+FROM names a JOIN names b
+  ON levenshtein(a.p_name || '', b.p_name || '') <= 3 AND a.pid <> b.pid
+GROUP BY a.pid
+"""
+
+
+def fuzzy_pairs_blocked_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for Task 2: blocking-key equi-join + native n-gram
+    Jaccard — no cross product, no Python in the predicate."""
+    names = _distinct_parts(spark, sf_dir)
+    pairs = blocked_similarity_join(
+        names.select(F.col("pid").alias("id"), F.col("p_name").alias("txt")),
+        id_col="id", text_col="txt",
+        threshold=0.35, blocking="prefix", block_len=4, ngram=3,
+    )
+    return pairs.select("id_a", "id_b",
+                        F.round(F.col("sim"), 6).alias("jaccard_sim"))
+
+
+_FUZZY_BLOCKED_ORACLE = """
+WITH names AS (SELECT min(p_partkey) AS id, p_name AS txt FROM part GROUP BY p_name),
+keyed AS (
+  SELECT id, txt, substr(lower(trim(txt)), 1, 4) AS block,
+         list_distinct(list_transform(
+           range(1, greatest(len(txt) - 2, 1) + 1),
+           i -> substr(txt, i, 3))) AS grams
+  FROM names
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
+             6) AS jaccard_sim
+FROM keyed a JOIN keyed b ON a.block = b.block AND a.id < b.id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.35
+"""
+
+
+def fuzzy_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Task 2 end-to-end, distributed: blocked similarity edges →
+    connected components (transitive closure ≙ the evident intent of
+    ``solutionTwo.py:56-78``) → per-cluster member sets."""
+    names = _distinct_parts(spark, sf_dir)
+    ids = names.select(F.col("pid").alias("id"), F.col("p_name").alias("txt"))
+    edges = blocked_similarity_join(
+        ids, id_col="id", text_col="txt",
+        threshold=0.35, blocking="prefix", block_len=4, ngram=3,
+    ).select("id_a", "id_b")
+    clustered = transitive_clusters(ids, edges, "id")
+    agg = cluster_members(clustered, "component", ["txt"])
+    return agg.select(
+        F.col("component"),
+        F.col("cluster_size"),
+        F.concat_ws(",", F.col("txts")).alias("member_names"),
+    )
+
+
+_FUZZY_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+names AS (SELECT min(p_partkey) AS id, p_name AS txt FROM part GROUP BY p_name),
+keyed AS (
+  SELECT id, txt, substr(lower(trim(txt)), 1, 4) AS block,
+         list_distinct(list_transform(
+           range(1, greatest(len(txt) - 2, 1) + 1),
+           i -> substr(txt, i, 3))) AS grams
+  FROM names
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM keyed a JOIN keyed b ON a.block = b.block AND a.id < b.id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.35
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node
+),
+labels AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+clustered AS (
+  SELECT n.id, n.txt, coalesce(l.component, n.id) AS component
+  FROM names n LEFT JOIN labels l ON n.id = l.node
+)
+SELECT component, count(*) AS cluster_size,
+       string_agg(DISTINCT txt, ',' ORDER BY txt) AS member_names
+FROM clustered
+GROUP BY component
+"""
+
+
+def ratcliff_rescored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/F1 — faithful difflib (Ratcliff/Obershelp) scoring as an
+    Arrow-vectorized pandas_udf, applied post-blocking (reference applies
+    it inside an unblocked join predicate, ``soulutionOne.py:56-57``).
+    Not SQL-expressible → rows-only driver check + pytest point-oracle
+    against difflib itself."""
+    names = _distinct_parts(spark, sf_dir)
+    pairs = blocked_similarity_join(
+        names.select(F.col("pid").alias("id"), F.col("p_name").alias("txt")),
+        id_col="id", text_col="txt",
+        threshold=0.2, blocking="prefix", block_len=4,
+        rescore_difflib=True, difflib_threshold=60.0,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("difflib_sim"), 4).alias("difflib_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_NTOK_SQL = f"CASE WHEN len({_NORM_SQL}) = 0 THEN 0 ELSE len({_TOKENS_SQL}) END"
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per (lang, source) — integer-exact aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "source",
+                    token_count(F.col("text")).alias("__tok"),
+                    F.length(F.col("text")).alias("__chars"))
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("__tok").alias("sum_tokens"),
+             F.sum("__chars").alias("sum_chars"))
+    )
+
+
+_TOKEN_STATS_ORACLE = f"""
+SELECT lang, source, count(*) AS n_docs,
+       sum({_NTOK_SQL}) AS sum_tokens,
+       sum(len(text)) AS sum_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length/punct/stopword heuristics),
+    rounded to 6dp for cross-engine float determinism."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(feats["quality_score"], 6).alias("quality_score"),
+    )
+
+
+_STOPWORDS_IN = "('the', 'and', 'of', 'to', 'a')"
+_QUALITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(text) AS n_chars,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         {_NORM_SQL} AS norm,
+         {_NTOK_SQL} AS n_tokens,
+         len(list_filter({_TOKENS_SQL}, t -> t IN {_STOPWORDS_IN})) AS n_stop
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN n_tokens > 0
+             THEN CAST(len(replace(norm, ' ', '')) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             ELSE 0.0 END, 6) AS mean_token_len,
+       round(CASE WHEN n_chars > 0
+             THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n_tokens > 0
+             THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             ELSE 0.0 END, 6) AS stopword_ratio,
+       round(0.5 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+             + 0.25 * (1.0 - least((CASE WHEN n_chars > 0
+                 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                 ELSE 0.0 END) * 4, 1.0))
+             + 0.25 * least((CASE WHEN n_tokens > 0
+                 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 ELSE 0.0 END) * 5, 1.0), 6) AS quality_score
+FROM base
+"""
+
+
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: predicted language distribution."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       detect_language(F.col("text")).alias("predicted_lang"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKENS_SQL}, t -> t IN ({markers})))"
+
+
+_LANG_ORACLE = f"""
+WITH scores AS (
+  SELECT doc_id,
+         {_lang_score_sql('de')} AS s_de, {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('es')} AS s_es, {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('zh')} AS s_zh
+  FROM documents
+)
+SELECT doc_id, CASE
+    WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+    WHEN s_en >= s_de THEN 'en'
+    ELSE 'de' END AS predicted_lang
+FROM scores
+"""
+
+
+def top_word_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle frequency: top-20 word trigrams corpus-wide (explode +
+    count + deterministic top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_ngrams(F.col("text"), 3)).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("trigram"))
+        .limit(20)
+    )
+
+
+_TRIGRAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+shingles AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM toks
+)
+SELECT g AS trigram, count(*) AS n_docs
+FROM shingles, unnest(grams) AS u(g)
+GROUP BY g
+ORDER BY n_docs DESC, trigram
+LIMIT 20
+"""
+
+
+def minhash_candidates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs verified with exact Jaccard ≥ 0.7.
+    Probabilistic banding (xxhash64 signatures) is not SQL-expressible →
+    rows-only driver check; pytest asserts LSH recall against the exact
+    Jaccard join at the same threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        minhash_candidate_pairs(docs, "text", "doc_id",
+                                num_hashes=64, bands=16, shingle_size=3)
+        .filter(F.col("jaccard_sim") >= 0.7)
+        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+    )
+
+
+def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup dedup end-to-end: kept doc_ids (rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "text", "doc_id", threshold=0.7,
+                         num_hashes=64, bands=16).select("doc_id")
+
+
+def simhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup dedup: kept doc_ids (rows-only; Python hash
+    kernel not SQL-expressible)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup(docs, "text", "doc_id", max_hamming=3,
+                         blocks=4).select("doc_id")
+
+
+def jaccard_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs (the deterministic
+    ground truth the LSH paths approximate). O(n²) within the corpus —
+    correctness-scale only; the LSH variants are the 100 TB path."""
+    docs = _t(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id", word_ngrams(F.col("text"), 3).alias("grams")
+    )
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.round(jac, 6).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= 0.7)
+    )
+
+
+_JACCARD_DOCS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+shingles AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
+             6) AS jaccard_sim
+FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
+            6) >= 0.7
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 10 vectors as queries.
+    Scores rounded to 6dp (both engines do ordered double accumulation
+    over the same floats — verified bit-stable, rounding is belt and
+    braces)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = brute_force_knn(emb, queries, k=5, query_id="query_id")
+    return out.select("query_id", "neighbor_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
+_KNN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CASE WHEN sqrt(list_sum(list_transform(e.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+               AND sqrt(list_sum(list_transform(q.qvec,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+         THEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(q.qvec,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         ELSE 0.0 END AS raw_score
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, raw_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(raw_score, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, label-blocked (the blocked
+    equi-join path; labels stand in for coarse IVF cells)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+_EMB_NEAR_DUP_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cs, 6) AS cosine_sim
+FROM pairs WHERE cs >= 0.3
+"""
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned approximate KNN (rows-only; recall vs brute force is
+    asserted in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = ivf_knn(emb, queries, k=5, n_cells=8, n_probe=4,
+                  query_id="query_id")
+    return out.select("query_id", "neighbor_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# Events (time series / sessionization / streaming twins)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming op)."""
+    ev = _events(spark, sf_dir)
+    val = F.col("value").cast("decimal(18,6)")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(val).cast("decimal(38,6)").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+_HOURLY_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min), aggregated per session."""
+    ev = _events(spark, sf_dir)
+    sessions = sessionize_batch(ev, gap_minutes=30)
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"))
+    )
+
+
+_SESSION_ORACLE = """
+WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + 1 AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+def events_dedup_keep_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event dedup (keep earliest per user+type) then distribution by
+    type — the batch twin of streaming ``dropDuplicatesWithinWatermark``."""
+    ev = _events(spark, sf_dir)
+    first = dedup_keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return first.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(38,6)").alias("sum_value"),
+    )
+
+
+_EVENTS_DEDUP_ORACLE = """
+SELECT event_type, count(*) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events
+) t WHERE rn = 1
+GROUP BY event_type
+"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` column,
+    bucket the extracted key (JSON functions family)."""
+    ev = _t(spark, sf_dir, "events")  # ts untouched; no conversion needed
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_JSON_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+CATALOG: dict[str, Query] = {
+    # relational core
+    "q1_pricing_summary": Query(q1_pricing_summary, _Q1_ORACLE, bench=True,
+                                tags=["agg"]),
+    "q1_sql_surface": Query(q1_sql_surface, _Q1_SQL_ORACLE, tags=["sql"]),
+    "q3_top_revenue_orders": Query(q3_top_revenue_orders, _Q3_ORACLE,
+                                   bench=True, tags=["join"]),
+    "q5_nation_revenue": Query(q5_nation_revenue, _Q5_ORACLE, bench=True,
+                               tags=["join"]),
+    "top3_customers_per_nation": Query(top3_customers_per_nation,
+                                       _TOP3_ORACLE, tags=["window"]),
+    "rollup_order_stats": Query(rollup_order_stats, _ROLLUP_ORACLE,
+                                tags=["agg"]),
+    "customers_without_orders": Query(customers_without_orders, _ANTI_ORACLE,
+                                      tags=["join"]),
+    "order_priority_pivot": Query(order_priority_pivot, _PIVOT_ORACLE,
+                                  tags=["agg"]),
+    "lineitem_running_totals": Query(lineitem_running_totals, _RUNNING_ORACLE,
+                                     tags=["window"]),
+    # dedup family
+    "dedup_exact_parts": Query(dedup_exact_parts, _DEDUP_EXACT_ORACLE,
+                               bench=True, tags=["dedup"]),
+    "dedup_exact_count": Query(dedup_exact_count, _DEDUP_COUNT_ORACLE,
+                               tags=["dedup"]),
+    "dedup_full_row": Query(dedup_full_row, _DEDUP_FULLROW_ORACLE,
+                            tags=["dedup"]),
+    "surrogate_ids_parts": Query(surrogate_ids_parts, _SURROGATE_ORACLE,
+                                 tags=["dedup"]),
+    "doc_fingerprint_dedup": Query(doc_fingerprint_dedup, _FINGERPRINT_ORACLE,
+                                   bench=True, tags=["dedup", "text"]),
+    # fuzzy linkage
+    "levenshtein_links_parts": Query(levenshtein_links_parts, _LEV_LINK_ORACLE,
+                                     tags=["linkage"]),
+    "fuzzy_pairs_blocked_parts": Query(fuzzy_pairs_blocked_parts,
+                                       _FUZZY_BLOCKED_ORACLE,
+                                       bench=True, tags=["linkage"]),
+    "fuzzy_clusters_parts": Query(fuzzy_clusters_parts, _FUZZY_CLUSTERS_ORACLE,
+                                  tags=["linkage"]),
+    "ratcliff_rescored_pairs": Query(ratcliff_rescored_pairs, None,
+                                     tags=["linkage", "udf"]),
+    # text analysis
+    "doc_token_stats": Query(doc_token_stats, _TOKEN_STATS_ORACLE,
+                             bench=True, tags=["text"]),
+    "doc_quality_scores": Query(doc_quality_scores, _QUALITY_ORACLE,
+                                tags=["text"]),
+    "doc_language_id": Query(doc_language_id, _LANG_ORACLE, tags=["text"]),
+    "top_word_trigrams": Query(top_word_trigrams, _TRIGRAM_ORACLE,
+                               tags=["text"]),
+    "jaccard_near_dup_docs": Query(jaccard_near_dup_docs, _JACCARD_DOCS_ORACLE,
+                                   tags=["dedup", "text"]),
+    "minhash_candidates_docs": Query(minhash_candidates_docs, None,
+                                     bench=True, tags=["dedup", "lsh"]),
+    "minhash_dedup_docs": Query(minhash_dedup_docs, None,
+                                bench=True, tags=["dedup", "lsh"]),
+    "simhash_dedup_docs": Query(simhash_dedup_docs, None, tags=["dedup"]),
+    # similarity search
+    "knn_bruteforce": Query(knn_bruteforce, _KNN_ORACLE, bench=True,
+                            tags=["vector"]),
+    "embedding_near_dups": Query(embedding_near_dups, _EMB_NEAR_DUP_ORACLE,
+                                 tags=["vector", "dedup"]),
+    "knn_ivf": Query(knn_ivf, None, tags=["vector"]),
+    # events / time series
+    "events_hourly_windows": Query(events_hourly_windows, _HOURLY_ORACLE,
+                                   bench=True, tags=["events"]),
+    "events_sessionize": Query(events_sessionize, _SESSION_ORACLE,
+                               bench=True, tags=["events"]),
+    "events_dedup_keep_earliest": Query(events_dedup_keep_earliest,
+                                        _EVENTS_DEDUP_ORACLE,
+                                        tags=["events", "dedup"]),
+    "events_json_props": Query(events_json_props, _JSON_ORACLE,
+                               tags=["events"]),
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline ≙ the reference's end-to-end flow
+    (``soulutionOne.py``): validate → exact dedup → surrogate ids →
+    fuzzy linkage → transitive clusters → cluster aggregation. Runs on
+    the part names as counterparty stand-ins."""
+    return fuzzy_clusters_parts(spark, sf_dir)

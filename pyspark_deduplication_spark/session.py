@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference builds bare sessions (``SparkSession.builder.appName(...)
+.getOrCreate()``, reference ``soulutionOne.py:24``). Our engine centralizes
+session construction so every entry point gets the same scale-conscious
+configuration: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), Arrow for the Python boundary, UTC timestamps (required for
+cross-engine oracle comparison), and a shuffle-partition count sized to the
+cluster rather than Spark's legacy 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pyspark_deduplication_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    On a real cluster, ``master`` comes from spark-submit and
+    ``shuffle_partitions`` should be ~2-3x total executor cores; locally we
+    default to ``local[$SPARK_GRAFT_CPUS or *]`` and one shuffle partition
+    per core. All settings are overridable via ``extra_conf``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime shuffle-partition coalescing, skew-join splitting,
+        # and dynamic join-strategy switching. Essential at 100 TB where
+        # static planning cannot know post-filter cardinalities.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for pandas_udf / createDataFrame(pandas) / toPandas.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic cross-engine semantics (DuckDB oracle is UTC-naive).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Some fixture tables carry TIMESTAMP(NANOS) parquet columns, which
+        # Spark rejects by default; read them as epoch-nanos longs and
+        # convert at the source wrapper (sources/readers, queries._events).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet scans: vectorized reader + pushdown are on by default;
+        # keep file split size at default 128m — right for both local and
+        # cluster HDFS/S3 block sizes.
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

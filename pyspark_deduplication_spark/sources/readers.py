@@ -1,0 +1,121 @@
+"""Sources — CSV / Parquet / JSON / directory-glob / catalog readers.
+
+Covers SURVEY.md §2.1 (S1-S7):
+- S1/S2/S3: CSV scans with header, optional declared schema or inference
+  (reference ``soulutionOne.py:28``, ``solutionThree.py:8``, ``DAG/ETL.py:26``).
+- S4: multi-file directory ingestion — the reference loops ``os.listdir``
+  per file (``DAG/ingest_csv_file.py:16-21``); we hand the glob to Spark so
+  listing, splitting and scheduling are one distributed job.
+- S7: session-catalog table source (``DAG/ETL.py:35``).
+- Required-column contract validation (``soulutionOne.py:34-38``) raised as
+  a typed error instead of ``sys.exit(1)``.
+
+At scale: always prefer a declared ``StructType`` for text formats
+(inference = an extra full pass over 100 TB); Parquet carries its own
+schema and supports predicate pushdown + column pruning natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class MissingColumnsError(ValueError):
+    """Raised when a table is missing required columns (reference
+    ``soulutionOne.py:34-38`` exits 1; we raise so callers can handle)."""
+
+    def __init__(self, missing: list[str], present: list[str]):
+        self.missing = missing
+        self.present = present
+        super().__init__(
+            f"missing required columns {missing}; present: {present}"
+        )
+
+
+def validate_columns(df: DataFrame, required: list[str]) -> DataFrame:
+    """Required-column contract check, case-insensitive like Spark's
+    default resolution (SURVEY §1.3: the reference depends on
+    ``spark.sql.caseSensitive=false``)."""
+    present_lower = {c.lower() for c in df.columns}
+    missing = [c for c in required if c.lower() not in present_lower]
+    if missing:
+        raise MissingColumnsError(missing, df.columns)
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer_schema: bool = False,
+    required_columns: list[str] | None = None,
+) -> DataFrame:
+    """CSV scan (S1/S2/S3). With neither ``schema`` nor ``infer_schema``
+    every column is StringType — the reference's default mode."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    if required_columns:
+        validate_columns(df, required_columns)
+    return df
+
+
+def read_csv_dir(
+    spark: SparkSession,
+    directory: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer_schema: bool = False,
+) -> DataFrame:
+    """Directory ingestion (S4) as ONE distributed scan over a glob —
+    replaces the reference's driver-side per-file loop
+    (``DAG/ingest_csv_file.py:16-21``)."""
+    return read_csv(
+        spark,
+        f"{directory.rstrip('/')}/*.csv",
+        schema=schema,
+        header=header,
+        infer_schema=infer_schema,
+    )
+
+
+def read_parquet(spark: SparkSession, path: str,
+                 required_columns: list[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    if required_columns:
+        validate_columns(df, required_columns)
+    return df
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    """Session-catalog lookup (S7, reference ``DAG/ETL.py:35``)."""
+    return spark.table(name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load the benchmark star schema from a scale-factor directory and
+    register each table as a temp view (SQL surface, SURVEY §2.10)."""
+    names = names or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,101 @@
+"""Sinks — CSV / Parquet / JDBC writers (SURVEY.md §2.2, K1-K4).
+
+The reference forces single-file CSV output via ``coalesce(1)`` before
+every major write (``soulutionOne.py:47,75``) and loads MySQL row-by-row
+through the driver (``DAG/ETL.py:97-100``). Both serialize what should be
+executor-parallel work. Here:
+
+- multi-part parallel writes are the default; ``single_file=True`` is an
+  explicit opt-in that documents its cost,
+- the RDBMS sink is Spark's JDBC writer — executor-parallel batched
+  inserts, with append vs truncate-overwrite matching the two DAG variants
+  (``DAG/ETL.py:97-100`` append; ``DAG/sample.py:71-87`` truncate+load),
+- array/struct columns are rendered to deterministic strings before CSV
+  (the format can't hold them; the reference's lossy ``cast(StringType)``
+  at ``soulutionOne.py:68-69`` becomes an explicit, sorted JSON render).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _csv_safe(df: DataFrame) -> DataFrame:
+    """Render array/struct/map columns as JSON strings (sorted arrays for
+    determinism) so the frame is CSV-representable."""
+    cols = []
+    for field in df.schema.fields:
+        c = F.col(field.name)
+        if isinstance(field.dataType, T.ArrayType) and isinstance(
+            field.dataType.elementType, (T.StringType, T.IntegerType,
+                                         T.LongType, T.DoubleType)
+        ):
+            cols.append(F.to_json(F.sort_array(c)).alias(field.name))
+        elif isinstance(field.dataType, (T.ArrayType, T.StructType, T.MapType)):
+            cols.append(F.to_json(c).alias(field.name))
+        else:
+            cols.append(c)
+    return df.select(*cols)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    single_file: bool = False,
+) -> None:
+    """K1/K2. ``single_file=True`` reproduces the reference's
+    ``coalesce(1)`` single-task write — fine for small exports, an
+    anti-pattern at scale (1 task writes everything)."""
+    out = _csv_safe(df)
+    if single_file:
+        out = out.coalesce(1)
+    out.write.csv(path, mode=mode, header=header)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet is the engine's native interchange format (replaces the
+    reference's write-then-reread CSV handoffs, ``soulutionOne.py:47-50``)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    truncate: bool = False,
+    properties: dict[str, str] | None = None,
+    batch_size: int = 10_000,
+) -> None:
+    """K3/K4 — executor-parallel JDBC sink.
+
+    ``mode='append'`` ≙ the reference's row-wise INSERT loop
+    (``DAG/ETL.py:97-100``) but batched and parallel; ``mode='overwrite',
+    truncate=True`` ≙ the TRUNCATE + LOAD DATA variant
+    (``DAG/sample.py:71-87``). Requires the JDBC driver jar on the
+    classpath — not present in this container, so this is exercised only
+    by plan-construction tests, never executed against a live database.
+    """
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .option("truncate", str(truncate).lower())
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

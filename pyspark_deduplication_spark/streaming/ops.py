@@ -1,0 +1,133 @@
+"""Structured Streaming operators (SURVEY.md §2.12, §7 M5).
+
+The reference is batch-only; streaming enters through the north-star
+extension: streaming dedup, watermarked window aggregation, and
+sessionization over the ``events`` table (event_id, ts, user_id,
+event_type, value, props).
+
+Every streaming transform here is written against an unbounded
+DataFrame and therefore also runs in batch mode — tests drive them with
+``readStream.format("parquet")`` over the fixture directory plus a
+``memory`` sink and ``processAllAvailable()`` (synchronous, exactly the
+public-doc smoke pattern), and cross-check results against the batch
+equivalents below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events fixture (schema declared —
+    streaming sources cannot infer)."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the unbounded counterpart of
+    ``dropDuplicates`` (reference A1). The watermark bounds the dedup
+    state: duplicates arriving later than the watermark delay are not
+    caught, but state stays O(events within the watermark window) instead
+    of growing forever — the only viable contract on an infinite stream.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_tumbling_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "30 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, if ``slide`` given) window
+    aggregation per event_type: count + sum(value). Late rows beyond the
+    watermark are dropped; state for closed windows is evicted."""
+    win = (
+        F.window("ts", window_len, slide) if slide else F.window("ts", window_len)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def streaming_session_window(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per user: a session extends while events arrive
+    within ``gap`` of the previous one (native ``session_window``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id", "n_events", "sum_value",
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch sessionization (lag + cumulative sum of gap breaks) — the
+    SQL-expressible twin of ``streaming_session_window``, used both as a
+    batch operator and as the oracle-checkable spelling: session_id is
+    the per-user index of the session, 1-based.
+
+    One shuffle (partition by user, order by ts); entirely native window
+    functions, no state store.
+    """
+    w_user = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    micros = F.unix_micros(F.col(ts_col))
+    gap_break = (
+        F.when(
+            micros - F.lag(micros).over(w_user) > gap_minutes * 60 * 1_000_000,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    return events.withColumn(
+        "session_id",
+        (F.sum(gap_break).over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)) + 1).cast("long"),
+    )
