@@ -1,0 +1,69 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of one timed pass over the headline set
+(each query executed to completion via a count-collecting action, results
+not shipped to the driver). Use BENCH_QUERIES=name1,name2 to subset and
+BENCH_RUNS=n for median-of-n (default 1 — the driver wants speed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "1"))
+
+    from pyspark_deduplication_spark.queries import CATALOG
+    from pyspark_deduplication_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    names = [n for n, q in CATALOG.items() if q.bench]
+    subset = os.environ.get("BENCH_QUERIES")
+    if subset:
+        names = [n for n in subset.split(",") if n in CATALOG]
+
+    # warm the JVM + parquet footer caches with the cheapest query once
+    try:
+        CATALOG["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+    except Exception:
+        pass
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        q = CATALOG[name]
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            # noop sink executes the full plan without driver collection
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(per_query.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

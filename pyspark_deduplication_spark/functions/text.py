@@ -53,17 +53,27 @@ def token_count(col: Column | str) -> Column:
     ).cast("long")
 
 
-def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined) over the normalized tokens —
-    the shingling step for MinHash document dedup."""
-    toks = tokenize(col)
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+def word_ngrams_of(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an already-materialized token array
+    column. Use this (not ``word_ngrams``) when tokens are a projected
+    column: the token expression is referenced multiple times here, and a
+    bare attribute reference is free to duplicate while re-tokenizing
+    (regex + split) per reference is not."""
+    count = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), count - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
         )
     )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) over the normalized tokens —
+    the shingling step for MinHash document dedup. Prefer staging tokens
+    into a column and calling ``word_ngrams_of`` in hot paths (this
+    inline form re-tokenizes per reference)."""
+    return word_ngrams_of(tokenize(col), n)
 
 
 def doc_fingerprint(col: Column | str) -> Column:

@@ -200,9 +200,14 @@ def connected_components(
     ``localCheckpoint`` truncates lineage each round so plans don't grow
     exponentially — required for iterative algorithms on Spark.
     """
+    # Materialize the edge list once: the symmetrization union reads it
+    # twice and every iteration reads it again — without this, the entire
+    # upstream pipeline (e.g. MinHash banding) re-executes per reference.
+    edges = edges.select(F.col(src).alias("e_src"),
+                         F.col(dst).alias("e_dst")).localCheckpoint()
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(F.col("e_src").alias("u"), F.col("e_dst").alias("v"))
+        .union(edges.select(F.col("e_dst").alias("u"), F.col("e_src").alias("v")))
         .distinct()
     )
     labels = (

@@ -34,7 +34,8 @@ from pyspark_deduplication_spark.functions.text import (
     doc_fingerprint,
     quality_features,
     token_count,
-    word_ngrams,
+    tokenize,
+    word_ngrams_of,
 )
 from pyspark_deduplication_spark.functions.vectors import cosine_similarity
 from pyspark_deduplication_spark.operators.dedup import (
@@ -739,8 +740,9 @@ def top_word_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle frequency: top-20 word trigrams corpus-wide (explode +
     count + deterministic top-k)."""
     docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(tokenize(F.col("text")).alias("__toks"))
     return (
-        docs.select(F.explode(word_ngrams(F.col("text"), 3)).alias("trigram"))
+        toks.select(F.explode(word_ngrams_of(F.col("__toks"), 3)).alias("trigram"))
         .groupBy("trigram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.col("n_docs").desc(), F.col("trigram"))
@@ -798,8 +800,9 @@ def jaccard_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth the LSH paths approximate). O(n²) within the corpus —
     correctness-scale only; the LSH variants are the 100 TB path."""
     docs = _t(spark, sf_dir, "documents")
-    shingled = docs.select(
-        "doc_id", word_ngrams(F.col("text"), 3).alias("grams")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+    shingled = toks.select(
+        "doc_id", word_ngrams_of(F.col("__toks"), 3).alias("grams")
     )
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
