@@ -157,10 +157,13 @@ def sample_video_frames(
             for mid, payload, meta in zip(
                 pdf[id_col], pdf[payload_col], pdf["meta"]
             ):
-                duration = 0
+                raw = None
                 if meta is not None:
-                    duration = (meta.get("duration_ms") or 0) if isinstance(
-                        meta, dict) else (meta["duration_ms"] or 0)
+                    raw = meta.get("duration_ms") if isinstance(meta, dict) \
+                        else meta["duration_ms"]
+                # Arrow hands struct fields to pandas as floats (NaN for
+                # null) — coerce defensively.
+                duration = int(raw) if raw is not None and raw == raw else 0
                 for t in range(0, max(duration, 1), every_ms):
                     ids.append(mid)
                     ts.append(t)

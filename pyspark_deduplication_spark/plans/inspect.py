@@ -45,6 +45,9 @@ def has_cartesian_or_bnl(df: DataFrame) -> bool:
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees (fewer, wider spans = more of
-    the plan fused into generated JVM code)."""
-    text = explain_str(df)
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text)))
+    the plan fused into generated JVM code). Spark 4's simple/formatted
+    explain no longer prints codegen stars; the ``codegen`` mode reports
+    'Found N WholeStageCodegen subtrees.'"""
+    text = explain_str(df, "codegen")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
+    return int(m.group(1)) if m else 0

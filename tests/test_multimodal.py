@@ -1,0 +1,78 @@
+"""Multimodal plumbing: schemas, Arrow batch shapes, binary dedup — the
+decode step is a deterministic stub (no imaging libs in this container),
+everything Spark-side is real."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_deduplication_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_image,
+    extract_image_features,
+    media_exact_dedup,
+    media_repartition,
+    sample_video_frames,
+)
+
+
+def _media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes 1", ("image/png", 64, 64, None)),
+        (2, "image", b"\x89PNG fake bytes 1", ("image/png", 64, 64, None)),  # dup payload
+        (3, "image", b"\x89PNG other", ("image/png", 32, 32, None)),
+        (4, "video", b"\x00\x00ftyp fake", ("video/mp4", 640, 360, 3500)),
+        (5, "image", None, ("image/png", 0, 0, None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_feature_extraction_schema_and_determinism(spark):
+    out = extract_image_features(_media(spark))
+    assert out.schema.simpleString() == (
+        "struct<media_id:bigint,n_bytes:bigint,payload_sha:bigint,"
+        "feature:array<double>>"
+    )
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 5
+    # identical payloads → identical features and hashes
+    assert rows[1].feature == rows[2].feature
+    assert rows[1].payload_sha == rows[2].payload_sha
+    assert rows[1].payload_sha != rows[3].payload_sha
+    # null payload handled
+    assert rows[5].n_bytes == 0 and rows[5].feature == [0.0] * 8
+    # deterministic across runs
+    again = {r.media_id: r for r in extract_image_features(_media(spark)).collect()}
+    assert rows[1].feature == again[1].feature
+
+
+def test_strict_mode_raises_not_implemented(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes")
+    out = extract_image_features(_media(spark), strict=True)
+    with pytest.raises(Exception):  # surfaces through the Spark task
+        out.collect()
+
+
+def test_media_exact_dedup_on_payload(spark):
+    kept = sorted(r.media_id for r in media_exact_dedup(_media(spark)).collect())
+    assert kept == [1, 3, 4, 5]  # 2 is a byte-identical clone of 1
+
+
+def test_frame_sampling_one_row_per_second(spark):
+    out = sample_video_frames(_media(spark), every_ms=1000)
+    rows = [r for r in out.collect() if r.media_id == 4]
+    assert len(rows) == 4  # 3500 ms at 1000 ms cadence → t = 0,1,2,3 s
+    assert [r.frame_ts_ms for r in sorted(rows, key=lambda r: r.frame_ts_ms)] \
+        == [0, 1000, 2000, 3000]
+    others = [r for r in out.collect() if r.media_id != 4]
+    assert all(r.frame_ts_ms == 0 for r in others)  # stills: single frame
+
+
+def test_media_repartition_by_bytes(spark):
+    df = _media(spark)
+    # tiny target → must split into more partitions than default for data size
+    out = media_repartition(df, target_bytes=16)
+    assert out.rdd.getNumPartitions() >= 2
+    assert out.count() == df.count()

@@ -1,0 +1,54 @@
+"""Catalog smoke + contract checks: every query runs at sf0.001 with a
+stable schema; every oracle is valid DuckDB SQL. Full value-level parity
+is tools/parity.py (and the driver's own gate)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark_deduplication_spark.queries import CATALOG
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# the O(n²) exact ground-truth query is correctness-scale only and slow;
+# covered by parity runs, skipped in the fast suite
+SLOW = {"jaccard_near_dup_docs", "minhash_dedup_docs", "simhash_dedup_docs",
+        "minhash_candidates_docs", "ratcliff_rescored_pairs"}
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", [n for n in CATALOG if n not in SLOW])
+def test_query_runs_and_schema_stable(spark, sf_dir, name):
+    q = CATALOG[name]
+    df = q.fn(spark, sf_dir)
+    schema1 = df.schema.simpleString()
+    rows = df.collect()
+    assert rows is not None
+    df2 = q.fn(spark, sf_dir)
+    assert df2.schema.simpleString() == schema1
+
+
+@pytest.mark.parametrize("name", [n for n in CATALOG if CATALOG[n].oracle])
+def test_oracle_sql_is_valid_duckdb(duck, name):
+    res = duck.execute(CATALOG[name].oracle)
+    assert res.description  # has columns
+    res.fetchall()
+
+
+def test_entry_contract():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) == len(CATALOG)
+    assert all(callable(f) for f in qs.values())

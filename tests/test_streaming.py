@@ -1,0 +1,108 @@
+"""Structured Streaming ops driven synchronously (memory sink +
+processAllAvailable) and cross-checked against their batch twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_deduplication_spark.streaming.ops import (
+    read_events_stream,
+    sessionize_batch,
+    streaming_dedup,
+    streaming_session_window,
+    streaming_tumbling_counts,
+)
+
+
+def _events_batch(spark, sf_dir):
+    from pyspark_deduplication_spark.queries import _events
+
+    return _events(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def events_parquet_dir(spark, sf_dir, tmp_path_factory):
+    """Streaming file source needs micros timestamps (the fixture is
+    nanos) — rewrite once into a temp dir."""
+    out = str(tmp_path_factory.mktemp("events_us"))
+    _events_batch(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_stream(df, name):
+    q = (df.writeStream.outputMode("complete").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, events_parquet_dir):
+    stream = read_events_stream(spark, events_parquet_dir,
+                                max_files_per_trigger=10)
+    agg = streaming_tumbling_counts(stream, "1 hour", "30 minutes")
+    _run_stream(agg, "tumbling_out")
+    got = {
+        (str(r.window_start), r.event_type): (r.n_events, float(r.sum_value))
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = (
+        _events_batch(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    expected = {(str(r.w.start), r.event_type): (r.n, float(r.v)) for r in batch}
+    assert set(got) == set(expected)
+    for k, (n, v) in expected.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(v, rel=1e-9)
+
+
+def test_streaming_dedup_bounds_duplicates(spark, events_parquet_dir):
+    stream = read_events_stream(spark, events_parquet_dir,
+                                max_files_per_trigger=10)
+    deduped = streaming_dedup(stream, ["event_id"], watermark="1 hour")
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT event_id, count(*) c FROM dedup_out GROUP BY 1 "
+                    "HAVING count(*) > 1").collect()
+    assert out == []
+
+
+def test_streaming_session_window_runs(spark, events_parquet_dir):
+    stream = read_events_stream(spark, events_parquet_dir,
+                                max_files_per_trigger=10)
+    sess = streaming_session_window(stream, gap="30 minutes",
+                                    watermark="1 hour")
+    q = (sess.writeStream.outputMode("complete").format("memory")
+         .queryName("session_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM session_out").collect()
+    assert rows
+    assert all(r.session_start < r.session_end for r in rows)
+
+
+def test_sessionize_batch_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 100),
+        (2, "2024-01-01 00:10:00", 100),   # same session (10 min gap)
+        (3, "2024-01-01 01:00:00", 100),   # new session (50 min gap)
+        (4, "2024-01-01 00:00:00", 200),   # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {r.event_id: r.session_id
+           for r in sessionize_batch(df, gap_minutes=30).collect()}
+    assert out[1] == out[2] == 1
+    assert out[3] == 2
+    assert out[4] == 1
