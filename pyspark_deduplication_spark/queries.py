@@ -1031,6 +1031,287 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins (as-of / range)
+# ---------------------------------------------------------------------------
+
+
+def asof_purchases_to_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the user's most recent
+    error event at-or-before it (Spark lacks a native as-of; ours is the
+    union-marker + window formulation — one shuffle, no pairing blowup).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from pyspark_deduplication_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_event_id")
+    )
+    out = asof_join(purchases, errors, on="ts", by=["user_id"],
+                    right_cols=["err_event_id"], suffix="")
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("err_event_id").alias("last_error_event_id"),
+    )
+
+
+_ASOF_ORACLE = """
+WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+            FROM events),
+p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+e AS (SELECT event_id AS err_event_id, user_id, ts FROM ev WHERE event_type = 'error')
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       e.err_event_id AS last_error_event_id
+FROM p ASOF LEFT JOIN e
+  ON p.user_id = e.user_id AND p.ts >= e.ts
+"""
+
+
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: bucket events into static value bands via a broadcast
+    interval dim (lo <= v < hi)."""
+    from pyspark_deduplication_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("p00_10", 0.0, 10.0), ("p10_50", 10.0, 50.0),
+         ("p50_100", 50.0, 100.0), ("p100_plus", 100.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join(ev.select("event_id", "value"), bands, "value")
+    return joined.groupBy("band").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+_RANGE_ORACLE = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('p00_10', 0.0, 10.0), ('p10_50', 10.0, 50.0),
+         ('p50_100', 50.0, 100.0), ('p100_plus', 100.0, 1e9)
+)
+SELECT band, count(*) AS n_events
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming executed synchronously (real streaming plans, batch-
+# checkable results; SURVEY §2.12 / M5)
+# ---------------------------------------------------------------------------
+
+_STREAM_CACHE_DIR = "/root/repo/.tmp"
+
+
+def _events_stream_source(spark: SparkSession, sf_dir: str) -> str:
+    """Streaming file sources can't read TIMESTAMP(NANOS); rewrite the
+    events table with micros timestamps once per sf into a scratch dir."""
+    import os
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"{_STREAM_CACHE_DIR}/events_us_{sf_tag}"
+    marker = f"{out}/_SUCCESS"
+    if not os.path.exists(marker):
+        _events(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_streaming_query(df, name: str, output_mode: str):
+    q = (df.writeStream.outputMode(output_mode).format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked streaming twin of ``events_hourly_windows``, driven
+    to completion synchronously through a memory sink. One micro-batch in
+    arrival order ⇒ no late drops ⇒ must equal the batch/oracle result —
+    which is exactly the property worth checking."""
+    from pyspark_deduplication_spark.streaming.ops import (
+        read_events_stream,
+        streaming_tumbling_counts,
+    )
+
+    src = _events_stream_source(spark, sf_dir)
+    stream = read_events_stream(spark, src, max_files_per_trigger=100)
+    agg = streaming_tumbling_counts(stream, "1 hour", "30 minutes")
+    agg = agg.withColumn("sum_value", F.col("sum_value").cast("decimal(38,6)"))
+    _run_streaming_query(agg, "stream_hourly_out", "complete")
+    return spark.table("stream_hourly_out").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) within a watermark, then
+    per-type distinct-user counts (append mode, memory sink)."""
+    from pyspark_deduplication_spark.streaming.ops import (
+        read_events_stream,
+        streaming_dedup,
+    )
+
+    src = _events_stream_source(spark, sf_dir)
+    stream = read_events_stream(spark, src, max_files_per_trigger=100)
+    deduped = streaming_dedup(stream, ["user_id", "event_type"],
+                              watermark="10 hours")
+    _run_streaming_query(deduped, "stream_dedup_out", "append")
+    return (
+        spark.table("stream_dedup_out")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+def stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): running
+    per-user profiles. With the whole fixture in one batch, the final
+    state must equal the batch group-by — integer/timestamp outputs only
+    (float sums through pandas are order-sensitive, so they stay internal).
+    """
+    from pyspark_deduplication_spark.streaming.ops import read_events_stream
+    from pyspark_deduplication_spark.streaming.stateful import streaming_user_profiles
+
+    src = _events_stream_source(spark, sf_dir)
+    stream = read_events_stream(spark, src, max_files_per_trigger=100)
+    profiles = streaming_user_profiles(stream.select("user_id", "ts", "value"))
+    _run_streaming_query(profiles, "stream_profiles_out", "update")
+    latest = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table("stream_profiles_out")
+        .withColumn("__rn", F.row_number().over(latest))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events",
+                F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"))
+    )
+
+
+_STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events,
+       strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_seen
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Additional relational surface (cube, set ops, exact distinct, regex tokens)
+# ---------------------------------------------------------------------------
+
+
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combinations."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .cast("decimal(38,2)").alias("sum_qty"))
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: building-segment customers vs urgent-order
+    customers, labeled counts."""
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    both = building.intersect(urgent).agg(F.count(F.lit(1)).alias("n")) \
+        .select(F.lit("building_and_urgent").alias("set_op"), "n")
+    only = building.exceptAll(urgent.distinct()).distinct() \
+        .agg(F.count(F.lit(1)).alias("n")) \
+        .select(F.lit("building_not_urgent").alias("set_op"), "n")
+    return both.union(only)
+
+
+_SET_OPS_ORACLE = """
+SELECT 'building_and_urgent' AS set_op, count(*) AS n FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+UNION ALL
+SELECT 'building_not_urgent' AS set_op, count(*) AS n FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation per brand (the approximate variants —
+    approx_count_distinct / percentile_approx — are engine-specific
+    sketches and are property-tested in pytest instead of oracle-matched)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(F.countDistinct("p_name").alias("n_names"),
+             F.countDistinct("p_type").alias("n_types"),
+             F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+_COUNT_DISTINCT_ORACLE = """
+SELECT p_brand, count(DISTINCT p_name) AS n_names,
+       count(DISTINCT p_type) AS n_types, count(*) AS n_parts
+FROM part
+GROUP BY p_brand
+"""
+
+
+def doc_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization: word + punctuation tokens via regex
+    extraction, compared with whitespace tokens, per language."""
+    docs = _t(spark, sf_dir, "documents")
+    bpe = F.size(F.expr(
+        r"regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]', 0)"
+    ))
+    return (
+        docs.select("lang", bpe.alias("__bpe"),
+                    token_count(F.col("text")).alias("__ws"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("__bpe").alias("sum_bpe_tokens"),
+             F.sum("__ws").alias("sum_ws_tokens"))
+    )
+
+
+_REGEX_TOKEN_ORACLE = f"""
+SELECT lang, count(*) AS n_docs,
+       sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')))
+           AS sum_bpe_tokens,
+       sum({_NTOK_SQL}) AS sum_ws_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
 
@@ -1105,6 +1386,27 @@ CATALOG: dict[str, Query] = {
                                         tags=["events", "dedup"]),
     "events_json_props": Query(events_json_props, _JSON_ORACLE,
                                tags=["events"]),
+    # temporal joins
+    "asof_purchases_to_errors": Query(asof_purchases_to_errors, _ASOF_ORACLE,
+                                      bench=True, tags=["join", "events"]),
+    "range_join_value_bands": Query(range_join_value_bands, _RANGE_ORACLE,
+                                    tags=["join", "events"]),
+    # streaming (executed synchronously; real streaming plans)
+    "streaming_hourly_windows": Query(streaming_hourly_windows, _HOURLY_ORACLE,
+                                      tags=["streaming"]),
+    "streaming_dedup_events": Query(streaming_dedup_events,
+                                    _STREAM_DEDUP_ORACLE, tags=["streaming"]),
+    "stateful_user_profiles": Query(stateful_user_profiles, _STATEFUL_ORACLE,
+                                    tags=["streaming"]),
+    # additional relational surface
+    "cube_lineitem_flags": Query(cube_lineitem_flags, _CUBE_ORACLE,
+                                 tags=["agg"]),
+    "set_ops_customer_segments": Query(set_ops_customer_segments,
+                                       _SET_OPS_ORACLE, tags=["setop"]),
+    "count_distinct_parts": Query(count_distinct_parts,
+                                  _COUNT_DISTINCT_ORACLE, tags=["agg"]),
+    "doc_regex_token_count": Query(doc_regex_token_count, _REGEX_TOKEN_ORACLE,
+                                   tags=["text"]),
 }
 
 
