@@ -161,6 +161,86 @@ def ivf_knn(
     )
 
 
+def hyperplane_lsh_buckets(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH bucket per row.
+
+    ``n_planes`` deterministic pseudo-random hyperplanes are generated
+    driver-side from ``seed`` and embedded as literals in the plan (tiny:
+    n_planes × dim floats). Bucket bit p = sign(v · plane_p); two vectors
+    share a bucket with probability 1 - θ/π per bit. Entirely native
+    expressions — zero shuffle, codegen-friendly, reproducible across
+    runs and clusters.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        d = dot(F.col(vec_col), plane)
+        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return vectors.withColumn("lsh_bucket", bucket)
+
+
+def lsh_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via multi-table hyperplane LSH —
+    the 100 TB path (the exact variant pairs everything in a block).
+
+    ``n_tables`` independent bucketings (different seeds); a pair is a
+    candidate if it collides in ANY table. Candidates are verified with
+    exact cosine ≥ threshold, so false positives cost compute, never
+    correctness; recall grows with tables (measured in tests).
+    """
+    bucketed = vectors
+    for t in range(n_tables):
+        bucketed = hyperplane_lsh_buckets(
+            bucketed, dim, n_planes, seed=42 + t, vec_col=vec_col
+        ).withColumnRenamed("lsh_bucket", f"__b{t}")
+    slim = bucketed.select(
+        F.col(vec_id), F.col(vec_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("table"), F.col(f"__b{t}").alias("bucket"))
+            for t in range(n_tables)
+        ])).alias("tb"),
+    ).select(vec_id, vec_col, "tb.table", "tb.bucket")
+
+    a, b = slim.alias("a"), slim.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{vec_id}") < F.col(f"b.{vec_id}")),
+        )
+        .select(
+            F.col(f"a.{vec_id}").alias("id_a"),
+            F.col(f"b.{vec_id}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("vec_a"),
+            F.col(f"b.{vec_col}").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

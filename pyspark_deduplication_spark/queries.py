@@ -923,6 +923,47 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 6).alias("score"), "rank")
 
 
+def lsh_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH near-dup pairs — the scale path for
+    embedding dedup (rows-only; recall vs the exact blocked variant is
+    asserted in pytest)."""
+    from pyspark_deduplication_spark.operators.knn import lsh_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    pairs = lsh_near_dup_pairs(emb, dim=dim, threshold=0.3,
+                               n_planes=4, n_tables=8)
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+def levenshtein_links_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 on the reference's canonical subject shape (customer names as
+    counterparty names), restricted to a stable id window so the output
+    stays driver-collectable; per-anchor link counts."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    linked = levenshtein_link(
+        cust.select(F.col("c_custkey").alias("id"),
+                    F.col("c_name").alias("name"),
+                    F.lit("").alias("iban")),
+        id_col="id", name_col="name", iban_col="iban", max_dist=3,
+    )
+    return linked.select(
+        F.col("id").alias("c_custkey"),
+        F.size("linked_counterparts").alias("n_links"),
+    )
+
+
+_LEV_CUST_ORACLE = """
+WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 200)
+SELECT a.c_custkey, count(*) AS n_links
+FROM c a JOIN c b
+  ON levenshtein(a.c_name || '', b.c_name || '') <= 3
+ AND a.c_custkey <> b.c_custkey
+GROUP BY a.c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events (time series / sessionization / streaming twins)
 # ---------------------------------------------------------------------------
@@ -1311,6 +1352,78 @@ GROUP BY lang
 """
 
 
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): customers having at least one order above a
+    total, counted per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_nationkey, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+GROUP BY c_nationkey
+"""
+
+
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) via ``stack``: part numeric attributes to long form,
+    aggregated per metric."""
+    part = _t(spark, sf_dir, "part")
+    long = part.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), "
+        "'retailprice', p_retailprice) AS (metric, value)",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)").alias("sum_value"),
+    )
+
+
+_UNPIVOT_ORACLE = """
+WITH long AS (
+  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'retailprice', p_retailprice FROM part
+)
+SELECT metric, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+FROM long
+GROUP BY metric
+"""
+
+
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus dedup: exact-content fingerprint pass,
+    then MinHash near-dup pass on the survivors, reporting per-language
+    retention (rows-only: MinHash inside)."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        dedup_fingerprint,
+        minhash_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = dedup_fingerprint(docs, "text", "doc_id").drop("fingerprint")
+    near = minhash_dedup(exact, "text", "doc_id", threshold=0.7,
+                         num_hashes=64, bands=16)
+    return (
+        docs.select("lang").groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_raw"))
+        .join(near.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")),
+              "lang", "left")
+        .select("lang", "n_raw", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -1376,6 +1489,10 @@ CATALOG: dict[str, Query] = {
     "embedding_near_dups": Query(embedding_near_dups, _EMB_NEAR_DUP_ORACLE,
                                  tags=["vector", "dedup"]),
     "knn_ivf": Query(knn_ivf, None, tags=["vector"]),
+    "lsh_near_dup_embeddings": Query(lsh_near_dup_embeddings, None,
+                                     tags=["vector", "dedup", "lsh"]),
+    "levenshtein_links_customers": Query(levenshtein_links_customers,
+                                         _LEV_CUST_ORACLE, tags=["linkage"]),
     # events / time series
     "events_hourly_windows": Query(events_hourly_windows, _HOURLY_ORACLE,
                                    bench=True, tags=["events"]),
@@ -1407,6 +1524,12 @@ CATALOG: dict[str, Query] = {
                                   _COUNT_DISTINCT_ORACLE, tags=["agg"]),
     "doc_regex_token_count": Query(doc_regex_token_count, _REGEX_TOKEN_ORACLE,
                                    tags=["text"]),
+    "customers_with_big_orders": Query(customers_with_big_orders, _SEMI_ORACLE,
+                                       tags=["join"]),
+    "unpivot_part_metrics": Query(unpivot_part_metrics, _UNPIVOT_ORACLE,
+                                  tags=["agg"]),
+    "corpus_dedup_pipeline": Query(corpus_dedup_pipeline, None,
+                                   bench=True, tags=["dedup", "pipeline"]),
 }
 
 

@@ -78,3 +78,94 @@ def test_broadcast_knn_plan(spark, sf_dir):
     plan = explain_str(brute_force_knn(emb, queries, k=5))
     # queries must broadcast; the big vector side must not shuffle for the join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_lsh_near_dup_recall(spark, sf_dir):
+    from pyspark_deduplication_spark.operators.knn import lsh_near_dup_pairs
+
+    emb = _load(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    # exact ground truth: ALL pairs >= 0.3 (unblocked; test scale only)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from pyspark_deduplication_spark.functions.vectors import cosine_similarity
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                cosine_similarity(F.col("va"), F.col("vb")).alias("cs"))
+        .filter(F.col("cs") >= 0.3).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(emb, dim=dim, threshold=0.3,
+                                    n_planes=4, n_tables=8).collect()
+    }
+    assert truth, "fixture must contain pairs above threshold"
+    assert got <= truth          # exact-cosine verification: no false positives
+    # at cosine 0.3 (72° apart) collision probability is inherently low —
+    # the real-recall regime is high-cosine near-dups, tested below on a
+    # synthetic corpus. Here: monotonicity in tables.
+    got_more = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(emb, dim=dim, threshold=0.3,
+                                    n_planes=4, n_tables=16).collect()
+    }
+    assert len(got_more) >= len(got)
+
+
+def test_lsh_high_cosine_recall_synthetic(spark):
+    """LSH in its design regime: near-duplicate vectors (cosine >= 0.9).
+    8 planes x 8 tables → expected recall ~0.94 at the 0.9 boundary,
+    higher above it."""
+    import numpy as np
+
+    from pyspark_deduplication_spark.functions.vectors import cosine_similarity
+    from pyspark_deduplication_spark.operators.knn import lsh_near_dup_pairs
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((40, 32))
+    rows = []
+    vid = 0
+    for i in range(40):
+        rows.append((vid, base[i].tolist())); vid += 1
+        # a near-duplicate: small perturbation → cosine ~0.97
+        pert = base[i] + 0.15 * rng.standard_normal(32)
+        rows.append((vid, pert.tolist())); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                cosine_similarity(F.col("va"), F.col("vb")).alias("cs"))
+        .filter(F.col("cs") >= 0.9).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(emb, dim=32, threshold=0.9,
+                                    n_planes=8, n_tables=8).collect()
+    }
+    assert len(truth) >= 35
+    assert got <= truth
+    recall = len(got) / len(truth)
+    assert recall >= 0.85, f"high-cosine LSH recall {recall:.2f}"
+
+
+def test_hyperplane_buckets_deterministic(spark, sf_dir):
+    from pyspark_deduplication_spark.operators.knn import hyperplane_lsh_buckets
+
+    emb = _load(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    a = {r.vec_id: r.lsh_bucket
+         for r in hyperplane_lsh_buckets(emb, dim, 16, seed=7).collect()}
+    b = {r.vec_id: r.lsh_bucket
+         for r in hyperplane_lsh_buckets(emb, dim, 16, seed=7).collect()}
+    c = {r.vec_id: r.lsh_bucket
+         for r in hyperplane_lsh_buckets(emb, dim, 16, seed=8).collect()}
+    assert a == b
+    assert a != c
+    assert all(0 <= v < (1 << 16) for v in a.values())
