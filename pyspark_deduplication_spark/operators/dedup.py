@@ -54,14 +54,24 @@ def dedup_keep_first(
     df: DataFrame, keys: list[str], order_by: list[str | Column]
 ) -> DataFrame:
     """Deterministic dedup: keep the first row per key under an explicit
-    tiebreak order. ``row_number`` over a window = one shuffle on ``keys``,
-    same cost shape as ``dropDuplicates`` but reproducible."""
+    tiebreak order.
+
+    Implemented as ``min_by(struct(*), struct(order))`` — a hash aggregate
+    with map-side partial merge, so each shuffle partition receives one
+    candidate row per (key, mapper) instead of every duplicate. The
+    equivalent ``row_number() = 1`` window needs a full sort of every
+    duplicate group post-shuffle; at 100 TB with hot keys that sort is the
+    bottleneck, while min_by degrades gracefully (the combine is O(1) per
+    row). Order keys must be non-null for well-defined struct ordering.
+    """
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    winner = F.min_by(
+        F.struct(*[F.col(c) for c in df.columns]), F.struct(*order_cols)
+    ).alias("__row")
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(winner)
+        .select("__row.*")
     )
 
 
@@ -69,18 +79,32 @@ def with_surrogate_id(
     df: DataFrame,
     id_col: str = "id",
     deterministic_order: list[str] | None = None,
+    scalable: bool = False,
 ) -> DataFrame:
     """Surrogate key assignment (reference ``soulutionOne.py:44``).
 
-    Default: ``monotonically_increasing_id`` — zero-shuffle, unique, but
-    non-contiguous and run-dependent. With ``deterministic_order``:
-    ``row_number`` over a global order — reproducible, but forces a
-    single-partition sort; only for test-sized data or final small outputs.
+    - Default: ``monotonically_increasing_id`` — zero-shuffle, unique, but
+      non-contiguous and run-dependent.
+    - ``deterministic_order``: contiguous 1-based ids in a total order.
+      The plain spelling (``row_number`` over an unpartitioned window)
+      funnels everything through ONE task — fine for final small outputs,
+      fatal at scale. ``scalable=True`` switches to distributed sort +
+      ``zipWithIndex``: the sort is cluster-wide (range-partitioned) and
+      the index needs only one extra tiny job to count per-partition rows.
     """
-    if deterministic_order:
+    if not deterministic_order:
+        return df.withColumn(id_col, F.monotonically_increasing_id())
+    if not scalable:
         w = Window.orderBy(*deterministic_order)
         return df.withColumn(id_col, F.row_number().over(w).cast("long"))
-    return df.withColumn(id_col, F.monotonically_increasing_id())
+
+    sorted_df = df.sort(*deterministic_order)
+    schema = sorted_df.schema
+    indexed = sorted_df.rdd.zipWithIndex().map(
+        lambda pair: (*pair[0], pair[1] + 1)
+    )
+    out_schema = schema.add(id_col, "long", False)
+    return df.sparkSession.createDataFrame(indexed, out_schema)
 
 
 def dedup_fingerprint(

@@ -181,6 +181,17 @@ def blocked_similarity_join(
 # ---------------------------------------------------------------------------
 
 
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """Eager lineage truncation. Uses the reliable checkpoint dir when the
+    session has one (cluster mode: survives executor loss, required for
+    long iterative jobs); falls back to localCheckpoint (executor-local
+    blocks — fine for local mode and short iteration counts)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -203,20 +214,19 @@ def connected_components(
     # Materialize the edge list once: the symmetrization union reads it
     # twice and every iteration reads it again — without this, the entire
     # upstream pipeline (e.g. MinHash banding) re-executes per reference.
-    edges = edges.select(F.col(src).alias("e_src"),
-                         F.col(dst).alias("e_dst")).localCheckpoint()
+    edges = _checkpoint(edges.select(F.col(src).alias("e_src"),
+                                     F.col(dst).alias("e_dst")))
     sym = (
         edges.select(F.col("e_src").alias("u"), F.col("e_dst").alias("v"))
         .union(edges.select(F.col("e_dst").alias("u"), F.col("e_src").alias("v")))
         .distinct()
     )
-    labels = (
+    labels = _checkpoint(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
-    sym = sym.localCheckpoint()
+    sym = _checkpoint(sym)
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -225,7 +235,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        new_labels = _checkpoint(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -234,7 +244,7 @@ def connected_components(
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
-        ).localCheckpoint()
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -110,3 +110,23 @@ def test_surrogate_id_unique_and_deterministic(spark, sf_dir):
     rows = det.orderBy("id").collect()
     assert [r.id for r in rows] == list(range(1, len(rows) + 1))
     assert rows == sorted(rows, key=lambda r: r.c_name)
+
+
+def test_surrogate_id_scalable_matches_window(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_name")
+    w = with_surrogate_id(cust, "id", deterministic_order=["c_name"])
+    z = with_surrogate_id(cust, "id", deterministic_order=["c_name"],
+                          scalable=True)
+    assert sorted((r.id, r.c_name) for r in w.collect()) == \
+        sorted((r.id, r.c_name) for r in z.collect())
+
+
+def test_keep_first_is_partial_aggregate(spark, sf_dir):
+    """The deterministic dedup must compile to a hash aggregate with
+    map-side partial merge, NOT a window sort (scale contract)."""
+    from pyspark_deduplication_spark.plans.inspect import explain_str
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    plan = explain_str(dedup_keep_first(part, ["p_name"], ["p_partkey"]))
+    assert "partial_min_by" in plan or "partial_min" in plan
+    assert "Window" not in plan

@@ -106,3 +106,39 @@ def test_sessionize_batch_gap_semantics(spark):
     assert out[1] == out[2] == 1
     assert out[3] == 2
     assert out[4] == 1
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Out-of-order arrival beyond the watermark: the late row must NOT
+    create/extend a window once the watermark passed it (append mode)."""
+    import pyspark.sql.functions as F
+
+    d1 = str(tmp_path / "b1"); d2 = str(tmp_path / "b2"); src = str(tmp_path / "src")
+    import os
+    os.makedirs(src, exist_ok=True)
+    rows1 = [(1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+             (2, "2024-01-01 13:00:00", 1, "view", 1.0, "{}")]  # advances watermark far
+    rows2 = [(3, "2024-01-01 10:05:00", 1, "view", 1.0, "{}")]  # hours late
+    def mk(rows, name):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        return df
+    mk(rows1, "f1")
+    # stream with one file-batch per trigger: f1 first (advances watermark), f2 late
+    stream = read_events_stream(spark, f"{src}/*", max_files_per_trigger=1)
+    agg = streaming_tumbling_counts(stream, "1 hour", "10 minutes")
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("late_out").start())
+    try:
+        q.processAllAvailable()
+        mk(rows2, "f2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {(str(r.window_start), r.n_events)
+           for r in spark.sql("SELECT * FROM late_out").collect()}
+    # the 10:00 window closed with 1 event; the late 10:05 row was dropped
+    assert ("2024-01-01 10:00:00", 1) in out
+    assert ("2024-01-01 10:00:00", 2) not in out
