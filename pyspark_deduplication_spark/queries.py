@@ -605,6 +605,51 @@ GROUP BY component
 """
 
 
+def faithful_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 verbatim — the reference's UDF-theta self-join
+    (``soulutionOne.py:53-62``): difflib predicate, != and non-empty
+    guards, least() cluster key. Runs on the 64 distinct part names (the
+    only scale where an unblocked O(n²) Python-scored join is sane);
+    rows-only (difflib is not SQL-expressible). The blocked variants are
+    the production path."""
+    from pyspark_deduplication_spark.operators.linkage import similarity_join_faithful
+
+    names = _distinct_parts(spark, sf_dir)
+    cp = names.select(
+        F.col("p_name").alias("name"),
+        F.col("pid").cast("string").alias("iban"),
+    )
+    out = similarity_join_faithful(cp, "name", "iban", threshold=60.0)
+    return out.select("uniq_id", "name_a", "name_b")
+
+
+def windowed_collect_set_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 verbatim — the reference's windowed ``collect_set`` + final
+    dedup spelling (``soulutionOne.py:65-72``): every row in the partition
+    gets the whole-partition set, then rows collapse via dropDuplicates.
+    Semantically ≡ groupBy + collect_set (the idiomatic spelling the
+    engine prefers, ``cluster_members``); the oracle states exactly that
+    equivalence."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.select(
+            "p_brand",
+            F.concat_ws(",", F.sort_array(
+                F.collect_set("p_name").over(w))).alias("brand_names"),
+        )
+        .dropDuplicates(["p_brand", "brand_names"])
+    )
+
+
+_WINDOWED_SET_ORACLE = """
+SELECT p_brand,
+       string_agg(DISTINCT p_name, ',' ORDER BY p_name) AS brand_names
+FROM part
+GROUP BY p_brand
+"""
+
+
 def ratcliff_rescored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1/F1 — faithful difflib (Ratcliff/Obershelp) scoring as an
     Arrow-vectorized pandas_udf, applied post-blocking (reference applies
@@ -1468,6 +1513,11 @@ CATALOG: dict[str, Query] = {
                                   tags=["linkage"]),
     "ratcliff_rescored_pairs": Query(ratcliff_rescored_pairs, None,
                                      tags=["linkage", "udf"]),
+    "faithful_fuzzy_join_parts": Query(faithful_fuzzy_join_parts, None,
+                                       tags=["linkage", "udf", "parity"]),
+    "windowed_collect_set_parts": Query(windowed_collect_set_parts,
+                                        _WINDOWED_SET_ORACLE,
+                                        tags=["window", "parity"]),
     # text analysis
     "doc_token_stats": Query(doc_token_stats, _TOKEN_STATS_ORACLE,
                              bench=True, tags=["text"]),
