@@ -1397,6 +1397,36 @@ GROUP BY lang
 """
 
 
+def order_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per order status: exact interpolated median
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) and sample stddev.
+    Both are float computations with engine-specific accumulation order,
+    so outputs are rounded to 4dp — the values are O(10^4-10^5), the
+    cross-engine drift is O(ulp)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_total"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_total"),
+            F.round(F.stddev("o_totalprice"), 4).alias("stddev_total"),
+            F.round(F.avg(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("double"), 4).alias("avg_total"),
+        )
+    )
+
+
+_STATS_ORACLE = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_total,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_total,
+       round(stddev_samp(o_totalprice), 4) AS stddev_total,
+       round(CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS avg_total
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi join (EXISTS): customers having at least one order above a
     total, counted per nation."""
@@ -1574,6 +1604,8 @@ CATALOG: dict[str, Query] = {
                                   _COUNT_DISTINCT_ORACLE, tags=["agg"]),
     "doc_regex_token_count": Query(doc_regex_token_count, _REGEX_TOKEN_ORACLE,
                                    tags=["text"]),
+    "order_value_stats": Query(order_value_stats, _STATS_ORACLE,
+                               tags=["agg", "stats"]),
     "customers_with_big_orders": Query(customers_with_big_orders, _SEMI_ORACLE,
                                        tags=["join"]),
     "unpivot_part_metrics": Query(unpivot_part_metrics, _UNPIVOT_ORACLE,

@@ -1,0 +1,33 @@
+"""Approximate aggregates: engine-specific sketches (HLL, KLL) cannot be
+oracle-matched across engines; their accuracy contracts are pinned here."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    ).first()
+    # rsd=0.01 → 3 sigma ≈ 3%
+    assert abs(row.approx - row.exact) / row.exact < 0.03
+
+
+def test_percentile_approx_brackets_exact(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = orders.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+    ).first()
+    # high-accuracy KLL at this size must be within 2% of the exact median
+    assert abs(row.approx - row.exact) / row.exact < 0.02
+
+
+def test_approx_count_distinct_deterministic(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.agg(F.approx_count_distinct("l_partkey").alias("x")).first().x
+    b = li.agg(F.approx_count_distinct("l_partkey").alias("x")).first().x
+    assert a == b  # HLL merge is commutative — same data, same estimate
