@@ -183,6 +183,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs sharing any band hash become a
@@ -197,6 +198,12 @@ def minhash_candidate_pairs(
     shared by m docs yields m² candidates; boilerplate-heavy corpora
     should pre-filter with ``dedup_fingerprint`` (removes exact clones,
     the usual source of mega-buckets), and AQE skew-join splits the rest.
+
+    ``max_bucket_size``: hard skew guard for 100 TB corpora — buckets with
+    more members are dropped before the self-join (m² suppression). Docs
+    in an oversized bucket almost always collide in several OTHER, smaller
+    buckets too (b bands = b independent chances), so recall loss is
+    marginal while the worst-case join cost becomes bounded. None = off.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
@@ -227,6 +234,14 @@ def minhash_candidate_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bucket")
+
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
 
     left = banded.alias("a")
     right = banded.alias("b")

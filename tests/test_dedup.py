@@ -130,3 +130,30 @@ def test_keep_first_is_partial_aggregate(spark, sf_dir):
     plan = explain_str(dedup_keep_first(part, ["p_name"], ["p_partkey"]))
     assert "partial_min_by" in plan or "partial_min" in plan
     assert "Window" not in plan
+
+
+def test_minhash_bucket_size_guard(spark):
+    """A corpus of identical docs creates one mega-bucket; the guard must
+    suppress the m² pair blowup while regular near-dups still link."""
+    boiler = [(i, "exactly the same boilerplate text repeated many times "
+                  "over and over in this synthetic corpus") for i in range(20)]
+    # long near-dup pair (1 word changed over ~30 tokens → jaccard ≈ 0.9,
+    # so P(no band collision) ≈ 4e-8 — statistically safe to assert)
+    base = ("spark engines shuffle data between executors during wide "
+            "transformations while the scheduler assigns tasks to slots "
+            "and the adaptive planner rewrites joins at runtime based on "
+            "observed partition statistics from the previous stage")
+    near_dups = [(100, base), (101, base.replace("observed", "measured"))]
+    docs = spark.createDataFrame(boiler + near_dups,
+                                 "doc_id long, text string")
+    unguarded = minhash_candidate_pairs(docs, "text", "doc_id").count()
+    guarded = minhash_candidate_pairs(docs, "text", "doc_id",
+                                      max_bucket_size=5).count()
+    assert unguarded >= 190          # 20 boilerplate docs → C(20,2) pairs
+    assert guarded < unguarded       # mega-bucket suppressed
+    # the non-boilerplate near-dup pair (4,5) survives via its own buckets
+    got = {(r.id_a, r.id_b)
+           for r in minhash_candidate_pairs(docs, "text", "doc_id",
+                                            max_bucket_size=5)
+           .filter(F.col("jaccard_sim") >= 0.5).collect()}
+    assert (100, 101) in got
