@@ -103,6 +103,26 @@ def streaming_session_window(
     )
 
 
+def write_stream_foreach_batch(
+    df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Custom-sink streaming write via ``foreachBatch``: each micro-batch
+    arrives as a plain DataFrame + epoch id, so any batch writer (JDBC,
+    merge-into emulation, multi-sink fanout) becomes a streaming sink.
+    With the checkpoint dir, Spark tracks delivered epochs — the batch_fn
+    must be idempotent per epoch for exactly-once end-to-end."""
+    writer = (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sessionize_batch(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -142,3 +142,30 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 10:00 window closed with 1 event; the late 10:05 row was dropped
     assert ("2024-01-01 10:00:00", 1) in out
     assert ("2024-01-01 10:00:00", 2) not in out
+
+
+def test_foreach_batch_sink(spark, events_parquet_dir, tmp_path):
+    """foreachBatch custom sink: every micro-batch lands as parquet; the
+    union of batches equals the source."""
+    import glob
+
+    from pyspark_deduplication_spark.streaming.ops import write_stream_foreach_batch
+
+    out_dir = str(tmp_path / "batches")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    stream = read_events_stream(spark, events_parquet_dir,
+                                max_files_per_trigger=2)
+    q = write_stream_foreach_batch(stream, sink, ckpt)
+    q.awaitTermination(120)
+    n_src = spark.read.parquet(events_parquet_dir).count()
+    assert spark.read.parquet(out_dir).count() == n_src
+    # restart with same checkpoint: no duplicate delivery (epochs tracked)
+    q2 = write_stream_foreach_batch(
+        read_events_stream(spark, events_parquet_dir, max_files_per_trigger=2),
+        sink, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n_src
