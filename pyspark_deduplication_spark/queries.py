@@ -1038,6 +1038,40 @@ GROUP BY 1, 2
 """
 
 
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 15 min slide): each event lands in 4
+    overlapping windows. Oracle: explode 4 slide offsets per event and
+    bucket — the relational definition of a sliding window."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                   F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n_events",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+slid AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '15 minutes', ts)
+           - (k * INTERVAL '15 minutes') AS window_start,
+         ts
+  FROM ev, unnest([0, 1, 2, 3]) AS t(k)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events
+FROM slid
+WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+GROUP BY window_start, event_type
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min), aggregated per session."""
     ev = _events(spark, sf_dir)
@@ -1576,6 +1610,8 @@ CATALOG: dict[str, Query] = {
     # events / time series
     "events_hourly_windows": Query(events_hourly_windows, _HOURLY_ORACLE,
                                    bench=True, tags=["events"]),
+    "events_sliding_windows": Query(events_sliding_windows, _SLIDING_ORACLE,
+                                    tags=["events", "window"]),
     "events_sessionize": Query(events_sessionize, _SESSION_ORACLE,
                                bench=True, tags=["events"]),
     "events_dedup_keep_earliest": Query(events_dedup_keep_earliest,
