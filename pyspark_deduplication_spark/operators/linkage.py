@@ -127,6 +127,15 @@ def prefix_key(col: Column | str, length: int = 4) -> Column:
     return F.substring(F.lower(F.trim(c)), 1, length)
 
 
+def suffix_key(col: Column | str, length: int = 6) -> Column:
+    """Blocking on the trailing characters — the right key when entities
+    share identifier-like suffixes across tables (account numbers, codes)
+    while prefixes differ by entity type."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(F.trim(c))
+    return F.substring(low, -length, length)
+
+
 def blocked_similarity_join(
     df: DataFrame,
     id_col: str,
@@ -149,7 +158,8 @@ def blocked_similarity_join(
     pairs only, Python (difflib) touched only by rescore survivors. The
     reference's equivalent is an unblocked O(n²) UDF nested-loop join.
     """
-    keyers = {"prefix": prefix_key, "sorted_token": sorted_token_key}
+    keyers = {"prefix": prefix_key, "sorted_token": sorted_token_key,
+              "suffix": suffix_key}
     key_fn = keyers[blocking]
     keyed = df.select(
         F.col(id_col),
@@ -174,6 +184,46 @@ def blocked_similarity_join(
             "difflib_sim", ratcliff_similarity(F.col("text_a"), F.col("text_b"))
         ).filter(F.col("difflib_sim") >= difflib_threshold)
     return pairs
+
+
+def blocked_similarity_cross_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    threshold: float = 0.5,
+    blocking: str = "prefix",
+    block_len: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Cross-TABLE entity matching (e.g. customer names vs supplier
+    names): same blocking-key equi-join shape as the self-join variant,
+    but between two different relations — the classic record-linkage
+    setting. Returns (left_id, right_id, left_text, right_text, sim)."""
+    keyers = {"prefix": prefix_key, "sorted_token": sorted_token_key,
+              "suffix": suffix_key}
+    key_fn = keyers[blocking]
+    lk = left.select(
+        F.col(left_id).alias("left_id"),
+        F.col(left_text).alias("left_text"),
+        key_fn(F.col(left_text), block_len).alias("__block"),
+    )
+    rk = right.select(
+        F.col(right_id).alias("right_id"),
+        F.col(right_text).alias("right_text"),
+        key_fn(F.col(right_text), block_len).alias("__block"),
+    )
+    return (
+        lk.join(rk, "__block")
+        .select(
+            "left_id", "right_id", "left_text", "right_text",
+            ngram_jaccard(F.col("left_text"), F.col("right_text"), ngram)
+            .alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

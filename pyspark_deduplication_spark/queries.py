@@ -968,6 +968,54 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 6).alias("score"), "rank")
 
 
+def cross_table_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table record linkage (customer ↔ supplier on name suffix,
+    SURVEY: supplier is the 'second linkage subject'). Suffix blocking —
+    the entity-type prefixes differ, the identifier-like suffixes align."""
+    from pyspark_deduplication_spark.operators.linkage import (
+        blocked_similarity_cross_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    supp = _t(spark, sf_dir, "supplier")
+    pairs = blocked_similarity_cross_join(
+        cust, supp, "c_custkey", "c_name", "s_suppkey", "s_name",
+        threshold=0.3, blocking="suffix", block_len=6,
+    )
+    return pairs.select(
+        F.col("left_id").alias("c_custkey"),
+        F.col("right_id").alias("s_suppkey"),
+        F.round("sim", 6).alias("name_sim"),
+    )
+
+
+_CROSS_TABLE_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_name,
+         substr(lower(trim(c_name)), length(lower(trim(c_name))) - 5, 6) AS blk,
+         list_distinct(list_transform(
+           range(1, greatest(len(c_name) - 2, 1) + 1),
+           i -> substr(c_name, i, 3))) AS grams
+  FROM customer WHERE c_custkey < 500
+),
+s AS (
+  SELECT s_suppkey, s_name,
+         substr(lower(trim(s_name)), length(lower(trim(s_name))) - 5, 6) AS blk,
+         list_distinct(list_transform(
+           range(1, greatest(len(s_name) - 2, 1) + 1),
+           i -> substr(s_name, i, 3))) AS grams
+  FROM supplier
+)
+SELECT c.c_custkey, s.s_suppkey,
+       round(CAST(len(list_intersect(c.grams, s.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(c.grams, s.grams))) AS DOUBLE),
+             6) AS name_sim
+FROM c JOIN s ON c.blk = s.blk
+WHERE CAST(len(list_intersect(c.grams, s.grams)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(c.grams, s.grams))) AS DOUBLE) >= 0.3
+"""
+
+
 def lsh_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH near-dup pairs — the scale path for
     embedding dedup (rows-only; recall vs the exact blocked variant is
@@ -1607,6 +1655,8 @@ CATALOG: dict[str, Query] = {
                                      tags=["vector", "dedup", "lsh"]),
     "levenshtein_links_customers": Query(levenshtein_links_customers,
                                          _LEV_CUST_ORACLE, tags=["linkage"]),
+    "cross_table_entity_match": Query(cross_table_entity_match,
+                                      _CROSS_TABLE_ORACLE, tags=["linkage"]),
     # events / time series
     "events_hourly_windows": Query(events_hourly_windows, _HOURLY_ORACLE,
                                    bench=True, tags=["events"]),

@@ -6,10 +6,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from pyspark_deduplication_spark.session import get_spark
 
-    spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    spark = get_spark(
+        "tests", master="local[4]", shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield spark
     spark.stop()
 

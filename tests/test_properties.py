@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis): generated inputs, one Spark job per
+test (all examples batched into a single DataFrame — per-example Spark
+round-trips would be prohibitively slow)."""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pyspark_deduplication_spark.functions.similarity import (
+    jaccard,
+    ngram_jaccard,
+    ratcliff_similarity,
+)
+from pyspark_deduplication_spark.operators.dedup import dedup_keep_first
+
+TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+                           max_codepoint=0x2FF),
+    min_size=0, max_size=40,
+)
+
+_SPARK = None
+
+
+def _spark_handle(spark):
+    global _SPARK
+    _SPARK = spark
+    return spark
+
+
+def test_capture_session(spark):
+    # hypothesis-decorated tests can't take fixtures alongside @given;
+    # capture the session-scoped spark once.
+    assert _spark_handle(spark) is spark
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=30))
+def test_ratcliff_always_matches_difflib(pairs):
+    df = _SPARK.createDataFrame(pairs, "a string, b string")
+    rows = df.select("a", "b", ratcliff_similarity("a", "b").alias("s")).collect()
+    for r in rows:
+        expected = SequenceMatcher(None, r.a, r.b).ratio() * 100.0
+        assert abs(r.s - expected) < 1e-9
+        assert 0.0 <= r.s <= 100.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=30))
+def test_ngram_jaccard_bounds_and_identity(pairs):
+    df = _SPARK.createDataFrame(pairs, "a string, b string")
+    rows = df.select(
+        ngram_jaccard("a", "b").alias("j"),
+        ngram_jaccard("a", "a").alias("self_j"),
+        ngram_jaccard("a", "b").alias("j1"),
+        ngram_jaccard("b", "a").alias("j2"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r.j <= 1.0
+        assert r.self_j == 1.0          # identity
+        assert r.j1 == r.j2             # symmetry (set-based)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 1000), TEXT),
+    min_size=1, max_size=50,
+))
+def test_keep_first_invariants(rows):
+    df = _SPARK.createDataFrame(rows, "k int, o int, v string")
+    out = dedup_keep_first(df, ["k"], ["o", "v"]).collect()
+    # one row per key
+    keys = [r.k for r in out]
+    assert len(keys) == len(set(keys)) == df.select("k").distinct().count()
+    # each kept row is the true minimum under (o, v) for its key
+    by_key = {}
+    for k, o, v in rows:
+        cur = by_key.get(k)
+        if cur is None or (o, v) < cur:
+            by_key[k] = (o, v)
+    for r in out:
+        assert (r.o, r.v) == by_key[r.k]
+    # idempotence
+    again = dedup_keep_first(df, ["k"], ["o", "v"])
+    assert sorted(map(str, dedup_keep_first(again, ["k"], ["o", "v"]).collect())) \
+        == sorted(map(str, out))
