@@ -122,6 +122,36 @@ def dedup_fingerprint(
     )
 
 
+def merge_upsert(
+    base: DataFrame, changes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Batch MERGE-INTO emulation (upsert): rows from ``changes`` replace
+    base rows with the same key; new keys append. Without a transactional
+    table format this is the standard anti-join + union rewrite: the base
+    keeps only keys absent from changes, then changes come in wholesale.
+    One broadcast-or-shuffle hash join — no per-row driver logic."""
+    survivors = base.join(changes.select(*keys).distinct(), keys, "left_anti")
+    return survivors.unionByName(changes)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingestion dedup: drop new documents whose normalized
+    content fingerprint already exists in the corpus OR duplicates another
+    new document (keep min id within the batch). The corpus side reduces
+    to a set of 16-byte fingerprints — at 100 TB that projection is what
+    shuffles (or broadcasts), never the documents."""
+    fp = doc_fingerprint(F.col(text_col))
+    new_fp = new_docs.withColumn("fingerprint", fp)
+    corpus_fp = corpus.select(fp.alias("fingerprint")).distinct()
+    fresh = new_fp.join(corpus_fp, "fingerprint", "left_anti")
+    return dedup_keep_first(fresh, ["fingerprint"], [id_col]).drop("fingerprint")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

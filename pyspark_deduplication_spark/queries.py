@@ -459,6 +459,104 @@ FROM (
 """
 
 
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO emulation: apply a derived change set (every BUILDING
+    customer moves to segment 'RENOVATED', plus one synthetic new row) to
+    the customer base; report per-segment counts."""
+    from pyspark_deduplication_spark.operators.dedup import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    changes = cust.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_mktsegment", F.lit("RENOVATED")
+    ).unionByName(
+        cust.limit(0).unionByName(spark.createDataFrame(
+            [(99_999_999, "Customer#99999999", 0, 0.0, "NEWCOMER")],
+            cust.schema,
+        ))
+    )
+    merged = merge_upsert(cust, changes, ["c_custkey"])
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+_MERGE_ORACLE = """
+WITH changes AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         'RENOVATED' AS c_mktsegment
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT 99999999, 'Customer#99999999', 0, 0.0, 'NEWCOMER'
+),
+merged AS (
+  SELECT * FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+  UNION ALL
+  SELECT * FROM changes
+)
+SELECT c_mktsegment, count(*) AS n_customers
+FROM merged GROUP BY c_mktsegment
+"""
+
+
+def ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing: customers split into account-balance deciles
+    per segment (ntile window)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey"))
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+             .cast("decimal(38,2)").alias("sum_bal"))
+    )
+
+
+_NTILE_ORACLE = """
+SELECT c_mktsegment, decile, count(*) AS n,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+) t
+GROUP BY c_mktsegment, decile
+"""
+
+
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion: treat even-id documents as the existing
+    corpus and odd-id ones as the new batch; report which new docs
+    survive content-fingerprint dedup against corpus + batch."""
+    from pyspark_deduplication_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    kept = incremental_dedup(batch, corpus)
+    return kept.select("doc_id")
+
+
+_INCR_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                 '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+batch AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+fresh AS (
+  SELECT b.* FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = b.fingerprint)
+)
+SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fingerprint
+"""
+
+
 def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-content document dedup via md5-of-normalized-text."""
     docs = _t(spark, sf_dir, "documents")
@@ -1615,6 +1713,12 @@ CATALOG: dict[str, Query] = {
                                  tags=["dedup"]),
     "doc_fingerprint_dedup": Query(doc_fingerprint_dedup, _FINGERPRINT_ORACLE,
                                    bench=True, tags=["dedup", "text"]),
+    "merge_upsert_customers": Query(merge_upsert_customers, _MERGE_ORACLE,
+                                    tags=["merge"]),
+    "ntile_customer_value": Query(ntile_customer_value, _NTILE_ORACLE,
+                                  tags=["window"]),
+    "incremental_dedup_docs": Query(incremental_dedup_docs, _INCR_ORACLE,
+                                    tags=["dedup", "pipeline"]),
     # fuzzy linkage
     "levenshtein_links_parts": Query(levenshtein_links_parts, _LEV_LINK_ORACLE,
                                      tags=["linkage"]),

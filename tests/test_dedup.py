@@ -157,3 +157,29 @@ def test_minhash_bucket_size_guard(spark):
                                             max_bucket_size=5)
            .filter(F.col("jaccard_sim") >= 0.5).collect()}
     assert (100, 101) in got
+
+
+def test_merge_upsert_semantics(spark):
+    from pyspark_deduplication_spark.operators.dedup import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, v string, x int")
+    changes = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "id long, v string, x int")
+    out = {r.id: (r.v, r.x) for r in merge_upsert(base, changes, ["id"]).collect()}
+    assert out == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_incremental_dedup_cross_and_intra_batch(spark):
+    from pyspark_deduplication_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "existing document about spark")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "Existing   document about SPARK!"),   # dup of corpus (normalized)
+         (11, "a genuinely new document"),
+         (12, "a genuinely new document"),           # intra-batch dup of 11
+         (13, "another new one")],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in incremental_dedup(batch, corpus).collect())
+    assert kept == [11, 13]
