@@ -7,6 +7,7 @@ from pyspark_deduplication_spark.functions.similarity import (  # noqa: F401
     ratcliff_similarity,
 )
 from pyspark_deduplication_spark.functions.text import (  # noqa: F401
+    detect_language,
     doc_fingerprint,
     language_scores,
     normalize_text,
@@ -14,6 +15,7 @@ from pyspark_deduplication_spark.functions.text import (  # noqa: F401
     token_count,
     tokenize,
     word_ngrams,
+    word_ngrams_of,
 )
 from pyspark_deduplication_spark.functions.vectors import (  # noqa: F401
     cosine_similarity,

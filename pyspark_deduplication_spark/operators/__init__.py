@@ -3,16 +3,43 @@ from pyspark_deduplication_spark.operators.dedup import (  # noqa: F401
     dedup_fingerprint,
     dedup_full_row,
     dedup_keep_first,
+    incremental_dedup,
+    merge_upsert,
     minhash_candidate_pairs,
     minhash_dedup,
+    minhash_signatures,
     simhash_dedup,
+    simhash_signatures,
     with_surrogate_id,
 )
+from pyspark_deduplication_spark.operators.joins import (  # noqa: F401
+    asof_join,
+    range_join,
+)
+from pyspark_deduplication_spark.operators.knn import (  # noqa: F401
+    brute_force_knn,
+    embedding_near_dup_pairs,
+    hyperplane_lsh_buckets,
+    ivf_knn,
+    lsh_near_dup_pairs,
+)
 from pyspark_deduplication_spark.operators.linkage import (  # noqa: F401
+    blocked_similarity_cross_join,
     blocked_similarity_join,
     cluster_members,
     connected_components,
     levenshtein_link,
     similarity_join_faithful,
     transitive_clusters,
+)
+from pyspark_deduplication_spark.operators.multimodal import (  # noqa: F401
+    extract_image_features,
+    media_exact_dedup,
+    media_repartition,
+    sample_video_frames,
+)
+from pyspark_deduplication_spark.operators.partitioning import (  # noqa: F401
+    bucketed_join,
+    salted_join,
+    write_bucketed,
 )
