@@ -103,6 +103,36 @@ def streaming_session_window(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair left events with right
+    events for the same key where right happened within ``within`` BEFORE
+    the left event. Both sides carry watermarks so Spark can bound the
+    join state and evict rows older than the time constraint — without
+    the range condition + watermarks the state would grow forever.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = (
+        right.withWatermark(right_ts, watermark)
+        .withColumnRenamed(key, f"__r_{key}")
+        .withColumnRenamed(right_ts, "__r_ts")
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.__r_{key}"))
+        & (F.col("__r_ts") <= F.col(f"l.{left_ts}"))
+        & (F.col("__r_ts") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def write_stream_foreach_batch(
     df: DataFrame,
     batch_fn,

@@ -103,3 +103,24 @@ def test_ngram_jaccard_bounds(spark):
     )
     assert rows[0].j == 1.0
     assert rows[1].j == 0.0
+
+
+def test_null_text_behavior_pinned(spark):
+    """Null handling contract for the text kernels: null text propagates
+    null (not empty-string coercion) through normalize/token_count, and
+    null fingerprints group together in dedup (documented behavior)."""
+    from pyspark_deduplication_spark.functions.text import (
+        doc_fingerprint, normalize_text, token_count)
+    from pyspark_deduplication_spark.operators.dedup import dedup_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text")], "doc_id long, text string")
+    row = df.select(
+        normalize_text("text").alias("n"),
+        token_count("text").alias("t"),
+        doc_fingerprint("text").alias("f"),
+    ).collect()[0]
+    assert row.n is None and row.t is None and row.f is None
+    kept = sorted(r.doc_id for r in
+                  dedup_fingerprint(df, "text", "doc_id").collect())
+    assert kept == [1, 3]  # null-text docs collapse to one representative

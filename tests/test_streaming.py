@@ -169,3 +169,37 @@ def test_foreach_batch_sink(spark, events_parquet_dir, tmp_path):
         sink, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n_src
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_parquet_dir):
+    """Watermarked stream-stream join ≡ the equivalent batch range join
+    when all data fits one run."""
+    from pyspark_deduplication_spark.streaming.ops import stream_stream_join
+
+    purchases = read_events_stream(spark, events_parquet_dir, 100).filter(
+        F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    errors = read_events_stream(spark, events_parquet_dir, 100).filter(
+        F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts")
+    joined = stream_stream_join(purchases, errors, within="1 hour")
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("ss_join_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.event_id, r.err_id)
+           for r in spark.sql("SELECT event_id, err_id FROM ss_join_out").collect()}
+
+    ev = _events_batch(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id").alias("u2"),
+        F.col("ts").alias("ts2"))
+    batch = p.join(e, (p.user_id == e.u2) & (e.ts2 <= p.ts)
+                   & (e.ts2 >= p.ts - F.expr("INTERVAL 1 hour")))
+    expected = {(r.event_id, r.err_id)
+                for r in batch.select("event_id", "err_id").collect()}
+    assert got == expected
+    assert expected  # non-trivial join
