@@ -248,18 +248,24 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 25,
 ) -> DataFrame:
-    """Connected components over an undirected edge list via alternating
-    star contraction (Kiveris et al., "Connected Components in MapReduce
-    and Beyond", SoCC'14) simplified to min-label propagation:
+    """Connected components over an undirected edge list: min-label
+    propagation with pointer-doubling shortcutting per round —
 
-    repeat: every node adopts the minimum label in its neighborhood
-    (including its own); stop when no label changes.
+    1. every node adopts the minimum label in its one-hop neighborhood,
+    2. every node then adopts its label's label (``comp(comp(x))``),
+
+    the short-cutting step of the classic MapReduce CC algorithms
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Plain one-hop propagation needs O(diameter) rounds — a
+    pathological chain of length 10^6 would silently hit the iteration
+    cap; with doubling the label distance-to-root halves each round, so
+    convergence is O(log(diameter)) and 25 rounds cover any realistic
+    graph (2^25 diameter). Stop when no label changes.
 
     Returns (node, component) with component = min node id reachable.
-    Each iteration is one shuffle on node id; convergence is
-    O(log(diameter)) iterations for typical dedup graphs (tiny diameters).
-    ``localCheckpoint`` truncates lineage each round so plans don't grow
-    exponentially — required for iterative algorithms on Spark.
+    Each round is two shuffles on node id; checkpointing truncates
+    lineage each round so plans don't grow exponentially — required for
+    iterative algorithms on Spark.
     """
     # Materialize the edge list once: the symmetrization union reads it
     # twice and every iteration reads it again — without this, the entire
@@ -285,13 +291,26 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("nbr_component"))
         )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        )
+        # pointer doubling: comp(x) <- min(comp(x), comp(comp(x))) —
+        # halves every node's label distance to its component root
+        parent = propagated.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
         new_labels = _checkpoint(
-            labels.join(neighbor_min, "node", "left")
-            .select(
+            propagated.join(
+                parent, propagated.component == parent.p_node, "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                    F.coalesce(F.col("p_comp"), F.col("component")),
                 ).alias("component"),
             )
         )

@@ -119,3 +119,13 @@ def test_blocked_join_no_cross_product(spark, sf_dir):
     rows = pairs.collect()
     assert all(r.id_a < r.id_b for r in rows)
     assert all(r.sim >= 0.4 for r in rows)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node path graph has diameter 200 — one-hop propagation would
+    silently hit the 25-iteration cap; pointer doubling must converge."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long")
+    comps = connected_components(edges, max_iterations=25).collect()
+    assert {r.component for r in comps} == {0}
+    assert len(comps) == 201
