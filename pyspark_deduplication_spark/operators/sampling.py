@@ -1,0 +1,68 @@
+"""Deterministic sampling for corpus curation.
+
+Spark's seeded ``sample``/``sampleBy`` is Bernoulli over the partition
+iteration order — reruns with different partitioning (or shuffle read
+order) select different rows. Training-data pipelines need *stable*
+samples (re-runs, audits, incremental appends), so the engine samples on
+a content hash instead: a row is kept iff the first byte of
+``md5(key || seed)`` falls below ``round(fraction * 256)``. Properties:
+
+- deterministic across runs, partitionings, engines (md5 is universal —
+  the DuckDB oracle replicates it exactly),
+- uniform (md5 bytes are uniform), fraction granularity 1/256,
+- stable under appends: an existing row's membership never changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, seed: str = "42") -> Column:
+    """First md5 byte of (key, seed) as a hex pair — uniform over 256
+    values, stable everywhere."""
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(seed))), 1, 2)
+
+
+def _hex_threshold(fraction: float) -> str:
+    n = max(0, min(256, round(fraction * 256)))
+    if n >= 256:
+        # 'g' sorts after every hex pair ('0'-'9' < 'a'-'f' < 'g') — a
+        # keep-all sentinel; '100' would NOT work ('ff' < '100' is false
+        # in string order).
+        return "g"
+    return format(n, "02x")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = "42"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, selected by content hash of ``key_col``."""
+    if fraction >= 1.0:
+        return df
+    return df.filter(
+        hash_bucket(F.col(key_col), seed) < F.lit(_hex_threshold(fraction))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    seed: str = "42",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample 'en' to 50%
+    while keeping low-resource languages whole)."""
+    threshold = None
+    for stratum, frac in fractions.items():
+        case = F.when(F.col(strata_col) == stratum,
+                      F.lit(_hex_threshold(frac)))
+        threshold = case if threshold is None else threshold.when(
+            F.col(strata_col) == stratum, F.lit(_hex_threshold(frac)))
+    threshold = (threshold.otherwise(F.lit(_hex_threshold(default_fraction)))
+                 if threshold is not None
+                 else F.lit(_hex_threshold(default_fraction)))
+    return df.filter(hash_bucket(F.col(key_col), seed) < threshold)

@@ -848,6 +848,69 @@ FROM base
 """
 
 
+def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical corpus-curation step: drop documents below a quality
+    threshold, report per-language retention."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    scored = docs.select("lang", feats["quality_score"].alias("q"))
+    return (
+        scored.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("q") >= 0.8, 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+
+
+_QUALITY_FILTER_ORACLE = f"""
+WITH base AS (
+  SELECT lang,
+         len(text) AS n_chars,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         {_NTOK_SQL} AS n_tokens,
+         len(list_filter({_TOKENS_SQL}, t -> t IN {_STOPWORDS_IN})) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT lang,
+         0.5 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+         + 0.25 * (1.0 - least((CASE WHEN n_chars > 0
+             THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             ELSE 0.0 END) * 4, 1.0))
+         + 0.25 * least((CASE WHEN n_tokens > 0
+             THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             ELSE 0.0 END) * 5, 1.0) AS q
+  FROM base
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS n_kept
+FROM scored
+GROUP BY lang
+"""
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus rebalancing: downsample 'en' to 50% by content
+    hash, keep other languages whole. Hash sampling (not Bernoulli) so
+    membership is stable across runs/partitionings AND the oracle can
+    replicate it byte-for-byte via md5."""
+    from pyspark_deduplication_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(docs, "lang", "doc_id",
+                                     {"en": 0.5}, default_fraction=1.0)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+_SAMPLE_ORACLE = """
+SELECT lang, count(*) AS n_sampled
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 2)
+      < (CASE WHEN lang = 'en' THEN '80' ELSE 'g' END)
+GROUP BY lang
+"""
+
+
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: predicted language distribution."""
     docs = _t(spark, sf_dir, "documents")
@@ -1679,6 +1742,168 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — the canonical
+    predicate-pushdown probe. All three filters reach the parquet scan
+    (no joins, no window); the aggregate is a single partial+final sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum((price * disc).cast("decimal(18,6)"))
+             .cast("decimal(38,6)").alias("revenue"))
+    )
+
+
+_Q6_ORACLE = """
+SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,6)))
+            AS DECIMAL(38,6)) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    Customer and nation dims broadcast; lineitem shuffles only for the
+    final group-by on the customer key."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc))
+                   .cast("decimal(18,6)"))
+             .cast("decimal(38,6)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(18,6)))
+            AS DECIMAL(38,6)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue %).
+    The part dim is broadcast; both sums stay decimal-exact, the final
+    ratio divides in double and rounds to 6dp."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-07-01")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    disc_price = (price * (F.lit(1).cast("decimal(18,4)") - disc)).cast(
+        "decimal(18,6)")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc_price)
+                  .otherwise(F.lit(0).cast("decimal(18,6)")))
+            .cast("decimal(38,6)").alias("promo"),
+            F.sum(disc_price).cast("decimal(38,6)").alias("total"),
+        )
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("promo").cast("double")
+                / F.col("total").cast("double"), 6).alias("promo_revenue_pct")
+    )
+
+
+_Q14_ORACLE = """
+WITH agg AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                                 AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END)
+              AS DECIMAL(38,6)) AS promo,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                       AS DECIMAL(18,6)))
+              AS DECIMAL(38,6)) AS total
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+)
+SELECT round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6)
+       AS promo_revenue_pct
+FROM agg
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — aggregate-then-semi-join.
+    The lineitem group-by produces the qualifying orderkeys (a HAVING
+    filter applied map-side-combinable); orders/customer join after,
+    so the expensive fact aggregation happens exactly once."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).cast("decimal(38,2)").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+                "total_qty")
+    )
+
+
+_Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE total_qty > 150
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -1692,6 +1917,14 @@ CATALOG: dict[str, Query] = {
                                    bench=True, tags=["join"]),
     "q5_nation_revenue": Query(q5_nation_revenue, _Q5_ORACLE, bench=True,
                                tags=["join"]),
+    "q6_forecast_revenue": Query(q6_forecast_revenue, _Q6_ORACLE,
+                                 tags=["agg", "pushdown"]),
+    "q10_returned_items": Query(q10_returned_items, _Q10_ORACLE,
+                                tags=["join"]),
+    "q14_promo_revenue": Query(q14_promo_revenue, _Q14_ORACLE,
+                               tags=["join", "agg"]),
+    "q18_large_orders": Query(q18_large_orders, _Q18_ORACLE,
+                              tags=["join", "agg"]),
     "top3_customers_per_nation": Query(top3_customers_per_nation,
                                        _TOP3_ORACLE, tags=["window"]),
     "rollup_order_stats": Query(rollup_order_stats, _ROLLUP_ORACLE,
@@ -1802,6 +2035,11 @@ CATALOG: dict[str, Query] = {
                                   tags=["agg"]),
     "corpus_dedup_pipeline": Query(corpus_dedup_pipeline, None,
                                    bench=True, tags=["dedup", "pipeline"]),
+    # corpus curation
+    "quality_filter_docs": Query(quality_filter_docs, _QUALITY_FILTER_ORACLE,
+                                 tags=["text", "pipeline"]),
+    "stratified_sample_docs": Query(stratified_sample_docs, _SAMPLE_ORACLE,
+                                    tags=["sampling", "pipeline"]),
 }
 
 

@@ -1,0 +1,106 @@
+"""Deterministic hash sampling (operators/sampling.py).
+
+The point of hash sampling over Spark's Bernoulli ``sample``: membership
+is a pure function of (key, seed), so it survives repartitioning, reruns,
+and incremental appends — required for reproducible corpus curation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_deduplication_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+    _hex_threshold,
+)
+
+
+def _expected_keep(key: str, fraction: float, seed: str = "42") -> bool:
+    if fraction >= 1.0:
+        return True
+    hexpair = hashlib.md5((key + seed).encode()).hexdigest()[:2]
+    return hexpair < _hex_threshold(fraction)
+
+
+def test_hex_threshold_boundaries():
+    assert _hex_threshold(0.0) == "00"
+    assert _hex_threshold(0.5) == "80"
+    assert _hex_threshold(1.0) == "g"  # sorts after every hex pair
+    assert "ff" < _hex_threshold(1.0)
+    assert _hex_threshold(0.25) == "40"
+
+
+def test_hash_sample_matches_python_md5(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(500)], ["k"])
+    kept = {r.k for r in hash_sample(df, "k", 0.5).collect()}
+    expected = {str(i) for i in range(500) if _expected_keep(str(i), 0.5)}
+    assert kept == expected
+
+
+def test_hash_sample_stable_under_repartition(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(300)], ["k"])
+    a = {r.k for r in hash_sample(df, "k", 0.3).collect()}
+    b = {r.k for r in hash_sample(df.repartition(7), "k", 0.3).collect()}
+    assert a == b
+
+
+def test_hash_sample_stable_under_append(spark):
+    """An existing row's membership never changes when new rows arrive."""
+    base = spark.createDataFrame([(str(i),) for i in range(200)], ["k"])
+    extended = spark.createDataFrame([(str(i),) for i in range(400)], ["k"])
+    kept_base = {r.k for r in hash_sample(base, "k", 0.4).collect()}
+    kept_ext = {r.k for r in hash_sample(extended, "k", 0.4).collect()}
+    assert kept_base == {k for k in kept_ext if int(k) < 200}
+
+
+def test_hash_sample_fraction_accuracy(spark):
+    n = 4000
+    df = spark.createDataFrame([(str(i),) for i in range(n)], ["k"])
+    for frac in (0.1, 0.5, 0.9):
+        got = hash_sample(df, "k", frac).count()
+        assert abs(got / n - frac) < 0.05, (frac, got)
+
+
+def test_hash_sample_full_fraction_is_identity(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(50)], ["k"])
+    assert hash_sample(df, "k", 1.0).count() == 50
+
+
+def test_stratified_fractions(spark):
+    rows = [("en", str(i)) for i in range(1000)] + [
+        ("de", str(i)) for i in range(1000, 1200)
+    ]
+    df = spark.createDataFrame(rows, ["lang", "k"])
+    out = stratified_hash_sample(df, "lang", "k", {"en": 0.5})
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == 200  # default fraction 1.0 keeps everything
+    assert abs(counts["en"] / 1000 - 0.5) < 0.06
+
+
+def test_stratified_default_fraction(spark):
+    rows = [("en", str(i)) for i in range(400)] + [
+        ("de", str(i)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["lang", "k"])
+    out = stratified_hash_sample(df, "lang", "k", {"en": 1.0},
+                                 default_fraction=0.0)
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("en", 0) == 400
+    assert "de" not in counts
+
+
+def test_stratified_matches_per_stratum_hash_sample(spark):
+    """Stratified = per-stratum hash_sample with the same key/seed, so
+    downsampled strata stay consistent with standalone samples."""
+    rows = [("en", str(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["lang", "k"])
+    strat = {r.k for r in
+             stratified_hash_sample(df, "lang", "k", {"en": 0.3}).collect()}
+    plain = {r.k for r in hash_sample(df, "k", 0.3).collect()}
+    assert strat == plain
