@@ -1904,6 +1904,98 @@ WHERE total_qty > 150
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated-scalar-subquery decorrelated into an
+    aggregate-then-join — yearly revenue loss from small orders (quantity
+    below 20% of the part's average). The correlated ``avg`` is computed
+    once per part key and joined back; the threshold compares
+    multiplicatively (qty * cnt * 5 < sum_qty) so everything stays
+    decimal-exact — no division until the final scalar."""
+    li = _t(spark, sf_dir, "lineitem")
+    brand = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23").select("p_partkey")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    # decorrelated subquery, restricted to the brand's keys BEFORE the
+    # fact join — the broadcast side stays |brand parts|-sized at any SF
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("pp_partkey"))
+        .agg(F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+             F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(brand), F.col("pp_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == F.col("pp_partkey"))
+        .filter(qty * F.col("cnt").cast("decimal(18,0)") * F.lit(5)
+                < F.col("sum_qty"))
+        .agg(F.round(F.sum(price).cast("decimal(38,2)").cast("double")
+                     / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+_Q17_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey AS pp_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DECIMAL(38,2)) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pp_partkey
+WHERE p_brand = 'Brand#23'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * CAST(cnt AS DECIMAL(18,0)) * 5
+      < sum_qty
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery + NOT EXISTS —
+    customers richer than the positive-balance average with no urgent
+    orders, per market segment. The scalar threshold is a 1-row broadcast
+    (cross join); the NOT EXISTS is a left-anti join on the filtered
+    orders key. The average is compared multiplicatively
+    (bal * cnt > total) so the whole predicate stays decimal-exact."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    threshold = pos.agg(
+        F.sum(bal).cast("decimal(38,2)").alias("total_bal"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(threshold))
+        .filter(bal * F.col("n_pos").cast("decimal(18,0)")
+                > F.col("total_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_custs"),
+             F.sum(bal).cast("decimal(38,2)").alias("total_acctbal"))
+    )
+
+
+_Q22_ORACLE = """
+WITH threshold AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal,
+         count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS n_custs,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+FROM customer, threshold
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * CAST(n_pos AS DECIMAL(18,0)) > total_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -1923,8 +2015,12 @@ CATALOG: dict[str, Query] = {
                                 tags=["join"]),
     "q14_promo_revenue": Query(q14_promo_revenue, _Q14_ORACLE,
                                tags=["join", "agg"]),
+    "q17_small_quantity_revenue": Query(q17_small_quantity_revenue,
+                                        _Q17_ORACLE, tags=["join", "subquery"]),
     "q18_large_orders": Query(q18_large_orders, _Q18_ORACLE,
                               tags=["join", "agg"]),
+    "q22_dormant_customers": Query(q22_dormant_customers, _Q22_ORACLE,
+                                   tags=["join", "subquery"]),
     "top3_customers_per_nation": Query(top3_customers_per_nation,
                                        _TOP3_ORACLE, tags=["window"]),
     "rollup_order_stats": Query(rollup_order_stats, _ROLLUP_ORACLE,

@@ -85,3 +85,54 @@ def test_minhash_signatures_no_shuffle(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = explain_str(minhash_signatures(docs))
     assert "Exchange" not in plan  # signature stage must be map-only
+
+
+def test_q6_all_filters_pushed_scan_pruned(spark):
+    """Q6 is the pushdown probe: every predicate must reach the parquet
+    scan, and the scan must read only the 4 referenced columns."""
+    from pyspark_deduplication_spark.queries import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, "/root/testdata/sf0.001")
+    filters = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in f for f in filters), (col, filters)
+    plan = explain_str(df)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema  # pruned
+
+
+def test_q10_q14_dims_broadcast_no_smj(spark):
+    from pyspark_deduplication_spark.queries import (
+        q10_returned_items,
+        q14_promo_revenue,
+    )
+
+    for q in (q10_returned_items, q14_promo_revenue):
+        plan = explain_str(q(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert not has_cartesian_or_bnl(q(spark, "/root/testdata/sf0.001"))
+
+
+def test_q18_aggregates_before_join_with_partial_agg(spark):
+    """The HAVING filter must apply to the aggregate BEFORE the joins
+    (one pass over the fact table), with map-side partial aggregation."""
+    from pyspark_deduplication_spark.queries import q18_large_orders
+
+    plan = explain_str(q18_large_orders(spark, "/root/testdata/sf0.001"))
+    assert "partial_sum" in plan
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+
+
+def test_stratified_sample_filter_is_map_only(spark):
+    """Hash sampling is a pure filter — no exchange before the sample
+    decision (the md5 predicate evaluates at the scan's stage)."""
+    from pyspark_deduplication_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stratified_hash_sample(docs, "lang", "doc_id", {"en": 0.5})
+    assert "Exchange" not in explain_str(out)
