@@ -68,6 +68,17 @@ def word_ngrams_of(tokens: Column, n: int = 3) -> Column:
     )
 
 
+def word_ngrams_all_of(tokens: Column, n: int = 3) -> Column:
+    """Word n-grams WITH duplicates preserved (no ``array_distinct``) —
+    for frequency analysis (repetition scoring), where ``word_ngrams_of``'s
+    set semantics would erase exactly the signal being measured."""
+    count = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    )
+
+
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (space-joined) over the normalized tokens —
     the shingling step for MinHash document dedup. Prefer staging tokens

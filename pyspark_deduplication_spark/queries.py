@@ -35,6 +35,7 @@ from pyspark_deduplication_spark.functions.text import (
     quality_features,
     token_count,
     tokenize,
+    word_ngrams_all_of,
     word_ngrams_of,
 )
 from pyspark_deduplication_spark.functions.vectors import cosine_similarity
@@ -1996,6 +1997,113 @@ GROUP BY c_mktsegment
 """
 
 
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality rule (the Gopher/MassiveText
+    family): per document, the fraction of word bigrams taken by the most
+    frequent bigram and the fraction occurring more than once. High values
+    mark boilerplate/spam for corpus filtering. Integer-ratio doubles
+    (exact), rounded 6dp. Tokens staged as a materialized column so the
+    regex tokenizer runs once per doc, not once per bigram."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(word_ngrams_all_of(F.col("__toks"), 2)).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.max("cnt").alias("top_cnt"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))
+                  .otherwise(F.lit(0))).alias("dup_cnt"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("top_cnt").cast("double")
+                    / F.col("n_grams").cast("double"), 6)
+            .alias("top_bigram_frac"),
+            F.round(F.col("dup_cnt").cast("double")
+                    / F.col("n_grams").cast("double"), 6)
+            .alias("dup_bigram_frac"),
+        )
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+  FROM toks, unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS r(i)
+),
+per_gram AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+         AS top_bigram_frac,
+       round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+             / CAST(sum(cnt) AS DOUBLE), 6) AS dup_bigram_frac
+FROM per_gram
+GROUP BY doc_id
+"""
+
+
+def decontaminate_against_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark decontamination: flag documents sharing any word
+    5-gram with the held-out set (source = 'src0' stands in for the
+    benchmark). Per source, total docs vs contaminated docs. The held-out
+    gram set is distinct-reduced BEFORE the join and broadcast — at 100 TB
+    the benchmark side stays benchmark-sized, so the corpus never
+    shuffles; a left-semi join keeps each contaminated doc once."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source",
+                       tokenize(F.col("text")).alias("__toks"))
+    grams = toks.select(
+        "doc_id", "source",
+        F.explode(word_ngrams_of(F.col("__toks"), 5)).alias("gram"),
+    )
+    bench = grams.filter(F.col("source") == "src0").select("gram").distinct()
+    corpus = grams.filter(F.col("source") != "src0")
+    hit_docs = (
+        corpus.join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id").distinct()
+    )
+    base = docs.filter(F.col("source") != "src0")
+    return (
+        base.join(hit_docs, "doc_id", "left_semi")
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .join(base.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")),
+              "source", "right")
+        .select("source", "n_docs",
+                F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"))
+    )
+
+
+_DECONTAMINATE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, source, g AS gram
+  FROM toks, unnest(list_distinct(list_transform(
+         range(1, greatest(len(t) - 4, 1) + 1),
+         i -> array_to_string(t[i:i+4], ' ')))) AS u(g)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+hits AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE source <> 'src0' AND gram IN (SELECT gram FROM bench)
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+                THEN 1 ELSE 0 END) AS n_contaminated
+FROM documents
+WHERE source <> 'src0'
+GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2134,6 +2242,11 @@ CATALOG: dict[str, Query] = {
     # corpus curation
     "quality_filter_docs": Query(quality_filter_docs, _QUALITY_FILTER_ORACLE,
                                  tags=["text", "pipeline"]),
+    "doc_repetition_scores": Query(doc_repetition_scores, _REPETITION_ORACLE,
+                                   tags=["text", "pipeline"]),
+    "decontaminate_against_src0": Query(decontaminate_against_src0,
+                                        _DECONTAMINATE_ORACLE,
+                                        tags=["text", "dedup", "pipeline"]),
     "stratified_sample_docs": Query(stratified_sample_docs, _SAMPLE_ORACLE,
                                     tags=["sampling", "pipeline"]),
 }
