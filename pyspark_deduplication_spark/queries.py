@@ -2104,6 +2104,93 @@ GROUP BY source
 """
 
 
+def grouping_sets_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): order totals by
+    (status, priority), by status alone, and grand total — one shuffle,
+    three aggregation levels. ``grouping_id`` disambiguates NULL-as-ALL
+    from genuine NULLs."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) + 2 * grouping(o_orderpriority)
+                 AS gid,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS total_price,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: per-user hourly buckets densified over
+    each user's active span — gap hours appear with n_events = 0 and the
+    last observed value carried forward. 'Last in bucket' ties break on
+    event_id (unique), keeping both engines deterministic."""
+    from pyspark_deduplication_spark.operators.timeseries import (
+        gapfill,
+        resample_buckets,
+    )
+
+    ev = _events(spark, sf_dir)
+    b = resample_buckets(
+        ev, "user_id", "ts", "1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)").alias("sum_value"),
+            F.max_by("value", "event_id").alias("last_val"),
+        ],
+    )
+    filled = gapfill(b, "user_id", "1 hour",
+                     fill_zero=["n_events"], ffill=["last_val"])
+    return filled.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "n_events", "sum_value",
+        F.col("last_val").alias("last_val_ff"),
+    )
+
+
+_GAPFILL_ORACLE = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value,
+         arg_max(value, event_id) AS last_val
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+           FROM b GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                  AS bucket
+         FROM bounds),
+j AS (
+  SELECT g.user_id, g.bucket,
+         coalesce(b.n_events, 0) AS n_events, b.sum_value, b.last_val
+  FROM grid g LEFT JOIN b USING (user_id, bucket)
+)
+SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+       n_events, sum_value,
+       last_value(last_val IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bucket) AS last_val_ff
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2210,6 +2297,8 @@ CATALOG: dict[str, Query] = {
                                         tags=["events", "dedup"]),
     "events_json_props": Query(events_json_props, _JSON_ORACLE,
                                tags=["events"]),
+    "events_gapfill_hourly": Query(events_gapfill_hourly, _GAPFILL_ORACLE,
+                                   tags=["events", "timeseries"]),
     # temporal joins
     "asof_purchases_to_errors": Query(asof_purchases_to_errors, _ASOF_ORACLE,
                                       bench=True, tags=["join", "events"]),
@@ -2225,6 +2314,9 @@ CATALOG: dict[str, Query] = {
     # additional relational surface
     "cube_lineitem_flags": Query(cube_lineitem_flags, _CUBE_ORACLE,
                                  tags=["agg"]),
+    "grouping_sets_order_revenue": Query(grouping_sets_order_revenue,
+                                         _GROUPING_SETS_ORACLE,
+                                         tags=["agg", "sql"]),
     "set_ops_customer_segments": Query(set_ops_customer_segments,
                                        _SET_OPS_ORACLE, tags=["setop"]),
     "count_distinct_parts": Query(count_distinct_parts,
