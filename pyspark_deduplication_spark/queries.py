@@ -2191,6 +2191,38 @@ FROM j
 """
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-prep chunking: 32-token windows with 8-token overlap per
+    document (stride 24). Chunk text is emitted as its md5 so the
+    cross-engine compare stays content-exact without hashing megabytes
+    of repeated text. Map-only — no shuffle at any scale."""
+    from pyspark_deduplication_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, "text", size=32, overlap=8)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("chunk_n_tokens").cast("long").alias("chunk_n_tokens"),
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    )
+
+
+_CHUNKS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+w AS (
+  SELECT doc_id, t,
+         greatest(CAST(ceil(CAST(len(t) - 8 AS DOUBLE) / 24.0) AS BIGINT), 1)
+           AS nw
+  FROM toks
+)
+SELECT doc_id, i AS chunk_index,
+       len(t[i*24+1 : i*24+32]) AS chunk_n_tokens,
+       md5(array_to_string(t[i*24+1 : i*24+32], ' ')) AS chunk_hash
+FROM w, unnest(range(0, nw)) AS r(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2339,6 +2371,8 @@ CATALOG: dict[str, Query] = {
     "decontaminate_against_src0": Query(decontaminate_against_src0,
                                         _DECONTAMINATE_ORACLE,
                                         tags=["text", "dedup", "pipeline"]),
+    "doc_chunks": Query(doc_chunks, _CHUNKS_ORACLE,
+                        tags=["text", "pipeline"]),
     "stratified_sample_docs": Query(stratified_sample_docs, _SAMPLE_ORACLE,
                                     tags=["sampling", "pipeline"]),
 }

@@ -66,3 +66,48 @@ def test_decontamination_benchmark_side_broadcasts(spark, sf_dir):
 
     plan = explain_str(decontaminate_against_src0(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_window_coverage_and_overlap(spark):
+    from pyspark_deduplication_spark.operators.chunking import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    chunks = chunk_documents(df, "text", size=64, overlap=16).collect()
+    # ceil((100-16)/48) = 2 windows: [0:64], [48:100]
+    assert len(chunks) == 2
+    assert chunks[0].chunk_n_tokens == 64
+    assert chunks[1].chunk_n_tokens == 52
+    t0, t1 = chunks[0].chunk_text.split(), chunks[1].chunk_text.split()
+    assert t0[48:] == t1[:16]          # overlap region agrees
+    assert t0[:1] == ["w0"] and t1[-1] == "w99"  # full coverage
+    # every token appears in at least one chunk
+    assert set(words.split()) == set(t0) | set(t1)
+
+
+def test_chunking_short_doc_single_window(spark):
+    from pyspark_deduplication_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    chunks = chunk_documents(df, "text", size=64, overlap=16).collect()
+    assert len(chunks) == 1
+    assert chunks[0].chunk_n_tokens == 3
+    assert chunks[0].chunk_index == 0
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    import pytest
+
+    from pyspark_deduplication_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", size=8, overlap=8)
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    from pyspark_deduplication_spark.operators.chunking import chunk_documents
+    from pyspark_deduplication_spark.plans.inspect import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "Exchange" not in explain_str(chunk_documents(docs))
