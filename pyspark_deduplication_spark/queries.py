@@ -2223,6 +2223,59 @@ FROM w, unnest(range(0, nw)) AS r(i)
 """
 
 
+def embedding_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding dedup: cosine near-dup pairs (label-blocked)
+    → connected components → one canonical vector per cluster (min
+    vec_id). Reports each multi-member cluster with its sorted members —
+    the keep/drop decision a 100 TB embedding-dedup pass materializes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
+    clustered = transitive_clusters(
+        emb.select("vec_id"), pairs.select("id_a", "id_b"), "vec_id")
+    return (
+        clustered.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("vec_id").alias("keep_id"),
+            F.concat_ws(",", F.sort_array(F.collect_set(
+                F.col("vec_id").cast("string")))).alias("members"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+_EMB_CLUSTER_ORACLE = """
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node
+),
+labels AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+SELECT component, count(*) AS cluster_size,
+       min(node) AS keep_id,
+       array_to_string(list_sort(list(CAST(node AS VARCHAR))), ',') AS members
+FROM labels
+GROUP BY component
+HAVING count(*) > 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2313,6 +2366,9 @@ CATALOG: dict[str, Query] = {
     "knn_ivf": Query(knn_ivf, None, tags=["vector"]),
     "lsh_near_dup_embeddings": Query(lsh_near_dup_embeddings, None,
                                      tags=["vector", "dedup", "lsh"]),
+    "embedding_cluster_dedup": Query(embedding_cluster_dedup,
+                                     _EMB_CLUSTER_ORACLE,
+                                     tags=["vector", "dedup"]),
     "levenshtein_links_customers": Query(levenshtein_links_customers,
                                          _LEV_CUST_ORACLE, tags=["linkage"]),
     "cross_table_entity_match": Query(cross_table_entity_match,
