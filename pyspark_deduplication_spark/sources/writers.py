@@ -99,3 +99,28 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-optimized parquet: range-partition on the sort key, then
+    sort within each partition before writing.
+
+    Files end up covering disjoint key ranges and every parquet row group
+    carries tight min/max statistics on the sort columns, so later range
+    or point filters on those columns skip whole files/row groups at plan
+    time (partition pruning's little sibling, and the single biggest scan
+    win available without a table format). At 100 TB this is the
+    difference between scanning a time slice and scanning the corpus.
+    ``num_files`` controls output file count (defaults to the session's
+    shuffle parallelism via ``repartitionByRange``'s default).
+    """
+    cols = [F.col(c) for c in sort_cols]
+    out = (df.repartitionByRange(num_files, *cols) if num_files
+           else df.repartitionByRange(*cols))
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

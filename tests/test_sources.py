@@ -110,3 +110,39 @@ def test_jdbc_writer_requires_driver(spark):
     with pytest.raises(Exception) as exc:
         write_jdbc(df, "jdbc:mysql://localhost:3306/test", "tbltest")
     assert "driver" in str(exc.value).lower() or "No suitable" in str(exc.value)
+
+
+def test_sorted_parquet_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
+    """write_sorted_parquet must produce files whose sort-key ranges are
+    disjoint with tight row-group stats — the data-skipping contract."""
+    import pyarrow.parquet as pq
+
+    from pyspark_deduplication_spark.sources.writers import write_sorted_parquet
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = str(tmp_path / "li_sorted")
+    write_sorted_parquet(li, out, ["l_shipdate"], num_files=4)
+
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.row_group(0).column(i).path_in_schema: i
+               for i in range(meta.num_columns)}["l_shipdate"]
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # actually range-partitioned
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint: no overlap between file key ranges
+
+    # and the filtered read still pushes the predicate to the scan
+    from pyspark_deduplication_spark.plans.inspect import pushed_filters
+
+    q = spark.read.parquet(out).filter(F.col("l_shipdate") >= "2000-01-01")
+    assert any("l_shipdate" in f for f in pushed_filters(q))
