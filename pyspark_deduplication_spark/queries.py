@@ -2276,6 +2276,50 @@ HAVING count(*) > 1
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then viewed, then purchased —
+    each stage strictly after the previous one's first occurrence. One
+    shuffle: all three stage timestamps come from windows over the same
+    user partitioning (Catalyst reuses the exchange), then a per-user
+    rollup; no self-joins over the event stream."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    ts, typ = F.col("ts"), F.col("event_type")
+    step1 = ev.withColumn(
+        "t1", F.min(F.when(typ == "signup", ts)).over(w))
+    step2 = step1.withColumn(
+        "t2", F.min(F.when((typ == "view") & (ts > F.col("t1")), ts)).over(w))
+    step3 = step2.withColumn(
+        "t3", F.min(F.when((typ == "purchase") & (ts > F.col("t2")), ts))
+        .over(w))
+    per_user = step3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"))
+    return per_user.agg(
+        F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0))
+        .alias("n_signup"),
+        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0))
+        .alias("n_signup_view"),
+        F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0))
+        .alias("n_full_funnel"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'view' AND ts > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM s1) AS n_signup,
+       (SELECT count(*) FROM s2) AS n_signup_view,
+       (SELECT count(*) FROM s3) AS n_full_funnel
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2387,6 +2431,8 @@ CATALOG: dict[str, Query] = {
                                tags=["events"]),
     "events_gapfill_hourly": Query(events_gapfill_hourly, _GAPFILL_ORACLE,
                                    tags=["events", "timeseries"]),
+    "events_funnel": Query(events_funnel, _FUNNEL_ORACLE,
+                           tags=["events", "window"]),
     # temporal joins
     "asof_purchases_to_errors": Query(asof_purchases_to_errors, _ASOF_ORACLE,
                                       bench=True, tags=["join", "events"]),

@@ -136,3 +136,16 @@ def test_stratified_sample_filter_is_map_only(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = stratified_hash_sample(docs, "lang", "doc_id", {"en": 0.5})
     assert "Exchange" not in explain_str(out)
+
+
+def test_funnel_single_user_shuffle(spark):
+    """Three stage windows + the per-user rollup must share ONE exchange
+    on user_id (plus the final single-row agg) — no per-stage shuffles,
+    no self-joins."""
+    import re
+
+    from pyspark_deduplication_spark.queries import events_funnel
+
+    plan = explain_str(events_funnel(spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+    assert "Join" not in plan
