@@ -43,3 +43,15 @@ from pyspark_deduplication_spark.operators.partitioning import (  # noqa: F401
     salted_join,
     write_bucketed,
 )
+from pyspark_deduplication_spark.operators.chunking import (  # noqa: F401
+    chunk_documents,
+)
+from pyspark_deduplication_spark.operators.sampling import (  # noqa: F401
+    hash_bucket,
+    hash_sample,
+    stratified_hash_sample,
+)
+from pyspark_deduplication_spark.operators.timeseries import (  # noqa: F401
+    gapfill,
+    resample_buckets,
+)

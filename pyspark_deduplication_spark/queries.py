@@ -2320,6 +2320,51 @@ SELECT (SELECT count(*) FROM s1) AS n_signup,
 """
 
 
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval build: collapse each user's event stream into
+    validity intervals — one row per state change, [valid_from, valid_to)
+    with NULL valid_to for the current state. Change detection (lag) and
+    interval close (lead) share one window partitioning; ties within a
+    timestamp break on event_id so both engines order identically."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNull()
+                | (F.col("__prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.withColumn("__next_ts", F.lead("ts").over(w2))
+        .select(
+            "user_id", "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format("__next_ts", "yyyy-MM-dd HH:mm:ss")
+            .alias("valid_to"),
+        )
+    )
+
+
+_SCD2_ORACLE = """
+WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+marked AS (
+  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+  FROM e
+),
+changes AS (
+  SELECT user_id, event_id, event_type, ts FROM marked
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to
+FROM changes
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2433,6 +2478,9 @@ CATALOG: dict[str, Query] = {
                                    tags=["events", "timeseries"]),
     "events_funnel": Query(events_funnel, _FUNNEL_ORACLE,
                            tags=["events", "window"]),
+    "scd2_user_state_intervals": Query(scd2_user_state_intervals,
+                                       _SCD2_ORACLE,
+                                       tags=["events", "window", "merge"]),
     # temporal joins
     "asof_purchases_to_errors": Query(asof_purchases_to_errors, _ASOF_ORACLE,
                                       bench=True, tags=["join", "events"]),
