@@ -55,3 +55,9 @@ from pyspark_deduplication_spark.operators.timeseries import (  # noqa: F401
     gapfill,
     resample_buckets,
 )
+from pyspark_deduplication_spark.operators.diff import (  # noqa: F401
+    snapshot_diff,
+)
+from pyspark_deduplication_spark.operators.profiling import (  # noqa: F401
+    profile_numeric,
+)

@@ -2365,6 +2365,83 @@ FROM changes
 """
 
 
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff the customer table against a
+    deterministically perturbed second version (keys % 97 removed,
+    % 101 rebalanced, % 103 re-keyed as additions) — every key classified
+    added / removed / changed via one full outer join."""
+    from pyspark_deduplication_spark.operators.diff import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    new = (
+        cust.filter(key % 97 != 0)
+        .withColumn("c_acctbal",
+                    F.when(key % 101 == 0, F.col("c_acctbal") + 10)
+                    .otherwise(F.col("c_acctbal")))
+        .unionByName(cust.filter(key % 103 == 0)
+                     .withColumn("c_custkey", key + 1000000))
+    )
+    return snapshot_diff(cust, new, ["c_custkey"])
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH newv AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 101 = 0 THEN c_acctbal + 10
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 103 = 0
+),
+d AS (
+  SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+         CASE WHEN o.c_custkey IS NULL THEN 'added'
+              WHEN n.c_custkey IS NULL THEN 'removed'
+              WHEN NOT (o.c_name IS NOT DISTINCT FROM n.c_name
+                        AND o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey
+                        AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                        AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+                   THEN 'changed' END AS change_type
+  FROM customer o FULL OUTER JOIN newv n ON o.c_custkey = n.c_custkey
+)
+SELECT c_custkey, change_type FROM d WHERE change_type IS NOT NULL
+"""
+
+
+def profile_customer_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of the customer table's numeric
+    columns: nulls, exact distincts, min/max — a row per column."""
+    from pyspark_deduplication_spark.operators.profiling import profile_numeric
+
+    cust = _t(spark, sf_dir, "customer")
+    return profile_numeric(cust, ["c_custkey", "c_nationkey", "c_acctbal"])
+
+
+_PROFILE_ORACLE = """
+SELECT 'c_custkey' AS column_name,
+       sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT c_custkey) AS n_distinct,
+       CAST(min(c_custkey) AS DOUBLE) AS min_value,
+       CAST(max(c_custkey) AS DOUBLE) AS max_value
+FROM customer
+UNION ALL
+SELECT 'c_nationkey',
+       sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT c_nationkey),
+       CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE)
+FROM customer
+UNION ALL
+SELECT 'c_acctbal',
+       sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT c_acctbal),
+       CAST(min(c_acctbal) AS DOUBLE), CAST(max(c_acctbal) AS DOUBLE)
+FROM customer
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2413,6 +2490,12 @@ CATALOG: dict[str, Query] = {
                                    bench=True, tags=["dedup", "text"]),
     "merge_upsert_customers": Query(merge_upsert_customers, _MERGE_ORACLE,
                                     tags=["merge"]),
+    "snapshot_diff_customers": Query(snapshot_diff_customers,
+                                     _SNAPSHOT_DIFF_ORACLE,
+                                     tags=["merge", "dedup"]),
+    "profile_customer_columns": Query(profile_customer_columns,
+                                      _PROFILE_ORACLE,
+                                      tags=["stats", "pipeline"]),
     "ntile_customer_value": Query(ntile_customer_value, _NTILE_ORACLE,
                                   tags=["window"]),
     "incremental_dedup_docs": Query(incremental_dedup_docs, _INCR_ORACLE,
