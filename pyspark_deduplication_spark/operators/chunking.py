@@ -58,3 +58,47 @@ def chunk_documents(
         .drop("__chunk")
     )
     return out
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    len_col: str = "chunk_n_tokens",
+    order_cols: list[str] | None = None,
+    context_len: int = 2048,
+    n_streams: int = 32,
+    stream_key: str = "doc_id",
+    stream_expr=None,
+) -> DataFrame:
+    """Assign chunks to fixed-length training sequences (GPT-style
+    packing: concatenate the token stream, cut every ``context_len``).
+
+    Scale shape: a single global stream would force one sort partition,
+    so the corpus is split into ``n_streams`` hash-bucketed streams
+    (all chunks of a document stay in one stream); each stream packs
+    independently with a window cumulative sum. Emits ``stream``,
+    ``pack_id`` (bin within stream), ``pack_offset`` (the chunk's token
+    start within its pack) and a ``straddles`` flag for chunks cut by a
+    pack boundary. ``stream_expr`` overrides the default murmur3-hash
+    stream assignment (e.g. a modulo for cross-engine reproducibility).
+    """
+    order_cols = order_cols or ["doc_id", "chunk_index"]
+    from pyspark.sql import Window
+
+    stream = (stream_expr if stream_expr is not None
+              else F.abs(F.hash(F.col(stream_key))) % n_streams).alias("stream")
+    staged = chunks.select("*", stream)
+    w = (Window.partitionBy("stream").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.col(len_col)).over(w)
+    start = (cum - F.col(len_col)).alias("__start")
+    out = staged.select("*", start)
+    return (
+        out.withColumn("pack_id",
+                       F.floor(F.col("__start") / context_len).cast("long"))
+        .withColumn("pack_offset",
+                    (F.col("__start") % context_len).cast("long"))
+        .withColumn(
+            "straddles",
+            (F.col("pack_offset") + F.col(len_col)) > F.lit(context_len))
+        .drop("__start")
+    )

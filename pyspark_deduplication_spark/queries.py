@@ -2442,6 +2442,63 @@ FROM customer
 """
 
 
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing summary: chunk the corpus (32-token windows,
+    8 overlap), pack chunks into 256-token training sequences across 8
+    hash-bucketed streams, report per-pack chunk/token counts and
+    boundary straddles. Stream = doc_id % 8 here so DuckDB can replicate
+    the assignment (production default is murmur3)."""
+    from pyspark_deduplication_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, "text", size=32, overlap=8)
+    packed = pack_sequences(
+        chunks, context_len=256,
+        stream_expr=(F.col("doc_id") % 8),
+    )
+    return (
+        packed.groupBy("stream", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_n_tokens").alias("n_tokens"),
+            F.sum(F.when(F.col("straddles"), 1).otherwise(0))
+            .alias("n_straddles"),
+        )
+    )
+
+
+_PACK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+w AS (
+  SELECT doc_id, t,
+         greatest(CAST(ceil(CAST(len(t) - 8 AS DOUBLE) / 24.0) AS BIGINT), 1)
+           AS nw
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_index,
+         len(t[i*24+1 : i*24+32]) AS n_tok
+  FROM w, unnest(range(0, nw)) AS r(i)
+),
+cum AS (
+  SELECT doc_id % 8 AS stream, doc_id, chunk_index, n_tok,
+         sum(n_tok) OVER (PARTITION BY doc_id % 8
+                          ORDER BY doc_id, chunk_index
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start
+  FROM chunks
+)
+SELECT stream, CAST(floor(CAST(start AS DOUBLE) / 256) AS BIGINT) AS pack_id,
+       count(*) AS n_chunks, sum(n_tok) AS n_tokens,
+       sum(CASE WHEN start % 256 + n_tok > 256 THEN 1 ELSE 0 END)
+         AS n_straddles
+FROM cum
+GROUP BY stream, pack_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2606,6 +2663,8 @@ CATALOG: dict[str, Query] = {
                                         tags=["text", "dedup", "pipeline"]),
     "doc_chunks": Query(doc_chunks, _CHUNKS_ORACLE,
                         tags=["text", "pipeline"]),
+    "pack_training_sequences": Query(pack_training_sequences, _PACK_ORACLE,
+                                     tags=["text", "pipeline"]),
     "stratified_sample_docs": Query(stratified_sample_docs, _SAMPLE_ORACLE,
                                     tags=["sampling", "pipeline"]),
 }

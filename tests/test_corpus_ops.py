@@ -111,3 +111,37 @@ def test_chunking_is_map_only(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert "Exchange" not in explain_str(chunk_documents(docs))
+
+
+def test_pack_sequences_offsets_and_straddles(spark):
+    from pyspark_deduplication_spark.operators.chunking import pack_sequences
+    from pyspark.sql import functions as F
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 60), (1, 1, 60), (2, 0, 60), (2, 1, 30)],
+        "doc_id long, chunk_index long, chunk_n_tokens long",
+    )
+    out = pack_sequences(chunks, context_len=100,
+                         stream_expr=F.lit(0)).collect()
+    rows = {(r.doc_id, r.chunk_index): r for r in out}
+    # stream order: (1,0) start 0, (1,1) start 60, (2,0) start 120, (2,1) 180
+    assert rows[(1, 0)].pack_id == 0 and rows[(1, 0)].pack_offset == 0
+    assert rows[(1, 1)].pack_id == 0 and rows[(1, 1)].pack_offset == 60
+    assert rows[(1, 1)].straddles          # 60+60 > 100 → cut at boundary
+    assert rows[(2, 0)].pack_id == 1 and rows[(2, 0)].pack_offset == 20
+    assert not rows[(2, 0)].straddles      # 20+60 = 80 ≤ 100 fits
+    assert rows[(2, 1)].pack_id == 1 and rows[(2, 1)].pack_offset == 80
+    assert rows[(2, 1)].straddles          # 80+30 > 100 → cut at boundary
+
+
+def test_pack_sequences_stable_under_repartition(spark):
+    from pyspark_deduplication_spark.operators.chunking import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(d, c, 7 + (d * 3 + c) % 11) for d in range(20) for c in range(4)],
+        "doc_id long, chunk_index long, chunk_n_tokens long",
+    )
+    a = sorted(map(str, pack_sequences(chunks, context_len=64).collect()))
+    b = sorted(map(str, pack_sequences(
+        chunks.repartition(7), context_len=64).collect()))
+    assert a == b
