@@ -2499,6 +2499,128 @@ GROUP BY stream, pack_id
 """
 
 
+def q15_top_supplier_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax-per-group with join-back — each ship
+    year's top supplier by revenue. Revenue aggregates once on
+    (year, suppkey); the per-year max picks via one more partial-agg
+    max_by (no window sort), then the supplier dim broadcasts in."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    rev = (
+        li.groupBy(F.year("l_shipdate").alias("ship_year"),
+                   F.col("l_suppkey"))
+        .agg(F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc))
+                   .cast("decimal(18,6)"))
+             .cast("decimal(38,6)").alias("revenue"))
+    )
+    # deterministic argmax: order by (revenue, -suppkey) → lowest suppkey
+    # wins ties; encoded as max_by on a (revenue, negated key) struct
+    top = (
+        rev.groupBy("ship_year")
+        .agg(F.max_by(
+            F.struct("l_suppkey", "revenue"),
+            F.struct(F.col("revenue"), -F.col("l_suppkey"))).alias("t"))
+        .select("ship_year", F.col("t.l_suppkey").alias("s_suppkey"),
+                F.col("t.revenue").alias("revenue"))
+    )
+    return (
+        top.join(F.broadcast(supp), "s_suppkey")
+        .select("ship_year", "s_suppkey", "s_name", "revenue")
+    )
+
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT year(l_shipdate) AS ship_year, l_suppkey,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                       AS DECIMAL(18,6)))
+              AS DECIMAL(38,6)) AS revenue
+  FROM lineitem
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ship_year
+                               ORDER BY revenue DESC, l_suppkey) AS rn
+  FROM rev
+)
+SELECT ship_year, l_suppkey AS s_suppkey, s_name, revenue
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+"""
+
+
+def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus dashboard: doc count, exact-dup rate (by content
+    fingerprint), mean quality score, dominant language — the one-glance
+    health report a curation run emits per ingest source."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    scored = docs.select(
+        "source", "lang",
+        doc_fingerprint(F.col("text")).alias("fp"),
+        feats["quality_score"].alias("q"),
+    )
+    # mean via exact decimal sum of per-doc 6dp-rounded scores — a plain
+    # double avg would depend on accumulation order across engines
+    qdec = F.round(F.col("q"), 6).cast("decimal(18,6)")
+    per_source = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("fp")))
+        .alias("n_exact_dups"),
+        F.round(F.sum(qdec).cast("double") / F.count(F.lit(1)), 6)
+        .alias("mean_quality"),
+    )
+    lang_counts = scored.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"))
+    top_lang = (
+        lang_counts.groupBy("source")
+        .agg(F.max_by(F.struct("lang", "n"),
+                      F.struct(F.col("n"), F.col("lang"))).alias("t"))
+        .select("source", F.col("t.lang").alias("top_lang"))
+    )
+    return per_source.join(top_lang, "source")
+
+
+_CORPUS_HEALTH_ORACLE = f"""
+WITH scored AS (
+  SELECT source, lang,
+         md5({_NORM_SQL}) AS fp,
+         0.5 * least(CAST({_NTOK_SQL} AS DOUBLE) / 20.0, 1.0)
+         + 0.25 * (1.0 - least((CASE WHEN len(text) > 0
+             THEN CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  AS DOUBLE) / CAST(len(text) AS DOUBLE)
+             ELSE 0.0 END) * 4, 1.0))
+         + 0.25 * least((CASE WHEN {_NTOK_SQL} > 0
+             THEN CAST(len(list_filter({_TOKENS_SQL}, t -> t IN {_STOPWORDS_IN}))
+                  AS DOUBLE) / CAST({_NTOK_SQL} AS DOUBLE)
+             ELSE 0.0 END) * 5, 1.0) AS q
+  FROM documents
+),
+per_source AS (
+  SELECT source, count(*) AS n_docs,
+         count(*) - count(DISTINCT fp) AS n_exact_dups,
+         round(CAST(sum(CAST(round(q, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS mean_quality
+  FROM scored GROUP BY source
+),
+lang_counts AS (
+  SELECT source, lang, count(*) AS n FROM scored GROUP BY source, lang
+),
+top_lang AS (
+  SELECT source, lang AS top_lang
+  FROM (SELECT *, row_number() OVER (PARTITION BY source
+                   ORDER BY n DESC, lang DESC) AS rn
+        FROM lang_counts)
+  WHERE rn = 1
+)
+SELECT p.source, n_docs, n_exact_dups, mean_quality, top_lang
+FROM per_source p JOIN top_lang USING (source)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2553,6 +2675,11 @@ CATALOG: dict[str, Query] = {
     "profile_customer_columns": Query(profile_customer_columns,
                                       _PROFILE_ORACLE,
                                       tags=["stats", "pipeline"]),
+    "q15_top_supplier_per_year": Query(q15_top_supplier_per_year,
+                                       _Q15_ORACLE, tags=["join", "agg"]),
+    "corpus_health_by_source": Query(corpus_health_by_source,
+                                     _CORPUS_HEALTH_ORACLE,
+                                     tags=["text", "pipeline", "stats"]),
     "ntile_customer_value": Query(ntile_customer_value, _NTILE_ORACLE,
                                   tags=["window"]),
     "incremental_dedup_docs": Query(incremental_dedup_docs, _INCR_ORACLE,
