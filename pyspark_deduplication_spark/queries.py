@@ -2621,6 +2621,90 @@ FROM per_source p JOIN top_lang USING (source)
 """
 
 
+def events_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding frame: 7-bucket trailing moving average of each
+    user's hourly event counts (rowsBetween -6..0 over the bucket order).
+    Counts are integers, so sum/avg over the frame stays exact; the
+    division renders as a 6dp-rounded double identically on both
+    engines."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (Window.partitionBy("user_id").orderBy("bucket")
+         .rowsBetween(-6, Window.currentRow))
+    return hourly.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "n",
+        F.round(F.sum("n").over(w).cast("double")
+                / F.count(F.lit(1)).over(w), 6).alias("ma7"),
+    )
+
+
+_MOVING_AVG_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts, n,
+       round(CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w, 6) AS ma7
+FROM hourly
+WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly detection: hours whose event count exceeds the
+    user's own mean by 2 population standard deviations. Mean and
+    variance derive from exact integer sums (sum, sum of squares), so
+    the z-threshold compares identically across engines; the comparison
+    is done in integer-exact cross-multiplied form — no epsilon."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    # z > 2  ⟺  (n·k − s1)² > 4 · (k·s2 − s1²)   [σ² = (k·s2 − s1²)/k²,
+    # so z² = (n·k − s1)²/(k·s2 − s1²)]; all integers, exact; left side
+    # guarded positive so squaring preserves the inequality
+    j = hourly.join(stats, "user_id")
+    lhs = F.col("n") * F.col("k") - F.col("s1")
+    rhs = F.lit(4) * (F.col("k") * F.col("s2")
+                      - F.col("s1") * F.col("s1"))
+    return (
+        j.filter((lhs > 0) & (lhs * lhs > rhs))
+        .select("user_id",
+                F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+                .alias("bucket_ts"), "n")
+    )
+
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT user_id, count(*) AS k, sum(n) AS s1, sum(n * n) AS s2
+  FROM hourly GROUP BY user_id
+)
+SELECT h.user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts, n
+FROM hourly h JOIN stats s USING (user_id)
+WHERE (n * k - s1) > 0
+  AND (n * k - s1) * (n * k - s1) > 4 * (k * s2 - s1 * s1)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2748,6 +2832,10 @@ CATALOG: dict[str, Query] = {
     "scd2_user_state_intervals": Query(scd2_user_state_intervals,
                                        _SCD2_ORACLE,
                                        tags=["events", "window", "merge"]),
+    "events_moving_average": Query(events_moving_average, _MOVING_AVG_ORACLE,
+                                   tags=["events", "window", "timeseries"]),
+    "events_hourly_anomalies": Query(events_hourly_anomalies, _ANOMALY_ORACLE,
+                                     tags=["events", "stats"]),
     # temporal joins
     "asof_purchases_to_errors": Query(asof_purchases_to_errors, _ASOF_ORACLE,
                                       bench=True, tags=["join", "events"]),
