@@ -2705,6 +2705,40 @@ WHERE (n * k - s1) > 0
 """
 
 
+def union_evolved_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution append: union two document batches whose schemas
+    drifted (an early batch without ``lang``/``source``, a later one
+    without ``n_chars``) via ``unionByName(allowMissingColumns=True)`` —
+    missing columns null-fill, matched by NAME not position. Summary
+    counts per column prove the fill."""
+    docs = _t(spark, sf_dir, "documents")
+    early = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text",
+                                                         "n_chars")
+    late = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text",
+                                                        "lang", "source")
+    merged = early.unionByName(late, allowMissingColumns=True)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.count("lang").alias("n_with_lang"),
+        F.count("source").alias("n_with_source"),
+    )
+
+
+_UNION_EVOLVED_ORACLE = """
+WITH merged AS (
+  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 2 = 0
+  UNION ALL BY NAME
+  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 2 = 1
+)
+SELECT count(*) AS n_rows,
+       count(n_chars) AS n_with_chars,
+       count(lang) AS n_with_lang,
+       count(source) AS n_with_source
+FROM merged
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2856,6 +2890,8 @@ CATALOG: dict[str, Query] = {
                                          tags=["agg", "sql"]),
     "set_ops_customer_segments": Query(set_ops_customer_segments,
                                        _SET_OPS_ORACLE, tags=["setop"]),
+    "union_evolved_schemas": Query(union_evolved_schemas,
+                                   _UNION_EVOLVED_ORACLE, tags=["setop"]),
     "count_distinct_parts": Query(count_distinct_parts,
                                   _COUNT_DISTINCT_ORACLE, tags=["agg"]),
     "doc_regex_token_count": Query(doc_regex_token_count, _REGEX_TOKEN_ORACLE,
