@@ -31,25 +31,36 @@ def asof_join(
     by: list[str] | None = None,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """For every left row, attach the most recent right row at-or-before
-    its ``on`` timestamp (per ``by`` keys). Right columns come back
-    suffixed; left rows with no prior right row get nulls.
+    """For every left row, attach the nearest right row at-or-before
+    (``direction='backward'``, default) or at-or-after (``'forward'``)
+    its ``on`` timestamp, per ``by`` keys — ``pd.merge_asof`` semantics.
+    Right columns come back suffixed; left rows with no match get nulls.
+    ``tolerance`` (a Spark interval string like ``'1 hour'``) null-fills
+    matches farther than the bound instead of dropping the left row.
 
-    Ties on the timestamp: the right row sorts BEFORE the left probe at
-    the same instant (side marker 0 < 1), so an exactly-simultaneous
-    right row IS visible to the left row — `<=` semantics, matching
-    ``pd.merge_asof`` and DuckDB ``ASOF JOIN``'s >= default.
+    Ties on the timestamp: the side marker orders the simultaneous right
+    row so it IS visible to the left probe in either direction — `<=` /
+    `>=` semantics, matching ``pd.merge_asof`` and DuckDB ``ASOF JOIN``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     by = by or []
     right_cols = right_cols or [
         c for c in right.columns if c != on and c not in by
     ]
+    # the right row's own timestamp must propagate when a tolerance needs
+    # checking; emit it to the caller only if they asked for it
+    fill_cols = list(right_cols)
+    if tolerance is not None and on not in fill_cols:
+        fill_cols.append(on)
 
     lt = left.withColumn("__side", F.lit(1))
     rt = right.select(
         *by, F.col(on),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        *[F.col(c).alias(f"{c}{suffix}") for c in fill_cols],
     ).withColumn("__side", F.lit(0))
 
     # align schemas for the union
@@ -61,25 +72,50 @@ def asof_join(
             lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
     unioned = lt.select(*rt.columns).union(rt.select(*rt.columns))
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # right (0) sorts before left (1) at the same instant
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = F.last
+    else:
+        # left (1) sorts before right (0) at the same instant, and the
+        # frame looks ahead
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = F.first
     filled = unioned.select(
         *[c for c in unioned.columns if c != "__side"],
         F.col("__side").alias("__side"),
         *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+            pick(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
             .alias(f"__filled_{c}")
-            for c in right_cols
+            for c in fill_cols
         ],
     )
-    out = filled.filter(F.col("__side") == 1).select(
+    matched = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        bound = F.expr(f"INTERVAL {tolerance}")
+        match_on = F.col(f"__filled_{on}")
+        within = (
+            match_on >= F.col(on) - bound if direction == "backward"
+            else match_on <= F.col(on) + bound
+        )
+        matched = matched.select(
+            *[c for c in matched.columns if not c.startswith("__filled_")],
+            *[F.when(within, F.col(f"__filled_{c}"))
+              .otherwise(F.lit(None)).alias(f"__filled_{c}")
+              for c in fill_cols],
+        )
+    return matched.select(
         *[c for c in left.columns],
         *[F.col(f"__filled_{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
-    return out
 
 
 def range_join(

@@ -2739,6 +2739,42 @@ FROM merged
 """
 
 
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each purchase linked to the user's
+    NEXT error within 1 hour (null if none) — merge_asof(direction=
+    'forward', tolerance=1h) semantics, still the one-shuffle
+    union-marker formulation, no N×M pairing."""
+    from pyspark_deduplication_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts")
+    linked = asof_join(purchases, errors, on="ts", by=["user_id"],
+                       right_cols=["ts"], direction="forward",
+                       tolerance="1 HOUR")
+    return linked.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss")
+        .alias("next_error_ts"),
+    )
+
+
+_ASOF_FWD_ORACLE = """
+WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime((SELECT min(x.ts) FROM e x
+                 WHERE x.user_id = p.user_id AND x.event_type = 'error'
+                   AND x.ts >= p.ts AND x.ts <= p.ts + INTERVAL 1 HOUR),
+                '%Y-%m-%d %H:%M:%S') AS next_error_ts
+FROM e p WHERE p.event_type = 'purchase'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2875,6 +2911,8 @@ CATALOG: dict[str, Query] = {
                                       bench=True, tags=["join", "events"]),
     "range_join_value_bands": Query(range_join_value_bands, _RANGE_ORACLE,
                                     tags=["join", "events"]),
+    "asof_forward_tolerance": Query(asof_forward_tolerance, _ASOF_FWD_ORACLE,
+                                    tags=["join", "events", "timeseries"]),
     # streaming (executed synchronously; real streaming plans)
     "streaming_hourly_windows": Query(streaming_hourly_windows, _HOURLY_ORACLE,
                                       tags=["streaming"]),

@@ -79,3 +79,40 @@ def test_range_join_broadcast(spark):
     dim = spark.createDataFrame([("b", 0.0, 5.0)],
                                 "band string, lo double, hi double")
     assert "Broadcast" in explain_str(range_join(fact, dim, "v"))
+
+
+def test_asof_forward_direction(spark):
+    import datetime as dt
+
+    from pyspark_deduplication_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10)), (1, t(30)), (2, t(5))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t(15), "a"), (1, t(25), "b"), (2, t(5), "c")],
+        "k long, ts timestamp, v string")
+    out = {(r.k, r.ts.minute): r.v_right for r in
+           asof_join(left, right, by=["k"], direction="forward").collect()}
+    assert out[(1, 10)] == "a"    # next right at-or-after 00:10 is 00:15
+    assert out[(1, 30)] is None   # nothing after 00:30
+    assert out[(2, 5)] == "c"     # simultaneous right row visible (>=)
+
+
+def test_asof_tolerance_null_fills(spark):
+    import datetime as dt
+
+    from pyspark_deduplication_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame([(1, t(30)), (1, t(59))],
+                                 "k long, ts timestamp")
+    right = spark.createDataFrame([(1, t(0), "x")],
+                                  "k long, ts timestamp, v string")
+    out = {r.ts.minute: r.v_right for r in
+           asof_join(left, right, by=["k"],
+                     tolerance="45 MINUTE").collect()}
+    assert out[30] == "x"     # 30 min back — within tolerance
+    assert out[59] is None    # 59 min back — beyond tolerance, null-filled
+    # row count preserved (tolerance never drops left rows)
+    assert len(out) == 2
