@@ -2775,6 +2775,38 @@ FROM e p WHERE p.event_type = 'purchase'
 """
 
 
+def media_dedup_by_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup through the multimodal path: document
+    text re-encoded as opaque UTF-8 payload bytes (standing in for image
+    blobs — the fixture set carries no real media), sha-256 content key
+    computed JVM-side, keep-lowest-id per key, surviving rows counted per
+    source. Only the 64-char hex key ever shuffles, never the payload."""
+    from pyspark_deduplication_spark.operators.multimodal import (
+        media_exact_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), "source",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    dd = media_exact_dedup(media)
+    return dd.groupBy("source").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+_MEDIA_DEDUP_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id AS media_id, source, sha256(text) AS k FROM documents
+),
+kept AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY k ORDER BY media_id) AS rn
+  FROM keyed
+)
+SELECT source, count(*) AS n_unique FROM kept WHERE rn = 1 GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2945,6 +2977,9 @@ CATALOG: dict[str, Query] = {
     # corpus curation
     "quality_filter_docs": Query(quality_filter_docs, _QUALITY_FILTER_ORACLE,
                                  tags=["text", "pipeline"]),
+    "media_dedup_by_content": Query(media_dedup_by_content,
+                                    _MEDIA_DEDUP_ORACLE,
+                                    tags=["dedup", "multimodal"]),
     "doc_repetition_scores": Query(doc_repetition_scores, _REPETITION_ORACLE,
                                    tags=["text", "pipeline"]),
     "decontaminate_against_src0": Query(decontaminate_against_src0,
