@@ -2807,6 +2807,37 @@ SELECT source, count(*) AS n_unique FROM kept WHERE rn = 1 GROUP BY source
 """
 
 
+def topk_parts_per_brand_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-formulated top-k (vs the window-ranking spelling in
+    ``top3_customers_per_nation``): top-2 parts by retail price per brand
+    via sort_array(collect_list)+slice — partial-aggregable, no full
+    window sort of every group; right when groups are numerous and k is
+    tiny. Ties break on the higher part key (struct order)."""
+    part = _t(spark, sf_dir, "part")
+    packed = F.struct(F.col("p_retailprice").alias("price"),
+                      F.col("p_partkey").alias("key"))
+    return (
+        part.groupBy("p_brand")
+        .agg(F.slice(F.sort_array(F.collect_list(packed), asc=False),
+                     1, 2).alias("top"))
+        .select("p_brand", F.explode("top").alias("t"))
+        .select("p_brand", F.col("t.key").alias("p_partkey"),
+                F.col("t.price").cast("decimal(18,2)").alias("retail_price"))
+    )
+
+
+_TOPK_AGG_ORACLE = """
+SELECT p_brand, p_partkey,
+       CAST(p_retailprice AS DECIMAL(18,2)) AS retail_price
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand
+             ORDER BY p_retailprice DESC, p_partkey DESC) AS rn
+  FROM part
+)
+WHERE rn <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2834,6 +2865,8 @@ CATALOG: dict[str, Query] = {
                                    tags=["join", "subquery"]),
     "top3_customers_per_nation": Query(top3_customers_per_nation,
                                        _TOP3_ORACLE, tags=["window"]),
+    "topk_parts_per_brand_agg": Query(topk_parts_per_brand_agg,
+                                      _TOPK_AGG_ORACLE, tags=["agg"]),
     "rollup_order_stats": Query(rollup_order_stats, _ROLLUP_ORACLE,
                                 tags=["agg"]),
     "customers_without_orders": Query(customers_without_orders, _ANTI_ORACLE,
