@@ -2838,6 +2838,40 @@ WHERE rn <= 2
 """
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, distinct
+    active users counted at each day offset since the cohort day. Two
+    aggregations on the user key (min-day, then distinct activity) —
+    the cohort join rides the same key partitioning."""
+    ev = _events(spark, sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohorts, "user_id")
+        .select("user_id",
+                F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+                F.datediff("day", "cohort_day").alias("day_offset"))
+        .groupBy("cohort", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+_RETENTION_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+       datediff('day', cohort_day, day) AS day_offset,
+       count(DISTINCT d.user_id) AS n_active
+FROM days d JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2971,6 +3005,9 @@ CATALOG: dict[str, Query] = {
                                    tags=["events", "window", "timeseries"]),
     "events_hourly_anomalies": Query(events_hourly_anomalies, _ANOMALY_ORACLE,
                                      tags=["events", "stats"]),
+    "events_retention_cohorts": Query(events_retention_cohorts,
+                                      _RETENTION_ORACLE,
+                                      tags=["events", "agg"]),
     # temporal joins
     "asof_purchases_to_errors": Query(asof_purchases_to_errors, _ASOF_ORACLE,
                                       bench=True, tags=["join", "events"]),
