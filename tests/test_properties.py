@@ -88,3 +88,32 @@ def test_keep_first_invariants(rows):
     again = dedup_keep_first(df, ["k"], ["o", "v"])
     assert sorted(map(str, dedup_keep_first(again, ["k"], ["o", "v"]).collect())) \
         == sorted(map(str, out))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=200),
+    size=st.integers(min_value=2, max_value=64),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunking_reconstructs_token_stream(n_tokens, size, overlap_frac):
+    """Lossless-coverage invariant: chunk_0 ++ chunk_i[overlap:] for i>0
+    reconstructs the original token stream exactly, for ANY (size,
+    overlap) — windows start every `stride` tokens, so dropping each
+    chunk's first `overlap` tokens resumes precisely where the previous
+    window ended."""
+    from pyspark_deduplication_spark.operators.chunking import chunk_documents
+
+    overlap = min(int(size * overlap_frac), size - 1)
+    words = [f"w{i}" for i in range(n_tokens)]
+    df = _SPARK.createDataFrame([(1, " ".join(words))],
+                                "doc_id long, text string")
+    chunks = sorted(
+        chunk_documents(df, "text", size=size, overlap=overlap).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    rebuilt: list[str] = []
+    for i, row in enumerate(chunks):
+        toks = row.chunk_text.split()
+        rebuilt.extend(toks if i == 0 else toks[overlap:])
+    assert rebuilt == words
