@@ -2872,6 +2872,57 @@ GROUP BY 1, 2
 """
 
 
+def doc_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the top-500 token vocabulary (by corpus
+    frequency, ties broken lexicographically — a total order, so both
+    engines cut the same boundary), then score each document's
+    out-of-vocabulary token fraction. The vocab is a distributed
+    top-k (orderBy+limit ⇒ TakeOrdered, no single-partition window) and
+    broadcasts into the scoring join."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text")))
+                       .alias("tok"))
+    vocab = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(500)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum(F.coalesce(F.col("__in_vocab"), F.lit(0)))
+             .alias("n_known"))
+    )
+    return scored.select(
+        "doc_id", "n_tokens",
+        F.round(F.lit(1.0) - F.col("n_known").cast("double")
+                / F.col("n_tokens").cast("double"), 6).alias("oov_rate"),
+    )
+
+
+_OOV_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents), unnest(ts) AS u(t)
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+    FROM toks GROUP BY tok
+  ) WHERE rn <= 500
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(1.0 - CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM toks
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3036,6 +3087,8 @@ CATALOG: dict[str, Query] = {
                                   _COUNT_DISTINCT_ORACLE, tags=["agg"]),
     "doc_regex_token_count": Query(doc_regex_token_count, _REGEX_TOKEN_ORACLE,
                                    tags=["text"]),
+    "doc_oov_rates": Query(doc_oov_rates, _OOV_ORACLE,
+                           tags=["text", "pipeline"]),
     "order_value_stats": Query(order_value_stats, _STATS_ORACLE,
                                tags=["agg", "stats"]),
     "customers_with_big_orders": Query(customers_with_big_orders, _SEMI_ORACLE,
