@@ -2923,6 +2923,70 @@ GROUP BY doc_id
 """
 
 
+def golden_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship: fuzzy-cluster customer names (levenshtein ≤ 3,
+    transitive closure), then build one golden record per multi-member
+    cluster — representative id (min), canonical name (lexicographic
+    min), best balance (max). The attribute-pick aggregations ride the
+    component key from connected components."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    base = cust.select("c_custkey", "c_name",
+                       F.col("c_acctbal").cast("decimal(18,2)")
+                       .alias("bal"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c_custkey") < F.col("b.c_custkey"))
+               & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 3))
+        .select(F.col("a.c_custkey").alias("id_a"),
+                F.col("b.c_custkey").alias("id_b"))
+    )
+    clustered = transitive_clusters(base, pairs, "c_custkey")
+    return (
+        clustered.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"),
+             F.min("c_custkey").alias("rep_id"),
+             F.min("c_name").alias("canonical_name"),
+             F.max("bal").alias("best_acctbal"))
+        .filter(F.col("cluster_size") > 1)
+        .drop("component")
+    )
+
+
+_GOLDEN_ORACLE = """
+WITH RECURSIVE
+base AS (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer WHERE c_custkey < 200
+),
+pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM base a JOIN base b
+    ON a.c_custkey < b.c_custkey
+   AND levenshtein(a.c_name, b.c_name) <= 3
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node
+),
+labels AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+clustered AS (
+  SELECT b.c_custkey, b.c_name, b.bal,
+         coalesce(l.component, b.c_custkey) AS component
+  FROM base b LEFT JOIN labels l ON b.c_custkey = l.node
+)
+SELECT count(*) AS cluster_size, min(c_custkey) AS rep_id,
+       min(c_name) AS canonical_name, max(bal) AS best_acctbal
+FROM clustered
+GROUP BY component
+HAVING count(*) > 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3033,6 +3097,8 @@ CATALOG: dict[str, Query] = {
                                          _LEV_CUST_ORACLE, tags=["linkage"]),
     "cross_table_entity_match": Query(cross_table_entity_match,
                                       _CROSS_TABLE_ORACLE, tags=["linkage"]),
+    "golden_customer_records": Query(golden_customer_records, _GOLDEN_ORACLE,
+                                     tags=["linkage", "merge"]),
     # events / time series
     "events_hourly_windows": Query(events_hourly_windows, _HOURLY_ORACLE,
                                    bench=True, tags=["events"]),
