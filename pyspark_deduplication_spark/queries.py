@@ -2987,6 +2987,39 @@ HAVING count(*) > 1
 """
 
 
+def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — the heavy-hitter-key pattern: stage
+    one aggregates on (key, salt) spreading each hot key over 16 reduce
+    partitions, stage two combines the partials per key. Decimal sums
+    make the two-stage result bit-identical to a direct aggregate (the
+    oracle computes it directly — same answer proves the rewrite). Salt
+    here is a deterministic pmod so the oracle can reproduce stage
+    boundaries; production uses the same shape with any spreading key."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    partial = (
+        li.withColumn("__salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+        .groupBy("l_returnflag", "__salt")
+        .agg(F.sum(qty).cast("decimal(38,2)").alias("part_qty"),
+             F.count(F.lit(1)).alias("part_n"))
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(F.sum("part_qty").cast("decimal(38,2)").alias("sum_qty"),
+             F.sum("part_n").alias("n_rows"))
+    )
+
+
+_SALTED_AGG_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3016,6 +3049,8 @@ CATALOG: dict[str, Query] = {
                                        _TOP3_ORACLE, tags=["window"]),
     "topk_parts_per_brand_agg": Query(topk_parts_per_brand_agg,
                                       _TOPK_AGG_ORACLE, tags=["agg"]),
+    "salted_agg_returnflag": Query(salted_agg_returnflag, _SALTED_AGG_ORACLE,
+                                   tags=["agg", "skew"]),
     "rollup_order_stats": Query(rollup_order_stats, _ROLLUP_ORACLE,
                                 tags=["agg"]),
     "customers_without_orders": Query(customers_without_orders, _ANTI_ORACLE,
