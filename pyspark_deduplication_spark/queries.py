@@ -1478,6 +1478,29 @@ def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sliding_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window streaming twin of
+    ``events_sliding_windows`` (1 h length, 15 min slide — every event in
+    4 overlapping windows, each maintained as separate state). One
+    in-order micro-batch ⇒ no late drops ⇒ must equal the batch
+    oracle."""
+    from pyspark_deduplication_spark.streaming.ops import (
+        read_events_stream,
+        streaming_tumbling_counts,
+    )
+
+    src = _events_stream_source(spark, sf_dir)
+    stream = read_events_stream(spark, src, max_files_per_trigger=100)
+    agg = streaming_tumbling_counts(stream, "1 hour", "30 minutes",
+                                    slide="15 minutes")
+    _run_streaming_query(agg, "stream_sliding_out", "complete")
+    return spark.table("stream_sliding_out").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "event_type", "n_events",
+    )
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on (user_id, event_type) within a watermark, then
     per-type distinct-user counts (append mode, memory sink)."""
@@ -3172,6 +3195,8 @@ CATALOG: dict[str, Query] = {
                                       tags=["streaming"]),
     "streaming_dedup_events": Query(streaming_dedup_events,
                                     _STREAM_DEDUP_ORACLE, tags=["streaming"]),
+    "streaming_sliding_windows": Query(streaming_sliding_windows_q,
+                                       _SLIDING_ORACLE, tags=["streaming"]),
     "stateful_user_profiles": Query(stateful_user_profiles, _STATEFUL_ORACLE,
                                     tags=["streaming"]),
     # additional relational surface
