@@ -3043,6 +3043,65 @@ GROUP BY l_returnflag
 """
 
 
+def part_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: part sizes bucketed in widths of 5 —
+    integer bucketing, one aggregation, the profiling companion to the
+    percentile stats."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy((F.floor(F.col("p_size") / 5) * 5).alias("size_lo"))
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.min("p_size").alias("min_size"),
+             F.max("p_size").alias("max_size"))
+    )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(floor(p_size / 5) * 5 AS BIGINT) AS size_lo,
+       count(*) AS n_parts, min(p_size) AS min_size, max(p_size) AS max_size
+FROM part
+GROUP BY 1
+"""
+
+
+def order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order cadence: mean days between consecutive orders
+    (lag over order date, ties broken on order key). Day gaps are
+    integers, so the mean is an exact-integer division rendered at 6dp."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("__prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select("o_custkey",
+                F.datediff("o_orderdate", "__prev").alias("gap_days"))
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_gaps"),
+             F.round(F.sum("gap_days").cast("double")
+                     / F.count(F.lit(1)), 6).alias("mean_gap_days"),
+             F.max("gap_days").alias("max_gap_days"))
+    )
+
+
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey, count(*) AS n_gaps,
+       round(CAST(sum(gap_days) AS DOUBLE) / count(*), 6) AS mean_gap_days,
+       max(gap_days) AS max_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3074,6 +3133,11 @@ CATALOG: dict[str, Query] = {
                                       _TOPK_AGG_ORACLE, tags=["agg"]),
     "salted_agg_returnflag": Query(salted_agg_returnflag, _SALTED_AGG_ORACLE,
                                    tags=["agg", "skew"]),
+    "part_size_histogram": Query(part_size_histogram, _HISTOGRAM_ORACLE,
+                                 tags=["agg", "stats"]),
+    "order_interarrival_stats": Query(order_interarrival_stats,
+                                      _INTERARRIVAL_ORACLE,
+                                      tags=["window", "stats"]),
     "rollup_order_stats": Query(rollup_order_stats, _ROLLUP_ORACLE,
                                 tags=["agg"]),
     "customers_without_orders": Query(customers_without_orders, _ANTI_ORACLE,
