@@ -3102,6 +3102,55 @@ GROUP BY o_custkey
 """
 
 
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling — the canonical curation
+    composition: score documents, stratify into quality bands, keep all
+    high-band docs and a deterministic 25 % hash-sample of the low band.
+    Membership is a pure function of doc_id, so reruns/appends/engines
+    agree exactly (the oracle reproduces the md5 threshold)."""
+    from pyspark_deduplication_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    banded = docs.select(
+        "doc_id", "lang",
+        F.when(feats["quality_score"] >= 0.8, "high").otherwise("low")
+        .alias("band"),
+    )
+    sampled = stratified_hash_sample(banded, "band", "doc_id",
+                                     {"low": 0.25}, default_fraction=1.0)
+    return sampled.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+_QUALITY_SAMPLE_ORACLE = f"""
+WITH banded AS (
+  SELECT doc_id, lang,
+         CASE WHEN
+           0.5 * least(CAST({_NTOK_SQL} AS DOUBLE) / 20.0, 1.0)
+           + 0.25 * (1.0 - least((CASE WHEN len(text) > 0
+               THEN CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                    AS DOUBLE) / CAST(len(text) AS DOUBLE)
+               ELSE 0.0 END) * 4, 1.0))
+           + 0.25 * least((CASE WHEN {_NTOK_SQL} > 0
+               THEN CAST(len(list_filter({_TOKENS_SQL}, t -> t IN {_STOPWORDS_IN}))
+                    AS DOUBLE) / CAST({_NTOK_SQL} AS DOUBLE)
+               ELSE 0.0 END) * 5, 1.0) >= 0.8
+         THEN 'high' ELSE 'low' END AS band
+  FROM documents
+)
+SELECT band, count(*) AS n_kept, count(DISTINCT lang) AS n_langs
+FROM banded
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 2)
+      < (CASE WHEN band = 'low' THEN '40' ELSE 'g' END)
+GROUP BY band
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3304,6 +3353,9 @@ CATALOG: dict[str, Query] = {
                                      tags=["text", "pipeline"]),
     "stratified_sample_docs": Query(stratified_sample_docs, _SAMPLE_ORACLE,
                                     tags=["sampling", "pipeline"]),
+    "quality_weighted_sample": Query(quality_weighted_sample,
+                                     _QUALITY_SAMPLE_ORACLE,
+                                     tags=["sampling", "text", "pipeline"]),
 }
 
 
