@@ -3151,6 +3151,56 @@ GROUP BY band
 """
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days since last order, vs the corpus
+    max date), frequency (order count) and monetary (decimal-exact
+    spend) quartiled per customer with fully tie-broken orderings, then
+    concatenated into the segment code. The quartile windows are global
+    (unpartitioned) — fine on the customer DIMENSION, which is orders of
+    magnitude smaller than the fact table at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(price).cast("decimal(38,2)").alias("monetary"),
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("__ref"))
+    j = per_cust.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days", F.datediff("__ref", "last_order"))
+    k = F.col("o_custkey")
+    r = F.ntile(4).over(Window.orderBy(F.col("recency_days"), k))
+    fq = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), k))
+    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), k))
+    return j.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        F.concat(r.cast("string"), fq.cast("string"), m.cast("string"))
+        .alias("rfm_segment"),
+    )
+
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS monetary
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT *, datediff('day', last_order,
+                     (SELECT max(o_orderdate) FROM orders)) AS recency_days
+  FROM per_cust
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS VARCHAR)
+       || CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR)
+       || CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS VARCHAR)
+         AS rfm_segment
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3221,6 +3271,8 @@ CATALOG: dict[str, Query] = {
                                      tags=["text", "pipeline", "stats"]),
     "ntile_customer_value": Query(ntile_customer_value, _NTILE_ORACLE,
                                   tags=["window"]),
+    "customer_rfm_segments": Query(customer_rfm_segments, _RFM_ORACLE,
+                                   tags=["window", "stats"]),
     "incremental_dedup_docs": Query(incremental_dedup_docs, _INCR_ORACLE,
                                     tags=["dedup", "pipeline"]),
     # fuzzy linkage
