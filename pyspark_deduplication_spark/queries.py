@@ -3201,6 +3201,83 @@ FROM j
 """
 
 
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global revenue — the
+    per-group total divides by an unpartitioned window sum over the
+    25-row aggregate (cheap), not over the fact table. Decimal sums,
+    double division rendered at 6dp."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(price).cast("decimal(38,2)").alias("revenue"))
+    )
+    total = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    return per_nation.select(
+        "n_name", "revenue",
+        F.round(F.col("revenue").cast("double")
+                / F.sum("revenue").over(total).cast("double"), 6)
+        .alias("revenue_share"),
+    )
+
+
+_REVENUE_SHARE_ORACLE = """
+WITH per_nation AS (
+  SELECT n_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue,
+       round(CAST(revenue AS DOUBLE)
+             / CAST(sum(revenue) OVER () AS DOUBLE), 6) AS revenue_share
+FROM per_nation
+"""
+
+
+def yearly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: lag over the yearly revenue aggregate, the
+    percentage change rendered at 6dp (first year null). The lag window
+    runs over a handful of aggregate rows — never the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    yearly = (
+        li.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(price).cast("decimal(38,2)").alias("revenue"))
+    )
+    w = Window.orderBy("ship_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "ship_year", "revenue",
+        F.round((F.col("revenue").cast("double") - prev.cast("double"))
+                / prev.cast("double") * 100, 6).alias("yoy_pct"),
+    )
+
+
+_YOY_ORACLE = """
+WITH yearly AS (
+  SELECT year(l_shipdate) AS ship_year,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT ship_year, revenue,
+       round((CAST(revenue AS DOUBLE)
+              - CAST(lag(revenue) OVER (ORDER BY ship_year) AS DOUBLE))
+             / CAST(lag(revenue) OVER (ORDER BY ship_year) AS DOUBLE)
+             * 100, 6) AS yoy_pct
+FROM yearly
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3273,6 +3350,10 @@ CATALOG: dict[str, Query] = {
                                   tags=["window"]),
     "customer_rfm_segments": Query(customer_rfm_segments, _RFM_ORACLE,
                                    tags=["window", "stats"]),
+    "nation_revenue_share": Query(nation_revenue_share, _REVENUE_SHARE_ORACLE,
+                                  tags=["window", "join"]),
+    "yearly_revenue_growth": Query(yearly_revenue_growth, _YOY_ORACLE,
+                                   tags=["window", "agg"]),
     "incremental_dedup_docs": Query(incremental_dedup_docs, _INCR_ORACLE,
                                     tags=["dedup", "pipeline"]),
     # fuzzy linkage
