@@ -3278,6 +3278,69 @@ FROM yearly
 """
 
 
+def session_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session outcome analysis: sessionize (30 min gaps), split sessions
+    by whether they contain a purchase, compare counts, mean session
+    length (integer-second sums, exact) and mean event count per
+    outcome — the convert/no-convert funnel readout."""
+    ev = _events(spark, sf_dir)
+    sessions = sessionize_batch(ev, gap_minutes=30)
+    per_session = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0)).alias("n_purch"),
+            (F.unix_micros(F.max("ts"))
+             - F.unix_micros(F.min("ts"))).alias("dur_us"),
+        )
+    )
+    return (
+        per_session
+        .withColumn("converted", F.col("n_purch") > 0)
+        .groupBy("converted")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.sum("dur_us").cast("double")
+                    / F.count(F.lit(1)) / 1e6, 6).alias("mean_dur_sec"),
+            F.round(F.sum("n_events").cast("double")
+                    / F.count(F.lit(1)), 6).alias("mean_events"),
+        )
+    )
+
+
+_SESSION_CONV_ORACLE = """
+WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            FROM events),
+marked AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+sess AS (
+  SELECT user_id, event_type, ts,
+         1 + sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (SELECT user_id, event_type, ts, brk FROM marked)
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT n_purch > 0 AS converted, count(*) AS n_sessions,
+       round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1e6, 6)
+         AS mean_dur_sec,
+       round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS mean_events
+FROM per_session
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3410,6 +3473,9 @@ CATALOG: dict[str, Query] = {
                                     tags=["events", "window"]),
     "events_sessionize": Query(events_sessionize, _SESSION_ORACLE,
                                bench=True, tags=["events"]),
+    "session_conversion_stats": Query(session_conversion_stats,
+                                      _SESSION_CONV_ORACLE,
+                                      tags=["events", "stats"]),
     "events_dedup_keep_earliest": Query(events_dedup_keep_earliest,
                                         _EVENTS_DEDUP_ORACLE,
                                         tags=["events", "dedup"]),
