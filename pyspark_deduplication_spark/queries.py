@@ -3341,6 +3341,44 @@ GROUP BY 1
 """
 
 
+def q9_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by nation and year, minus the supplycost
+    column the fixture lacks): lineitem joined to part (filtered),
+    supplier and nation — every dim broadcast, the fact shuffles only
+    for the final (nation, year) rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type").isin("PROMO", "ECONOMY"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc))
+                   .cast("decimal(18,6)"))
+             .cast("decimal(38,6)").alias("revenue"))
+    )
+
+
+_Q9_ORACLE = """
+SELECT n_name, year(l_shipdate) AS ship_year,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(18,6)))
+            AS DECIMAL(38,6)) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type IN ('PROMO', 'ECONOMY')
+GROUP BY n_name, ship_year
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3356,6 +3394,8 @@ CATALOG: dict[str, Query] = {
                                tags=["join"]),
     "q6_forecast_revenue": Query(q6_forecast_revenue, _Q6_ORACLE,
                                  tags=["agg", "pushdown"]),
+    "q9_nation_year_revenue": Query(q9_nation_year_revenue, _Q9_ORACLE,
+                                    tags=["join", "agg"]),
     "q10_returned_items": Query(q10_returned_items, _Q10_ORACLE,
                                 tags=["join"]),
     "q14_promo_revenue": Query(q14_promo_revenue, _Q14_ORACLE,
