@@ -3379,6 +3379,74 @@ GROUP BY n_name, ship_year
 """
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count — a
+    left outer join (zero-order customers kept) feeding a second
+    aggregation over the first's results (count of counts)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_Q13_ORACLE = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of conjunctive brand/size/
+    quantity clauses — the disjunctive-pushdown exercise (Catalyst
+    extracts the common partkey equi-join and pushes the residual OR)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause1 = ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5)
+               & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+    clause2 = ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+               & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+    clause3 = ((F.col("p_brand") == "Brand#34") & (F.col("p_size") <= 15)
+               & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    return (
+        joined.filter(clause1 | clause2 | clause3)
+        .agg(F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc))
+                   .cast("decimal(18,6)"))
+             .cast("decimal(38,6)").alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_Q19_ORACLE = """
+SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(18,6)))
+            AS DECIMAL(38,6)) AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size <= 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size <= 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size <= 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3398,8 +3466,13 @@ CATALOG: dict[str, Query] = {
                                     tags=["join", "agg"]),
     "q10_returned_items": Query(q10_returned_items, _Q10_ORACLE,
                                 tags=["join"]),
+    "q13_customer_distribution": Query(q13_customer_distribution,
+                                       _Q13_ORACLE, tags=["join", "agg"]),
     "q14_promo_revenue": Query(q14_promo_revenue, _Q14_ORACLE,
                                tags=["join", "agg"]),
+    "q19_disjunctive_predicates": Query(q19_disjunctive_predicates,
+                                        _Q19_ORACLE,
+                                        tags=["join", "pushdown"]),
     "q17_small_quantity_revenue": Query(q17_small_quantity_revenue,
                                         _Q17_ORACLE, tags=["join", "subquery"]),
     "q18_large_orders": Query(q18_large_orders, _Q18_ORACLE,
