@@ -3447,6 +3447,123 @@ WHERE (p_brand = 'Brand#12' AND p_size <= 5
 """
 
 
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between a nation pair by year —
+    customer nation and supplier nation must differ and both fall in the
+    chosen pair; the two nation lookups broadcast under different
+    aliases."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    pair = (F.col("cn_key").isin(1, 2) & F.col("sn_key").isin(1, 2)
+            & (F.col("cn_key") != F.col("sn_key")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("sn_key"))
+        .filter(pair)
+        .groupBy("cust_nation", "supp_nation",
+                 F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc))
+                   .cast("decimal(18,6)"))
+             .cast("decimal(38,6)").alias("volume"))
+    )
+
+
+_Q7_ORACLE = """
+SELECT c_nat.n_name AS cust_nation, s_nat.n_name AS supp_nation,
+       year(l_shipdate) AS ship_year,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(18,6)))
+            AS DECIMAL(38,6)) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation c_nat ON c_nationkey = c_nat.n_nationkey
+JOIN nation s_nat ON s_nationkey = s_nat.n_nationkey
+WHERE c_nat.n_nationkey IN (1, 2) AND s_nat.n_nationkey IN (1, 2)
+  AND c_nat.n_nationkey <> s_nat.n_nationkey
+GROUP BY cust_nation, supp_nation, ship_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's market share of a region's
+    customer revenue by year — conditional sum over total sum, both
+    decimal-exact, ratio rendered at 6dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cn = (nation.join(F.broadcast(region),
+                      nation.n_regionkey == region.r_regionkey)
+          .filter(F.col("r_name") == "EUROPE")
+          .select(F.col("n_nationkey").alias("cn_key")))
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    vol = (price * (F.lit(1).cast("decimal(18,4)") - disc)).cast(
+        "decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(F.col("s_nationkey") == 1, vol)
+                  .otherwise(F.lit(0).cast("decimal(18,6)")))
+            .cast("decimal(38,6)").alias("nation_vol"),
+            F.sum(vol).cast("decimal(38,6)").alias("total_vol"),
+        )
+        .select("ship_year",
+                F.round(F.col("nation_vol").cast("double")
+                        / F.col("total_vol").cast("double"), 6)
+                .alias("market_share"))
+    )
+
+
+_Q8_ORACLE = """
+WITH agg AS (
+  SELECT year(l_shipdate) AS ship_year,
+         CAST(sum(CASE WHEN s_nationkey = 1
+                       THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                                 AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END)
+              AS DECIMAL(38,6)) AS nation_vol,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                       AS DECIMAL(18,6)))
+              AS DECIMAL(38,6)) AS total_vol
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY ship_year
+)
+SELECT ship_year,
+       round(CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE), 6)
+         AS market_share
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3462,6 +3579,10 @@ CATALOG: dict[str, Query] = {
                                tags=["join"]),
     "q6_forecast_revenue": Query(q6_forecast_revenue, _Q6_ORACLE,
                                  tags=["agg", "pushdown"]),
+    "q7_nation_trade_volume": Query(q7_nation_trade_volume, _Q7_ORACLE,
+                                    tags=["join", "agg"]),
+    "q8_market_share": Query(q8_market_share, _Q8_ORACLE,
+                             tags=["join", "agg"]),
     "q9_nation_year_revenue": Query(q9_nation_year_revenue, _Q9_ORACLE,
                                     tags=["join", "agg"]),
     "q10_returned_items": Query(q10_returned_items, _Q10_ORACLE,
