@@ -3564,6 +3564,41 @@ FROM agg
 """
 
 
+def duplicate_pressure_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate pressure: per source, how many documents
+    share their content fingerprint with at least one document from a
+    DIFFERENT source — the signal for which ingest feeds re-crawl each
+    other. Fingerprint groups aggregate once; the per-source rollup joins
+    the compact (fp → distinct sources) aggregate back, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", "source",
+                      doc_fingerprint(F.col("text")).alias("fp"))
+    fp_sources = fps.groupBy("fp").agg(
+        F.count_distinct("source").alias("n_sources"))
+    return (
+        fps.join(fp_sources, "fp")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+             .alias("n_cross_source_dups"))
+    )
+
+
+_DUP_PRESSURE_ORACLE = f"""
+WITH fps AS (
+  SELECT doc_id, source, md5({_NORM_SQL}) AS fp FROM documents
+),
+fp_sources AS (
+  SELECT fp, count(DISTINCT source) AS n_sources FROM fps GROUP BY fp
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+         AS n_cross_source_dups
+FROM fps JOIN fp_sources USING (fp)
+GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3643,6 +3678,9 @@ CATALOG: dict[str, Query] = {
     "corpus_health_by_source": Query(corpus_health_by_source,
                                      _CORPUS_HEALTH_ORACLE,
                                      tags=["text", "pipeline", "stats"]),
+    "duplicate_pressure_by_source": Query(duplicate_pressure_by_source,
+                                          _DUP_PRESSURE_ORACLE,
+                                          tags=["dedup", "pipeline"]),
     "ntile_customer_value": Query(ntile_customer_value, _NTILE_ORACLE,
                                   tags=["window"]),
     "customer_rfm_segments": Query(customer_rfm_segments, _RFM_ORACLE,
