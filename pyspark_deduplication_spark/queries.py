@@ -3599,6 +3599,35 @@ GROUP BY source
 """
 
 
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene check: L2-norm min/max per label (native
+    aggregate/zip arithmetic, no UDF) — catches unnormalized or
+    degenerate embeddings before any cosine math trusts them. Min/max
+    are order-insensitive (exact same doubles both engines), rounded
+    6dp."""
+    from pyspark_deduplication_spark.functions.vectors import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = l2_norm(F.col("embedding"))
+    return (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.round(F.min(n), 6).alias("min_norm"),
+             F.round(F.max(n), 6).alias("max_norm"))
+    )
+
+
+_EMB_NORM_ORACLE = """
+SELECT label, count(*) AS n_vecs,
+       round(min(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS min_norm,
+       round(max(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS max_norm
+FROM embeddings
+GROUP BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3732,6 +3761,8 @@ CATALOG: dict[str, Query] = {
     "embedding_cluster_dedup": Query(embedding_cluster_dedup,
                                      _EMB_CLUSTER_ORACLE,
                                      tags=["vector", "dedup"]),
+    "embedding_norm_stats": Query(embedding_norm_stats, _EMB_NORM_ORACLE,
+                                  tags=["vector", "stats"]),
     "levenshtein_links_customers": Query(levenshtein_links_customers,
                                          _LEV_CUST_ORACLE, tags=["linkage"]),
     "cross_table_entity_match": Query(cross_table_entity_match,
