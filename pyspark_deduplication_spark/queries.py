@@ -3628,6 +3628,48 @@ GROUP BY label
 """
 
 
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth in one pass: percent_rank and cume_dist
+    of each customer's balance within their nation, plus the nation's
+    top balance (first_value) and second-highest (nth_value) — all four
+    share one window partitioning, fully tie-broken on the customer key
+    so ranks are identical across engines. Restricted to two nations to
+    keep the gate output compact."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 2))
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    frame = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    return cust.select(
+        "c_custkey", "c_nationkey", bal.alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.first_value(bal).over(frame).alias("nation_top_bal"),
+        F.nth_value(bal, 2).over(frame).alias("nation_second_bal"),
+    )
+
+
+_BALANCE_RANKS_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist,
+       first_value(CAST(c_acctbal AS DECIMAL(18,2))) OVER wf
+         AS nation_top_bal,
+       nth_value(CAST(c_acctbal AS DECIMAL(18,2)), 2) OVER wf
+         AS nation_second_bal
+FROM customer
+WHERE c_nationkey IN (1, 2)
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey),
+       wf AS (PARTITION BY c_nationkey
+              ORDER BY c_acctbal DESC, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3683,6 +3725,8 @@ CATALOG: dict[str, Query] = {
                                   tags=["agg"]),
     "lineitem_running_totals": Query(lineitem_running_totals, _RUNNING_ORACLE,
                                      tags=["window"]),
+    "customer_balance_ranks": Query(customer_balance_ranks,
+                                    _BALANCE_RANKS_ORACLE, tags=["window"]),
     # dedup family
     "dedup_exact_parts": Query(dedup_exact_parts, _DEDUP_EXACT_ORACLE,
                                bench=True, tags=["dedup"]),
