@@ -1501,6 +1501,41 @@ def streaming_sliding_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_join_purchases_errors(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join under the oracle gate: each
+    purchase paired with same-user errors in the preceding hour, both
+    sides carrying watermarks so join state stays bounded. One in-order
+    micro-batch ⇒ no watermark evictions ⇒ must equal the batch range
+    join the oracle computes."""
+    from pyspark_deduplication_spark.streaming.ops import (
+        read_events_stream,
+        stream_stream_join,
+    )
+
+    src = _events_stream_source(spark, sf_dir)
+    stream = read_events_stream(spark, src, max_files_per_trigger=100)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    errors = stream.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts")
+    joined = stream_stream_join(purchases, errors, within="1 hour")
+    out = joined.select("event_id", "err_id")
+    _run_streaming_query(out, "stream_join_out", "append")
+    return spark.table("stream_join_out")
+
+
+_STREAM_JOIN_ORACLE = """
+WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            FROM events)
+SELECT p.event_id, e.event_id AS err_id
+FROM ev p JOIN ev e
+  ON p.user_id = e.user_id
+ AND p.event_type = 'purchase' AND e.event_type = 'error'
+ AND e.ts <= p.ts AND e.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on (user_id, event_type) within a watermark, then
     per-type distinct-user counts (append mode, memory sink)."""
@@ -3856,6 +3891,9 @@ CATALOG: dict[str, Query] = {
                                     _STREAM_DEDUP_ORACLE, tags=["streaming"]),
     "streaming_sliding_windows": Query(streaming_sliding_windows_q,
                                        _SLIDING_ORACLE, tags=["streaming"]),
+    "streaming_join_purchases_errors": Query(streaming_join_purchases_errors,
+                                             _STREAM_JOIN_ORACLE,
+                                             tags=["streaming", "join"]),
     "stateful_user_profiles": Query(stateful_user_profiles, _STATEFUL_ORACLE,
                                     tags=["streaming"]),
     # additional relational surface
