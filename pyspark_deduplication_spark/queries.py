@@ -3705,6 +3705,50 @@ WINDOW w AS (PARTITION BY c_nationkey
 """
 
 
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive-term extraction: top-2 tokens per document by
+    tf/df (term frequency over document frequency — linear inverse
+    frequency instead of log-IDF, deliberately: int/int division is
+    IEEE-correctly-rounded, so the score and its ordering are
+    bit-identical across engines, where ``ln`` is only 1-ulp-accurate
+    and could flip a ranking). Ties break lexicographically."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text")))
+                       .alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "tok").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("doc_id", F.col("rn").alias("term_rank"), "tok",
+                F.round("score", 6).alias("tf_over_df"))
+    )
+
+
+_TOP_TERMS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents), unnest(ts) AS u(t)
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+scored AS (
+  SELECT doc_id, tok, CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score
+  FROM tf JOIN df USING (tok)
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, tok) AS term_rank,
+       tok, round(score, 6) AS tf_over_df
+FROM scored
+QUALIFY term_rank <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3912,6 +3956,8 @@ CATALOG: dict[str, Query] = {
                                    tags=["text"]),
     "doc_oov_rates": Query(doc_oov_rates, _OOV_ORACLE,
                            tags=["text", "pipeline"]),
+    "doc_top_terms": Query(doc_top_terms, _TOP_TERMS_ORACLE,
+                           tags=["text", "window"]),
     "order_value_stats": Query(order_value_stats, _STATS_ORACLE,
                                tags=["agg", "stats"]),
     "customers_with_big_orders": Query(customers_with_big_orders, _SEMI_ORACLE,
