@@ -3749,6 +3749,29 @@ QUALIFY term_rank <= 2
 """
 
 
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar heatmap: event density by ISO day-of-week × hour —
+    the activity-pattern readout (168 cells max), one aggregation."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_DOW_HEATMAP_ORACLE = """
+SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+       hour(CAST(ts AS TIMESTAMP)) AS hour,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3921,6 +3944,9 @@ CATALOG: dict[str, Query] = {
     "events_retention_cohorts": Query(events_retention_cohorts,
                                       _RETENTION_ORACLE,
                                       tags=["events", "agg"]),
+    "events_dow_hour_heatmap": Query(events_dow_hour_heatmap,
+                                     _DOW_HEATMAP_ORACLE,
+                                     tags=["events", "agg"]),
     # temporal joins
     "asof_purchases_to_errors": Query(asof_purchases_to_errors, _ASOF_ORACLE,
                                       bench=True, tags=["join", "events"]),
