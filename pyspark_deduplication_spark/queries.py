@@ -3772,6 +3772,89 @@ GROUP BY 1, 2
 """
 
 
+def overlap_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient near-dups (|A∩B| / min(|A|,|B|)) over word
+    trigram shingles — catches containment (a doc embedded in a longer
+    one) that Jaccard's union denominator dilutes. Same O(n²)
+    correctness-scale formulation as the exact-Jaccard ground truth."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+    shingled = toks.select(
+        "doc_id", word_ngrams_of(F.col("__toks"), 3).alias("grams"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    denom = F.least(F.size(F.col("a.grams")), F.size(F.col("b.grams")))
+    ov = inter.cast("double") / denom.cast("double")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.round(ov, 6).alias("overlap_coef"))
+        .filter(F.col("overlap_coef") >= 0.8)
+    )
+
+
+_OVERLAP_ORACLE = f"""
+WITH shingles AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(least(len(a.grams), len(b.grams)) AS DOUBLE), 6)
+         AS overlap_coef
+FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / CAST(least(len(a.grams), len(b.grams)) AS DOUBLE), 6) >= 0.8
+"""
+
+
+def similarity_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph degree distribution: how many docs have 0, 1,
+    2… near-dup partners at Jaccard ≥ 0.7 — the shape that predicts
+    connected-component sizes (and dedup skew) before clustering runs."""
+    pairs = jaccard_near_dup_docs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id")))
+    deg = (
+        docs.join(ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("deg")),
+                  "doc_id", "left")
+        .select(F.coalesce("deg", F.lit(0)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_DEGREE_ORACLE = f"""
+WITH shingles AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                     AS DOUBLE), 6) >= 0.7
+),
+ends AS (
+  SELECT id_a AS doc_id FROM pairs
+  UNION ALL SELECT id_b FROM pairs
+),
+deg AS (
+  SELECT d.doc_id, coalesce(e.deg, 0) AS degree
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS deg FROM ends GROUP BY doc_id) e
+  USING (doc_id)
+)
+SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3891,6 +3974,11 @@ CATALOG: dict[str, Query] = {
                                tags=["text"]),
     "jaccard_near_dup_docs": Query(jaccard_near_dup_docs, _JACCARD_DOCS_ORACLE,
                                    tags=["dedup", "text"]),
+    "overlap_near_dup_docs": Query(overlap_near_dup_docs, _OVERLAP_ORACLE,
+                                   tags=["dedup", "text"]),
+    "similarity_graph_degrees": Query(similarity_graph_degrees,
+                                      _DEGREE_ORACLE,
+                                      tags=["dedup", "text", "stats"]),
     "minhash_candidates_docs": Query(minhash_candidates_docs, None,
                                      bench=True, tags=["dedup", "lsh"]),
     "minhash_dedup_docs": Query(minhash_dedup_docs, None,
