@@ -3855,6 +3855,50 @@ SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
 """
 
 
+def chunk_level_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup (the paragraph-dedup analog for flat text):
+    chunk every doc into non-overlapping 16-token windows, fingerprint
+    each chunk, and report per doc how many of its chunks also occur in
+    OTHER documents — the within-corpus boilerplate signal at finer
+    granularity than whole-doc fingerprints."""
+    from pyspark_deduplication_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, "text", size=16, overlap=0).select(
+        "doc_id", F.md5(F.col("chunk_text")).alias("h"))
+    owners = chunks.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_owner_docs"))
+    return (
+        chunks.join(owners, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum(F.when(F.col("n_owner_docs") > 1, 1).otherwise(0))
+             .alias("n_shared_chunks"))
+    )
+
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+w AS (
+  SELECT doc_id, t,
+         greatest(CAST(ceil(CAST(len(t) AS DOUBLE) / 16.0) AS BIGINT), 1)
+           AS nw
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, md5(array_to_string(t[i*16+1 : i*16+16], ' ')) AS h
+  FROM w, unnest(range(0, nw)) AS r(i)
+),
+owners AS (
+  SELECT h, count(DISTINCT doc_id) AS n_owner_docs FROM chunks GROUP BY h
+)
+SELECT doc_id, count(*) AS n_chunks,
+       sum(CASE WHEN n_owner_docs > 1 THEN 1 ELSE 0 END) AS n_shared_chunks
+FROM chunks JOIN owners USING (h)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -4095,6 +4139,9 @@ CATALOG: dict[str, Query] = {
                         tags=["text", "pipeline"]),
     "pack_training_sequences": Query(pack_training_sequences, _PACK_ORACLE,
                                      tags=["text", "pipeline"]),
+    "chunk_level_dedup_rate": Query(chunk_level_dedup_rate,
+                                    _CHUNK_DEDUP_ORACLE,
+                                    tags=["dedup", "text", "pipeline"]),
     "stratified_sample_docs": Query(stratified_sample_docs, _SAMPLE_ORACLE,
                                     tags=["sampling", "pipeline"]),
     "quality_weighted_sample": Query(quality_weighted_sample,
