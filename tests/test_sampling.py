@@ -104,3 +104,16 @@ def test_stratified_matches_per_stratum_hash_sample(spark):
              stratified_hash_sample(df, "lang", "k", {"en": 0.3}).collect()}
     plain = {r.k for r in hash_sample(df, "k", 0.3).collect()}
     assert strat == plain
+
+
+def test_hash_sample_fractions_nest_monotonically(spark):
+    """Threshold sampling nests: raising the fraction only ADDS rows —
+    sample(0.2) ⊆ sample(0.5) ⊆ sample(0.8). Bernoulli sampling has no
+    such property; it's what makes hash samples auditable (a smaller
+    audit sample is always a subset of the production sample)."""
+    df = spark.createDataFrame([(str(i),) for i in range(800)], ["k"])
+    s2 = {r.k for r in hash_sample(df, "k", 0.2).collect()}
+    s5 = {r.k for r in hash_sample(df, "k", 0.5).collect()}
+    s8 = {r.k for r in hash_sample(df, "k", 0.8).collect()}
+    assert s2 <= s5 <= s8
+    assert len(s2) < len(s5) < len(s8)
