@@ -3899,6 +3899,39 @@ GROUP BY doc_id
 """
 
 
+def q12_priority_by_quantity_band(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape, adapted (the fixture lacks shipmode — quantity
+    bands stand in): per band, how many lineitems belong to
+    urgent/high-priority orders vs not — the two-way conditional count
+    after an order join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    band = (F.when(F.col("l_quantity") < 17, "low")
+            .when(F.col("l_quantity") < 34, "mid")
+            .otherwise("high"))
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(band.alias("qty_band"))
+        .agg(F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"))
+    )
+
+
+_Q12_ORACLE = """
+SELECT CASE WHEN l_quantity < 17 THEN 'low'
+            WHEN l_quantity < 34 THEN 'mid'
+            ELSE 'high' END AS qty_band,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY qty_band
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3922,6 +3955,8 @@ CATALOG: dict[str, Query] = {
                                     tags=["join", "agg"]),
     "q10_returned_items": Query(q10_returned_items, _Q10_ORACLE,
                                 tags=["join"]),
+    "q12_priority_by_quantity_band": Query(q12_priority_by_quantity_band,
+                                           _Q12_ORACLE, tags=["join", "agg"]),
     "q13_customer_distribution": Query(q13_customer_distribution,
                                        _Q13_ORACLE, tags=["join", "agg"]),
     "q14_promo_revenue": Query(q14_promo_revenue, _Q14_ORACLE,
