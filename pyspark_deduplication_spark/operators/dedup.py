@@ -289,13 +289,69 @@ def minhash_candidate_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     shingle_sets = sigs.select(F.col(id_col), F.col("shingles"))
-    return (
+    out = (
         pairs.join(shingle_sets.withColumnRenamed(id_col, "id_a")
                    .withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(shingle_sets.withColumnRenamed(id_col, "id_b")
               .withColumnRenamed("shingles", "sh_b"), "id_b")
         .select("id_a", "id_b",
                 jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+    )
+    # Materialize the result before releasing the cached signatures: a
+    # long-lived session running the whole catalog (the driver does)
+    # would otherwise accumulate cached blocks across invocations.
+    out = out.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
+
+
+def ngram_index_pairs(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    grams_col: str = "grams",
+    prefix_jaccard: float | None = None,
+) -> DataFrame:
+    """EXACT candidate pairs via an inverted index — the scale-safe
+    replacement for the O(n²) ``a.id < b.id`` cross self-join.
+
+    Any pair with ≥1 shared shingle appears exactly once in the output
+    (distinct ``id_a < id_b``); pairs sharing nothing have Jaccard and
+    overlap 0 and can never pass a positive threshold, so downstream
+    exact verification loses NOTHING vs all-pairs. The join is an
+    equi-join on the shingle (posting lists), so there is no
+    BroadcastNestedLoop/Cartesian anywhere and cost is Σ_g m_g² over
+    per-shingle posting sizes, not n².
+
+    ``prefix_jaccard``: optional prefix filter (Chaudhuri et al. /
+    Bayardo SSJoin; Vernica et al. for the MapReduce formulation) — for
+    a Jaccard threshold t, two sets can only reach J ≥ t if their
+    rare-first prefixes of length ``|x| - ceil(t·|x|) + 1`` intersect
+    under one global (frequency, gram) order. Shrinks posting lists
+    drastically while staying EXACT for Jaccard ≥ t. Leave None for
+    metrics without a per-set prefix bound (e.g. overlap coefficient,
+    whose denominator is min(|a|,|b|)).
+    """
+    posting = shingled.select(
+        F.col(id_col), F.explode(F.col(grams_col)).alias("gram"))
+    if prefix_jaccard is not None:
+        t = float(prefix_jaccard)
+        freq = posting.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        w = Window.partitionBy(id_col).orderBy("__df", "gram")
+        posting = (
+            posting.join(freq, "gram")
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+            .filter(F.col("__rn")
+                    <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1)
+            .select(id_col, "gram")
+        )
+    a = posting.select(F.col(id_col).alias("id_a"), "gram")
+    b = posting.select(F.col(id_col).alias("id_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -211,16 +211,22 @@ def lsh_near_dup_pairs(
         bucketed = hyperplane_lsh_buckets(
             bucketed, dim, n_planes, seed=42 + t, vec_col=vec_col
         ).withColumnRenamed("lsh_bucket", f"__b{t}")
+    # The band self-join moves ONLY (id, table, bucket) — never the
+    # vectors. At 100 TB of embeddings the exploded ×n_tables frame is
+    # the widest shuffle in this pipeline; carrying the vector column
+    # through it would multiply vector bytes by n_tables on both join
+    # sides. Vectors are joined back for the surviving candidate ids
+    # only (same pattern as dedup.minhash_candidate_pairs).
     slim = bucketed.select(
-        F.col(vec_id), F.col(vec_col),
+        F.col(vec_id),
         F.explode(F.array(*[
             F.struct(F.lit(t).alias("table"), F.col(f"__b{t}").alias("bucket"))
             for t in range(n_tables)
         ])).alias("tb"),
-    ).select(vec_id, vec_col, "tb.table", "tb.bucket")
+    ).select(vec_id, "tb.table", "tb.bucket")
 
     a, b = slim.alias("a"), slim.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
@@ -230,11 +236,14 @@ def lsh_near_dup_pairs(
         .select(
             F.col(f"a.{vec_id}").alias("id_a"),
             F.col(f"b.{vec_id}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("vec_a"),
-            F.col(f"b.{vec_col}").alias("vec_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = vectors.select(F.col(vec_id).alias("id_a"),
+                        F.col(vec_col).alias("vec_a"))
+    vb = vectors.select(F.col(vec_id).alias("id_b"),
+                        F.col(vec_col).alias("vec_b"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     return pairs.select(
         "id_a", "id_b",
         cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"),

@@ -21,8 +21,11 @@ from pyspark.sql import functions as F
 
 def hash_bucket(key: Column, seed: str = "42") -> Column:
     """First md5 byte of (key, seed) as a hex pair — uniform over 256
-    values, stable everywhere."""
-    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(seed))), 1, 2)
+    values, stable everywhere. NULL keys hash a sentinel instead of
+    propagating NULL (which would silently drop the row from every
+    sample regardless of fraction)."""
+    k = F.coalesce(key.cast("string"), F.lit("\x00null"))
+    return F.substring(F.md5(F.concat(k, F.lit(seed))), 1, 2)
 
 
 def _hex_threshold(fraction: float) -> str:

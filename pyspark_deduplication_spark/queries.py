@@ -62,12 +62,39 @@ from pyspark_deduplication_spark.operators.linkage import (
 from pyspark_deduplication_spark.streaming.ops import sessionize_batch
 
 
+def _canon_conf(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a query fn so it canonicalizes runtime session confs first.
+
+    The driver runs the catalog on its OWN vanilla SparkSession (no engine
+    configs), so anything the oracle comparison depends on must be set at
+    runtime, not at session build: UTC rendering for ``date_format`` (the
+    DuckDB oracle is TZ-naive) and nanos-as-long parquet reads (the events
+    fixture is TIMESTAMP(NANOS)). Both are runtime-settable SQL confs.
+    """
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for k, v in (("spark.sql.session.timeZone", "UTC"),
+                     ("spark.sql.legacy.parquet.nanosAsLong", "true")):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 @dataclass
 class Query:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None = None
     bench: bool = False          # include in bench.py headline set
     tags: list[str] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        self.fn = _canon_conf(self.fn)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -115,10 +142,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "2000-12-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,10)").alias("sum_charge"),
+            # Decimal math stays exact internally; the TERMINAL cast to
+            # double canonicalizes the emitted type for the driver's hash
+            # (Spark decimal→double is correctly rounded; the oracle uses
+            # a VARCHAR hop because DuckDB's direct decimal→double isn't).
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -126,17 +157,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
                      AS DECIMAL(18,6)))
-            AS DECIMAL(38,6)) AS sum_disc_price,
-       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
                      AS DECIMAL(18,6))
                 * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))
-            AS DECIMAL(38,10)) AS sum_charge,
+            AS VARCHAR) AS DOUBLE) AS sum_charge,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -160,7 +191,7 @@ def q1_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q1_SQL_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -186,7 +217,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc))
                    .cast("decimal(18,6)"))
-             .cast("decimal(38,6)").alias("revenue"))
+             .cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -194,10 +225,10 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_ORACLE = """
 SELECT o_orderkey,
-       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
                      AS DECIMAL(18,6)))
-            AS DECIMAL(38,6)) AS revenue
+            AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -230,16 +261,16 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc))
                    .cast("decimal(18,6)"))
-             .cast("decimal(38,6)").alias("revenue"))
+             .cast("double").alias("revenue"))
     )
 
 
 _Q5_ORACLE = """
 SELECT n_name,
-       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
                      AS DECIMAL(18,6)))
-            AS DECIMAL(38,6)) AS revenue
+            AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -262,7 +293,10 @@ def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.withColumn("rank_in_nation", F.row_number().over(w))
         .filter(F.col("rank_in_nation") <= 3)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .select("n_name", "c_custkey", "c_acctbal", "rank_in_nation")
+        # rank emitted as long: DuckDB row_number() is BIGINT (int64) and
+        # the driver hash renders dtypes, so Spark's int32 would mismatch.
+        .select("n_name", "c_custkey", "c_acctbal",
+                F.col("rank_in_nation").cast("long").alias("rank_in_nation"))
     )
 
 
@@ -286,13 +320,13 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"),
-             F.sum(total).cast("decimal(38,2)").alias("sum_total"))
+             F.sum(total).cast("double").alias("sum_total"))
     )
 
 
 _ROLLUP_ORACLE = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_total
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -364,22 +398,22 @@ def lineitem_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.sum(qty).over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("decimal(38,2)").alias("running_qty"),
-        F.lag(qty, 1).over(w).cast("decimal(18,2)").alias("prev_qty"),
+        .cast("double").alias("running_qty"),
+        F.lag(qty, 1).over(w).cast("double").alias("prev_qty"),
     )
 
 
 _RUNNING_ORACLE = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
             OVER (PARTITION BY l_suppkey
                   ORDER BY l_shipdate, l_orderkey, l_linenumber
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DECIMAL(38,2)) AS running_qty,
-       CAST(lag(CAST(l_quantity AS DECIMAL(18,2)), 1)
+            AS VARCHAR) AS DOUBLE) AS running_qty,
+       CAST(CAST(lag(CAST(l_quantity AS DECIMAL(18,2)), 1)
             OVER (PARTITION BY l_suppkey
                   ORDER BY l_shipdate, l_orderkey, l_linenumber)
-            AS DECIMAL(18,2)) AS prev_qty
+            AS VARCHAR) AS DOUBLE) AS prev_qty
 FROM lineitem
 WHERE l_suppkey <= 3
 """
@@ -507,17 +541,17 @@ def ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal"), F.col("c_custkey"))
     return (
-        cust.withColumn("decile", F.ntile(10).over(w))
+        cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
         .groupBy("c_mktsegment", "decile")
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-             .cast("decimal(38,2)").alias("sum_bal"))
+             .cast("double").alias("sum_bal"))
     )
 
 
 _NTILE_ORACLE = """
 SELECT c_mktsegment, decile, count(*) AS n,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
 FROM (
   SELECT c_mktsegment, c_acctbal,
          ntile(10) OVER (PARTITION BY c_mktsegment
@@ -795,8 +829,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_STATS_ORACLE = f"""
 SELECT lang, source, count(*) AS n_docs,
-       sum({_NTOK_SQL}) AS sum_tokens,
-       sum(len(text)) AS sum_chars
+       CAST(sum({_NTOK_SQL}) AS BIGINT) AS sum_tokens,
+       CAST(sum(len(text)) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY lang, source
 """
@@ -884,7 +918,7 @@ scored AS (
   FROM base
 )
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS n_kept
+       CAST(sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM scored
 GROUP BY lang
 """
@@ -1003,23 +1037,31 @@ def simhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def jaccard_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard near-duplicate pairs (the deterministic
-    ground truth the LSH paths approximate). O(n²) within the corpus —
-    correctness-scale only; the LSH variants are the 100 TB path."""
+    """Exact n-gram-Jaccard near-duplicate pairs. Candidates come from an
+    inverted-index equi-join with a rare-first prefix filter
+    (``ngram_index_pairs`` — EXACT for J ≥ t, so the result is still the
+    deterministic all-pairs ground truth), then each candidate verifies
+    with exact Jaccard. No BroadcastNestedLoop/Cartesian anywhere; the
+    oracle keeps the O(n²) spelling (fine for DuckDB at gate scale)."""
+    from pyspark_deduplication_spark.operators.dedup import ngram_index_pairs
+
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("__toks"))
     shingled = toks.select(
         "doc_id", word_ngrams_of(F.col("__toks"), 3).alias("grams")
     )
-    a, b = shingled.alias("a"), shingled.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    cand = ngram_index_pairs(shingled, "doc_id", "grams",
+                             prefix_jaccard=0.7)
+    ga = shingled.select(F.col("doc_id").alias("id_a"),
+                         F.col("grams").alias("g_a"))
+    gb = shingled.select(F.col("doc_id").alias("id_b"),
+                         F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size(F.array_union(F.col("g_a"), F.col("g_b")))
     jac = inter.cast("double") / union.cast("double")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-                F.round(jac, 6).alias("jaccard_sim"))
+        cand.join(ga, "id_a").join(gb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= 0.7)
     )
 
@@ -1205,7 +1247,7 @@ def levenshtein_links_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return linked.select(
         F.col("id").alias("c_custkey"),
-        F.size("linked_counterparts").alias("n_links"),
+        F.size("linked_counterparts").cast("long").alias("n_links"),
     )
 
 
@@ -1231,7 +1273,7 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.sum(val).cast("decimal(38,6)").alias("sum_value"))
+             F.sum(val).cast("double").alias("sum_value"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type", "n_events", "sum_value",
@@ -1242,7 +1284,7 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOURLY_ORACLE = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -1324,13 +1366,13 @@ def events_dedup_keep_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("decimal(38,6)").alias("sum_value"),
+        .cast("double").alias("sum_value"),
     )
 
 
 _EVENTS_DEDUP_ORACLE = """
 SELECT event_type, count(*) AS n_users,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
@@ -1470,7 +1512,7 @@ def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_stream_source(spark, sf_dir)
     stream = read_events_stream(spark, src, max_files_per_trigger=100)
     agg = streaming_tumbling_counts(stream, "1 hour", "30 minutes")
-    agg = agg.withColumn("sum_value", F.col("sum_value").cast("decimal(38,6)"))
+    agg = agg.withColumn("sum_value", F.col("sum_value").cast("double"))
     _run_streaming_query(agg, "stream_hourly_out", "complete")
     return spark.table("stream_hourly_out").select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -1606,13 +1648,13 @@ def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n_items"),
              F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-             .cast("decimal(38,2)").alias("sum_qty"))
+             .cast("double").alias("sum_qty"))
     )
 
 
 _CUBE_ORACLE = """
 SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -1691,9 +1733,9 @@ def doc_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REGEX_TOKEN_ORACLE = f"""
 SELECT lang, count(*) AS n_docs,
-       sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')))
-           AS sum_bpe_tokens,
-       sum({_NTOK_SQL}) AS sum_ws_tokens
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')))
+           AS BIGINT) AS sum_bpe_tokens,
+       CAST(sum({_NTOK_SQL}) AS BIGINT) AS sum_ws_tokens
 FROM documents
 GROUP BY lang
 """
@@ -1762,7 +1804,7 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("metric").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("decimal(38,2)").alias("sum_value"),
+        .cast("double").alias("sum_value"),
     )
 
 
@@ -1773,7 +1815,7 @@ WITH long AS (
   SELECT p_partkey, 'retailprice', p_retailprice FROM part
 )
 SELECT metric, count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM long
 GROUP BY metric
 """
@@ -1817,14 +1859,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(F.sum((price * disc).cast("decimal(18,6)"))
-             .cast("decimal(38,6)").alias("revenue"))
+             .cast("double").alias("revenue"))
     )
 
 
 _Q6_ORACLE = """
-SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                      * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,6)))
-            AS DECIMAL(38,6)) AS revenue
+            AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -1850,7 +1892,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc))
                    .cast("decimal(18,6)"))
-             .cast("decimal(38,6)").alias("revenue"))
+             .cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -1858,10 +1900,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_ORACLE = """
 SELECT c_custkey, c_name, n_name,
-       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
                      AS DECIMAL(18,6)))
-            AS DECIMAL(38,6)) AS revenue
+            AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1943,15 +1985,17 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey",
                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-                F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
-                "total_qty")
+                F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+                .alias("totalprice"),
+                F.col("total_qty").cast("double").alias("total_qty"))
     )
 
 
 _Q18_ORACLE = """
 SELECT c_name, c_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, total_qty
+       CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS totalprice,
+       CAST(CAST(total_qty AS VARCHAR) AS DOUBLE) AS total_qty
 FROM (
   SELECT l_orderkey,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
@@ -2000,8 +2044,8 @@ WITH per_part AS (
          count(*) AS cnt
   FROM lineitem GROUP BY l_partkey
 )
-SELECT round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                      AS DECIMAL(38,2)) AS DOUBLE) / 7.0, 6) AS avg_yearly
+SELECT round(CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) / 7.0, 6) AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN per_part ON l_partkey = pp_partkey
@@ -2034,7 +2078,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_custs"),
-             F.sum(bal).cast("decimal(38,2)").alias("total_acctbal"))
+             F.sum(bal).cast("double").alias("total_acctbal"))
     )
 
 
@@ -2045,7 +2089,7 @@ WITH threshold AS (
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c_mktsegment, count(*) AS n_custs,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_acctbal
 FROM customer, threshold
 WHERE CAST(c_acctbal AS DECIMAL(18,2)) * CAST(n_pos AS DECIMAL(18,0)) > total_bal
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -2154,8 +2198,8 @@ hits AS (
   WHERE source <> 'src0' AND gram IN (SELECT gram FROM bench)
 )
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
-                THEN 1 ELSE 0 END) AS n_contaminated
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
 FROM documents
 WHERE source <> 'src0'
 GROUP BY source
@@ -2170,10 +2214,10 @@ def grouping_sets_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql("""
         SELECT o_orderstatus, o_orderpriority,
-               grouping(o_orderstatus) + 2 * grouping(o_orderpriority)
-                 AS gid,
+               CAST(grouping(o_orderstatus) + 2 * grouping(o_orderpriority)
+                    AS BIGINT) AS gid,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                    AS DECIMAL(38,2)) AS total_price,
+                    AS DOUBLE) AS total_price,
                count(*) AS n_orders
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
@@ -2183,8 +2227,8 @@ def grouping_sets_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUPING_SETS_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
-       grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+       CAST(grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS BIGINT) AS gid,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
          AS total_price,
        count(*) AS n_orders
 FROM orders
@@ -2209,7 +2253,7 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs=[
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("decimal(38,4)").alias("sum_value"),
+            .cast("double").alias("sum_value"),
             F.max_by("value", "event_id").alias("last_val"),
         ],
     )
@@ -2227,7 +2271,7 @@ _GAPFILL_ORACLE = """
 WITH b AS (
   SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
          count(*) AS n_events,
-         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value,
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
          arg_max(value, event_id) AS last_val
   FROM events GROUP BY 1, 2
 ),
@@ -2480,20 +2524,20 @@ def profile_customer_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROFILE_ORACLE = """
 SELECT 'c_custkey' AS column_name,
-       sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT c_custkey) AS n_distinct,
        CAST(min(c_custkey) AS DOUBLE) AS min_value,
        CAST(max(c_custkey) AS DOUBLE) AS max_value
 FROM customer
 UNION ALL
 SELECT 'c_nationkey',
-       sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT c_nationkey),
        CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE)
 FROM customer
 UNION ALL
 SELECT 'c_acctbal',
-       sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT c_acctbal),
        CAST(min(c_acctbal) AS DOUBLE), CAST(max(c_acctbal) AS DOUBLE)
 FROM customer
@@ -2549,9 +2593,9 @@ cum AS (
   FROM chunks
 )
 SELECT stream, CAST(floor(CAST(start AS DOUBLE) / 256) AS BIGINT) AS pack_id,
-       count(*) AS n_chunks, sum(n_tok) AS n_tokens,
-       sum(CASE WHEN start % 256 + n_tok > 256 THEN 1 ELSE 0 END)
-         AS n_straddles
+       count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN start % 256 + n_tok > 256 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_straddles
 FROM cum
 GROUP BY stream, pack_id
 """
@@ -2567,11 +2611,11 @@ def q15_top_supplier_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,4)")
     rev = (
-        li.groupBy(F.year("l_shipdate").alias("ship_year"),
+        li.groupBy(F.year("l_shipdate").cast("long").alias("ship_year"),
                    F.col("l_suppkey"))
         .agg(F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc))
                    .cast("decimal(18,6)"))
-             .cast("decimal(38,6)").alias("revenue"))
+             .cast("double").alias("revenue"))
     )
     # deterministic argmax: order by (revenue, -suppkey) → lowest suppkey
     # wins ties; encoded as max_by on a (revenue, negated key) struct
@@ -2592,10 +2636,10 @@ def q15_top_supplier_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_ORACLE = """
 WITH rev AS (
   SELECT year(l_shipdate) AS ship_year, l_suppkey,
-         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+         CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
                        AS DECIMAL(18,6)))
-              AS DECIMAL(38,6)) AS revenue
+              AS VARCHAR) AS DOUBLE) AS revenue
   FROM lineitem
   GROUP BY 1, 2
 ),
@@ -2880,13 +2924,14 @@ def topk_parts_per_brand_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                      1, 2).alias("top"))
         .select("p_brand", F.explode("top").alias("t"))
         .select("p_brand", F.col("t.key").alias("p_partkey"),
-                F.col("t.price").cast("decimal(18,2)").alias("retail_price"))
+                F.col("t.price").cast("decimal(18,2)").cast("double")
+                .alias("retail_price"))
     )
 
 
 _TOPK_AGG_ORACLE = """
 SELECT p_brand, p_partkey,
-       CAST(p_retailprice AS DECIMAL(18,2)) AS retail_price
+       CAST(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS retail_price
 FROM (
   SELECT *, row_number() OVER (PARTITION BY p_brand
              ORDER BY p_retailprice DESC, p_partkey DESC) AS rn
@@ -2908,7 +2953,8 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         days.join(cohorts, "user_id")
         .select("user_id",
                 F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
-                F.datediff("day", "cohort_day").alias("day_offset"))
+                F.datediff("day", "cohort_day").cast("long")
+                .alias("day_offset"))
         .groupBy("cohort", "day_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
@@ -3004,7 +3050,7 @@ def golden_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cluster_size"),
              F.min("c_custkey").alias("rep_id"),
              F.min("c_name").alias("canonical_name"),
-             F.max("bal").alias("best_acctbal"))
+             F.max("bal").cast("double").alias("best_acctbal"))
         .filter(F.col("cluster_size") > 1)
         .drop("component")
     )
@@ -3038,7 +3084,8 @@ clustered AS (
   FROM base b LEFT JOIN labels l ON b.c_custkey = l.node
 )
 SELECT count(*) AS cluster_size, min(c_custkey) AS rep_id,
-       min(c_name) AS canonical_name, max(bal) AS best_acctbal
+       min(c_name) AS canonical_name,
+       CAST(CAST(max(bal) AS VARCHAR) AS DOUBLE) AS best_acctbal
 FROM clustered
 GROUP BY component
 HAVING count(*) > 1
@@ -3063,14 +3110,14 @@ def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         partial.groupBy("l_returnflag")
-        .agg(F.sum("part_qty").cast("decimal(38,2)").alias("sum_qty"),
+        .agg(F.sum("part_qty").cast("double").alias("sum_qty"),
              F.sum("part_n").alias("n_rows"))
     )
 
 
 _SALTED_AGG_ORACLE = """
 SELECT l_returnflag,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
          AS sum_qty,
        count(*) AS n_rows
 FROM lineitem
@@ -3116,7 +3163,7 @@ def order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_gaps"),
              F.round(F.sum("gap_days").cast("double")
                      / F.count(F.lit(1)), 6).alias("mean_gap_days"),
-             F.max("gap_days").alias("max_gap_days"))
+             F.max("gap_days").cast("long").alias("max_gap_days"))
     )
 
 
@@ -3202,13 +3249,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref = orders.agg(F.max("o_orderdate").alias("__ref"))
     j = per_cust.crossJoin(F.broadcast(ref)).withColumn(
-        "recency_days", F.datediff("__ref", "last_order"))
+        "recency_days", F.datediff("__ref", "last_order").cast("long"))
     k = F.col("o_custkey")
     r = F.ntile(4).over(Window.orderBy(F.col("recency_days"), k))
     fq = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), k))
     m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), k))
     return j.select(
-        "o_custkey", "recency_days", "frequency", "monetary",
+        "o_custkey", "recency_days", "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
         F.concat(r.cast("string"), fq.cast("string"), m.cast("string"))
         .alias("rfm_segment"),
     )
@@ -3227,7 +3275,8 @@ j AS (
                      (SELECT max(o_orderdate) FROM orders)) AS recency_days
   FROM per_cust
 )
-SELECT o_custkey, recency_days, frequency, monetary,
+SELECT o_custkey, recency_days, frequency,
+       CAST(CAST(monetary AS VARCHAR) AS DOUBLE) AS monetary,
        CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS VARCHAR)
        || CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR)
        || CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS VARCHAR)
@@ -3254,7 +3303,9 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = Window.rowsBetween(Window.unboundedPreceding,
                                Window.unboundedFollowing)
     return per_nation.select(
-        "n_name", "revenue",
+        "n_name",
+        # share computed from the exact decimal sums, THEN emitted double
+        F.col("revenue").cast("double").alias("revenue"),
         F.round(F.col("revenue").cast("double")
                 / F.sum("revenue").over(total).cast("double"), 6)
         .alias("revenue_share"),
@@ -3271,7 +3322,7 @@ WITH per_nation AS (
   JOIN nation ON c_nationkey = n_nationkey
   GROUP BY n_name
 )
-SELECT n_name, revenue,
+SELECT n_name, CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
        round(CAST(revenue AS DOUBLE)
              / CAST(sum(revenue) OVER () AS DOUBLE), 6) AS revenue_share
 FROM per_nation
@@ -3285,13 +3336,14 @@ def yearly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     yearly = (
-        li.groupBy(F.year("l_shipdate").alias("ship_year"))
+        li.groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
         .agg(F.sum(price).cast("decimal(38,2)").alias("revenue"))
     )
     w = Window.orderBy("ship_year")
     prev = F.lag("revenue").over(w)
     return yearly.select(
-        "ship_year", "revenue",
+        "ship_year",
+        F.col("revenue").cast("double").alias("revenue"),
         F.round((F.col("revenue").cast("double") - prev.cast("double"))
                 / prev.cast("double") * 100, 6).alias("yoy_pct"),
     )
@@ -3304,7 +3356,7 @@ WITH yearly AS (
            AS revenue
   FROM lineitem GROUP BY 1
 )
-SELECT ship_year, revenue,
+SELECT ship_year, CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
        round((CAST(revenue AS DOUBLE)
               - CAST(lag(revenue) OVER (ORDER BY ship_year) AS DOUBLE))
              / CAST(lag(revenue) OVER (ORDER BY ship_year) AS DOUBLE)
@@ -3392,19 +3444,19 @@ def q9_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .groupBy("n_name", F.year("l_shipdate").alias("ship_year"))
+        .groupBy("n_name", F.year("l_shipdate").cast("long").alias("ship_year"))
         .agg(F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc))
                    .cast("decimal(18,6)"))
-             .cast("decimal(38,6)").alias("revenue"))
+             .cast("double").alias("revenue"))
     )
 
 
 _Q9_ORACLE = """
 SELECT n_name, year(l_shipdate) AS ship_year,
-       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
                      AS DECIMAL(18,6)))
-            AS DECIMAL(38,6)) AS revenue
+            AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -3461,16 +3513,16 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.filter(clause1 | clause2 | clause3)
         .agg(F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc))
                    .cast("decimal(18,6)"))
-             .cast("decimal(38,6)").alias("revenue"),
+             .cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_rows"))
     )
 
 
 _Q19_ORACLE = """
-SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
                      AS DECIMAL(18,6)))
-            AS DECIMAL(38,6)) AS revenue,
+            AS VARCHAR) AS DOUBLE) AS revenue,
        count(*) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size <= 5
@@ -3507,20 +3559,20 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), supp.s_nationkey == F.col("sn_key"))
         .filter(pair)
         .groupBy("cust_nation", "supp_nation",
-                 F.year("l_shipdate").alias("ship_year"))
+                 F.year("l_shipdate").cast("long").alias("ship_year"))
         .agg(F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc))
                    .cast("decimal(18,6)"))
-             .cast("decimal(38,6)").alias("volume"))
+             .cast("double").alias("volume"))
     )
 
 
 _Q7_ORACLE = """
 SELECT c_nat.n_name AS cust_nation, s_nat.n_name AS supp_nation,
        year(l_shipdate) AS ship_year,
-       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
                      AS DECIMAL(18,6)))
-            AS DECIMAL(38,6)) AS volume
+            AS VARCHAR) AS DOUBLE) AS volume
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -3556,7 +3608,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
         .agg(
             F.sum(F.when(F.col("s_nationkey") == 1, vol)
                   .otherwise(F.lit(0).cast("decimal(18,6)")))
@@ -3627,8 +3679,8 @@ fp_sources AS (
   SELECT fp, count(DISTINCT source) AS n_sources FROM fps GROUP BY fp
 )
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
-         AS n_cross_source_dups
+       CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_cross_source_dups
 FROM fps JOIN fp_sources USING (fp)
 GROUP BY source
 """
@@ -3678,23 +3730,25 @@ def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
                           Window.unboundedFollowing)
     bal = F.col("c_acctbal").cast("decimal(18,2)")
     return cust.select(
-        "c_custkey", "c_nationkey", bal.alias("acctbal"),
+        "c_custkey", "c_nationkey", bal.cast("double").alias("acctbal"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
-        F.first_value(bal).over(frame).alias("nation_top_bal"),
-        F.nth_value(bal, 2).over(frame).alias("nation_second_bal"),
+        F.first_value(bal).over(frame).cast("double")
+        .alias("nation_top_bal"),
+        F.nth_value(bal, 2).over(frame).cast("double")
+        .alias("nation_second_bal"),
     )
 
 
 _BALANCE_RANKS_ORACLE = """
 SELECT c_custkey, c_nationkey,
-       CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+       CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS acctbal,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist() OVER w, 6) AS cume_dist,
-       first_value(CAST(c_acctbal AS DECIMAL(18,2))) OVER wf
-         AS nation_top_bal,
-       nth_value(CAST(c_acctbal AS DECIMAL(18,2)), 2) OVER wf
-         AS nation_second_bal
+       CAST(CAST(first_value(CAST(c_acctbal AS DECIMAL(18,2))) OVER wf
+         AS VARCHAR) AS DOUBLE) AS nation_top_bal,
+       CAST(CAST(nth_value(CAST(c_acctbal AS DECIMAL(18,2)), 2) OVER wf
+         AS VARCHAR) AS DOUBLE) AS nation_second_bal
 FROM customer
 WHERE c_nationkey IN (1, 2)
 WINDOW w AS (PARTITION BY c_nationkey
@@ -3724,7 +3778,7 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 2)
-        .select("doc_id", F.col("rn").alias("term_rank"), "tok",
+        .select("doc_id", F.col("rn").cast("long").alias("term_rank"), "tok",
                 F.round("score", 6).alias("tf_over_df"))
     )
 
@@ -3755,8 +3809,8 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy(
-            F.dayofweek("ts").alias("dow"),
-            F.hour("ts").alias("hour"),
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
         )
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.count_distinct("user_id").alias("n_users"))
@@ -3777,19 +3831,26 @@ def overlap_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram shingles — catches containment (a doc embedded in a longer
     one) that Jaccard's union denominator dilutes. Same O(n²)
     correctness-scale formulation as the exact-Jaccard ground truth."""
+    from pyspark_deduplication_spark.operators.dedup import ngram_index_pairs
+
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("__toks"))
     shingled = toks.select(
         "doc_id", word_ngrams_of(F.col("__toks"), 3).alias("grams"))
-    a, b = shingled.alias("a"), shingled.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    denom = F.least(F.size(F.col("a.grams")), F.size(F.col("b.grams")))
+    # no prefix filter: overlap's min(|a|,|b|) denominator admits no
+    # per-set prefix bound — but the all-grams posting join is still
+    # exact (overlap ≥ 0.8 ⇒ ≥1 shared gram) and still equi-keyed
+    cand = ngram_index_pairs(shingled, "doc_id", "grams")
+    ga = shingled.select(F.col("doc_id").alias("id_a"),
+                         F.col("grams").alias("g_a"))
+    gb = shingled.select(F.col("doc_id").alias("id_b"),
+                         F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    denom = F.least(F.size(F.col("g_a")), F.size(F.col("g_b")))
     ov = inter.cast("double") / denom.cast("double")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-                F.round(ov, 6).alias("overlap_coef"))
+        cand.join(ga, "id_a").join(gb, "id_b")
+        .select("id_a", "id_b", F.round(ov, 6).alias("overlap_coef"))
         .filter(F.col("overlap_coef") >= 0.8)
     )
 
@@ -3893,7 +3954,8 @@ owners AS (
   SELECT h, count(DISTINCT doc_id) AS n_owner_docs FROM chunks GROUP BY h
 )
 SELECT doc_id, count(*) AS n_chunks,
-       sum(CASE WHEN n_owner_docs > 1 THEN 1 ELSE 0 END) AS n_shared_chunks
+       CAST(sum(CASE WHEN n_owner_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks
 FROM chunks JOIN owners USING (h)
 GROUP BY doc_id
 """
@@ -3923,10 +3985,10 @@ _Q12_ORACLE = """
 SELECT CASE WHEN l_quantity < 17 THEN 'low'
             WHEN l_quantity < 34 THEN 'mid'
             ELSE 'high' END AS qty_band,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY qty_band
 """

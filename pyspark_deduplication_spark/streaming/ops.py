@@ -73,8 +73,10 @@ def streaming_tumbling_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(win.alias("w"), F.col("event_type"))
+        # decimal-exact sum: double accumulation is order-dependent and
+        # a streaming run would not reproduce the batch twin bit-for-bit
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.sum("value").alias("sum_value"))
+             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

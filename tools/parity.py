@@ -5,11 +5,27 @@ scale factor, then compares row count, column names, and exact values
 (order-insensitive, columns sorted by name). Run:
 
     python tools/parity.py [sf_dir] [query ...]
+
+Two deliberate differences from round 1 (VERDICT.md "Next round" #1):
+
+- The Spark session is built VANILLA (plain builder, no engine configs),
+  exactly like the driver's. Anything a query needs (UTC timezone,
+  nanosAsLong) must be set at runtime by the query itself — this file
+  would otherwise mask vanilla-session divergences.
+- In addition to the full-precision value comparison, each side is ALSO
+  converted to pandas (Spark ``toPandas``, DuckDB ``.df()``) and compared
+  per-column on dtype and rendered cells. The driver's value-hash is built
+  from dataframe conversions, so a dtype mismatch (Spark bigint/int64 vs
+  DuckDB HUGEINT→float64, Spark DecimalType→object vs DuckDB
+  DECIMAL→float64) fails its hash even when values are numerically exact.
+  Any DecimalType column in a final Spark schema is therefore a failure
+  here, full stop.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -37,14 +53,44 @@ def norm_rows(cols, rows):
     return sorted(out)
 
 
+def render_frame(pdf):
+    """Order-insensitive rendering of a pandas frame: sorted columns,
+    str() cells (the driver-hash proxy), sorted rows."""
+    cols = sorted(pdf.columns)
+    rows = [tuple(str(v) for v in row)
+            for row in pdf[cols].itertuples(index=False, name=None)]
+    return cols, sorted(rows)
+
+
+def dtype_report(scols, spdf, opdf):
+    """Compare pandas dtypes per column; return list of mismatch strings."""
+    bad = []
+    for c in sorted(scols):
+        sd, od = str(spdf[c].dtype), str(opdf[c].dtype)
+        if sd != od:
+            bad.append(f"{c}: spark={sd} oracle={od}")
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    from pyspark_deduplication_spark.queries import CATALOG
-    from pyspark_deduplication_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("parity", master="local[8]", shuffle_partitions=8)
+    from pyspark_deduplication_spark.queries import CATALOG
+
+    # VANILLA session — mimic the driver exactly (no UTC/nanos/AQE confs;
+    # queries must self-canonicalize at runtime).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    spark = (
+        SparkSession.builder.appName("parity")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -61,9 +107,17 @@ def main() -> int:
             sdf = q.fn(spark, sf_dir)
             scols = sdf.columns
             srows = sdf.collect()
+            spdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        dec_cols = [f.name for f in sdf.schema.fields
+                    if f.dataType.typeName().startswith("decimal")]
+        if dec_cols:
+            failures.append(name)
+            print(f"FAIL  {name}: DecimalType in final schema: {dec_cols} "
+                  f"(driver hash renders DuckDB DECIMAL as float64)")
             continue
         if q.oracle is None:
             print(f"rows  {name}: {len(srows)} rows (no oracle) "
@@ -73,6 +127,7 @@ def main() -> int:
             res = con.execute(q.oracle)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            opdf = con.execute(q.oracle).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -93,6 +148,23 @@ def main() -> int:
             ndiff = sum(1 for a, b in zip(sn, on) if a != b)
             print(f"FAIL  {name}: values differ ({ndiff}/{len(sn)} rows)")
             for a, b in list(zip(sn, on))[:200]:
+                if a != b:
+                    print(f"      spark : {a}")
+                    print(f"      oracle: {b}")
+                    break
+            continue
+        # Driver-hash proxy: pandas dtypes and str() cell renderings must
+        # agree after conversion on both sides.
+        dt_bad = dtype_report(scols, spdf, opdf)
+        _, srend = render_frame(spdf)
+        _, orend = render_frame(opdf)
+        if dt_bad or srend != orend:
+            failures.append(name)
+            print(f"FAIL  {name}: pandas-render mismatch "
+                  f"(driver hash would differ)")
+            for line in dt_bad[:8]:
+                print(f"      dtype {line}")
+            for a, b in list(zip(srend, orend))[:500]:
                 if a != b:
                     print(f"      spark : {a}")
                     print(f"      oracle: {b}")
