@@ -84,9 +84,10 @@ def write_jdbc(
     ``mode='append'`` ≙ the reference's row-wise INSERT loop
     (``DAG/ETL.py:97-100``) but batched and parallel; ``mode='overwrite',
     truncate=True`` ≙ the TRUNCATE + LOAD DATA variant
-    (``DAG/sample.py:71-87``). Requires the JDBC driver jar on the
-    classpath — not present in this container, so this is exercised only
-    by plan-construction tests, never executed against a live database.
+    (``DAG/sample.py:71-87``). Integration-tested against the embedded
+    Derby engine Spark bundles (``tests/test_jdbc.py`` round-trips rows
+    through a real JDBC driver); production targets (MySQL/Postgres)
+    differ only in the url/driver pair.
     """
     writer = (
         df.write.format("jdbc")

@@ -198,3 +198,26 @@ def test_doc_pair_queries_have_no_cross_product(spark):
               similarity_graph_degrees):
         assert not has_cartesian_or_bnl(q(spark, "/root/testdata/sf0.001")), \
             q.__name__
+
+
+def test_q4_exists_is_semi_join_no_bnl(spark):
+    """Q4's EXISTS must decorrelate to a single left-semi hash join on
+    the order key (residual lateness condition attached), never a
+    nested-loop over the cross product."""
+    from pyspark_deduplication_spark.queries import q4_order_priority_exists
+
+    df = q4_order_priority_exists(spark, "/root/testdata/sf0.001")
+    plan = explain_str(df)
+    assert "LeftSemi" in plan
+    assert not has_cartesian_or_bnl(df)
+
+
+def test_q21_semi_and_anti_joins_keyed(spark):
+    """Q21's EXISTS + NOT EXISTS must become one semi and one anti join,
+    both equi-keyed on the order key (supplier inequality as residual)."""
+    from pyspark_deduplication_spark.queries import q21_late_sole_suppliers
+
+    df = q21_late_sole_suppliers(spark, "/root/testdata/sf0.001")
+    plan = explain_str(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert not has_cartesian_or_bnl(df)
