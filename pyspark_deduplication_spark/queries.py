@@ -4119,6 +4119,240 @@ LIMIT 10
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, adapted (no partsupp table — a supplier's unit
+    cost for a part is derived from lineitem as the minimum
+    extendedprice/quantity across their shipments of it): for SMALL-type
+    parts, the EUROPE supplier(s) whose unit cost equals the part's
+    minimum among EUROPE suppliers. The correlated scalar-min subquery
+    decorrelates to an aggregate-then-equijoin on the part key; both
+    dimension chains (supplier→nation→region) broadcast. Division and
+    min over identical doubles are bit-deterministic, so the equality
+    join and the emitted unit_cost match the oracle exactly."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    europe = (supp.join(F.broadcast(nation),
+                        supp.s_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey)
+              .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    costs = (li.join(F.broadcast(europe.select("s_suppkey")),
+                     li.l_suppkey == F.col("s_suppkey"))
+             .groupBy("l_partkey", "l_suppkey")
+             .agg(F.min("unit").alias("unit_cost")))
+    min_costs = (costs.groupBy("l_partkey")
+                 .agg(F.min("unit_cost").alias("min_cost")))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    return (
+        costs.join(min_costs, ["l_partkey"])
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(part, costs.l_partkey == part.p_partkey)
+        .join(F.broadcast(europe), costs.l_suppkey == europe.s_suppkey)
+        .select(F.col("s_acctbal").alias("s_acctbal"), "s_name", "n_name",
+                "p_partkey", "p_brand", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q2_ORACLE = """
+WITH europe AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+costs AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM europe)
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+FROM costs
+JOIN part ON l_partkey = p_partkey
+JOIN europe ON l_suppkey = s_suppkey
+WHERE p_type = 'SMALL'
+  AND unit_cost = (SELECT min(unit_cost) FROM costs c
+                   WHERE c.l_partkey = costs.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape, adapted (no partsupp — a part's 'value' is the
+    decimal-exact revenue shipped by EUROPE suppliers; the fixture's
+    nation names are synthetic, so the scope is a region): parts whose
+    value exceeds twice the average part value. A fixed fraction of the
+    grand total (the original's 0.0001) cannot survive scale-factor
+    changes — the part count grows with SF, so the multiples-of-average
+    threshold is the scale-free equivalent. The region filter is a
+    broadcast left-semi join; the uncorrelated scalar (total, count) is
+    a 1-row broadcast (same pattern as Q22); the comparison is
+    multiplicative (val·n > 2·total) so it stays decimal-exact, with
+    operand widths chosen to keep both engines' products under 38
+    digits (DuckDB silently falls back to double past 38)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    europe = (supp.join(F.broadcast(nation),
+                        supp.s_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey)
+              .select("s_suppkey"))
+    li = _t(spark, sf_dir, "lineitem")
+    vals = (
+        li.join(F.broadcast(europe), li.l_suppkey == europe.s_suppkey,
+                "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("decimal(24,2)").alias("val"))
+    )
+    total = vals.agg(F.sum("val").cast("decimal(30,2)").alias("total_val"),
+                     F.count(F.lit(1)).alias("n_parts"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * F.col("n_parts").cast("decimal(10,0)")
+                > F.col("total_val") * F.lit(2).cast("decimal(2,0)"))
+        .select("l_partkey", F.col("val").cast("double").alias("value_shipped"))
+        .orderBy(F.col("value_shipped").desc(), "l_partkey")
+    )
+
+
+_Q11_ORACLE = """
+WITH vals AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS val
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'EUROPE')
+  GROUP BY l_partkey
+),
+threshold AS (
+  SELECT CAST(sum(val) AS DECIMAL(30,2)) AS total_val,
+         count(*) AS n_parts
+  FROM vals
+)
+SELECT l_partkey, CAST(CAST(val AS VARCHAR) AS DOUBLE) AS value_shipped
+FROM vals, threshold
+WHERE val * CAST(n_parts AS DECIMAL(10,0))
+      > total_val * CAST(2 AS DECIMAL(2,0))
+ORDER BY value_shipped DESC, l_partkey
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape, adapted (no partsupp — supplier/part
+    relationships come from distinct lineitem shipment pairs; no
+    s_comment — the NOT IN excluded-supplier set is suppliers with a
+    negative account balance): distinct-supplier counts per
+    (brand, type, size) for a size subset, excluding one brand. The
+    NOT IN becomes a broadcast left-anti join; count(distinct) is a
+    two-level hash aggregate, no window."""
+    pairs = (_t(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+    return (
+        pairs.join(F.broadcast(bad),
+                   pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted (no partsupp availability — 'holds
+    excess stock' becomes 'shipped more than half of a part's 1996
+    volume'): EUROPE suppliers for whom such a dominant part EXISTS,
+    with how many parts they dominate. The nested aggregate-threshold
+    subquery becomes two hash aggregates joined on the part key
+    (per-pair sum vs half the per-part total); quantity sums are
+    integer-valued doubles, so both engines agree bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    pair_qty = (li.groupBy("l_partkey", "l_suppkey")
+                .agg(F.sum("l_quantity").alias("supp_qty")))
+    totals = (li.groupBy("l_partkey")
+              .agg((F.sum("l_quantity") * 0.5).alias("half_qty")))
+    heavy = (pair_qty.join(totals, ["l_partkey"])
+             .filter(F.col("supp_qty") > F.col("half_qty")))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    europe = (supp.join(F.broadcast(nation),
+                        supp.s_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey)
+              .select("s_suppkey", "s_name", "n_name"))
+    return (
+        europe.join(heavy.groupBy("l_suppkey")
+                    .agg(F.count(F.lit(1)).alias("dominated_parts")),
+                    europe.s_suppkey == F.col("l_suppkey"))
+        .select("s_name", "n_name", "dominated_parts")
+        .orderBy("s_name")
+    )
+
+
+_Q20_ORACLE = """
+WITH pair_qty AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+totals AS (
+  SELECT l_partkey, 0.5 * sum(l_quantity) AS half_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey
+),
+heavy AS (
+  SELECT l_suppkey, count(*) AS dominated_parts
+  FROM pair_qty JOIN totals USING (l_partkey)
+  WHERE supp_qty > half_qty
+  GROUP BY l_suppkey
+)
+SELECT s_name, n_name, dominated_parts
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN heavy ON l_suppkey = s_suppkey
+WHERE r_name = 'EUROPE'
+ORDER BY s_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -4150,6 +4384,15 @@ CATALOG: dict[str, Query] = {
                                        _Q13_ORACLE, tags=["join", "agg"]),
     "q21_late_sole_suppliers": Query(q21_late_sole_suppliers, _Q21_ORACLE,
                                      tags=["join", "subquery"]),
+    "q2_min_cost_supplier": Query(q2_min_cost_supplier, _Q2_ORACLE,
+                                  tags=["join", "subquery"]),
+    "q11_important_part_values": Query(q11_important_part_values,
+                                       _Q11_ORACLE,
+                                       tags=["join", "subquery"]),
+    "q16_supplier_part_counts": Query(q16_supplier_part_counts, _Q16_ORACLE,
+                                      tags=["join", "subquery"]),
+    "q20_heavy_shippers": Query(q20_heavy_shippers, _Q20_ORACLE,
+                                tags=["join", "subquery"]),
     "q14_promo_revenue": Query(q14_promo_revenue, _Q14_ORACLE,
                                tags=["join", "agg"]),
     "q19_disjunctive_predicates": Query(q19_disjunctive_predicates,
@@ -4393,8 +4636,6 @@ CATALOG: dict[str, Query] = {
 _GRADED_ORDER = [
     # (a) round-1-green sentinels (regression canaries)
     "q1_sql_surface", "dedup_exact_parts", "fuzzy_clusters_parts",
-    "q17_small_quantity_revenue", "q22_dormant_customers",
-    "top3_customers_per_nation", "order_interarrival_stats",
     # (b) the 23 canonicalized former hash-fails
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
     "q6_forecast_revenue", "q7_nation_trade_volume",
@@ -4418,8 +4659,11 @@ _GRADED_ORDER = [
     "knn_bruteforce", "embedding_near_dups", "embedding_cluster_dedup",
     "cube_lineitem_flags", "grouping_sets_order_revenue",
     "events_gapfill_hourly", "golden_customer_records",
-    # round-2 TPC-H gap adaptations (Q4 EXISTS-semi, Q21 multi-EXISTS)
+    # round-2 TPC-H gap adaptations (Q4 EXISTS-semi, Q21 multi-EXISTS,
+    # Q2 correlated-min, Q16 NOT-IN distinct counts, Q20 agg-threshold)
     "q4_order_priority_exists", "q21_late_sole_suppliers",
+    "q2_min_cost_supplier", "q16_supplier_part_counts",
+    "q20_heavy_shippers", "q11_important_part_values",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

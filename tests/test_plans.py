@@ -221,3 +221,55 @@ def test_q21_semi_and_anti_joins_keyed(spark):
     plan = explain_str(df)
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert not has_cartesian_or_bnl(df)
+
+
+def test_q2_correlated_min_decorrelates_to_hash_joins(spark):
+    """Q2's correlated scalar-min subquery must become an aggregate
+    joined back on the part key — hash joins everywhere, dims broadcast,
+    never a per-row subquery or nested loop."""
+    from pyspark_deduplication_spark.queries import q2_min_cost_supplier
+
+    df = q2_min_cost_supplier(spark, "/root/testdata/sf0.001")
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert not has_cartesian_or_bnl(df)
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    """Q16's NOT IN excluded-supplier set must broadcast as a left-anti
+    hash join against the distinct shipment pairs."""
+    from pyspark_deduplication_spark.queries import q16_supplier_part_counts
+
+    df = q16_supplier_part_counts(spark, "/root/testdata/sf0.001")
+    plan = explain_str(df)
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert not has_cartesian_or_bnl(df)
+
+
+def test_q11_scalar_total_is_single_row_broadcast(spark):
+    """Q11's uncorrelated scalar (total, count) must be a 1-row
+    broadcast over the per-part aggregate — the vals frame itself is
+    never nested-looped against anything bigger than that single row,
+    and the region filter reaches lineitem as a broadcast semi join."""
+    from pyspark_deduplication_spark.queries import q11_important_part_values
+
+    import re
+
+    plan = explain_str(
+        q11_important_part_values(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    # the only nested-loop allowed is the 1-row scalar broadcast
+    # (formatted explain prints each node twice: tree line + detail)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_q20_threshold_join_is_equi_keyed(spark):
+    """Q20's aggregate-threshold subquery must become two hash
+    aggregates equi-joined on the part key (threshold as residual), with
+    the supplier/nation/region dims broadcast."""
+    from pyspark_deduplication_spark.queries import q20_heavy_shippers
+
+    df = q20_heavy_shippers(spark, "/root/testdata/sf0.001")
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert not has_cartesian_or_bnl(df)
