@@ -87,6 +87,38 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     return word_ngrams_of(tokenize(col), n)
 
 
+def char_kgram_hashes_of(norm: Column, k: int = 8) -> Column:
+    """Rolling character k-gram hashes of an already-materialized
+    normalized-text column, as ``array<string>`` of md5 digests — the
+    hash stream winnowing selects from. md5 (not xxhash/murmur) so every
+    engine agrees on the values; text shorter than ``k`` yields one hash
+    of the whole string. Like ``word_ngrams_of``, takes a projected
+    column: a bare attribute reference is free to duplicate inside the
+    transform, re-normalizing per reference is not."""
+    count = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.md5(norm.substr(i, F.lit(k))),
+    )
+
+
+def winnow_of(kgrams: Column, window: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS fingerprinter): the minimum hash in each
+    sliding window of ``window`` consecutive k-gram hashes, distinct.
+    Guarantees any shared substring of at least ``k + window - 1``
+    characters contributes at least one shared fingerprint, while
+    keeping ~2/(window+1) of the hash stream. min over md5 hex strings
+    is lexicographic, which both Spark and DuckDB order identically."""
+    count = F.greatest(F.size(kgrams) - (window - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda w: F.array_min(F.slice(kgrams, w, window)),
+        )
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of the normalized text.
 

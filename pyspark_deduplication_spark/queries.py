@@ -30,11 +30,14 @@ from pyspark.sql import functions as F
 from pyspark_deduplication_spark.functions.similarity import ngram_jaccard, ratcliff_similarity
 from pyspark_deduplication_spark.functions.text import (
     LANG_MARKERS,
+    char_kgram_hashes_of,
     detect_language,
     doc_fingerprint,
+    normalize_text,
     quality_features,
     token_count,
     tokenize,
+    winnow_of,
     word_ngrams_all_of,
     word_ngrams_of,
 )
@@ -1111,6 +1114,69 @@ FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
 WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
             6) >= 0.7
+"""
+
+
+def winnow_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting via winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS fingerprinter): md5 over
+    rolling 16-grams of the normalized text, keep each 8-window's
+    minimum, then pair documents sharing ≥ 3 selected fingerprints
+    through a posting-list equi-join. Any shared substring of ≥ 23
+    chars is guaranteed to contribute a shared fingerprint — long
+    enough that common-phrase collisions don't flood the pair space.
+    Fingerprints hitting more than 10 documents are dropped first —
+    shared boilerplate carries no near-dup signal, and the cap bounds
+    every posting list, so join cost is Σ m_g² with m_g ≤ 10, never n².
+    The hash stream and selection are single-pass native expressions
+    (no UDF, no shuffle until the posting explode); stages are separate
+    projections so Catalyst cannot re-inline the k-gram array per
+    reference. The posting list feeds three consumers (the frequency
+    cap and both join sides), so it is checkpointed once — without
+    that, each consumer re-runs the md5 stream."""
+    from pyspark_deduplication_spark.operators.linkage import _checkpoint
+
+    docs = _t(spark, sf_dir, "documents")
+    posting = _checkpoint(
+        docs.select("doc_id", normalize_text(F.col("text")).alias("__t"))
+        .select("doc_id", char_kgram_hashes_of(F.col("__t"), 16).alias("__kg"))
+        .select("doc_id", F.explode(winnow_of(F.col("__kg"), 8)).alias("fp"))
+    )
+    keep = (posting.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= 10).select("fp"))
+    posting = posting.join(keep, "fp", "left_semi")
+    a = posting.select(F.col("doc_id").alias("id_a"), "fp")
+    b = posting.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+
+
+_WINNOW_ORACLE = f"""
+WITH posting AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(kg) - 7, 1) + 1),
+           w -> list_aggregate(kg[w:w+7], 'min')))) AS fp
+  FROM (
+    SELECT doc_id, list_transform(
+             range(1, greatest(length(t) - 15, 1) + 1),
+             i -> md5(t[i:i+15])) AS kg
+    FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+  )
+),
+kept AS (
+  SELECT * FROM posting
+  WHERE fp IN (SELECT fp FROM posting GROUP BY fp HAVING count(*) <= 10)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+FROM kept a JOIN kept b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY id_a, id_b
+HAVING count(*) >= 3
 """
 
 
@@ -4488,6 +4554,8 @@ CATALOG: dict[str, Query] = {
     "doc_language_id": Query(doc_language_id, _LANG_ORACLE, tags=["text"]),
     "top_word_trigrams": Query(top_word_trigrams, _TRIGRAM_ORACLE,
                                tags=["text"]),
+    "winnow_near_dup_docs": Query(winnow_near_dup_docs, _WINNOW_ORACLE,
+                                  tags=["text", "dedup"]),
     "jaccard_near_dup_docs": Query(jaccard_near_dup_docs, _JACCARD_DOCS_ORACLE,
                                    tags=["dedup", "text"]),
     "overlap_near_dup_docs": Query(overlap_near_dup_docs, _OVERLAP_ORACLE,

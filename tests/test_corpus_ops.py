@@ -145,3 +145,61 @@ def test_pack_sequences_stable_under_repartition(spark):
     b = sorted(map(str, pack_sequences(
         chunks.repartition(7), context_len=64).collect()))
     assert a == b
+
+
+def test_winnow_guarantee_shared_substring_yields_shared_fp(spark):
+    """The winnowing guarantee (Schleimer et al. §3): two texts sharing
+    a substring of length ≥ k + window − 1 share ≥ 1 selected
+    fingerprint. k=16, window=8 → any 23-char shared run must surface."""
+    from pyspark_deduplication_spark.functions.text import (
+        char_kgram_hashes_of,
+        normalize_text,
+        winnow_of,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [(1, "intro one " + shared + " outro alpha"),
+         (2, "different preamble " + shared + " and a different end"),
+         (3, "completely unrelated content with nothing in common here")],
+        ["doc_id", "text"],
+    )
+    fps = (
+        df.select("doc_id", normalize_text(F.col("text")).alias("t"))
+        .select("doc_id", char_kgram_hashes_of(F.col("t"), 16).alias("kg"))
+        .select("doc_id", winnow_of(F.col("kg"), 8).alias("fps"))
+    )
+    rows = {r.doc_id: set(r.fps) for r in fps.collect()}
+    assert rows[1] & rows[2], "shared substring must yield a shared fingerprint"
+    assert not (rows[1] & rows[3]) and not (rows[2] & rows[3])
+
+
+def test_winnow_fp_density_matches_theory(spark):
+    """Winnowing keeps ~2/(w+1) of the hash stream; with w=8 the
+    selected fraction should sit well under the raw k-gram count and
+    above the 1/w lower bound."""
+    from pyspark_deduplication_spark.functions.text import (
+        char_kgram_hashes_of,
+        normalize_text,
+        winnow_of,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = (
+        docs.select(normalize_text(F.col("text")).alias("t"))
+        .select(char_kgram_hashes_of(F.col("t"), 16).alias("kg"))
+        .select(F.size("kg").alias("n_kg"),
+                F.size(winnow_of(F.col("kg"), 8)).alias("n_fp"))
+        .agg(F.sum("n_kg").alias("kg"), F.sum("n_fp").alias("fp"))
+        .first()
+    )
+    frac = row.fp / row.kg
+    assert 1 / 8 <= frac <= 0.45, frac
+
+
+def test_winnow_near_dup_query_has_no_cross_product(spark):
+    from pyspark_deduplication_spark.plans.inspect import has_cartesian_or_bnl
+    from pyspark_deduplication_spark.queries import winnow_near_dup_docs
+
+    assert not has_cartesian_or_bnl(
+        winnow_near_dup_docs(spark, "/root/testdata/sf0.001"))
