@@ -1136,7 +1136,11 @@ def winnow_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     that, each consumer re-runs the md5 stream."""
     from pyspark_deduplication_spark.operators.linkage import _checkpoint
 
-    docs = _t(spark, sf_dir, "documents")
+    # the hash stream is hundreds of md5s per row — spread it across
+    # cores even when the input arrives as a single small split (at
+    # corpus scale the scan has enough splits and AQE elides this)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
     posting = _checkpoint(
         docs.select("doc_id", normalize_text(F.col("text")).alias("__t"))
         .select("doc_id", char_kgram_hashes_of(F.col("__t"), 16).alias("__kg"))
@@ -4555,7 +4559,7 @@ CATALOG: dict[str, Query] = {
     "top_word_trigrams": Query(top_word_trigrams, _TRIGRAM_ORACLE,
                                tags=["text"]),
     "winnow_near_dup_docs": Query(winnow_near_dup_docs, _WINNOW_ORACLE,
-                                  tags=["text", "dedup"]),
+                                  bench=True, tags=["text", "dedup"]),
     "jaccard_near_dup_docs": Query(jaccard_near_dup_docs, _JACCARD_DOCS_ORACLE,
                                    tags=["dedup", "text"]),
     "overlap_near_dup_docs": Query(overlap_near_dup_docs, _OVERLAP_ORACLE,
