@@ -87,6 +87,42 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     return word_ngrams_of(tokenize(col), n)
 
 
+# PII patterns shared by detection and redaction. Conservative,
+# backreference-free regexes that mean the same thing to Java's regex
+# engine (Spark) and RE2 (DuckDB), so PII scans are cross-engine
+# verifiable like every other operator. Ordered: redaction applies them
+# in this order, so e.g. an SSN is tagged before the looser phone
+# pattern can consume it.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9 ().-]{6,}[0-9]",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (LongType), e.g. ``n_email``. Counts are
+    taken on the raw text independently per kind — a token matching two
+    patterns counts for both, which is what a risk report wants."""
+    s = _as_col(col)
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(s, F.lit(pat), 0)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with a ``[KIND]`` placeholder, applying
+    patterns in ``PII_PATTERNS`` order (specific before general, so the
+    phone pattern cannot eat an SSN or a dotted IP first). Pure
+    ``regexp_replace`` chain — scales as a map-only stage."""
+    s = _as_col(col)
+    for kind, pat in PII_PATTERNS.items():
+        s = F.regexp_replace(s, pat, f"[{kind.upper()}]")
+    return s
+
+
 def char_kgram_hashes_of(norm: Column, k: int = 8) -> Column:
     """Rolling character k-gram hashes of an already-materialized
     normalized-text column, as ``array<string>`` of md5 digests — the

@@ -34,7 +34,9 @@ from pyspark_deduplication_spark.functions.text import (
     detect_language,
     doc_fingerprint,
     normalize_text,
+    pii_counts,
     quality_features,
+    redact_pii,
     token_count,
     tokenize,
     winnow_of,
@@ -1114,6 +1116,81 @@ FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
 WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
             6) >= 0.7
+"""
+
+
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub stage every training-data
+    pipeline runs before text leaves quarantine. The fixture's document
+    text is synthetic word-salad with no digits at all, so the contact
+    strings under scrub are synthesized deterministically from the
+    customer table (emails, phone numbers, dotted IPs, and an SSN on
+    every 7th row) — both engines build the identical corpus, so the
+    exact-value gate grades real nonzero extraction and redaction, not
+    a vacuous zero count. Per market segment: match counts per PII kind
+    and the total characters removed by redaction. Pure regex map
+    stage + one aggregation exchange; the patterns are shared with
+    ``redact_pii`` and restricted to the Java-regex ∩ RE2 dialect so
+    DuckDB verifies them byte-for-byte."""
+    cust = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    synth = F.concat(
+        F.lit("reach "), F.col("c_name"),
+        F.lit(" at user"), key.cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 192.168."), (key % 256).cast("string"), F.lit(".10"),
+        F.when(key % 7 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+    )
+    counts = pii_counts(F.col("__txt"))
+    return (
+        cust.select("c_mktsegment", synth.alias("__txt"))
+        .select("c_mktsegment", "__txt",
+                *[c.alias(k) for k, c in counts.items()],
+                (F.length("__txt")
+                 - F.length(redact_pii(F.col("__txt")))).alias("__delta"))
+        .groupBy("c_mktsegment")
+        .agg(F.sum("n_email").alias("emails"),
+             F.sum("n_phone").alias("phones"),
+             F.sum("n_ipv4").alias("ipv4s"),
+             F.sum("n_ssn").alias("ssns"),
+             F.sum("__delta").alias("redacted_chars"))
+    )
+
+
+_PII_ORACLE = """
+WITH synth AS (
+  SELECT c_mktsegment,
+         'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+         || '@example.com or +1 (555) 010-'
+         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         || ' ip 192.168.' || CAST(c_custkey % 256 AS VARCHAR) || '.10'
+         || CASE WHEN c_custkey % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         AS txt
+  FROM customer
+),
+scanned AS (
+  SELECT c_mktsegment,
+         len(regexp_extract_all(txt, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_email,
+         len(regexp_extract_all(txt, '\\+?[0-9][0-9 ().-]{6,}[0-9]')) AS n_phone,
+         len(regexp_extract_all(txt, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4,
+         len(regexp_extract_all(txt, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn,
+         length(txt) - length(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+             '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[SSN]', 'g'),
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IPV4]', 'g'),
+             '\\+?[0-9][0-9 ().-]{6,}[0-9]', '[PHONE]', 'g')) AS delta
+  FROM synth
+)
+SELECT c_mktsegment,
+       CAST(sum(n_email) AS BIGINT) AS emails,
+       CAST(sum(n_phone) AS BIGINT) AS phones,
+       CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+       CAST(sum(n_ssn) AS BIGINT) AS ssns,
+       CAST(sum(delta) AS BIGINT) AS redacted_chars
+FROM scanned
+GROUP BY c_mktsegment
 """
 
 
@@ -4558,6 +4635,8 @@ CATALOG: dict[str, Query] = {
     "doc_language_id": Query(doc_language_id, _LANG_ORACLE, tags=["text"]),
     "top_word_trigrams": Query(top_word_trigrams, _TRIGRAM_ORACLE,
                                tags=["text"]),
+    "pii_redaction_report": Query(pii_redaction_report, _PII_ORACLE,
+                                  tags=["text", "pii"]),
     "winnow_near_dup_docs": Query(winnow_near_dup_docs, _WINNOW_ORACLE,
                                   bench=True, tags=["text", "dedup"]),
     "jaccard_near_dup_docs": Query(jaccard_near_dup_docs, _JACCARD_DOCS_ORACLE,

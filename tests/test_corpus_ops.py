@@ -203,3 +203,41 @@ def test_winnow_near_dup_query_has_no_cross_product(spark):
 
     assert not has_cartesian_or_bnl(
         winnow_near_dup_docs(spark, "/root/testdata/sf0.001"))
+
+
+def test_pii_counts_and_redaction_semantics(spark):
+    """Each pattern hits its own kind; redaction order keeps the
+    specific kinds (SSN, IP) from being eaten by the looser phone
+    pattern; PII-free text is untouched."""
+    from pyspark_deduplication_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [("mail a.user+tag@sub.example.org now",),
+         ("ssn 123-45-6789 and ip 10.0.255.1 and tel +44 (20) 7946-0958",),
+         ("no personal data here at all",)],
+        ["text"],
+    )
+    out = df.select(
+        *[c.alias(k) for k, c in pii_counts(F.col("text")).items()],
+        redact_pii(F.col("text")).alias("red"),
+    ).collect()
+    mail, mixed, clean = out
+    assert (mail.n_email, mail.n_ssn, mail.n_ipv4) == (1, 0, 0)
+    assert mail.red == "mail [EMAIL] now"
+    assert (mixed.n_ssn, mixed.n_ipv4, mixed.n_phone) >= (1, 1, 1)
+    assert "[SSN]" in mixed.red and "[IPV4]" in mixed.red and "[PHONE]" in mixed.red
+    assert "123-45-6789" not in mixed.red and "10.0.255.1" not in mixed.red
+    assert clean.red == "no personal data here at all"
+    assert (clean.n_email, clean.n_phone, clean.n_ipv4, clean.n_ssn) == (0, 0, 0, 0)
+
+
+def test_redact_pii_is_idempotent(spark):
+    """Redacting already-redacted text changes nothing — placeholders
+    must not themselves match any pattern."""
+    from pyspark_deduplication_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [("a@b.co or 123-45-6789 or 10.1.2.3 or +1 555 010 9999",)], ["text"])
+    once = df.select(redact_pii(F.col("text")).alias("r1"))
+    twice = once.select("r1", redact_pii(F.col("r1")).alias("r2")).first()
+    assert twice.r1 == twice.r2
