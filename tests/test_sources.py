@@ -146,3 +146,49 @@ def test_sorted_parquet_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
 
     q = spark.read.parquet(out).filter(F.col("l_shipdate") >= "2000-01-01")
     assert any("l_shipdate" in f for f in pushed_filters(q))
+
+
+def test_zordered_parquet_skips_on_every_dimension(spark, sf_dir, tmp_path):
+    """Z-order layout must make row-group stats selective on BOTH
+    interleaved columns — a linear sort can only serve its leading
+    column. For a point-ish predicate on each dimension, the fraction
+    of row groups whose [min,max] admit the value must be well under
+    the scan-everything 100%."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark_deduplication_spark.sources.writers import write_zordered_parquet
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = str(tmp_path / "li_z")
+    write_zordered_parquet(li, out, ["l_partkey", "l_suppkey"], num_files=8)
+
+    stats = {"l_partkey": [], "l_suppkey": []}
+    total = 0
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.row_group(0).column(i).path_in_schema: i
+               for i in range(meta.num_columns)}
+        for rg in range(meta.num_row_groups):
+            total += 1
+            for col in stats:
+                st = meta.row_group(rg).column(idx[col]).statistics
+                stats[col].append((st.min, st.max))
+
+    assert total >= 8
+    # row count preserved
+    assert spark.read.parquet(out).count() == li.count()
+    for col, ranges in stats.items():
+        los = [lo for lo, _ in ranges]
+        his = [hi for _, hi in ranges]
+        probe = sorted(los)[len(los) // 2]  # a mid-space value
+        admitting = sum(1 for lo, hi in ranges if lo <= probe <= hi)
+        frac = admitting / total
+        assert frac <= 0.75, (col, frac)
+    # and both dimensions cannot be globally sorted at once: at least
+    # one row group must NOT span the full key space on either column
+    for col, ranges in stats.items():
+        lo_all = min(lo for lo, _ in ranges)
+        hi_all = max(hi for _, hi in ranges)
+        assert any(lo > lo_all or hi < hi_all for lo, hi in ranges), col
