@@ -4,6 +4,7 @@ from pyspark_deduplication_spark.operators.dedup import (  # noqa: F401
     dedup_full_row,
     dedup_keep_first,
     incremental_dedup,
+    incremental_minhash_dedup,
     merge_upsert,
     minhash_candidate_pairs,
     minhash_dedup,

@@ -157,20 +157,50 @@ def incremental_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
+_MASK32 = (1 << 32) - 1
+
+
+def _minhash_hash_pair(shingles: Column) -> tuple[Column, Column]:
+    """Two independent 32-bit hash streams per shingle (the only string
+    hashing MinHash pays for — see ``_minhash_signature``)."""
+    return (
+        F.transform(shingles,
+                    lambda s: F.xxhash64(F.lit(0), s).bitwiseAND(F.lit(_MASK32))),
+        F.transform(shingles,
+                    lambda s: F.xxhash64(F.lit(1), s).bitwiseAND(F.lit(_MASK32))),
+    )
+
+
+def _minhash_signature(h1: Column, h2: Column, num_hashes: int) -> Column:
     """MinHash signature as ``array<bigint>`` of length ``num_hashes``.
 
-    Hash function family: ``xxhash64(seed_i, shingle)`` — mixing a
-    distinct literal seed per function through xxhash64 gives independent
-    64-bit hash functions entirely JVM-side (no Python, no MLlib vector
-    conversion). ``array_min`` over the transformed shingle array is the
-    row-local min — MinHash needs no shuffle at all to compute signatures.
+    Hash family: double hashing (Kirsch & Mitzenmacher) —
+    ``g_i(x) = (h1(x) + i*h2(x)) mod 2^32`` over two genuinely
+    independent xxhash64 streams. Only 2 string hashes per shingle are
+    ever computed; the other 62 functions are long multiply-adds, so the
+    signature stage costs ~2 hash passes instead of 64 while keeping the
+    min-wise independence LSH needs. All row-local — zero shuffle.
+    Values stay < 2^38, so ANSI-mode bigint arithmetic cannot overflow.
+
+    Arity trap (regression-tested): lambdas passed to ``F.transform`` /
+    ``F.zip_with`` are dispatched on parameter count — a two-parameter
+    ``transform`` lambda is called as (element, array_index), which once
+    silently overrode a per-slot seed default and collapsed all 64 slots
+    to one position-salted hash (zero LSH amplification). ``zip_with``
+    lambdas are binary by contract, so the closure over ``i`` below must
+    capture via factory, never via a default parameter.
     """
-    mins = [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+    def slot(i: int) -> Column:
+        if i == 0:
+            return F.array_min(h1)
+        return F.array_min(
+            F.zip_with(
+                h1, h2,
+                lambda a, b: (a + F.lit(i) * b).bitwiseAND(F.lit(_MASK32)),
+            )
+        )
+
+    return F.array(*[slot(i) for i in range(num_hashes)])
 
 
 def minhash_signatures(
@@ -182,18 +212,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, shingles, signature) — the signature stage of MinHash dedup.
 
-    Two separate projections on purpose: shingling (normalize + split +
-    n-gram + distinct) is expensive, and the signature references it 64
-    times. Computing the signature from the *materialized* ``shingles``
-    column lets Catalyst's CollapseProject duplication check keep the
-    shingle expression evaluated once per row instead of 64 times (a
-    measured 40× difference at sf0.1). Entirely row-local — zero shuffle.
+    Staged projections on purpose: shingling (normalize + split + n-gram
+    + distinct) is expensive and the hash streams reference it twice;
+    the hash streams are referenced by all ``num_hashes`` signature
+    slots. Materializing each stage as a named column lets Catalyst's
+    CollapseProject duplication check keep every expensive expression
+    evaluated once per row instead of once per consumer (a measured 40×
+    difference at sf0.1). Entirely row-local — zero shuffle.
     """
     # Empty-doc guard on the RAW column: it pushes down to the parquet
     # scan. Filtering on size(shingles) instead would sit between the
     # shingle and signature projections and defeat Catalyst's expensive-
     # expression reuse — measured 4.5× slower (the shingle expression gets
-    # inlined into all 64 signature slots).
+    # inlined into all signature slots).
     tokenized = df.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
     )
@@ -201,9 +232,47 @@ def minhash_signatures(
         F.col(id_col),
         word_ngrams_of(F.col("__toks"), shingle_size).alias("shingles"),
     )
-    return shingled.withColumn(
-        "signature", _minhash_signature(F.col("shingles"), num_hashes)
+    h1, h2 = _minhash_hash_pair(F.col("shingles"))
+    hashed = shingled.select(
+        F.col(id_col), F.col("shingles"),
+        h1.alias("__h1"), h2.alias("__h2"),
     )
+    return hashed.select(
+        F.col(id_col), F.col("shingles"),
+        _minhash_signature(F.col("__h1"), F.col("__h2"),
+                           num_hashes).alias("signature"),
+    )
+
+
+def _band_keys(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Compact LSH band keys ``(id, band, bucket)`` from a signature
+    frame: each band's signature slice is re-hashed to one 8-byte
+    bucket key. This is all that ever shuffles for a band join — wide
+    shingle/signature arrays stay behind."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.lit(b),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bucket")
 
 
 def minhash_candidate_pairs(
@@ -235,7 +304,6 @@ def minhash_candidate_pairs(
     buckets too (b bands = b independent chances), so recall loss is
     marginal while the worst-case join cost becomes bounded. None = off.
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
     # One pass computes shingles + signatures; both the band join and the
     # verify join-back reuse it. At cluster scale this would be a persisted
@@ -243,27 +311,7 @@ def minhash_candidate_pairs(
     # keeps the O(expensive-shingling) work single-execution.
     sigs = sigs.persist()
 
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.lit(b),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("signature")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ),
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bucket")
+    banded = _band_keys(sigs, id_col, num_hashes, bands)
 
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
@@ -377,6 +425,62 @@ def minhash_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Near-dup filter for a NEW batch against an EXISTING corpus — the
+    incremental twin of ``minhash_dedup``, for pipelines that ingest
+    continuously and must not re-cluster 100 TB per batch.
+
+    The corpus never self-joins: its signatures band to compact
+    ``(id, band, bucket)`` keys (in production these live as a persisted
+    signature table, appended per batch — recomputing here only because
+    the fixture has no such side table), and the batch's band keys probe
+    them with a plain equi-join. Candidates verify with exact Jaccard on
+    the shingle sets, joined back by id so wide arrays move only for
+    survivors — the same slim-join discipline as
+    ``minhash_candidate_pairs``. A batch doc at/above ``threshold``
+    against ANY corpus doc is dropped; batch-internal duplicates are
+    then removed with ``minhash_dedup`` over the survivors, so the
+    returned frame is clean against corpus ∪ itself (append it and the
+    invariant holds for the next batch)."""
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_size).persist()
+    corpus_sigs = minhash_signatures(
+        corpus, text_col, id_col, num_hashes, shingle_size).persist()
+    nb = _band_keys(new_sigs, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("new_id"), "band", "bucket")
+    cb = _band_keys(corpus_sigs, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("corpus_id"), "band", "bucket")
+    cand = (nb.join(cb, ["band", "bucket"])
+            .select("new_id", "corpus_id")
+            .dropDuplicates(["new_id", "corpus_id"]))
+    new_sh = new_sigs.select(F.col(id_col).alias("new_id"),
+                             F.col("shingles").alias("sh_new"))
+    corpus_sh = corpus_sigs.select(F.col(id_col).alias("corpus_id"),
+                                   F.col("shingles").alias("sh_corpus"))
+    dup_ids = (
+        cand.join(new_sh, "new_id")
+        .join(corpus_sh, "corpus_id")
+        .filter(jaccard(F.col("sh_new"), F.col("sh_corpus")) >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    fresh = new_docs.join(dup_ids, on=id_col, how="left_anti")
+    fresh = fresh.localCheckpoint(eager=True)
+    new_sigs.unpersist()
+    corpus_sigs.unpersist()
+    return minhash_dedup(fresh, text_col, id_col, threshold,
+                         num_hashes, bands, shingle_size)
 
 
 # ---------------------------------------------------------------------------

@@ -1062,6 +1062,27 @@ def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          num_hashes=64, bands=16).select("doc_id")
 
 
+def incremental_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingestion (the fingerprint-incremental
+    query's fuzzy twin): even-id docs are the standing corpus, odd-id
+    docs the new batch; batch docs near-duplicating the corpus (Jaccard
+    ≥ 0.7 after LSH banding) are dropped, then the survivors dedup
+    among themselves. The corpus side never self-joins — its band keys
+    are probed by the batch's. Probabilistic banding → rows-only driver
+    check; pytest pins exactness against the brute-force cross-corpus
+    Jaccard at the same threshold."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return (incremental_minhash_dedup(batch, corpus, "text", "doc_id",
+                                      threshold=0.7)
+            .select("doc_id"))
+
+
 def simhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup dedup: kept doc_ids (rows-only; Python hash
     kernel not SQL-expressible)."""
@@ -4648,6 +4669,8 @@ CATALOG: dict[str, Query] = {
                                       tags=["dedup", "text", "stats"]),
     "minhash_candidates_docs": Query(minhash_candidates_docs, None,
                                      bench=True, tags=["dedup", "lsh"]),
+    "incremental_minhash_docs": Query(incremental_minhash_docs, None,
+                                      tags=["dedup", "lsh", "incremental"]),
     "minhash_dedup_docs": Query(minhash_dedup_docs, None,
                                 bench=True, tags=["dedup", "lsh"]),
     "simhash_dedup_docs": Query(simhash_dedup_docs, None, tags=["dedup"]),

@@ -86,6 +86,23 @@ def test_minhash_recall_vs_exact_jaccard(spark):
     assert len(found) >= len(truth) * 0.9
 
 
+def test_minhash_signature_slots_are_independent(spark):
+    """Regression: ``F.transform`` dispatches on lambda arity — a
+    two-parameter lambda is called as (element, array_index), which
+    overrode the per-slot seed and collapsed all 64 signature slots to
+    one position-salted hash (zero LSH amplification). Distinct slot
+    values prove 64 genuinely different hash functions."""
+    from pyspark_deduplication_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"])
+    sig = minhash_signatures(docs, "text", "doc_id", 64, 3).collect()[0].signature
+    assert len(sig) == 64
+    # 64 independent mins over 8 shingle hashes: near-zero collision mass
+    assert len(set(sig)) > 48
+
+
 def test_minhash_dedup_removes_near_dups(spark):
     kept = sorted(r.doc_id for r in
                   minhash_dedup(_docs(spark), threshold=0.7).select("doc_id").collect())
@@ -183,3 +200,64 @@ def test_incremental_dedup_cross_and_intra_batch(spark):
         "doc_id long, text string")
     kept = sorted(r.doc_id for r in incremental_dedup(batch, corpus).collect())
     assert kept == [11, 13]
+
+
+def test_incremental_minhash_drops_corpus_near_dups(spark):
+    """A batch doc near-duplicating a corpus doc is dropped; an
+    unrelated batch doc survives; batch-internal near-dups collapse to
+    one survivor."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill every single day")
+    corpus = spark.createDataFrame([(0, base)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1, base + " indeed"),                      # near-dup of corpus
+         (2, "completely different text about spark shuffles and "
+             "partitions and the adaptive query execution engine"),
+         (3, "completely different text about spark shuffles and "
+             "partitions and the adaptive query engine today")],  # ~dup of 2
+        ["doc_id", "text"],
+    )
+    kept = incremental_minhash_dedup(batch, corpus, threshold=0.5,
+                                     num_hashes=64, bands=32)
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert 1 not in ids          # killed by the corpus
+    assert 2 in ids              # fresh content survives
+    assert ids.count(3) == 0 or 3 not in ids  # batch-internal dup collapsed
+    assert ids == [2]
+
+
+def test_incremental_minhash_matches_bruteforce_cross_jaccard(spark, sf_dir):
+    """LSH probing must not KEEP a batch doc the exact cross-corpus
+    Jaccard would drop (no false negatives at high similarity within
+    banding recall), and never drops a doc with zero exact match."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.similarity import jaccard
+    from pyspark_deduplication_spark.functions.text import tokenize, word_ngrams_of
+    from pyspark_deduplication_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    kept = set(r.doc_id for r in incremental_minhash_dedup(
+        batch, corpus, threshold=0.7).select("doc_id").collect())
+
+    sh = lambda df: (df.select("doc_id", tokenize(F.col("text")).alias("t"))
+                     .select("doc_id", word_ngrams_of(F.col("t"), 3).alias("g")))
+    exact_dups = set(
+        r.doc_id
+        for r in sh(batch).alias("b").crossJoin(sh(corpus).alias("c"))
+        .filter(jaccard(F.col("b.g"), F.col("c.g")) >= 0.7)
+        .select(F.col("b.doc_id").alias("doc_id")).distinct().collect()
+    )
+    # every exact cross-corpus dup was dropped (64/16 banding at 0.7 has
+    # ~full recall at this similarity; any miss is a real defect)
+    assert not (kept & exact_dups)
