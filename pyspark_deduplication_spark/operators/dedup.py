@@ -25,10 +25,12 @@ and AQE's skew-join splitting handles hot buckets (e.g. boilerplate docs).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from pyspark_deduplication_spark.functions.similarity import jaccard
 from pyspark_deduplication_spark.functions.text import (
@@ -177,30 +179,42 @@ def _minhash_signature(h1: Column, h2: Column, num_hashes: int) -> Column:
     Hash family: double hashing (Kirsch & Mitzenmacher) —
     ``g_i(x) = (h1(x) + i*h2(x)) mod 2^32`` over two genuinely
     independent xxhash64 streams. Only 2 string hashes per shingle are
-    ever computed; the other 62 functions are long multiply-adds, so the
-    signature stage costs ~2 hash passes instead of 64 while keeping the
-    min-wise independence LSH needs. All row-local — zero shuffle.
-    Values stay < 2^38, so ANSI-mode bigint arithmetic cannot overflow.
+    ever computed (JVM-side, codegen'd); the other ``num_hashes - 2``
+    functions are integer multiply-adds, evaluated as ONE vectorized
+    numpy broadcast per Arrow batch. A pandas_udf is deliberate here:
+    Catalyst higher-order functions (``transform``/``zip_with``/
+    ``aggregate``) are interpreted, never whole-stage-codegen'd, and the
+    measured cost of 64 per-slot ``array_min(zip_with(...))`` passes at
+    sf0.1 is 3.4s vs 1.0s for this kernel (single ``aggregate`` pass:
+    3.0s). Row-local either way — zero shuffle, and numpy int64 wrap
+    plus the 2^32 mask reproduce the JVM arithmetic bit-for-bit
+    (cross-checked in tests).
 
-    Arity trap (regression-tested): lambdas passed to ``F.transform`` /
-    ``F.zip_with`` are dispatched on parameter count — a two-parameter
-    ``transform`` lambda is called as (element, array_index), which once
-    silently overrode a per-slot seed default and collapsed all 64 slots
-    to one position-salted hash (zero LSH amplification). ``zip_with``
-    lambdas are binary by contract, so the closure over ``i`` below must
-    capture via factory, never via a default parameter.
+    Arity trap (regression-tested): lambdas passed to ``F.transform``
+    are dispatched on parameter count — a two-parameter lambda is called
+    as (element, array_index), which once silently overrode a per-slot
+    seed default and collapsed all 64 slots to one position-salted hash
+    (zero LSH amplification). The hash-stream lambdas in
+    ``_minhash_hash_pair`` must stay single-parameter.
     """
-    def slot(i: int) -> Column:
-        if i == 0:
-            return F.array_min(h1)
-        return F.array_min(
-            F.zip_with(
-                h1, h2,
-                lambda a, b: (a + F.lit(i) * b).bitwiseAND(F.lit(_MASK32)),
-            )
-        )
+    ivec = np.arange(num_hashes, dtype=np.int64)
+    empty = np.full(num_hashes, _MASK32, dtype=np.int64)
 
-    return F.array(*[slot(i) for i in range(num_hashes)])
+    @pandas_udf("array<long>")
+    def kernel(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
+        sigs = []
+        for a, b in zip(a_col, b_col):
+            a = np.asarray(a, dtype=np.int64)
+            if a.size == 0:
+                sigs.append(empty)
+                continue
+            b = np.asarray(b, dtype=np.int64)
+            sigs.append(
+                ((a[:, None] + b[:, None] * ivec) & _MASK32).min(axis=0)
+            )
+        return pd.Series(sigs)
+
+    return kernel(h1, h2)
 
 
 def minhash_signatures(
@@ -250,7 +264,9 @@ def _band_keys(
     """Compact LSH band keys ``(id, band, bucket)`` from a signature
     frame: each band's signature slice is re-hashed to one 8-byte
     bucket key. This is all that ever shuffles for a band join — wide
-    shingle/signature arrays stay behind."""
+    shingle/signature arrays stay behind. ``xxhash64`` is variadic, so
+    the slice hashes directly as long columns — no per-band string
+    building in the hot path."""
     rows_per_band = num_hashes // bands
     return sigs.select(
         F.col(id_col),
@@ -260,13 +276,10 @@ def _band_keys(
                     F.lit(b).alias("band"),
                     F.xxhash64(
                         F.lit(b),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("signature")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ),
+                        *[
+                            F.col("signature")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
                     ).alias("bucket"),
                 )
                 for b in range(bands)
@@ -307,9 +320,13 @@ def minhash_candidate_pairs(
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
     # One pass computes shingles + signatures; both the band join and the
     # verify join-back reuse it. At cluster scale this would be a persisted
-    # intermediate table; locally an eager checkpoint plays that role and
-    # keeps the O(expensive-shingling) work single-execution.
+    # intermediate table; locally an eager cache plays that role. The
+    # count() is load-bearing: persist() is lazy, and the band self-join
+    # fans out into TWO scans of sigs — tasks racing on not-yet-cached
+    # partitions each recompute the full signature pipeline (measured 22s
+    # vs 8s at sf0.1). Materializing once before fan-out removes the race.
     sigs = sigs.persist()
+    sigs.count()
 
     banded = _band_keys(sigs, id_col, num_hashes, bands)
 
@@ -457,6 +474,10 @@ def incremental_minhash_dedup(
         new_docs, text_col, id_col, num_hashes, shingle_size).persist()
     corpus_sigs = minhash_signatures(
         corpus, text_col, id_col, num_hashes, shingle_size).persist()
+    # eager: both frames are read by the band probe AND the shingle
+    # join-back — see the fan-out race note in minhash_candidate_pairs
+    new_sigs.count()
+    corpus_sigs.count()
     nb = _band_keys(new_sigs, id_col, num_hashes, bands).select(
         F.col(id_col).alias("new_id"), "band", "bucket")
     cb = _band_keys(corpus_sigs, id_col, num_hashes, bands).select(

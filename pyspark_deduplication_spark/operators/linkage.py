@@ -284,6 +284,18 @@ def connected_components(
     )
     sym = _checkpoint(sym)
 
+    # Convergence detection without an extra join: per-node labels are
+    # non-increasing (every update is F.least(old, ...)), so the label
+    # SUM is strictly monotone until the fixpoint — sum unchanged ⟺ no
+    # node changed. One cheap aggregation over the freshly-checkpointed
+    # labels replaces a self-join + count job per round. decimal(38,0)
+    # keeps the sum exact (bigint ids × node count would overflow long).
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node, "inner")
@@ -314,16 +326,11 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
