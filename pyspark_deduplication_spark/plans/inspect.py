@@ -43,6 +43,17 @@ def has_cartesian_or_bnl(df: DataFrame) -> bool:
     return "CartesianProduct" in text or "BroadcastNestedLoopJoin" in text
 
 
+def exchange_inputs(df: DataFrame) -> list[str]:
+    """The Input column list of every Exchange node (formatted explain
+    prints each node twice — tree and detail; this reads the detail
+    block). Lets tests assert that wide columns (embeddings, shingle
+    arrays) never ride a shuffle they don't need to."""
+    text = explain_str(df)
+    return re.findall(
+        r"^\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", text, re.M
+    )
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees (fewer, wider spans = more of
     the plan fused into generated JVM code). Spark 4's simple/formatted

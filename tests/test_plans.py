@@ -273,3 +273,30 @@ def test_q20_threshold_join_is_equi_keyed(spark):
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan
     assert not has_cartesian_or_bnl(df)
+
+
+def test_incremental_minhash_probe_is_slim_equi_join(spark, sf_dir):
+    """The batch→corpus LSH probe joins only compact (id, band, bucket)
+    keys: an equi-join with no Cartesian/BNL, and no shingle or
+    signature array in any exchange feeding it — wide columns join back
+    by id only for surviving candidates."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        _band_keys,
+        minhash_signatures,
+    )
+    from pyspark_deduplication_spark.plans.inspect import exchange_inputs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nb = _band_keys(
+        minhash_signatures(docs.filter(F.col("doc_id") % 2 == 1)),
+        "doc_id", 64, 16,
+    ).withColumnRenamed("doc_id", "new_id")
+    cb = _band_keys(
+        minhash_signatures(docs.filter(F.col("doc_id") % 2 == 0)),
+        "doc_id", 64, 16,
+    ).withColumnRenamed("doc_id", "corpus_id")
+    cand = nb.join(cb, ["band", "bucket"])
+    assert not has_cartesian_or_bnl(cand)
+    inputs = exchange_inputs(cand)
+    for cols in inputs:
+        assert "shingles" not in cols and "signature" not in cols, cols
