@@ -102,3 +102,79 @@ def pack_sequences(
             (F.col("pack_offset") + F.col(len_col)) > F.lit(context_len))
         .drop("__start")
     )
+
+
+def strip_boilerplate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 16,
+    max_occurrences: int = 2,
+) -> DataFrame:
+    """Remove corpus-frequent chunks (boilerplate) from every document
+    and reassemble the cleaned text — sub-document dedup for navboxes,
+    license headers, cookie banners and other templated spans that
+    whole-document dedup can never catch.
+
+    Non-overlapping ``size``-token chunks are fingerprinted (md5);
+    a chunk whose fingerprint occurs more than ``max_occurrences``
+    times corpus-wide is dropped from every document containing it,
+    and each document's survivors re-join in order. Returns
+    ``(id, clean_text, n_chunks_kept, n_chunks_dropped)`` for documents
+    with at least one surviving chunk.
+
+    Scale shape: chunking is map-only (``chunk_documents``); the
+    frequency count shuffles only 16-byte fingerprints with map-side
+    partial aggregation; the boilerplate set (high-frequency tail) is
+    tiny by construction, so the anti-join against it broadcasts under
+    AQE; the reassembly groupBy is the one inherent wide shuffle —
+    surviving chunk text moves once, keyed by document.
+    """
+    chunks = chunk_documents(
+        df.select(id_col, text_col), text_col, size=size, overlap=0
+    ).select(
+        F.col(id_col),
+        F.col("chunk_index"),
+        F.col("chunk_text"),
+        F.md5(F.col("chunk_text")).alias("__fp"),
+    )
+    boilerplate = (
+        chunks.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_occurrences)
+        .select("__fp")
+    )
+    kept = chunks.join(boilerplate, "__fp", "left_anti")
+    dropped_per_doc = (
+        chunks.join(boilerplate, "__fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_chunks_dropped"))
+    )
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("chunk_index"), F.col("chunk_text"))
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        reassembled.join(dropped_per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("clean_text"),
+            F.col("n_chunks_kept"),
+            F.coalesce(F.col("n_chunks_dropped"), F.lit(0)).alias(
+                "n_chunks_dropped"
+            ),
+        )
+    )

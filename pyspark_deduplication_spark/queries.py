@@ -4158,6 +4158,50 @@ GROUP BY doc_id
 """
 
 
+def strip_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal: chunks occurring more than twice corpus-wide
+    (navbox / license-header analogs) are stripped from every document
+    and the survivors re-join in order — sub-document dedup that
+    whole-doc fingerprints can never express. Returns cleaned text plus
+    kept/dropped chunk counts per doc."""
+    from pyspark_deduplication_spark.operators.chunking import (
+        strip_boilerplate_chunks,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_boilerplate_chunks(docs, "text", "doc_id",
+                                    size=16, max_occurrences=2)
+
+
+_STRIP_BOILERPLATE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+w AS (
+  SELECT doc_id, t,
+         greatest(CAST(ceil(CAST(len(t) AS DOUBLE) / 16.0) AS BIGINT), 1)
+           AS nw
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(t[i*16+1 : i*16+16], ' ') AS chunk,
+         md5(array_to_string(t[i*16+1 : i*16+16], ' ')) AS h
+  FROM w, unnest(range(0, nw)) AS r(i)
+),
+boiler AS (SELECT h FROM chunks GROUP BY h HAVING count(*) > 2),
+kept AS (SELECT * FROM chunks WHERE h NOT IN (SELECT h FROM boiler)),
+dropped AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
+  FROM chunks WHERE h IN (SELECT h FROM boiler) GROUP BY doc_id
+)
+SELECT k.doc_id,
+       string_agg(k.chunk, ' ' ORDER BY k.idx) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_chunks_kept,
+       coalesce(any_value(d.n_dropped), 0) AS n_chunks_dropped
+FROM kept k LEFT JOIN dropped d USING (doc_id)
+GROUP BY k.doc_id
+"""
+
+
 def q12_priority_by_quantity_band(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape, adapted (the fixture lacks shipmode — quantity
@@ -4787,6 +4831,9 @@ CATALOG: dict[str, Query] = {
                                      tags=["text", "pipeline"]),
     "chunk_level_dedup_rate": Query(chunk_level_dedup_rate,
                                     _CHUNK_DEDUP_ORACLE,
+                                    tags=["dedup", "text", "pipeline"]),
+    "strip_boilerplate_docs": Query(strip_boilerplate_docs,
+                                    _STRIP_BOILERPLATE_ORACLE,
                                     tags=["dedup", "text", "pipeline"]),
     "stratified_sample_docs": Query(stratified_sample_docs, _SAMPLE_ORACLE,
                                     tags=["sampling", "pipeline"]),

@@ -18,6 +18,7 @@ schema and supports predicate pushdown + column pruning natively.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -98,6 +99,54 @@ def read_json(spark: SparkSession, path: str,
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL ingestion with corrupt-record quarantine — the ingestion
+    front door of a web-scale text pipeline, where some fraction of
+    every crawl shard is malformed and a single bad line must never
+    kill a 100 TB job (FAILFAST) or silently vanish (DROPMALFORMED).
+
+    PERMISSIVE mode routes unparseable lines into ``_corrupt_record``;
+    the return is ``(clean, quarantined)`` — clean rows with the target
+    schema, quarantined raw lines for audit/replay. Both frames share
+    one scan; the split is two filters Catalyst pushes to it, so at
+    scale this costs a single pass. The schema is explicit and
+    REQUIRED: schema inference reads the whole input once just to guess
+    (doubling I/O), and one drifting shard would silently change the
+    pipeline's types.
+    """
+    corrupt_col = "_corrupt_record"
+    full = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType())]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    # Spark requires caching/materializing before referencing the
+    # corrupt column alone (SPARK-21610: a query selecting only
+    # _corrupt_record is disallowed on the lazy scan).
+    raw = raw.cache()
+    clean = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return clean, quarantined
+
+
+def read_orc(spark: SparkSession, path: str,
+             required_columns: list[str] | None = None) -> DataFrame:
+    df = spark.read.orc(path)
+    if required_columns:
+        validate_columns(df, required_columns)
+    return df
 
 
 def read_table(spark: SparkSession, name: str) -> DataFrame:

@@ -70,6 +70,20 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (built into Spark; same pushdown/pruning class as
+    parquet — for pipelines whose downstream warehouse is ORC-native)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

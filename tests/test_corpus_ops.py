@@ -241,3 +241,34 @@ def test_redact_pii_is_idempotent(spark):
     once = df.select(redact_pii(F.col("text")).alias("r1"))
     twice = once.select("r1", redact_pii(F.col("r1")).alias("r2")).first()
     assert twice.r1 == twice.r2
+
+
+def test_strip_boilerplate_chunks_removes_frequent_and_preserves_order(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.operators.chunking import (
+        strip_boilerplate_chunks,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(4))       # one 4-token chunk
+    u = lambda d, i: " ".join(f"d{d}u{i}t{j}" for j in range(4))
+    mk = lambda d, parts: (d, " ".join(parts))
+    df = spark.createDataFrame(
+        [mk(1, [boiler, u(1, 0), u(1, 1)]),
+         mk(2, [u(2, 0), boiler, u(2, 1)]),
+         mk(3, [u(3, 0), u(3, 1), boiler])],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in strip_boilerplate_chunks(
+        df, "text", "doc_id", size=4, max_occurrences=2).collect()}
+    # the boilerplate chunk occurs 3 times (> 2) -> stripped everywhere
+    for d in (1, 2, 3):
+        assert out[d].n_chunks_dropped == 1
+        assert out[d].n_chunks_kept == 2
+        assert "b0" not in out[d].clean_text
+    # unique chunks survive, original order preserved
+    assert out[2].clean_text == u(2, 0) + " " + u(2, 1)
+    # at max_occurrences=3 nothing is frequent enough -> nothing dropped
+    out3 = {r.doc_id: r for r in strip_boilerplate_chunks(
+        df, "text", "doc_id", size=4, max_occurrences=3).collect()}
+    assert all(r.n_chunks_dropped == 0 for r in out3.values())

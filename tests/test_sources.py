@@ -192,3 +192,44 @@ def test_zordered_parquet_skips_on_every_dimension(spark, sf_dir, tmp_path):
         lo_all = min(lo for lo, _ in ranges)
         hi_all = max(hi for _, hi in ranges)
         assert any(lo > lo_all or hi < hi_all for lo, hi in ranges), col
+
+
+def test_read_jsonl_quarantine_splits_clean_and_corrupt(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.sources.readers import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "second doc"}\n'
+        'this line is not json at all\n'
+        '{"doc_id": 3, "text": "third", "extra": "ignored"}\n'
+        '{"doc_id": "NOT_A_NUMBER", "text": "type mismatch"}\n'
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    clean, bad = read_jsonl_quarantine(spark, str(p), schema)
+    ids = sorted(r.doc_id for r in clean.collect())
+    assert ids == [1, 2, 3]
+    assert clean.columns == ["doc_id", "text"]
+    bad_lines = sorted(r.raw_line for r in bad.collect())
+    assert len(bad_lines) == 2
+    assert any("not json" in ln for ln in bad_lines)
+    assert any("NOT_A_NUMBER" in ln for ln in bad_lines)
+
+
+def test_orc_round_trip(spark, tmp_path, sf_dir):
+    from pyspark_deduplication_spark.sources.readers import read_orc
+    from pyspark_deduplication_spark.sources.writers import write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out)
+    back = read_orc(spark, out, required_columns=["doc_id", "text"])
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
