@@ -281,3 +281,160 @@ def embedding_near_dup_pairs(
         cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"),
     )
     return out.filter(F.col("cosine_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def _subvec(vec_col: str, m: int, sub_dim: int):
+    return F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)
+
+
+def train_pq_codebook(
+    vectors: DataFrame,
+    dim: int,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebook: the vector space splits into
+    ``m_subspaces`` contiguous slices; each subspace gets ``k_codes``
+    codewords chosen as hash-elected representative subvectors (the same
+    seeded single-pass stand-in for k-means as ``train_centroids`` —
+    pyspark.ml KMeans per subspace slots in without touching encode or
+    search). Returns (subspace, code, codeword) — ``m_subspaces *
+    k_codes`` rows, always broadcastable.
+
+    PQ compresses each vector to ``m_subspaces`` small ints (8 bytes at
+    8×16) instead of ``dim`` floats (256 bytes at dim=64) — the memory
+    step that makes billion-vector indexes fit a cluster (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI'11).
+    """
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    sub = dim // m_subspaces
+    parts = []
+    for m in range(m_subspaces):
+        w = Window.partitionBy("__code").orderBy(F.col(vec_id))
+        parts.append(
+            vectors.select(
+                F.col(vec_id),
+                _subvec(vec_col, m, sub).alias("codeword"),
+                F.pmod(F.xxhash64(F.lit(m), F.col(vec_id)),
+                       F.lit(k_codes)).alias("__code"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.lit(m).alias("subspace"),
+                    F.col("__code").alias("code"), "codeword")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m_subspaces: int = 8,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize every vector to its per-subspace nearest codeword
+    (L2 on the slice). Returns (id, codes array<int>) — the compact
+    index representation. The codebook broadcasts; the big side is
+    scanned once; no wide shuffle (the groupBy that re-assembles the
+    codes array moves ``m_subspaces`` ints per vector)."""
+    sub = dim // m_subspaces
+    exploded = vectors.select(
+        F.col(vec_id),
+        F.posexplode(
+            F.array(*[_subvec(vec_col, m, sub) for m in range(m_subspaces)])
+        ).alias("subspace", "__sv"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("__sv"), F.col("codeword"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(vec_id, "subspace").orderBy(
+        F.col("__d2").asc(), F.col("code").asc())
+    best = (
+        exploded.join(F.broadcast(codebook), "subspace")
+        .withColumn("__d2", dist2)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        best.groupBy(vec_id)
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s["code"],
+        ).alias("codes"))
+    )
+
+
+def pq_knn(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    k: int = 10,
+    vec_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_col: str = "embedding",
+    m_subspaces: int = 8,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact,
+    the corpus is its codes. score(q, x) ≈ Σ_m dot(q_m, codeword(m,
+    code_m)) — the exact dot of q with x's reconstruction, computed by
+    table lookup.
+
+    Plan shape for 100 TB: the per-query lookup table (queries ×
+    codebook, both tiny) broadcasts; codes explode to (id, m, code) and
+    equi-join the table — the only data that ever moves for a search is
+    ``m_subspaces`` ints per corpus vector plus partial sums. The full
+    float vectors are never read, which is the point of PQ.
+    """
+    sub = dim // m_subspaces
+    qsub = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.posexplode(
+            F.array(*[F.slice(F.col(query_col), m * sub + 1, sub)
+                      for m in range(m_subspaces)])
+        ).alias("subspace", "__qsv"),
+    )
+    table = (
+        qsub.join(F.broadcast(codebook), "subspace")
+        .select(
+            "__qid", "subspace", "code",
+            F.aggregate(
+                F.zip_with(F.col("__qsv"), F.col("codeword"),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("__part"),
+        )
+    )
+    code_rows = encoded.select(
+        F.col(vec_id),
+        F.posexplode(F.col("codes")).alias("subspace", "code"),
+    )
+    scored = (
+        code_rows.join(F.broadcast(table), ["subspace", "code"])
+        .groupBy("__qid", vec_id)
+        .agg(F.sum("__part").alias("score"))
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("score").desc(), F.col(vec_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__qid").alias(query_id),
+                F.col(vec_id).alias("neighbor_id"), "score", "rank")
+    )

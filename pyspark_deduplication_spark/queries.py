@@ -1330,6 +1330,30 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def pq_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. TPAMI'11): deterministic
+    8×16 codebook, corpus compressed to 8 one-byte codes per vector,
+    asymmetric-distance top-10 for the first 5 vectors as queries. The
+    search never reads the float vectors — only codes and the broadcast
+    per-query lookup table move. Rows-only: the hash-elected codebook is
+    not SQL-expressible; pytest pins exactness for quantized points and
+    measured recall vs brute force."""
+    from pyspark_deduplication_spark.operators.knn import (
+        pq_encode,
+        pq_knn,
+        train_pq_codebook,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_pq_codebook(emb, dim=64, m_subspaces=8, k_codes=16)
+    enc = pq_encode(emb, cb, dim=64, m_subspaces=8)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding"))
+    out = pq_knn(enc, queries, cb, dim=64, k=10, m_subspaces=8)
+    return out.select("query_id", "neighbor_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, label-blocked (the blocked
     equi-join path; labels stand in for coarse IVF cells)."""
@@ -4724,6 +4748,7 @@ CATALOG: dict[str, Query] = {
     "embedding_near_dups": Query(embedding_near_dups, _EMB_NEAR_DUP_ORACLE,
                                  tags=["vector", "dedup"]),
     "knn_ivf": Query(knn_ivf, None, tags=["vector"]),
+    "pq_knn_embeddings": Query(pq_knn_embeddings, None, tags=["vector"]),
     "lsh_near_dup_embeddings": Query(lsh_near_dup_embeddings, None,
                                      tags=["vector", "dedup", "lsh"]),
     "embedding_cluster_dedup": Query(embedding_cluster_dedup,

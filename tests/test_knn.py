@@ -169,3 +169,75 @@ def test_hyperplane_buckets_deterministic(spark, sf_dir):
     assert a == b
     assert a != c
     assert all(0 <= v < (1 << 16) for v in a.values())
+
+
+def test_pq_adc_is_exact_for_quantized_vectors(spark):
+    """When every corpus subvector IS a codeword, reconstruction is
+    lossless and asymmetric-distance scores equal exact dot products —
+    PQ top-k must then match brute force exactly."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.operators.knn import (
+        brute_force_knn,
+        pq_encode,
+        pq_knn,
+    )
+
+    # dim=4, 2 subspaces of 2; subvector vocabulary = 2 codewords each
+    cb = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (0, 1, [0.0, 1.0]),
+         (1, 0, [1.0, 1.0]), (1, 1, [2.0, 0.0])],
+        ["subspace", "code", "codeword"],
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 1.0, 1.0]),
+         (2, [0.0, 1.0, 2.0, 0.0]),
+         (3, [1.0, 0.0, 2.0, 0.0]),
+         (4, [0.0, 1.0, 1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    enc = pq_encode(vecs, cb, dim=4, m_subspaces=2)
+    codes = {r.vec_id: r.codes for r in enc.collect()}
+    assert codes == {1: [0, 0], 2: [1, 1], 3: [0, 1], 4: [1, 0]}
+
+    q = spark.createDataFrame([(9, [3.0, 1.0, 0.5, 2.0])],
+                              ["query_id", "embedding"])
+    approx = pq_knn(enc, q, cb, dim=4, k=4, m_subspaces=2)
+    exact = brute_force_knn(vecs, q, k=4, exclude_self=False)
+    got = [(r.neighbor_id, round(r.score, 9)) for r in
+           sorted(approx.collect(), key=lambda r: r.rank)]
+    # brute force ranks by cosine; compare against raw dot ourselves
+    import numpy as np
+    qv = np.array([3.0, 1.0, 0.5, 2.0])
+    dots = {vid: float(np.dot(qv, np.array(v)))
+            for vid, v in [(1, [1, 0, 1, 1]), (2, [0, 1, 2, 0]),
+                           (3, [1, 0, 2, 0]), (4, [0, 1, 1, 1])]}
+    want = sorted(dots.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(n, round(s, 9)) for n, s in want] == got
+
+
+def test_pq_recall_against_brute_force_on_fixture(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.operators.knn import (
+        brute_force_knn,
+        pq_encode,
+        pq_knn,
+        train_pq_codebook,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = train_pq_codebook(emb, dim=64, m_subspaces=8, k_codes=16)
+    assert cb.count() == 128
+    enc = pq_encode(emb, cb, dim=64, m_subspaces=8)
+    assert enc.count() == emb.count()
+    q = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    approx = {(r.query_id, r.neighbor_id)
+              for r in pq_knn(enc, q, cb, dim=64, k=10).collect()}
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_knn(emb, q, k=10, exclude_self=False).collect()}
+    # random vectors are PQ's worst case (no cluster structure for the
+    # codebook to exploit); measured 0.38 on this fixture — assert a
+    # floor that still proves the lookup pipeline ranks signal
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.25, recall
