@@ -183,3 +183,57 @@ def sessionize_batch(
         (F.sum(gap_break).over(
             w_user.rowsBetween(Window.unboundedPreceding, 0)) + 1).cast("long"),
     )
+
+
+def streaming_corpus_ingest(
+    docs_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+):
+    """Continuously ingest documents into a near-dup-free corpus: each
+    micro-batch first dedups internally, then drops docs that near-
+    duplicate ANY earlier epoch (``incremental_minhash_dedup`` — the
+    standing corpus is probed by band key, never self-joined), and the
+    survivors land as an epoch-partitioned parquet append.
+
+    Exactly-once: each epoch OVERWRITES its own ``epoch=<id>`` partition
+    directory, so a replayed micro-batch (restart between sink write and
+    checkpoint commit) rewrites the identical partition instead of
+    appending duplicates — idempotence per epoch, which is the
+    ``foreachBatch`` contract. In production the corpus side would keep
+    a persisted signature table per epoch instead of re-signing (see the
+    operator's docstring); the dataflow shape is identical.
+    """
+    from pyspark_deduplication_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_dedup,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            corpus = spark.read.parquet(corpus_dir).where(
+                F.col("epoch") < F.lit(epoch_id)
+            ).drop("epoch")
+            have_corpus = len(corpus.take(1)) > 0
+        except Exception:
+            have_corpus = False
+        if have_corpus:
+            fresh = incremental_minhash_dedup(
+                batch_df, corpus, text_col, id_col,
+                threshold, num_hashes, bands)
+        else:
+            fresh = minhash_dedup(
+                batch_df, text_col, id_col, threshold, num_hashes, bands)
+        (fresh.withColumn("epoch", F.lit(epoch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(corpus_dir))
+
+    return write_stream_foreach_batch(docs_stream, ingest, checkpoint_dir)

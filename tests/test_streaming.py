@@ -203,3 +203,47 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_parquet_dir):
                 for r in batch.select("event_id", "err_id").collect()}
     assert got == expected
     assert expected  # non-trivial join
+
+
+def test_streaming_corpus_ingest_drops_cross_epoch_near_dups(spark, tmp_path):
+    """Docs streaming in over two epochs: a doc near-duplicating an
+    earlier epoch's doc never enters the corpus; fresh content from both
+    epochs does; the final corpus is epoch-partitioned."""
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_corpus_ingest,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill every single day at dawn")
+    other = ("spark shuffles partition data across executors while the "
+             "adaptive engine re-plans joins from runtime statistics")
+    # file names sort f1 < f2 -> with maxFilesPerTrigger=1 they arrive
+    # as separate epochs in order
+    spark.createDataFrame([(1, base), (2, other)], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f1")
+    spark.createDataFrame(
+        [(10, base + " indeed"),       # near-dup of epoch-1 doc 1
+         (11, "a wholly new document about tokenizers and byte pair "
+              "encodings for language model training corpora")],
+        schema).coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_corpus_ingest(stream, corpus_dir, ckpt, threshold=0.5)
+    q.awaitTermination(180)
+
+    final = spark.read.parquet(corpus_dir)
+    ids = sorted(r.doc_id for r in final.select("doc_id").collect())
+    assert 1 in ids and 2 in ids      # epoch 1 fresh content
+    assert 11 in ids                  # epoch 2 fresh content
+    assert 10 not in ids              # cross-epoch near-dup dropped
+    assert "epoch" in final.columns
