@@ -53,6 +53,32 @@ def token_count(col: Column | str) -> Column:
     ).cast("long")
 
 
+# GPT-2-style pre-tokenization (Radford et al. 2019 released the original
+# pattern with gpt-2's encoder), restricted to the Java-regex ∩ RE2
+# dialect both engines support: the original's `\s+(?!\S)` lookahead and
+# unicode classes are dropped, leaving contraction suffixes, letter runs,
+# digit runs, punctuation runs, then whitespace. These are the units BPE
+# merges WITHIN — their count is the standard pre-tokenizer anchor for
+# estimating LLM token budgets from raw text.
+_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s+"
+
+
+def pretokenize(col: Column | str) -> Column:
+    """BPE pre-tokenizer units of the RAW text (no normalization —
+    punctuation and case are exactly what this splitter exists to keep)
+    as ``array<string>``."""
+    return F.regexp_extract_all(_as_col(col), F.lit(_PRETOKEN_RE), 0)
+
+
+def pretoken_count(col: Column | str) -> Column:
+    """Number of BPE pre-tokenizer units (LongType); NULL text counts 0
+    (``size`` alone returns -1 for NULL input)."""
+    c = _as_col(col)
+    return (
+        F.when(c.isNull(), F.lit(0)).otherwise(F.size(pretokenize(c)))
+    ).cast("long")
+
+
 def word_ngrams_of(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles from an already-materialized token array
     column. Use this (not ``word_ngrams``) when tokens are a projected

@@ -1140,6 +1140,72 @@ WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 """
 
 
+def pretoken_budget_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token budgeting: BPE pre-tokenizer unit counts vs whitespace
+    word counts per market segment, on punctuation-rich text synthesized
+    deterministically from the customer table (the fixture's document
+    text is bare lowercase words, where a pre-tokenizer is vacuous —
+    same synthesis precedent as the PII query). The expansion ratio
+    (pretokens per word) is the standard raw-text → token-count anchor.
+    Ratio computed from the two exact integer sums, so cross-engine
+    comparison has a single deterministic division per group."""
+    from pyspark_deduplication_spark.functions.text import (
+        pretoken_count,
+        token_count,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    synth = F.concat(
+        F.lit("we'll confirm "), F.col("c_name"),
+        F.lit("'s quote #"), key.cast("string"),
+        F.lit(": total=$"), (key % 1000).cast("string"),
+        F.lit("."), F.lpad((key % 100).cast("string"), 2, "0"),
+        F.lit(" (rush? yes!) they're pre-approved."),
+    )
+    return (
+        cust.select("c_mktsegment",
+                    pretoken_count(synth).alias("__pt"),
+                    token_count(synth).alias("__wt"))
+        .groupBy("c_mktsegment")
+        .agg(F.sum("__pt").alias("pretokens"),
+             F.sum("__wt").alias("words"),
+             F.round(F.sum("__pt").cast("double")
+                     / F.sum("__wt").cast("double"), 6).alias("expansion"))
+    )
+
+
+_PRETOKEN_ORACLE = r"""
+WITH synth AS (
+  SELECT c_mktsegment,
+         'we''ll confirm ' || c_name || '''s quote #' ||
+         CAST(c_custkey AS VARCHAR) || ': total=$' ||
+         CAST(c_custkey % 1000 AS VARCHAR) || '.' ||
+         lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') ||
+         ' (rush? yes!) they''re pre-approved.' AS txt
+  FROM customer
+),
+counted AS (
+  SELECT c_mktsegment,
+         len(regexp_extract_all(txt,
+             '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+'))
+           AS pt,
+         CASE WHEN len(trim(regexp_replace(regexp_replace(lower(txt),
+                  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(regexp_replace(
+                  lower(txt), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '))
+         END AS wt
+  FROM synth
+)
+SELECT c_mktsegment,
+       CAST(sum(pt) AS BIGINT) AS pretokens,
+       CAST(sum(wt) AS BIGINT) AS words,
+       round(CAST(sum(pt) AS DOUBLE) / CAST(sum(wt) AS DOUBLE), 6)
+         AS expansion
+FROM counted GROUP BY c_mktsegment
+"""
+
+
 def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction — the scrub stage every training-data
     pipeline runs before text leaves quarantine. The fixture's document
@@ -4726,6 +4792,9 @@ CATALOG: dict[str, Query] = {
                                tags=["text"]),
     "pii_redaction_report": Query(pii_redaction_report, _PII_ORACLE,
                                   tags=["text", "pii"]),
+    "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
+                                        _PRETOKEN_ORACLE,
+                                        tags=["text", "tokens"]),
     "winnow_near_dup_docs": Query(winnow_near_dup_docs, _WINNOW_ORACLE,
                                   bench=True, tags=["text", "dedup"]),
     "jaccard_near_dup_docs": Query(jaccard_near_dup_docs, _JACCARD_DOCS_ORACLE,

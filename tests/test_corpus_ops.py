@@ -272,3 +272,27 @@ def test_strip_boilerplate_chunks_removes_frequent_and_preserves_order(spark):
     out3 = {r.doc_id: r for r in strip_boilerplate_chunks(
         df, "text", "doc_id", size=4, max_occurrences=3).collect()}
     assert all(r.n_chunks_dropped == 0 for r in out3.values())
+
+
+def test_pretokenize_bpe_units(spark):
+    """GPT-2-style pre-tokenizer (dialect-restricted): contraction
+    suffixes split off, letter/digit/punctuation runs separate, leading
+    space rides the following unit."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        pretoken_count,
+        pretokenize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "we'll pay $42.50 now!"), (2, None), (3, "")],
+        ["id", "text"])
+    out = {r.id: r for r in df.select(
+        "id", pretokenize("text").alias("units"),
+        pretoken_count("text").alias("n")).collect()}
+    assert out[1].units == [
+        "we", "'ll", " pay", " $", "42", ".", "50", " now", "!"]
+    assert out[1].n == 9
+    assert out[2].n == 0   # NULL text
+    assert out[3].n == 0   # empty text
