@@ -4970,7 +4970,9 @@ _GRADED_ORDER = [
     "asof_purchases_to_errors", "range_join_value_bands",
     "asof_forward_tolerance",
     "jaccard_near_dup_docs", "overlap_near_dup_docs",
-    "similarity_graph_degrees",
+    # (similarity_graph_degrees shares jaccard_near_dup_docs' whole pair
+    # pipeline — its graded slot goes to the new sub-document dedup op)
+    "strip_boilerplate_docs",
     "knn_bruteforce", "embedding_near_dups", "embedding_cluster_dedup",
     "cube_lineitem_flags", "grouping_sets_order_revenue",
     "events_gapfill_hourly", "golden_customer_records",
