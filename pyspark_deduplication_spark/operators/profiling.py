@@ -41,3 +41,44 @@ def profile_numeric(
         f"stack({len(cols)}, {stack}) AS "
         "(column_name, n_nulls, n_distinct, min_value, max_value)"
     ))
+
+
+def hll_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count sketches per group (Datasketches HLL,
+    built into Spark 4): returns (group, sketch, approx_distinct).
+
+    The point at 100 TB is the ``sketch`` binary itself, not the
+    estimate: per-partition/per-day sketches persist as bytes, and ANY
+    later rollup (per source, per month, global) is ``hll_union_agg``
+    over stored sketches — no re-scan of the raw data, unlike exact
+    count_distinct whose partials cannot be merged across different
+    grouping keys. ~2^lg_k bytes per sketch, <2% typical error at
+    lg_k=12.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(key_col), lg_k).alias("sketch"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(key_col), lg_k)).alias("approx_distinct"),
+    )
+
+
+def hll_union_rollup(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Re-aggregate persisted sketches to a coarser grouping —
+    the merge step that makes sketch tables reusable without touching
+    raw data. Returns (group, approx_distinct)."""
+    agg = [
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(sketch_col))).alias("approx_distinct")
+    ]
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(*agg)
+    return sketches.agg(*agg)

@@ -1206,6 +1206,26 @@ FROM counted GROUP BY c_mktsegment
 """
 
 
+def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch profiling: per-language Datasketches-HLL
+    distinct-text estimates, then the global estimate re-derived by
+    UNIONING the per-language sketches (never re-scanning the corpus) —
+    the pre-aggregation pattern that makes distinct-count dashboards
+    feasible over 100 TB. Rows-only: sketch estimates are
+    engine-specific; pytest pins 5% accuracy vs exact and union
+    consistency."""
+    from pyspark_deduplication_spark.operators.profiling import (
+        hll_rollup,
+        hll_union_rollup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    per_lang = hll_rollup(docs, ["lang"], "text", lg_k=12)
+    global_row = hll_union_rollup(per_lang, []).select(
+        F.lit("__all__").alias("lang"), "approx_distinct")
+    return per_lang.select("lang", "approx_distinct").unionAll(global_row)
+
+
 def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction — the scrub stage every training-data
     pipeline runs before text leaves quarantine. The fixture's document
@@ -4795,6 +4815,8 @@ CATALOG: dict[str, Query] = {
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),
+    "hll_distinct_rollup": Query(hll_distinct_rollup, None,
+                                 tags=["profiling", "sketch"]),
     "winnow_near_dup_docs": Query(winnow_near_dup_docs, _WINNOW_ORACLE,
                                   bench=True, tags=["text", "dedup"]),
     "jaccard_near_dup_docs": Query(jaccard_near_dup_docs, _JACCARD_DOCS_ORACLE,

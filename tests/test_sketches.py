@@ -31,3 +31,32 @@ def test_approx_count_distinct_deterministic(spark, sf_dir):
     a = li.agg(F.approx_count_distinct("l_partkey").alias("x")).first().x
     b = li.agg(F.approx_count_distinct("l_partkey").alias("x")).first().x
     assert a == b  # HLL merge is commutative — same data, same estimate
+
+
+def test_hll_rollup_and_union_accuracy(spark, sf_dir):
+    """Per-source HLL sketches estimate within tolerance, and unioning
+    the persisted sketches to a global estimate agrees with sketching
+    the whole corpus directly — the merge property that lets sketch
+    tables answer coarser rollups without re-scanning raw data."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.operators.profiling import (
+        hll_rollup,
+        hll_union_rollup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_src = hll_rollup(docs, ["source"], "text", lg_k=12)
+    exact = {r.source: r.x for r in docs.groupBy("source")
+             .agg(F.count_distinct("text").alias("x")).collect()}
+    for r in per_src.collect():
+        assert abs(r.approx_distinct - exact[r.source]) <= 0.05 * exact[r.source]
+
+    global_exact = docs.select("text").distinct().count()
+    unioned = hll_union_rollup(per_src, []).collect()[0].approx_distinct
+    assert abs(unioned - global_exact) <= 0.05 * global_exact
+    # determinism: same data, same sketch params -> identical estimate
+    again = hll_union_rollup(
+        hll_rollup(docs, ["source"], "text", lg_k=12), []
+    ).collect()[0].approx_distinct
+    assert again == unioned
