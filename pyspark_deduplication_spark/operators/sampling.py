@@ -15,7 +15,7 @@ a content hash instead: a row is kept iff the first byte of
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,3 +69,61 @@ def stratified_hash_sample(
                  if threshold is not None
                  else F.lit(_hex_threshold(default_fraction)))
     return df.filter(hash_bucket(F.col(key_col), seed) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    seed: str = "42",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the first
+    split whose cumulative hash threshold its content hash falls under.
+
+    ``splits`` is an ordered {name: fraction} mapping (fractions sum to
+    ~1.0; the last split absorbs rounding remainder). Assignment is a
+    pure row-local projection on the same md5 bucket as ``hash_sample``,
+    so it is stable across runs, partitionings, and engines, and a row's
+    split never changes when the corpus grows — the property training
+    pipelines need to avoid test-set leakage across re-runs. Zero
+    shuffle; granularity 1/256 per boundary.
+    """
+    bucket = hash_bucket(F.col(key_col), seed)
+    names = list(splits)
+    acc = 0.0
+    expr = None
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = bucket < F.lit(_hex_threshold(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    cap: int,
+    keep_col: str = "__kept",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    ``order_col`` (ties broken by the column itself — callers pass a
+    unique key or a (rank, key) struct column). The per-domain /
+    per-source cap every crawl-curation pipeline applies so one mega-host
+    cannot dominate the corpus.
+
+    One hash-partition shuffle on ``group_col`` + a rank window; no
+    global sort. Skewed groups are bounded by the cap itself on output;
+    for pathological single-group skew at 100 TB, pre-aggregate counts
+    and short-circuit groups already under the cap (they need no window
+    at all) — that rewrite is left to callers because it doubles the
+    scan.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col))
+    return (
+        df.withColumn(keep_col, F.row_number().over(w) <= cap)
+    )

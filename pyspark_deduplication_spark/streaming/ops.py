@@ -155,6 +155,19 @@ def write_stream_foreach_batch(
     return writer.start()
 
 
+def epoch_micros(events: DataFrame, ts_col: str = "ts"):
+    """Epoch-micros extractor for ``ts_col``, safe for both TIMESTAMP and
+    TIMESTAMP_NTZ inputs. ``unix_micros`` rejects NTZ outright, and the
+    driver's vanilla session reads the fixture's TIMESTAMP(NANOS) parquet
+    as NTZ — so every epoch computation must branch on the actual column
+    type. Returns a ``Column -> Column`` function usable on aggregates of
+    the column too (``fn(F.max(ts_col))``)."""
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        ntz_epoch = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+        return lambda c: F.timestamp_diff("MICROSECOND", ntz_epoch, c)
+    return F.unix_micros
+
+
 def sessionize_batch(
     events: DataFrame,
     gap_minutes: int = 30,
@@ -170,7 +183,7 @@ def sessionize_batch(
     functions, no state store.
     """
     w_user = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
-    micros = F.unix_micros(F.col(ts_col))
+    micros = epoch_micros(events, ts_col)(F.col(ts_col))
     gap_break = (
         F.when(
             micros - F.lag(micros).over(w_user) > gap_minutes * 60 * 1_000_000,
