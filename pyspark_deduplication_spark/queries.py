@@ -4679,6 +4679,277 @@ ORDER BY s_name
 
 
 # ---------------------------------------------------------------------------
+# Round 3: corpus splits, per-source caps, TF-IDF, pivot, exact stats
+# ---------------------------------------------------------------------------
+
+
+def train_val_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment of the corpus by
+    content hash (``hash_split``), reporting docs and token mass per
+    split. Pure row-local projection + one aggregation shuffle; a row's
+    split never changes when the corpus grows, which is what prevents
+    test-set leakage across pipeline re-runs."""
+    from pyspark_deduplication_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(token_count(F.col("text"))).cast("long")
+             .alias("sum_tokens"))
+    )
+
+
+# hash_split thresholds: cum 0.8 -> round(204.8)=205 = 'cd',
+# cum 0.9 -> round(230.4)=230 = 'e6' (see sampling._hex_threshold).
+_SPLIT_ORACLE = f"""
+SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 2) < 'cd'
+            THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 2) < 'e6'
+            THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum({_NTOK_SQL}) AS BIGINT) AS sum_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+def source_capped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (40 docs per source, kept in doc_id
+    order) — the per-domain cap crawl curation applies so one mega-host
+    cannot dominate the corpus. Reports kept/dropped per source."""
+    from pyspark_deduplication_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "source", "doc_id", cap=40)
+    return (
+        capped.groupBy("source")
+        .agg(F.sum(F.when(F.col("__kept"), 1).otherwise(0))
+             .cast("long").alias("n_kept"),
+             F.sum(F.when(F.col("__kept"), 0).otherwise(1))
+             .cast("long").alias("n_dropped"))
+    )
+
+
+_SOURCE_CAP_ORACLE = """
+WITH ranked AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY source
+"""
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document for a bounded id slice. The IDF
+    statistics come from the FULL corpus (term document frequencies are
+    one small aggregate, broadcast back onto the per-doc term counts);
+    only the reported slice is ranked. Ranking is on exact integers
+    (tf desc, df asc, term asc) so cross-engine order is deterministic;
+    the double-valued score is display-only, rounded to 6dp.
+
+    Scale shape: explode → two hash aggs (per-doc-term tf, per-term df)
+    → broadcast df join (term dictionary ≪ corpus) → per-doc top-k
+    window on the id slice only."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = (
+        tf.filter(F.col("doc_id") < 40)
+        .join(F.broadcast(df_), "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf").cast("double")
+                    * (F.log((float(n_docs) + 1.0)
+                             / (F.col("df").cast("double") + 1.0)) + 1.0),
+                    6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "tfidf",
+                F.col("rn").cast("long").alias("rn"))
+    )
+
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term <> '' GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(CAST(tf.tf AS DOUBLE)
+               * (ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                     / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+           AS rn
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 40
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+def pivot_year_flag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue by ship year × return flag as a wide table
+    (``groupBy().pivot()`` with explicit pivot values — no extra job to
+    discover them). Compiles to two aggregation passes: the wide
+    (year, flag) sum with the only data-sized exchange, then pivotfirst
+    over already-grouped rows — the second exchange moves ~|years|×|flags|
+    rows, negligible at any scale. Decimal-exact sums, emitted as
+    doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    wide = (
+        li.select(F.year("l_shipdate").alias("ship_year"),
+                  "l_returnflag", price.alias("p"))
+        .groupBy("ship_year")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("p"))
+    )
+    return wide.select(
+        F.col("ship_year").cast("long").alias("ship_year"),
+        F.coalesce(F.col("A").cast("double"), F.lit(0.0)).alias("rev_a"),
+        F.coalesce(F.col("N").cast("double"), F.lit(0.0)).alias("rev_n"),
+        F.coalesce(F.col("R").cast("double"), F.lit(0.0)).alias("rev_r"),
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT year(l_shipdate) AS ship_year,
+       CAST(coalesce(sum(CASE WHEN l_returnflag = 'A'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+         AS rev_a,
+       CAST(coalesce(sum(CASE WHEN l_returnflag = 'N'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+         AS rev_n,
+       CAST(coalesce(sum(CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+         AS rev_r
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (p25/p50/p75/p95) of extended price
+    per return flag — ``percentile`` (exact, sort-based) rather than the
+    sketch-based ``percentile_approx``, because the gate demands
+    cross-engine equality; both engines interpolate linearly over the
+    sorted set. The approx variant is the 100 TB path (see
+    ``profiling.profile_numeric``); this is its ground truth."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(*[
+            F.round(F.percentile(p, F.lit(q)), 4).alias(name)
+            for q, name in [(0.25, "p25"), (0.5, "p50"),
+                            (0.75, "p75"), (0.95, "p95")]
+        ])
+    )
+
+
+_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS p25,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50), 4) AS p50,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 4) AS p75,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 4) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / sample covariance of quantity vs extended
+    price per return flag — computed from EXACT decimal power sums
+    (Σx, Σy, Σxy, Σx², n) with the closed-form formula applied to
+    doubles only at the end, so both engines produce bit-identical
+    results regardless of accumulation order. The built-in streaming
+    ``corr``/``covar_samp`` are the scale path; this spelling is the
+    deterministic gate twin."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    sums = (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"),
+             F.sum(x).cast("double").alias("sx"),
+             F.sum(y).cast("double").alias("sy"),
+             F.sum((x * y).cast("decimal(38,4)")).cast("double").alias("sxy"),
+             F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("sxx"),
+             F.sum((y * y).cast("decimal(38,4)")).cast("double").alias("syy"))
+    )
+    cov_n = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    var_y = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return sums.select(
+        "l_returnflag",
+        F.round(cov_n / (F.col("n") - 1), 6).alias("covar_qty_price"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(F.sqrt(var_x / (F.col("n") - 1)), 6).alias("stddev_qty"),
+    )
+
+
+_CORR_ORACLE = """
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+       round((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+         AS corr_qty_price,
+       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty
+FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
 
@@ -4959,6 +5230,21 @@ CATALOG: dict[str, Query] = {
     "quality_weighted_sample": Query(quality_weighted_sample,
                                      _QUALITY_SAMPLE_ORACLE,
                                      tags=["sampling", "text", "pipeline"]),
+    # round 3: splits, caps, tf-idf, pivot, exact order stats
+    "train_val_test_split_docs": Query(train_val_test_split_docs,
+                                       _SPLIT_ORACLE,
+                                       tags=["sampling", "pipeline"]),
+    "source_capped_corpus": Query(source_capped_corpus, _SOURCE_CAP_ORACLE,
+                                  tags=["sampling", "pipeline"]),
+    "doc_tfidf_top_terms": Query(doc_tfidf_top_terms, _TFIDF_ORACLE,
+                                 tags=["text", "stats"]),
+    "pivot_year_flag_revenue": Query(pivot_year_flag_revenue, _PIVOT_ORACLE,
+                                     tags=["agg"]),
+    "lineitem_price_quantiles": Query(lineitem_price_quantiles,
+                                      _QUANTILES_ORACLE,
+                                      tags=["agg", "stats"]),
+    "price_quantity_stats": Query(price_quantity_stats, _CORR_ORACLE,
+                                  tags=["agg", "stats"]),
 }
 
 

@@ -300,3 +300,37 @@ def test_incremental_minhash_probe_is_slim_equi_join(spark, sf_dir):
     inputs = exchange_inputs(cand)
     for cols in inputs:
         assert "shingles" not in cols and "signature" not in cols, cols
+
+
+def test_tfidf_df_join_is_broadcast_and_no_bnl(spark):
+    """The term-dictionary (df) side of TF-IDF is a small aggregate —
+    it must broadcast onto the per-doc tf counts, never shuffle them."""
+    from pyspark_deduplication_spark.queries import doc_tfidf_top_terms
+
+    q = doc_tfidf_top_terms(spark, "/root/testdata/sf0.001")
+    plan = explain_str(q)
+    assert "BroadcastHashJoin" in plan
+    assert not has_cartesian_or_bnl(q)
+
+
+def test_pivot_has_one_data_sized_exchange(spark):
+    """Explicit pivot values avoid the value-discovery job; the plan is
+    two aggregation passes with exactly two exchanges, of which only the
+    first moves data-sized partitions (the second re-shuffles already
+    grouped (year, flag) rows — negligible)."""
+    from pyspark_deduplication_spark.queries import pivot_year_flag_revenue
+
+    plan = explain_str(pivot_year_flag_revenue(spark, "/root/testdata/sf0.001"))
+    import re
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, plan
+    assert "pivotfirst" in plan  # native pivot, not a rewrite
+
+
+def test_hash_split_is_shuffle_free(spark, sf_dir):
+    """Split assignment is a pure projection: no Exchange anywhere."""
+    from pyspark_deduplication_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert "Exchange" not in explain_str(out)

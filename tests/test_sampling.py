@@ -117,3 +117,54 @@ def test_hash_sample_fractions_nest_monotonically(spark):
     s8 = {r.k for r in hash_sample(df, "k", 0.8).collect()}
     assert s2 <= s5 <= s8
     assert len(s2) < len(s5) < len(s8)
+
+
+def test_hash_split_partitions_every_row_exactly_once(spark):
+    from pyspark_deduplication_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(str(i),) for i in range(400)], ["k"])
+    out = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    assert len(rows) == 400
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    # every row gets exactly one split, stable across repartition
+    again = {r.k: r.split
+             for r in hash_split(df.repartition(7), "k",
+                                 {"train": 0.8, "val": 0.1, "test": 0.1})
+             .collect()}
+    assert {r.k: r.split for r in rows} == again
+
+
+def test_hash_split_matches_python_md5(spark):
+    from pyspark_deduplication_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(str(i),) for i in range(300)], ["k"])
+    got = {r.k: r.split
+           for r in hash_split(df, "k", {"a": 0.5, "b": 0.5}).collect()}
+    for i in range(300):
+        hexpair = hashlib.md5((str(i) + "42").encode()).hexdigest()[:2]
+        assert got[str(i)] == ("a" if hexpair < _hex_threshold(0.5) else "b")
+
+
+def test_hash_split_nests_with_hash_sample(spark):
+    """The train split under the same seed IS the 0.8 hash sample —
+    splits and samples compose without re-hashing."""
+    from pyspark_deduplication_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(str(i),) for i in range(300)], ["k"])
+    train = {r.k for r in hash_split(df, "k", {"t": 0.8, "rest": 0.2})
+             .filter(F.col("split") == "t").collect()}
+    sample = {r.k for r in hash_sample(df, "k", 0.8).collect()}
+    assert train == sample
+
+
+def test_cap_per_group_keeps_first_n_by_order(spark):
+    from pyspark_deduplication_spark.operators.sampling import cap_per_group
+
+    rows = [(g, i) for g in ("x", "y") for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "i"])
+    out = cap_per_group(df, "g", "i", cap=3)
+    kept = sorted((r.g, r.i) for r in out.filter("__kept").collect())
+    assert kept == [("x", 0), ("x", 1), ("x", 2),
+                    ("y", 0), ("y", 1), ("y", 2)]
+    assert out.filter("NOT __kept").count() == 14
