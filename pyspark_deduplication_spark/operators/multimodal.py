@@ -173,3 +173,55 @@ def sample_video_frames(
             )
 
     return df.mapInPandas(op, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """Image-resize plumbing: one output row per input with a (stubbed)
+    resized payload plus the recorded target geometry. The real operator
+    swaps ``_fake_resize`` for PIL/opencv ``resize``; what this pins down
+    is the Spark shape — mapInPandas over Arrow batches, binary-in /
+    binary-out schema declared up front, payload bytes never leaving the
+    executor, and the byte-aware repartition (``media_repartition``)
+    composing in front of it so decode batches stay memory-bounded."""
+    out_schema = (
+        f"{id_col} long, width int, height int, resized binary, "
+        f"n_bytes_in long, n_bytes_out long"
+    )
+
+    def _fake_resize(payload: bytes) -> bytes:
+        # Deterministic stand-in: fold the payload onto a width*height/64
+        # byte buffer so output size tracks the target geometry.
+        if strict:
+            raise NotImplementedError(
+                "image resize requires PIL/opencv, not present in this "
+                "environment; strict=False exercises the identical "
+                "Spark plumbing with a deterministic fake"
+            )
+        size = max(1, (width * height) // 64)
+        buf = bytearray(size)
+        for i, b in enumerate(payload or b""):
+            buf[i % size] = (buf[i % size] + b) % 256
+        return bytes(buf)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_fake_resize(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": width,
+                "height": height,
+                "resized": resized,
+                "n_bytes_in": [
+                    0 if p is None else len(p) for p in pdf[payload_col]
+                ],
+                "n_bytes_out": [len(r) for r in resized],
+            })
+
+    return df.mapInPandas(op, schema=out_schema)

@@ -4949,6 +4949,68 @@ FROM sums
 """
 
 
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram LM (add-one smoothing) — the classic cheap perplexity proxy
+    for quality filtering: templated/boilerplate docs score high,
+    lexically unusual docs score low. Reported for a bounded id slice;
+    the LM statistics come from the full corpus.
+
+    Determinism: probabilities derive from exact integer counts; the
+    per-doc mean divides a 6dp-rounded sum of 8dp-rounded token logprobs
+    by an exact count, so both engines round identical doubles. Scale
+    shape mirrors TF-IDF: explode → two hash aggs → broadcast dictionary
+    join → per-doc mean."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    totals = counts.agg(F.sum("tc").alias("total"),
+                        F.count(F.lit(1)).alias("vocab")).first()
+    total, vocab = int(totals["total"]), int(totals["vocab"])
+    lp = F.round(
+        F.log((F.col("tc").cast("double") + 1.0)
+              / (float(total) + float(vocab))), 8)
+    scored = (
+        terms.filter(F.col("doc_id") < 60)
+        .join(F.broadcast(counts.select("term", lp.alias("lp"))), "term")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"),
+             F.round(F.sum("lp"), 6).alias("sum_lp"))
+        .select("doc_id", F.col("n_toks").cast("long").alias("n_toks"),
+                F.round(F.col("sum_lp") / F.col("n_toks").cast("double"), 6)
+                .alias("mean_logprob"))
+    )
+
+
+_UNIGRAM_LP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+counts AS (SELECT term, count(*) AS tc FROM clean GROUP BY term),
+totals AS (SELECT sum(tc) AS total, count(*) AS vocab FROM counts),
+lp AS (
+  SELECT term,
+         round(ln((CAST(tc AS DOUBLE) + 1.0)
+                  / (CAST(totals.total AS DOUBLE)
+                     + CAST(totals.vocab AS DOUBLE))), 8) AS lp
+  FROM counts CROSS JOIN totals
+),
+scored AS (
+  SELECT clean.doc_id, lp.lp FROM clean JOIN lp USING (term)
+  WHERE clean.doc_id < 60
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       round(round(sum(lp), 6) / CAST(count(*) AS DOUBLE), 6) AS mean_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -5245,6 +5307,8 @@ CATALOG: dict[str, Query] = {
                                       tags=["agg", "stats"]),
     "price_quantity_stats": Query(price_quantity_stats, _CORR_ORACLE,
                                   tags=["agg", "stats"]),
+    "doc_unigram_logprob": Query(doc_unigram_logprob, _UNIGRAM_LP_ORACLE,
+                                 tags=["text", "stats", "pipeline"]),
 }
 
 

@@ -76,3 +76,28 @@ def test_media_repartition_by_bytes(spark):
     out = media_repartition(df, target_bytes=16)
     assert out.rdd.getNumPartitions() >= 2
     assert out.count() == df.count()
+
+
+def test_resize_images_schema_and_determinism(spark):
+    from pyspark_deduplication_spark.operators.multimodal import resize_images
+
+    out = resize_images(_media(spark).filter("kind = 'image'"),
+                        width=32, height=32)
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 5}
+    # geometry recorded; output size tracks target, independent of input
+    assert all(r.width == 32 and r.height == 32 for r in rows.values())
+    assert all(r.n_bytes_out == (32 * 32) // 64 for r in rows.values())
+    # identical payloads resize identically (deterministic kernel)
+    assert bytes(rows[1].resized) == bytes(rows[2].resized)
+    assert bytes(rows[1].resized) != bytes(rows[3].resized)
+    # null payload handled, not crashed
+    assert rows[5].n_bytes_in == 0
+
+
+def test_resize_images_strict_raises(spark):
+    from pyspark_deduplication_spark.operators.multimodal import resize_images
+
+    out = resize_images(_media(spark).limit(1), strict=True)
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        out.collect()
