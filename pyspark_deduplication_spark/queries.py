@@ -4967,15 +4967,17 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
     )
     counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
-    totals = counts.agg(F.sum("tc").alias("total"),
-                        F.count(F.lit(1)).alias("vocab")).first()
-    total, vocab = int(totals["total"]), int(totals["vocab"])
+    # (total, vocab) stays a 1-row DataFrame broadcast-cross-joined onto
+    # the dictionary — no driver-side action in the query path.
+    totals = counts.agg(F.sum("tc").cast("double").alias("total"),
+                        F.count(F.lit(1)).cast("double").alias("vocab"))
     lp = F.round(
         F.log((F.col("tc").cast("double") + 1.0)
-              / (float(total) + float(vocab))), 8)
+              / (F.col("total") + F.col("vocab"))), 8)
     scored = (
         terms.filter(F.col("doc_id") < 60)
-        .join(F.broadcast(counts.select("term", lp.alias("lp"))), "term")
+        .join(F.broadcast(counts.crossJoin(F.broadcast(totals))
+                          .select("term", lp.alias("lp"))), "term")
     )
     return (
         scored.groupBy("doc_id")
