@@ -4845,7 +4845,7 @@ def pivot_year_flag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PIVOT_ORACLE = """
+_PIVOT_YEAR_FLAG_ORACLE = """
 SELECT year(l_shipdate) AS ship_year,
        CAST(coalesce(sum(CASE WHEN l_returnflag = 'A'
              THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE)
@@ -5302,7 +5302,8 @@ CATALOG: dict[str, Query] = {
                                   tags=["sampling", "pipeline"]),
     "doc_tfidf_top_terms": Query(doc_tfidf_top_terms, _TFIDF_ORACLE,
                                  tags=["text", "stats"]),
-    "pivot_year_flag_revenue": Query(pivot_year_flag_revenue, _PIVOT_ORACLE,
+    "pivot_year_flag_revenue": Query(pivot_year_flag_revenue,
+                                     _PIVOT_YEAR_FLAG_ORACLE,
                                      tags=["agg"]),
     "lineitem_price_quantiles": Query(lineitem_price_quantiles,
                                       _QUANTILES_ORACLE,

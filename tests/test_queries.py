@@ -52,3 +52,25 @@ def test_entry_contract():
     assert set(os_) <= set(qs)
     assert len(qs) == len(CATALOG)
     assert all(callable(f) for f in qs.values())
+
+
+def test_no_oracle_constant_redefinition():
+    """A module-level `_*_ORACLE` name assigned twice silently clobbers
+    the earlier query's oracle (the CATALOG literal reads the final
+    value) — caught once in round 3 when a new pivot oracle reused
+    `_PIVOT_ORACLE`. Parse the module and forbid duplicate assignments."""
+    import ast
+    import collections
+    import inspect
+
+    import pyspark_deduplication_spark.queries as q
+
+    tree = ast.parse(inspect.getsource(q))
+    seen = collections.Counter()
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name) and t.id.endswith("_ORACLE"):
+                    seen[t.id] += 1
+    dups = {k: v for k, v in seen.items() if v > 1}
+    assert not dups, f"oracle constants defined more than once: {dups}"
