@@ -210,3 +210,48 @@ def write_zordered_parquet(
            else keyed.repartitionByRange(F.col("__z")))
     (out.sortWithinPartitions("__z").drop("__z")
      .write.mode(mode).parquet(path))
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    out_path: str | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a table directory into files sized
+    for ``target_bytes`` each. Streaming sinks and over-parallel writes
+    leave thousands of KB-sized files whose per-file open/footer cost
+    dominates scans at corpus scale; periodic compaction is standard
+    table maintenance (the hand-rolled form of OPTIMIZE in table
+    formats).
+
+    File count derives from the INPUT's on-disk bytes (compressed), read
+    from the filesystem — no data pass. The rewrite itself is one
+    shuffle-free coalesce when shrinking, or a round-robin repartition
+    when growing parallelism. Returns the file count written. In-place
+    compaction (``out_path=None``) writes alongside then atomically
+    replaces via rename — safe on HDFS/local, NOT on S3 (no atomic
+    rename); pass an explicit ``out_path`` there.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_bytes))
+
+    df = spark.read.format(fmt).load(path)
+    cur = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files) if n_files < cur else df.repartition(n_files)
+
+    dest = out_path or (path.rstrip("/") + "__compact_tmp")
+    out.write.format(fmt).mode("overwrite").save(dest)
+    if out_path is None:
+        shutil.rmtree(path)
+        os.rename(dest, path)
+    return n_files

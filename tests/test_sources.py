@@ -233,3 +233,31 @@ def test_orc_round_trip(spark, tmp_path, sf_dir):
     back = read_orc(spark, out, required_columns=["doc_id", "text"])
     assert back.count() == docs.count()
     assert set(back.columns) == set(docs.columns)
+
+
+def test_compact_small_files_reduces_file_count(spark, tmp_path):
+    from pyspark_deduplication_spark.sources.writers import compact_small_files
+
+    src = str(tmp_path / "frag")
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+    import glob
+    n_before = len(glob.glob(f"{src}/part-*"))
+    assert n_before == 64
+    n_target = compact_small_files(spark, src, target_bytes=10**9)
+    n_after = len(glob.glob(f"{src}/part-*"))
+    assert n_target == 1 and n_after == 1
+    # data intact after in-place swap
+    assert spark.read.parquet(src).count() == 10_000
+
+
+def test_compact_small_files_explicit_out_path(spark, tmp_path):
+    from pyspark_deduplication_spark.sources.writers import compact_small_files
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 1000).repartition(16).write.parquet(src)
+    compact_small_files(spark, src, out_path=dst, target_bytes=10**9)
+    assert spark.read.parquet(dst).count() == 1000
+    # source untouched when out_path given
+    import glob
+    assert len(glob.glob(f"{src}/part-*")) == 16
