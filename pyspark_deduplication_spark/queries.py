@@ -5013,6 +5013,81 @@ FROM scored GROUP BY doc_id
 """
 
 
+def doc_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication pressure per document: the fraction of a
+    doc's 8-token window positions whose window also occurs in ANOTHER
+    document (cf. Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — the substring-dedup signal, here at
+    window granularity). Documents scoring high are assembled from
+    text shared across the corpus even when no single whole-doc
+    near-duplicate exists — the case document-level MinHash misses.
+
+    Plan shape: grams are map-only per doc; the cross-doc frequency
+    aggregate shuffles (gram → doc count) once; duplicated grams
+    semi-join back onto the positional stream. At 100 TB the shuffle
+    key would be ``xxhash64(gram)`` (8 bytes, exactly like the MinHash
+    band keys) at ~2⁻⁶⁴ collision risk; the catalog spelling keeps the
+    raw gram so the DuckDB oracle verifies exactly."""
+    n = 8
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    grams = (
+        docs.select("doc_id", tokenize(F.col("text")).alias("__t"))
+        .select("doc_id",
+                F.posexplode(word_ngrams_all_of(F.col("__t"), n))
+                .alias("pos", "gram"))
+    )
+    dup_grams = (
+        grams.select("doc_id", "gram").distinct()
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2).select("gram")
+    )
+    marked = grams.join(dup_grams, "gram", "left_semi")
+    totals = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"))
+    dups = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows"))
+    return (
+        totals.join(dups, "doc_id", "left")
+        .select(
+            "doc_id", "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"))
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_windows").cast("double")
+                    / F.col("n_windows").cast("double"), 6))
+    )
+
+
+_DUP_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE trim(text) <> ''
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(t) - 7, 1) + 1),
+           i -> array_to_string(t[i:i+7], ' '))) AS gram
+  FROM toks
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+  ) WHERE df >= 2
+),
+totals AS (SELECT doc_id, count(*) AS n_windows FROM grams GROUP BY doc_id),
+dups AS (
+  SELECT doc_id, count(*) AS n_dup_windows
+  FROM grams WHERE gram IN (SELECT gram FROM dup)
+  GROUP BY doc_id
+)
+SELECT totals.doc_id,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       round(CAST(coalesce(n_dup_windows, 0) AS DOUBLE)
+             / CAST(n_windows AS DOUBLE), 6) AS dup_fraction
+FROM totals LEFT JOIN dups ON totals.doc_id = dups.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -5312,6 +5387,8 @@ CATALOG: dict[str, Query] = {
                                   tags=["agg", "stats"]),
     "doc_unigram_logprob": Query(doc_unigram_logprob, _UNIGRAM_LP_ORACLE,
                                  tags=["text", "stats", "pipeline"]),
+    "doc_dup_span_fraction": Query(doc_dup_span_fraction, _DUP_SPAN_ORACLE,
+                                   tags=["dedup", "text", "pipeline"]),
 }
 
 
