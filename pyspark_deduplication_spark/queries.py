@@ -5088,6 +5088,48 @@ FROM totals LEFT JOIN dups ON totals.doc_id = dups.doc_id
 """
 
 
+def daily_revenue_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue with a trailing-7-day RANGE-frame total — the
+    calendar-aware frame (``rangeBetween`` on day offsets) that a ROWS
+    frame gets wrong whenever days are missing from the data. The window
+    runs over the already-aggregated daily relation (|days| rows, not
+    |orders|), so the unpartitioned global window is a deliberate
+    single-task tail on a tiny input, not a scale hazard; the orders-
+    sized work is all in the partial-aggregated groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy("o_orderdate")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev"))
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("o_orderdate"),
+                                  F.lit("1992-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.withColumn("__trail", F.sum("__rev").over(w))
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            F.col("__rev").cast("double").alias("day_revenue"),
+            F.col("__trail").cast("double").alias("trailing_7d_revenue"),
+        )
+    )
+
+
+_TRAILING_WEEK_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(rev AS DOUBLE) AS day_revenue,
+       CAST(sum(rev) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                           AND CURRENT ROW) AS DOUBLE) AS trailing_7d_revenue
+FROM daily
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -5389,6 +5431,9 @@ CATALOG: dict[str, Query] = {
                                  tags=["text", "stats", "pipeline"]),
     "doc_dup_span_fraction": Query(doc_dup_span_fraction, _DUP_SPAN_ORACLE,
                                    tags=["dedup", "text", "pipeline"]),
+    "daily_revenue_trailing_week": Query(daily_revenue_trailing_week,
+                                         _TRAILING_WEEK_ORACLE,
+                                         tags=["window", "agg"]),
 }
 
 
