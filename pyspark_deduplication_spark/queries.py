@@ -5130,6 +5130,65 @@ FROM daily
 """
 
 
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report over orders: nulls, key uniqueness, value
+    ranges in ONE aggregation pass, plus customer-FK orphans as a
+    broadcast anti-join — Deequ-style constraint checking as a first-
+    class operator (``operators/quality.py``). Emitted long-form
+    (check, metric) for alerting sinks."""
+    from pyspark_deduplication_spark.operators.quality import (
+        check_constraints,
+        duplicate_key_count,
+        null_count,
+        orphan_count,
+        out_of_range_count,
+        violations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    metrics = check_constraints(orders, [
+        null_count("o_custkey"),
+        duplicate_key_count("o_orderkey"),
+        out_of_range_count("o_totalprice", lo=0),
+    ])
+    orphans = orphan_count(orders, "o_custkey", customer, "c_custkey")
+    return violations(metrics.crossJoin(orphans)).unionAll(
+        metrics.select(F.lit("n_rows").alias("check"),
+                       F.col("n_rows").alias("metric"))
+    )
+
+
+_DQ_ORDERS_ORACLE = """
+WITH m AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls_o_custkey,
+         count(*) - count(DISTINCT o_orderkey) AS dup_keys_o_orderkey,
+         sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+                  THEN 1 ELSE 0 END) AS out_of_range_o_totalprice
+  FROM orders
+),
+orph AS (
+  SELECT count(*) AS orphans_o_custkey
+  FROM orders
+  WHERE o_custkey IS NOT NULL
+    AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                          WHERE c_custkey IS NOT NULL)
+)
+SELECT 'nulls_o_custkey' AS "check",
+       CAST(nulls_o_custkey AS BIGINT) AS metric FROM m
+UNION ALL
+SELECT 'dup_keys_o_orderkey', CAST(dup_keys_o_orderkey AS BIGINT) FROM m
+UNION ALL
+SELECT 'out_of_range_o_totalprice',
+       CAST(out_of_range_o_totalprice AS BIGINT) FROM m
+UNION ALL
+SELECT 'orphans_o_custkey', CAST(orphans_o_custkey AS BIGINT) FROM orph
+UNION ALL
+SELECT 'n_rows', CAST(n_rows AS BIGINT) FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -5434,6 +5493,8 @@ CATALOG: dict[str, Query] = {
     "daily_revenue_trailing_week": Query(daily_revenue_trailing_week,
                                          _TRAILING_WEEK_ORACLE,
                                          tags=["window", "agg"]),
+    "dq_orders_report": Query(dq_orders_report, _DQ_ORDERS_ORACLE,
+                              tags=["quality", "pipeline"]),
 }
 
 
