@@ -5189,6 +5189,54 @@ SELECT 'n_rows', CAST(n_rows AS BIGINT) FROM m
 """
 
 
+def streaming_enrich_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join under the oracle gate: the event stream is
+    enriched with a static per-user tier dimension (historical event
+    counts bucketed heavy/mid/light at fixture-scaled thresholds — the lookup-table pattern), then
+    aggregated per tier. No watermark and no join state needed on a
+    stream-static join; the broadcast dim never shuffles the stream.
+    One in-order micro-batch ⇒ must equal the batch join the oracle
+    computes."""
+    from pyspark_deduplication_spark.streaming.ops import (
+        read_events_stream,
+        stream_static_enrich,
+    )
+
+    src = _events_stream_source(spark, sf_dir)
+    tiers = (
+        _events(spark, sf_dir).groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "user_id",
+            F.when(F.col("__n") >= 75, "heavy")
+            .when(F.col("__n") >= 60, "mid")
+            .otherwise("light").alias("tier"))
+    )
+    stream = read_events_stream(spark, src, max_files_per_trigger=100)
+    enriched = stream_static_enrich(stream, tiers, "user_id", how="inner")
+    agg = enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("__sv"))
+    _run_streaming_query(agg, "stream_tier_out", "complete")
+    return spark.table("stream_tier_out").select(
+        "tier", "n_events", F.col("__sv").cast("double").alias("sum_value"))
+
+
+_STREAM_TIER_ORACLE = """
+WITH hist AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+tiers AS (
+  SELECT user_id,
+         CASE WHEN n >= 75 THEN 'heavy'
+              WHEN n >= 60 THEN 'mid' ELSE 'light' END AS tier
+  FROM hist
+)
+SELECT tier, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN tiers USING (user_id)
+GROUP BY tier
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -5495,6 +5543,9 @@ CATALOG: dict[str, Query] = {
                                          tags=["window", "agg"]),
     "dq_orders_report": Query(dq_orders_report, _DQ_ORDERS_ORACLE,
                               tags=["quality", "pipeline"]),
+    "streaming_enrich_user_tier": Query(streaming_enrich_user_tier,
+                                        _STREAM_TIER_ORACLE,
+                                        tags=["streaming", "join"]),
 }
 
 

@@ -250,3 +250,22 @@ def streaming_corpus_ingest(
          .parquet(corpus_dir))
 
     return write_stream_foreach_batch(docs_stream, ingest, checkpoint_dir)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    static_dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich an unbounded stream with a bounded
+    dimension (the lookup-table pattern — user profiles, model scores,
+    allowlists). Unlike stream-stream joins this needs NO watermark and
+    keeps NO join state: each micro-batch joins against the static side
+    as-of that batch, and a broadcastable dim never shuffles the stream.
+    The static side is re-read per micro-batch from its source when it
+    is a file-backed table — refreshing the dim file rolls new lookup
+    data into the running query without a restart."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(static_dim), on, how)
