@@ -64,19 +64,61 @@ def brute_force_knn(
     )
 
 
+def _nearest_cell_expr(cents: list[tuple[int, list[float]]], vec_col: str):
+    """Argmax-cosine cell id as a pure per-row expression over centroid
+    literals — no join, no shuffle. Ties break toward the smaller cell id
+    (matches ``assign_cells``). For very large n_cells × dim the literal
+    expression tree would stress codegen; switch assignment to the
+    broadcast-join path (``assign_cells``) there."""
+    arr = F.array(*[
+        F.struct(
+            cosine_similarity(
+                F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+            ).alias("sim"),
+            F.lit(-int(cid)).alias("negid"),
+        )
+        for cid, c in cents
+    ])
+    return (-F.array_max(arr)["negid"]).cast("long")
+
+
 def train_centroids(
     vectors: DataFrame,
     n_cells: int = 16,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
+    n_iter: int = 4,
+    train_sample_mod: int = 1,
 ) -> DataFrame:
-    """Deterministic IVF 'centroids': one representative vector per cell,
-    chosen by hash of the vector id (a seeded reservoir stand-in for
-    k-means — deterministic, single pass, no iteration). Returns
-    (cell_id, centroid). Real k-means (pyspark.ml) slots in here without
-    touching the rest of the pipeline."""
+    """Spherical k-means centroids for IVF, Lloyd's algorithm.
+
+    Init is the deterministic hash-elected representative per cell (one
+    pass, no RNG) — ``n_iter=0`` reproduces the former stand-in. Each
+    Lloyd round is shaped for the 100 TB case:
+
+    1. **Assignment** is a per-row native expression over the centroid
+       literals (model state lives in the plan, like the LSH hyperplanes
+       below) — the corpus is scanned, never joined or shuffled.
+    2. **Update** pos-explodes assigned vectors and sums per (cell, pos)
+       with map-side partial aggregation — the shuffle moves at most
+       ``n_cells × dim`` scalar rows per map partition, independent of
+       corpus size.
+    3. The ``n_cells × dim`` aggregate collects to the driver to become
+       the next round's literals — this is model state (same as pulling
+       k-means coefficients out of pyspark.ml), not a data-path collect.
+
+    Per-position sums are rounded to 9 decimals before the mean so
+    float summation-order jitter across partitions cannot flip a later
+    assignment — centroids are bit-reproducible across runs. Empty cells
+    keep their previous centroid. ``train_sample_mod > 1`` trains on a
+    deterministic 1/mod hash-sample of the corpus (standard practice:
+    centroid quality needs ~O(100·k) samples, not 100 TB).
+
+    Returns (cell_id, centroid array<double>), always broadcastable.
+    """
+    spark = vectors.sparkSession
     w = Window.partitionBy("__cell").orderBy(F.col(vec_id))
-    return (
+    init = (
         vectors.select(
             F.col(vec_id),
             F.col(vec_col),
@@ -85,6 +127,48 @@ def train_centroids(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(F.col("__cell").alias("cell_id"), F.col(vec_col).alias("centroid"))
+    )
+    if n_iter <= 0:
+        return init
+
+    cents: dict[int, list[float]] = {
+        int(r["cell_id"]): [float(x) for x in r["centroid"]]
+        for r in init.collect()  # n_cells rows — model state, tiny
+    }
+    train = vectors.select(F.col(vec_id), F.col(vec_col))
+    if train_sample_mod > 1:
+        train = train.filter(
+            F.pmod(F.xxhash64(F.col(vec_id)), F.lit(train_sample_mod)) == 0
+        )
+    for _ in range(n_iter):
+        assigned = train.select(
+            _nearest_cell_expr(sorted(cents.items()), vec_col).alias("cell_id"),
+            F.col(vec_col),
+        )
+        sums = (
+            assigned.select(
+                "cell_id",
+                F.posexplode(F.col(vec_col).cast("array<double>"))
+                .alias("pos", "val"),
+            )
+            .groupBy("cell_id", "pos")
+            .agg(F.round(F.sum("val"), 9).alias("s"), F.count("*").alias("n"))
+            .collect()  # ≤ n_cells × dim scalar rows — model state
+        )
+        dim = len(next(iter(cents.values())))
+        new: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            cid = int(r["cell_id"])
+            new.setdefault(cid, [0.0] * dim)[int(r["pos"])] = float(r["s"])
+            counts[cid] = int(r["n"])
+        cents = {
+            cid: ([s / counts[cid] for s in new[cid]] if cid in new else c)
+            for cid, c in cents.items()
+        }
+    return spark.createDataFrame(
+        [(cid, c) for cid, c in sorted(cents.items())],
+        "cell_id long, centroid array<double>",
     )
 
 
@@ -121,12 +205,18 @@ def ivf_knn(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     query_col: str = "embedding",
+    n_iter: int = 4,
+    train_sample_mod: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose cell is among the
     query's ``n_probe`` nearest cells. Same output schema as
     ``brute_force_knn``; recall rises with n_probe (== n_cells ⇒ exact).
+    ``n_iter``/``train_sample_mod`` feed centroid training (k-means
+    rounds; ``n_iter=0`` = the single-pass hash-representative init).
     """
-    centroids = train_centroids(vectors, n_cells, vec_id, vec_col)
+    centroids = train_centroids(
+        vectors, n_cells, vec_id, vec_col, n_iter, train_sample_mod
+    )
     indexed = assign_cells(vectors, centroids, vec_col)  # + cell_id
 
     q = queries.select(

@@ -60,6 +60,54 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     assert {(r.query_id, r.neighbor_id) for r in exact} == truth
 
 
+def _ivf_recall(spark, rows, queries_rows, n_iter, n_cells=8, n_probe=2,
+                k=5):
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        queries_rows, "query_id long, embedding array<float>")
+    bf = brute_force_knn(emb, queries, k=k).collect()
+    approx = ivf_knn(emb, queries, k=k, n_cells=n_cells, n_probe=n_probe,
+                     n_iter=n_iter).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in bf}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    return len(truth & got) / len(truth)
+
+
+def test_kmeans_centroids_beat_hash_standin(spark):
+    """Lloyd-trained centroids must strictly beat the n_iter=0 hash
+    stand-in at the same n_probe on clustered data — the whole point of
+    real k-means (VERDICT r03 item 2)."""
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((8, 16)) * 5
+    rows, vid = [], 0
+    for c in range(8):
+        for _ in range(40):
+            v = centers[c] + rng.standard_normal(16) * 0.3
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    q_rows = [(int(r[0]), r[1]) for r in rows[::40]]  # one per true cluster
+    r_hash = _ivf_recall(spark, rows, q_rows, n_iter=0)
+    r_kmeans = _ivf_recall(spark, rows, q_rows, n_iter=4)
+    assert r_kmeans > r_hash, (r_kmeans, r_hash)
+    assert r_kmeans >= 0.9, r_kmeans
+
+
+def test_kmeans_centroids_deterministic(spark):
+    """Same input → bit-identical centroids (rounded partial sums kill
+    partition-order float jitter)."""
+    from pyspark_deduplication_spark.operators.knn import train_centroids
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, train_centroids(emb, n_cells=4, n_iter=3)
+                   .collect()))
+    b = sorted(map(tuple, train_centroids(
+        emb.repartition(13), n_cells=4, n_iter=3).collect()))
+    assert [(c, list(v)) for c, v in a] == [(c, list(v)) for c, v in b]
+
+
 def test_near_dup_pairs_canonical_and_thresholded(spark, sf_dir):
     emb = _load(spark, sf_dir)
     rows = embedding_near_dup_pairs(emb, threshold=0.3,
