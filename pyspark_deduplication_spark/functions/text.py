@@ -46,11 +46,18 @@ def tokenize(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count (LongType); empty/blank text counts 0."""
-    norm = normalize_text(col)
-    return F.when(F.length(norm) == 0, F.lit(0)).otherwise(
-        F.size(F.split(norm, r"\s+"))
-    ).cast("long")
+    """Whitespace token count (LongType); empty/blank text counts 0,
+    NULL text stays NULL.
+
+    Branchless on purpose: splitting empty normalized text yields [''],
+    which the array filter drops — so the 3-regex ``normalize_text``
+    chain appears exactly once in the expression tree. The former
+    ``when(length(norm)=0).otherwise(size(split(norm)))`` spelling
+    referenced it from both a condition and a branch, where codegen
+    subexpression elimination is not guaranteed, doubling regex work
+    per row (VERDICT r03, ``doc_token_stats`` watch item)."""
+    toks = F.split(normalize_text(col), r"\s+")
+    return F.size(F.filter(toks, lambda x: x != F.lit(""))).cast("long")
 
 
 # GPT-2-style pre-tokenization (Radford et al. 2019 released the original
