@@ -229,14 +229,30 @@ def compact_small_files(
     File count derives from the INPUT's on-disk bytes (compressed), read
     from the filesystem — no data pass. The rewrite itself is one
     shuffle-free coalesce when shrinking, or a round-robin repartition
-    when growing parallelism. Returns the file count written. In-place
-    compaction (``out_path=None``) writes alongside then atomically
-    replaces via rename — safe on HDFS/local, NOT on S3 (no atomic
-    rename); pass an explicit ``out_path`` there.
+    when growing parallelism. Returns the file count written.
+
+    **Local paths only.** The size scan and the in-place swap use the
+    local filesystem API; a remote URI (hdfs://, s3a://, ...) raises —
+    route through an explicit ``out_path`` job plus the store's own
+    rename/OPTIMIZE there. In-place compaction (``out_path=None``) swaps
+    via two renames: the live dir moves aside, the rewrite moves in,
+    then the old dir is deleted. The vulnerable window is the instant
+    between the two renames (crash there leaves ``path`` absent but both
+    ``path + '__compact_old'`` — complete — and the finished rewrite on
+    disk for manual recovery); this is table maintenance, not a
+    transactional commit.
     """
     import math
     import os
     import shutil
+    from urllib.parse import urlparse
+
+    for p in (path, out_path) if out_path else (path,):
+        scheme = urlparse(p).scheme
+        if scheme not in ("", "file"):
+            raise ValueError(
+                f"compact_small_files is local-filesystem-only, got {p!r}; "
+                "use an explicit out_path job + the store's rename there")
 
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -252,6 +268,10 @@ def compact_small_files(
     dest = out_path or (path.rstrip("/") + "__compact_tmp")
     out.write.format(fmt).mode("overwrite").save(dest)
     if out_path is None:
-        shutil.rmtree(path)
+        old = path.rstrip("/") + "__compact_old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
         os.rename(dest, path)
+        shutil.rmtree(old)
     return n_files

@@ -261,3 +261,27 @@ def test_compact_small_files_explicit_out_path(spark, tmp_path):
     # source untouched when out_path given
     import glob
     assert len(glob.glob(f"{src}/part-*")) == 16
+
+
+def test_compact_small_files_rejects_remote_uri(spark):
+    import pytest
+
+    from pyspark_deduplication_spark.sources.writers import compact_small_files
+
+    with pytest.raises(ValueError, match="local-filesystem-only"):
+        compact_small_files(spark, "hdfs://nn/warehouse/t")
+    with pytest.raises(ValueError, match="local-filesystem-only"):
+        compact_small_files(spark, "s3a://bucket/t")
+
+
+def test_compact_small_files_swap_leaves_no_residue(spark, tmp_path):
+    """In-place swap: live dir readable afterwards, no __compact_tmp or
+    __compact_old directories left behind."""
+    from pyspark_deduplication_spark.sources.writers import compact_small_files
+
+    src = str(tmp_path / "frag3")
+    spark.range(0, 500).repartition(8).write.parquet(src)
+    compact_small_files(spark, src, target_bytes=10**9)
+    assert spark.read.parquet(src).count() == 500
+    leftovers = [p.name for p in tmp_path.iterdir() if "compact" in p.name]
+    assert leftovers == []
