@@ -4898,7 +4898,15 @@ def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles only at the end, so both engines produce bit-identical
     results regardless of accumulation order. The built-in streaming
     ``corr``/``covar_samp`` are the scale path; this spelling is the
-    deterministic gate twin."""
+    deterministic gate twin.
+
+    Overflow bound (ADVICE r03): the power sums accumulate in
+    decimal(38,4) = 34 integer digits; non-ANSI Spark NULLs on overflow
+    where DuckDB widens silently. Per-row y² ≈ 1e10, so the sum stays
+    exact up to ~1e24 lineitem rows per flag — twelve orders of
+    magnitude past a 100 TB table (~6e11 rows). If a column ever
+    carries values beyond decimal(18,2), use the streaming
+    ``corr``/``covar_samp`` double path, not wider decimals."""
     li = _t(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")

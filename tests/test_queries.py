@@ -54,6 +54,22 @@ def test_entry_contract():
     assert all(callable(f) for f in qs.values())
 
 
+def test_readme_catalog_counts_match():
+    """The README's scoreboard line must track the real catalog — the
+    counts drifted twice (VERDICT r03 / ADVICE r03), so pin them."""
+    import pathlib
+    import re
+
+    readme = (pathlib.Path(__file__).parent.parent / "README.md").read_text()
+    m = re.search(r"the (\d+)-query catalog \((\d+) DuckDB-oracle-backed\)",
+                  readme)
+    assert m, "README scoreboard line not found"
+    n_oracle = sum(1 for q in CATALOG.values() if q.oracle)
+    assert (int(m.group(1)), int(m.group(2))) == (len(CATALOG), n_oracle), (
+        f"README says {m.group(1)}/{m.group(2)}, catalog is "
+        f"{len(CATALOG)}/{n_oracle}")
+
+
 def test_no_oracle_constant_redefinition():
     """A module-level `_*_ORACLE` name assigned twice silently clobbers
     the earlier query's oracle (the CATALOG literal reads the final
