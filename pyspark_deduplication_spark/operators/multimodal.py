@@ -3,13 +3,13 @@
 Training-data pipelines carry media as opaque ``binary`` columns plus
 typed metadata structs. This module makes the Spark-side plumbing real —
 schemas, Arrow batch shapes, ``mapInPandas`` operator signatures,
-partition sizing — while the actual codec work is stubbed: the container
-has no image/audio libraries, so ``decode_image``/``extract_audio_features``
-either raise ``NotImplementedError`` (strict mode) or produce a
-deterministic fake derived from the bytes (test mode). Swapping in a real
-decoder (PIL / torchaudio / ffmpeg) changes ONLY the inner function body;
-every schema, batch and partitioning decision is already exercised by
-tests.
+partition sizing — while codec work is feature-gated: ``decode_image``
+decodes for real when Pillow is importable (``pil_available()``) and
+raises ``NotImplementedError`` otherwise; ``strict=False`` operators use
+a deterministic fake derived from the bytes so the identical plumbing
+runs in codec-less containers. Resize / audio / video extraction remain
+stubs with the same swap-the-inner-function contract; every schema,
+batch and partitioning decision is exercised by tests either way.
 
 Scale notes: media rows are huge and skew-prone. ``mapInPandas`` keeps
 them in Arrow batches (no per-row pickling); ``media_repartition`` sizes
@@ -57,13 +57,51 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [a / 1_000_003 for a in acc]
 
 
-def decode_image(payload: bytes):  # pragma: no cover - strict stub
-    """Real decoder hook. The container ships no imaging libraries."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, not present in this "
-        "environment; use extract_image_features(strict=False) which "
-        "exercises the identical Spark plumbing with a deterministic fake"
+def pil_available() -> bool:
+    """True when Pillow is importable — the feature gate for the real
+    decode path (this container ships without it; prod images add it)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(payload: bytes) -> list[float]:
+    """Real decoder hook: Pillow-backed when available, else raises.
+
+    With Pillow the payload decodes to RGB and folds to the same
+    ``_FEATURE_DIM``-float shape as ``_fake_decode`` (per-channel
+    mean/std + normalized geometry), so the two paths are drop-in
+    interchangeable downstream. Without Pillow this raises
+    ``NotImplementedError`` — use ``extract_image_features(strict=False)``,
+    which exercises the identical Spark plumbing with the deterministic
+    fake."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - exercised sans Pillow
+        raise NotImplementedError(
+            "image decoding requires Pillow, not present in this "
+            "environment; use extract_image_features(strict=False) which "
+            "exercises the identical Spark plumbing with a deterministic "
+            "fake"
+        ) from exc
+
+    import io
+
+    import numpy as np
+
+    if payload is None:
+        return [0.0] * _FEATURE_DIM
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    arr = np.asarray(img, dtype=np.float64) / 255.0
+    feat = (
+        [float(arr[..., c].mean()) for c in range(3)]
+        + [float(arr[..., c].std()) for c in range(3)]
+        + [img.width / 4096.0, img.height / 4096.0]
     )
+    return feat[:_FEATURE_DIM]
 
 
 def extract_image_features(

@@ -13,6 +13,7 @@ from pyspark_deduplication_spark.operators.multimodal import (
     extract_image_features,
     media_exact_dedup,
     media_repartition,
+    pil_available,
     sample_video_frames,
 )
 
@@ -47,12 +48,42 @@ def test_feature_extraction_schema_and_determinism(spark):
     assert rows[1].feature == again[1].feature
 
 
+@pytest.mark.skipif(pil_available(),
+                    reason="Pillow installed: strict mode decodes for real")
 def test_strict_mode_raises_not_implemented(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"bytes")
     out = extract_image_features(_media(spark), strict=True)
     with pytest.raises(Exception):  # surfaces through the Spark task
         out.collect()
+
+
+def test_real_decode_path_when_pil_present(spark):
+    """With Pillow installed, strict mode decodes real images end-to-end
+    through the same mapInPandas plumbing (skips in codec-less
+    containers)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    def png(color, size=(4, 4)):
+        buf = io.BytesIO()
+        PIL_Image.new("RGB", size, color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", png((255, 0, 0)), ("image/png", 4, 4, None)),
+        (2, "image", png((255, 0, 0)), ("image/png", 4, 4, None)),
+        (3, "image", png((0, 0, 255), (8, 2)), ("image/png", 8, 2, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in
+           extract_image_features(df, strict=True).collect()}
+    assert got[1].feature == got[2].feature        # same pixels, same feature
+    assert got[1].feature != got[3].feature
+    assert got[1].feature[0] == pytest.approx(1.0)  # solid red: mean R = 1
+    assert got[3].feature[2] == pytest.approx(1.0)  # solid blue: mean B = 1
+    # direct decode agrees with the mapInPandas path
+    assert decode_image(rows[0][2]) == pytest.approx(list(got[1].feature))
 
 
 def test_media_exact_dedup_on_payload(spark):
