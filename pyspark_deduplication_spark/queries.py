@@ -5533,7 +5533,7 @@ CATALOG: dict[str, Query] = {
     "source_capped_corpus": Query(source_capped_corpus, _SOURCE_CAP_ORACLE,
                                   tags=["sampling", "pipeline"]),
     "doc_tfidf_top_terms": Query(doc_tfidf_top_terms, _TFIDF_ORACLE,
-                                 tags=["text", "stats"]),
+                                 bench=True, tags=["text", "stats"]),
     "pivot_year_flag_revenue": Query(pivot_year_flag_revenue,
                                      _PIVOT_YEAR_FLAG_ORACLE,
                                      tags=["agg"]),
@@ -5545,6 +5545,7 @@ CATALOG: dict[str, Query] = {
     "doc_unigram_logprob": Query(doc_unigram_logprob, _UNIGRAM_LP_ORACLE,
                                  tags=["text", "stats", "pipeline"]),
     "doc_dup_span_fraction": Query(doc_dup_span_fraction, _DUP_SPAN_ORACLE,
+                                   bench=True,
                                    tags=["dedup", "text", "pipeline"]),
     "daily_revenue_trailing_week": Query(daily_revenue_trailing_week,
                                          _TRAILING_WEEK_ORACLE,
