@@ -389,14 +389,25 @@ def train_pq_codebook(
     k_codes: int = 16,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
+    n_iter: int = 4,
+    train_sample_mod: int = 1,
 ) -> DataFrame:
-    """Deterministic PQ codebook: the vector space splits into
-    ``m_subspaces`` contiguous slices; each subspace gets ``k_codes``
-    codewords chosen as hash-elected representative subvectors (the same
-    seeded single-pass stand-in for k-means as ``train_centroids`` —
-    pyspark.ml KMeans per subspace slots in without touching encode or
-    search). Returns (subspace, code, codeword) — ``m_subspaces *
-    k_codes`` rows, always broadcastable.
+    """PQ codebook: the vector space splits into ``m_subspaces``
+    contiguous slices; each subspace gets ``k_codes`` codewords trained
+    by per-subspace L2 k-means (Lloyd), initialized from deterministic
+    hash-elected representative subvectors — ``n_iter=0`` reproduces the
+    single-pass stand-in. Returns (subspace, code, codeword) —
+    ``m_subspaces * k_codes`` rows, always broadcastable.
+
+    All subspaces train in ONE distributed pipeline per Lloyd round
+    (same 100 TB shape as ``train_centroids``): subvectors pos-explode
+    once; assignment is a per-row argmin-L2 over the codeword literals
+    selected by subspace (model state in the plan, no join); the update
+    shuffles only (subspace, code, pos) partial sums with map-side
+    combine — ≤ ``m·k·sub_dim`` scalar rows per map partition. Sums
+    round to 9 decimals so codebooks are bit-reproducible regardless of
+    partitioning; empty codes keep their previous codeword;
+    ``train_sample_mod`` caps training cost on huge corpora.
 
     PQ compresses each vector to ``m_subspaces`` small ints (8 bytes at
     8×16) instead of ``dim`` floats (256 bytes at dim=64) — the memory
@@ -405,6 +416,7 @@ def train_pq_codebook(
     """
     if dim % m_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    spark = vectors.sparkSession
     sub = dim // m_subspaces
     parts = []
     for m in range(m_subspaces):
@@ -421,10 +433,73 @@ def train_pq_codebook(
             .select(F.lit(m).alias("subspace"),
                     F.col("__code").alias("code"), "codeword")
         )
-    out = parts[0]
+    init = parts[0]
     for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        init = init.unionAll(p)
+    if n_iter <= 0:
+        return init
+
+    # {(subspace, code): codeword} — m·k rows of model state
+    book: dict[tuple[int, int], list[float]] = {
+        (int(r["subspace"]), int(r["code"])): [float(x) for x in r["codeword"]]
+        for r in init.collect()
+    }
+    train = vectors.select(F.col(vec_id), F.col(vec_col))
+    if train_sample_mod > 1:
+        train = train.filter(
+            F.pmod(F.xxhash64(F.col(vec_id)), F.lit(train_sample_mod)) == 0
+        )
+    rows = train.select(
+        F.posexplode(
+            F.array(*[
+                _subvec(vec_col, m, sub).cast("array<double>")
+                for m in range(m_subspaces)
+            ])
+        ).alias("subspace", "__sv")
+    )
+    for _ in range(n_iter):
+        # literal codeword table indexed by subspace, then argmin-L2
+        cw_lit = F.array(*[
+            F.array(*[
+                F.struct(
+                    F.lit(code).alias("code"),
+                    F.array(*[F.lit(float(x))
+                              for x in book[(m, code)]]).alias("cw"),
+                )
+                for code in sorted(c for s, c in book if s == m)
+            ])
+            for m in range(m_subspaces)
+        ])
+        cand = F.element_at(cw_lit, F.col("subspace") + 1)
+        d2 = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("__sv"), c["cw"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        best = F.array_min(
+            F.transform(cand, lambda c: F.struct(d2(c).alias("d"),
+                                                 c["code"].alias("code")))
+        )["code"]
+        sums = (
+            rows.select("subspace", best.alias("code"),
+                        F.posexplode(F.col("__sv")).alias("pos", "val"))
+            .groupBy("subspace", "code", "pos")
+            .agg(F.round(F.sum("val"), 9).alias("s"), F.count("*").alias("n"))
+            .collect()  # ≤ m·k·sub_dim scalar rows — model state
+        )
+        new: dict[tuple[int, int], list[float]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for r in sums:
+            key = (int(r["subspace"]), int(r["code"]))
+            new.setdefault(key, [0.0] * sub)[int(r["pos"])] = float(r["s"])
+            counts[key] = int(r["n"])
+        book = {
+            key: ([s / counts[key] for s in new[key]] if key in new else cw)
+            for key, cw in book.items()
+        }
+    return spark.createDataFrame(
+        [(m, c, w) for (m, c), w in sorted(book.items())],
+        "subspace int, code long, codeword array<double>",
+    )
 
 
 def pq_encode(

@@ -264,6 +264,50 @@ def test_pq_adc_is_exact_for_quantized_vectors(spark):
     assert [(n, round(s, 9)) for n, s in want] == got
 
 
+def test_pq_kmeans_codebook_beats_hash_standin(spark):
+    """Per-subspace Lloyd must strictly beat the n_iter=0 hash stand-in
+    on clustered data — same criterion as the IVF centroid test."""
+    from pyspark_deduplication_spark.operators.knn import (
+        brute_force_knn,
+        pq_encode,
+        pq_knn,
+        train_pq_codebook,
+    )
+
+    # PQ's design regime: cluster structure per SUBSPACE (k_codes
+    # centers per 4-dim slice), so good codewords quantize near-
+    # losslessly while arbitrary hash-elected subvectors do not.
+    # (Whole-vector clusters would collapse members onto identical
+    # codes and make ADC rank ties, not recall.)
+    rng = np.random.RandomState(5)
+    sub_centers = rng.standard_normal((4, 8, 4)) * 3.0
+    rows = []
+    for vid in range(200):
+        parts = [sub_centers[m, rng.randint(8)]
+                 + rng.standard_normal(4) * 0.2 for m in range(4)]
+        rows.append((vid, [float(x) for x in np.concatenate(parts)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(int(r[0]), r[1]) for r in rows[:8]],
+        "query_id long, embedding array<float>")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_knn(emb, q, k=8,
+                                      exclude_self=False).collect()}
+
+    def recall(n_iter):
+        cb = train_pq_codebook(emb, dim=16, m_subspaces=4, k_codes=8,
+                               n_iter=n_iter)
+        enc = pq_encode(emb, cb, dim=16, m_subspaces=4)
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in pq_knn(enc, q, cb, dim=16, k=8,
+                                  m_subspaces=4).collect()}
+        return len(approx & exact) / len(exact)
+
+    r_hash, r_kmeans = recall(0), recall(4)
+    assert r_kmeans > r_hash, (r_kmeans, r_hash)
+    assert r_kmeans >= 0.6, r_kmeans
+
+
 def test_pq_recall_against_brute_force_on_fixture(spark, sf_dir):
     from pyspark.sql import functions as F
 
