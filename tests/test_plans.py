@@ -313,6 +313,18 @@ def test_tfidf_df_join_is_broadcast_and_no_bnl(spark):
     assert not has_cartesian_or_bnl(q)
 
 
+def test_dup_span_semi_join_no_cartesian(spark):
+    """Span-level dup pressure: duplicated-gram filter semi-joins back
+    onto the gram stream — never a Cartesian/BNL; the final per-doc
+    totals/dups join is equi-keyed on doc_id."""
+    from pyspark_deduplication_spark.queries import doc_dup_span_fraction
+
+    q = doc_dup_span_fraction(spark, "/root/testdata/sf0.001")
+    plan = explain_str(q)
+    assert not has_cartesian_or_bnl(q)
+    assert "LeftSemi" in plan, plan
+
+
 def test_pivot_has_one_data_sized_exchange(spark):
     """Explicit pivot values avoid the value-discovery job; the plan is
     two aggregation passes with exactly two exchanges, of which only the
