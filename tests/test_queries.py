@@ -70,6 +70,20 @@ def test_readme_catalog_counts_match():
         f"{len(CATALOG)}/{n_oracle}")
 
 
+def test_dup_span_hashed_spelling_matches_exact(spark):
+    """The 100 TB spelling (xxhash64 gram keys) must produce identical
+    per-doc fractions to the oracle-verified raw-gram spelling."""
+    from pyspark_deduplication_spark.queries import doc_dup_span_fraction
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_fraction)
+             for r in doc_dup_span_fraction(spark, sf).collect()}
+    hashed = {r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_fraction)
+              for r in doc_dup_span_fraction(spark, sf,
+                                             hash_grams=True).collect()}
+    assert exact == hashed
+
+
 def test_no_oracle_constant_redefinition():
     """A module-level `_*_ORACLE` name assigned twice silently clobbers
     the earlier query's oracle (the CATALOG literal reads the final
