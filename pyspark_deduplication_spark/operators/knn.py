@@ -66,15 +66,24 @@ def brute_force_knn(
 
 def _nearest_cell_expr(cents: list[tuple[int, list[float]]], vec_col: str):
     """Argmax-cosine cell id as a pure per-row expression over centroid
-    literals — no join, no shuffle. Ties break toward the smaller cell id
-    (matches ``assign_cells``). For very large n_cells × dim the literal
+    literals — no join, no shuffle. Centroids are unit-normalized
+    driver-side, so argmax cosine reduces to argmax dot: ONE array pass
+    per cell instead of three (dot + both norms — the row norm is a
+    per-cell-constant factor and the centroid norm folds into the
+    literal). Ties break toward the smaller cell id (matches
+    ``assign_cells``). For very large n_cells × dim the literal
     expression tree would stress codegen; switch assignment to the
     broadcast-join path (``assign_cells``) there."""
+    import math
+
+    def unit(c: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in c))
+        return [x / n for x in c] if n > 0 else c
+
     arr = F.array(*[
         F.struct(
-            cosine_similarity(
-                F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
-            ).alias("sim"),
+            dot(F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in unit(c)])).alias("sim"),
             F.lit(-int(cid)).alias("negid"),
         )
         for cid, c in cents
