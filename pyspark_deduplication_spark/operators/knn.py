@@ -260,6 +260,58 @@ def ivf_knn(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 4,
+    n_assign: int = 1,
+    train_sample_mod: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, find
+    cosine-near-duplicate pairs WITHIN each learned cell, connect them
+    transitively, and keep the minimum id per component. Returns
+    (vec_id, component, keep) — ``keep`` marks each component's
+    representative; filtering ``keep`` yields the deduplicated corpus.
+
+    The learned cells bound the pair scan: O(Σ m_c²) over cell sizes
+    instead of O(n²) — the entire point of the method at 100 TB, where
+    whole-corpus pairing is impossible but per-cell blocks (~n/k rows)
+    pair locally after one broadcast-assign pass. Recall contract:
+    near-dup pairs split across cells are missed; ``n_assign > 1``
+    (multi-probe assignment) trades index size for cross-border recall,
+    exactly as in the paper's k-means-overlap variants.
+
+    Dedup semantics follow the engine's CC policy (transitive closure,
+    min-id representative — see ``linkage.connected_components``), so
+    results compose with ``embedding_cluster_dedup``'s reporting."""
+    from pyspark_deduplication_spark.operators.linkage import (
+        transitive_clusters,
+    )
+
+    cents = train_centroids(
+        vectors, n_cells, vec_id, vec_col, n_iter, train_sample_mod
+    )
+    indexed = assign_cells(vectors, cents, vec_col, n_assign)
+    pairs = embedding_near_dup_pairs(
+        indexed, threshold, vec_id, vec_col, block_col="cell_id"
+    )
+    # multi-assign can surface the same pair from two shared cells
+    edges = pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    clustered = transitive_clusters(
+        vectors.select(vec_id), edges, vec_id)
+    # min-label CC: the component label IS the minimum member id, so the
+    # representative test is a pure projection — no extra shuffle
+    return clustered.select(
+        F.col(vec_id),
+        F.col("component"),
+        (F.col(vec_id) == F.col("component")).alias("keep"),
+    )
+
+
 def hyperplane_lsh_buckets(
     vectors: DataFrame,
     dim: int,

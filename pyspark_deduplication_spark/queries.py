@@ -56,6 +56,7 @@ from pyspark_deduplication_spark.operators.knn import (
     brute_force_knn,
     embedding_near_dup_pairs,
     ivf_knn,
+    semantic_dedup,
 )
 from pyspark_deduplication_spark.operators.linkage import (
     blocked_similarity_join,
@@ -5252,6 +5253,113 @@ GROUP BY tier
 """
 
 
+def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle keys: every doc
+    gets an md5-derived sort key per epoch, so `ORDER BY shuffle_key_eN`
+    yields a reproducible, epoch-independent permutation of the corpus —
+    the standard way to get stable-but-different training order across
+    epochs without materializing a global row_number (the ORDER BY is a
+    range-partitioned distributed sort at 100 TB; a rank column would
+    force a single-partition window). Map-only — zero shuffle in THIS
+    query; the sort is the consumer's.
+
+    Determinism: md5 of `epoch:doc_id` is identical across engines and
+    append-stable (a new doc never perturbs other docs' keys — Spark's
+    seeded orderBy(rand) is neither)."""
+    docs = _t(spark, sf_dir, "documents")
+    key = lambda e: F.md5(  # noqa: E731
+        F.concat(F.lit(f"{e}:"), F.col("doc_id").cast("string")))
+    return docs.select(
+        "doc_id",
+        key(1).alias("shuffle_key_e1"),
+        key(2).alias("shuffle_key_e2"),
+    )
+
+
+_EPOCH_SHUFFLE_ORACLE = """
+SELECT doc_id,
+       md5('1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key_e1,
+       md5('2:' || CAST(doc_id AS VARCHAR)) AS shuffle_key_e2
+FROM documents
+"""
+
+
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning (the Pile / LLaMA data-mixing
+    step): given per-source target weights and a total token budget,
+    compute each source's token inventory, its target token count, and
+    the sampling rate that realizes it (capped at 1.0 — an undersized
+    source contributes everything it has; re-normalization of the
+    shortfall is the iterative outer loop, out of scope here).
+
+    Weights here are Zipfian over the source index (w ∝ 1/(idx+1),
+    normalized) — a deterministic literal-free spelling both engines
+    compute identically. Plan shape: one aggregation over documents
+    (token counts via the single-pass ``token_count`` kernel), then a
+    1-row broadcast cross join for the weight normalizer — the
+    established scalar-threshold pattern, no driver collect."""
+    budget = 100_000
+    docs = _t(spark, sf_dir, "documents")
+    per_source = (
+        docs.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).cast("long").alias("tokens"))
+        .withColumn(
+            "__idx",
+            F.substring(F.col("source"), 4, 10).cast("int"))
+        .withColumn("__w", F.lit(1.0) / (F.col("__idx") + 1))
+    )
+    norm = per_source.select(
+        F.round(F.sum("__w"), 9).alias("__wsum"))
+    return (
+        per_source.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "tokens",
+            F.round(F.col("__w") / F.col("__wsum"), 9).alias("weight"),
+            F.round(F.lit(budget) * F.col("__w") / F.col("__wsum"))
+            .cast("long").alias("target_tokens"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("target_tokens").cast("double")
+                    / F.col("tokens").cast("double")), 6))
+        .withColumn(
+            "planned_tokens",
+            F.least(F.col("tokens"), F.col("target_tokens")))
+    )
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: spherical-k-means cells →
+    within-cell cosine near-dup pairs → transitive components → min-id
+    representative per component (``keep``). Rows-only: Lloyd iterations
+    and iterative CC are not ANSI-SQL-expressible; determinism
+    (hash-elected init + 9dp-rounded update sums + min-label CC) and the
+    one-keep-per-component invariant are pinned in ``test_knn.py``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.3, n_cells=8)
+
+
+_MIXTURE_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(sum({_NTOK_SQL}) AS BIGINT) AS tokens,
+         1.0 / (CAST(substr(source, 4, 10) AS INT) + 1) AS w
+  FROM documents GROUP BY source
+),
+norm AS (SELECT round(sum(w), 9) AS wsum FROM per_source)
+SELECT source, tokens,
+       round(w / wsum, 9) AS weight,
+       CAST(round(100000 * w / wsum) AS BIGINT) AS target_tokens,
+       round(least(1.0, CAST(round(100000 * w / wsum) AS BIGINT) / CAST(tokens AS DOUBLE)), 6) AS sample_rate,
+       least(tokens, CAST(round(100000 * w / wsum) AS BIGINT)) AS planned_tokens
+FROM per_source CROSS JOIN norm
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -5561,6 +5669,13 @@ CATALOG: dict[str, Query] = {
         lambda spark, sf_dir: doc_dup_span_fraction(spark, sf_dir,
                                                     hash_grams=True),
         None, tags=["dedup", "text", "pipeline", "scale"]),
+    # round-4 additions — queue for the round-5 grade rotation
+    "epoch_shuffle_docs": Query(epoch_shuffle_docs, _EPOCH_SHUFFLE_ORACLE,
+                                tags=["sampling", "pipeline"]),
+    "corpus_mixture_plan": Query(corpus_mixture_plan, _MIXTURE_ORACLE,
+                                 tags=["sampling", "pipeline", "stats"]),
+    "semantic_dedup_embeddings": Query(semantic_dedup_embeddings, None,
+                                       tags=["vector", "dedup", "pipeline"]),
     "daily_revenue_trailing_week": Query(daily_revenue_trailing_week,
                                          _TRAILING_WEEK_ORACLE,
                                          tags=["window", "agg"]),

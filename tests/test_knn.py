@@ -264,6 +264,41 @@ def test_pq_adc_is_exact_for_quantized_vectors(spark):
     assert [(n, round(s, 9)) for n, s in want] == got
 
 
+def test_semantic_dedup_drops_within_cluster_near_dups(spark):
+    """SemDeDup: near-identical vectors land in the same learned cell
+    and collapse to one representative (min id); distinct vectors keep
+    themselves. Exactly one keep per component; row count preserved."""
+    from pyspark_deduplication_spark.operators.knn import semantic_dedup
+
+    rng = np.random.RandomState(13)
+    centers = rng.standard_normal((4, 12)) * 5
+    rows, vid = [], 0
+    dup_groups = []
+    for c in range(4):
+        for _ in range(10):
+            base = centers[c] + rng.standard_normal(12) * 0.5
+            group = [vid]
+            rows.append((vid, [float(x) for x in base])); vid += 1
+            # one almost-exact copy per base vector (cosine ~0.9999)
+            rows.append((vid, [float(x) for x in base * 1.001])); vid += 1
+            group.append(vid - 1)
+            dup_groups.append(tuple(group))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb, threshold=0.999, n_cells=4).collect()
+    assert len(out) == len(rows)
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        keeps = [r for r in members if r.keep]
+        assert len(keeps) == 1 and keeps[0].vec_id == comp == min(
+            r.vec_id for r in members)
+    # every scaled copy collapsed onto its base (same cell, cosine ≈ 1)
+    comp_of = {r.vec_id: r.component for r in out}
+    merged = sum(1 for a, b in dup_groups if comp_of[a] == comp_of[b])
+    assert merged >= int(0.9 * len(dup_groups)), merged
+
+
 def test_pq_kmeans_codebook_beats_hash_standin(spark):
     """Per-subspace Lloyd must strictly beat the n_iter=0 hash stand-in
     on clustered data — same criterion as the IVF centroid test."""
