@@ -260,6 +260,101 @@ def ivf_knn(
     )
 
 
+def semantic_dedup_edges(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 4,
+    n_assign: int = 1,
+    train_sample_mod: int = 1,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate edge set feeding ``semantic_dedup``'s transitive
+    closure — factored out so tests can pin its size (the m² guard).
+
+    Unguarded (``max_cell_size=None``): assign every vector to its
+    learned cell(s) and pair within cells — quadratic in the largest
+    cell, fine until a degenerate cell appears.
+
+    Guarded (the 100 TB path, mirrors ``minhash_candidate_pairs``'s
+    ``max_bucket_size``): near-duplicate-heavy corpora — exactly
+    SemDeDup's use case — produce mega-cells dominated by exact clones,
+    recreating the O(m²) blowup the cells were meant to prevent. Two
+    stages bound it:
+
+    1. **Exact-clone collapse.** Group rows by a 128-bit content key
+       over the embedding (two independent ``xxhash64`` passes —
+       collision odds ~n²/2¹²⁹, ignorable at any corpus size) and emit
+       STAR edges from each group's min id to its other members: m−1
+       edges instead of C(m,2), and a byte-identical vector is a
+       semantic duplicate by definition (cosine(v,v)=1 for any nonzero
+       v; all-zero clones are likewise collapsed — documented deviation
+       from the cosine≥t contract, which is undefined at ‖v‖=0). Only
+       one representative per distinct vector proceeds to clustering,
+       so clone mass also stops distorting the centroids.
+    2. **Cell chunk-split.** Distinct vectors that STILL exceed
+       ``max_cell_size`` in one cell (degenerate embedding space) are
+       hash-split into ⌈m/max⌉ chunks, bounding the within-block join
+       at ~m·max_cell_size pairs. Cross-chunk pairs inside such a cell
+       are missed — the same bounded-cost/marginal-recall trade as the
+       MinHash guard, mitigated by ``n_assign`` multi-probe redundancy.
+
+    Returns distinct (id_a, id_b) with id_a < id_b."""
+    if max_cell_size is None:
+        cents = train_centroids(
+            vectors, n_cells, vec_id, vec_col, n_iter, train_sample_mod
+        )
+        indexed = assign_cells(vectors, cents, vec_col, n_assign)
+        pairs = embedding_near_dup_pairs(
+            indexed, threshold, vec_id, vec_col, block_col="cell_id"
+        )
+        # multi-assign can surface the same pair from two shared cells
+        return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+
+    # -- stage 1: exact-clone collapse --------------------------------
+    keyed = vectors.select(F.col(vec_id), F.col(vec_col)).withColumn(
+        "__h1", F.xxhash64(F.col(vec_col))
+    ).withColumn("__h2", F.xxhash64(F.reverse(F.col(vec_col)), F.lit(1)))
+    wck = Window.partitionBy("__h1", "__h2")
+    with_rep = keyed.withColumn("__rep", F.min(F.col(vec_id)).over(wck))
+    star = with_rep.filter(F.col(vec_id) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col(vec_id).alias("id_b")
+    )
+    reps = with_rep.filter(F.col(vec_id) == F.col("__rep")).select(
+        F.col(vec_id), F.col(vec_col)
+    )
+
+    # -- stage 2: cluster the distinct vectors, chunk-split fat cells --
+    cents = train_centroids(
+        reps, n_cells, vec_id, vec_col, n_iter, train_sample_mod
+    )
+    indexed = assign_cells(reps, cents, vec_col, n_assign)
+    wcell = Window.partitionBy("cell_id")
+    chunked = (
+        indexed.withColumn("__csz", F.count(F.lit(1)).over(wcell))
+        .withColumn(
+            "__nchunks",
+            F.ceil(F.col("__csz") / F.lit(max_cell_size)).cast("long"),
+        )
+        .withColumn(
+            "__block",
+            F.xxhash64(
+                F.col("cell_id"),
+                F.pmod(F.xxhash64(F.col(vec_id)), F.col("__nchunks")),
+            ),
+        )
+    )
+    pairs = embedding_near_dup_pairs(
+        chunked, threshold, vec_id, vec_col, block_col="__block"
+    )
+    return (
+        star.unionByName(pairs.select("id_a", "id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -269,6 +364,7 @@ def semantic_dedup(
     n_iter: int = 4,
     n_assign: int = 1,
     train_sample_mod: int = 1,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, find
@@ -285,6 +381,12 @@ def semantic_dedup(
     (multi-probe assignment) trades index size for cross-border recall,
     exactly as in the paper's k-means-overlap variants.
 
+    ``max_cell_size`` is the mega-cell skew guard (see
+    ``semantic_dedup_edges``): exact clones collapse to star edges and
+    oversized cells of distinct vectors chunk-split, so no block ever
+    pairs more than ``max_cell_size`` rows. Clone-heavy corpora — the
+    method's target — need it at scale.
+
     Dedup semantics follow the engine's CC policy (transitive closure,
     min-id representative — see ``linkage.connected_components``), so
     results compose with ``embedding_cluster_dedup``'s reporting."""
@@ -292,15 +394,10 @@ def semantic_dedup(
         transitive_clusters,
     )
 
-    cents = train_centroids(
-        vectors, n_cells, vec_id, vec_col, n_iter, train_sample_mod
+    edges = semantic_dedup_edges(
+        vectors, threshold, n_cells, vec_id, vec_col,
+        n_iter, n_assign, train_sample_mod, max_cell_size,
     )
-    indexed = assign_cells(vectors, cents, vec_col, n_assign)
-    pairs = embedding_near_dup_pairs(
-        indexed, threshold, vec_id, vec_col, block_col="cell_id"
-    )
-    # multi-assign can surface the same pair from two shared cells
-    edges = pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
     clustered = transitive_clusters(
         vectors.select(vec_id), edges, vec_id)
     # min-label CC: the component label IS the minimum member id, so the

@@ -5338,9 +5338,14 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative per component (``keep``). Rows-only: Lloyd iterations
     and iterative CC are not ANSI-SQL-expressible; determinism
     (hash-elected init + 9dp-rounded update sums + min-label CC) and the
-    one-keep-per-component invariant are pinned in ``test_knn.py``."""
+    one-keep-per-component invariant are pinned in ``test_knn.py``.
+    ``max_cell_size`` arms the mega-cell skew guard (exact-clone star
+    collapse + chunk split) — inert at this SF, load-bearing at 100 TB
+    on clone-heavy corpora; bounds pinned in ``test_knn.py``'s
+    1k-planted-clones test."""
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.3, n_cells=8)
+    return semantic_dedup(emb, threshold=0.3, n_cells=8,
+                          max_cell_size=4096)
 
 
 _MIXTURE_ORACLE = f"""

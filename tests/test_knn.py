@@ -299,6 +299,60 @@ def test_semantic_dedup_drops_within_cluster_near_dups(spark):
     assert merged >= int(0.9 * len(dup_groups)), merged
 
 
+def test_semantic_dedup_cell_cap_bounds_edges_at_1k_clones(spark):
+    """The SemDeDup m²-suppression promise (VERDICT r04 item 2, same
+    shape as the MinHash 1k-clones skew test): 1,000 byte-identical
+    embeddings all land in one k-means cell and would alone produce
+    C(1000,2) = 499,500 within-cell pairs; with ``max_cell_size`` the
+    clone group collapses to 999 star edges, the pair join sees one
+    representative, and recall on genuine in-cell near-dup pairs stays
+    perfect."""
+    from pyspark_deduplication_spark.operators.knn import (
+        semantic_dedup,
+        semantic_dedup_edges,
+    )
+
+    rng = np.random.RandomState(7)
+    clone = [float(x) for x in rng.standard_normal(12)]
+    mega = [(1000 + i, clone) for i in range(1000)]
+    rows, planted = list(mega), []
+    vid = 0
+    for _ in range(5):  # genuine near-dup pairs, distinct vectors
+        base = rng.standard_normal(12) * 5
+        twin = base + rng.standard_normal(12) * 0.01
+        rows += [(vid, [float(x) for x in base]),
+                 (vid + 1, [float(x) for x in twin])]
+        planted.append((vid, vid + 1))
+        vid += 2
+    for _ in range(40):  # distinct background vectors
+        rows.append((vid, [float(x) for x in rng.standard_normal(12) * 5]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    edges = semantic_dedup_edges(emb, threshold=0.999, n_cells=4,
+                                 max_cell_size=50).collect()
+    ids = {(r.id_a, r.id_b) for r in edges}
+    # bounded: 999 star edges + a handful of genuine pairs — orders of
+    # magnitude under the 499,500-pair blowup
+    assert len(ids) < 1100, len(ids)
+    # the clone group survives INTACT (star edges, not dropped):
+    # every clone connects to the group minimum
+    assert {(1000, 1000 + i) for i in range(1, 1000)} <= ids
+    # recall 1.0 on the genuine near-dup pairs
+    assert set(planted) <= ids, set(planted) - ids
+
+    out = semantic_dedup(emb, threshold=0.999, n_cells=4,
+                         max_cell_size=50).collect()
+    assert len(out) == len(rows)
+    comp_of = {r.vec_id: r.component for r in out}
+    # all 1,000 clones in one component, exactly one keep
+    assert len({comp_of[1000 + i] for i in range(1000)}) == 1
+    keeps = [r for r in out if r.keep and r.vec_id >= 1000]
+    assert len(keeps) == 1 and keeps[0].vec_id == 1000
+    for a, b in planted:
+        assert comp_of[a] == comp_of[b]
+
+
 def test_pq_kmeans_codebook_beats_hash_standin(spark):
     """Per-subspace Lloyd must strictly beat the n_iter=0 hash stand-in
     on clustered data — same criterion as the IVF centroid test."""
