@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyspark_deduplication_spark.functions.text import tokenize
+from pyspark_deduplication_spark.functions.text import (
+    tokenize,
+    word_ngrams_all_of,
+)
 
 
 def chunk_documents(
@@ -102,6 +105,110 @@ def pack_sequences(
             (F.col("pack_offset") + F.col(len_col)) > F.lit(context_len))
         .drop("__start")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 50,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §4.2):
+    where ``doc_dup_span_fraction`` only *measures* span-level dup
+    pressure, this removes the duplicated spans and reassembles the
+    cleaned text — the step ExactSubstr deduplication actually performs.
+
+    Token-window semantics: a token position is COVERED when any
+    ``span``-token window containing it also occurs in at least one
+    OTHER document; covered tokens are removed from EVERY occurrence
+    (the released deduplicate-text-datasets tool likewise removes all
+    copies of a duplicated span, not all-but-one) and each document's
+    survivors re-join in order. Two documented deviations from the
+    suffix-array tool: granularity is the engine's whitespace token
+    stream, not bytes, and "duplicated" means cross-document
+    (df ≥ 2 over distinct docs, matching ``doc_dup_span_fraction``),
+    not within-document repeats. Documents shorter than ``span`` tokens
+    form one whole-doc window, so exact short clones erase each other.
+
+    Returns ``(id, n_tokens, n_kept, clean_text)`` — blank documents
+    pass through as (0, 0, ''). ``hash_grams=True`` is the 100 TB
+    spelling: the dup-frequency shuffle and the semi-join key on
+    ``xxhash64(gram)`` (8 bytes, ~2⁻⁶⁴ collision risk) instead of the
+    wide gram string.
+
+    Scale shape: grams and the token stream are map-only explodes; the
+    frequency aggregate shuffles (gram → distinct-doc count) once with
+    map-side partials; covered positions are (id, int) pairs; the
+    reassembly groupBy is the one shuffle that moves token text, keyed
+    by document — identical to ``strip_boilerplate_chunks``'s tail.
+    """
+    staged = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__t"))
+    )
+    gram_expr = word_ngrams_all_of(F.col("__t"), span)
+    if hash_grams:
+        gram_expr = F.transform(gram_expr, lambda g: F.xxhash64(g))
+    grams = staged.select(
+        id_col, F.posexplode(gram_expr).alias("pos", "gram")
+    )
+    dup_grams = (
+        grams.select(id_col, "gram").distinct()
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2).select("gram")
+    )
+    covered = (
+        grams.join(dup_grams, "gram", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(span - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tokens = staged.select(
+        id_col, F.posexplode(F.col("__t")).alias("tpos", "token")
+    )
+    kept = tokens.join(covered, [id_col, "tpos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("tpos"), F.col("token"))
+                    )
+                ),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+    )
+    cleaned = (
+        staged.select(id_col, F.size(F.col("__t")).cast("long")
+                      .alias("n_tokens"))
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+    blanks = (
+        df.filter(F.trim(F.col(text_col)) == "")
+        .select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_kept"),
+            F.lit("").alias("clean_text"),
+        )
+    )
+    return cleaned.unionByName(blanks)
 
 
 def strip_boilerplate_chunks(

@@ -5104,6 +5104,75 @@ FROM totals LEFT JOIN dups ON totals.doc_id = dups.doc_id
 """
 
 
+def remove_dup_spans_docs(
+    spark: SparkSession, sf_dir: str, hash_grams: bool = False
+) -> DataFrame:
+    """ExactSubstr duplicated-span removal over the documents table
+    (Lee et al. 2022 §4.2 — the *removal* step whose pressure metric is
+    ``doc_dup_span_fraction``): tokens covered by any 8-token window
+    occurring in another document are stripped from every occurrence
+    and the survivors reassemble in order. Reports
+    ``md5(clean_text)`` instead of the text itself so the graded
+    payload stays narrow while still pinning the reassembly
+    byte-for-byte. ``hash_grams=True`` is the 100 TB spelling (all
+    gram shuffles keyed on xxhash64 — rows-only twin
+    ``remove_dup_spans_docs_hashed``; equality with this exact
+    spelling pinned in ``test_queries.py``)."""
+    from pyspark_deduplication_spark.operators.chunking import (
+        remove_duplicate_spans,
+    )
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.trim(F.col("text")) != "")
+            .select("doc_id", "text"))
+    out = remove_duplicate_spans(docs, "text", "doc_id", span=8,
+                                 hash_grams=hash_grams)
+    return out.select(
+        "doc_id", "n_tokens", "n_kept",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+_REMOVE_DUP_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE trim(text) <> ''
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(t) - 7, 1) + 1)) - 1 AS pos,
+         unnest(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+                               i -> array_to_string(t[i:i+7], ' '))) AS gram
+  FROM toks
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+  ) WHERE df >= 2
+),
+covered AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id, unnest(range(pos, pos + 8)) AS tpos
+    FROM grams WHERE gram IN (SELECT gram FROM dup)
+  )
+),
+tokens AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) - 1 AS tpos, unnest(t) AS token
+  FROM toks
+),
+kept AS (SELECT tokens.* FROM tokens ANTI JOIN covered USING (doc_id, tpos)),
+reasm AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(token, ' ' ORDER BY tpos)) AS clean_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(clean_md5, md5('')) AS clean_md5
+FROM toks LEFT JOIN reasm USING (doc_id)
+"""
+
+
 def daily_revenue_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily order revenue with a trailing-7-day RANGE-frame total — the
     calendar-aware frame (``rangeBetween`` on day offsets) that a ROWS
@@ -5679,6 +5748,17 @@ CATALOG: dict[str, Query] = {
                                 tags=["sampling", "pipeline"]),
     "corpus_mixture_plan": Query(corpus_mixture_plan, _MIXTURE_ORACLE,
                                  tags=["sampling", "pipeline", "stats"]),
+    # round-5 additions
+    "remove_dup_spans_docs": Query(remove_dup_spans_docs,
+                                   _REMOVE_DUP_SPANS_ORACLE,
+                                   tags=["dedup", "text", "pipeline"]),
+    # the 100 TB spelling: xxhash64(gram) keys every gram shuffle
+    # (rows-only — equality with the raw spelling pinned in
+    # test_queries.py)
+    "remove_dup_spans_docs_hashed": Query(
+        lambda spark, sf_dir: remove_dup_spans_docs(spark, sf_dir,
+                                                    hash_grams=True),
+        None, tags=["dedup", "text", "pipeline", "scale"]),
     "semantic_dedup_embeddings": Query(semantic_dedup_embeddings, None,
                                        tags=["vector", "dedup", "pipeline"]),
     "daily_revenue_trailing_week": Query(daily_revenue_trailing_week,
@@ -5710,6 +5790,7 @@ _GRADED_ORDER = [
     # (a) oracle-backed entries never graded by the driver
     "epoch_shuffle_docs",          # epoch shuffle keys (r4, post-freeze)
     "corpus_mixture_plan",         # mixture planning (r4, post-freeze)
+    "remove_dup_spans_docs",       # ExactSubstr span removal (r5)
     # (b) proven-green canaries, every family + every r01-fail family
     "train_val_test_split_docs",   # deterministic md5 splits
     "source_capped_corpus",        # per-source row caps
@@ -5735,7 +5816,6 @@ _GRADED_ORDER = [
     "rollup_order_stats",          # ROLLUP (r01-fail)
     "lineitem_running_totals",     # running window (r01-fail)
     "customer_rfm_segments",       # RFM windows (r01-fail)
-    "yearly_revenue_growth",       # lag window (r01-fail)
     "profile_customer_columns",    # column profiling (r01-fail)
     "dedup_exact_parts",           # reference Task 1 (exact dedup)
     "dedup_full_row",              # full-row dedup

@@ -84,6 +84,61 @@ def test_dup_span_hashed_spelling_matches_exact(spark):
     assert exact == hashed
 
 
+def test_remove_dup_spans_hashed_spelling_matches_exact(spark):
+    """The 100 TB spelling (xxhash64 gram keys) must reassemble
+    byte-identical cleaned text to the oracle-verified raw-gram
+    spelling."""
+    from pyspark_deduplication_spark.queries import remove_dup_spans_docs
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.doc_id: (r.n_tokens, r.n_kept, r.clean_md5)
+             for r in remove_dup_spans_docs(spark, sf).collect()}
+    hashed = {r.doc_id: (r.n_tokens, r.n_kept, r.clean_md5)
+              for r in remove_dup_spans_docs(spark, sf,
+                                             hash_grams=True).collect()}
+    assert exact == hashed
+    # the corpus actually exercises removal (some doc loses tokens)
+    assert any(k < t for t, k, _ in exact.values())
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """ExactSubstr removal on a planted fixture: the shared span
+    disappears from BOTH docs (remove-every-occurrence semantics),
+    unique text survives in order, untouched docs round-trip."""
+    from pyspark_deduplication_spark.operators.chunking import (
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta"  # 4 tokens = one span window
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"five six seven {shared} eight"),
+            (3, "totally unrelated text with unique words only"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(docs, "text", "doc_id", span=4)
+           .collect()}
+    assert out[1].clean_text == "one two three four"
+    assert out[2].clean_text == "five six seven eight"
+    assert (out[1].n_tokens, out[1].n_kept) == (8, 4)
+    assert out[3].clean_text == "totally unrelated text with unique words only"
+    assert out[3].n_kept == out[3].n_tokens == 7
+    assert (out[4].n_tokens, out[4].n_kept, out[4].clean_text) == (0, 0, "")
+    # whole-doc window floor: two short clones erase each other
+    shorts = spark.createDataFrame(
+        [(1, "tiny clone"), (2, "tiny clone"), (3, "other words")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.clean_text for r in
+           remove_duplicate_spans(shorts, "text", "doc_id", span=4)
+           .collect()}
+    assert got[1] == got[2] == "" and got[3] == "other words"
+
+
 def test_no_oracle_constant_redefinition():
     """A module-level `_*_ORACLE` name assigned twice silently clobbers
     the earlier query's oracle (the CATALOG literal reads the final
