@@ -5173,6 +5173,64 @@ FROM toks LEFT JOIN reasm USING (doc_id)
 """
 
 
+def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training, round 0 (Sennrich et al. 2016 over
+    GPT-2 pre-tokenizer units): the top-20 most frequent adjacent
+    character pairs across the corpus's word table, weighted by word
+    frequency — the exact argmax relation ``train_bpe_merges`` collects
+    its first merge from. Pair counting is plain SQL, so the first
+    round is DuckDB-oracle-verified; the iterative loop is the
+    rows-only twin ``bpe_merges_docs`` with a pure-Python ground-truth
+    pytest. Total (count desc, left, right) order makes the LIMIT
+    deterministic."""
+    from pyspark_deduplication_spark.operators.bpe import (
+        bpe_pair_counts,
+        bpe_symbol_table,
+    )
+
+    words = bpe_symbol_table(_t(spark, sf_dir, "documents"), "text")
+    return (
+        bpe_pair_counts(words)
+        .orderBy(F.col("pair_count").desc(),
+                 F.col("sym_left").asc(), F.col("sym_right").asc())
+        .limit(20)
+    )
+
+
+_BPE_FIRST_MERGE_ORACLE = r"""
+WITH words AS (
+  SELECT word, count(*) AS wc FROM (
+    SELECT unnest(regexp_extract_all(text,
+        '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+'))
+      AS word
+    FROM documents
+  ) GROUP BY word
+),
+pairs AS (
+  SELECT wc,
+         unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, i, 1))) AS sym_left,
+         unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, i + 1, 1))) AS sym_right
+  FROM words WHERE length(word) >= 2
+)
+SELECT sym_left, sym_right, CAST(sum(wc) AS BIGINT) AS pair_count
+FROM pairs GROUP BY sym_left, sym_right
+ORDER BY pair_count DESC, sym_left ASC, sym_right ASC LIMIT 20
+"""
+
+
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 12 learned BPE merges over the documents corpus —
+    the iterative loop (rows-only: per-round argmax + fold-merge is
+    not single-statement SQL; round 0 is oracle-verified by
+    ``bpe_first_merge_pairs`` and the full loop matches a pure-Python
+    reference trainer in ``test_bpe.py``)."""
+    from pyspark_deduplication_spark.operators.bpe import train_bpe_merges
+
+    return train_bpe_merges(_t(spark, sf_dir, "documents"), "text", k=12)
+
+
 def daily_revenue_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily order revenue with a trailing-7-day RANGE-frame total — the
     calendar-aware frame (``rangeBetween`` on day offsets) that a ROWS
@@ -5752,6 +5810,13 @@ CATALOG: dict[str, Query] = {
     "remove_dup_spans_docs": Query(remove_dup_spans_docs,
                                    _REMOVE_DUP_SPANS_ORACLE,
                                    tags=["dedup", "text", "pipeline"]),
+    "bpe_first_merge_pairs": Query(bpe_first_merge_pairs,
+                                   _BPE_FIRST_MERGE_ORACLE,
+                                   tags=["text", "tokenizer", "agg"]),
+    # iterative BPE loop (rows-only — per-round argmax; ground truth
+    # pinned against a pure-Python trainer in test_bpe.py)
+    "bpe_merges_docs": Query(bpe_merges_docs, None,
+                             tags=["text", "tokenizer", "pipeline"]),
     # the 100 TB spelling: xxhash64(gram) keys every gram shuffle
     # (rows-only — equality with the raw spelling pinned in
     # test_queries.py)
@@ -5791,6 +5856,7 @@ _GRADED_ORDER = [
     "epoch_shuffle_docs",          # epoch shuffle keys (r4, post-freeze)
     "corpus_mixture_plan",         # mixture planning (r4, post-freeze)
     "remove_dup_spans_docs",       # ExactSubstr span removal (r5)
+    "bpe_first_merge_pairs",       # BPE training round 0 (r5)
     # (b) proven-green canaries, every family + every r01-fail family
     "train_val_test_split_docs",   # deterministic md5 splits
     "source_capped_corpus",        # per-source row caps
@@ -5818,7 +5884,6 @@ _GRADED_ORDER = [
     "customer_rfm_segments",       # RFM windows (r01-fail)
     "profile_customer_columns",    # column profiling (r01-fail)
     "dedup_exact_parts",           # reference Task 1 (exact dedup)
-    "dedup_full_row",              # full-row dedup
     "surrogate_ids_parts",         # surrogate ids
     "doc_fingerprint_dedup",       # content fingerprint dedup
     "duplicate_pressure_by_source",# dedup pipeline (r01-fail)
