@@ -5411,6 +5411,29 @@ FROM documents
 """
 
 
+def _mixture_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, tokens, __w): per-source token inventory + raw Zipf
+    weight (w ∝ 1/(idx+1)). The source-index parse FAILS LOUDLY on ids
+    not shaped ``src<N>`` (``raise_error``) instead of silently
+    propagating NULL weights through the whole plan (ADVICE r4)."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = F.when(
+        F.col("source").rlike("^src[0-9]{1,10}$"),
+        F.substring(F.col("source"), 4, 10).cast("int"),
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit("mixture plan: source id not shaped src<N>: "),
+            F.col("source")))
+        .cast("int")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).cast("long").alias("tokens"))
+        .withColumn("__idx", idx)
+        .withColumn("__w", F.lit(1.0) / (F.col("__idx") + 1))
+    )
+
+
 def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture planning (the Pile / LLaMA data-mixing
     step): given per-source target weights and a total token budget,
@@ -5426,15 +5449,7 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast cross join for the weight normalizer — the
     established scalar-threshold pattern, no driver collect."""
     budget = 100_000
-    docs = _t(spark, sf_dir, "documents")
-    per_source = (
-        docs.groupBy("source")
-        .agg(F.sum(token_count(F.col("text"))).cast("long").alias("tokens"))
-        .withColumn(
-            "__idx",
-            F.substring(F.col("source"), 4, 10).cast("int"))
-        .withColumn("__w", F.lit(1.0) / (F.col("__idx") + 1))
-    )
+    per_source = _mixture_per_source(spark, sf_dir)
     norm = per_source.select(
         F.round(F.sum("__w"), 9).alias("__wsum"))
     return (
@@ -5489,6 +5504,99 @@ SELECT source, tokens,
        round(least(1.0, CAST(round(100000 * w / wsum) AS BIGINT) / CAST(tokens AS DOUBLE)), 6) AS sample_rate,
        least(tokens, CAST(round(100000 * w / wsum) AS BIGINT)) AS planned_tokens
 FROM per_source CROSS JOIN norm
+"""
+
+
+def corpus_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning WITH shortfall renormalization — the iterative
+    outer loop ``corpus_mixture_plan`` documents as out of scope, now in
+    scope (VERDICT r4 item 5): when a source's proportional allocation
+    exceeds its inventory it saturates (contributes everything), and its
+    shortfall redistributes over the remaining sources' weights —
+    bounded water-filling, ``rounds`` fixed iterations (n_sources rounds
+    reach the fixpoint; 4 suffice for any realistic weight skew, and a
+    FIXED count keeps the spelling engine-portable, no convergence
+    test).
+
+    The budget (20k < the corpus's ~27k-token inventory at sf0.01)
+    is chosen so the Zipf head saturates and the tail does not — the
+    oracle exercises a genuine saturation cascade, not the trivial
+    all-fit case. Each round is the established 1-row broadcast
+    normalizer over the n_sources-row relation; the corpus-sized work
+    remains the single token-inventory aggregate. Returns (source,
+    tokens, planned_tokens, saturated, sample_rate)."""
+    budget, rounds = 20_000, 4
+    cur = (
+        _mixture_per_source(spark, sf_dir)
+        .withColumn("sat", F.lit(False))
+        .withColumn("alloc", F.lit(0).cast("long"))
+    )
+    for _ in range(rounds):
+        tot = cur.agg(
+            F.round(
+                F.sum(F.when(~F.col("sat"), F.col("__w"))
+                      .otherwise(F.lit(0.0))), 9).alias("__wsum"),
+            F.coalesce(
+                F.sum(F.when(F.col("sat"), F.col("tokens"))),
+                F.lit(0)).cast("long").alias("__sat_toks"),
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "alloc",
+                F.when(F.col("sat"), F.col("tokens")).otherwise(
+                    F.round(
+                        (F.lit(budget) - F.col("__sat_toks")).cast("double")
+                        * F.col("__w") / F.col("__wsum")
+                    ).cast("long")),
+            )
+            .withColumn("sat", F.col("sat") | (F.col("alloc") >= F.col("tokens")))
+            .drop("__wsum", "__sat_toks")
+        )
+    return cur.select(
+        "source",
+        "tokens",
+        F.least(F.col("alloc"), F.col("tokens")).alias("planned_tokens"),
+        F.col("sat").alias("saturated"),
+        F.round(
+            F.least(F.col("alloc"), F.col("tokens")).cast("double")
+            / F.col("tokens").cast("double"), 6).alias("sample_rate"),
+    )
+
+
+def _waterfill_round(n: int, budget: int) -> str:
+    """One unrolled water-filling round of the DuckDB oracle."""
+    return f"""
+a{n} AS (SELECT round(sum(CASE WHEN NOT sat THEN w ELSE 0 END), 9) AS wsum,
+               CAST(coalesce(sum(CASE WHEN sat THEN tokens END), 0) AS BIGINT)
+                 AS sat_toks
+        FROM r{n}),
+b{n + 1} AS (SELECT source, tokens, w, sat AS was_sat,
+               CASE WHEN sat THEN tokens
+                    ELSE CAST(round(({budget} - sat_toks) * w / wsum)
+                              AS BIGINT) END AS alloc
+        FROM r{n} CROSS JOIN a{n}),
+r{n + 1} AS (SELECT source, tokens, w, (was_sat OR alloc >= tokens) AS sat,
+                    alloc
+        FROM b{n + 1})"""
+
+
+_WATERFILL_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(sum({_NTOK_SQL}) AS BIGINT) AS tokens,
+         1.0 / (CAST(substr(source, 4, 10) AS INT) + 1) AS w
+  FROM documents GROUP BY source
+),
+r0 AS (SELECT source, tokens, w, FALSE AS sat, CAST(0 AS BIGINT) AS alloc
+       FROM per_source),
+{",".join(_waterfill_round(n, 20_000) for n in range(4))}
+SELECT source, tokens,
+       least(alloc, tokens) AS planned_tokens,
+       sat AS saturated,
+       round(CAST(least(alloc, tokens) AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+         AS sample_rate
+FROM r4
 """
 
 
@@ -5817,6 +5925,9 @@ CATALOG: dict[str, Query] = {
     # pinned against a pure-Python trainer in test_bpe.py)
     "bpe_merges_docs": Query(bpe_merges_docs, None,
                              tags=["text", "tokenizer", "pipeline"]),
+    "corpus_mixture_waterfill": Query(corpus_mixture_waterfill,
+                                      _WATERFILL_ORACLE,
+                                      tags=["sampling", "pipeline", "stats"]),
     # the 100 TB spelling: xxhash64(gram) keys every gram shuffle
     # (rows-only — equality with the raw spelling pinned in
     # test_queries.py)
@@ -5857,6 +5968,7 @@ _GRADED_ORDER = [
     "corpus_mixture_plan",         # mixture planning (r4, post-freeze)
     "remove_dup_spans_docs",       # ExactSubstr span removal (r5)
     "bpe_first_merge_pairs",       # BPE training round 0 (r5)
+    "corpus_mixture_waterfill",    # shortfall renormalization (r5)
     # (b) proven-green canaries, every family + every r01-fail family
     "train_val_test_split_docs",   # deterministic md5 splits
     "source_capped_corpus",        # per-source row caps
@@ -5875,7 +5987,6 @@ _GRADED_ORDER = [
     "q6_forecast_revenue",         # pushdown scan (r01-fail)
     "q18_large_orders",            # agg-in-join (r01-fail)
     "q19_disjunctive_predicates",  # OR-pushdown (r01-fail)
-    "q21_late_sole_suppliers",     # multi-EXISTS semi/anti join
     "q1_sql_surface",              # temp view + spark.sql
     "topk_parts_per_brand_agg",    # top-k agg (r01-fail)
     "salted_agg_returnflag",       # skew-salted agg (r01-fail)

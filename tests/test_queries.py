@@ -139,6 +139,49 @@ def test_remove_duplicate_spans_semantics(spark):
     assert got[1] == got[2] == "" and got[3] == "other words"
 
 
+def test_mixture_waterfill_saturation_cascade(spark):
+    """The 20k budget must produce a genuine cascade at sf0.01: the
+    Zipf head saturates (planned == inventory), the tail does not, and
+    the redistributed total respects the budget while exceeding the
+    naive single-pass plan's spend."""
+    from pyspark_deduplication_spark.queries import corpus_mixture_waterfill
+
+    rows = corpus_mixture_waterfill(spark, "/root/testdata/sf0.01").collect()
+    sat = [r for r in rows if r.saturated]
+    unsat = [r for r in rows if not r.saturated]
+    assert sat and unsat, (len(sat), len(unsat))
+    assert all(r.planned_tokens == r.tokens and r.sample_rate == 1.0
+               for r in sat)
+    assert all(r.planned_tokens < r.tokens for r in unsat)
+    total = sum(r.planned_tokens for r in rows)
+    # fixed-round rounding jitter stays within ±1 token per source
+    assert total <= 20_000 + len(rows)
+    # shortfall really redistributed: unsaturated sources got MORE than
+    # their naive global-weight share of the budget
+    wsum = sum(1.0 / (int(r.source[3:]) + 1) for r in rows)
+    for r in unsat:
+        naive = 20_000 * (1.0 / (int(r.source[3:]) + 1)) / wsum
+        assert r.planned_tokens > naive, (r.source, r.planned_tokens, naive)
+
+
+def test_mixture_plan_rejects_malformed_source_ids(spark, tmp_path):
+    """ADVICE r4: a source id not shaped src<N> must fail loudly, not
+    propagate NULL plan rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.queries import corpus_mixture_plan
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bad = src.withColumn(
+        "source",
+        F.when(F.col("doc_id") == 0, F.lit("common-crawl"))
+        .otherwise(F.col("source")))
+    bad.write.parquet(f"{tmp_path}/documents.parquet")
+    with pytest.raises(Exception, match="not shaped src<N>"):
+        corpus_mixture_plan(spark, str(tmp_path)).collect()
+
+
 def test_no_oracle_constant_redefinition():
     """A module-level `_*_ORACLE` name assigned twice silently clobbers
     the earlier query's oracle (the CATALOG literal reads the final
