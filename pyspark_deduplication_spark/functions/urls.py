@@ -1,0 +1,150 @@
+"""URL / domain canonicalization for crawl curation.
+
+Web-scale training corpora key dedup, per-site caps
+(``operators.sampling.cap_per_group``) and domain-level quality policies
+on URLs — which arrive in wildly inconsistent spellings. These kernels
+normalize them with pure native expressions (regex + string ops only, no
+UDFs, map-only at any scale), in the Java-regex ∩ RE2 dialect the
+engine's other cross-verified text kernels use, so every step is
+DuckDB-oracle-checkable.
+
+Canonicalization contract (documented, deterministic):
+
+1. scheme and host lowercase; trailing dots stripped from the host
+   (``example.com.`` is the DNS-root spelling of ``example.com``);
+2. default ports dropped (``:80`` for http, ``:443`` for https);
+   explicit non-default ports kept;
+3. trailing slashes stripped from the path (``/a/b/`` ≡ ``/a/b``,
+   root ``/`` ≡ empty);
+4. query parameters split on ``&``, empties dropped, sorted
+   byte-lexicographically, re-joined — param ORDER never distinguishes
+   resources; param VALUES do, so they are preserved verbatim;
+5. fragments dropped (client-side only);
+6. userinfo kept verbatim (rare in crawls; stripping it would merge
+   genuinely distinct fetch targets).
+
+URLs without an absolute ``scheme://`` prefix canonicalize to NULL —
+loud-by-construction for downstream counts.
+
+``registrable_domain`` extracts the owner-registered domain (the
+per-site cap key). A full Public Suffix List is a moving external
+dataset; this uses the structural rule (last two labels) plus the
+common two-part public suffixes (``co.uk``-style), covering the long
+tail of real crawls — documented approximation, NOT a PSL mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^\s*([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_RE = r"^\s*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+# Common two-part public suffixes (PSL subset; see module docstring).
+TWO_PART_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.in", "net.in", "org.in", "ac.in", "gov.in",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.za", "co.nz", "co.kr", "co.th", "co.id",
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def url_scheme(url: Column | str) -> Column:
+    """Lowercased scheme; '' when the URL is not absolute."""
+    return F.lower(F.regexp_extract(_c(url), _SCHEME_RE, 1))
+
+
+def url_authority(url: Column | str) -> Column:
+    """Raw authority (userinfo@host:port) between ``://`` and the first
+    ``/``, ``?`` or ``#``."""
+    return F.regexp_extract(_c(url), _AUTH_RE, 1)
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host with trailing (DNS-root) dots stripped."""
+    auth = url_authority(url)
+    host = F.regexp_extract(auth, r"^(?:[^@]*@)?([^:]*)", 1)
+    return F.regexp_replace(F.lower(host), r"[.]+$", "")
+
+
+def url_port(url: Column | str) -> Column:
+    """Explicit port string ('' when absent)."""
+    return F.regexp_extract(url_authority(url), r":([0-9]+)$", 1)
+
+
+def url_userinfo(url: Column | str) -> Column:
+    """userinfo ('' when absent)."""
+    return F.regexp_extract(url_authority(url), r"^([^@]*)@", 1)
+
+
+def url_path(url: Column | str) -> Column:
+    """Path component, verbatim (may be '')."""
+    return F.regexp_extract(_c(url), _PATH_RE, 1)
+
+
+def url_query(url: Column | str) -> Column:
+    """Query string after ``?`` and before ``#`` ('' when absent)."""
+    return F.regexp_extract(_c(url), _QUERY_RE, 1)
+
+
+def sorted_query(url: Column | str) -> Column:
+    """Query params sorted byte-lexicographically, empties dropped."""
+    parts = F.filter(
+        F.split(url_query(url), "&"), lambda p: p != F.lit("")
+    )
+    return F.array_join(F.array_sort(parts), "&")
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """The full canonical spelling (see module contract); NULL for
+    non-absolute input."""
+    u = _c(url)
+    scheme = url_scheme(u)
+    host = url_host(u)
+    port = url_port(u)
+    keep_port = F.when(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == ""),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    user = url_userinfo(u)
+    user_at = F.when(user == "", F.lit("")).otherwise(
+        F.concat(user, F.lit("@")))
+    path = F.regexp_replace(url_path(u), r"/+$", "")
+    q = sorted_query(u)
+    q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    return F.when(
+        scheme != "",
+        F.concat(scheme, F.lit("://"), user_at, host, keep_port,
+                 path, q_part),
+    )
+
+
+def registrable_domain(url_or_host: Column | str, is_host: bool = False) -> Column:
+    """Owner-registered domain: last two host labels, or three when the
+    last two form a known two-part public suffix. '' for hosts with
+    fewer labels than the rule needs."""
+    host = _c(url_or_host) if is_host else url_host(url_or_host)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    is_two_part = last2.isin(*TWO_PART_SUFFIXES)
+    return (
+        F.when(n < 2, F.lit(""))
+        .when(is_two_part & (n < 3), F.lit(""))
+        .when(is_two_part, last3)
+        .otherwise(last2)
+    )

@@ -5600,6 +5600,157 @@ FROM r4
 """
 
 
+def url_canonical_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain canonicalization for crawl curation
+    (``functions.urls``): scheme/host lowercasing, DNS-root-dot and
+    default-port stripping, trailing-slash removal, query-param
+    sorting, fragment dropping, and registrable-domain extraction —
+    the key-prep step before per-site caps (``cap_per_group``) and
+    URL-level dedup. Exercised on messy URLs synthesized
+    deterministically from the customer table (mixed case, default and
+    explicit ports, trailing slashes, shuffled params, fragments,
+    two-part public suffixes, one scheme-less spelling that must
+    canonicalize to NULL) — the fixture tables carry no URL column;
+    same synthesis precedent as the PII and pretokenizer queries.
+    Map-only native regex/string kernels — no UDF, no shuffle beyond
+    the scan."""
+    from pyspark_deduplication_spark.functions.urls import (
+        canonicalize_url,
+        registrable_domain,
+    )
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 150)
+    k = F.col("c_custkey")
+    s = lambda x: x.cast("string")  # noqa: E731
+    scheme = (
+        F.when(k % 3 == 0, F.lit("HTTP"))
+        .when(k % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("hTtPs"))
+    )
+    host = (
+        F.when(k % 4 == 0,
+               F.concat(F.lit("WWW.Shop"), s(k % 40), F.lit(".CO.UK.")))
+        .when(k % 4 == 1,
+              F.concat(F.lit("cdn.Shop"), s(k % 40), F.lit(".co.uk")))
+        .when(k % 4 == 2, F.concat(F.lit("Shop"), s(k % 40), F.lit(".COM")))
+        .otherwise(F.concat(F.lit("api.shop"), s(k % 40), F.lit(".com")))
+    )
+    port = (
+        F.when(k % 5 == 0, F.lit(":80"))
+        .when(k % 5 == 1, F.lit(":443"))
+        .when(k % 5 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = (
+        F.when(k % 3 == 0, F.concat(F.lit("/catalog/item"), s(k), F.lit("/")))
+        .when(k % 3 == 1, F.concat(F.lit("/catalog/item"), s(k)))
+        .otherwise(F.lit(""))
+    )
+    query = (
+        F.when(k % 4 == 0, F.concat(F.lit("?utm=x&b="), s(k % 7), F.lit("&a=1")))
+        .when(k % 4 == 1, F.concat(F.lit("?b="), s(k % 7), F.lit("&a=1&utm=x")))
+        .when(k % 4 == 2, F.lit("?"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(k % 2 == 0, F.lit("#top")).otherwise(F.lit(""))
+    url = F.when(
+        k % 50 == 0,
+        F.concat(F.lit("www.NoScheme"), s(k), F.lit(".com/path")),
+    ).otherwise(
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    )
+    return cust.select(
+        "c_custkey",
+        url.alias("url"),
+        canonicalize_url(url).alias("canonical_url"),
+        registrable_domain(url).alias("domain"),
+    )
+
+
+def _url_suffix_sql_list() -> str:
+    from pyspark_deduplication_spark.functions.urls import TWO_PART_SUFFIXES
+
+    return ", ".join(f"'{sfx}'" for sfx in TWO_PART_SUFFIXES)
+
+
+_URL_CANON_ORACLE = rf"""
+WITH synth AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 50 = 0 THEN
+      'www.NoScheme' || CAST(c_custkey AS VARCHAR) || '.com/path'
+    ELSE
+      (CASE c_custkey % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+            ELSE 'hTtPs' END)
+      || '://' ||
+      (CASE c_custkey % 4
+         WHEN 0 THEN 'WWW.Shop' || CAST(c_custkey % 40 AS VARCHAR) || '.CO.UK.'
+         WHEN 1 THEN 'cdn.Shop' || CAST(c_custkey % 40 AS VARCHAR) || '.co.uk'
+         WHEN 2 THEN 'Shop' || CAST(c_custkey % 40 AS VARCHAR) || '.COM'
+         ELSE 'api.shop' || CAST(c_custkey % 40 AS VARCHAR) || '.com' END)
+      || (CASE c_custkey % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+               WHEN 2 THEN ':8080' ELSE '' END)
+      || (CASE c_custkey % 3
+            WHEN 0 THEN '/catalog/item' || CAST(c_custkey AS VARCHAR) || '/'
+            WHEN 1 THEN '/catalog/item' || CAST(c_custkey AS VARCHAR)
+            ELSE '' END)
+      || (CASE c_custkey % 4
+            WHEN 0 THEN '?utm=x&b=' || CAST(c_custkey % 7 AS VARCHAR) || '&a=1'
+            WHEN 1 THEN '?b=' || CAST(c_custkey % 7 AS VARCHAR) || '&a=1&utm=x'
+            WHEN 2 THEN '?' ELSE '' END)
+      || (CASE WHEN c_custkey % 2 = 0 THEN '#top' ELSE '' END)
+    END AS url
+  FROM customer WHERE c_custkey <= 150
+),
+extracted AS (
+  SELECT c_custkey, url,
+    lower(regexp_extract(url, '^\s*([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    regexp_extract(url, '^\s*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+      AS auth,
+    regexp_extract(url, '://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+  FROM synth
+),
+parts AS (
+  SELECT c_custkey, url, scheme,
+    regexp_replace(lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)),
+                   '[.]+$', '') AS host,
+    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+    regexp_extract(auth, '^([^@]*)@', 1) AS userinfo,
+    regexp_replace(rawpath, '/+$', '') AS cpath,
+    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+                                          p -> p <> '')), '&') AS sq
+  FROM extracted
+),
+labeled AS (
+  SELECT *, string_split(host, '.') AS labels FROM parts
+),
+domained AS (
+  SELECT *,
+    CASE WHEN len(labels) < 2 THEN ''
+         WHEN array_to_string(labels[-2:], '.') IN ({{SUFFIXES}})
+              AND len(labels) < 3 THEN ''
+         WHEN array_to_string(labels[-2:], '.') IN ({{SUFFIXES}})
+              THEN array_to_string(labels[-3:], '.')
+         ELSE array_to_string(labels[-2:], '.') END AS domain
+  FROM labeled
+)
+SELECT c_custkey, url,
+  CASE WHEN scheme <> '' THEN
+    scheme || '://'
+    || (CASE WHEN userinfo <> '' THEN userinfo || '@' ELSE '' END)
+    || host
+    || (CASE WHEN (scheme = 'http' AND port = '80')
+               OR (scheme = 'https' AND port = '443')
+               OR port = '' THEN '' ELSE ':' || port END)
+    || cpath
+    || (CASE WHEN sq <> '' THEN '?' || sq ELSE '' END)
+  END AS canonical_url,
+  domain
+FROM domained
+""".replace("{SUFFIXES}", _url_suffix_sql_list())
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -5928,6 +6079,9 @@ CATALOG: dict[str, Query] = {
     "corpus_mixture_waterfill": Query(corpus_mixture_waterfill,
                                       _WATERFILL_ORACLE,
                                       tags=["sampling", "pipeline", "stats"]),
+    "url_canonical_customers": Query(url_canonical_customers,
+                                     _URL_CANON_ORACLE,
+                                     tags=["text", "crawl", "pipeline"]),
     # the 100 TB spelling: xxhash64(gram) keys every gram shuffle
     # (rows-only — equality with the raw spelling pinned in
     # test_queries.py)
@@ -5969,6 +6123,7 @@ _GRADED_ORDER = [
     "remove_dup_spans_docs",       # ExactSubstr span removal (r5)
     "bpe_first_merge_pairs",       # BPE training round 0 (r5)
     "corpus_mixture_waterfill",    # shortfall renormalization (r5)
+    "url_canonical_customers",     # URL/domain canonicalization (r5)
     # (b) proven-green canaries, every family + every r01-fail family
     "train_val_test_split_docs",   # deterministic md5 splits
     "source_capped_corpus",        # per-source row caps
@@ -5991,7 +6146,6 @@ _GRADED_ORDER = [
     "topk_parts_per_brand_agg",    # top-k agg (r01-fail)
     "salted_agg_returnflag",       # skew-salted agg (r01-fail)
     "rollup_order_stats",          # ROLLUP (r01-fail)
-    "lineitem_running_totals",     # running window (r01-fail)
     "customer_rfm_segments",       # RFM windows (r01-fail)
     "profile_customer_columns",    # column profiling (r01-fail)
     "dedup_exact_parts",           # reference Task 1 (exact dedup)
