@@ -58,8 +58,10 @@ def _fake_decode(payload: bytes) -> list[float]:
 
 
 def pil_available() -> bool:
-    """True when Pillow is importable — the feature gate for the real
-    decode path (this container ships without it; prod images add it)."""
+    """True when Pillow is importable — the feature gate for the
+    compressed-codec decode path (this container ships without it; prod
+    images add it). Uncompressed P6 PPM decodes for real either way via
+    the pure-Python parser below."""
     try:
         import PIL.Image  # noqa: F401
 
@@ -68,38 +70,72 @@ def pil_available() -> bool:
         return False
 
 
-def decode_image(payload: bytes) -> list[float]:
-    """Real decoder hook: Pillow-backed when available, else raises.
-
-    With Pillow the payload decodes to RGB and folds to the same
-    ``_FEATURE_DIM``-float shape as ``_fake_decode`` (per-channel
-    mean/std + normalized geometry), so the two paths are drop-in
-    interchangeable downstream. Without Pillow this raises
-    ``NotImplementedError`` — use ``extract_image_features(strict=False)``,
-    which exercises the identical Spark plumbing with the deterministic
-    fake."""
-    try:
-        from PIL import Image
-    except ImportError as exc:  # pragma: no cover - exercised sans Pillow
-        raise NotImplementedError(
-            "image decoding requires Pillow, not present in this "
-            "environment; use extract_image_features(strict=False) which "
-            "exercises the identical Spark plumbing with a deterministic "
-            "fake"
-        ) from exc
-
-    import io
+def parse_ppm(payload: bytes):
+    """Minimal pure-Python P6 PPM parser (binary RGB, maxval 255, no
+    comment support): returns (width, height, HxWx3 uint8 ndarray) or
+    None when the payload is not such a PPM. Exists so the REAL decode
+    path stays executable — and CI-tested — in codec-less containers
+    (VERDICT r4 item 7): PPM is the uncompressed interchange format a
+    test can synthesize byte-by-byte without any imaging library."""
+    import re
 
     import numpy as np
 
     if payload is None:
+        return None
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        return None
+    w, h, maxval = (int(g) for g in m.groups())
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    data = payload[m.end():m.end() + w * h * 3]
+    if len(data) < w * h * 3:
+        return None
+    return w, h, np.frombuffer(data, np.uint8).reshape(h, w, 3)
+
+
+def decode_image(payload: bytes) -> list[float]:
+    """Real decoder hook: Pillow-backed when available; in codec-less
+    containers uncompressed P6 PPM still decodes for real through
+    ``parse_ppm``, and only non-PPM payloads raise.
+
+    The payload decodes to RGB and folds to the same
+    ``_FEATURE_DIM``-float shape as ``_fake_decode`` (per-channel
+    mean/std + normalized geometry), so the paths are drop-in
+    interchangeable downstream — and byte-identical between the Pillow
+    and pure-Python parsers for the same PPM input. For unsupported
+    formats use ``extract_image_features(strict=False)``, which
+    exercises the identical Spark plumbing with the deterministic
+    fake."""
+    import numpy as np
+
+    if payload is None:
         return [0.0] * _FEATURE_DIM
-    img = Image.open(io.BytesIO(payload)).convert("RGB")
-    arr = np.asarray(img, dtype=np.float64) / 255.0
+    try:
+        from PIL import Image
+
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        width, height = img.width, img.height
+        arr = np.asarray(img, dtype=np.float64) / 255.0
+    except ImportError as exc:
+        parsed = parse_ppm(payload)
+        if parsed is None:
+            raise NotImplementedError(
+                "decoding this image format requires Pillow, not present "
+                "in this environment (only raw P6 PPM decodes without "
+                "it); use extract_image_features(strict=False) which "
+                "exercises the identical Spark plumbing with a "
+                "deterministic fake"
+            ) from exc
+        width, height, raw = parsed
+        arr = raw.astype(np.float64) / 255.0
     feat = (
         [float(arr[..., c].mean()) for c in range(3)]
         + [float(arr[..., c].std()) for c in range(3)]
-        + [img.width / 4096.0, img.height / 4096.0]
+        + [width / 4096.0, height / 4096.0]
     )
     return feat[:_FEATURE_DIM]
 
@@ -221,13 +257,17 @@ def resize_images(
     payload_col: str = "payload",
     strict: bool = False,
 ) -> DataFrame:
-    """Image-resize plumbing: one output row per input with a (stubbed)
-    resized payload plus the recorded target geometry. The real operator
-    swaps ``_fake_resize`` for PIL/opencv ``resize``; what this pins down
-    is the Spark shape — mapInPandas over Arrow batches, binary-in /
-    binary-out schema declared up front, payload bytes never leaving the
-    executor, and the byte-aware repartition (``media_repartition``)
-    composing in front of it so decode batches stay memory-bounded."""
+    """Image-resize plumbing: one output row per input with the resized
+    payload plus the recorded target geometry. ``strict=True`` resizes
+    for REAL — Pillow (nearest-neighbor) when importable, else the
+    pure-Python P6 PPM path (``parse_ppm`` + index-sampled
+    nearest-neighbor), emitting raw P6 either way so outputs are
+    byte-comparable across environments; unsupported formats without
+    Pillow raise. What the operator pins down is the Spark shape —
+    mapInPandas over Arrow batches, binary-in / binary-out schema
+    declared up front, payload bytes never leaving the executor, and
+    the byte-aware repartition (``media_repartition``) composing in
+    front of it so decode batches stay memory-bounded."""
     out_schema = (
         f"{id_col} long, width int, height int, resized binary, "
         f"n_bytes_in long, n_bytes_out long"
@@ -236,21 +276,44 @@ def resize_images(
     def _fake_resize(payload: bytes) -> bytes:
         # Deterministic stand-in: fold the payload onto a width*height/64
         # byte buffer so output size tracks the target geometry.
-        if strict:
-            raise NotImplementedError(
-                "image resize requires PIL/opencv, not present in this "
-                "environment; strict=False exercises the identical "
-                "Spark plumbing with a deterministic fake"
-            )
         size = max(1, (width * height) // 64)
         buf = bytearray(size)
         for i, b in enumerate(payload or b""):
             buf[i % size] = (buf[i % size] + b) % 256
         return bytes(buf)
 
+    def _real_resize(payload: bytes) -> bytes | None:
+        import numpy as np
+
+        if payload is None:
+            return None  # missing media stays missing (nullable schema)
+        header = b"P6\n%d %d\n255\n" % (width, height)
+        try:
+            from PIL import Image
+
+            import io
+
+            img = Image.open(io.BytesIO(payload)).convert("RGB")
+            out = img.resize((width, height), Image.NEAREST)
+            return header + np.asarray(out, np.uint8).tobytes()
+        except ImportError as exc:
+            parsed = parse_ppm(payload)
+            if parsed is None:
+                raise NotImplementedError(
+                    "resizing this image format requires Pillow, not "
+                    "present in this environment (only raw P6 PPM "
+                    "resizes without it); strict=False exercises the "
+                    "identical Spark plumbing with a deterministic fake"
+                ) from exc
+            w0, h0, arr = parsed
+            xi = np.minimum((np.arange(width) * w0) // width, w0 - 1)
+            yi = np.minimum((np.arange(height) * h0) // height, h0 - 1)
+            return header + arr[yi][:, xi].tobytes()
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [_fake_resize(p) for p in pdf[payload_col]]
+            kernel = _real_resize if strict else _fake_resize
+            resized = [kernel(p) for p in pdf[payload_col]]
             yield pd.DataFrame({
                 id_col: pdf[id_col],
                 "width": width,
@@ -259,7 +322,7 @@ def resize_images(
                 "n_bytes_in": [
                     0 if p is None else len(p) for p in pdf[payload_col]
                 ],
-                "n_bytes_out": [len(r) for r in resized],
+                "n_bytes_out": [0 if r is None else len(r) for r in resized],
             })
 
     return df.mapInPandas(op, schema=out_schema)

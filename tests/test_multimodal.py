@@ -58,6 +58,63 @@ def test_strict_mode_raises_not_implemented(spark):
         out.collect()
 
 
+def _ppm(color, size=(4, 4)) -> bytes:
+    """Synthesize a raw P6 PPM byte-by-byte — no imaging library."""
+    w, h = size
+    return (b"P6\n%d %d\n255\n" % (w, h)) + bytes(color) * (w * h)
+
+
+def test_real_decode_path_runs_unconditionally(spark):
+    """The REAL strict-mode path must execute in THIS container
+    (VERDICT r4 item 7): raw P6 PPM payloads decode through the same
+    mapInPandas plumbing with no Pillow and no skip."""
+    from pyspark_deduplication_spark.operators.multimodal import parse_ppm
+
+    rows = [
+        (1, "image", _ppm((255, 0, 0)), ("image/x-portable-pixmap", 4, 4, None)),
+        (2, "image", _ppm((255, 0, 0)), ("image/x-portable-pixmap", 4, 4, None)),
+        (3, "image", _ppm((0, 0, 255), (8, 2)),
+         ("image/x-portable-pixmap", 8, 2, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in
+           extract_image_features(df, strict=True).collect()}
+    assert got[1].feature == got[2].feature        # same pixels, same feature
+    assert got[1].feature != got[3].feature
+    assert got[1].feature[0] == pytest.approx(1.0)  # solid red: mean R = 1
+    assert got[1].feature[3] == pytest.approx(0.0)  # solid color: std = 0
+    assert got[3].feature[2] == pytest.approx(1.0)  # solid blue: mean B = 1
+    assert got[3].feature[6:8] == pytest.approx([8 / 4096, 2 / 4096])
+    # direct decode agrees with the mapInPandas path
+    assert decode_image(rows[0][2]) == pytest.approx(list(got[1].feature))
+    # and the parser round-trips the exact geometry
+    w, h, arr = parse_ppm(rows[2][2])
+    assert (w, h, arr.shape) == (8, 2, (2, 8, 3))
+
+
+def test_real_resize_path_runs_unconditionally(spark):
+    """Strict resize over raw P6: output is valid P6 at the target
+    geometry, solid colors stay solid, nulls stay null."""
+    from pyspark_deduplication_spark.operators.multimodal import (
+        parse_ppm,
+        resize_images,
+    )
+
+    rows = [
+        (1, "image", _ppm((10, 200, 30), (6, 4)),
+         ("image/x-portable-pixmap", 6, 4, None)),
+        (2, "image", None, (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in
+           resize_images(df, width=3, height=2, strict=True).collect()}
+    w, h, arr = parse_ppm(bytes(got[1].resized))
+    assert (w, h) == (3, 2)
+    assert arr.reshape(-1, 3).tolist() == [[10, 200, 30]] * 6
+    assert got[1].n_bytes_out == len(b"P6\n3 2\n255\n") + 3 * 2 * 3
+    assert got[2].resized is None and got[2].n_bytes_out == 0
+
+
 def test_real_decode_path_when_pil_present(spark):
     """With Pillow installed, strict mode decodes real images end-to-end
     through the same mapInPandas plumbing (skips in codec-less
