@@ -116,9 +116,11 @@ def train_centroids(
        the next round's literals — this is model state (same as pulling
        k-means coefficients out of pyspark.ml), not a data-path collect.
 
-    Per-position sums are rounded to 9 decimals before the mean so
-    float summation-order jitter across partitions cannot flip a later
-    assignment — centroids are bit-reproducible across runs. Empty cells
+    Per-position sums are rounded to 9 decimals before the mean, which
+    makes partition-order float jitter overwhelmingly unlikely to leak
+    into a centroid (a sum landing within ~1e-10 of a rounding boundary
+    could still round differently — rounding shrinks the exposure, it is
+    not a bit-reproducibility guarantee). Empty cells
     keep their previous centroid. ``train_sample_mod > 1`` trains on a
     deterministic 1/mod hash-sample of the corpus (standard practice:
     centroid quality needs ~O(100·k) samples, not 100 TB).
@@ -563,8 +565,10 @@ def train_pq_codebook(
     selected by subspace (model state in the plan, no join); the update
     shuffles only (subspace, code, pos) partial sums with map-side
     combine — ≤ ``m·k·sub_dim`` scalar rows per map partition. Sums
-    round to 9 decimals so codebooks are bit-reproducible regardless of
-    partitioning; empty codes keep their previous codeword;
+    round to 9 decimals, making partition-order jitter overwhelmingly
+    unlikely to flip a codeword (not a hard bit-reproducibility
+    guarantee — boundary-adjacent sums can still round apart); empty
+    codes keep their previous codeword;
     ``train_sample_mod`` caps training cost on huge corpora.
 
     PQ compresses each vector to ``m_subspaces`` small ints (8 bytes at

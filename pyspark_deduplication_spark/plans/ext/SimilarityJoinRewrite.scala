@@ -13,9 +13,12 @@
 // Recall contract (identical to blocked_similarity_join(prefix_key)):
 // pairs whose first `prefixLen` chars of lower(trim(arg)) differ are
 // never generated. OR-composed predicates (sim(a) >= t OR sim(b) >= t)
-// and non-inner joins are left untouched. Loading the extension is the
-// opt-in; spark.dedupspark.similarityRewrite.enabled=false disables at
-// runtime.
+// and non-inner joins are left untouched. The rewrite is doubly opt-in:
+// loading the extension jar, AND the UDF's name must appear EXACTLY
+// (case-insensitive) in spark.dedupspark.similarityRewrite.udfNames —
+// a name-substring match would silently drop cross-prefix pairs from
+// unrelated user UDFs that merely contain "similarity" (ADVICE r4).
+// spark.dedupspark.similarityRewrite.enabled=false disables at runtime.
 package dedupspark.extensions
 
 import org.apache.spark.sql.SparkSessionExtensions
@@ -37,6 +40,17 @@ class SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       .getConfString(SimilarityJoinRewrite.PREFIX_LEN_KEY, "4")
       .toInt
 
+  private def udfNames: Set[String] =
+    SQLConf.get
+      .getConfString(
+        SimilarityJoinRewrite.UDF_NAMES_KEY,
+        SimilarityJoinRewrite.DEFAULT_UDF_NAMES)
+      .split(",")
+      .iterator
+      .map(_.trim.toLowerCase)
+      .filter(_.nonEmpty)
+      .toSet
+
   private def blockKey(e: Expression): Expression =
     Substring(Lower(StringTrim(e)), Literal(1), Literal(prefixLen))
 
@@ -50,7 +64,7 @@ class SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     splitConjunctivePredicates(cond).iterator
       .map {
         case GreaterThanOrEqual(u: PythonUDF, _: Literal)
-            if u.name.toLowerCase.contains("similarity") &&
+            if udfNames.contains(u.name.toLowerCase) &&
               u.children.size == 2 =>
           val x = u.children(0)
           val y = u.children(1)
@@ -98,6 +112,9 @@ class SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 object SimilarityJoinRewrite {
   val ENABLED_KEY = "spark.dedupspark.similarityRewrite.enabled"
   val PREFIX_LEN_KEY = "spark.dedupspark.similarityRewrite.prefixLen"
+  val UDF_NAMES_KEY = "spark.dedupspark.similarityRewrite.udfNames"
+  // the engine's own post-blocking rescorer (functions/similarity.py)
+  val DEFAULT_UDF_NAMES = "ratcliff_similarity"
 }
 
 class SimilarityExtensions extends (SparkSessionExtensions => Unit) {

@@ -1,7 +1,9 @@
 """Catalyst optimizer extension bridge (SURVEY §4 optional polish).
 
 ``ext/SimilarityJoinRewrite.scala`` (compiled to
-``ext/similarity-rewrite.jar`` by ``tools/build_extension.sh``) injects
+``ext/similarity-rewrite.jar`` by ``tools/build_extension.sh`` — the
+jar is a BUILD ARTIFACT, gitignored, never committed: auditors read the
+Scala source and the test suite compiles it on demand) injects
 an optimizer rule that rewrites the reference's faithful UDF-theta
 similarity join — ``a.join(b, similarity(a.c, b.c) >= t)``, physically a
 Cartesian product (``/root/reference`` ``soulutionOne.py:53-57``) — into

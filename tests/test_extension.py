@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import subprocess
 import sys
+from pathlib import Path
 
 import pytest
 
@@ -20,6 +21,22 @@ from pyspark_deduplication_spark.plans.extension import (
     ENABLED_KEY,
     extension_available,
 )
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+
+def _ensure_jar() -> bool:
+    """Compile the extension on demand (the jar is a build artifact, not
+    a committed binary — ADVICE r4): reviewers can always audit that the
+    loaded bytecode came from SimilarityJoinRewrite.scala because the
+    suite itself builds it from that source."""
+    if extension_available():
+        return True
+    proc = subprocess.run(
+        ["sh", str(REPO_ROOT / "tools" / "build_extension.sh")],
+        capture_output=True, text=True, timeout=600,
+    )
+    return proc.returncode == 0 and extension_available()
 
 _SCRIPT = r"""
 import json, sys
@@ -59,6 +76,26 @@ spark.conf.set(ENABLED_KEY, "false")
 off = faithful()
 plan_off = off._jdf.queryExecution().executedPlan().toString()
 pairs_off = sorted((r.ia, r.ib) for r in off.collect())
+spark.conf.set(ENABLED_KEY, "true")
+
+# an unrelated user UDF whose name merely CONTAINS "similarity" must NOT
+# be rewritten (exact-allowlist contract, ADVICE r4): its plan keeps the
+# faithful cartesian and finds the cross-prefix pair
+import pandas as pd
+from pyspark.sql import types as T
+
+@F.pandas_udf(T.DoubleType())
+def my_similarity_metric(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([100.0 if (x or "")[-3:] == (y or "")[-3:] else 0.0
+                      for x, y in zip(a, b)])
+
+a2, b2 = df.alias("a"), df.alias("b")
+user = a2.join(b2, (F.col("a.id") < F.col("b.id"))
+               & (my_similarity_metric(F.col("a.name"),
+                                       F.col("b.name")) >= 80.0)) \
+          .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+plan_user = user._jdf.queryExecution().executedPlan().toString()
+pairs_user = sorted((r.ia, r.ib) for r in user.collect())
 
 print(json.dumps({
     "blocked": any(s in plan for s in
@@ -70,17 +107,20 @@ print(json.dumps({
     "cartesian_off": ("CartesianProduct" in plan_off
                       or "BroadcastNestedLoopJoin" in plan_off),
     "pairs_off": pairs_off,
+    "user_udf_untouched": ("CartesianProduct" in plan_user
+                           or "BroadcastNestedLoopJoin" in plan_user),
+    "pairs_user": pairs_user,
 }))
 spark.stop()
 """
 
 
-@pytest.mark.skipif(not extension_available(),
-                    reason="run tools/build_extension.sh first")
 def test_similarity_rewrite_extension():
+    if not _ensure_jar():
+        pytest.skip("extension jar could not be built in this environment")
     proc = subprocess.run(
         [sys.executable, "-c", _SCRIPT], capture_output=True, text=True,
-        cwd=".", timeout=300,
+        cwd=str(REPO_ROOT), timeout=300,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -98,3 +138,10 @@ def test_similarity_rewrite_extension():
     # also finds the cross-prefix pair
     assert result["cartesian_off"], result
     assert result["pairs_off"] == [[1, 2], [3, 4], [5, 6]], result
+
+    # a user UDF merely CONTAINING "similarity" is NOT rewritten: no
+    # silent cross-prefix loss for names outside the exact allowlist
+    assert result["user_udf_untouched"], result
+    # last-3-chars metric: smith/smyth differ, (5,6) xavier/zavier match,
+    # jones/jonez differ — and crucially nothing was prefix-filtered
+    assert result["pairs_user"] == [[1, 5], [1, 6], [5, 6]], result

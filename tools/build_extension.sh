@@ -15,7 +15,13 @@ trap 'rm -rf "$BUILD"' EXIT
 
 CP="$(find "$JARS" -name '*.jar' | paste -sd: -)"
 
-java -cp "$JARS/scala-compiler-2.13.17.jar:$JARS/scala-library-2.13.17.jar:$JARS/scala-reflect-2.13.17.jar" \
+# glob the scala toolchain jars so any PySpark/Scala patch version works
+SCALAC_CP="$(find "$JARS" \( -name 'scala-compiler-*.jar' \
+  -o -name 'scala-library-*.jar' -o -name 'scala-reflect-*.jar' \) \
+  | paste -sd: -)"
+[ -n "$SCALAC_CP" ] || { echo "no scala compiler jars under $JARS" >&2; exit 1; }
+
+java -cp "$SCALAC_CP" \
   scala.tools.nsc.Main \
   -classpath "$CP" \
   -d "$BUILD" "$EXT/SimilarityJoinRewrite.scala"
