@@ -10,11 +10,23 @@
 // equi-join on a cheap prefix key with the original UDF threshold still
 // verifying every surviving pair.
 //
-// Recall contract (identical to blocked_similarity_join(prefix_key)):
-// pairs whose first `prefixLen` chars of lower(trim(arg)) differ are
-// never generated. OR-composed predicates (sim(a) >= t OR sim(b) >= t)
-// and non-inner joins are left untouched. The rewrite is doubly opt-in:
-// loading the extension jar, AND the UDF's name must appear EXACTLY
+// Blocking modes (spark.dedupspark.similarityRewrite.keyMode):
+//   sortedTokens (default) — keys are the first TWO tokens of
+//     sort_array(split(lower(trim(arg)), "\s+")). The join becomes a
+//     UNION of two equi-joins: branch 1 matches on token-key 1; branch
+//     2 matches on token-key 2 AND NOT key-1-equal, so the branches are
+//     disjoint and the union adds no duplicate pairs (exact-cardinality
+//     OR-to-union decomposition; both branches reuse the same child
+//     plans, so the exchanges dedupe via ReusedExchange). Word
+//     reorderings and first-word typos block together — the documented
+//     cross-prefix recall loss of `prefix` mode shrinks to pairs that
+//     disagree on BOTH smallest sorted tokens (e.g. single-token typo
+//     strings).
+//   prefix — the round-4 single key: first `prefixLen` chars of
+//     lower(trim(arg)); pairs whose prefixes differ are never generated.
+// OR-composed predicates (sim(a) >= t OR sim(b) >= t) and non-inner
+// joins are left untouched. The rewrite is doubly opt-in: loading the
+// extension jar, AND the UDF's name must appear EXACTLY
 // (case-insensitive) in spark.dedupspark.similarityRewrite.udfNames —
 // a name-substring match would silently drop cross-prefix pairs from
 // unrelated user UDFs that merely contain "similarity" (ADVICE r4).
@@ -51,8 +63,26 @@ class SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       .filter(_.nonEmpty)
       .toSet
 
-  private def blockKey(e: Expression): Expression =
-    Substring(Lower(StringTrim(e)), Literal(1), Literal(prefixLen))
+  private def keyMode: String =
+    SQLConf.get
+      .getConfString(SimilarityJoinRewrite.KEY_MODE_KEY, "sortedTokens")
+
+  /** Blocking keys for one side. `prefix`: one substring key.
+   *  `sortedTokens`: the two smallest whitespace tokens (null-safe —
+   *  GetArrayItem(failOnError = false) yields null past the end, and a
+   *  null key simply matches nothing, which is also what the UDF
+   *  threshold would decide for such rows). */
+  private def blockKeys(e: Expression): Seq[Expression] = keyMode match {
+    case "prefix" =>
+      Seq(Substring(Lower(StringTrim(e)), Literal(1), Literal(prefixLen)))
+    case _ =>
+      val toks = SortArray(
+        StringSplit(Lower(StringTrim(e)), Literal("\\s+"), Literal(-1)),
+        Literal(true))
+      Seq(
+        GetArrayItem(toks, Literal(0), failOnError = false),
+        GetArrayItem(toks, Literal(1), failOnError = false))
+  }
 
   /** First conjunct shaped `similarity_udf(x, y) >= lit` whose two
    *  argument expressions resolve cleanly to opposite join sides,
@@ -80,15 +110,31 @@ class SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def withBlock(
       j: Join,
       x: Expression,
-      y: Expression): Option[Join] = {
-    val eq = EqualTo(blockKey(x), blockKey(y))
-    val present =
-      j.condition.exists(c => splitConjunctivePredicates(c).contains(eq))
-    if (present) None
-    else {
-      val cond = j.condition.map(And(eq, _)).getOrElse(eq)
-      Some(j.copy(joinType = Inner, condition = Some(cond)))
+      y: Expression): Option[LogicalPlan] = {
+    val eqs = blockKeys(x).zip(blockKeys(y)).map {
+      case (a, b) => EqualTo(a, b)
     }
+    val conjuncts =
+      j.condition.toSeq.flatMap(splitConjunctivePredicates)
+    // idempotence under the optimizer's fix-point: a branch we already
+    // built carries its block-key conjunct
+    if (eqs.exists(conjuncts.contains)) None
+    else
+      eqs match {
+        case Seq(eq) =>
+          val cond = j.condition.map(And(eq, _)).getOrElse(eq)
+          Some(j.copy(joinType = Inner, condition = Some(cond)))
+        case Seq(eq1, eq2) =>
+          // disjoint union: branch 2 takes only pairs branch 1 missed,
+          // so cardinality is exactly the any-key-overlap pair set
+          val c1 = j.condition.map(And(eq1, _)).getOrElse(eq1)
+          val b2 = And(eq2, Not(eq1))
+          val c2 = j.condition.map(And(b2, _)).getOrElse(b2)
+          Some(Union(Seq(
+            j.copy(joinType = Inner, condition = Some(c1)),
+            j.copy(joinType = Inner, condition = Some(c2)))))
+        case _ => None
+      }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -113,6 +159,7 @@ object SimilarityJoinRewrite {
   val ENABLED_KEY = "spark.dedupspark.similarityRewrite.enabled"
   val PREFIX_LEN_KEY = "spark.dedupspark.similarityRewrite.prefixLen"
   val UDF_NAMES_KEY = "spark.dedupspark.similarityRewrite.udfNames"
+  val KEY_MODE_KEY = "spark.dedupspark.similarityRewrite.keyMode"
   // the engine's own post-blocking rescorer (functions/similarity.py)
   val DEFAULT_UDF_NAMES = "ratcliff_similarity"
 }

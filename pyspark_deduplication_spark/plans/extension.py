@@ -25,6 +25,10 @@ EXTENSION_CLASS = "dedupspark.extensions.SimilarityExtensions"
 
 ENABLED_KEY = "spark.dedupspark.similarityRewrite.enabled"
 PREFIX_LEN_KEY = "spark.dedupspark.similarityRewrite.prefixLen"
+UDF_NAMES_KEY = "spark.dedupspark.similarityRewrite.udfNames"
+# "sortedTokens" (default: two smallest sorted tokens, disjoint
+# union-of-equi-joins, best recall) or "prefix" (single substring key)
+KEY_MODE_KEY = "spark.dedupspark.similarityRewrite.keyMode"
 
 
 def extension_jar_path() -> str:

@@ -44,7 +44,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark_deduplication_spark.plans.extension import (
-    ENABLED_KEY, similarity_rewrite_confs)
+    ENABLED_KEY, KEY_MODE_KEY, similarity_rewrite_confs)
 from pyspark_deduplication_spark.functions.similarity import (
     ratcliff_similarity)
 
@@ -71,6 +71,12 @@ def faithful():
 out = faithful()
 plan = out._jdf.queryExecution().executedPlan().toString()
 pairs = sorted((r.ia, r.ib) for r in out.collect())
+
+spark.conf.set(KEY_MODE_KEY, "prefix")
+pre = faithful()
+plan_pre = pre._jdf.queryExecution().executedPlan().toString()
+pairs_pre = sorted((r.ia, r.ib) for r in pre.collect())
+spark.conf.set(KEY_MODE_KEY, "sortedTokens")
 
 spark.conf.set(ENABLED_KEY, "false")
 off = faithful()
@@ -107,6 +113,12 @@ print(json.dumps({
     "cartesian_off": ("CartesianProduct" in plan_off
                       or "BroadcastNestedLoopJoin" in plan_off),
     "pairs_off": pairs_off,
+    "blocked_pre": any(s in plan_pre for s in
+                       ("BroadcastHashJoin", "SortMergeJoin",
+                        "ShuffledHashJoin")),
+    "cartesian_pre": ("CartesianProduct" in plan_pre
+                      or "BroadcastNestedLoopJoin" in plan_pre),
+    "pairs_pre": pairs_pre,
     "user_udf_untouched": ("CartesianProduct" in plan_user
                            or "BroadcastNestedLoopJoin" in plan_user),
     "pairs_user": pairs_user,
@@ -125,14 +137,21 @@ def test_similarity_rewrite_extension():
     assert proc.returncode == 0, proc.stderr[-3000:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])
 
-    # planned as a blocked equi-join, UDF still the final verifier
+    # planned as blocked equi-joins, UDF still the final verifier
     assert result["blocked"], result
     assert not result["cartesian"], result
     assert result["udf_verifies"], result
 
-    # recall contract: prefix-sharing near-dups found; the cross-prefix
-    # pair (5,6) is the documented blocking loss
-    assert result["pairs"] == [[1, 2], [3, 4]], result
+    # sortedTokens (default) recall win: the cross-PREFIX pair (5,6)
+    # xavier/zavier blocks together on its shared sorted token "smith" —
+    # full recall on this fixture, still no cartesian
+    assert result["pairs"] == [[1, 2], [3, 4], [5, 6]], result
+
+    # prefix mode reproduces the round-4 contract: still equi-join
+    # blocked, cross-prefix pair lost (the documented blocking loss
+    # sortedTokens exists to shrink)
+    assert result["blocked_pre"] and not result["cartesian_pre"], result
+    assert result["pairs_pre"] == [[1, 2], [3, 4]], result
 
     # runtime kill-switch restores the faithful Cartesian, which then
     # also finds the cross-prefix pair
