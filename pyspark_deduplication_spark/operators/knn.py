@@ -262,6 +262,50 @@ def ivf_knn(
     )
 
 
+def block_pairs_arrow(
+    indexed: DataFrame,
+    threshold: float = 0.95,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "cell_id",
+) -> DataFrame:
+    """Within-block all-pairs cosine as ONE numpy matmul per block
+    (``applyInPandas``) — the throughput spelling of
+    ``embedding_near_dup_pairs(block_col=...)`` for blocks bounded by a
+    cell-size cap. The Catalyst higher-order-function cosine is
+    interpreted per pair (the MinHash lesson in BASELINE.md: HOFs cost
+    ~3-4× a vectorized kernel); a capped block fits in one Arrow batch,
+    where BLAS scores all m² pairs at once. Semantics match
+    ``cosine_similarity`` up to float summation order (zero-norm
+    vectors score 0.0); returns (id_a, id_b, cosine_sim), id_a < id_b.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[vec_id].to_numpy()
+        mat = np.stack([
+            np.asarray(v, dtype=np.float64) for v in pdf[vec_col]
+        ])
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms > 0, norms, 1.0)[:, None]
+        sims = unit @ unit.T
+        valid = norms > 0
+        sims = np.where(valid[:, None] & valid[None, :], sims, 0.0)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame({
+            "id_a": np.minimum(ia, ib).astype("int64"),
+            "id_b": np.maximum(ia, ib).astype("int64"),
+            "cosine_sim": sims[iu, ju][keep].astype("float64"),
+        })
+
+    return indexed.groupBy(block_col).applyInPandas(
+        kernel, "id_a long, id_b long, cosine_sim double"
+    )
+
+
 def semantic_dedup_edges(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -320,7 +364,14 @@ def semantic_dedup_edges(
         "__h1", F.xxhash64(F.col(vec_col))
     ).withColumn("__h2", F.xxhash64(F.reverse(F.col(vec_col)), F.lit(1)))
     wck = Window.partitionBy("__h1", "__h2")
-    with_rep = keyed.withColumn("__rep", F.min(F.col(vec_id)).over(wck))
+    # The collapse window fans out into every downstream consumer (each
+    # Lloyd round, the assignment, the pair join, the star edges) —
+    # materialize it once, same rationale as the MinHash signature cache
+    # (at cluster scale: a persisted intermediate table).
+    with_rep = (
+        keyed.withColumn("__rep", F.min(F.col(vec_id)).over(wck)).persist()
+    )
+    with_rep.count()
     star = with_rep.filter(F.col(vec_id) != F.col("__rep")).select(
         F.col("__rep").alias("id_a"), F.col(vec_id).alias("id_b")
     )
@@ -348,7 +399,7 @@ def semantic_dedup_edges(
             ),
         )
     )
-    pairs = embedding_near_dup_pairs(
+    pairs = block_pairs_arrow(
         chunked, threshold, vec_id, vec_col, block_col="__block"
     )
     return (

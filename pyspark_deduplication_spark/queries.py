@@ -6090,6 +6090,7 @@ CATALOG: dict[str, Query] = {
                                                     hash_grams=True),
         None, tags=["dedup", "text", "pipeline", "scale"]),
     "semantic_dedup_embeddings": Query(semantic_dedup_embeddings, None,
+                                       bench=True,
                                        tags=["vector", "dedup", "pipeline"]),
     "daily_revenue_trailing_week": Query(daily_revenue_trailing_week,
                                          _TRAILING_WEEK_ORACLE,
