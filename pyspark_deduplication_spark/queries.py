@@ -5526,10 +5526,16 @@ def corpus_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     remains the single token-inventory aggregate. Returns (source,
     tokens, planned_tokens, saturated, sample_rate)."""
     budget, rounds = 20_000, 4
+    # Materialize the corpus-sized inventory aggregate ONCE: every round
+    # (its 1-row normalizer AND its re-projection) re-references this
+    # relation, and without the checkpoint the static plan re-derives
+    # the documents scan per branch — 32 scans at 4 rounds. After the
+    # checkpoint the loop iterates over n_sources materialized rows.
     cur = (
         _mixture_per_source(spark, sf_dir)
         .withColumn("sat", F.lit(False))
         .withColumn("alloc", F.lit(0).cast("long"))
+        .localCheckpoint()
     )
     for _ in range(rounds):
         tot = cur.agg(

@@ -346,3 +346,45 @@ def test_hash_split_is_shuffle_free(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     assert "Exchange" not in explain_str(out)
+
+
+def test_remove_dup_spans_semi_anti_no_cartesian(spark):
+    """ExactSubstr removal: dup-gram filter is a semi-join, covered
+    positions remove tokens via an anti-join — never a Cartesian/BNL."""
+    from pyspark_deduplication_spark.queries import remove_dup_spans_docs
+
+    q = remove_dup_spans_docs(spark, "/root/testdata/sf0.001")
+    plan = explain_str(q)
+    assert not has_cartesian_or_bnl(q)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_bpe_first_merge_is_join_free_aggregation(spark):
+    """BPE round 0 is explode + two hash aggregates + top-k — no join
+    node of any kind, and map-side partial aggregation present."""
+    from pyspark_deduplication_spark.queries import bpe_first_merge_pairs
+
+    plan = explain_str(bpe_first_merge_pairs(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_waterfill_iterates_over_materialized_inventory(spark):
+    """Water-filling rounds chain 32 references to the per-source
+    relation; the eager checkpoint means the QUERY plan contains zero
+    parquet scans — the corpus is aggregated exactly once, outside the
+    loop."""
+    from pyspark_deduplication_spark.queries import corpus_mixture_waterfill
+
+    plan = explain_str(corpus_mixture_waterfill(spark, "/root/testdata/sf0.001"))
+    assert "Scan parquet" not in plan, plan
+
+
+def test_url_canonicalization_is_map_only(spark):
+    """URL kernels are pure projections: no Exchange, no join."""
+    from pyspark_deduplication_spark.queries import url_canonical_customers
+
+    plan = explain_str(url_canonical_customers(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
