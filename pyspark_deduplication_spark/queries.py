@@ -5606,27 +5606,13 @@ FROM r4
 """
 
 
-def url_canonical_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL/domain canonicalization for crawl curation
-    (``functions.urls``): scheme/host lowercasing, DNS-root-dot and
-    default-port stripping, trailing-slash removal, query-param
-    sorting, fragment dropping, and registrable-domain extraction —
-    the key-prep step before per-site caps (``cap_per_group``) and
-    URL-level dedup. Exercised on messy URLs synthesized
-    deterministically from the customer table (mixed case, default and
-    explicit ports, trailing slashes, shuffled params, fragments,
-    two-part public suffixes, one scheme-less spelling that must
-    canonicalize to NULL) — the fixture tables carry no URL column;
-    same synthesis precedent as the PII and pretokenizer queries.
-    Map-only native regex/string kernels — no UDF, no shuffle beyond
-    the scan."""
-    from pyspark_deduplication_spark.functions.urls import (
-        canonicalize_url,
-        registrable_domain,
-    )
-
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 150)
-    k = F.col("c_custkey")
+def _messy_url_expr(k) -> F.Column:
+    """Deterministic messy-URL synthesis from an integer key (shared by
+    the URL-family queries; the fixture tables carry no URL column).
+    Every spelling hazard the canonicalizer handles appears: mixed-case
+    schemes/hosts, DNS-root dots, default and explicit ports, trailing
+    slashes, shuffled/empty query params, fragments, two-part public
+    suffixes, and a scheme-less spelling every 50th key."""
     s = lambda x: x.cast("string")  # noqa: E731
     scheme = (
         F.when(k % 3 == 0, F.lit("HTTP"))
@@ -5659,12 +5645,35 @@ def url_canonical_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(""))
     )
     frag = F.when(k % 2 == 0, F.lit("#top")).otherwise(F.lit(""))
-    url = F.when(
+    return F.when(
         k % 50 == 0,
         F.concat(F.lit("www.NoScheme"), s(k), F.lit(".com/path")),
     ).otherwise(
         F.concat(scheme, F.lit("://"), host, port, path, query, frag)
     )
+
+
+def url_canonical_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain canonicalization for crawl curation
+    (``functions.urls``): scheme/host lowercasing, DNS-root-dot and
+    default-port stripping, trailing-slash removal, query-param
+    sorting, fragment dropping, and registrable-domain extraction —
+    the key-prep step before per-site caps (``cap_per_group``) and
+    URL-level dedup. Exercised on messy URLs synthesized
+    deterministically from the customer table (mixed case, default and
+    explicit ports, trailing slashes, shuffled params, fragments,
+    two-part public suffixes, one scheme-less spelling that must
+    canonicalize to NULL) — the fixture tables carry no URL column;
+    same synthesis precedent as the PII and pretokenizer queries.
+    Map-only native regex/string kernels — no UDF, no shuffle beyond
+    the scan."""
+    from pyspark_deduplication_spark.functions.urls import (
+        canonicalize_url,
+        registrable_domain,
+    )
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 150)
+    url = _messy_url_expr(F.col("c_custkey"))
     return cust.select(
         "c_custkey",
         url.alias("url"),
@@ -5754,6 +5763,128 @@ SELECT c_custkey, url,
   END AS canonical_url,
   domain
 FROM domained
+""".replace("{SUFFIXES}", _url_suffix_sql_list())
+
+
+def domain_capped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-curation loop closed end-to-end: messy URLs →
+    canonicalize → registrable domain → per-domain cap
+    (``cap_per_group``, ≤5 docs per domain in key order) — the step
+    that stops one mega-host from dominating a training corpus keyed on
+    the OWNER domain, not the raw hostname spelling (www./cdn./api.
+    subdomains and case variants all collapse onto one cap bucket).
+    Reports per domain: total URLs, kept, dropped, and distinct
+    canonical URLs (the post-canonicalization dedup key count).
+    Scheme-less rows (no extractable domain) are excluded by contract.
+    Map-only kernels + one rank window keyed by domain + one
+    aggregation — two shuffles total on domain."""
+    from pyspark_deduplication_spark.functions.urls import (
+        canonicalize_url,
+        registrable_domain,
+    )
+    from pyspark_deduplication_spark.operators.sampling import cap_per_group
+
+    cust = _t(spark, sf_dir, "customer")
+    url = _messy_url_expr(F.col("c_custkey"))
+    with_domain = cust.select(
+        "c_custkey",
+        canonicalize_url(url).alias("canonical_url"),
+        registrable_domain(url).alias("domain"),
+    ).filter(F.col("domain") != "")
+    capped = cap_per_group(with_domain, "domain", "c_custkey", cap=5)
+    return capped.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.when(F.col("__kept"), 1).otherwise(0))
+        .cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("__kept"), 0).otherwise(1))
+        .cast("long").alias("n_dropped"),
+        F.countDistinct("canonical_url").alias("n_canonical"),
+    )
+
+
+_DOMAIN_CAP_ORACLE = rf"""
+WITH synth AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 50 = 0 THEN
+      'www.NoScheme' || CAST(c_custkey AS VARCHAR) || '.com/path'
+    ELSE
+      (CASE c_custkey % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+            ELSE 'hTtPs' END)
+      || '://' ||
+      (CASE c_custkey % 4
+         WHEN 0 THEN 'WWW.Shop' || CAST(c_custkey % 40 AS VARCHAR) || '.CO.UK.'
+         WHEN 1 THEN 'cdn.Shop' || CAST(c_custkey % 40 AS VARCHAR) || '.co.uk'
+         WHEN 2 THEN 'Shop' || CAST(c_custkey % 40 AS VARCHAR) || '.COM'
+         ELSE 'api.shop' || CAST(c_custkey % 40 AS VARCHAR) || '.com' END)
+      || (CASE c_custkey % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+               WHEN 2 THEN ':8080' ELSE '' END)
+      || (CASE c_custkey % 3
+            WHEN 0 THEN '/catalog/item' || CAST(c_custkey AS VARCHAR) || '/'
+            WHEN 1 THEN '/catalog/item' || CAST(c_custkey AS VARCHAR)
+            ELSE '' END)
+      || (CASE c_custkey % 4
+            WHEN 0 THEN '?utm=x&b=' || CAST(c_custkey % 7 AS VARCHAR) || '&a=1'
+            WHEN 1 THEN '?b=' || CAST(c_custkey % 7 AS VARCHAR) || '&a=1&utm=x'
+            WHEN 2 THEN '?' ELSE '' END)
+      || (CASE WHEN c_custkey % 2 = 0 THEN '#top' ELSE '' END)
+    END AS url
+  FROM customer
+),
+extracted AS (
+  SELECT c_custkey, url,
+    lower(regexp_extract(url, '^\s*([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    regexp_extract(url, '^\s*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+      AS auth,
+    regexp_extract(url, '://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+  FROM synth
+),
+parts AS (
+  SELECT c_custkey, url, scheme,
+    regexp_replace(lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)),
+                   '[.]+$', '') AS host,
+    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+    regexp_extract(auth, '^([^@]*)@', 1) AS userinfo,
+    regexp_replace(rawpath, '/+$', '') AS cpath,
+    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+                                          p -> p <> '')), '&') AS sq
+  FROM extracted
+),
+labeled AS (
+  SELECT *, string_split(host, '.') AS labels FROM parts
+),
+domained AS (
+  SELECT c_custkey,
+    CASE WHEN scheme <> '' THEN
+      scheme || '://'
+      || (CASE WHEN userinfo <> '' THEN userinfo || '@' ELSE '' END)
+      || host
+      || (CASE WHEN (scheme = 'http' AND port = '80')
+                 OR (scheme = 'https' AND port = '443')
+                 OR port = '' THEN '' ELSE ':' || port END)
+      || cpath
+      || (CASE WHEN sq <> '' THEN '?' || sq ELSE '' END)
+    END AS canonical_url,
+    CASE WHEN len(labels) < 2 THEN ''
+         WHEN array_to_string(labels[-2:], '.') IN ({{SUFFIXES}})
+              AND len(labels) < 3 THEN ''
+         WHEN array_to_string(labels[-2:], '.') IN ({{SUFFIXES}})
+              THEN array_to_string(labels[-3:], '.')
+         ELSE array_to_string(labels[-2:], '.') END AS domain
+  FROM labeled
+),
+ranked AS (
+  SELECT domain, canonical_url,
+         row_number() OVER (PARTITION BY domain ORDER BY c_custkey) AS rn
+  FROM domained WHERE domain <> ''
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical
+FROM ranked GROUP BY domain
 """.replace("{SUFFIXES}", _url_suffix_sql_list())
 
 
@@ -6088,6 +6219,8 @@ CATALOG: dict[str, Query] = {
     "url_canonical_customers": Query(url_canonical_customers,
                                      _URL_CANON_ORACLE,
                                      tags=["text", "crawl", "pipeline"]),
+    "domain_capped_corpus": Query(domain_capped_corpus, _DOMAIN_CAP_ORACLE,
+                                  tags=["crawl", "sampling", "pipeline"]),
     # the 100 TB spelling: xxhash64(gram) keys every gram shuffle
     # (rows-only — equality with the raw spelling pinned in
     # test_queries.py)
@@ -6131,6 +6264,7 @@ _GRADED_ORDER = [
     "bpe_first_merge_pairs",       # BPE training round 0 (r5)
     "corpus_mixture_waterfill",    # shortfall renormalization (r5)
     "url_canonical_customers",     # URL/domain canonicalization (r5)
+    "domain_capped_corpus",        # canonicalize → domain cap loop (r5)
     # (b) proven-green canaries, every family + every r01-fail family
     "train_val_test_split_docs",   # deterministic md5 splits
     "source_capped_corpus",        # per-source row caps
@@ -6167,8 +6301,7 @@ _GRADED_ORDER = [
     "doc_token_stats",             # text stats (r01-fail + perf watch)
     "winnow_near_dup_docs",        # winnowing fingerprints
     "decontaminate_against_src0",  # decontamination semi-join
-    "doc_chunks",                  # chunking
-    "pack_training_sequences",     # sequence packing
+    "pack_training_sequences",     # sequence packing (chunking family)
     "stratified_sample_docs",      # deterministic sampling
     "knn_bruteforce",              # vector search
     "embedding_cluster_dedup",     # embedding dedup + CC
