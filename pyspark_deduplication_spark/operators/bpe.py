@@ -28,6 +28,7 @@ No step ever re-reads or re-shuffles the corpus.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -141,4 +142,74 @@ def train_bpe_merges(
     return spark.createDataFrame(
         merges,
         "merge_rank long, sym_left string, sym_right string, pair_count long",
+    )
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode a corpus with trained merges and report per-document
+    token budgets: (id, n_pretokens, n_bpe_tokens) — the
+    post-tokenizer sequence length every packing/budgeting step keys
+    on. Merges apply sequentially in rank order with the same greedy
+    left-to-right scan as training, so encoding the training corpus
+    reproduces the trainer's final word table exactly (pinned by
+    test).
+
+    Scale shape — the dictionary trick: the corpus explodes to
+    pretokens map-only and aggregates per (doc, word); the Python
+    encode kernel (an Arrow ``pandas_udf`` looping over the learned
+    merges) runs only on the DISTINCT word table — vocabulary-sized,
+    like training itself — and the per-word token count joins back
+    onto the per-doc word counts (AQE picks broadcast when the vocab
+    fits, shuffle-hash otherwise). No Python ever touches a
+    corpus-sized relation.
+
+    The merge list itself is model state (k rows) collected once into
+    the kernel's closure."""
+    from pyspark.sql import types as T
+
+    ordered = [
+        (r["sym_left"], r["sym_right"])
+        for r in sorted(
+            merges.collect(), key=lambda r: r["merge_rank"]
+        )  # k rows — the learned vocabulary (model state)
+    ]
+
+    def encode(word: str) -> list[str]:
+        sym = list(word)
+        for left, right in ordered:
+            out: list[str] = []
+            for x in sym:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            sym = out
+        return sym
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def enc(words: pd.Series) -> pd.Series:
+        return words.map(encode)
+
+    pretoks = df.select(
+        F.col(id_col), F.explode(pretokenize(F.col(text_col))).alias("word")
+    )
+    per_doc_word = pretoks.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    vocab = per_doc_word.select("word").distinct().withColumn(
+        "__len", F.size(enc(F.col("word")))
+    )
+    return (
+        per_doc_word.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").cast("long").alias("n_pretokens"),
+            F.sum(F.col("__n") * F.col("__len")).cast("long")
+            .alias("n_bpe_tokens"),
+        )
     )

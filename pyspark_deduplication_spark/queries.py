@@ -5231,6 +5231,25 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe_merges(_t(spark, sf_dir, "documents"), "text", k=12)
 
 
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgets under the corpus's own learned BPE vocabulary:
+    train 12 merges, encode every document, report per-doc pretoken
+    and BPE-token counts for a bounded id slice (rows-only — the
+    train+encode loop is iterative; the encoder is pinned against a
+    pure-Python reference in ``test_bpe.py`` and the first merge round
+    is oracle-verified by ``bpe_first_merge_pairs``)."""
+    from pyspark_deduplication_spark.operators.bpe import (
+        apply_bpe_merges,
+        train_bpe_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, "text", k=12)
+    out = apply_bpe_merges(docs.filter(F.col("doc_id") < 60), merges,
+                           "text", "doc_id")
+    return out
+
+
 def daily_revenue_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily order revenue with a trailing-7-day RANGE-frame total — the
     calendar-aware frame (``rangeBetween`` on day offsets) that a ROWS
@@ -6212,6 +6231,10 @@ CATALOG: dict[str, Query] = {
     # iterative BPE loop (rows-only — per-round argmax; ground truth
     # pinned against a pure-Python trainer in test_bpe.py)
     "bpe_merges_docs": Query(bpe_merges_docs, None,
+                             tags=["text", "tokenizer", "pipeline"]),
+    # train+encode loop (rows-only; encoder pinned vs pure-Python
+    # reference in test_bpe.py)
+    "bpe_encode_docs": Query(bpe_encode_docs, None,
                              tags=["text", "tokenizer", "pipeline"]),
     "corpus_mixture_waterfill": Query(corpus_mixture_waterfill,
                                       _WATERFILL_ORACLE,

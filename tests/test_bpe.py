@@ -82,6 +82,46 @@ def test_bpe_pair_counts_handles_single_symbol_words(spark):
     assert (" ", "b") in rows and (" ", "a") in rows and ("a", "b") in rows
 
 
+def test_apply_bpe_merges_matches_python_encoder(spark):
+    """Encoding with the trained merges must reproduce a pure-Python
+    sequential encoder's token counts per document — and encoding the
+    training corpus with all k merges yields exactly the trainer's
+    final word-table token counts."""
+    from pyspark_deduplication_spark.operators.bpe import apply_bpe_merges
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FIXTURE)], "doc_id long, text string"
+    )
+    merges_df = train_bpe_merges(df, "text", k=8)
+    got = {r.doc_id: (r.n_pretokens, r.n_bpe_tokens)
+           for r in apply_bpe_merges(df, merges_df).collect()}
+
+    pat = re.compile(_PRETOKEN_RE)
+    merges = _py_train(FIXTURE, 8)
+
+    def encode(word: str) -> list[str]:
+        sym = list(word)
+        for _, l, r, _ in merges:
+            out: list[str] = []
+            for x in sym:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            sym = out
+        return sym
+
+    for i, t in enumerate(FIXTURE):
+        words = pat.findall(t)
+        want = (len(words), sum(len(encode(w)) for w in words))
+        assert got[i] == want, (i, got[i], want)
+    # BPE compresses: merged tokens are strictly fewer than characters
+    # and at least as many as pretokens
+    for i, t in enumerate(FIXTURE):
+        n_pre, n_bpe = got[i]
+        assert n_pre <= n_bpe < sum(len(w) for w in pat.findall(t))
+
+
 def test_early_stop_on_fully_merged_corpus(spark):
     df = spark.createDataFrame([("ab",)], "text string")
     out = train_bpe_merges(df, "text", k=10).collect()
