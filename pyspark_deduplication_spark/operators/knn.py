@@ -462,6 +462,77 @@ def semantic_dedup(
     )
 
 
+def incremental_semantic_dedup(
+    new_vectors: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 4,
+    n_probe: int = 2,
+    train_sample_mod: int = 1,
+) -> DataFrame:
+    """Semantic near-dup filter for a NEW embedding batch against an
+    EXISTING corpus — the incremental twin of ``semantic_dedup``,
+    mirroring ``incremental_minhash_dedup``: continuous-ingest
+    pipelines must not re-pair 100 TB per batch.
+
+    The corpus never self-joins and never re-pairs: centroids train on
+    the corpus (in production: trained once, persisted — stable cell
+    geometry across batches) and the corpus's single-cell assignment is
+    its persisted index table, scanned once. The batch multi-probes its
+    ``n_probe`` nearest cells (cross-border recall, exactly the
+    paper's overlap trade) and equi-joins the index on ``cell_id``;
+    candidates score with the Arrow-vectorized cosine. A batch row at
+    or above ``threshold`` against ANY corpus row drops; survivors
+    then dedup batch-internally with ``semantic_dedup``, so the
+    returned frame is clean against corpus ∪ itself — append it and
+    the invariant holds for the next batch.
+
+    Returns the surviving rows of ``new_vectors`` (all columns)."""
+    from pyspark_deduplication_spark.functions.vectors import (
+        cosine_similarity_pd,
+    )
+
+    cents = train_centroids(
+        corpus, n_cells, vec_id, vec_col, n_iter, train_sample_mod
+    )
+    corpus_idx = assign_cells(
+        corpus.select(F.col(vec_id), F.col(vec_col)), cents, vec_col, 1
+    ).select(
+        F.col(vec_id).alias("__cid"), F.col(vec_col).alias("__cvec"),
+        "cell_id",
+    )
+    batch_idx = assign_cells(
+        new_vectors.select(F.col(vec_id), F.col(vec_col)), cents,
+        vec_col, n_probe,
+    ).select(
+        F.col(vec_id).alias("__nid"), F.col(vec_col).alias("__nvec"),
+        "cell_id",
+    )
+    cand = (
+        batch_idx.join(corpus_idx, "cell_id")
+        # multi-probe can surface the same (batch, corpus) pair from
+        # two shared cells — score each pair once
+        .dropDuplicates(["__nid", "__cid"])
+    )
+    dup_ids = (
+        cand.filter(
+            cosine_similarity_pd(F.col("__nvec"), F.col("__cvec"))
+            >= threshold)
+        .select(F.col("__nid").alias(vec_id))
+        .distinct()
+    )
+    fresh = new_vectors.join(dup_ids, vec_id, "left_anti")
+    fresh = fresh.localCheckpoint()
+    keep = semantic_dedup(
+        fresh, threshold, n_cells, vec_id, vec_col, n_iter, 1,
+        train_sample_mod,
+    ).filter(F.col("keep")).select(vec_id)
+    return fresh.join(keep, vec_id, "left_semi")
+
+
 def hyperplane_lsh_buckets(
     vectors: DataFrame,
     dim: int,

@@ -5509,6 +5509,26 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                           max_cell_size=4096)
 
 
+def incremental_semantic_dedup_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-epoch SemDeDup: every 4th embedding plays the incoming
+    batch, the rest the persisted corpus — batch rows semantically
+    near a corpus row (or an earlier batch survivor) drop; the corpus
+    never re-pairs. Rows-only (k-means + CC loops); drop/keep ground
+    truth pinned on planted fixtures in ``test_knn.py``."""
+    from pyspark_deduplication_spark.operators.knn import (
+        incremental_semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    return incremental_semantic_dedup(
+        batch, corpus, threshold=0.3, n_cells=8
+    ).select("vec_id", "label")
+
+
 _MIXTURE_ORACLE = f"""
 WITH per_source AS (
   SELECT source,
@@ -6254,6 +6274,11 @@ CATALOG: dict[str, Query] = {
     "semantic_dedup_embeddings": Query(semantic_dedup_embeddings, None,
                                        bench=True,
                                        tags=["vector", "dedup", "pipeline"]),
+    # cross-epoch SemDeDup (rows-only; drop/keep ground truth pinned on
+    # planted fixtures in test_knn.py)
+    "incremental_semantic_dedup_embeddings": Query(
+        incremental_semantic_dedup_embeddings, None,
+        tags=["vector", "dedup", "pipeline", "scale"]),
     "daily_revenue_trailing_week": Query(daily_revenue_trailing_week,
                                          _TRAILING_WEEK_ORACLE,
                                          tags=["window", "agg"]),

@@ -353,6 +353,48 @@ def test_semantic_dedup_cell_cap_bounds_edges_at_1k_clones(spark):
         assert comp_of[a] == comp_of[b]
 
 
+def test_incremental_semantic_dedup_drops_and_keeps(spark):
+    """Cross-epoch SemDeDup ground truth: a batch near-dup of a corpus
+    vector drops, a novel batch vector survives, batch-internal
+    near-dups collapse to their min id — and corpus rows are never
+    returned."""
+    from pyspark_deduplication_spark.operators.knn import (
+        incremental_semantic_dedup,
+    )
+
+    rng = np.random.RandomState(21)
+    centers = rng.standard_normal((4, 12)) * 5
+    corpus_rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(8):
+            v = centers[c] + rng.standard_normal(12) * 0.3
+            corpus_rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>")
+
+    dup_of_corpus = [float(x * 1.0005) for x in corpus_rows[3][1]]
+    novel = [float(x) for x in rng.standard_normal(12) * 50]
+    twin_base = centers[1] * 3 + 40.0
+    batch_rows = [
+        (100, dup_of_corpus),                         # near corpus → drop
+        (101, novel),                                 # novel → keep
+        (102, [float(x) for x in twin_base]),         # twin pair: keep 102
+        (103, [float(x * 1.0004) for x in twin_base]),  # ...drop 103
+    ]
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<float>")
+
+    # n_cells=2 ≪ batch size on purpose: cells must be coarser than the
+    # population for within-cell pairing to exist (with n_cells ≥ rows,
+    # every vector is its own cell and SemDeDup degenerates to no-op —
+    # the paper's k ≪ n regime is a usage contract, not a guard)
+    out = sorted(r.vec_id for r in incremental_semantic_dedup(
+        batch, corpus, threshold=0.999, n_cells=2).collect())
+    assert out == [101, 102], out
+
+
 def test_pq_kmeans_codebook_beats_hash_standin(spark):
     """Per-subspace Lloyd must strictly beat the n_iter=0 hash stand-in
     on clustered data — same criterion as the IVF centroid test."""
