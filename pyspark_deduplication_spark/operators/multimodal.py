@@ -249,6 +249,110 @@ def sample_video_frames(
     return df.mapInPandas(op, schema=out_schema)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, sample_rate int, n_samples long, "
+    "duration_ms long, rms double, zero_crossing_rate double"
+)
+
+
+def parse_wav_pcm16(payload: bytes):
+    """Minimal pure-Python RIFF/WAVE parser (PCM, 16-bit, any channel
+    count — channels average to mono): returns (sample_rate,
+    float64 ndarray in [-1, 1]) or None when the payload is not such a
+    WAV. The audio counterpart of ``parse_ppm``: an uncompressed
+    interchange format tests can synthesize byte-by-byte, keeping the
+    REAL audio feature path executable in codec-less containers."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 44:
+        return None
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits != 16 or n_ch < 1:
+        return None
+    n = len(data) // (2 * n_ch)
+    if n == 0:
+        return rate, np.zeros(0)
+    pcm = np.frombuffer(data[: n * 2 * n_ch], dtype="<i2")
+    mono = pcm.reshape(n, n_ch).astype(np.float64).mean(axis=1) / 32768.0
+    return rate, mono
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """Per-clip audio features over Arrow batches via ``mapInPandas`` —
+    the audio leg of the decode / feature-extract quartet. Features are
+    the standard cheap triage set (RMS loudness, zero-crossing rate,
+    duration) every audio-curation pipeline keys on before an expensive
+    model pass.
+
+    ``strict=True`` decodes for REAL: raw PCM16 WAV parses through the
+    pure-Python ``parse_wav_pcm16`` (no codec library in this
+    container); other formats raise, mirroring ``decode_image``'s
+    contract. ``strict=False`` folds the bytes deterministically so the
+    identical Spark plumbing runs on any payload."""
+
+    def features(payload: bytes):
+        if payload is None:
+            return 0, 0, 0, 0.0, 0.0
+        if strict:
+            parsed = parse_wav_pcm16(payload)
+            if parsed is None:
+                raise NotImplementedError(
+                    "decoding this audio format needs a codec library, "
+                    "not present in this environment (only raw PCM16 WAV "
+                    "decodes without it); strict=False exercises the "
+                    "identical Spark plumbing with a deterministic fake"
+                )
+            rate, mono = parsed
+            n = int(mono.size)
+            if n == 0:
+                return rate, 0, 0, 0.0, 0.0
+            import numpy as np
+
+            rms = float(np.sqrt(np.mean(mono * mono)))
+            zcr = float(np.mean(np.signbit(mono[1:]) !=
+                                np.signbit(mono[:-1]))) if n > 1 else 0.0
+            return rate, n, int(round(1000 * n / rate)), rms, zcr
+        feat = _fake_decode(payload)
+        return 16000, len(payload), len(payload) // 16, feat[0], feat[1]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [features(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "n_bytes": [0 if p is None else len(p)
+                            for p in pdf[payload_col]],
+                "sample_rate": [r[0] for r in rows],
+                "n_samples": [r[1] for r in rows],
+                "duration_ms": [r[2] for r in rows],
+                "rms": [r[3] for r in rows],
+                "zero_crossing_rate": [r[4] for r in rows],
+            })
+
+    return df.mapInPandas(op, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def resize_images(
     df: DataFrame,
     width: int = 224,

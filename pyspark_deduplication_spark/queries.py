@@ -5529,6 +5529,44 @@ def incremental_semantic_dedup_embeddings(
     ).select("vec_id", "label")
 
 
+def audio_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction (strict mode, pure-Python PCM16
+    WAV decode — ``operators.multimodal.parse_wav_pcm16``) over
+    deterministically synthesized tone clips: the fixture tables carry
+    no audio column, so clips derive from integer keys (the
+    local-collection source precedent, S5). Rows-only: byte-level WAV
+    synthesis is not SQL-expressible; feature ground truth (RMS ≈
+    amp/√2, ZCR ≈ 2f/rate, sample counts) is pinned in
+    ``test_multimodal.py``."""
+    import math
+    import struct
+
+    from pyspark_deduplication_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    def wav(freq: float, ms: int, rate: int = 8000, amp: float = 0.5) -> bytes:
+        n = rate * ms // 1000
+        frames = b"".join(
+            struct.pack("<h", int(amp * 32767 *
+                                  math.sin(2 * math.pi * freq * i / rate)))
+            for i in range(n)
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (b"RIFF"
+                + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(frames))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(frames)) + frames)
+
+    clips = [
+        (i, wav(220.0 + 20.0 * i, ms=100 + 10 * (i % 5),
+                amp=0.2 + 0.03 * (i % 10)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(clips, "media_id long, payload binary")
+    return extract_audio_features(df, strict=True)
+
+
 _MIXTURE_ORACLE = f"""
 WITH per_source AS (
   SELECT source,
@@ -6279,6 +6317,10 @@ CATALOG: dict[str, Query] = {
     "incremental_semantic_dedup_embeddings": Query(
         incremental_semantic_dedup_embeddings, None,
         tags=["vector", "dedup", "pipeline", "scale"]),
+    # real-decode audio features over synthesized PCM16 WAV (rows-only;
+    # ground truth in test_multimodal.py)
+    "audio_features_report": Query(audio_features_report, None,
+                                   tags=["multimodal", "pipeline"]),
     "daily_revenue_trailing_week": Query(daily_revenue_trailing_week,
                                          _TRAILING_WEEK_ORACLE,
                                          tags=["window", "agg"]),

@@ -115,6 +115,73 @@ def test_real_resize_path_runs_unconditionally(spark):
     assert got[2].resized is None and got[2].n_bytes_out == 0
 
 
+def _wav(freq_hz: float, ms: int, rate: int = 8000, amp: float = 0.5,
+         n_ch: int = 1) -> bytes:
+    """Synthesize a PCM16 WAV byte-by-byte — no audio library."""
+    import math
+    import struct
+
+    n = rate * ms // 1000
+    frames = b"".join(
+        struct.pack("<h", int(amp * 32767 *
+                              math.sin(2 * math.pi * freq_hz * i / rate)))
+        * n_ch
+        for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * 2 * n_ch,
+                      2 * n_ch, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(frames))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(frames)) + frames)
+
+
+def test_real_audio_path_runs_unconditionally(spark):
+    """Strict audio features over raw PCM16 WAV — real decode, no codec
+    library, no skip. A 440 Hz tone at 8 kHz has ~2·440 sign flips per
+    second; silence has rms 0."""
+    from pyspark_deduplication_spark.operators.multimodal import (
+        extract_audio_features,
+        parse_wav_pcm16,
+    )
+
+    tone = _wav(440.0, ms=500)
+    silence = _wav(440.0, ms=250, amp=0.0)
+    stereo = _wav(220.0, ms=100, n_ch=2)
+    rows = [
+        (1, "audio", tone, ("audio/wav", None, None, 500)),
+        (2, "audio", silence, ("audio/wav", None, None, 250)),
+        (3, "audio", stereo, ("audio/wav", None, None, 100)),
+        (4, "audio", None, (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in
+           extract_audio_features(df, strict=True).collect()}
+    assert got[1].sample_rate == 8000
+    assert got[1].n_samples == 4000 and got[1].duration_ms == 500
+    # 440 Hz sine: rms ≈ amp/√2, zcr ≈ 2·440/8000
+    assert abs(got[1].rms - 0.5 / 2 ** 0.5) < 0.01
+    assert abs(got[1].zero_crossing_rate - 880 / 8000) < 0.01
+    assert got[2].rms == 0.0
+    assert got[3].n_samples == 800  # stereo averaged to mono
+    assert got[4].n_bytes == 0 and got[4].n_samples == 0
+    # parser round-trips geometry directly too
+    rate, mono = parse_wav_pcm16(tone)
+    assert (rate, mono.size) == (8000, 4000)
+
+
+def test_audio_strict_raises_on_unknown_format(spark):
+    from pyspark_deduplication_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "audio", b"ID3 not a wav", (None, None, None, None))],
+        MEDIA_SCHEMA)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="NotImplementedError|codec|WAV"):
+        extract_audio_features(df, strict=True).collect()
+
+
 def test_real_decode_path_when_pil_present(spark):
     """With Pillow installed, strict mode decodes real images end-to-end
     through the same mapInPandas plumbing (skips in codec-less
