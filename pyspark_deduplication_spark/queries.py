@@ -5529,6 +5529,42 @@ def incremental_semantic_dedup_embeddings(
     ).select("vec_id", "label")
 
 
+def doc_hashed_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed linear quality model inference
+    (``functions.scoring``): fastText-style scoring with tokens hashed
+    to 256 md5 buckets and an in-expression weight per bucket — one
+    explode + one aggregation, join-free, map-side combinable. Weights
+    are exact multiples of 1/16 so the sum is order-independent and
+    the ENTIRE inference path verifies bit-for-bit against DuckDB (no
+    rounding tolerance anywhere); banding by exact thresholds replaces
+    the sigmoid (libm exp may differ across engines by 1 ulp)."""
+    from pyspark_deduplication_spark.functions.scoring import (
+        hashed_linear_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, "text", "doc_id")
+
+
+_HASHED_QUALITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+w AS (
+  SELECT doc_id,
+         ((ascii(substr(md5(term || 'q5'), 1, 1)) * 16
+           + ascii(substr(md5(term || 'q5'), 2, 1))) % 13 - 6) / 16.0 AS wt
+  FROM clean
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       sum(wt) AS score,
+       CASE WHEN sum(wt) >= 1.0 THEN 'high'
+            WHEN sum(wt) >= -1.0 THEN 'mid' ELSE 'low' END AS band
+FROM w GROUP BY doc_id
+"""
+
+
 def audio_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio feature extraction (strict mode, pure-Python PCM16
     WAV decode — ``operators.multimodal.parse_wav_pcm16``) over
@@ -6321,6 +6357,11 @@ CATALOG: dict[str, Query] = {
     # ground truth in test_multimodal.py)
     "audio_features_report": Query(audio_features_report, None,
                                    tags=["multimodal", "pipeline"]),
+    # oracle-backed; landed after the r5 window froze — queue for the
+    # r6 rotation per the established mechanism
+    "doc_hashed_quality_score": Query(doc_hashed_quality_score,
+                                      _HASHED_QUALITY_ORACLE,
+                                      tags=["text", "quality", "scoring"]),
     "daily_revenue_trailing_week": Query(daily_revenue_trailing_week,
                                          _TRAILING_WEEK_ORACLE,
                                          tags=["window", "agg"]),

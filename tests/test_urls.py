@@ -67,6 +67,29 @@ def test_registrable_domain(spark):
     assert got == ["shop.co.uk", "example.com", "", "", ""]
 
 
+def test_canonicalization_is_a_fixpoint(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) across the full
+    cross-product of spelling variants (2,880 URLs, one Spark pass) —
+    the property that makes the canonical form a safe dedup/join key."""
+    schemes = ["http", "HTTP", "https", "hTtPs"]
+    hosts = ["A.B.co.uk.", "www.X.com", "host", "a.b.c.d.NET"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/p/q/", "/p//", "/p"]
+    urls = [
+        f"{s}://{u}{h}{po}{pa}{q}{fr}"
+        for s in schemes for u in ["", "User@", "u:p@"] for h in hosts
+        for po in ports for pa in paths
+        for q in ["", "?", "?b=2&a=1"] for fr in ["", "#f"]
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    two = df.select(
+        canonicalize_url(F.col("url")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in two:
+        assert r.c1 == r.c2, (r.c1, r.c2)
+
+
 def test_host_strips_root_dot_only(spark):
     df = spark.createDataFrame(
         [("http://Sub.Host.NET./x",), ("http://h.net:9090/",)],
