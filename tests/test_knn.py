@@ -353,6 +353,36 @@ def test_semantic_dedup_cell_cap_bounds_edges_at_1k_clones(spark):
         assert comp_of[a] == comp_of[b]
 
 
+def test_block_pairs_arrow_matches_hof_join(spark):
+    """The numpy per-block kernel must produce the same pair set as the
+    Catalyst-HOF blocked self-join it replaced (scores equal to 1e-9),
+    including zero-vector handling."""
+    from pyspark_deduplication_spark.operators.knn import (
+        block_pairs_arrow,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(8) * 3
+        rows.append((i, [float(x) for x in v], int(i % 3)))
+    rows.append((60, [0.0] * 8, 0))   # zero vector: scores 0 vs all
+    rows.append((61, rows[0][1], 0))  # exact clone of id 0, same block
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cell_id long")
+
+    t = 0.6
+    hof = {(r.id_a, r.id_b): r.cosine_sim for r in embedding_near_dup_pairs(
+        df, t, block_col="cell_id").collect()}
+    arrow = {(r.id_a, r.id_b): r.cosine_sim for r in block_pairs_arrow(
+        df, t).collect()}
+    assert set(hof) == set(arrow)
+    assert (0, 61) in arrow  # the planted clone pair survives
+    for k in hof:
+        assert abs(hof[k] - arrow[k]) < 1e-9, (k, hof[k], arrow[k])
+
+
 def test_incremental_semantic_dedup_drops_and_keeps(spark):
     """Cross-epoch SemDeDup ground truth: a batch near-dup of a corpus
     vector drops, a novel batch vector survives, batch-internal
