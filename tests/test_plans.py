@@ -381,6 +381,19 @@ def test_waterfill_iterates_over_materialized_inventory(spark):
     assert "Scan parquet" not in plan, plan
 
 
+def test_hashed_quality_score_is_join_free_single_exchange(spark):
+    """Model inference is one explode + one hash aggregate: no join
+    node, exactly one exchange, map-side partial aggregation."""
+    import re
+
+    from pyspark_deduplication_spark.queries import doc_hashed_quality_score
+
+    plan = explain_str(doc_hashed_quality_score(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\) Exchange", plan)) == 1, plan
+    assert "partial" in plan.lower(), plan
+
+
 def test_url_canonicalization_is_map_only(spark):
     """URL kernels are pure projections: no Exchange, no join."""
     from pyspark_deduplication_spark.queries import url_canonical_customers
