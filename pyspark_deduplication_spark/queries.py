@@ -5565,6 +5565,58 @@ FROM w GROUP BY doc_id
 """
 
 
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct 16-token chunk fingerprints they SHARE — the curation
+    diagnostic that exposes mirror sites, syndicated feeds and
+    re-crawled hosts before per-source mixture weights get planned on
+    inflated inventories. Chunk granularity (not whole-doc) because
+    mirrors rewrap and truncate: shared paragraphs survive where
+    whole-document fingerprints diverge. One distinct
+    (source, chunk-hash) reduction, then a hash-keyed self equi-join
+    moving only (16-byte md5, source) pairs — never text; a chunk
+    shared by m sources emits C(m,2) pairs, bounded because the
+    distinct reduction collapses within-source repeats first."""
+    from pyspark_deduplication_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    chunks = (
+        chunk_documents(docs, "text", size=16, overlap=0)
+        .select("source", F.md5(F.col("chunk_text")).alias("h"))
+        .distinct()
+    )
+    a = chunks.select(F.col("source").alias("src_a"), "h")
+    b = chunks.select(F.col("source").alias("src_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_chunks"))
+    )
+
+
+_CROSS_SOURCE_DUP_ORACLE = f"""
+WITH toks AS (SELECT source, {_TOKENS_SQL} AS t FROM documents),
+w AS (
+  SELECT source, t,
+         greatest(CAST(ceil(CAST(len(t) AS DOUBLE) / 16.0) AS BIGINT), 1)
+           AS nw
+  FROM toks
+),
+chunks AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(t[i*16+1 : i*16+16], ' ')) AS h
+  FROM w, unnest(range(0, nw)) AS r(i)
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared_chunks
+FROM chunks a JOIN chunks b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 def audio_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio feature extraction (strict mode, pure-Python PCM16
     WAV decode — ``operators.multimodal.parse_wav_pcm16``) over
@@ -6362,6 +6414,9 @@ CATALOG: dict[str, Query] = {
     "doc_hashed_quality_score": Query(doc_hashed_quality_score,
                                       _HASHED_QUALITY_ORACLE,
                                       tags=["text", "quality", "scoring"]),
+    "cross_source_dup_matrix": Query(cross_source_dup_matrix,
+                                     _CROSS_SOURCE_DUP_ORACLE,
+                                     tags=["dedup", "stats", "pipeline"]),
     "daily_revenue_trailing_week": Query(daily_revenue_trailing_week,
                                          _TRAILING_WEEK_ORACLE,
                                          tags=["window", "agg"]),
