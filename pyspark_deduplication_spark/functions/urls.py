@@ -135,7 +135,14 @@ def canonicalize_url(url: Column | str) -> Column:
 def registrable_domain(url_or_host: Column | str, is_host: bool = False) -> Column:
     """Owner-registered domain: last two host labels, or three when the
     last two form a known two-part public suffix. '' for hosts with
-    fewer labels than the rule needs."""
+    fewer labels than the rule needs.
+
+    Approximation caveat (also in the module header): the suffix table
+    is the common ``TWO_PART_SUFFIXES`` subset, NOT a full Public
+    Suffix List mirror — hosts under a multi-part suffix absent from
+    the table collapse to the suffix itself (e.g. two sites under an
+    unlisted ``co.xx`` would merge), so per-domain caps keyed on this
+    column can over-merge on exotic ccTLDs."""
     host = _c(url_or_host) if is_host else url_host(url_or_host)
     labels = F.split(host, r"\.")
     n = F.size(labels)

@@ -368,10 +368,14 @@ def semantic_dedup_edges(
     # Lloyd round, the assignment, the pair join, the star edges) —
     # materialize it once, same rationale as the MinHash signature cache
     # (at cluster scale: a persisted intermediate table).
+    # localCheckpoint (not persist+count): storage is released when the
+    # plan is garbage-collected, so repeated calls in a long-lived
+    # session (bench loops, incremental pipelines) don't accumulate
+    # pinned cache partitions.
     with_rep = (
-        keyed.withColumn("__rep", F.min(F.col(vec_id)).over(wck)).persist()
+        keyed.withColumn("__rep", F.min(F.col(vec_id)).over(wck))
+        .localCheckpoint()
     )
-    with_rep.count()
     star = with_rep.filter(F.col(vec_id) != F.col("__rep")).select(
         F.col("__rep").alias("id_a"), F.col(vec_id).alias("id_b")
     )

@@ -283,7 +283,10 @@ def parse_wav_pcm16(payload: bytes):
     if fmt is None or data is None or len(fmt) < 16:
         return None
     audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
-    if audio_fmt != 1 or bits != 16 or n_ch < 1:
+    # rate == 0 is a corrupt header: downstream duration/ZCR math would
+    # divide by it, so it must fail the PARSE (strict mode then raises
+    # the contractual NotImplementedError, not ZeroDivisionError).
+    if audio_fmt != 1 or bits != 16 or n_ch < 1 or rate == 0:
         return None
     n = len(data) // (2 * n_ch)
     if n == 0:
@@ -364,10 +367,11 @@ def resize_images(
     """Image-resize plumbing: one output row per input with the resized
     payload plus the recorded target geometry. ``strict=True`` resizes
     for REAL — Pillow (nearest-neighbor) when importable, else the
-    pure-Python P6 PPM path (``parse_ppm`` + index-sampled
-    nearest-neighbor), emitting raw P6 either way so outputs are
-    byte-comparable across environments; unsupported formats without
-    Pillow raise. What the operator pins down is the Spark shape —
+    pure-Python P6 PPM path (``parse_ppm`` + center-sampled
+    nearest-neighbor, the same floor((i+0.5)·src/dst) mapping PIL's
+    ``Image.NEAREST`` uses), emitting raw P6 either way so P6-PPM
+    outputs are byte-comparable across environments; unsupported
+    formats without Pillow raise. What the operator pins down is the Spark shape —
     mapInPandas over Arrow batches, binary-in / binary-out schema
     declared up front, payload bytes never leaving the executor, and
     the byte-aware repartition (``media_repartition``) composing in
@@ -410,8 +414,14 @@ def resize_images(
                     "identical Spark plumbing with a deterministic fake"
                 ) from exc
             w0, h0, arr = parsed
-            xi = np.minimum((np.arange(width) * w0) // width, w0 - 1)
-            yi = np.minimum((np.arange(height) * h0) // height, h0 - 1)
+            # Center-based nearest sampling — floor((i+0.5)·w0/width) —
+            # matching PIL Image.NEAREST's mapping, so the Pillow and
+            # pure-Python paths stay byte-comparable on NON-uniform
+            # images too (not just solid colors).
+            xi = np.minimum(
+                ((2 * np.arange(width) + 1) * w0) // (2 * width), w0 - 1)
+            yi = np.minimum(
+                ((2 * np.arange(height) + 1) * h0) // (2 * height), h0 - 1)
             return header + arr[yi][:, xi].tobytes()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

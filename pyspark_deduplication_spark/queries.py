@@ -5576,12 +5576,21 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, chunk-hash) reduction, then a hash-keyed self equi-join
     moving only (16-byte md5, source) pairs — never text; a chunk
     shared by m sources emits C(m,2) pairs, bounded because the
-    distinct reduction collapses within-source repeats first."""
+    distinct reduction collapses within-source repeats first.
+    Whitespace-only docs are filtered first (as ``remove_dup_spans_docs``
+    does): every blank doc would otherwise contribute the empty-text
+    chunk, and any two sources holding one would count a spurious
+    'shared chunk' — consistent with the oracle, but inflating the
+    mirror-site diagnostic."""
     from pyspark_deduplication_spark.operators.chunking import (
         chunk_documents,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("source", "text")
+    )
     chunks = (
         chunk_documents(docs, "text", size=16, overlap=0)
         .select("source", F.md5(F.col("chunk_text")).alias("h"))
@@ -5598,7 +5607,8 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CROSS_SOURCE_DUP_ORACLE = f"""
-WITH toks AS (SELECT source, {_TOKENS_SQL} AS t FROM documents),
+WITH toks AS (SELECT source, {_TOKENS_SQL} AS t FROM documents
+              WHERE trim(text) <> ''),
 w AS (
   SELECT source, t,
          greatest(CAST(ceil(CAST(len(t) AS DOUBLE) / 16.0) AS BIGINT), 1)

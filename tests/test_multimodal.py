@@ -256,3 +256,49 @@ def test_resize_images_strict_raises(spark):
     out = resize_images(_media(spark).limit(1), strict=True)
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         out.collect()
+
+
+def test_wav_zero_rate_is_a_parse_failure(spark):
+    """A corrupt WAV declaring sample_rate=0 (with samples present) must
+    fail the PARSE — strict mode then raises the contractual
+    NotImplementedError, never ZeroDivisionError (ADVICE r5)."""
+    import struct
+
+    from pyspark_deduplication_spark.operators.multimodal import (
+        extract_audio_features,
+        parse_wav_pcm16,
+    )
+
+    good = _wav(440.0, ms=100)
+    # patch the fmt-chunk sample rate (bytes 24-27 in this fixed layout)
+    bad = good[:24] + struct.pack("<I", 0) + good[28:]
+    assert parse_wav_pcm16(good) is not None
+    assert parse_wav_pcm16(bad) is None
+    df = spark.createDataFrame(
+        [(1, "audio", bad, (None, None, None, None))], MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|codec|WAV") as ei:
+        extract_audio_features(df, strict=True).collect()
+    assert "ZeroDivision" not in str(ei.value)
+
+
+def test_resize_center_mapping_on_nonuniform_image(spark):
+    """Strict PPM resize samples at pixel CENTERS — floor((i+0.5)·src/dst),
+    PIL Image.NEAREST's mapping — pinned on a gradient image where the
+    old floor(i·src/dst) mapping picks different columns (ADVICE r5)."""
+    from pyspark_deduplication_spark.operators.multimodal import (
+        parse_ppm,
+        resize_images,
+    )
+
+    # 4x1 image with distinct column colors 0,60,120,180
+    w0 = 4
+    body = b"".join(bytes([60 * i] * 3) for i in range(w0))
+    ppm = b"P6\n4 1\n255\n" + body
+    df = spark.createDataFrame(
+        [(1, "image", ppm, ("image/x-portable-pixmap", 4, 1, None))],
+        MEDIA_SCHEMA)
+    got = resize_images(df, width=2, height=1, strict=True).collect()[0]
+    _, _, arr = parse_ppm(bytes(got.resized))
+    # centers at (i+0.5)*4/2 = 1.0, 3.0 → source columns 1 and 3
+    # (the old edge mapping floor(i*4/2) would pick columns 0 and 2)
+    assert arr.reshape(-1, 3)[:, 0].tolist() == [60, 180]

@@ -96,3 +96,20 @@ def test_host_strips_root_dot_only(spark):
         "url string")
     got = [r.h for r in df.select(url_host(F.col("url")).alias("h")).collect()]
     assert got == ["sub.host.net", "h.net"]
+
+
+def test_registrable_domain_wide_cctld_suffixes(spark):
+    """The widened two-part-suffix table (VERDICT r5 item 7): common
+    ccTLD second-level suffixes keep the third label."""
+    cases = [
+        ("http://www.loja.com.br/x", "loja.com.br"),
+        ("http://shop.co.in/", "shop.co.in"),
+        ("http://a.b.site.com.cn", "site.com.cn"),
+        ("http://news.co.za/y", "news.co.za"),
+        ("http://x.com.au", "x.com.au"),
+        ("http://plain.org/", "plain.org"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.d for r in
+           df.select(registrable_domain(F.col("url")).alias("d")).collect()]
+    assert got == [want for _, want in cases]
