@@ -5525,7 +5525,7 @@ def incremental_semantic_dedup_embeddings(
     batch = emb.filter(F.col("vec_id") % 4 == 0)
     corpus = emb.filter(F.col("vec_id") % 4 != 0)
     return incremental_semantic_dedup(
-        batch, corpus, threshold=0.3, n_cells=8
+        batch, corpus, threshold=0.3, n_cells=8, max_cell_size=4096
     ).select("vec_id", "label")
 
 

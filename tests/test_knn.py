@@ -494,3 +494,88 @@ def test_pq_recall_against_brute_force_on_fixture(spark, sf_dir):
     # floor that still proves the lookup pipeline ranks signal
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.25, recall
+
+
+def test_incremental_semantic_dedup_candidate_bound_at_1k_clones(spark):
+    """VERDICT r5 weak #1: the incremental path must inherit the
+    mega-cell guard. 1,000 byte-identical corpus embeddings all land in
+    one cell; unguarded, every ingest batch row probing that cell joins
+    all 1,000 (b·m candidates, forever). Guarded, the clones collapse
+    to ONE indexed representative, so the candidate count is bounded by
+    b·(distinct reps) — and the drop/keep decisions are unchanged
+    (matching the representative ⇔ matching every clone)."""
+    from pyspark_deduplication_spark.operators.knn import (
+        incremental_semantic_dedup,
+        incremental_semantic_dedup_candidates,
+    )
+
+    rng = np.random.RandomState(11)
+    clone = [float(x) for x in rng.standard_normal(12) * 3]
+    corpus_rows = [(1000 + i, clone) for i in range(1000)]
+    vid = 0
+    for _ in range(30):  # distinct background vectors
+        corpus_rows.append((vid, [float(x) for x in rng.standard_normal(12) * 5]))
+        vid += 1
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>")
+
+    batch_rows = [
+        (5000, [float(x * 1.0003) for x in clone]),  # near the clone → drop
+        (5001, [float(x) for x in rng.standard_normal(12) * 50]),  # novel
+        (5002, [float(x) for x in rng.standard_normal(12) * 50]),  # novel
+    ]
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<float>")
+
+    unguarded = incremental_semantic_dedup_candidates(
+        batch, corpus, n_cells=4, n_probe=2).count()
+    guarded = incremental_semantic_dedup_candidates(
+        batch, corpus, n_cells=4, n_probe=2, max_cell_size=50).count()
+    # unguarded: the clone-probing batch row alone sees ~1000 candidates
+    assert unguarded >= 1000, unguarded
+    # guarded: ≤ b · n_probe · max_cell_size, and far under the blowup —
+    # 1,000 clones contribute ONE representative
+    assert guarded <= 3 * 2 * 50, guarded
+
+    got = sorted(r.vec_id for r in incremental_semantic_dedup(
+        batch, corpus, threshold=0.999, n_cells=4, n_probe=2,
+        max_cell_size=50).collect())
+    assert got == [5001, 5002], got
+
+
+def test_incremental_semantic_dedup_cell_cap_is_deterministic(spark):
+    """The per-cell candidate cap keeps a DETERMINISTIC hash-ranked
+    subset: same inputs → same candidate ids across repartitionings."""
+    from pyspark_deduplication_spark.operators.knn import (
+        incremental_semantic_dedup_candidates,
+    )
+
+    rng = np.random.RandomState(13)
+    corpus_rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)
+    ]
+    batch_rows = [
+        (900 + i, [float(x) for x in rng.standard_normal(8)])
+        for i in range(5)
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>")
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<float>")
+
+    def cand_ids(c):
+        return sorted(
+            (r["nid"], r["cid"]) for r in
+            incremental_semantic_dedup_candidates(
+                batch, c, n_cells=2, n_probe=1, max_cell_size=20
+            ).select(F.col("__nid").alias("nid"),
+                     F.col("__cid").alias("cid")).collect()
+        )
+
+    a = cand_ids(corpus)
+    b = cand_ids(corpus.repartition(7))
+    assert a == b
+    # cap respected per (batch row, cell)
+    from collections import Counter
+    per_nid = Counter(n for n, _ in a)
+    assert all(v <= 20 for v in per_nid.values()), per_nid
