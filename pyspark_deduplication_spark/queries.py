@@ -5565,6 +5565,59 @@ FROM w GROUP BY doc_id
 """
 
 
+def doc_trained_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED hashed-linear quality scoring end-to-end (VERDICT r5
+    item 3): labels derive from a deterministic rule (length ≥ 300 —
+    the sf0.01 median, so the classes split ~50/50), the distributed
+    closed-form trainer (``functions.scoring.train_hashed_linear``,
+    per-bucket diagonal ridge — two hash aggregations, weights never
+    touch the driver) fits a (bucket, weight) table, and
+    ``score_with_weight_table`` broadcasts it back over the corpus for
+    inference. Exact cross-engine determinism: integer sufficient
+    statistics → one IEEE division → floor-quantization onto the 2⁻²⁰
+    grid, so weights are bit-identical and score sums are
+    order-independent (no rounding tolerance anywhere — the DuckDB
+    oracle replicates train AND inference bit-for-bit)."""
+    from pyspark_deduplication_spark.functions.scoring import (
+        score_with_weight_table,
+        train_hashed_linear,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.length("text") >= 300).cast("int"))
+    weights = train_hashed_linear(docs, "label", "text", "doc_id")
+    return score_with_weight_table(docs, weights, "text", "doc_id")
+
+
+_TRAINED_QUALITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+bt AS (
+  SELECT doc_id, substr(md5(term || 'q5'), 1, 2) AS b FROM clean
+),
+y AS (
+  SELECT doc_id, CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+x AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x
+  FROM bt GROUP BY doc_id, b
+),
+w AS (
+  SELECT b,
+         floor(1048576.0 * CAST(sum(x.x * y.y) AS DOUBLE)
+               / (CAST(sum(x.x * x.x) AS DOUBLE) + 1.0)) / 1048576.0 AS wt
+  FROM x JOIN y USING (doc_id) GROUP BY b
+)
+SELECT bt.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       sum(w.wt) AS score
+FROM bt JOIN w ON bt.b = w.b
+GROUP BY bt.doc_id
+"""
+
+
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: for every source pair, how many
     distinct 16-token chunk fingerprints they SHARE — the curation
@@ -6424,6 +6477,11 @@ CATALOG: dict[str, Query] = {
     "doc_hashed_quality_score": Query(doc_hashed_quality_score,
                                       _HASHED_QUALITY_ORACLE,
                                       tags=["text", "quality", "scoring"]),
+    # distributed closed-form trainer + broadcast inference (r6)
+    "doc_trained_quality_score": Query(doc_trained_quality_score,
+                                       _TRAINED_QUALITY_ORACLE,
+                                       tags=["text", "quality", "scoring",
+                                             "train"]),
     "cross_source_dup_matrix": Query(cross_source_dup_matrix,
                                      _CROSS_SOURCE_DUP_ORACLE,
                                      tags=["dedup", "stats", "pipeline"]),

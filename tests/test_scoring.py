@@ -54,3 +54,58 @@ def test_band_thresholds(spark):
         want = "high" if r.score >= 1.0 else ("mid" if r.score >= -1.0
                                               else "low")
         assert r.band == want
+
+
+def test_trained_model_separates_planted_vocabularies(spark):
+    """The distributed closed-form trainer (diagonal ridge over hashed
+    token counts) must learn weights that SEPARATE two planted
+    vocabularies: positive docs draw from vocab A, negative from vocab
+    B; every held-out positive doc must outscore every negative one."""
+    from pyspark_deduplication_spark.functions.scoring import (
+        train_hashed_linear,
+    )
+
+    vocab_a = [f"good{i}" for i in range(12)]
+    vocab_b = [f"junk{i}" for i in range(12)]
+    rows = []
+    did = 0
+    for rep in range(10):  # train docs, 3 tokens each, rotating vocab
+        for off in range(4):
+            toks_a = [vocab_a[(rep + off + j) % 12] for j in range(3)]
+            toks_b = [vocab_b[(rep + off + j) % 12] for j in range(3)]
+            rows.append((did, " ".join(toks_a), 1))
+            rows.append((did + 1, " ".join(toks_b), 0))
+            did += 2
+    train = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    weights = train_hashed_linear(train, "label")
+
+    held = spark.createDataFrame(
+        [(900, " ".join(vocab_a[:5]), 1), (901, " ".join(vocab_a[5:10]), 1),
+         (902, " ".join(vocab_b[:5]), 0), (903, " ".join(vocab_b[5:10]), 0)],
+        "doc_id long, text string, label int")
+    got = {r.doc_id: r.score for r in
+           score_with_weight_table(held, weights).collect()}
+    assert min(got[900], got[901]) > max(got[902], got[903]), got
+
+
+def test_trained_weights_live_on_exact_grid(spark):
+    """Trained weights floor-quantize onto the 2^-20 grid (exactly
+    representable), the property that makes inference sums
+    order-independent — pinned by checking weight·2^20 is integral and
+    scores are invariant under repartitioning."""
+    from pyspark_deduplication_spark.functions.scoring import (
+        train_hashed_linear,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i * 3) % 11} common word{i % 5}", i % 2)
+         for i in range(40)],
+        "doc_id long, text string, label int")
+    w = train_hashed_linear(df, "label")
+    for r in w.collect():
+        scaled = r.weight * (1 << 20)
+        assert scaled == int(scaled), r
+    s1 = {r.doc_id: r.score for r in score_with_weight_table(df, w).collect()}
+    s2 = {r.doc_id: r.score
+          for r in score_with_weight_table(df.repartition(13), w).collect()}
+    assert s1 == s2
