@@ -5735,25 +5735,14 @@ FROM per_source CROSS JOIN norm
 """
 
 
-def corpus_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixture planning WITH shortfall renormalization — the iterative
-    outer loop ``corpus_mixture_plan`` documents as out of scope, now in
-    scope (VERDICT r4 item 5): when a source's proportional allocation
-    exceeds its inventory it saturates (contributes everything), and its
-    shortfall redistributes over the remaining sources' weights —
-    bounded water-filling, ``rounds`` fixed iterations (n_sources rounds
-    reach the fixpoint; 4 suffice for any realistic weight skew, and a
-    FIXED count keeps the spelling engine-portable, no convergence
-    test).
-
-    The budget (20k < the corpus's ~27k-token inventory at sf0.01)
-    is chosen so the Zipf head saturates and the tail does not — the
-    oracle exercises a genuine saturation cascade, not the trivial
-    all-fit case. Each round is the established 1-row broadcast
-    normalizer over the n_sources-row relation; the corpus-sized work
-    remains the single token-inventory aggregate. Returns (source,
-    tokens, planned_tokens, saturated, sample_rate)."""
-    budget, rounds = 20_000, 4
+def _waterfill_alloc(
+    spark: SparkSession, sf_dir: str, budget: int, rounds: int
+) -> DataFrame:
+    """The water-filling allocation loop shared by
+    ``corpus_mixture_waterfill`` (the plan) and
+    ``corpus_mixture_execute`` (the materialization): ``rounds``
+    fixed renormalization rounds over the n_sources inventory relation.
+    Returns (source, tokens, __w, sat, alloc)."""
     # Materialize the corpus-sized inventory aggregate ONCE: every round
     # (its 1-row normalizer AND its re-projection) re-references this
     # relation, and without the checkpoint the static plan re-derives
@@ -5787,6 +5776,28 @@ def corpus_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("sat", F.col("sat") | (F.col("alloc") >= F.col("tokens")))
             .drop("__wsum", "__sat_toks")
         )
+    return cur
+
+
+def corpus_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning WITH shortfall renormalization — the iterative
+    outer loop ``corpus_mixture_plan`` documents as out of scope, now in
+    scope (VERDICT r4 item 5): when a source's proportional allocation
+    exceeds its inventory it saturates (contributes everything), and its
+    shortfall redistributes over the remaining sources' weights —
+    bounded water-filling, ``rounds`` fixed iterations (n_sources rounds
+    reach the fixpoint; 4 suffice for any realistic weight skew, and a
+    FIXED count keeps the spelling engine-portable, no convergence
+    test).
+
+    The budget (20k < the corpus's ~27k-token inventory at sf0.01)
+    is chosen so the Zipf head saturates and the tail does not — the
+    oracle exercises a genuine saturation cascade, not the trivial
+    all-fit case. Each round is the established 1-row broadcast
+    normalizer over the n_sources-row relation; the corpus-sized work
+    remains the single token-inventory aggregate. Returns (source,
+    tokens, planned_tokens, saturated, sample_rate)."""
+    cur = _waterfill_alloc(spark, sf_dir, budget=20_000, rounds=4)
     return cur.select(
         "source",
         "tokens",
@@ -5831,6 +5842,68 @@ SELECT source, tokens,
        round(CAST(least(alloc, tokens) AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
          AS sample_rate
 FROM r4
+"""
+
+
+def corpus_mixture_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-plan EXECUTION (VERDICT r5 item 4): materialize the
+    sampled corpus from ``corpus_mixture_waterfill``'s per-source
+    allocations via ``operators.sampling.execute_token_budget`` — each
+    source keeps the greedy prefix of its documents in deterministic
+    md5-hash order whose inclusive running token sum fits the source's
+    planned budget. Strict-prefix semantics make the kept set monotone
+    in the budget (raising an allocation only appends rows). Plan
+    shape: the n_sources budget table broadcasts; the corpus shuffles
+    once on ``source`` for the running-sum window — no global sort, no
+    driver loop. Returns the kept (doc_id, source, n_tok, cum_tokens)
+    rows; per-source sum(n_tok) ≤ planned_tokens by construction
+    (tightness pinned in ``test_sampling.py``)."""
+    from pyspark_deduplication_spark.operators.sampling import (
+        execute_token_budget,
+    )
+
+    plan = _waterfill_alloc(spark, sf_dir, budget=20_000, rounds=4).select(
+        "source",
+        F.least(F.col("alloc"), F.col("tokens")).alias("planned_tokens"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    kept = execute_token_budget(docs, plan)
+    return kept.select(
+        "doc_id", "source", "n_tok",
+        F.col("__cum_tokens").alias("cum_tokens"),
+    )
+
+
+_MIXTURE_EXECUTE_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(sum({_NTOK_SQL}) AS BIGINT) AS tokens,
+         1.0 / (CAST(substr(source, 4, 10) AS INT) + 1) AS w
+  FROM documents GROUP BY source
+),
+r0 AS (SELECT source, tokens, w, FALSE AS sat, CAST(0 AS BIGINT) AS alloc
+       FROM per_source),
+{",".join(_waterfill_round(n, 20_000) for n in range(4))},
+plan AS (SELECT source, least(alloc, tokens) AS budget FROM r4),
+d AS (
+  SELECT doc_id, source, CAST({_NTOK_SQL} AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(sum(n_tok) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'mix'), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM d
+)
+SELECT c.doc_id, c.source, c.n_tok, c.cum_tokens
+FROM c JOIN plan USING (source)
+WHERE c.cum_tokens <= plan.budget
 """
 
 
@@ -6445,6 +6518,10 @@ CATALOG: dict[str, Query] = {
     # reference in test_bpe.py)
     "bpe_encode_docs": Query(bpe_encode_docs, None,
                              tags=["text", "tokenizer", "pipeline"]),
+    # mixture-plan execution: greedy hash-prefix per source (r6)
+    "corpus_mixture_execute": Query(corpus_mixture_execute,
+                                    _MIXTURE_EXECUTE_ORACLE,
+                                    tags=["sampling", "pipeline", "scale"]),
     "corpus_mixture_waterfill": Query(corpus_mixture_waterfill,
                                       _WATERFILL_ORACLE,
                                       tags=["sampling", "pipeline", "stats"]),

@@ -168,3 +168,47 @@ def test_cap_per_group_keeps_first_n_by_order(spark):
     assert kept == [("x", 0), ("x", 1), ("x", 2),
                     ("y", 0), ("y", 1), ("y", 2)]
     assert out.filter("NOT __kept").count() == 14
+
+
+def test_execute_token_budget_tight_prefix_and_monotone(spark):
+    """Mixture-plan execution: per-group kept tokens fit the budget and
+    are TIGHT (the next doc in hash order would overflow), zero-token
+    rows are free, and raising a budget only APPENDS rows."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.operators.sampling import (
+        execute_token_budget,
+    )
+
+    rows = [(i, f"g{i % 3}", (i * 7) % 23 + 1) for i in range(60)]
+    rows.append((100, "g0", 0))  # zero-token row: costs nothing
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    budgets = spark.createDataFrame(
+        [("g0", 90), ("g1", 55), ("g2", 0)],
+        "source string, planned_tokens long")
+
+    kept = execute_token_budget(df, budgets).collect()
+    by_group: dict = {}
+    for r in kept:
+        by_group.setdefault(r.source, []).append(r)
+    # budget respected, inclusive cum sums consistent
+    budget_of = {"g0": 90, "g1": 55, "g2": 0}
+    for g, rs in by_group.items():
+        total = sum(r.n_tok for r in rs)
+        assert total <= budget_of[g], (g, total)
+        assert max(r.cum_tokens if hasattr(r, "cum_tokens")
+                   else r.__getitem__("__cum_tokens") for r in rs) == total
+    # g2 budget 0: only zero-token rows could survive (none in g2)
+    assert "g2" not in by_group
+    # tightness: rerun with budget+max_tok; strictly more rows kept for
+    # groups that were budget-bound (g0 got the free zero-token row too)
+    bigger = spark.createDataFrame(
+        [("g0", 90 + 23), ("g1", 55 + 23), ("g2", 0)],
+        "source string, planned_tokens long")
+    kept2 = {(r.doc_id) for r in execute_token_budget(df, bigger).collect()}
+    kept1 = {(r.doc_id) for r in kept}
+    assert kept1 < kept2  # monotone: strict superset
+    # determinism across partitionings
+    kept3 = {r.doc_id for r in
+             execute_token_budget(df.repartition(11), budgets).collect()}
+    assert kept1 == kept3
