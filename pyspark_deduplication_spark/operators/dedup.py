@@ -554,6 +554,64 @@ def simhash_signatures(
     )
 
 
+def hamming_edges(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+    blocks: int,
+    bits: int = _SIMHASH_BITS,
+) -> DataFrame:
+    """Pigeonhole-banded Hamming-near-dup edges over a ``bits``-wide
+    integer signature column — the blocking core shared by
+    ``simhash_dedup`` (text) and the perceptual media hash
+    (``multimodal.media_near_dup_perceptual``).
+
+    Split each signature into ``blocks`` equal bit chunks; any pair
+    within Hamming distance < ``blocks`` must agree on ≥1 chunk, so
+    ``blocks`` equi-joins (one exploded join on (chunk_id, chunk) —
+    only (id, 8-byte sig, chunk) rows move, never the underlying
+    content) find every candidate without a cross product. Verify with
+    native ``bit_count(a XOR b) ≤ max_hamming``. Returns distinct
+    (id_a, id_b), id_a < id_b."""
+    assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
+    width = bits // blocks
+    chunked = sigs.select(
+        id_col,
+        sig_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_id"),
+                    F.shiftright(sig_col, i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                )
+                for i in range(blocks)
+            ])
+        ).alias("c"),
+    ).select(id_col, sig_col, "c.chunk_id", "c.chunk")
+
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{sig_col}").alias("sh_a"),
+            F.col(f"b.{sig_col}").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= max_hamming)
+        .select("id_a", "id_b")
+    )
+
+
 def simhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -571,43 +629,8 @@ def simhash_dedup(
     """
     from pyspark_deduplication_spark.operators.linkage import connected_components
 
-    assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
-    width = _SIMHASH_BITS // blocks
     sigs = simhash_signatures(df, text_col, id_col)
-    chunked = sigs.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("chunk_id"),
-                    F.shiftright("simhash", i * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("chunk"),
-                )
-                for i in range(blocks)
-            ])
-        ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
-
-    a, b = chunked.alias("a"), chunked.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= max_hamming)
-        .select("id_a", "id_b")
-    )
+    edges = hamming_edges(sigs, id_col, "simhash", max_hamming, blocks)
     comps = connected_components(edges, "id_a", "id_b")
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)

@@ -356,6 +356,112 @@ def extract_audio_features(
     return df.mapInPandas(op, schema=AUDIO_FEATURES_SCHEMA)
 
 
+def image_dhash(payload: bytes):
+    """64-bit perceptual difference hash (dHash) from REAL decoded
+    pixels — the bridge from exact media dedup (``media_exact_dedup``,
+    sha-256: re-encoded or rescaled duplicates escape) to the engine's
+    near-dup stack (VERDICT r5 item 5).
+
+    Pipeline: decode (Pillow when importable, else the pure-Python P6
+    PPM path ``parse_ppm``) → rec.601 luma → center-sampled
+    nearest-neighbor downscale to 9×8 (the same floor((i+0.5)·src/dst)
+    mapping as ``resize_images``) → bit (r·8+c) set iff
+    gray[r,c+1] > gray[r,c]. Gradient SIGNS are invariant to uniform
+    brightness shifts and, for nearest sampling, to integer-factor
+    rescales — exactly the perturbations that defeat byte hashing —
+    while genuinely different images differ in ~32 bits. Returns a
+    signed int64 (two's complement) or None for NULL payloads; non-PPM
+    payloads without Pillow raise ``NotImplementedError`` (the strict
+    contract shared with ``decode_image``)."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    try:
+        from PIL import Image
+
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        w0, h0 = img.width, img.height
+        arr = np.asarray(img, dtype=np.float64)
+    except ImportError as exc:
+        parsed = parse_ppm(payload)
+        if parsed is None:
+            raise NotImplementedError(
+                "perceptual-hashing this image format requires Pillow, "
+                "not present in this environment (only raw P6 PPM "
+                "decodes without it)"
+            ) from exc
+        w0, h0, raw = parsed
+        arr = raw.astype(np.float64)
+    gray = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    xi = np.minimum(((2 * np.arange(9) + 1) * w0) // (2 * 9), w0 - 1)
+    yi = np.minimum(((2 * np.arange(8) + 1) * h0) // (2 * 8), h0 - 1)
+    g = gray[yi][:, xi]  # 8 rows × 9 cols
+    bits = np.uint64(0)
+    diff = (g[:, 1:] > g[:, :-1]).astype(np.uint64).ravel()  # 8×8 row-major
+    for i, b in enumerate(diff):
+        bits |= b << np.uint64(i)
+    return int(bits.astype(np.int64))
+
+
+def extract_image_dhash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, dhash) perceptual signatures over Arrow batches — the media
+    analogue of ``dedup.simhash_signatures``. Strict-only: a perceptual
+    hash of fake-decoded bytes would be meaningless."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "dhash": pd.array(
+                    [image_dhash(p) for p in pdf[payload_col]],
+                    dtype="Int64"),
+            })
+
+    return df.mapInPandas(op, schema=f"{id_col} long, dhash long")
+
+
+def media_near_dup_perceptual(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    blocks: int = 8,
+) -> DataFrame:
+    """Perceptual near-duplicate clustering for images: dHash
+    signatures → pigeonhole Hamming-banded candidate join
+    (``dedup.hamming_edges`` — the SimHash blocking, reused verbatim:
+    8 chunks of 8 bits catch every pair within Hamming 7) → transitive
+    components → min-id representative. Returns (id, dhash, component,
+    keep) — filtering ``keep`` yields the perceptually deduplicated
+    set. The payload bytes never shuffle: only (id, 8-byte dhash,
+    1-byte chunk) rows move through the candidate join, and the decode
+    pass is the one ``mapInPandas`` scan."""
+    from pyspark_deduplication_spark.operators.dedup import hamming_edges
+    from pyspark_deduplication_spark.operators.linkage import (
+        transitive_clusters,
+    )
+
+    sigs = extract_image_dhash(df, id_col, payload_col)
+    # drop NULL-payload rows from pairing; they re-enter as singletons
+    hashed = sigs.filter(F.col("dhash").isNotNull())
+    edges = hamming_edges(hashed, id_col, "dhash", max_hamming, blocks)
+    clustered = transitive_clusters(sigs.select(id_col), edges, id_col)
+    return (
+        sigs.join(clustered, id_col)
+        .select(
+            id_col, "dhash", "component",
+            (F.col(id_col) == F.col("component")).alias("keep"),
+        )
+    )
+
+
 def resize_images(
     df: DataFrame,
     width: int = 224,

@@ -5680,6 +5680,57 @@ GROUP BY a.source, b.source
 """
 
 
+def media_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup over REAL decoded pixels (VERDICT r5
+    item 5): dHash signatures (rec.601 luma → 9×8 center-sampled
+    downscale → gradient-sign bits) → pigeonhole Hamming-banded
+    candidate join (the SimHash blocking, ``dedup.hamming_edges``) →
+    transitive components → min-id keep. Re-encoded/rescaled/
+    brightness-shifted duplicates — which escape ``media_exact_dedup``'s
+    sha-256 — collapse onto their original. Fixtures are P6 PPMs
+    synthesized deterministically from integer keys (S5 precedent; no
+    imaging library): every 3rd key re-emits key−2's image upscaled
+    2×, every 3rd+1 re-emits it brightness-shifted. Rows-only:
+    byte-level image synthesis isn't SQL-expressible; link/non-link
+    ground truth is pinned in ``test_multimodal.py``."""
+    from pyspark_deduplication_spark.operators.multimodal import (
+        media_near_dup_perceptual,
+    )
+
+    import hashlib
+
+    def pix(k: int, r: int, c: int, ch: int) -> int:
+        # content-hash pixels: images for different keys are mutually
+        # independent (an affine-in-k formula makes cross-key gradient
+        # SIGNS near-parallel and dHash would link planted distincts)
+        h = hashlib.md5(f"{k},{r},{c},{ch}".encode()).digest()
+        return h[0] % 171 + 30
+
+    def ppm(k: int, scale: int = 1, shift: int = 0) -> bytes:
+        w, h = 9 * scale, 8 * scale
+        body = bytes(
+            min(255, pix(k, r // scale, c // scale, ch) + shift)
+            for r in range(h) for c in range(w) for ch in range(3)
+        )
+        return (b"P6\n%d %d\n255\n" % (w, h)) + body
+
+    rows = []
+    for k in range(30):
+        if k % 3 == 0:
+            rows.append((k, "image", ppm(k), (None, None, None, None)))
+        elif k % 3 == 1:
+            rows.append((k, "image", ppm(k - 1, scale=2),
+                         (None, None, None, None)))
+        else:
+            rows.append((k, "image", ppm(k - 2, shift=10),
+                         (None, None, None, None)))
+    from pyspark_deduplication_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return media_near_dup_perceptual(df).select(
+        "media_id", "dhash", "component", "keep")
+
+
 def audio_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio feature extraction (strict mode, pure-Python PCM16
     WAV decode — ``operators.multimodal.parse_wav_pcm16``) over
@@ -6549,6 +6600,10 @@ CATALOG: dict[str, Query] = {
     # ground truth in test_multimodal.py)
     "audio_features_report": Query(audio_features_report, None,
                                    tags=["multimodal", "pipeline"]),
+    # perceptual dHash near-dup over real decoded pixels (rows-only;
+    # link/non-link ground truth in test_multimodal.py)
+    "media_perceptual_dedup": Query(media_perceptual_dedup, None,
+                                    tags=["multimodal", "dedup"]),
     # oracle-backed; landed after the r5 window froze — queue for the
     # r6 rotation per the established mechanism
     "doc_hashed_quality_score": Query(doc_hashed_quality_score,

@@ -302,3 +302,49 @@ def test_resize_center_mapping_on_nonuniform_image(spark):
     # centers at (i+0.5)*4/2 = 1.0, 3.0 → source columns 1 and 3
     # (the old edge mapping floor(i*4/2) would pick columns 0 and 2)
     assert arr.reshape(-1, 3)[:, 0].tolist() == [60, 180]
+
+
+def test_perceptual_dhash_links_rescaled_and_shifted_copies(spark):
+    """dHash near-dup (VERDICT r5 item 5): an integer-factor rescale
+    and a uniform brightness shift of a planted image must land in its
+    component (byte hashing misses both), while a distinct image stays
+    apart; NULL payloads survive as singletons."""
+    import numpy as np
+
+    from pyspark_deduplication_spark.operators.multimodal import (
+        image_dhash,
+        media_near_dup_perceptual,
+    )
+
+    rng = np.random.RandomState(3)
+
+    def ppm_of(arr):
+        h, w, _ = arr.shape
+        return (b"P6\n%d %d\n255\n" % (w, h)) + arr.astype(np.uint8).tobytes()
+
+    base = rng.randint(30, 200, size=(8, 9, 3))           # 9x8 "blocks"
+    upscaled = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)  # 36x32
+    shifted = np.clip(base + 10, 0, 255)                  # brightness +10
+    other = rng.randint(30, 200, size=(8, 9, 3))          # distinct image
+
+    rows = [
+        (1, "image", ppm_of(base), (None, None, None, None)),
+        (2, "image", ppm_of(upscaled), (None, None, None, None)),
+        (3, "image", ppm_of(shifted), (None, None, None, None)),
+        (4, "image", ppm_of(other), (None, None, None, None)),
+        (5, "image", None, (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    # kernel-level invariances
+    assert image_dhash(rows[0][2]) == image_dhash(rows[1][2])
+    assert image_dhash(rows[0][2]) == image_dhash(rows[2][2])
+    assert image_dhash(rows[0][2]) != image_dhash(rows[3][2])
+    assert image_dhash(None) is None
+
+    got = {r.media_id: r for r in media_near_dup_perceptual(df).collect()}
+    assert len(got) == 5
+    assert got[1].component == got[2].component == got[3].component == 1
+    assert got[1].keep and not got[2].keep and not got[3].keep
+    assert got[4].component == 4 and got[4].keep
+    assert got[5].dhash is None and got[5].keep  # singleton survives
