@@ -965,3 +965,127 @@ def pq_knn(
         .select(F.col("__qid").alias(query_id),
                 F.col(vec_id).alias("neighbor_id"), "score", "rank")
     )
+
+
+def ivfpq_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    rerank: int = 50,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "embedding",
+    n_iter: int = 4,
+    train_sample_mod: int = 1,
+) -> DataFrame:
+    """IVF×PQ composition — the standard billion-scale ANN shape
+    (Jégou et al. TPAMI'11, the FAISS ``IVFx,PQy`` index): coarse IVF
+    cells prune the corpus, PQ asymmetric-distance scores the surviving
+    candidates FROM CODES (``m_subspaces`` table lookups per candidate
+    instead of ``dim`` float multiplies), and the top-``rerank``
+    shortlist per query re-scores exactly before the final top-k.
+
+    Why compose: at equal SCORED-FLOAT cost, PQ's ~dim/m cheapness buys
+    proportionally more probed cells, and probe count — not per-cell
+    scoring fidelity — is what recall is starved by near cell borders
+    (measured in tests: IVFPQ at n_probe=4 beats exact IVF at
+    n_probe=2). The exact rerank erases PQ's quantization error for
+    everything that reaches the shortlist.
+
+    100 TB plan shape: the index is (id, cell_id, codes) — 8-ish bytes
+    of codes per vector, the memory step that fits a cluster; the full
+    float vectors are read ONLY in the final rerank scan, where the
+    (queries × rerank)-row shortlist broadcasts against the corpus (no
+    corpus shuffle anywhere: centroids, codebook, ADC tables and
+    shortlists are all broadcast model state).
+
+    Returns (query_id, neighbor_id, score, rank) — exact cosine on the
+    reranked survivors, same schema as ``ivf_knn``."""
+    cents = train_centroids(
+        vectors, n_cells, vec_id, vec_col, n_iter, train_sample_mod
+    )
+    indexed = assign_cells(vectors, cents, vec_col, 1)
+    cb = train_pq_codebook(
+        vectors, dim, m_subspaces, k_codes, vec_id, vec_col,
+        n_iter, train_sample_mod,
+    )
+    enc = pq_encode(vectors, cb, dim, m_subspaces, vec_id, vec_col)
+    index = indexed.select(vec_id, "cell_id").join(enc, vec_id)
+
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_col).alias("__qvec")
+    )
+    q_cells = q.join(F.broadcast(cents), how="cross").withColumn(
+        "__csim", cosine_similarity(F.col("__qvec"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("__qid").orderBy(
+        F.col("__csim").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        q_cells.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("__qid", "cell_id")
+    )
+
+    # per-(query, subspace, code) partial dot — the ADC lookup table
+    sub = dim // m_subspaces
+    qsub = q.select(
+        "__qid",
+        F.posexplode(
+            F.array(*[F.slice(F.col("__qvec"), m * sub + 1, sub)
+                      for m in range(m_subspaces)])
+        ).alias("subspace", "__qsv"),
+    )
+    table = (
+        qsub.join(F.broadcast(cb), "subspace")
+        .select(
+            "__qid", "subspace", "code",
+            F.aggregate(
+                F.zip_with(F.col("__qsv"), F.col("codeword"),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("__part"),
+        )
+    )
+
+    cand = (
+        index.join(F.broadcast(probes), "cell_id")
+        .filter(F.col(vec_id) != F.col("__qid"))
+        .select("__qid", vec_id, F.posexplode("codes").alias("subspace", "code"))
+    )
+    adc = (
+        cand.join(F.broadcast(table), ["__qid", "subspace", "code"])
+        .groupBy("__qid", vec_id)
+        .agg(F.sum("__part").alias("__adc"))
+    )
+    wr = Window.partitionBy("__qid").orderBy(
+        F.col("__adc").desc(), F.col(vec_id).asc())
+    shortlist = (
+        adc.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= rerank)
+        .select("__qid", vec_id)
+    )
+
+    # exact rerank: shortlist broadcasts against the corpus scan
+    exact = (
+        vectors.select(F.col(vec_id), F.col(vec_col))
+        .join(F.broadcast(shortlist), vec_id)
+        .join(F.broadcast(q), "__qid")
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col(vec_id).alias("neighbor_id"),
+            cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("score"),
+        )
+    )
+    wk = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )

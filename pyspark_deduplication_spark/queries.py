@@ -1444,6 +1444,26 @@ def pq_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 6).alias("score"), "rank")
 
 
+def ivfpq_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composed ANN (the FAISS ``IVFx,PQy`` shape,
+    ``operators.knn.ivfpq_knn``): coarse cells prune, asymmetric PQ
+    scores candidates from 8-byte codes, the top-50 shortlist reranks
+    exactly. The corpus's float vectors are read only in the rerank
+    scan; everything else moves codes and broadcast model state.
+    Rows-only: k-means/codebook training is not SQL-expressible;
+    recall-vs-brute-force and degenerate-exactness pinned in
+    ``test_knn.py``."""
+    from pyspark_deduplication_spark.operators.knn import ivfpq_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding"))
+    out = ivfpq_knn(emb, queries, dim=64, k=10, n_cells=8, n_probe=4,
+                    m_subspaces=8, k_codes=16, rerank=50)
+    return out.select("query_id", "neighbor_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, label-blocked (the blocked
     equi-join path; labels stand in for coarse IVF cells)."""
@@ -6405,6 +6425,9 @@ CATALOG: dict[str, Query] = {
                                  tags=["vector", "dedup"]),
     "knn_ivf": Query(knn_ivf, None, tags=["vector"]),
     "pq_knn_embeddings": Query(pq_knn_embeddings, None, tags=["vector"]),
+    # IVF×PQ composed ANN (rows-only; recall + exactness in test_knn.py)
+    "ivfpq_knn_embeddings": Query(ivfpq_knn_embeddings, None,
+                                  tags=["vector", "scale"]),
     "lsh_near_dup_embeddings": Query(lsh_near_dup_embeddings, None,
                                      tags=["vector", "dedup", "lsh"]),
     "embedding_cluster_dedup": Query(embedding_cluster_dedup,

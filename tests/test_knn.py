@@ -579,3 +579,75 @@ def test_incremental_semantic_dedup_cell_cap_is_deterministic(spark):
     from collections import Counter
     per_nid = Counter(n for n, _ in a)
     assert all(v <= 20 for v in per_nid.values()), per_nid
+
+
+def test_ivfpq_beats_ivf_at_equal_scored_float_cost(spark):
+    """IVF×PQ composition (VERDICT r5 item 8): PQ scoring costs
+    ~m/dim = 8/64 of exact per candidate, so at equal scored-float
+    budget IVFPQ affords MORE probed cells — and probe count, not
+    per-candidate fidelity, is what starves recall near cell borders.
+    Pin: IVFPQ at n_probe=4 (with exact rerank) strictly beats exact
+    IVF at n_probe=2, and approaches brute force."""
+    from pyspark_deduplication_spark.operators.knn import (
+        brute_force_knn,
+        ivf_knn,
+        ivfpq_knn,
+    )
+
+    rng = np.random.RandomState(17)
+    centers = rng.standard_normal((8, 16)) * 2
+    rows, vid = [], 0
+    for c in range(8):
+        for _ in range(40):
+            v = centers[c] + rng.standard_normal(16) * 2.0
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # queries BETWEEN clusters: their true neighbors straddle cell
+    # borders, the regime where probe count starves recall
+    q_rows = [(1000 + i, [float(x) for x in rng.standard_normal(16) * 2.5])
+              for i in range(16)]
+    queries = spark.createDataFrame(
+        q_rows, "query_id long, embedding array<float>")
+
+    truth = {(r.query_id, r.neighbor_id)
+             for r in brute_force_knn(emb, queries, k=5).collect()}
+
+    def recall(got_rows):
+        got = {(r.query_id, r.neighbor_id) for r in got_rows}
+        return len(truth & got) / len(truth)
+
+    r_ivf2 = recall(ivf_knn(emb, queries, k=5, n_cells=8,
+                            n_probe=2).collect())
+    r_ivfpq4 = recall(ivfpq_knn(
+        emb, queries, dim=16, k=5, n_cells=8, n_probe=4,
+        m_subspaces=8, k_codes=16, rerank=40).collect())
+    # per-candidate cost: 8 table lookups vs 16 float mults — 4 probes
+    # of PQ ≈ 2 probes of exact in scored floats (+ the fixed-size
+    # rerank), yet more probed cells wins:
+    assert r_ivfpq4 > r_ivf2, (r_ivfpq4, r_ivf2)
+    assert r_ivfpq4 >= 0.8, r_ivfpq4
+
+
+def test_ivfpq_full_probe_with_full_rerank_is_exact(spark):
+    """Probing every cell with rerank ≥ corpus must reproduce brute
+    force exactly — the degenerate-settings correctness pin."""
+    from pyspark_deduplication_spark.operators.knn import (
+        brute_force_knn,
+        ivfpq_knn,
+    )
+
+    rng = np.random.RandomState(19)
+    rows = [(i, [float(x) for x in rng.standard_normal(8) * 3])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(100 + i, rows[i * 7][1]) for i in range(5)],
+        "query_id long, embedding array<float>")
+    bf = {(r.query_id, r.neighbor_id, round(r.score, 9), r.rank)
+          for r in brute_force_knn(emb, queries, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id, round(r.score, 9), r.rank)
+           for r in ivfpq_knn(emb, queries, dim=8, k=5, n_cells=4,
+                              n_probe=4, m_subspaces=2, k_codes=8,
+                              rerank=60).collect()}
+    assert got == bf
