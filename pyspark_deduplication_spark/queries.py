@@ -6414,6 +6414,7 @@ CATALOG: dict[str, Query] = {
     "minhash_candidates_docs": Query(minhash_candidates_docs, None,
                                      bench=True, tags=["dedup", "lsh"]),
     "incremental_minhash_docs": Query(incremental_minhash_docs, None,
+                                      bench=True,
                                       tags=["dedup", "lsh", "incremental"]),
     "minhash_dedup_docs": Query(minhash_dedup_docs, None,
                                 bench=True, tags=["dedup", "lsh"]),
@@ -6617,7 +6618,7 @@ CATALOG: dict[str, Query] = {
     # cross-epoch SemDeDup (rows-only; drop/keep ground truth pinned on
     # planted fixtures in test_knn.py)
     "incremental_semantic_dedup_embeddings": Query(
-        incremental_semantic_dedup_embeddings, None,
+        incremental_semantic_dedup_embeddings, None, bench=True,
         tags=["vector", "dedup", "pipeline", "scale"]),
     # real-decode audio features over synthesized PCM16 WAV (rows-only;
     # ground truth in test_multimodal.py)
@@ -6655,28 +6656,35 @@ CATALOG: dict[str, Query] = {
 # order IS the grading surface. Rounds 1-4 have graded every
 # oracle-backed entry that existed when each round's window froze
 # (permanent records in CORRECTNESS_r01..r04). Round 5 rotation:
-# (a) the two round-4 additions that landed after the r4 freeze
-# (epoch_shuffle_docs, corpus_mixture_plan) plus this round's new
-# oracle-backed entries go FIRST, then (b) proven-green canaries
-# spanning every operator family — including at least one
-# representative of each family that failed in r01 (the
-# hash-canonicalization defect: TPC-H agg/join, window ranks, stats
-# profiling, dedup pipeline, text stats) — as regression tripwires.
-# Rows-only entries (MinHash/SimHash/IVF/PQ/HLL banding SQL cannot
-# express) stay after position 50 so they never occupy a graded slot
-# with an err:"no_oracle" row.
+# (a) the two round-5 additions that landed after the r5 freeze
+# (cross_source_dup_matrix, doc_hashed_quality_score — judge-parity-OK,
+# VERDICT r5 item 2) plus this round's new oracle-backed entries go
+# FIRST, then (b) proven-green canaries spanning every operator family
+# — including at least one representative of each family that failed
+# in r01 (the hash-canonicalization defect: TPC-H agg/join, window
+# ranks, stats profiling, dedup pipeline, text stats) — as regression
+# tripwires. Rows-only entries (MinHash/SimHash/IVF/PQ/HLL banding SQL
+# cannot express) stay after position 50 so they never occupy a graded
+# slot with an err:"no_oracle" row. Rotated out this round (all green
+# r5, families still repped): source_capped_corpus (domain_capped),
+# stratified_sample_docs (train_val_test_split + mixture_execute),
+# winnow_near_dup_docs (jaccard + fingerprint), levenshtein_links_parts
+# (fuzzy_clusters + fuzzy_pairs_blocked + cross_table_entity_match).
 _GRADED_ORDER = [
     # (a) oracle-backed entries never graded by the driver
-    "epoch_shuffle_docs",          # epoch shuffle keys (r4, post-freeze)
-    "corpus_mixture_plan",         # mixture planning (r4, post-freeze)
-    "remove_dup_spans_docs",       # ExactSubstr span removal (r5)
-    "bpe_first_merge_pairs",       # BPE training round 0 (r5)
-    "corpus_mixture_waterfill",    # shortfall renormalization (r5)
-    "url_canonical_customers",     # URL/domain canonicalization (r5)
-    "domain_capped_corpus",        # canonicalize → domain cap loop (r5)
+    "cross_source_dup_matrix",     # chunk-fingerprint dup matrix (r5)
+    "doc_hashed_quality_score",    # hashed linear inference (r5)
+    "doc_trained_quality_score",   # distributed trainer + inference (r6)
+    "corpus_mixture_execute",      # mixture-plan materialization (r6)
     # (b) proven-green canaries, every family + every r01-fail family
+    "epoch_shuffle_docs",          # epoch shuffle keys
+    "corpus_mixture_plan",         # mixture planning
+    "remove_dup_spans_docs",       # ExactSubstr span removal
+    "bpe_first_merge_pairs",       # BPE training round 0
+    "corpus_mixture_waterfill",    # shortfall renormalization
+    "url_canonical_customers",     # URL/domain canonicalization
+    "domain_capped_corpus",        # canonicalize → domain cap loop
     "train_val_test_split_docs",   # deterministic md5 splits
-    "source_capped_corpus",        # per-source row caps
     "doc_tfidf_top_terms",         # TF-IDF over documents
     "pivot_year_flag_revenue",     # pivot aggregation
     "lineitem_price_quantiles",    # approx/exact percentiles
@@ -6705,13 +6713,10 @@ _GRADED_ORDER = [
     "jaccard_near_dup_docs",       # n-gram Jaccard pairs
     "fuzzy_clusters_parts",        # reference Task 2 (linkage + CC)
     "fuzzy_pairs_blocked_parts",   # blocked similarity join
-    "levenshtein_links_parts",     # levenshtein linkage
     "cross_table_entity_match",    # two-table entity match
     "doc_token_stats",             # text stats (r01-fail + perf watch)
-    "winnow_near_dup_docs",        # winnowing fingerprints
     "decontaminate_against_src0",  # decontamination semi-join
     "pack_training_sequences",     # sequence packing (chunking family)
-    "stratified_sample_docs",      # deterministic sampling
     "knn_bruteforce",              # vector search
     "embedding_cluster_dedup",     # embedding dedup + CC
     "media_dedup_by_content",      # multimodal content dedup
