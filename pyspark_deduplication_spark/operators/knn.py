@@ -871,15 +871,21 @@ def pq_encode(
     m_subspaces: int = 8,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Quantize every vector to its per-subspace nearest codeword
-    (L2 on the slice). Returns (id, codes array<int>) — the compact
-    index representation. The codebook broadcasts; the big side is
-    scanned once; no wide shuffle (the groupBy that re-assembles the
-    codes array moves ``m_subspaces`` ints per vector)."""
+    (L2 on the slice). Returns (id, *carry_cols, codes array<int>) —
+    the compact index representation. The codebook broadcasts; the big
+    side is scanned once; no wide shuffle (the groupBy that
+    re-assembles the codes array moves ``m_subspaces`` ints per
+    vector). ``carry_cols`` ride along through the groupBy (they must
+    be functionally dependent on ``vec_id`` — e.g. the IVF ``cell_id``)
+    so composite indexes need no corpus-×-corpus re-join afterwards."""
+    carry = list(carry_cols or [])
     sub = dim // m_subspaces
     exploded = vectors.select(
         F.col(vec_id),
+        *[F.col(c) for c in carry],
         F.posexplode(
             F.array(*[_subvec(vec_col, m, sub) for m in range(m_subspaces)])
         ).alias("subspace", "__sv"),
@@ -899,7 +905,7 @@ def pq_encode(
         .filter(F.col("__rn") == 1)
     )
     return (
-        best.groupBy(vec_id)
+        best.groupBy(vec_id, *carry)
         .agg(F.transform(
             F.array_sort(F.collect_list(F.struct("subspace", "code"))),
             lambda s: s["code"],
@@ -1015,8 +1021,11 @@ def ivfpq_knn(
         vectors, dim, m_subspaces, k_codes, vec_id, vec_col,
         n_iter, train_sample_mod,
     )
-    enc = pq_encode(vectors, cb, dim, m_subspaces, vec_id, vec_col)
-    index = indexed.select(vec_id, "cell_id").join(enc, vec_id)
+    # cell_id rides through the encode groupBy (functionally dependent
+    # on vec_id) — a corpus-×-corpus (assignments ⋈ codes) re-join
+    # would be a second full shuffle of the index build
+    index = pq_encode(indexed, cb, dim, m_subspaces, vec_id, vec_col,
+                      carry_cols=["cell_id"])
 
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_col).alias("__qvec")

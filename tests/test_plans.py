@@ -401,3 +401,52 @@ def test_url_canonicalization_is_map_only(spark):
     plan = explain_str(url_canonical_customers(spark, "/root/testdata/sf0.001"))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_trained_quality_weights_broadcast_onto_corpus(spark):
+    """The trained weight table (≤256 rows) must BROADCAST onto the
+    corpus for inference — the corpus never hash-shuffles for the
+    model join — and the whole pipeline contains no cartesian."""
+    from pyspark_deduplication_spark.queries import doc_trained_quality_score
+
+    plan = explain_str(doc_trained_quality_score(
+        spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the corpus side shuffles only for aggregations (trainer's two +
+    # inference's one), never for a SortMergeJoin on the weight key
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_mixture_execute_single_window_exchange_no_sort_merge(spark):
+    """Mixture execution: budgets broadcast-join (n_sources rows); the
+    corpus takes exactly ONE exchange — the per-source running-sum
+    window — and there is no global Sort outside that window and no
+    SortMergeJoin."""
+    import re
+
+    from pyspark_deduplication_spark.queries import corpus_mixture_execute
+
+    plan = explain_str(corpus_mixture_execute(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exactly one hash-partitioned data exchange feeds the window; the
+    # waterfill side is checkpointed scalar rounds (broadcast only)
+    assert len(re.findall(r"\+- Exchange hashpartitioning", plan)) <= 3, plan
+    assert "Window" in plan, plan
+
+
+def test_ivfpq_moves_codes_not_vectors(spark):
+    """IVF×PQ search: candidate scoring joins must be broadcast (ADC
+    table, probes, shortlist) with no SortMergeJoin and no cartesian on
+    a corpus-sized side — only codes and model state move."""
+    from pyspark_deduplication_spark.operators.knn import ivfpq_knn
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(3).selectExpr("vec_id as query_id", "embedding")
+    plan = explain_str(ivfpq_knn(emb, queries, dim=64, k=5, n_cells=4,
+                                 n_probe=2, m_subspaces=8, k_codes=8,
+                                 rerank=20))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -47,6 +47,9 @@ NOTES = {
     "corpus_mixture_waterfill": "corpus aggregated once into an eager checkpoint; all 4 water-filling rounds iterate over the n_sources-row materialized relation (zero parquet scans in the query plan)",
     "url_canonical_customers": "pure projection: regex/string kernels map-only, no exchange, no join",
     "doc_hashed_quality_score": "join-free model inference: explode + one hash aggregate with map-side partials; weights live in the expression",
+    "doc_trained_quality_score": "trainer is two hash aggregates ((doc,bucket) counts → per-bucket statistics); the ≤256-row weight table broadcasts back for inference — corpus never shuffles for the model join",
+    "corpus_mixture_execute": "waterfill plan iterates the checkpointed n_sources relation; budgets broadcast; one exchange on source for the running-sum window — no global sort",
+    "cross_source_dup_matrix": "blank-doc filter + chunking map-only; distinct + self-join move (16-byte md5, source) pairs only — text never shuffles",
 }
 
 
