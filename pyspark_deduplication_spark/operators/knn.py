@@ -989,6 +989,7 @@ def ivfpq_knn(
     query_col: str = "embedding",
     n_iter: int = 4,
     train_sample_mod: int = 1,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF×PQ composition — the standard billion-scale ANN shape
     (Jégou et al. TPAMI'11, the FAISS ``IVFx,PQy`` index): coarse IVF
@@ -996,6 +997,16 @@ def ivfpq_knn(
     candidates FROM CODES (``m_subspaces`` table lookups per candidate
     instead of ``dim`` float multiplies), and the top-``rerank``
     shortlist per query re-scores exactly before the final top-k.
+
+    ``residual=True`` is the full IVFADC refinement (the paper's §V):
+    PQ encodes ``v − centroid(cell(v))`` instead of ``v``. Residuals
+    concentrate around the origin with far smaller variance than raw
+    vectors, so the same ``m×k`` codebook budget quantizes them more
+    finely and the ADC shortlist ranks better — measured in tests as a
+    strict recall win at identical settings. ADC then scores
+    ``dot(q, c_cell) + Σ_m dot(q_m, r̂_m)`` — the per-(query, probed
+    cell) constant rides on the probe rows, everything else is
+    unchanged table lookups.
 
     Why compose: at equal SCORED-FLOAT cost, PQ's ~dim/m cheapness buys
     proportionally more probed cells, and probe count — not per-cell
@@ -1013,12 +1024,32 @@ def ivfpq_knn(
 
     Returns (query_id, neighbor_id, score, rank) — exact cosine on the
     reranked survivors, same schema as ``ivf_knn``."""
-    cents = train_centroids(
-        vectors, n_cells, vec_id, vec_col, n_iter, train_sample_mod
+    # Cosine metric ⇒ index UNIT vectors (standard practice for
+    # IP/cosine PQ): dot(q, x̂) is then ∝ cosine within a query, so the
+    # ADC shortlist ranks by the same metric the rerank and the truth
+    # use. Zero-norm vectors index as-is (they score 0 everywhere).
+    # The exact rerank still reads the ORIGINAL vectors.
+    nrm = l2_norm(F.col(vec_col))
+    unit_vecs = vectors.select(
+        F.col(vec_id),
+        F.when(nrm > 0, F.transform(F.col(vec_col).cast("array<double>"),
+                                    lambda x: x / nrm))
+        .otherwise(F.col(vec_col).cast("array<double>")).alias(vec_col),
     )
-    indexed = assign_cells(vectors, cents, vec_col, 1)
+    cents = train_centroids(
+        unit_vecs, n_cells, vec_id, vec_col, n_iter, train_sample_mod
+    )
+    indexed = assign_cells(unit_vecs, cents, vec_col, 1)
+    if residual:
+        # v − centroid(cell): centroids broadcast, map-only transform
+        indexed = indexed.join(F.broadcast(cents), "cell_id").select(
+            F.col(vec_id), F.col("cell_id"),
+            F.zip_with(F.col(vec_col).cast("array<double>"),
+                       F.col("centroid"),
+                       lambda a, b: a - b).alias(vec_col),
+        )
     cb = train_pq_codebook(
-        vectors, dim, m_subspaces, k_codes, vec_id, vec_col,
+        indexed, dim, m_subspaces, k_codes, vec_id, vec_col,
         n_iter, train_sample_mod,
     )
     # cell_id rides through the encode groupBy (functionally dependent
@@ -1039,7 +1070,11 @@ def ivfpq_knn(
     probes = (
         q_cells.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= n_probe)
-        .select("__qid", "cell_id")
+        .select(
+            "__qid", "cell_id",
+            (dot(F.col("__qvec"), F.col("centroid")) if residual
+             else F.lit(0.0)).alias("__qc"),
+        )
     )
 
     # per-(query, subspace, code) partial dot — the ADC lookup table
@@ -1066,12 +1101,17 @@ def ivfpq_knn(
     cand = (
         index.join(F.broadcast(probes), "cell_id")
         .filter(F.col(vec_id) != F.col("__qid"))
-        .select("__qid", vec_id, F.posexplode("codes").alias("subspace", "code"))
+        .select("__qid", vec_id, "__qc",
+                F.posexplode("codes").alias("subspace", "code"))
     )
     adc = (
         cand.join(F.broadcast(table), ["__qid", "subspace", "code"])
-        .groupBy("__qid", vec_id)
-        .agg(F.sum("__part").alias("__adc"))
+        # __qc is constant per (query, vector): single-assign means a
+        # vector lives in exactly one probed cell
+        .groupBy("__qid", vec_id, "__qc")
+        .agg(F.sum("__part").alias("__dot"))
+        .select("__qid", vec_id,
+                (F.col("__qc") + F.col("__dot")).alias("__adc"))
     )
     wr = Window.partitionBy("__qid").orderBy(
         F.col("__adc").desc(), F.col(vec_id).asc())

@@ -651,3 +651,49 @@ def test_ivfpq_full_probe_with_full_rerank_is_exact(spark):
                               n_probe=4, m_subspaces=2, k_codes=8,
                               rerank=60).collect()}
     assert got == bf
+
+
+def test_ivfpq_residual_encoding_beats_raw_at_tight_rerank(spark):
+    """IVFADC residual refinement: encoding v − centroid(cell) spends
+    the same m×k codebook budget on a far lower-variance distribution,
+    so the ADC shortlist ranks better. The raw-vector pathology this
+    fixes: tight unit-normalized clusters quantize every member to the
+    CLUSTER's codes, so within-cluster ADC scores tie and the
+    shortlist degenerates to an id-ordered sample (measured:
+    config-independent ~0.24 recall); residuals carry exactly the
+    within-cluster variation and must strictly win at identical
+    settings under a tight rerank."""
+    from pyspark_deduplication_spark.operators.knn import (
+        brute_force_knn,
+        ivfpq_knn,
+    )
+
+    rng = np.random.RandomState(23)
+    centers = rng.standard_normal((6, 16)) * 6
+    rows, vid = [], 0
+    for c in range(6):
+        for _ in range(50):
+            v = centers[c] + rng.standard_normal(16) * 1.2
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(2000 + i, [float(x) for x in
+                     centers[i % 6] + rng.standard_normal(16) * 1.2])
+         for i in range(16)],
+        "query_id long, embedding array<float>")
+
+    truth = {(r.query_id, r.neighbor_id)
+             for r in brute_force_knn(emb, queries, k=5).collect()}
+
+    def recall(residual):
+        got = {(r.query_id, r.neighbor_id) for r in ivfpq_knn(
+            emb, queries, dim=16, k=5, n_cells=6, n_probe=3,
+            m_subspaces=8, k_codes=16, rerank=10,
+            residual=residual).collect()}
+        return len(truth & got) / len(truth)
+
+    r_raw, r_res = recall(False), recall(True)
+    # measured: raw 0.237 (degenerate within-cluster ties), residual
+    # 0.45 — a ~2× margin, not a flaky epsilon
+    assert r_res > r_raw + 0.1, (r_res, r_raw)
