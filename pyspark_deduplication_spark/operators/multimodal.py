@@ -462,6 +462,97 @@ def media_near_dup_perceptual(
     )
 
 
+def audio_phash(payload: bytes):
+    """64-segment energy-profile perceptual hash for audio — the audio
+    leg of the perceptual near-dup stack (``image_dhash``'s sibling,
+    shaped like image aHash rather than dHash — see below).
+
+    Decode (pure-Python PCM16 WAV, ``parse_wav_pcm16``) → split the
+    mono signal into 64 equal-duration segments → mean energy per
+    segment → bit i set iff energy[i] > median(energy). Median
+    comparison is exactly invariant to amplitude scaling (energies and
+    their median scale together by a² — a re-mastered/volume-normalized
+    copy hashes identically) and robust to resampling: segments cover
+    the same time FRACTIONS at any rate, so only segments whose energy
+    sits near the median can flip. (An adjacent-gradient spelling was
+    measured unstable here: within a steady tone, neighboring segment
+    energies differ only by partial-period phase noise, which resolves
+    differently at different sample rates — ~19/64 bits flipped on a
+    16 kHz re-encode vs ≤ a few for the median profile.) Returns
+    signed int64, None for NULL payloads; non-WAV payloads raise
+    ``NotImplementedError`` (the strict decode contract)."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    parsed = parse_wav_pcm16(payload)
+    if parsed is None:
+        raise NotImplementedError(
+            "perceptually hashing this audio format needs a codec "
+            "library, not present in this environment (only raw PCM16 "
+            "WAV decodes without it)"
+        )
+    _, mono = parsed
+    if mono.size < 64:
+        mono = np.pad(mono, (0, 64 - mono.size))
+    segs = np.array_split(mono, 64)
+    e = np.array([float((s * s).mean()) if s.size else 0.0 for s in segs])
+    med = float(np.median(e))
+    bits = np.uint64(0)
+    for i, b in enumerate((e > med).astype(np.uint64)):
+        bits |= b << np.uint64(i)
+    return int(bits.astype(np.int64))
+
+
+def extract_audio_phash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, ahash) perceptual audio signatures over Arrow batches."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "ahash": pd.array(
+                    [audio_phash(p) for p in pdf[payload_col]],
+                    dtype="Int64"),
+            })
+
+    return df.mapInPandas(op, schema=f"{id_col} long, ahash long")
+
+
+def audio_near_dup_perceptual(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    blocks: int = 8,
+) -> DataFrame:
+    """Perceptual near-duplicate clustering for audio clips: energy-
+    gradient hashes → pigeonhole Hamming-banded candidate join
+    (``dedup.hamming_edges``) → transitive components → min-id keep.
+    Same contract and plan shape as ``media_near_dup_perceptual``;
+    payload bytes never shuffle."""
+    from pyspark_deduplication_spark.operators.dedup import hamming_edges
+    from pyspark_deduplication_spark.operators.linkage import (
+        transitive_clusters,
+    )
+
+    sigs = extract_audio_phash(df, id_col, payload_col)
+    hashed = sigs.filter(F.col("ahash").isNotNull())
+    edges = hamming_edges(hashed, id_col, "ahash", max_hamming, blocks)
+    clustered = transitive_clusters(sigs.select(id_col), edges, id_col)
+    return (
+        sigs.join(clustered, id_col)
+        .select(
+            id_col, "ahash", "component",
+            (F.col(id_col) == F.col("component")).alias("keep"),
+        )
+    )
+
+
 def resize_images(
     df: DataFrame,
     width: int = 224,

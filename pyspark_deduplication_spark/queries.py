@@ -5751,6 +5751,62 @@ def media_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "dhash", "component", "keep")
 
 
+def audio_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup over REAL decoded samples: 64-segment
+    energy-profile hashes (``operators.multimodal.audio_phash``) →
+    Hamming-banded candidate join → CC min-id keep — the audio leg of
+    the perceptual stack, same shape as ``media_perceptual_dedup``.
+    Volume-scaled and resampled re-encodes of a clip — which escape
+    byte hashing — collapse onto their original. Fixtures: PCM16 WAV
+    tone programs synthesized deterministically from integer keys (S5
+    precedent); every 3rd+1 key re-emits key−1's program at half
+    volume, every 3rd+2 re-emits it resampled at 16 kHz. Rows-only;
+    link/non-link ground truth pinned in ``test_multimodal.py``."""
+    import hashlib
+    import math
+    import struct
+
+    from pyspark_deduplication_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_near_dup_perceptual,
+    )
+
+    def program(k: int, rate: int = 8000, scale: float = 1.0) -> bytes:
+        # 16 content-hashed notes → ~16 energy degrees of freedom in
+        # the 64-segment hash (8 notes measured too coarse: two
+        # independent programs with similar loudness RANK patterns can
+        # land within the Hamming budget)
+        frames = b""
+        for j in range(16):  # 16 notes, 50 ms each
+            h = hashlib.md5(f"{k},{j}".encode()).digest()
+            amp = (0.15 + 0.8 * h[0] / 255.0) * scale
+            freq = 180.0 + 3.0 * h[1]
+            n = rate * 50 // 1000
+            frames += b"".join(
+                struct.pack("<h", int(amp * 32767 *
+                                      math.sin(2 * math.pi * freq * i / rate)))
+                for i in range(n))
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (b"RIFF"
+                + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(frames))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(frames)) + frames)
+
+    rows = []
+    for k in range(24):
+        if k % 3 == 0:
+            rows.append((k, "audio", program(k), (None, None, None, None)))
+        elif k % 3 == 1:
+            rows.append((k, "audio", program(k - 1, scale=0.5),
+                         (None, None, None, None)))
+        else:
+            rows.append((k, "audio", program(k - 2, rate=16000),
+                         (None, None, None, None)))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return audio_near_dup_perceptual(df).select(
+        "media_id", "ahash", "component", "keep")
+
+
 def audio_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio feature extraction (strict mode, pure-Python PCM16
     WAV decode — ``operators.multimodal.parse_wav_pcm16``) over
@@ -6627,6 +6683,10 @@ CATALOG: dict[str, Query] = {
     # perceptual dHash near-dup over real decoded pixels (rows-only;
     # link/non-link ground truth in test_multimodal.py)
     "media_perceptual_dedup": Query(media_perceptual_dedup, None,
+                                    tags=["multimodal", "dedup"]),
+    # perceptual audio near-dup (rows-only; ground truth in
+    # test_multimodal.py)
+    "audio_perceptual_dedup": Query(audio_perceptual_dedup, None,
                                     tags=["multimodal", "dedup"]),
     # oracle-backed; landed after the r5 window froze — queue for the
     # r6 rotation per the established mechanism

@@ -348,3 +348,62 @@ def test_perceptual_dhash_links_rescaled_and_shifted_copies(spark):
     assert got[1].keep and not got[2].keep and not got[3].keep
     assert got[4].component == 4 and got[4].keep
     assert got[5].dhash is None and got[5].keep  # singleton survives
+
+
+def test_audio_perceptual_links_rescaled_and_resampled_copies(spark):
+    """Audio energy-gradient hash: a volume-scaled copy hashes
+    IDENTICALLY (energies scale uniformly, gradient signs invariant), a
+    resampled re-encode lands within the Hamming budget, a different
+    program stays apart."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from pyspark_deduplication_spark.operators.multimodal import (
+        audio_near_dup_perceptual,
+        audio_phash,
+    )
+
+    def program(amps, freqs, rate=8000, ms_per=80, scale=1.0):
+        frames = b""
+        for a, f in zip(amps, freqs):
+            n = rate * ms_per // 1000
+            frames += b"".join(
+                struct.pack("<h", int(scale * a * 32767 *
+                                      math.sin(2 * math.pi * f * i / rate)))
+                for i in range(n))
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(frames))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(frames)) + frames)
+
+    rng = np.random.RandomState(5)
+    amps_a = [0.1 + 0.8 * float(x) for x in rng.rand(10)]
+    freqs_a = [200.0 + 40.0 * i for i in range(10)]
+    amps_b = [0.1 + 0.8 * float(x) for x in rng.rand(10)]
+    freqs_b = [220.0 + 35.0 * i for i in range(10)]
+
+    base = program(amps_a, freqs_a)
+    quiet = program(amps_a, freqs_a, scale=0.5)          # volume-scaled
+    resampled = program(amps_a, freqs_a, rate=16000)     # re-encoded
+    other = program(amps_b, freqs_b)                     # different program
+
+    assert audio_phash(base) == audio_phash(quiet)
+    assert bin(audio_phash(base) ^ audio_phash(resampled)).count("1") <= 6
+    assert bin(audio_phash(base) ^ audio_phash(other)).count("1") > 6
+    assert audio_phash(None) is None
+
+    rows = [
+        (1, "audio", base, (None, None, None, None)),
+        (2, "audio", quiet, (None, None, None, None)),
+        (3, "audio", resampled, (None, None, None, None)),
+        (4, "audio", other, (None, None, None, None)),
+        (5, "audio", None, (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in audio_near_dup_perceptual(df).collect()}
+    assert got[1].component == got[2].component == got[3].component == 1
+    assert got[1].keep and not got[2].keep and not got[3].keep
+    assert got[4].keep and got[4].component == 4
+    assert got[5].ahash is None and got[5].keep
