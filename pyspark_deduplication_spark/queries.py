@@ -5638,6 +5638,108 @@ GROUP BY bt.doc_id
 """
 
 
+def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline, every stage oracle-verified — the
+    composition a training-data team actually runs, wired from the
+    engine's own operators: (1) train the hashed linear quality model
+    on ±1 labels (length ≥ 300, the corpus median) and score every doc
+    (``train_hashed_linear`` + ``score_with_weight_table``); (2) keep
+    docs scoring > 0; (3) exact-content dedup on the normalized-text
+    fingerprint, min-id survivor; (4) per-source cap of 20 in
+    deterministic md5 order (``cap_per_group``); (5) 80/10/10
+    train/val/test assignment (``hash_split``). Every stage is
+    bit-deterministic (quantized weights, md5 orderings), so the WHOLE
+    pipeline — model training included — hash-matches DuckDB with no
+    tolerance. Plan shape: two trainer aggregations + broadcast weight
+    join + three window shuffles (fingerprint, source, none for split)
+    — no driver loops, no collects."""
+    from pyspark_deduplication_spark.functions.scoring import (
+        score_with_weight_table,
+        train_hashed_linear,
+    )
+    from pyspark_deduplication_spark.operators.sampling import (
+        cap_per_group,
+        hash_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label", (F.length("text") >= 300).cast("int") * 2 - 1)
+    weights = train_hashed_linear(labeled, "label", "text", "doc_id")
+    scored = score_with_weight_table(docs, weights, "text", "doc_id")
+    kept = (
+        scored.filter(F.col("score") > 0)
+        .join(docs.select("doc_id", "source", "text"), "doc_id")
+    )
+    wfp = Window.partitionBy("__fp").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("__fp", doc_fingerprint(F.col("text")))
+        .withColumn("__rn", F.row_number().over(wfp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ordered = deduped.withColumn(
+        "__ord", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("cap"))))
+    capped = cap_per_group(ordered, "source", "__ord", 20)
+    survivors = capped.filter(F.col("__kept"))
+    split = hash_split(survivors, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.select("doc_id", "source", "score", "split")
+
+
+# hash_split thresholds 'cd'/'e6' per sampling._hex_threshold (cum 0.8,
+# 0.9); the trainer CTEs mirror _TRAINED_QUALITY_ORACLE with ±1 labels.
+_CURATION_PIPELINE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+bt AS (
+  SELECT doc_id, substr(md5(term || 'q5'), 1, 2) AS b FROM clean
+),
+y AS (
+  SELECT doc_id, CASE WHEN length(text) >= 300 THEN 1 ELSE -1 END AS y
+  FROM documents
+),
+x AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x
+  FROM bt GROUP BY doc_id, b
+),
+w AS (
+  SELECT b,
+         floor(1048576.0 * CAST(sum(x.x * y.y) AS DOUBLE)
+               / (CAST(sum(x.x * x.x) AS DOUBLE) + 1.0)) / 1048576.0 AS wt
+  FROM x JOIN y USING (doc_id) GROUP BY b
+),
+scored AS (
+  SELECT bt.doc_id, sum(w.wt) AS score
+  FROM bt JOIN w ON bt.b = w.b GROUP BY bt.doc_id
+),
+kept AS (
+  SELECT s.doc_id, d.source, d.text, s.score
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.score > 0
+),
+dd AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+  FROM kept
+),
+capped AS (
+  SELECT doc_id, source, score, row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id) AS crn
+  FROM dd WHERE rn = 1
+)
+SELECT doc_id, source, score,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 2) < 'cd'
+            THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 2) < 'e6'
+            THEN 'val' ELSE 'test' END AS split
+FROM capped WHERE crn <= 20
+"""
+
+
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: for every source pair, how many
     distinct 16-token chunk fingerprints they SHARE — the curation
@@ -6698,6 +6800,12 @@ CATALOG: dict[str, Query] = {
                                        _TRAINED_QUALITY_ORACLE,
                                        tags=["text", "quality", "scoring",
                                              "train"]),
+    # end-to-end curation: train → score-filter → dedup → cap → split,
+    # every stage in one oracle (r6)
+    "curation_pipeline_docs": Query(curation_pipeline_docs,
+                                    _CURATION_PIPELINE_ORACLE,
+                                    tags=["pipeline", "quality", "dedup",
+                                          "sampling"]),
     "cross_source_dup_matrix": Query(cross_source_dup_matrix,
                                      _CROSS_SOURCE_DUP_ORACLE,
                                      tags=["dedup", "stats", "pipeline"]),
@@ -6728,7 +6836,8 @@ CATALOG: dict[str, Query] = {
 # slot with an err:"no_oracle" row. Rotated out this round (all green
 # r5, families still repped): source_capped_corpus (domain_capped),
 # stratified_sample_docs (train_val_test_split + mixture_execute),
-# winnow_near_dup_docs (jaccard + fingerprint), levenshtein_links_parts
+# winnow_near_dup_docs (jaccard + fingerprint), levenshtein_links_parts,
+# doc_fingerprint_dedup (fingerprint dedup runs inside curation_pipeline_docs)
 # (fuzzy_clusters + fuzzy_pairs_blocked + cross_table_entity_match).
 _GRADED_ORDER = [
     # (a) oracle-backed entries never graded by the driver
@@ -6736,6 +6845,7 @@ _GRADED_ORDER = [
     "doc_hashed_quality_score",    # hashed linear inference (r5)
     "doc_trained_quality_score",   # distributed trainer + inference (r6)
     "corpus_mixture_execute",      # mixture-plan materialization (r6)
+    "curation_pipeline_docs",      # end-to-end curation pipeline (r6)
     # (b) proven-green canaries, every family + every r01-fail family
     "epoch_shuffle_docs",          # epoch shuffle keys
     "corpus_mixture_plan",         # mixture planning
@@ -6768,7 +6878,6 @@ _GRADED_ORDER = [
     "profile_customer_columns",    # column profiling (r01-fail)
     "dedup_exact_parts",           # reference Task 1 (exact dedup)
     "surrogate_ids_parts",         # surrogate ids
-    "doc_fingerprint_dedup",       # content fingerprint dedup
     "duplicate_pressure_by_source",# dedup pipeline (r01-fail)
     "jaccard_near_dup_docs",       # n-gram Jaccard pairs
     "fuzzy_clusters_parts",        # reference Task 2 (linkage + CC)
