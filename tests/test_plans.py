@@ -450,3 +450,15 @@ def test_ivfpq_moves_codes_not_vectors(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_curation_pipeline_no_cartesian_weights_broadcast(spark):
+    """The five-stage curation pipeline stays shuffle-disciplined end to
+    end: trained weights broadcast onto the corpus, no cartesian, no
+    SortMergeJoin anywhere in the composition."""
+    from pyspark_deduplication_spark.queries import curation_pipeline_docs
+
+    plan = explain_str(curation_pipeline_docs(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
