@@ -444,6 +444,63 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def incremental_minhash_candidates(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(new_id, corpus_id) candidate pairs for
+    ``incremental_minhash_dedup`` from precomputed signature frames —
+    factored out so tests can pin the candidate-count bound (the
+    ``incremental_semantic_dedup_candidates`` precedent).
+
+    Guarded (``max_bucket_size``), two stages mirroring the SemDeDup
+    incremental guard:
+
+    1. **Corpus exact-clone collapse.** Rows with byte-identical
+       shingle sets (128-bit double-xxhash64 key over the array)
+       collapse to their min-id representative before banding:
+       Jaccard(q, clone) == Jaccard(q, rep) for identical sets, so the
+       drop decision is lossless while a 1k-clone corpus bucket stops
+       contributing 1k candidates per probing batch row, every batch.
+    2. **Per-(band, bucket) cap.** Distinct corpus rows still sharing
+       a bucket beyond ``max_bucket_size`` keep only a deterministic
+       hash-ranked subset — the ``minhash_candidate_pairs``
+       ``max_bucket_size`` trade (bounded cost, marginal recall loss
+       on dups of capped-out rows, mitigated by the other
+       ``bands − 1`` independent band probes)."""
+    reps = corpus_sigs
+    if max_bucket_size is not None:
+        keyed = reps.withColumn(
+            "__h1", F.xxhash64(F.col("shingles"))
+        ).withColumn(
+            "__h2", F.xxhash64(F.reverse(F.col("shingles")), F.lit(1)))
+        wck = Window.partitionBy("__h1", "__h2").orderBy(F.col(id_col))
+        reps = (
+            keyed.withColumn("__rn", F.row_number().over(wck))
+            .filter(F.col("__rn") == 1)
+            .drop("__h1", "__h2", "__rn")
+        )
+    nb = _band_keys(new_sigs, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("new_id"), "band", "bucket")
+    cb = _band_keys(reps, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("corpus_id"), "band", "bucket")
+    if max_bucket_size is not None:
+        wbk = Window.partitionBy("band", "bucket").orderBy(
+            F.xxhash64(F.col("corpus_id")), F.col("corpus_id"))
+        cb = (
+            cb.withColumn("__bk", F.row_number().over(wbk))
+            .filter(F.col("__bk") <= max_bucket_size)
+            .drop("__bk")
+        )
+    return (nb.join(cb, ["band", "bucket"])
+            .select("new_id", "corpus_id")
+            .dropDuplicates(["new_id", "corpus_id"]))
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
     corpus: DataFrame,
@@ -453,6 +510,7 @@ def incremental_minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup filter for a NEW batch against an EXISTING corpus — the
     incremental twin of ``minhash_dedup``, for pipelines that ingest
@@ -469,7 +527,13 @@ def incremental_minhash_dedup(
     against ANY corpus doc is dropped; batch-internal duplicates are
     then removed with ``minhash_dedup`` over the survivors, so the
     returned frame is clean against corpus ∪ itself (append it and the
-    invariant holds for the next batch)."""
+    invariant holds for the next batch).
+
+    ``max_bucket_size`` arms the corpus-side skew guard (exact-clone
+    collapse + per-bucket cap — see
+    ``incremental_minhash_candidates``); without it a clone-heavy
+    corpus bucket re-pairs b·m candidates on EVERY ingest batch, the
+    same quadratic corner the incremental SemDeDup path closed."""
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_size).persist()
     corpus_sigs = minhash_signatures(
@@ -478,13 +542,8 @@ def incremental_minhash_dedup(
     # join-back — see the fan-out race note in minhash_candidate_pairs
     new_sigs.count()
     corpus_sigs.count()
-    nb = _band_keys(new_sigs, id_col, num_hashes, bands).select(
-        F.col(id_col).alias("new_id"), "band", "bucket")
-    cb = _band_keys(corpus_sigs, id_col, num_hashes, bands).select(
-        F.col(id_col).alias("corpus_id"), "band", "bucket")
-    cand = (nb.join(cb, ["band", "bucket"])
-            .select("new_id", "corpus_id")
-            .dropDuplicates(["new_id", "corpus_id"]))
+    cand = incremental_minhash_candidates(
+        new_sigs, corpus_sigs, id_col, num_hashes, bands, max_bucket_size)
     new_sh = new_sigs.select(F.col(id_col).alias("new_id"),
                              F.col("shingles").alias("sh_new"))
     corpus_sh = corpus_sigs.select(F.col(id_col).alias("corpus_id"),

@@ -1074,7 +1074,10 @@ def incremental_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     among themselves. The corpus side never self-joins — its band keys
     are probed by the batch's. Probabilistic banding → rows-only driver
     check; pytest pins exactness against the brute-force cross-corpus
-    Jaccard at the same threshold."""
+    Jaccard at the same threshold. ``max_bucket_size`` arms the
+    corpus-side skew guard (clone collapse + bucket cap) — inert at
+    this SF, load-bearing on clone-heavy corpora; the bound is pinned
+    by the planted-clones test in ``test_dedup.py``."""
     from pyspark_deduplication_spark.operators.dedup import (
         incremental_minhash_dedup,
     )
@@ -1083,7 +1086,7 @@ def incremental_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     return (incremental_minhash_dedup(batch, corpus, "text", "doc_id",
-                                      threshold=0.7)
+                                      threshold=0.7, max_bucket_size=4096)
             .select("doc_id"))
 
 

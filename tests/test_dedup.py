@@ -294,3 +294,43 @@ def test_incremental_minhash_matches_bruteforce_cross_jaccard(spark, sf_dir):
     # every exact cross-corpus dup was dropped (64/16 banding at 0.7 has
     # ~full recall at this similarity; any miss is a real defect)
     assert not (kept & exact_dups)
+
+
+def test_incremental_minhash_candidate_bound_at_1k_clones(spark):
+    """Corpus-side skew guard for incremental MinHash (the SemDeDup
+    incremental guard's text twin): 1,000 byte-identical corpus docs
+    share every band bucket; unguarded, each probing batch row joins
+    all 1,000 — every ingest batch, forever. Guarded, the clones
+    collapse to ONE banded representative and per-bucket caps bound
+    the join; the drop/keep decisions are unchanged (identical shingle
+    sets have identical Jaccard against any batch doc)."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    clone_text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus_rows = [(1000 + i, clone_text) for i in range(1000)]
+    corpus_rows += [(i, f"unrelated document number {i} with words "
+                        f"alpha{i} beta{i} gamma{i} delta{i}")
+                    for i in range(20)]
+    batch_rows = [
+        (5000, clone_text + " extra"),                      # near the clone
+        (5001, "completely novel content zeta eta theta iota kappa"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    new_sigs = minhash_signatures(batch, "text", "doc_id")
+    corpus_sigs = minhash_signatures(corpus, "text", "doc_id")
+    unguarded = incremental_minhash_candidates(
+        new_sigs, corpus_sigs).count()
+    guarded = incremental_minhash_candidates(
+        new_sigs, corpus_sigs, max_bucket_size=50).count()
+    assert unguarded >= 1000, unguarded
+    assert guarded <= 50 * 2, guarded  # ≤ reps per bucket × batch rows
+
+    got = sorted(r.doc_id for r in incremental_minhash_dedup(
+        batch, corpus, threshold=0.7, max_bucket_size=50).collect())
+    assert got == [5001], got
