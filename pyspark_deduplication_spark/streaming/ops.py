@@ -207,6 +207,7 @@ def streaming_corpus_ingest(
     threshold: float = 0.8,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = 4096,
 ):
     """Continuously ingest documents into a near-dup-free corpus: each
     micro-batch first dedups internally, then drops docs that near-
@@ -221,6 +222,12 @@ def streaming_corpus_ingest(
     ``foreachBatch`` contract. In production the corpus side would keep
     a persisted signature table per epoch instead of re-signing (see the
     operator's docstring); the dataflow shape is identical.
+
+    ``max_bucket_size`` (armed by DEFAULT here — the streaming path IS
+    the continuous-ingest workload the guard exists for) bounds the
+    corpus-side probe: exact corpus clones collapse to one banded
+    representative and skewed buckets cap, so a clone-heavy standing
+    corpus cannot cost b·m candidates on every micro-batch.
     """
     from pyspark_deduplication_spark.operators.dedup import (
         incremental_minhash_dedup,
@@ -239,7 +246,8 @@ def streaming_corpus_ingest(
         if have_corpus:
             fresh = incremental_minhash_dedup(
                 batch_df, corpus, text_col, id_col,
-                threshold, num_hashes, bands)
+                threshold, num_hashes, bands,
+                max_bucket_size=max_bucket_size)
         else:
             fresh = minhash_dedup(
                 batch_df, text_col, id_col, threshold, num_hashes, bands)
