@@ -6806,7 +6806,7 @@ CATALOG: dict[str, Query] = {
     # end-to-end curation: train → score-filter → dedup → cap → split,
     # every stage in one oracle (r6)
     "curation_pipeline_docs": Query(curation_pipeline_docs,
-                                    _CURATION_PIPELINE_ORACLE,
+                                    _CURATION_PIPELINE_ORACLE, bench=True,
                                     tags=["pipeline", "quality", "dedup",
                                           "sampling"]),
     "cross_source_dup_matrix": Query(cross_source_dup_matrix,
