@@ -1453,16 +1453,19 @@ def ivfpq_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores candidates from 8-byte codes, the top-50 shortlist reranks
     exactly. The corpus's float vectors are read only in the rerank
     scan; everything else moves codes and broadcast model state.
-    Rows-only: k-means/codebook training is not SQL-expressible;
-    recall-vs-brute-force and degenerate-exactness pinned in
-    ``test_knn.py``."""
+    ``residual=True`` arms the IVFADC refinement (PQ over
+    v − centroid(cell) on the unit-normalized index — the variant that
+    survives clone-tight clusters; see ``test_knn.py``'s measured 2×
+    shortlist-recall win). Rows-only: k-means/codebook training is not
+    SQL-expressible; recall-vs-brute-force and degenerate-exactness
+    pinned in ``test_knn.py``."""
     from pyspark_deduplication_spark.operators.knn import ivfpq_knn
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding"))
     out = ivfpq_knn(emb, queries, dim=64, k=10, n_cells=8, n_probe=4,
-                    m_subspaces=8, k_codes=16, rerank=50)
+                    m_subspaces=8, k_codes=16, rerank=50, residual=True)
     return out.select("query_id", "neighbor_id",
                       F.round("score", 6).alias("score"), "rank")
 

@@ -50,6 +50,7 @@ NOTES = {
     "doc_trained_quality_score": "trainer is two hash aggregates ((doc,bucket) counts → per-bucket statistics); the ≤256-row weight table broadcasts back for inference — corpus never shuffles for the model join",
     "corpus_mixture_execute": "waterfill plan iterates the checkpointed n_sources relation; budgets broadcast; one exchange on source for the running-sum window — no global sort",
     "cross_source_dup_matrix": "blank-doc filter + chunking map-only; distinct + self-join move (16-byte md5, source) pairs only — text never shuffles",
+    "curation_pipeline_docs": "five stages, shuffle-disciplined end to end: trainer aggregations → broadcast weight join → fingerprint window → per-source cap window → projection split; no SortMergeJoin, no cartesian",
 }
 
 
