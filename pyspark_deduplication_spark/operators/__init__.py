@@ -3,7 +3,9 @@ from pyspark_deduplication_spark.operators.dedup import (  # noqa: F401
     dedup_fingerprint,
     dedup_full_row,
     dedup_keep_first,
+    hamming_edges,
     incremental_dedup,
+    incremental_minhash_candidates,
     incremental_minhash_dedup,
     merge_upsert,
     minhash_candidate_pairs,
@@ -21,8 +23,15 @@ from pyspark_deduplication_spark.operators.knn import (  # noqa: F401
     brute_force_knn,
     embedding_near_dup_pairs,
     hyperplane_lsh_buckets,
+    incremental_semantic_dedup,
     ivf_knn,
+    ivfpq_knn,
     lsh_near_dup_pairs,
+    pq_encode,
+    pq_knn,
+    semantic_dedup,
+    train_centroids,
+    train_pq_codebook,
 )
 from pyspark_deduplication_spark.operators.linkage import (  # noqa: F401
     blocked_similarity_cross_join,
@@ -34,8 +43,11 @@ from pyspark_deduplication_spark.operators.linkage import (  # noqa: F401
     transitive_clusters,
 )
 from pyspark_deduplication_spark.operators.multimodal import (  # noqa: F401
+    audio_near_dup_perceptual,
+    extract_audio_features,
     extract_image_features,
     media_exact_dedup,
+    media_near_dup_perceptual,
     media_repartition,
     sample_video_frames,
 )
@@ -48,8 +60,11 @@ from pyspark_deduplication_spark.operators.chunking import (  # noqa: F401
     chunk_documents,
 )
 from pyspark_deduplication_spark.operators.sampling import (  # noqa: F401
+    cap_per_group,
+    execute_token_budget,
     hash_bucket,
     hash_sample,
+    hash_split,
     stratified_hash_sample,
 )
 from pyspark_deduplication_spark.operators.timeseries import (  # noqa: F401

@@ -466,6 +466,59 @@ def semantic_dedup(
     )
 
 
+def build_semantic_dedup_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 4,
+    train_sample_mod: int = 1,
+    max_cell_size: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, corpus_index) for ``incremental_semantic_dedup`` —
+    the TRAIN-ONCE step a production pipeline persists (centroids as a
+    tiny table, the index as parquet) and reuses on every ingest batch
+    instead of re-deriving both from the 100 TB corpus each time; when
+    a batch is appended, append its rows' index entries too (cell
+    geometry stays fixed until a periodic re-train).
+
+    The mega-cell guard stages live HERE, at index-build time: exact
+    clones collapse to a min-id representative before anything else
+    (lossless for the drop decision — see
+    ``incremental_semantic_dedup_candidates``) and per-cell membership
+    caps at a deterministic hash-ranked ``max_cell_size`` subset.
+    Returns (centroids(cell_id, centroid),
+    corpus_index(__cid, __cvec, cell_id))."""
+    reps = corpus.select(F.col(vec_id), F.col(vec_col))
+    if max_cell_size is not None:
+        keyed = reps.withColumn(
+            "__h1", F.xxhash64(F.col(vec_col))
+        ).withColumn("__h2", F.xxhash64(F.reverse(F.col(vec_col)), F.lit(1)))
+        wck = Window.partitionBy("__h1", "__h2").orderBy(F.col(vec_id))
+        reps = (
+            keyed.withColumn("__rn", F.row_number().over(wck))
+            .filter(F.col("__rn") == 1)
+            .select(F.col(vec_id), F.col(vec_col))
+        )
+    cents = train_centroids(
+        reps, n_cells, vec_id, vec_col, n_iter, train_sample_mod
+    )
+    corpus_idx = assign_cells(reps, cents, vec_col, 1).select(
+        F.col(vec_id).alias("__cid"), F.col(vec_col).alias("__cvec"),
+        "cell_id",
+    )
+    if max_cell_size is not None:
+        wcell = Window.partitionBy("cell_id").orderBy(
+            F.xxhash64(F.col("__cid")), F.col("__cid")
+        )
+        corpus_idx = (
+            corpus_idx.withColumn("__crank", F.row_number().over(wcell))
+            .filter(F.col("__crank") <= max_cell_size)
+            .drop("__crank")
+        )
+    return cents, corpus_idx
+
+
 def incremental_semantic_dedup_candidates(
     new_vectors: DataFrame,
     corpus: DataFrame,
@@ -476,6 +529,7 @@ def incremental_semantic_dedup_candidates(
     n_probe: int = 2,
     train_sample_mod: int = 1,
     max_cell_size: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """(batch × corpus) candidate rows for ``incremental_semantic_dedup``
     — factored out so tests can pin the candidate-count bound (the
@@ -504,35 +558,20 @@ def incremental_semantic_dedup_candidates(
        clone collapse upstream (mega-cells are clone-dominated in the
        method's target workload) and by ``n_probe`` redundancy.
 
+    ``index`` short-circuits the build: pass the persisted
+    (centroids, corpus_index) pair from ``build_semantic_dedup_index``
+    and the corpus argument is never touched — the production shape
+    where cell geometry and the index live as tables.
+
     Returns (cell_id, __nid, __nvec, __cid, __cvec) candidate rows; a
     pair sharing several probed cells appears once per shared cell (the
     dedup happens AFTER scoring, on bare ids — see the caller)."""
-    reps = corpus.select(F.col(vec_id), F.col(vec_col))
-    if max_cell_size is not None:
-        keyed = reps.withColumn(
-            "__h1", F.xxhash64(F.col(vec_col))
-        ).withColumn("__h2", F.xxhash64(F.reverse(F.col(vec_col)), F.lit(1)))
-        wck = Window.partitionBy("__h1", "__h2").orderBy(F.col(vec_id))
-        reps = (
-            keyed.withColumn("__rn", F.row_number().over(wck))
-            .filter(F.col("__rn") == 1)
-            .select(F.col(vec_id), F.col(vec_col))
-        )
-    cents = train_centroids(
-        reps, n_cells, vec_id, vec_col, n_iter, train_sample_mod
-    )
-    corpus_idx = assign_cells(reps, cents, vec_col, 1).select(
-        F.col(vec_id).alias("__cid"), F.col(vec_col).alias("__cvec"),
-        "cell_id",
-    )
-    if max_cell_size is not None:
-        wcell = Window.partitionBy("cell_id").orderBy(
-            F.xxhash64(F.col("__cid")), F.col("__cid")
-        )
-        corpus_idx = (
-            corpus_idx.withColumn("__crank", F.row_number().over(wcell))
-            .filter(F.col("__crank") <= max_cell_size)
-            .drop("__crank")
+    if index is not None:
+        cents, corpus_idx = index
+    else:
+        cents, corpus_idx = build_semantic_dedup_index(
+            corpus, n_cells, vec_id, vec_col, n_iter, train_sample_mod,
+            max_cell_size,
         )
     batch_idx = assign_cells(
         new_vectors.select(F.col(vec_id), F.col(vec_col)), cents,
@@ -555,6 +594,7 @@ def incremental_semantic_dedup(
     n_probe: int = 2,
     train_sample_mod: int = 1,
     max_cell_size: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Semantic near-dup filter for a NEW embedding batch against an
     EXISTING corpus — the incremental twin of ``semantic_dedup``,
@@ -578,6 +618,9 @@ def incremental_semantic_dedup(
     ``incremental_semantic_dedup_candidates``) and passes through to
     the batch-internal ``semantic_dedup``; without it a clone-heavy
     corpus cell re-pairs b·m candidates on EVERY ingest batch.
+    ``index`` passes the persisted (centroids, corpus_index) pair from
+    ``build_semantic_dedup_index`` so no corpus-sized work runs per
+    batch at all — the production shape.
 
     Candidate pairs surfaced from two shared probed cells are scored
     per appearance and deduped only at the final id ``distinct()`` —
@@ -593,7 +636,7 @@ def incremental_semantic_dedup(
 
     cand = incremental_semantic_dedup_candidates(
         new_vectors, corpus, n_cells, vec_id, vec_col,
-        n_iter, n_probe, train_sample_mod, max_cell_size,
+        n_iter, n_probe, train_sample_mod, max_cell_size, index,
     )
     dup_ids = (
         cand.filter(

@@ -697,3 +697,42 @@ def test_ivfpq_residual_encoding_beats_raw_at_tight_rerank(spark):
     # measured: raw 0.237 (degenerate within-cluster ties), residual
     # 0.45 — a ~2× margin, not a flaky epsilon
     assert r_res > r_raw + 0.1, (r_res, r_raw)
+
+
+def test_incremental_semantic_dedup_with_persisted_index(spark):
+    """The production shape: build the (centroids, corpus index) pair
+    ONCE, reuse it across ingest batches — results identical to the
+    inline-build path, and the corpus argument is never needed when
+    the index is supplied."""
+    from pyspark_deduplication_spark.operators.knn import (
+        build_semantic_dedup_index,
+        incremental_semantic_dedup,
+    )
+
+    rng = np.random.RandomState(29)
+    centers = rng.standard_normal((3, 10)) * 6
+    corpus_rows = [
+        (i, [float(x) for x in centers[i % 3] + rng.standard_normal(10) * 0.3])
+        for i in range(60)
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>")
+    idx = build_semantic_dedup_index(corpus, n_cells=3, max_cell_size=50)
+    # persist the pair the way production would
+    idx = (idx[0].localCheckpoint(), idx[1].localCheckpoint())
+
+    for seed in (31, 37):  # two ingest batches against the same index
+        brng = np.random.RandomState(seed)
+        batch_rows = [
+            (900 + seed, [float(x * 1.0004) for x in corpus_rows[5][1]]),
+            (901 + seed, [float(x) for x in brng.standard_normal(10) * 40]),
+        ]
+        batch = spark.createDataFrame(
+            batch_rows, "vec_id long, embedding array<float>")
+        inline = sorted(r.vec_id for r in incremental_semantic_dedup(
+            batch, corpus, threshold=0.999, n_cells=3,
+            max_cell_size=50).collect())
+        prebuilt = sorted(r.vec_id for r in incremental_semantic_dedup(
+            batch, corpus.limit(0), threshold=0.999, n_cells=3,
+            max_cell_size=50, index=idx).collect())
+        assert inline == prebuilt == [901 + seed], (inline, prebuilt)
