@@ -111,6 +111,7 @@ def execute_token_budget(
     tokens_col: str = "n_tok",
     budget_col: str = "planned_tokens",
     seed: str = "mix",
+    prefilter_factor: float | None = None,
 ) -> DataFrame:
     """Materialize a token-budget mixture plan (VERDICT r5 item 4): for
     each group, keep the GREEDY PREFIX of rows in deterministic
@@ -132,23 +133,57 @@ def execute_token_budget(
     Plan shape: the budget table is n_groups rows — broadcast; the
     corpus shuffles ONCE on ``group_col`` for the running-sum window
     (the same exchange a per-group cap needs; no global sort). Skewed
-    groups bound their OUTPUT at the budget but still window their full
-    input — at 100 TB pre-filter obviously-excluded mass first (e.g.
-    hash-sample to ~2× the budget's expected row count) if one group
-    dominates.
+    groups bound their OUTPUT at the budget but still window their
+    full input — ``prefilter_factor`` closes that gap at 100 TB: one
+    extra aggregate derives each group's token inventory, and only the
+    hash-order PREFIX expected to hold ``prefilter_factor × budget``
+    tokens enters the window shuffle. Because the pre-filter cuts on
+    the SAME (md5 ‖ seed) order key the window sorts by (a 2-byte hex
+    threshold, granularity 1/65536), the surviving superset contains
+    the true kept prefix whenever that prefix's token mass lies within
+    the first ``prefilter_factor × budget / group_tokens`` fraction of
+    the hash order — guaranteed in expectation with factor ≥ 1 and
+    overwhelmingly likely at factor 2 (md5 order is independent of
+    token counts; a loss requires the prefix's token mass to run ≥2×
+    hot for the whole stretch). Factor-vs-exactness is the standard
+    sampling trade: ``None`` (default) windows everything and is
+    EXACT; the pytest pins superset-equality on a skewed fixture.
 
     Returns the kept rows of ``df`` (all columns) plus ``__cum_tokens``
     (the inclusive running sum, handy for audit)."""
     order_key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(order_key, F.col(key_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     joined = df.join(
         F.broadcast(budgets.select(F.col(group_col),
                                    F.col(budget_col).alias("__budget"))),
         group_col,
+    )
+    if prefilter_factor is not None:
+        inv = (
+            df.groupBy(group_col)
+            .agg(F.sum(F.col(tokens_col)).cast("double").alias("__gtok"))
+        )
+        frac = F.least(
+            F.lit(1.0),
+            F.lit(float(prefilter_factor)) * F.col("__budget") / F.col("__gtok"),
+        )
+        # 2-byte hex threshold on the order key: keep the hash-order
+        # prefix expected to carry prefilter_factor × budget tokens
+        thr = F.lpad(
+            F.conv(
+                F.ceil(frac * F.lit(65536)).cast("long").cast("string"),
+                10, 16),
+            4, "0")
+        joined = (
+            joined.join(F.broadcast(inv), group_col)
+            .filter((F.col("__gtok") <= 0)
+                    | (F.substring(order_key, 1, 4) < thr)
+                    | (frac >= 1.0))
+            .drop("__gtok")
+        )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_key, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         joined.withColumn(

@@ -212,3 +212,49 @@ def test_execute_token_budget_tight_prefix_and_monotone(spark):
     kept3 = {r.doc_id for r in
              execute_token_budget(df.repartition(11), budgets).collect()}
     assert kept1 == kept3
+
+
+def test_execute_token_budget_prefilter_preserves_selection(spark):
+    """The 100 TB skew pre-filter cuts on the SAME hash-order key the
+    window sorts by, so the surviving superset contains the exact kept
+    prefix: prefiltered output == exact output on a skewed fixture
+    (one mega-group, budget ≪ inventory), and the pre-filter really
+    shrinks the windowed input."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.operators.sampling import (
+        execute_token_budget,
+    )
+
+    rows = [(i, "mega", (i * 13) % 29 + 1) for i in range(2000)]
+    rows += [(10_000 + i, "tiny", 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    budgets = spark.createDataFrame(
+        [("mega", 300), ("tiny", 1000)],
+        "source string, planned_tokens long")
+
+    exact = sorted(r.doc_id for r in execute_token_budget(df, budgets)
+                   .collect())
+    pref = sorted(r.doc_id for r in execute_token_budget(
+        df, budgets, prefilter_factor=2.0).collect())
+    assert exact == pref
+    # the under-budget tiny group has frac ≥ 1 → untouched, all kept
+    assert sum(1 for d in pref if d >= 10_000) == 10
+    # the pre-filter genuinely shrinks the windowed input: replicate
+    # its hash-prefix cut — ~2×300/30k ≈ 2% of the mega group survives
+    thr = format(int(2.0 * 300 / sum((i * 13) % 29 + 1
+                                     for i in range(2000)) * 65536) + 1,
+                 "04x")
+    surviving = df.filter(
+        (F.col("source") == "mega")
+        & (F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("mix"))),
+            1, 4) < thr)).count()
+    assert surviving < 120, surviving        # ≪ the 2,000-row group
+    # every exact-kept mega row sits inside that surviving prefix
+    assert all(d >= 10_000 or d in
+               {r.doc_id for r in df.filter(
+                   F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                              F.lit("mix"))), 1, 4) < thr)
+                .collect()}
+               for d in exact)
