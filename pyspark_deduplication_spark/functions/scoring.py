@@ -156,3 +156,79 @@ def score_with_weight_table(
         F.count(F.lit(1)).cast("long").alias("n_toks"),
         F.sum(F.coalesce(F.col("__w"), F.lit(0.0))).alias("score"),
     )
+
+
+def train_hashed_linear_sgd(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "q5",
+    rounds: int = 8,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+) -> DataFrame:
+    """Iterative DISTRIBUTED trainer — full-batch logistic regression
+    by gradient descent, the model-state-loop twin of the closed-form
+    ``train_hashed_linear`` (same shape as ``operators.bpe``'s merge
+    loop and ``operators.knn.train_centroids``): the corpus aggregates
+    ONCE into a checkpointed (doc, bucket, count, label) relation;
+    each round broadcasts the ≤256 current weights, computes per-doc
+    margins and the logistic gradient in one distributed aggregation,
+    and collects the ≤256-row gradient back as model state. Unlike
+    the diagonal-ridge closed form, the coupled update sees
+    cross-bucket covariance — the full-model fit.
+
+    Labels are 0/1. Gradient sums round to 9 decimals before the
+    update (the ``train_centroids`` jitter discipline — repartitioning
+    the corpus does not change the learned model). No oracle contract:
+    the sigmoid needs libm ``exp``, which is not cross-engine-stable;
+    semantics are pinned by pytest (separability, loss descent,
+    repartition determinism) instead.
+
+    Returns (bucket, weight) — broadcastable into
+    ``score_with_weight_table``."""
+    spark = df.sparkSession
+    terms = (
+        df.select(F.col(id_col), F.col(label_col).cast("double").alias("__y"),
+                  F.explode(tokenize(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .withColumn("bucket", hash_bucket(F.col("term"), seed))
+    )
+    x = (
+        terms.groupBy(id_col, "bucket", "__y")
+        .agg(F.count(F.lit(1)).cast("double").alias("__x"))
+        .localCheckpoint()  # every round re-reads this relation
+    )
+    n_docs = x.select(id_col).distinct().count()
+    weights = {format(b, "02x"): 0.0 for b in range(N_BUCKETS)}
+    for _ in range(rounds):
+        w_expr = None
+        for b, wv in weights.items():
+            if wv != 0.0:
+                case = F.when(F.col("bucket") == b, F.lit(wv))
+                w_expr = case if w_expr is None else w_expr.when(
+                    F.col("bucket") == b, F.lit(wv))
+        w_expr = (w_expr.otherwise(F.lit(0.0)) if w_expr is not None
+                  else F.lit(0.0))
+        margins = (
+            x.withColumn("__wx", F.col("__x") * w_expr)
+            .groupBy(id_col, "__y")
+            .agg(F.sum("__wx").alias("__s"))
+            .withColumn("__p", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__s"))))
+            .withColumn("__err", F.col("__p") - F.col("__y"))
+        )
+        grad_rows = (
+            x.join(margins.select(id_col, "__err"), id_col)
+            .groupBy("bucket")
+            .agg(F.round(F.sum(F.col("__x") * F.col("__err")), 9)
+                 .alias("__g"))
+            .collect()  # ≤256 rows — model state
+        )
+        for r in grad_rows:
+            b = r["bucket"]
+            g = float(r["__g"]) / n_docs + l2 * weights[b]
+            weights[b] = round(weights[b] - lr * g, 9)
+    return spark.createDataFrame(
+        sorted(weights.items()), "bucket string, weight double"
+    )

@@ -109,3 +109,42 @@ def test_trained_weights_live_on_exact_grid(spark):
     s2 = {r.doc_id: r.score
           for r in score_with_weight_table(df.repartition(13), w).collect()}
     assert s1 == s2
+
+
+def test_sgd_trainer_separates_and_is_repartition_invariant(spark):
+    """The iterative logistic trainer (model-state loop): learns to
+    separate planted vocabularies, strictly reduces logistic loss vs
+    the zero model, and the learned weights are identical under
+    corpus repartitioning (9dp-rounded gradient sums)."""
+    import math
+
+    from pyspark_deduplication_spark.functions.scoring import (
+        train_hashed_linear_sgd,
+    )
+
+    vocab_a = [f"good{i}" for i in range(8)]
+    vocab_b = [f"junk{i}" for i in range(8)]
+    rows, did = [], 0
+    for rep in range(12):
+        toks_a = [vocab_a[(rep + j) % 8] for j in range(4)]
+        toks_b = [vocab_b[(rep + j) % 8] for j in range(4)]
+        rows.append((did, " ".join(toks_a), 1))
+        rows.append((did + 1, " ".join(toks_b), 0))
+        did += 2
+    train = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    w1 = train_hashed_linear_sgd(train, "label", rounds=6)
+    scores = {r.doc_id: r.score for r in
+              score_with_weight_table(train, w1).collect()}
+    pos = [scores[d] for d, _, y in rows if y == 1]
+    neg = [scores[d] for d, _, y in rows if y == 0]
+    assert min(pos) > max(neg), (min(pos), max(neg))
+    # loss strictly below the zero-model baseline ln(2)
+    loss = sum(
+        math.log(1 + math.exp(-s)) if y == 1 else math.log(1 + math.exp(s))
+        for (d, _, y), s in ((r, scores[r[0]]) for r in rows)
+    ) / len(rows)
+    assert loss < math.log(2) * 0.5, loss
+    # repartition invariance of the learned model
+    w2 = train_hashed_linear_sgd(train.repartition(13), "label", rounds=6)
+    assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
