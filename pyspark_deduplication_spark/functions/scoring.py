@@ -232,3 +232,77 @@ def train_hashed_linear_sgd(
     return spark.createDataFrame(
         sorted(weights.items()), "bucket string, weight double"
     )
+
+
+def train_hashed_linear_gram(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "q5",
+    l2: float = 1.0,
+) -> DataFrame:
+    """Full-Gram ridge regression — the drop-in upgrade the diagonal
+    closed form (``train_hashed_linear``) documents: aggregate the
+    256×256 Gram matrix XᵀX and moment vector Xᵀy distributively,
+    solve the ridge system once driver-side (numpy, model state — the
+    same boundary as collecting k-means centroids), broadcast the
+    weights back. Unlike the diagonal form this resolves CORRELATED
+    buckets: tokens that co-occur stop double-counting their shared
+    evidence (measured in tests as a strictly lower squared loss on
+    collinear vocabularies).
+
+    Gram entries are Σ_d x_db·x_db′ — integer sums over the per-doc
+    bucket-count relation joined with itself ON THE DOC KEY, so the
+    pair blow-up is bounded by each doc's DISTINCT-bucket count
+    squared (≤ 256², usually ≪), never by corpus size; the exchanges
+    move (bucket, bucket, int) triples. Exact integer statistics make
+    the collected system deterministic; the solve itself is standard
+    LAPACK (not a cross-engine contract — no oracle, pytest-pinned).
+
+    Returns (bucket, weight) — broadcastable into
+    ``score_with_weight_table``."""
+    import numpy as np
+
+    spark = df.sparkSession
+    terms = (
+        df.select(F.col(id_col), F.col(label_col).cast("double").alias("__y"),
+                  F.explode(tokenize(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .withColumn("bucket", hash_bucket(F.col("term"), seed))
+    )
+    x = (
+        terms.groupBy(id_col, "bucket", "__y")
+        .agg(F.count(F.lit(1)).cast("long").alias("__x"))
+        .localCheckpoint()  # read by the Gram pair join AND the moment
+    )
+    a = x.select(F.col(id_col), F.col("bucket").alias("__b1"),
+                 F.col("__x").alias("__x1"))
+    b = x.select(F.col(id_col), F.col("bucket").alias("__b2"),
+                 F.col("__x").alias("__x2"))
+    gram_rows = (
+        a.join(b, id_col)
+        .groupBy("__b1", "__b2")
+        .agg(F.sum(F.col("__x1") * F.col("__x2")).alias("__g"))
+        .collect()  # ≤ 256² rows — model state
+    )
+    mom_rows = (
+        x.groupBy("bucket")
+        .agg(F.sum(F.col("__x") * F.col("__y")).alias("__m"))
+        .collect()  # ≤ 256 rows
+    )
+    buckets = sorted({r["__b1"] for r in gram_rows}
+                     | {r["bucket"] for r in mom_rows})
+    pos = {bkt: i for i, bkt in enumerate(buckets)}
+    n = len(buckets)
+    G = np.zeros((n, n))
+    for r in gram_rows:
+        G[pos[r["__b1"]], pos[r["__b2"]]] = float(r["__g"])
+    m = np.zeros(n)
+    for r in mom_rows:
+        m[pos[r["bucket"]]] = float(r["__m"])
+    w = np.linalg.solve(G + l2 * np.eye(n), m)
+    return spark.createDataFrame(
+        [(bkt, float(w[pos[bkt]])) for bkt in buckets],
+        "bucket string, weight double",
+    )

@@ -148,3 +148,39 @@ def test_sgd_trainer_separates_and_is_repartition_invariant(spark):
     # repartition invariance of the learned model
     w2 = train_hashed_linear_sgd(train.repartition(13), "label", rounds=6)
     assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+
+
+def test_gram_trainer_beats_diagonal_on_collinear_vocab(spark):
+    """Full-Gram ridge resolves correlated buckets the diagonal form
+    double-counts: with a token that co-occurs with the true signal in
+    positives AND appears alone in negatives, the full solve fits the
+    labels with strictly lower squared loss than the diagonal
+    approximation — and still separates the planted classes."""
+    from pyspark_deduplication_spark.functions.scoring import (
+        train_hashed_linear,
+        train_hashed_linear_gram,
+    )
+
+    rows, did = [], 0
+    # positives: signal + confound together; negatives: confound alone
+    for rep in range(20):
+        rows.append((did, f"signal{rep % 4} confound{rep % 4}", 1))
+        rows.append((did + 1, f"confound{rep % 4} filler{rep % 6}", 0))
+        did += 2
+    train = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    def sq_loss(weights):
+        scores = {r.doc_id: r.score for r in
+                  score_with_weight_table(train, weights).collect()}
+        return sum((scores[d] - y) ** 2 for d, _, y in rows)
+
+    l_diag = sq_loss(train_hashed_linear(train, "label"))
+    l_gram = sq_loss(train_hashed_linear_gram(train, "label"))
+    assert l_gram < l_diag, (l_gram, l_diag)
+
+    w = train_hashed_linear_gram(train, "label")
+    scores = {r.doc_id: r.score for r in
+              score_with_weight_table(train, w).collect()}
+    pos = [scores[d] for d, _, y in rows if y == 1]
+    neg = [scores[d] for d, _, y in rows if y == 0]
+    assert min(pos) > max(neg), (min(pos), max(neg))
