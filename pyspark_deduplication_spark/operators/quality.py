@@ -75,3 +75,102 @@ def violations(metrics: DataFrame) -> DataFrame:
         metrics.select(F.explode(pairs).alias("v"))
         .select("v.check", "v.metric")
     )
+
+
+def bloom_decontaminate(
+    corpus,
+    heldout,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_bits: int = 1 << 20,
+    k_hashes: int = 5,
+):
+    """Bloom-filter decontamination — the spelling that survives a
+    held-out set too large to broadcast exactly (the exact-set
+    variant, ``queries.decontaminate_against_src0``, distinct-reduces
+    and broadcasts the benchmark grams verbatim: right until the
+    benchmark side stops being benchmark-sized).
+
+    The filter is hand-rolled from native expressions (Spark's
+    ``bloom_filter_agg`` is a Catalyst-internal, not a registered SQL
+    function): each held-out word n-gram sets ``k_hashes`` bit
+    positions ``pmod(xxhash64(gram, seed_j), num_bits)``; positions
+    aggregate into a (word_index, 64-bit word) table by ``bit_or`` —
+    map-side-combinable, ≤ ``num_bits/64`` rows total regardless of
+    how many grams went in, always broadcastable (1 MiB of filter =
+    16k rows). The corpus explodes each gram to its k probe positions,
+    broadcast-joins the word table, and a gram counts as a hit only
+    when ALL k probed bits are set.
+
+    Directionality is what makes the probabilistic trade safe HERE:
+    Bloom membership has NO false negatives, so every truly
+    contaminated document is flagged — guaranteed — while false
+    positives only over-drop clean docs at the filter's FP rate
+    (≈ (1 − e^(−k·items/bits))^k; size ``num_bits`` ≈ 10× items for
+    ~1% at k=5). Decontamination wants exactly this asymmetry: leaked
+    benchmark data is a correctness bug, over-dropping is a recall
+    tax.
+
+    Returns corpus docs with ``contaminated`` (bool) — filter on
+    ``~contaminated`` for the clean set."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        tokenize,
+        word_ngrams_of,
+    )
+
+    def probe_positions(gram_col):
+        return F.explode(F.array(*[
+            F.pmod(F.xxhash64(gram_col, F.lit(j)), F.lit(num_bits))
+            for j in range(k_hashes)
+        ]))
+
+    held_bits = (
+        heldout.select(
+            F.explode(word_ngrams_of(tokenize(F.col(text_col)), n))
+            .alias("gram"))
+        .select(probe_positions(F.col("gram")).alias("pos"))
+        .select(
+            F.shiftright("pos", 6).alias("word_index"),
+            # Python-API shiftleft needs an int amount; the SQL form
+            # accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            .alias("mask"),
+        )
+        .groupBy("word_index")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    corpus_probes = (
+        corpus.select(
+            F.col(id_col),
+            F.explode(word_ngrams_of(tokenize(F.col(text_col)), n))
+            .alias("gram"))
+        .select(
+            F.col(id_col), F.col("gram"),
+            probe_positions(F.col("gram")).alias("pos"))
+        .select(
+            F.col(id_col), F.col("gram"),
+            F.shiftright("pos", 6).alias("word_index"),
+            F.col("pos").bitwiseAND(F.lit(63)).cast("int").alias("bit"),
+        )
+    )
+    probed = corpus_probes.join(F.broadcast(held_bits), "word_index", "left")
+    bit_set = (
+        F.coalesce(
+            F.expr("shiftrightunsigned(word, bit) & CAST(1 AS BIGINT)"),
+            F.lit(0).cast("long"))
+        == 1
+    )
+    hits = (
+        probed.withColumn("__hit", bit_set)
+        .groupBy(id_col, "gram")
+        .agg(F.min(F.col("__hit").cast("int")).alias("__all_set"))
+        .filter(F.col("__all_set") == 1)
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(
+        hits.withColumn("contaminated", F.lit(True)), id_col, "left"
+    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))

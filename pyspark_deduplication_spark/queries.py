@@ -5644,6 +5644,32 @@ GROUP BY bt.doc_id
 """
 
 
+def bloom_decontaminate_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination against src0 — the scale spelling
+    of ``decontaminate_against_src0``: held-out 5-grams fold into a
+    fixed-size bit table (≤ num_bits/64 rows, broadcastable no matter
+    how large the benchmark grows); corpus grams probe k positions and
+    need ALL set. Guaranteed no false negatives (every truly
+    contaminated doc flagged); FPs over-drop at the filter's rate —
+    the safe direction. Rows-only: the probabilistic flags depend on
+    xxhash64 bit layout; superset-of-exact and FP-bound semantics are
+    pinned in ``test_quality.py``. Returns per-source doc and flagged
+    counts."""
+    from pyspark_deduplication_spark.operators.quality import (
+        bloom_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    held = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    flagged = bloom_decontaminate(corpus, held)
+    return (
+        flagged.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum(F.col("contaminated").cast("long")).alias("n_flagged"))
+    )
+
+
 def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation pipeline, every stage oracle-verified — the
     composition a training-data team actually runs, wired from the
@@ -6796,6 +6822,10 @@ CATALOG: dict[str, Query] = {
     # test_multimodal.py)
     "audio_perceptual_dedup": Query(audio_perceptual_dedup, None,
                                     tags=["multimodal", "dedup"]),
+    # Bloom decontamination (rows-only; no-false-negative + FP-bound
+    # semantics in test_quality.py)
+    "bloom_decontaminate_src0": Query(bloom_decontaminate_src0, None,
+                                      tags=["quality", "scale"]),
     # oracle-backed; landed after the r5 window froze — queue for the
     # r6 rotation per the established mechanism
     "doc_hashed_quality_score": Query(doc_hashed_quality_score,

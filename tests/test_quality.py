@@ -70,3 +70,49 @@ def test_clean_table_reports_zero(spark):
         out_of_range_count("val", lo=0, hi=100),
     ]).collect()[0]
     assert (m.nulls_fk, m.dup_keys_id, m.out_of_range_val) == (0, 0, 0)
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom decontamination: every doc truly sharing a 5-gram with the
+    held-out set is flagged (Bloom has no false negatives — the
+    safety direction decontamination needs); clean docs mostly
+    survive; flags agree with the exact semi-join on this fixture."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        tokenize,
+        word_ngrams_of,
+    )
+    from pyspark_deduplication_spark.operators.quality import (
+        bloom_decontaminate,
+    )
+
+    held_rows = [(900 + i,
+                  f"benchmark question {i} asks about topic{i} in "
+                  f"exactly five gram windows number {i}")
+                 for i in range(10)]
+    corpus_rows = [(i, f"ordinary web document {i} about subject{i} "
+                       f"with plenty of unique filler tokens here{i}")
+                   for i in range(40)]
+    # plant contamination: docs 0-4 embed held-out doc (i)'s text
+    for i in range(5):
+        corpus_rows[i] = (i, corpus_rows[i][1] + " " + held_rows[i][1])
+    held = spark.createDataFrame(held_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+
+    out = {r.doc_id: r.contaminated for r in
+           bloom_decontaminate(corpus, held).collect()}
+    assert len(out) == 40
+    # exact ground truth via the precise semi-join
+    hg = held.select(F.explode(
+        word_ngrams_of(tokenize(F.col("text")), 5)).alias("gram")).distinct()
+    cg = corpus.select("doc_id", F.explode(
+        word_ngrams_of(tokenize(F.col("text")), 5)).alias("gram"))
+    truth = {r.doc_id for r in cg.join(hg, "gram", "left_semi")
+             .select("doc_id").distinct().collect()}
+    assert truth == set(range(5))
+    # no false negatives: every truly contaminated doc flagged
+    assert all(out[d] for d in truth)
+    # FP rate sane at this sizing: at most a couple of clean docs flip
+    fps = sum(1 for d, c in out.items() if c and d not in truth)
+    assert fps <= 2, fps
