@@ -11,8 +11,10 @@ projection over the ``documents`` table (one scan, one pass).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Tiny per-language marker vocabularies for the n-gram/stopword language-ID
 # heuristic. Deliberately deterministic and SQL-expressible so the DuckDB
@@ -265,3 +267,28 @@ def detect_language(col: Column | str) -> Column:
     # array_max on struct compares field-by-field: score first, then lang —
     # highest score wins, lexicographically-last lang breaks ties.
     return F.when(best.isNull(), F.lit("und")).otherwise(best["lang"])
+
+
+@F.pandas_udf(T.DoubleType())
+def compression_ratio(text: pd.Series) -> pd.Series:
+    """zlib-deflate compression ratio (compressed/raw bytes) — the
+    classic cheap structure signal crawl-curation pipelines key on
+    (Gopher §A.1.1 / RefinedWeb-style heuristics): boilerplate and
+    template spam compress far below natural prose, while random or
+    encrypted junk compresses above it, so BOTH filter tails are
+    useful. Arrow-batched stdlib zlib (level 6); empty/NULL text maps
+    to 1.0 (incompressible by convention — no division by zero).
+    Ratios are deterministic for a fixed zlib version; contracts are
+    pinned by ORDER (repetitive < prose < random) in tests, not by
+    exact bytes, so zlib upgrades cannot break them."""
+    import zlib
+
+    def ratio(t) -> float:
+        if t is None:
+            return 1.0
+        raw = t.encode("utf-8")
+        if not raw:
+            return 1.0
+        return len(zlib.compress(raw, 6)) / len(raw)
+
+    return text.map(ratio)

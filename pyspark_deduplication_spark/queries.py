@@ -5644,6 +5644,39 @@ GROUP BY bt.doc_id
 """
 
 
+def doc_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality triage (``functions.text.
+    compression_ratio``): zlib-deflate ratio per doc, banded into the
+    three filter regimes curation pipelines act on — 'template'
+    (ratio < 0.45: boilerplate/repetition), 'natural' (0.45–0.75,
+    where the fixture corpus' p25–p75 lives), and 'junk' (> 0.75:
+    random/binary-ish — base62 noise deflates to ~0.78, tiny docs
+    exceed 1.0 on header overhead). One Arrow-batched map pass +
+    one aggregation. Rows-only: exact deflate bytes are a zlib-version
+    artifact, not engine semantics; the repetitive < prose < random
+    ORDERING contract is pinned in ``test_corpus_ops.py``. Returns
+    per-(source, band) doc counts and the min/max ratio seen."""
+    from pyspark_deduplication_spark.functions.text import (
+        compression_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rated = docs.select(
+        "source", compression_ratio(F.col("text")).alias("ratio"))
+    banded = rated.withColumn(
+        "band",
+        F.when(F.col("ratio") < 0.45, F.lit("template"))
+        .when(F.col("ratio") <= 0.75, F.lit("natural"))
+        .otherwise(F.lit("junk")),
+    )
+    return (
+        banded.groupBy("source", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.round(F.min("ratio"), 6).alias("min_ratio"),
+             F.round(F.max("ratio"), 6).alias("max_ratio"))
+    )
+
+
 def bloom_decontaminate_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination against src0 — the scale spelling
     of ``decontaminate_against_src0``: held-out 5-grams fold into a
@@ -6826,6 +6859,10 @@ CATALOG: dict[str, Query] = {
     # semantics in test_quality.py)
     "bloom_decontaminate_src0": Query(bloom_decontaminate_src0, None,
                                       tags=["quality", "scale"]),
+    # compression-ratio quality triage (rows-only; ordering contract
+    # in test_corpus_ops.py)
+    "doc_compression_quality": Query(doc_compression_quality, None,
+                                     tags=["text", "quality"]),
     # oracle-backed; landed after the r5 window froze — queue for the
     # r6 rotation per the established mechanism
     "doc_hashed_quality_score": Query(doc_hashed_quality_score,

@@ -296,3 +296,36 @@ def test_pretokenize_bpe_units(spark):
     assert out[1].n == 9
     assert out[2].n == 0   # NULL text
     assert out[3].n == 0   # empty text
+
+
+def test_compression_ratio_orders_text_regimes(spark):
+    """The zlib-ratio contract: repetitive template < natural prose <
+    random junk, nulls/empties map to 1.0 — pinned by ORDER, not by
+    exact deflate bytes (zlib-version artifact)."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        compression_ratio,
+    )
+
+    rng = random.Random(7)
+    template = "click here to subscribe now! " * 40
+    prose = ("the engine aggregates documents into near duplicate "
+             "clusters while keeping one representative per component "
+             "and records every decision for the audit trail downstream "
+             "of the mixture planner that allocates token budgets ") * 4
+    junk = "".join(rng.choice(string.ascii_letters + string.digits)
+                   for _ in range(1000))
+    df = spark.createDataFrame(
+        [(1, template), (2, prose), (3, junk), (4, ""), (5, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r.ratio for r in df.select(
+        "doc_id", compression_ratio(F.col("text")).alias("ratio")).collect()}
+    assert got[1] < got[2] < got[3], got
+    # extreme-band membership at the query's 0.45 / 0.75 thresholds
+    # (base62 noise deflates to ~0.78, heavy repetition to ~0.04)
+    assert got[1] < 0.45 and got[3] > 0.75, got
+    assert got[4] == 1.0 and got[5] == 1.0
