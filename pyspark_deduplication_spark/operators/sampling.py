@@ -167,11 +167,15 @@ def execute_token_budget(
             F.lit(float(prefilter_factor)) * F.col("__budget") / F.col("__gtok"),
         )
         # 2-byte hex threshold on the order key: keep the hash-order
-        # prefix expected to carry prefilter_factor × budget tokens
+        # prefix expected to carry prefilter_factor × budget tokens.
+        # lower(): conv() emits UPPERCASE hex while md5 renders
+        # lowercase, and 'A'-'F' sort below 'a'-'f' — an uppercase
+        # threshold would wrongly exclude keys whose boundary nibble
+        # is a letter.
         thr = F.lpad(
-            F.conv(
+            F.lower(F.conv(
                 F.ceil(frac * F.lit(65536)).cast("long").cast("string"),
-                10, 16),
+                10, 16)),
             4, "0")
         joined = (
             joined.join(F.broadcast(inv), group_col)
