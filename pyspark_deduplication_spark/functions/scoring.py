@@ -203,16 +203,15 @@ def train_hashed_linear_sgd(
     n_docs = x.select(id_col).distinct().count()
     weights = {format(b, "02x"): 0.0 for b in range(N_BUCKETS)}
     for _ in range(rounds):
-        w_expr = None
-        for b, wv in weights.items():
-            if wv != 0.0:
-                case = F.when(F.col("bucket") == b, F.lit(wv))
-                w_expr = case if w_expr is None else w_expr.when(
-                    F.col("bucket") == b, F.lit(wv))
-        w_expr = (w_expr.otherwise(F.lit(0.0)) if w_expr is not None
-                  else F.lit(0.0))
+        # weights enter the plan as a broadcast ≤256-row table (the
+        # score_with_weight_table idiom) — flat plan, O(1) hash lookup
+        # per row, instead of a 256-branch CASE chain re-planned every
+        # round
+        wdf = spark.createDataFrame(
+            sorted(weights.items()), "bucket string, __w double")
         margins = (
-            x.withColumn("__wx", F.col("__x") * w_expr)
+            x.join(F.broadcast(wdf), "bucket")
+            .withColumn("__wx", F.col("__x") * F.col("__w"))
             .groupBy(id_col, "__y")
             .agg(F.sum("__wx").alias("__s"))
             .withColumn("__p", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__s"))))

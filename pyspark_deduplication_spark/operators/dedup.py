@@ -444,6 +444,33 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def clone_representatives(
+    df: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Annotate every row with ``__rep`` — the minimum id among rows
+    whose ``content_col`` is byte-identical — keyed on a 128-bit
+    double-``xxhash64`` content key (collision odds ~n²/2¹²⁹,
+    ignorable at any corpus size). ``filter(col(id) == col("__rep"))``
+    yields one representative per distinct content.
+
+    The shared clone-collapse core of every corpus-side skew guard
+    (SemDeDup edges, the incremental SemDeDup/MinHash indexes):
+    byte-identical content has identical similarity to ANY probe, so
+    collapsing is lossless for match/drop decisions while mega-cells
+    and mega-buckets shed their clone mass. One wide exchange (the
+    window partition) — at cluster scale, persist the collapsed form
+    instead of recomputing (see the incremental operators'
+    docstrings)."""
+    keyed = df.withColumn(
+        "__h1", F.xxhash64(F.col(content_col))
+    ).withColumn("__h2", F.xxhash64(F.reverse(F.col(content_col)), F.lit(1)))
+    wck = Window.partitionBy("__h1", "__h2")
+    return (
+        keyed.withColumn("__rep", F.min(F.col(id_col)).over(wck))
+        .drop("__h1", "__h2")
+    )
+
+
 def incremental_minhash_candidates(
     new_sigs: DataFrame,
     corpus_sigs: DataFrame,
@@ -474,27 +501,29 @@ def incremental_minhash_candidates(
        ``bands − 1`` independent band probes)."""
     reps = corpus_sigs
     if max_bucket_size is not None:
-        keyed = reps.withColumn(
-            "__h1", F.xxhash64(F.col("shingles"))
-        ).withColumn(
-            "__h2", F.xxhash64(F.reverse(F.col("shingles")), F.lit(1)))
-        wck = Window.partitionBy("__h1", "__h2").orderBy(F.col(id_col))
         reps = (
-            keyed.withColumn("__rn", F.row_number().over(wck))
-            .filter(F.col("__rn") == 1)
-            .drop("__h1", "__h2", "__rn")
+            clone_representatives(reps, id_col, "shingles")
+            .filter(F.col(id_col) == F.col("__rep"))
+            .drop("__rep")
         )
     nb = _band_keys(new_sigs, id_col, num_hashes, bands).select(
         F.col(id_col).alias("new_id"), "band", "bucket")
     cb = _band_keys(reps, id_col, num_hashes, bands).select(
         F.col(id_col).alias("corpus_id"), "band", "bucket")
     if max_bucket_size is not None:
-        wbk = Window.partitionBy("band", "bucket").orderBy(
-            F.xxhash64(F.col("corpus_id")), F.col("corpus_id"))
+        from pyspark_deduplication_spark.operators.sampling import (
+            cap_per_group,
+        )
+
         cb = (
-            cb.withColumn("__bk", F.row_number().over(wbk))
-            .filter(F.col("__bk") <= max_bucket_size)
-            .drop("__bk")
+            cb.withColumn("__bb", F.struct("band", "bucket"))
+            .withColumn("__ord", F.struct(F.xxhash64(F.col("corpus_id")),
+                                          F.col("corpus_id")))
+        )
+        cb = (
+            cap_per_group(cb, "__bb", "__ord", max_bucket_size)
+            .filter(F.col("__kept"))
+            .drop("__bb", "__ord", "__kept")
         )
     return (nb.join(cb, ["band", "bucket"])
             .select("new_id", "corpus_id")

@@ -359,11 +359,12 @@ def semantic_dedup_edges(
         # multi-assign can surface the same pair from two shared cells
         return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
 
-    # -- stage 1: exact-clone collapse --------------------------------
-    keyed = vectors.select(F.col(vec_id), F.col(vec_col)).withColumn(
-        "__h1", F.xxhash64(F.col(vec_col))
-    ).withColumn("__h2", F.xxhash64(F.reverse(F.col(vec_col)), F.lit(1)))
-    wck = Window.partitionBy("__h1", "__h2")
+    # -- stage 1: exact-clone collapse (shared core:
+    # dedup.clone_representatives) -------------------------------------
+    from pyspark_deduplication_spark.operators.dedup import (
+        clone_representatives,
+    )
+
     # The collapse window fans out into every downstream consumer (each
     # Lloyd round, the assignment, the pair join, the star edges) —
     # materialize it once, same rationale as the MinHash signature cache
@@ -372,10 +373,9 @@ def semantic_dedup_edges(
     # plan is garbage-collected, so repeated calls in a long-lived
     # session (bench loops, incremental pipelines) don't accumulate
     # pinned cache partitions.
-    with_rep = (
-        keyed.withColumn("__rep", F.min(F.col(vec_id)).over(wck))
-        .localCheckpoint()
-    )
+    with_rep = clone_representatives(
+        vectors.select(F.col(vec_id), F.col(vec_col)), vec_id, vec_col
+    ).localCheckpoint()
     star = with_rep.filter(F.col(vec_id) != F.col("__rep")).select(
         F.col("__rep").alias("id_a"), F.col(vec_id).alias("id_b")
     )
@@ -489,15 +489,16 @@ def build_semantic_dedup_index(
     caps at a deterministic hash-ranked ``max_cell_size`` subset.
     Returns (centroids(cell_id, centroid),
     corpus_index(__cid, __cvec, cell_id))."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        clone_representatives,
+    )
+    from pyspark_deduplication_spark.operators.sampling import cap_per_group
+
     reps = corpus.select(F.col(vec_id), F.col(vec_col))
     if max_cell_size is not None:
-        keyed = reps.withColumn(
-            "__h1", F.xxhash64(F.col(vec_col))
-        ).withColumn("__h2", F.xxhash64(F.reverse(F.col(vec_col)), F.lit(1)))
-        wck = Window.partitionBy("__h1", "__h2").orderBy(F.col(vec_id))
         reps = (
-            keyed.withColumn("__rn", F.row_number().over(wck))
-            .filter(F.col("__rn") == 1)
+            clone_representatives(reps, vec_id, vec_col)
+            .filter(F.col(vec_id) == F.col("__rep"))
             .select(F.col(vec_id), F.col(vec_col))
         )
     cents = train_centroids(
@@ -508,13 +509,12 @@ def build_semantic_dedup_index(
         "cell_id",
     )
     if max_cell_size is not None:
-        wcell = Window.partitionBy("cell_id").orderBy(
-            F.xxhash64(F.col("__cid")), F.col("__cid")
-        )
+        corpus_idx = corpus_idx.withColumn(
+            "__ord", F.struct(F.xxhash64(F.col("__cid")), F.col("__cid")))
         corpus_idx = (
-            corpus_idx.withColumn("__crank", F.row_number().over(wcell))
-            .filter(F.col("__crank") <= max_cell_size)
-            .drop("__crank")
+            cap_per_group(corpus_idx, "cell_id", "__ord", max_cell_size)
+            .filter(F.col("__kept"))
+            .drop("__ord", "__kept")
         )
     return cents, corpus_idx
 

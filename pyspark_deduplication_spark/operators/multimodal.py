@@ -417,8 +417,10 @@ def extract_image_dhash(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # mapInPandas matches output columns to the declared schema
+            # BY NAME — the label must track id_col
             yield pd.DataFrame({
-                "media_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "dhash": pd.array(
                     [image_dhash(p) for p in pdf[payload_col]],
                     dtype="Int64"),
@@ -513,8 +515,9 @@ def extract_audio_phash(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # schema match is BY NAME — the label must track id_col
             yield pd.DataFrame({
-                "media_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "ahash": pd.array(
                     [audio_phash(p) for p in pdf[payload_col]],
                     dtype="Int64"),

@@ -171,17 +171,20 @@ def execute_token_budget(
         # lower(): conv() emits UPPERCASE hex while md5 renders
         # lowercase, and 'A'-'F' sort below 'a'-'f' — an uppercase
         # threshold would wrongly exclude keys whose boundary nibble
-        # is a letter.
+        # is a letter. The keep-all escape triggers on the CEILED
+        # value, not frac >= 1.0: frac just under 1.0 ceils to 65536,
+        # whose 5-hex-digit spelling lpad(…, 4) would TRUNCATE to
+        # '1000' and silently drop ~94% of the group's true prefix.
+        ceiled = F.ceil(frac * F.lit(65536)).cast("long")
         thr = F.lpad(
             F.lower(F.conv(
-                F.ceil(frac * F.lit(65536)).cast("long").cast("string"),
-                10, 16)),
+                F.least(ceiled, F.lit(65535)).cast("string"), 10, 16)),
             4, "0")
         joined = (
             joined.join(F.broadcast(inv), group_col)
             .filter((F.col("__gtok") <= 0)
-                    | (F.substring(order_key, 1, 4) < thr)
-                    | (frac >= 1.0))
+                    | (ceiled >= 65536)
+                    | (F.substring(order_key, 1, 4) < thr))
             .drop("__gtok")
         )
     w = (

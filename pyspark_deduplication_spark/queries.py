@@ -5876,8 +5876,9 @@ def media_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     brightness-shifted duplicates — which escape ``media_exact_dedup``'s
     sha-256 — collapse onto their original. Fixtures are P6 PPMs
     synthesized deterministically from integer keys (S5 precedent; no
-    imaging library): every 3rd key re-emits key−2's image upscaled
-    2×, every 3rd+1 re-emits it brightness-shifted. Rows-only:
+    imaging library): keys ≡ 0 (mod 3) are originals, keys ≡ 1 re-emit
+    key−1's image upscaled 2×, keys ≡ 2 re-emit key−2's
+    brightness-shifted. Rows-only:
     byte-level image synthesis isn't SQL-expressible; link/non-link
     ground truth is pinned in ``test_multimodal.py``."""
     from pyspark_deduplication_spark.operators.multimodal import (

@@ -407,3 +407,27 @@ def test_audio_perceptual_links_rescaled_and_resampled_copies(spark):
     assert got[1].keep and not got[2].keep and not got[3].keep
     assert got[4].keep and got[4].component == 4
     assert got[5].ahash is None and got[5].keep
+
+
+def test_perceptual_extractors_respect_custom_id_col(spark):
+    """mapInPandas matches output columns to the declared schema BY
+    NAME — the extractors must label the id column with the caller's
+    id_col (regression: hardcoded 'media_id' crashed non-default
+    callers)."""
+    from pyspark_deduplication_spark.operators.multimodal import (
+        extract_audio_phash,
+        extract_image_dhash,
+        media_near_dup_perceptual,
+    )
+
+    img = spark.createDataFrame(
+        [(7, _ppm((10, 20, 30)))], "image_id long, payload binary")
+    got = extract_image_dhash(img, id_col="image_id").collect()
+    assert got[0].image_id == 7 and got[0].dhash is not None
+    comp = media_near_dup_perceptual(img, id_col="image_id").collect()
+    assert comp[0].image_id == 7 and comp[0].keep
+
+    wav = spark.createDataFrame(
+        [(9, _wav(330.0, ms=80))], "clip_id long, payload binary")
+    got = extract_audio_phash(wav, id_col="clip_id").collect()
+    assert got[0].clip_id == 9 and got[0].ahash is not None

@@ -258,3 +258,24 @@ def test_execute_token_budget_prefilter_preserves_selection(spark):
                                               F.lit("mix"))), 1, 4) < thr)
                 .collect()}
                for d in exact)
+
+
+def test_execute_token_budget_prefilter_near_full_fraction(spark):
+    """Regression (review finding): frac just under 1.0 ceils to 65536,
+    whose 5-hex-digit spelling lpad(…, 4) would truncate to '1000' and
+    silently drop ~94% of the group — the ceiled keep-all escape must
+    fire instead, leaving prefiltered == exact."""
+    from pyspark_deduplication_spark.operators.sampling import (
+        execute_token_budget,
+    )
+
+    # inventory 1000 tokens; factor 2 × budget 499 → frac = 0.998 < 1.0
+    rows = [(i, "g", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    budgets = spark.createDataFrame(
+        [("g", 499)], "source string, planned_tokens long")
+    exact = sorted(r.doc_id for r in execute_token_budget(df, budgets)
+                   .collect())
+    pref = sorted(r.doc_id for r in execute_token_budget(
+        df, budgets, prefilter_factor=2.0).collect())
+    assert exact == pref and len(exact) == 49
