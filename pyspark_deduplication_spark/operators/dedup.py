@@ -471,6 +471,31 @@ def clone_representatives(
     )
 
 
+def build_minhash_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """The corpus-side MinHash signature table — the TRAIN-ONCE step a
+    production pipeline persists as parquet and probes on every ingest
+    batch instead of re-signing 100 TB (the
+    ``build_semantic_dedup_index`` twin for text): signatures computed
+    once, exact clones collapsed to their min-id representative
+    (``clone_representatives`` — Jaccard-lossless for identical
+    shingle sets). Append a batch's surviving rows' signatures after
+    each ingest and the table stays current. Feed it to
+    ``incremental_minhash_dedup(corpus_sigs=...)``."""
+    sigs = minhash_signatures(corpus, text_col, id_col,
+                              num_hashes, shingle_size)
+    return (
+        clone_representatives(sigs, id_col, "shingles")
+        .filter(F.col(id_col) == F.col("__rep"))
+        .drop("__rep")
+    )
+
+
 def incremental_minhash_candidates(
     new_sigs: DataFrame,
     corpus_sigs: DataFrame,
@@ -478,6 +503,7 @@ def incremental_minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: int | None = None,
+    pre_collapsed: bool = False,
 ) -> DataFrame:
     """(new_id, corpus_id) candidate pairs for
     ``incremental_minhash_dedup`` from precomputed signature frames —
@@ -500,7 +526,7 @@ def incremental_minhash_candidates(
        on dups of capped-out rows, mitigated by the other
        ``bands − 1`` independent band probes)."""
     reps = corpus_sigs
-    if max_bucket_size is not None:
+    if max_bucket_size is not None and not pre_collapsed:
         reps = (
             clone_representatives(reps, id_col, "shingles")
             .filter(F.col(id_col) == F.col("__rep"))
@@ -540,6 +566,7 @@ def incremental_minhash_dedup(
     bands: int = 16,
     shingle_size: int = 3,
     max_bucket_size: int | None = None,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup filter for a NEW batch against an EXISTING corpus — the
     incremental twin of ``minhash_dedup``, for pipelines that ingest
@@ -547,8 +574,10 @@ def incremental_minhash_dedup(
 
     The corpus never self-joins: its signatures band to compact
     ``(id, band, bucket)`` keys (in production these live as a persisted
-    signature table, appended per batch — recomputing here only because
-    the fixture has no such side table), and the batch's band keys probe
+    signature table — pass it via ``corpus_sigs``, built once with
+    ``build_minhash_index``, and the ``corpus`` argument is never
+    touched; without it signatures recompute from ``corpus`` per
+    call), and the batch's band keys probe
     them with a plain equi-join. Candidates verify with exact Jaccard on
     the shingle sets, joined back by id so wide arrays move only for
     survivors — the same slim-join discipline as
@@ -565,14 +594,18 @@ def incremental_minhash_dedup(
     same quadratic corner the incremental SemDeDup path closed."""
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_size).persist()
-    corpus_sigs = minhash_signatures(
-        corpus, text_col, id_col, num_hashes, shingle_size).persist()
+    pre_collapsed = corpus_sigs is not None
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(
+            corpus, text_col, id_col, num_hashes, shingle_size)
+    corpus_sigs = corpus_sigs.persist()
     # eager: both frames are read by the band probe AND the shingle
     # join-back — see the fan-out race note in minhash_candidate_pairs
     new_sigs.count()
     corpus_sigs.count()
     cand = incremental_minhash_candidates(
-        new_sigs, corpus_sigs, id_col, num_hashes, bands, max_bucket_size)
+        new_sigs, corpus_sigs, id_col, num_hashes, bands, max_bucket_size,
+        pre_collapsed)
     new_sh = new_sigs.select(F.col(id_col).alias("new_id"),
                              F.col("shingles").alias("sh_new"))
     corpus_sh = corpus_sigs.select(F.col(id_col).alias("corpus_id"),

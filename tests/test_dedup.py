@@ -334,3 +334,35 @@ def test_incremental_minhash_candidate_bound_at_1k_clones(spark):
     got = sorted(r.doc_id for r in incremental_minhash_dedup(
         batch, corpus, threshold=0.7, max_bucket_size=50).collect())
     assert got == [5001], got
+
+
+def test_incremental_minhash_with_persisted_signature_index(spark):
+    """The production shape (build_semantic_dedup_index's text twin):
+    sign + collapse the corpus ONCE (`build_minhash_index`), reuse the
+    persisted table across ingest batches — results identical to the
+    inline path, corpus argument untouched when the index is given."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+    )
+
+    clone_text = "the same boilerplate paragraph repeated across mirrors"
+    corpus_rows = [(1000 + i, clone_text) for i in range(50)]
+    corpus_rows += [(i, f"distinct corpus doc {i} covering topic{i} "
+                        f"with body text alpha{i} beta{i}")
+                    for i in range(10)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    idx = build_minhash_index(corpus).localCheckpoint()
+    # collapsed: the 50 clones keep one representative
+    assert idx.count() == 11
+
+    batch = spark.createDataFrame(
+        [(900, clone_text + " extra words"),
+         (901, "wholly new material about tokenizer vocabularies")],
+        "doc_id long, text string")
+    inline = sorted(r.doc_id for r in incremental_minhash_dedup(
+        batch, corpus, threshold=0.6, max_bucket_size=40).collect())
+    prebuilt = sorted(r.doc_id for r in incremental_minhash_dedup(
+        batch, corpus.limit(0), threshold=0.6, max_bucket_size=40,
+        corpus_sigs=idx).collect())
+    assert inline == prebuilt == [901], (inline, prebuilt)
