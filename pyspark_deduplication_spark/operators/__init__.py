@@ -3,6 +3,8 @@ from pyspark_deduplication_spark.operators.dedup import (  # noqa: F401
     dedup_fingerprint,
     dedup_full_row,
     dedup_keep_first,
+    build_minhash_index,
+    clone_representatives,
     hamming_edges,
     incremental_dedup,
     incremental_minhash_candidates,
@@ -22,6 +24,7 @@ from pyspark_deduplication_spark.operators.joins import (  # noqa: F401
 from pyspark_deduplication_spark.operators.knn import (  # noqa: F401
     brute_force_knn,
     embedding_near_dup_pairs,
+    build_semantic_dedup_index,
     hyperplane_lsh_buckets,
     incremental_semantic_dedup,
     ivf_knn,
