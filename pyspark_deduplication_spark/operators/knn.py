@@ -64,23 +64,25 @@ def brute_force_knn(
     )
 
 
-def _nearest_cell_expr(cents: list[tuple[int, list[float]]], vec_col: str):
-    """Argmax-cosine cell id as a pure per-row expression over centroid
-    literals — no join, no shuffle. Centroids are unit-normalized
-    driver-side, so argmax cosine reduces to argmax dot: ONE array pass
-    per cell instead of three (dot + both norms — the row norm is a
-    per-cell-constant factor and the centroid norm folds into the
-    literal). Ties break toward the smaller cell id (matches
-    ``assign_cells``). For very large n_cells × dim the literal
-    expression tree would stress codegen; switch assignment to the
-    broadcast-join path (``assign_cells``) there."""
+def _cell_sim_structs(cents: list[tuple[int, list[float]]], vec_col: str):
+    """``array<struct<sim,negid>>`` of per-cell similarity scores as a
+    pure per-row expression over centroid literals — no join, no
+    shuffle. Centroids are unit-normalized driver-side, so argmax cosine
+    reduces to argmax dot: ONE array pass per cell instead of three
+    (dot + both norms — the row norm is a per-cell-constant positive
+    factor and the centroid norm folds into the literal). ``negid``
+    makes struct-ordering ties break toward the smaller cell id under
+    BOTH max (``_nearest_cell_expr``) and descending sort
+    (``_topn_cells_expr``). For very large n_cells × dim the literal
+    expression tree would stress codegen; assignment falls back to the
+    broadcast-join path there (``assign_cells``)."""
     import math
 
     def unit(c: list[float]) -> list[float]:
         n = math.sqrt(sum(x * x for x in c))
         return [x / n for x in c] if n > 0 else c
 
-    arr = F.array(*[
+    return F.array(*[
         F.struct(
             dot(F.col(vec_col),
                 F.array(*[F.lit(float(x)) for x in unit(c)])).alias("sim"),
@@ -88,7 +90,25 @@ def _nearest_cell_expr(cents: list[tuple[int, list[float]]], vec_col: str):
         )
         for cid, c in cents
     ])
-    return (-F.array_max(arr)["negid"]).cast("long")
+
+
+def _nearest_cell_expr(cents: list[tuple[int, list[float]]], vec_col: str):
+    """Argmax-similarity cell id, row-local (see ``_cell_sim_structs``)."""
+    return (-F.array_max(_cell_sim_structs(cents, vec_col))["negid"]).cast(
+        "long"
+    )
+
+
+def _topn_cells_expr(
+    cents: list[tuple[int, list[float]]], vec_col: str, n: int
+):
+    """``array<long>`` of the ``n`` nearest cell ids, best first —
+    row-local sort+slice over the literal struct array (multi-probe
+    assignment without the per-row window exchange)."""
+    ranked = F.slice(
+        F.sort_array(_cell_sim_structs(cents, vec_col), asc=False), 1, n
+    )
+    return F.transform(ranked, lambda s: (-s["negid"]).cast("long"))
 
 
 def train_centroids(
@@ -183,6 +203,12 @@ def train_centroids(
     )
 
 
+# n_cells × dim ceiling for the literal-expression assignment path;
+# beyond it the codegen'd expression tree gets unwieldy and the
+# broadcast-join fallback takes over. 256k terms ≈ 1024 cells × 256 dims.
+_LITERAL_ASSIGN_MAX_TERMS = 262144
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -191,7 +217,43 @@ def assign_cells(
 ) -> DataFrame:
     """Assign each vector to its ``n_assign`` nearest centroid cells
     (n_assign > 1 = multi-probe indexing, trades storage for recall).
-    Centroids are broadcast; the big side does not shuffle."""
+
+    Centroids are model state (n_cells rows): they collect to the
+    driver and fold into a per-row literal argmax expression
+    (``_nearest_cell_expr``) — the corpus is scanned, never joined,
+    never shuffled. Multi-probe sorts the per-row struct array and
+    slices the top ``n_assign`` (still row-local; the explode is a
+    map-side generator). The former broadcast-crossJoin +
+    ``Window.partitionBy(__row)`` spelling moved n_cells copies of
+    every vector through a full exchange — the widest shuffle in the
+    SemDeDup/IVF index builds at 100 TB; it survives only as the
+    fallback for n_cells × dim beyond the codegen comfort zone."""
+    cents = sorted(
+        (int(r["cell_id"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()  # n_cells rows — model state, tiny
+    )
+    n_terms = len(cents) * (len(cents[0][1]) if cents else 0)
+    if not cents or n_terms > _LITERAL_ASSIGN_MAX_TERMS:
+        return _assign_cells_join(vectors, centroids, vec_col, n_assign)
+    if n_assign <= 1:
+        return vectors.withColumn(
+            "cell_id", _nearest_cell_expr(cents, vec_col)
+        )
+    return vectors.withColumn(
+        "cell_id", F.explode(_topn_cells_expr(cents, vec_col, n_assign))
+    )
+
+
+def _assign_cells_join(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    n_assign: int = 1,
+) -> DataFrame:
+    """Broadcast-join assignment fallback for centroid sets too large to
+    inline as literals. Same output contract and tie-break (similarity
+    desc, cell_id asc) as the literal path; costs one per-row window
+    exchange, which is why it is not the default."""
     with_row = vectors.withColumn("__row", F.monotonically_increasing_id())
     scored = with_row.join(F.broadcast(centroids), how="cross").withColumn(
         "__csim", cosine_similarity(F.col(vec_col), F.col("centroid"))

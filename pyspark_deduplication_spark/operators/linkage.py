@@ -10,9 +10,9 @@ The reference's Task 2 in three flavors, all reproduced here:
   equi-join → native n-gram-Jaccard / levenshtein prefilter → optional
   difflib rescore on survivors only.
 - ``connected_components``      distributed transitive closure over the
-  match graph (alternating large-star/small-star joins) — the scalable
-  rewrite of the reference's driver-side greedy clustering
-  (``solutionTwo.py:56-78``, SURVEY §2.5 A7).
+  match graph (min-label propagation with pointer doubling, O(log d)
+  rounds) — the scalable rewrite of the reference's driver-side greedy
+  clustering (``solutionTwo.py:56-78``, SURVEY §2.5 A7).
 - ``cluster_members`` / ``transitive_clusters``  cluster-level set
   aggregation ≙ windowed ``collect_set`` (``soulutionOne.py:65-72``).
 

@@ -7,9 +7,13 @@ partition sizing — while codec work is feature-gated: ``decode_image``
 decodes for real when Pillow is importable (``pil_available()``) and
 raises ``NotImplementedError`` otherwise; ``strict=False`` operators use
 a deterministic fake derived from the bytes so the identical plumbing
-runs in codec-less containers. Resize / audio / video extraction remain
-stubs with the same swap-the-inner-function contract; every schema,
-batch and partitioning decision is exercised by tests either way.
+runs in codec-less containers. Dependency-free codecs are REAL, not
+stubs: PPM image decode + box-filter resize, WAV PCM16 audio decode,
+perceptual ``image_dhash`` and spectral-band audio pHash all run with no
+external libs (rounds 5-6); only non-PPM/WAV formats keep the
+swap-the-inner-function ``NotImplementedError`` contract in strict mode.
+Every schema, batch and partitioning decision is exercised by tests
+either way.
 
 Scale notes: media rows are huge and skew-prone. ``mapInPandas`` keeps
 them in Arrow batches (no per-row pickling); ``media_repartition`` sizes

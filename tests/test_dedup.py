@@ -130,12 +130,23 @@ def test_surrogate_id_unique_and_deterministic(spark, sf_dir):
 
 
 def test_surrogate_id_scalable_matches_window(spark, sf_dir):
+    from pyspark_deduplication_spark.plans.inspect import explain_str
+
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_name")
     w = with_surrogate_id(cust, "id", deterministic_order=["c_name"])
     z = with_surrogate_id(cust, "id", deterministic_order=["c_name"],
                           scalable=True)
     assert sorted((r.id, r.c_name) for r in w.collect()) == \
         sorted((r.id, r.c_name) for r in z.collect())
+    # JVM-side contract: no row ever round-trips through Python workers,
+    # and the only exchange is the range-repartition itself (offsets are
+    # literal maps — no second shuffle, no broadcast join)
+    plan = explain_str(z)
+    assert "PythonRDD" not in plan and "BatchEvalPython" not in plan, plan
+    assert "Scan ExistingRDD" not in plan, plan
+    import re
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange \(\d+\)", final)) == 1, plan
 
 
 def test_keep_first_is_partial_aggregate(spark, sf_dir):
