@@ -94,17 +94,23 @@ def train_hashed_linear(
     256×256 Gram the same way, solve driver-side); the diagonal form
     is the one a DuckDB oracle can replicate exactly.
 
-    Determinism: x, y and λ are integers, so both sufficient-statistic
-    sums are EXACT integer-valued doubles and the division is one
-    correctly-rounded IEEE op — bit-identical on any engine. Weights
-    then quantize by flooring onto the 2⁻²⁰ grid: every quantized
-    weight is exactly representable and inference sums of ≤ 2³² of
-    them stay within the 52-bit mantissa, making downstream scores
-    order-independent and cross-engine exact (the ``bucket_weight``
-    1/16 trick, generalized to trained values).
+    Determinism: x, y and λ are integers; the sufficient statistics
+    accumulate as LONGS (exact to 2⁶³), and the determinism contract —
+    one correctly-rounded IEEE division, bit-identical on any engine —
+    holds while each per-bucket sum stays ≤ 2⁵³, where the long→double
+    conversion is still exact (ADVICE r6: at extreme corpus scale
+    Σx² per bucket CAN exceed 2⁵³; a runtime ``assert_true`` over the
+    ≤256-row aggregate fails loudly there instead of silently rounding
+    — remedies: more buckets, a per-doc token cap, or a documented
+    tolerance). Weights then quantize by flooring onto the 2⁻²⁰ grid:
+    every quantized weight is exactly representable and inference sums
+    of ≤ 2³² of them stay within the 52-bit mantissa, making
+    downstream scores order-independent and cross-engine exact (the
+    ``bucket_weight`` 1/16 trick, generalized to trained values).
 
     Returns (bucket, weight) — ≤ 256 rows, always broadcastable."""
     q = 1 << 20
+    exact = 1 << 53
     terms = (
         df.select(F.col(id_col), F.col(label_col).alias("__y"),
                   F.explode(tokenize(F.col(text_col))).alias("term"))
@@ -113,18 +119,24 @@ def train_hashed_linear(
     )
     x = terms.groupBy(id_col, "bucket", "__y").agg(
         F.count(F.lit(1)).cast("long").alias("__x"))
-    return (
-        x.groupBy("bucket")
-        .agg(
-            F.sum(F.col("__x") * F.col("__y")).cast("double").alias("__xy"),
-            F.sum(F.col("__x") * F.col("__x")).cast("double").alias("__xx"),
-        )
-        .select(
-            "bucket",
-            (F.floor(F.lit(float(q)) * F.col("__xy")
-                     / (F.col("__xx") + F.lit(float(l2)))) / F.lit(float(q))
-             ).alias("weight"),
-        )
+    stats = x.groupBy("bucket").agg(
+        F.sum(F.col("__x") * F.col("__y")).alias("__xy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__xx"),
+    )
+    guard = F.assert_true(
+        (F.col("__xx") <= F.lit(exact)) & (F.abs("__xy") <= F.lit(exact)),
+        F.lit("train_hashed_linear: per-bucket sufficient statistic "
+              "exceeds 2^53 — exact-double determinism no longer holds; "
+              "raise the bucket count or cap per-doc token counts"),
+    )
+    return stats.select(
+        "bucket",
+        F.when(
+            guard.isNull(),
+            F.floor(F.lit(float(q)) * F.col("__xy").cast("double")
+                    / (F.col("__xx").cast("double") + F.lit(float(l2))))
+            / F.lit(float(q)),
+        ).alias("weight"),
     )
 
 

@@ -615,6 +615,7 @@ def incremental_minhash_dedup(
     shingle_size: int = 3,
     max_bucket_size: int | None = None,
     corpus_sigs: DataFrame | None = None,
+    pre_collapsed: bool | None = None,
 ) -> DataFrame:
     """Near-dup filter for a NEW batch against an EXISTING corpus — the
     incremental twin of ``minhash_dedup``, for pipelines that ingest
@@ -639,10 +640,20 @@ def incremental_minhash_dedup(
     collapse + per-bucket cap — see
     ``incremental_minhash_candidates``); without it a clone-heavy
     corpus bucket re-pairs b·m candidates on EVERY ingest batch, the
-    same quadratic corner the incremental SemDeDup path closed."""
+    same quadratic corner the incremental SemDeDup path closed.
+
+    ``pre_collapsed`` says whether ``corpus_sigs`` already had its exact
+    clones collapsed. ``None`` (default) infers it from provenance:
+    ``build_minhash_index`` output IS collapsed, so a passed
+    ``corpus_sigs`` is assumed collapsed, while signatures derived here
+    from ``corpus`` are not. A caller who persisted RAW
+    ``minhash_signatures`` output instead must pass
+    ``pre_collapsed=False`` or the clone-collapse stage of the skew
+    guard is silently skipped (the per-bucket cap still applies)."""
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_size).persist()
-    pre_collapsed = corpus_sigs is not None
+    if pre_collapsed is None:
+        pre_collapsed = corpus_sigs is not None
     if corpus_sigs is None:
         corpus_sigs = minhash_signatures(
             corpus, text_col, id_col, num_hashes, shingle_size)

@@ -374,9 +374,14 @@ def image_dhash(payload: bytes):
     brightness shifts and, for nearest sampling, to integer-factor
     rescales — exactly the perturbations that defeat byte hashing —
     while genuinely different images differ in ~32 bits. Returns a
-    signed int64 (two's complement) or None for NULL payloads; non-PPM
-    payloads without Pillow raise ``NotImplementedError`` (the strict
-    contract shared with ``decode_image``)."""
+    signed int64 (two's complement), or None for NULL payloads AND for
+    images smaller than the 9×8 sampling grid — a width-1 (or otherwise
+    degenerate) image has no horizontal gradient signal, hashes to 0,
+    and would spuriously merge with every other tiny image inside the
+    Hamming radius (ADVICE r6); None rows are unhashable singletons
+    that never join. Non-PPM payloads without Pillow raise
+    ``NotImplementedError`` (the strict contract shared with
+    ``decode_image``)."""
     import numpy as np
 
     if payload is None:
@@ -399,6 +404,8 @@ def image_dhash(payload: bytes):
             ) from exc
         w0, h0, raw = parsed
         arr = raw.astype(np.float64)
+    if w0 < 9 or h0 < 8:
+        return None
     gray = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
     xi = np.minimum(((2 * np.arange(9) + 1) * w0) // (2 * 9), w0 - 1)
     yi = np.minimum(((2 * np.arange(8) + 1) * h0) // (2 * 8), h0 - 1)

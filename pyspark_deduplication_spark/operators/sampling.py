@@ -148,6 +148,11 @@ def execute_token_budget(
     hot for the whole stretch). Factor-vs-exactness is the standard
     sampling trade: ``None`` (default) windows everything and is
     EXACT; the pytest pins superset-equality on a skewed fixture.
+    Corner guards keep the pre-filter a STRICT superset of the exact
+    path: zero/NULL-token rows always survive it (exact keeps them
+    whenever the running sum permits — e.g. every zero-token row of a
+    zero-budget group), and a NULL group inventory (all-NULL token
+    column) falls back to keep-all instead of dropping the group.
 
     Returns the kept rows of ``df`` (all columns) plus ``__cum_tokens``
     (the inclusive running sum, handy for audit)."""
@@ -183,7 +188,10 @@ def execute_token_budget(
         joined = (
             joined.join(F.broadcast(inv), group_col)
             .filter((F.col("__gtok") <= 0)
+                    | F.col("__gtok").isNull()
                     | (ceiled >= 65536)
+                    | (F.coalesce(F.col(tokens_col).cast("double"),
+                                  F.lit(0.0)) == 0.0)
                     | (F.substring(order_key, 1, 4) < thr))
             .drop("__gtok")
         )

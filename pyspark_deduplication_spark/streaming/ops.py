@@ -228,6 +228,15 @@ def streaming_corpus_ingest(
     corpus-side probe: exact corpus clones collapse to one banded
     representative and skewed buckets cap, so a clone-heavy standing
     corpus cannot cost b·m candidates on every micro-batch.
+
+    RECALL TRADE (behavior change vs the unguarded pre-r6 default,
+    advisory r6): the clone collapse is lossless, but the per-bucket
+    CAP is not — in a legitimately dense bucket of >4096 DISTINCT
+    near-dup corpus docs, probes can miss candidates whose only bucket
+    partner was capped out (mitigated by the other bands − 1
+    independent probes). Callers who prefer the old exhaustive banding
+    pass ``max_bucket_size=None``; callers with heavier clone skew
+    lower the cap.
     """
     from pyspark_deduplication_spark.operators.dedup import (
         incremental_minhash_dedup,

@@ -350,6 +350,38 @@ def test_perceptual_dhash_links_rescaled_and_shifted_copies(spark):
     assert got[5].dhash is None and got[5].keep  # singleton survives
 
 
+def test_dhash_tiny_images_are_unhashable_singletons(spark):
+    """Images below the 9×8 sampling grid have no gradient signal and
+    used to hash to 0, merging unrelated thumbnails (ADVICE r6): they
+    must return None and survive clustering as independent singletons."""
+    import numpy as np
+
+    from pyspark_deduplication_spark.operators.multimodal import (
+        image_dhash,
+        media_near_dup_perceptual,
+    )
+
+    def ppm_of(arr):
+        h, w, _ = arr.shape
+        return (b"P6\n%d %d\n255\n" % (w, h)) + arr.astype(np.uint8).tobytes()
+
+    rng = np.random.RandomState(7)
+    skinny = rng.randint(0, 255, size=(20, 1, 3))   # width 1
+    short = rng.randint(0, 255, size=(2, 40, 3))    # height 2
+    assert image_dhash(ppm_of(skinny)) is None
+    assert image_dhash(ppm_of(short)) is None
+    assert image_dhash(ppm_of(rng.randint(0, 255, size=(8, 9, 3)))) is not None
+
+    rows = [
+        (1, "image", ppm_of(skinny), (None, None, None, None)),
+        (2, "image", ppm_of(short), (None, None, None, None)),
+    ]
+    got = {r.media_id: r for r in media_near_dup_perceptual(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert got[1].keep and got[2].keep
+    assert got[1].component != got[2].component
+
+
 def test_audio_perceptual_links_rescaled_and_resampled_copies(spark):
     """Audio energy-gradient hash: a volume-scaled copy hashes
     IDENTICALLY (energies scale uniformly, gradient signs invariant), a
@@ -421,7 +453,8 @@ def test_perceptual_extractors_respect_custom_id_col(spark):
     )
 
     img = spark.createDataFrame(
-        [(7, _ppm((10, 20, 30)))], "image_id long, payload binary")
+        [(7, _ppm((10, 20, 30), size=(9, 8)))],
+        "image_id long, payload binary")
     got = extract_image_dhash(img, id_col="image_id").collect()
     assert got[0].image_id == 7 and got[0].dhash is not None
     comp = media_near_dup_perceptual(img, id_col="image_id").collect()

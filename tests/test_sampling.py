@@ -279,3 +279,35 @@ def test_execute_token_budget_prefilter_near_full_fraction(spark):
     pref = sorted(r.doc_id for r in execute_token_budget(
         df, budgets, prefilter_factor=2.0).collect())
     assert exact == pref and len(exact) == 49
+
+
+def test_execute_token_budget_prefilter_zero_budget_and_null_corners(spark):
+    """Superset-of-exact corners (ADVICE r6): a zero-budget group must
+    still keep its zero-token rows under the pre-filter (frac=0 gives
+    thr '0000', which would drop everything), and an all-NULL token
+    column (NULL group inventory) must fall back to keep-all instead of
+    dropping the group."""
+    from pyspark_deduplication_spark.operators.sampling import (
+        execute_token_budget,
+    )
+
+    rows = [(1, "zb", 0), (2, "zb", 7), (3, "zb", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    budgets = spark.createDataFrame(
+        [("zb", 0)], "source string, planned_tokens long")
+    exact = sorted(r.doc_id for r in execute_token_budget(df, budgets)
+                   .collect())
+    pref = sorted(r.doc_id for r in execute_token_budget(
+        df, budgets, prefilter_factor=2.0).collect())
+    assert exact == pref == [1, 3]
+
+    null_rows = [(1, "ng", None), (2, "ng", None)]
+    dfn = spark.createDataFrame(
+        null_rows, "doc_id long, source string, n_tok long")
+    bn = spark.createDataFrame(
+        [("ng", 100)], "source string, planned_tokens long")
+    exact_n = sorted(r.doc_id for r in execute_token_budget(dfn, bn)
+                     .collect())
+    pref_n = sorted(r.doc_id for r in execute_token_budget(
+        dfn, bn, prefilter_factor=2.0).collect())
+    assert exact_n == pref_n
