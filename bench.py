@@ -8,6 +8,13 @@ JSON line:
 (each query executed to completion via a count-collecting action, results
 not shipped to the driver). Use BENCH_QUERIES=name1,name2 to subset and
 BENCH_RUNS=n for median-of-n (default 1 — the driver wants speed).
+
+BENCH_WARM=1 (default) runs one UNTIMED pass over the whole headline set
+first: BASELINE.md's per-query rows are warm BENCH_RUNS=3 medians, so a
+cold-JIT first query (codegen + window/trainer paths compiling on its
+clock) reads as a 2-3× regression that isn't one — VERDICT r6's only >2×
+row was exactly this measurement artifact. BENCH_WARM=0 restores the
+single-q1 warm for quick iteration.
 """
 
 from __future__ import annotations
@@ -35,12 +42,20 @@ def main() -> None:
     if subset:
         names = [n for n in subset.split(",") if n in CATALOG]
 
-    # warm the JVM + parquet footer caches with the cheapest query once
-    try:
-        CATALOG["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop") \
-            .mode("overwrite").save()
-    except Exception:
-        pass
+    # Warm pass: JVM JIT, whole-stage-codegen compilation, parquet footer
+    # caches. Default = one untimed run of EVERY headline query, matching
+    # the warm-median conditions BASELINE.md's rows were recorded under;
+    # BENCH_WARM=0 falls back to warming only q1 (fast iteration).
+    warm_names = (
+        names if os.environ.get("BENCH_WARM", "1") != "0"
+        else ["q1_pricing_summary"]
+    )
+    for name in warm_names:
+        try:
+            CATALOG[name].fn(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+        except Exception:
+            pass
 
     per_query: dict[str, float] = {}
     for name in names:

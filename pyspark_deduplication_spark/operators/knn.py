@@ -716,6 +716,57 @@ def incremental_semantic_dedup(
     return fresh.join(keep, vec_id, "left_semi")
 
 
+def semantic_decontaminate(
+    batch: DataFrame,
+    heldout: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 4,
+    n_probe: int = 2,
+    train_sample_mod: int = 1,
+    max_cell_size: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic leg of the
+    decontamination family (exact grams: ``quality.decontaminate_exact``;
+    Bloom grams: ``quality.bloom_decontaminate``; this: paraphrased /
+    re-worded benchmark leakage that shares no n-gram). Flags every
+    batch vector whose cosine to ANY held-out vector is ≥ ``threshold``.
+
+    Plumbing is the incremental-SemDeDup candidate machinery verbatim:
+    the HELD-OUT set plays the corpus role — ``index`` takes a persisted
+    ``build_semantic_dedup_index(heldout)`` pair (built once per
+    benchmark release, the train-once shape), the batch multi-probes
+    ``n_probe`` cells, candidates score with the Arrow cosine, and ONLY
+    bare ids shuffle after scoring. Approximate in the same direction
+    as the underlying index: a contaminated vector whose match falls
+    outside its probed cells (or was capped out) can slip through —
+    raise ``n_probe`` for recall; the exact-gram leg stays the
+    guaranteed-no-false-negative backstop.
+
+    Returns batch rows (all columns) + ``contaminated`` (bool)."""
+    from pyspark_deduplication_spark.functions.vectors import (
+        cosine_similarity_pd,
+    )
+
+    cand = incremental_semantic_dedup_candidates(
+        batch, heldout, n_cells, vec_id, vec_col,
+        n_iter, n_probe, train_sample_mod, max_cell_size, index,
+    )
+    hit_ids = (
+        cand.filter(
+            cosine_similarity_pd(F.col("__nvec"), F.col("__cvec"))
+            >= threshold)
+        .select(F.col("__nid").alias(vec_id))
+        .distinct()
+    )
+    return batch.join(
+        hit_ids.withColumn("contaminated", F.lit(True)), vec_id, "left"
+    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+
+
 def hyperplane_lsh_buckets(
     vectors: DataFrame,
     dim: int,

@@ -77,20 +77,138 @@ def violations(metrics: DataFrame) -> DataFrame:
     )
 
 
+def _bloom_probe_positions(gram_col, num_bits: int, k_hashes: int):
+    """The ``k_hashes`` bit positions a gram sets/probes —
+    ``pmod(xxhash64(gram, seed_j), num_bits)``. Shared between index
+    build and corpus probe so a persisted index stays compatible with
+    any later probe using the same (num_bits, k_hashes)."""
+    from pyspark.sql import functions as F
+
+    return F.explode(F.array(*[
+        F.pmod(F.xxhash64(gram_col, F.lit(j)), F.lit(num_bits))
+        for j in range(k_hashes)
+    ]))
+
+
+def build_decontamination_index(
+    heldout,
+    text_col: str = "text",
+    n: int = 5,
+    num_bits: int = 1 << 20,
+    k_hashes: int = 5,
+):
+    """The Bloom word table over a held-out set's word n-grams — the
+    TRAIN-ONCE decontamination step a production pipeline persists as
+    parquet and broadcasts on every ingest batch instead of re-deriving
+    the benchmark grams per call (completing the train-once triad:
+    ``dedup.build_minhash_index``, ``knn.build_semantic_dedup_index``,
+    and this). ≤ ``num_bits/64`` rows of (word_index, 64-bit word)
+    regardless of how many grams went in — always broadcastable; when a
+    new benchmark lands, ``bit_or``-merge its table with the standing
+    one (Bloom filters union losslessly).
+
+    Feed it to ``bloom_decontaminate(index=...)`` or
+    ``gram_hit_positions``-compatible probes built with the SAME
+    ``num_bits``/``k_hashes``."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        tokenize,
+        word_ngrams_of,
+    )
+
+    return (
+        heldout.select(
+            F.explode(word_ngrams_of(tokenize(F.col(text_col)), n))
+            .alias("gram"))
+        .select(_bloom_probe_positions(
+            F.col("gram"), num_bits, k_hashes).alias("pos"))
+        .select(
+            F.shiftright("pos", 6).alias("word_index"),
+            # Python-API shiftleft needs an int amount; the SQL form
+            # accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            .alias("mask"),
+        )
+        .groupBy("word_index")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def build_gram_index(heldout, text_col: str = "text", n: int = 5):
+    """The EXACT distinct word-n-gram table of a held-out set — the
+    oracle-replicable twin of ``build_decontamination_index`` for
+    benchmark-sized held-out sets (persist once, broadcast per batch;
+    append-merge = union + distinct). Prefer the Bloom table when the
+    held-out side outgrows broadcast range."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        tokenize,
+        word_ngrams_of,
+    )
+
+    return (
+        heldout.select(
+            F.explode(word_ngrams_of(tokenize(F.col(text_col)), n))
+            .alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate_exact(
+    corpus,
+    gram_index,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+):
+    """Flag corpus docs sharing ANY word n-gram with a persisted exact
+    gram index (``build_gram_index`` output). The index broadcasts; the
+    corpus never shuffles (the left-semi hit set is doc-ids only).
+    Returns corpus rows + ``contaminated`` (bool); ``n`` must match the
+    index build."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        tokenize,
+        word_ngrams_of,
+    )
+
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_ngrams_of(tokenize(F.col(text_col)), n))
+        .alias("gram"))
+    hits = (
+        grams.join(F.broadcast(gram_index), "gram", "left_semi")
+        .select(id_col).distinct()
+    )
+    return corpus.join(
+        hits.withColumn("contaminated", F.lit(True)), id_col, "left"
+    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+
+
 def bloom_decontaminate(
     corpus,
-    heldout,
+    heldout=None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
     num_bits: int = 1 << 20,
     k_hashes: int = 5,
+    index=None,
 ):
     """Bloom-filter decontamination — the spelling that survives a
     held-out set too large to broadcast exactly (the exact-set
     variant, ``queries.decontaminate_against_src0``, distinct-reduces
     and broadcasts the benchmark grams verbatim: right until the
     benchmark side stops being benchmark-sized).
+
+    ``index`` short-circuits the build: pass the persisted word table
+    from ``build_decontamination_index`` (built with the same
+    ``num_bits``/``k_hashes``) and ``heldout`` is never touched — the
+    production shape where the filter lives as a ≤ num_bits/64-row
+    parquet table.
 
     The filter is hand-rolled from native expressions (Spark's
     ``bloom_filter_agg`` is a Catalyst-internal, not a registered SQL
@@ -121,27 +239,13 @@ def bloom_decontaminate(
         word_ngrams_of,
     )
 
-    def probe_positions(gram_col):
-        return F.explode(F.array(*[
-            F.pmod(F.xxhash64(gram_col, F.lit(j)), F.lit(num_bits))
-            for j in range(k_hashes)
-        ]))
-
-    held_bits = (
-        heldout.select(
-            F.explode(word_ngrams_of(tokenize(F.col(text_col)), n))
-            .alias("gram"))
-        .select(probe_positions(F.col("gram")).alias("pos"))
-        .select(
-            F.shiftright("pos", 6).alias("word_index"),
-            # Python-API shiftleft needs an int amount; the SQL form
-            # accepts a column
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
-            .alias("mask"),
-        )
-        .groupBy("word_index")
-        .agg(F.bit_or("mask").alias("word"))
-    )
+    if index is not None:
+        held_bits = index
+    elif heldout is not None:
+        held_bits = build_decontamination_index(
+            heldout, text_col, n, num_bits, k_hashes)
+    else:
+        raise ValueError("pass either heldout or index")
     corpus_probes = (
         corpus.select(
             F.col(id_col),
@@ -149,7 +253,8 @@ def bloom_decontaminate(
             .alias("gram"))
         .select(
             F.col(id_col), F.col("gram"),
-            probe_positions(F.col("gram")).alias("pos"))
+            _bloom_probe_positions(
+                F.col("gram"), num_bits, k_hashes).alias("pos"))
         .select(
             F.col(id_col), F.col("gram"),
             F.shiftright("pos", 6).alias("word_index"),

@@ -503,6 +503,19 @@ FROM (
 """
 
 
+def surrogate_ids_scalable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 surrogate ids, DISTRIBUTED spelling (``scalable=True``):
+    range-repartition + per-partition ``monotonically_increasing_id``
+    + literal offset maps — one shuffle, no single-task window funnel,
+    no Python round-trip (VERDICT r6 item 3). Must produce the exact
+    ids of the window spelling, hence the shared oracle."""
+    deduped = dedup_keep_first(_t(spark, sf_dir, "part"), ["p_name"], ["p_partkey"])
+    return with_surrogate_id(
+        deduped.select("p_name"), id_col="id",
+        deterministic_order=["p_name"], scalable=True,
+    ).select("id", "p_name")
+
+
 def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-INTO emulation: apply a derived change set (every BUILDING
     customer moves to segment 'RENOVATED', plus one synthetic new row) to
@@ -5555,6 +5568,29 @@ def incremental_semantic_dedup_embeddings(
     ).select("vec_id", "label")
 
 
+def semantic_decontaminate_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space decontamination: every 4th embedding plays the
+    ingest batch, the rest the held-out benchmark; batch vectors within
+    cosine ≥ 0.3 of ANY held-out vector flag as contaminated — the
+    semantic leg of the decontamination family (catches paraphrased
+    leakage the n-gram legs cannot). Index built once from the held-out
+    side (``build_semantic_dedup_index``), batch multi-probes 2 cells.
+    Rows-only (k-means loops); flag ground truth pinned on planted
+    fixtures in ``test_knn.py``."""
+    from pyspark_deduplication_spark.operators.knn import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    heldout = emb.filter(F.col("vec_id") % 4 != 0)
+    return semantic_decontaminate(
+        batch, heldout, threshold=0.3, n_cells=8, max_cell_size=4096
+    ).select("vec_id", F.col("contaminated").cast("int").alias("contaminated"))
+
+
 def doc_hashed_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed linear quality model inference
     (``functions.scoring``): fastText-style scoring with tokens hashed
@@ -5701,6 +5737,51 @@ def bloom_decontaminate_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
              F.sum(F.col("contaminated").cast("long")).alias("n_flagged"))
     )
+
+
+def incremental_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch decontamination against a PERSISTED exact gram
+    index — the train-once shape of ``decontaminate_against_src0``
+    (ADVICE/VERDICT r6 item 7, completing the build-once triad with the
+    MinHash and SemDeDup indexes): ``build_gram_index`` derives src0's
+    distinct 5-gram table ONCE (in production: a parquet table appended
+    per new benchmark), and each batch (here: source='src1' stands in
+    for today's ingest) probes it with ``decontaminate_exact`` — the
+    index broadcasts, the batch never shuffles, the corpus is never
+    touched again. Returns one row per batch doc with its flag (cast
+    to int for cross-engine hashing)."""
+    from pyspark_deduplication_spark.operators.quality import (
+        build_gram_index,
+        decontaminate_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_gram_index(docs.filter(F.col("source") == "src0"),
+                             "text", n=5)
+    batch = docs.filter(F.col("source") == "src1")
+    return decontaminate_exact(batch, index, "text", "doc_id", n=5).select(
+        "doc_id", F.col("contaminated").cast("int").alias("contaminated"))
+
+
+_INCR_DECONTAMINATE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, source, g AS gram
+  FROM toks, unnest(list_distinct(list_transform(
+         range(1, greatest(len(t) - 4, 1) + 1),
+         i -> array_to_string(t[i:i+4], ' ')))) AS u(g)
+),
+idx AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+hits AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE source = 'src1' AND gram IN (SELECT gram FROM idx)
+)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+            THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM documents
+WHERE source = 'src1'
+"""
 
 
 def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6565,6 +6646,8 @@ CATALOG: dict[str, Query] = {
                             tags=["dedup"]),
     "surrogate_ids_parts": Query(surrogate_ids_parts, _SURROGATE_ORACLE,
                                  tags=["dedup"]),
+    "surrogate_ids_scalable_parts": Query(
+        surrogate_ids_scalable_parts, _SURROGATE_ORACLE, tags=["dedup"]),
     "doc_fingerprint_dedup": Query(doc_fingerprint_dedup, _FINGERPRINT_ORACLE,
                                    bench=True, tags=["dedup", "text"]),
     "merge_upsert_customers": Query(merge_upsert_customers, _MERGE_ORACLE,
@@ -6754,6 +6837,9 @@ CATALOG: dict[str, Query] = {
     "decontaminate_against_src0": Query(decontaminate_against_src0,
                                         _DECONTAMINATE_ORACLE,
                                         tags=["text", "dedup", "pipeline"]),
+    "incremental_decontaminate_docs": Query(
+        incremental_decontaminate_docs, _INCR_DECONTAMINATE_ORACLE,
+        tags=["text", "dedup", "pipeline", "incremental"]),
     "doc_chunks": Query(doc_chunks, _CHUNKS_ORACLE,
                         tags=["text", "pipeline"]),
     "pack_training_sequences": Query(pack_training_sequences, _PACK_ORACLE,
@@ -6844,6 +6930,11 @@ CATALOG: dict[str, Query] = {
     "incremental_semantic_dedup_embeddings": Query(
         incremental_semantic_dedup_embeddings, None, bench=True,
         tags=["vector", "dedup", "pipeline", "scale"]),
+    # semantic decontamination (rows-only: k-means loops; planted-flag
+    # ground truth in test_knn.py)
+    "semantic_decontaminate_embeddings": Query(
+        semantic_decontaminate_embeddings, None,
+        tags=["vector", "pipeline", "scale"]),
     # real-decode audio features over synthesized PCM16 WAV (rows-only;
     # ground truth in test_multimodal.py)
     "audio_features_report": Query(audio_features_report, None,
@@ -6895,77 +6986,75 @@ CATALOG: dict[str, Query] = {
 
 
 # The driver grades the first ~50 CATALOG entries in dict order, so dict
-# order IS the grading surface. Rounds 1-4 have graded every
-# oracle-backed entry that existed when each round's window froze
-# (permanent records in CORRECTNESS_r01..r04). Round 5 rotation:
-# (a) the two round-5 additions that landed after the r5 freeze
-# (cross_source_dup_matrix, doc_hashed_quality_score — judge-parity-OK,
-# VERDICT r5 item 2) plus this round's new oracle-backed entries go
-# FIRST, then (b) proven-green canaries spanning every operator family
-# — including at least one representative of each family that failed
-# in r01 (the hash-canonicalization defect: TPC-H agg/join, window
-# ranks, stats profiling, dedup pipeline, text stats) — as regression
-# tripwires. Rows-only entries (MinHash/SimHash/IVF/PQ/HLL banding SQL
-# cannot express) stay after position 50 so they never occupy a graded
-# slot with an err:"no_oracle" row. Rotated out this round (all green
-# r5, families still repped): source_capped_corpus (domain_capped),
-# stratified_sample_docs (train_val_test_split + mixture_execute),
-# winnow_near_dup_docs (jaccard + fingerprint), levenshtein_links_parts,
-# doc_fingerprint_dedup (fingerprint dedup runs inside curation_pipeline_docs)
-# (fuzzy_clusters + fuzzy_pairs_blocked + cross_table_entity_match).
+# order IS the grading surface; rows from past rounds are PERMANENT
+# files, so each round rotates a different slice back through. Round 7
+# rotation (VERDICT r6 item 4 — institute a stale-canary re-grade
+# rotation): (a) this round's NEW oracle-backed entries, then (b)
+# canaries for every code path round 7 CHANGED (literal-argmax cell
+# assignment, JVM scalable surrogate ids, trainer 2^53 guard, sampling
+# prefilter corners, decontam index), then (c) the 38 OLDEST-graded
+# oracle entries — every oracle-backed entry last graded in r1 plus
+# the alphabetical head of r2 — so their green is re-proven rather
+# than assumed (faithful_fuzzy_join_parts / ratcliff_rescored_pairs
+# from the r1 band are rows-only by design and stay out). The
+# remaining r2-r4 stale entries queue for rounds 8-9 (oldest-first;
+# tools/grade_window.py lists them). Rows-only entries stay after
+# position 50 so no graded slot records err:"no_oracle".
 _GRADED_ORDER = [
-    # (a) oracle-backed entries never graded by the driver
-    "cross_source_dup_matrix",     # chunk-fingerprint dup matrix (r5)
-    "doc_hashed_quality_score",    # hashed linear inference (r5)
-    "doc_trained_quality_score",   # distributed trainer + inference (r6)
-    "corpus_mixture_execute",      # mixture-plan materialization (r6)
-    "curation_pipeline_docs",      # end-to-end curation pipeline (r6)
-    # (b) proven-green canaries, every family + every r01-fail family
-    "epoch_shuffle_docs",          # epoch shuffle keys
-    "corpus_mixture_plan",         # mixture planning
-    "remove_dup_spans_docs",       # ExactSubstr span removal
-    "bpe_first_merge_pairs",       # BPE training round 0
-    "corpus_mixture_waterfill",    # shortfall renormalization
-    "url_canonical_customers",     # URL/domain canonicalization
-    "domain_capped_corpus",        # canonicalize → domain cap loop
-    "train_val_test_split_docs",   # deterministic md5 splits
-    "doc_tfidf_top_terms",         # TF-IDF over documents
-    "pivot_year_flag_revenue",     # pivot aggregation
-    "lineitem_price_quantiles",    # approx/exact percentiles
-    "price_quantity_stats",        # corr/covar power sums
-    "doc_unigram_logprob",         # unigram LM surprisal
-    "doc_dup_span_fraction",       # span-level dup pressure
-    "daily_revenue_trailing_week", # calendar RANGE frame
-    "dq_orders_report",            # Deequ-style data quality
-    "streaming_enrich_user_tier",  # stream-static enrichment
-    "q1_pricing_summary",          # TPC-H agg (r01-fail family)
-    "q3_top_revenue_orders",       # broadcast join + top-k (r01-fail)
-    "q5_nation_revenue",           # multi-join (r01-fail)
-    "q6_forecast_revenue",         # pushdown scan (r01-fail)
-    "q18_large_orders",            # agg-in-join (r01-fail)
-    "q19_disjunctive_predicates",  # OR-pushdown (r01-fail)
-    "q1_sql_surface",              # temp view + spark.sql
-    "topk_parts_per_brand_agg",    # top-k agg (r01-fail)
-    "salted_agg_returnflag",       # skew-salted agg (r01-fail)
-    "rollup_order_stats",          # ROLLUP (r01-fail)
-    "customer_rfm_segments",       # RFM windows (r01-fail)
-    "profile_customer_columns",    # column profiling (r01-fail)
-    "dedup_exact_parts",           # reference Task 1 (exact dedup)
-    "surrogate_ids_parts",         # surrogate ids
-    "duplicate_pressure_by_source",# dedup pipeline (r01-fail)
-    "jaccard_near_dup_docs",       # n-gram Jaccard pairs
-    "fuzzy_clusters_parts",        # reference Task 2 (linkage + CC)
-    "fuzzy_pairs_blocked_parts",   # blocked similarity join
-    "cross_table_entity_match",    # two-table entity match
-    "doc_token_stats",             # text stats (r01-fail + perf watch)
-    "decontaminate_against_src0",  # decontamination semi-join
-    "pack_training_sequences",     # sequence packing (chunking family)
-    "knn_bruteforce",              # vector search
-    "embedding_cluster_dedup",     # embedding dedup + CC
-    "media_dedup_by_content",      # multimodal content dedup
-    "streaming_hourly_windows",    # structured streaming
-    "asof_purchases_to_errors",    # temporal as-of join
-    "events_sessionize",           # sessionization
+    # (a) new this round, never graded
+    "incremental_decontaminate_docs",  # persisted exact gram index (r7)
+    "surrogate_ids_scalable_parts",    # JVM zipWithIndex rewrite (r7)
+    # (b) canaries for round-7-changed code paths
+    "surrogate_ids_parts",         # surrogate ids, window spelling
+    "knn_bruteforce",              # vector search (knn.py touched)
+    "embedding_cluster_dedup",     # cell-assignment rewrite guard
+    "doc_trained_quality_score",   # trainer with new 2^53 guard
+    "doc_hashed_quality_score",    # hashed linear inference
+    "curation_pipeline_docs",      # end-to-end (trainer inside)
+    "corpus_mixture_execute",      # token-budget execute (sampling.py)
+    "decontaminate_against_src0",  # decontamination family baseline
+    "media_dedup_by_content",      # multimodal (dhash contract change)
+    "q1_pricing_summary",          # flagship family tripwire
+    # (c) stale canaries: last graded r1 (all oracle-backed ones) …
+    "corpus_health_by_source",
+    "customers_without_orders",
+    "dedup_exact_count",
+    "doc_quality_scores",
+    "incremental_dedup_docs",
+    "merge_upsert_customers",
+    "order_interarrival_stats",
+    "order_priority_pivot",
+    "part_size_histogram",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+    "q8_market_share",
+    "snapshot_diff_customers",
+    "top3_customers_per_nation",
+    "windowed_collect_set_parts",
+    # … then the alphabetical head of r2
+    "asof_forward_tolerance",
+    "cube_lineitem_flags",
+    "embedding_near_dups",
+    "events_gapfill_hourly",
+    "golden_customer_records",
+    "grouping_sets_order_revenue",
+    "nation_revenue_share",
+    "overlap_near_dup_docs",
+    "q10_returned_items",
+    "q11_important_part_values",
+    "q12_priority_by_quantity_band",
+    "q15_top_supplier_per_year",
+    "q16_supplier_part_counts",
+    "q20_heavy_shippers",
+    "q2_min_cost_supplier",
+    "q4_order_priority_exists",
+    "q7_nation_trade_volume",
+    "q9_nation_year_revenue",
+    "range_join_value_bands",
+    "stateful_user_profiles",
+    "streaming_dedup_events",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

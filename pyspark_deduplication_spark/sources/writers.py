@@ -141,6 +141,40 @@ def write_sorted_parquet(
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed (hash-pre-shuffled) table — THE co-located-join tool at
+    100 TB: pay the shuffle ONCE at write time and every later
+    equi-join or aggregation on the bucket columns between tables with
+    the same bucket count skips its Exchange entirely (Catalyst reads
+    the bucket spec from the catalog and trusts the on-disk hash
+    layout). ``sort_cols`` additionally sorts within each bucket file,
+    so a bucketed sort-merge join also skips its Sort. The standing
+    fact/dim tables of a training pipeline (documents by doc_id,
+    signatures by doc_id, embeddings by vec_id) should live bucketed —
+    each incremental batch then joins against them shuffle-free on the
+    batch side only.
+
+    Bucketing requires the table catalog (``saveAsTable``); ``path``
+    pins an external location, otherwise the warehouse dir hosts it.
+    Read back with ``readers.read_table`` — ``spark.read.parquet(path)``
+    would see the files but NOT the bucket spec, silently losing the
+    exchange elision."""
+    w = df.write.format("parquet").mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
 def zorder_key(cols: list, bits: int = 16) -> "F.Column":
     """Morton (Z-order) key from pre-scaled non-negative integer columns:
     bit ``b`` of column ``i`` lands at interleaved position

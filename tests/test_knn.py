@@ -425,6 +425,44 @@ def test_incremental_semantic_dedup_drops_and_keeps(spark):
     assert out == [101, 102], out
 
 
+def test_semantic_decontaminate_flags_planted_leak(spark):
+    """Embedding decontamination ground truth: a batch vector cosine-
+    near a held-out vector flags contaminated (including via a
+    persisted index), a far vector does not, and all batch rows come
+    back exactly once with their columns intact."""
+    from pyspark_deduplication_spark.operators.knn import (
+        build_semantic_dedup_index,
+        semantic_decontaminate,
+    )
+
+    rng = np.random.RandomState(33)
+    centers = rng.standard_normal((3, 12)) * 5
+    held_rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(6):
+            v = centers[c] + rng.standard_normal(12) * 0.3
+            held_rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    heldout = spark.createDataFrame(
+        held_rows, "vec_id long, embedding array<float>")
+
+    leak = [float(x * 1.0005) for x in held_rows[4][1]]  # scaled copy
+    clean = [float(x) for x in rng.standard_normal(12) * 50]
+    batch = spark.createDataFrame(
+        [(200, leak), (201, clean)],
+        "vec_id long, embedding array<float>")
+
+    got = {r.vec_id: r.contaminated for r in semantic_decontaminate(
+        batch, heldout, threshold=0.999, n_cells=2).collect()}
+    assert got == {200: True, 201: False}, got
+
+    idx = build_semantic_dedup_index(heldout, n_cells=2)
+    via_idx = {r.vec_id: r.contaminated for r in semantic_decontaminate(
+        batch, None, threshold=0.999, n_cells=2, index=idx).collect()}
+    assert via_idx == got
+
+
 def test_pq_kmeans_codebook_beats_hash_standin(spark):
     """Per-subspace Lloyd must strictly beat the n_iter=0 hash stand-in
     on clustered data — same criterion as the IVF centroid test."""

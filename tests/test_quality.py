@@ -116,3 +116,54 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     # FP rate sane at this sizing: at most a couple of clean docs flip
     fps = sum(1 for d, c in out.items() if c and d not in truth)
     assert fps <= 2, fps
+
+    # the persisted-index path (build once, probe per batch) must be
+    # BIT-IDENTICAL to the inline path: same word table, same flags
+    from pyspark_deduplication_spark.operators.quality import (
+        build_decontamination_index,
+    )
+
+    idx = build_decontamination_index(held)
+    via_index = {r.doc_id: r.contaminated for r in
+                 bloom_decontaminate(corpus, index=idx).collect()}
+    assert via_index == out
+    # index unions losslessly: table from held ∪ held == table from held
+    merged = (build_decontamination_index(held)
+              .unionByName(idx)
+              .groupBy("word_index")
+              .agg(F.bit_or("word").alias("word")))
+    a = {(r.word_index, r.word) for r in idx.collect()}
+    assert {(r.word_index, r.word) for r in merged.collect()} == a
+
+
+def test_exact_gram_index_matches_inline_semi_join(spark):
+    """build_gram_index + decontaminate_exact (the oracle-replicable
+    persisted-index twin) must reproduce the inline distinct-grams
+    semi-join exactly, and arguments must not shuffle the batch side
+    (index broadcasts)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.operators.quality import (
+        build_gram_index,
+        decontaminate_exact,
+    )
+    from pyspark_deduplication_spark.plans.inspect import explain_str
+
+    held_rows = [(900 + i, f"benchmark item {i} probes gram window "
+                           f"sequence alpha beta gamma delta {i}")
+                 for i in range(6)]
+    corpus_rows = [(i, f"document {i} text corpus filler words going "
+                       f"on and on uniquely {i}") for i in range(20)]
+    for i in range(3):
+        corpus_rows[i] = (i, corpus_rows[i][1] + " " + held_rows[i][1])
+    held = spark.createDataFrame(held_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+
+    idx = build_gram_index(held, "text", n=5)
+    got = {r.doc_id: r.contaminated
+           for r in decontaminate_exact(corpus, idx, "text", "doc_id", 5)
+           .collect()}
+    assert got == {i: (i < 3) for i in range(20)}
+    plan = explain_str(decontaminate_exact(corpus, idx, "text", "doc_id", 5))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

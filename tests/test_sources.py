@@ -148,6 +148,56 @@ def test_sorted_parquet_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
     assert any("l_shipdate" in f for f in pushed_filters(q))
 
 
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """write_bucketed_table: two tables bucketed on the same key with
+    the same bucket count must sort-merge-join with NO Exchange on
+    either side (the pay-the-shuffle-once-at-write contract), and the
+    values must round-trip."""
+    import re
+
+    from pyspark_deduplication_spark.plans.inspect import explain_str
+    from pyspark_deduplication_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    write_bucketed_table(cust, "bkt_cust", 4, ["c_custkey"],
+                         sort_cols=["c_custkey"],
+                         path=str(tmp_path / "bkt_cust"))
+    write_bucketed_table(orders, "bkt_orders", 4, ["c_custkey"],
+                         sort_cols=["c_custkey"],
+                         path=str(tmp_path / "bkt_orders"))
+    try:
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bkt_cust").join(
+                spark.table("bkt_orders"), "c_custkey")
+            plan = explain_str(j)
+            assert "SortMergeJoin" in plan, plan
+            final = plan.split("== Initial Plan ==")[0]
+            assert not re.search(r"Exchange \(\d+\)", final), plan
+            assert j.count() == orders.count()
+            # the bucket spec lives in the catalog, not the files: a
+            # bare parquet read of the same path must NOT be trusted
+            # as pre-shuffled (Exchange comes back)
+            raw = (
+                spark.read.parquet(str(tmp_path / "bkt_cust"))
+                .join(spark.read.parquet(str(tmp_path / "bkt_orders")),
+                      "c_custkey")
+            )
+            raw_final = explain_str(raw).split("== Initial Plan ==")[0]
+            assert re.search(r"Exchange \(\d+\)", raw_final)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_cust")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
 def test_zordered_parquet_skips_on_every_dimension(spark, sf_dir, tmp_path):
     """Z-order layout must make row-group stats selective on BOTH
     interleaved columns — a linear sort can only serve its leading
