@@ -295,16 +295,10 @@ def ivf_knn(
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_col).alias("__qvec")
     )
-    q_cells = q.join(F.broadcast(centroids), how="cross").withColumn(
-        "__csim", cosine_similarity(F.col("__qvec"), F.col("centroid"))
-    )
-    wq = Window.partitionBy("__qid").orderBy(
-        F.col("__csim").desc(), F.col("cell_id").asc()
-    )
-    probes = (
-        q_cells.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= n_probe)
-        .select("__qid", "__qvec", "cell_id")
+    # probe assignment = multi-probe cell assignment of the query set
+    # (same literal-argmax path, same tie-break — no window exchange)
+    probes = assign_cells(q, centroids, "__qvec", n_probe).select(
+        "__qid", "__qvec", "cell_id"
     )
 
     candidates = indexed.join(
@@ -1217,21 +1211,18 @@ def ivfpq_knn(
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_col).alias("__qvec")
     )
-    q_cells = q.join(F.broadcast(cents), how="cross").withColumn(
-        "__csim", cosine_similarity(F.col("__qvec"), F.col("centroid"))
-    )
-    wq = Window.partitionBy("__qid").orderBy(
-        F.col("__csim").desc(), F.col("cell_id").asc()
-    )
-    probes = (
-        q_cells.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= n_probe)
-        .select(
+    # probe assignment via the shared literal-argmax path (no window
+    # exchange); residual mode joins the broadcast centroids back only
+    # to compute the per-(query, cell) dot(q, c_cell) ADC constant
+    probed = assign_cells(q, cents, "__qvec", n_probe)
+    if residual:
+        probes = probed.join(F.broadcast(cents), "cell_id").select(
             "__qid", "cell_id",
-            (dot(F.col("__qvec"), F.col("centroid")) if residual
-             else F.lit(0.0)).alias("__qc"),
+            dot(F.col("__qvec"), F.col("centroid")).alias("__qc"),
         )
-    )
+    else:
+        probes = probed.select(
+            "__qid", "cell_id", F.lit(0.0).alias("__qc"))
 
     # per-(query, subspace, code) partial dot — the ADC lookup table
     sub = dim // m_subspaces
