@@ -102,7 +102,10 @@ def train_hashed_linear(
     Σx² per bucket CAN exceed 2⁵³; a runtime ``assert_true`` over the
     ≤256-row aggregate fails loudly there instead of silently rounding
     — remedies: more buckets, a per-doc token cap, or a documented
-    tolerance). Weights then quantize by flooring onto the 2⁻²⁰ grid:
+    tolerance. The guard also compares the long sums against
+    double-accumulated shadows, catching the silent long WRAP past 2⁶³
+    that non-ANSI sessions would otherwise let back under the 2⁵³
+    line). Weights then quantize by flooring onto the 2⁻²⁰ grid:
     every quantized weight is exactly representable and inference sums
     of ≤ 2³² of them stay within the 52-bit mantissa, making
     downstream scores order-independent and cross-engine exact (the
@@ -122,12 +125,23 @@ def train_hashed_linear(
     stats = x.groupBy("bucket").agg(
         F.sum(F.col("__x") * F.col("__y")).alias("__xy"),
         F.sum(F.col("__x") * F.col("__x")).alias("__xx"),
+        # double-accumulated shadows: long sums WRAP silently past 2^63
+        # when ANSI mode is off (review r7 finding), which could sneak
+        # a wrapped value back under the 2^53 line; doubles never wrap,
+        # and below 2^53 every partial sum is exact, so long == shadow
+        # iff no overflow occurred anywhere
+        F.sum((F.col("__x") * F.col("__y")).cast("double")).alias("__xyd"),
+        F.sum((F.col("__x") * F.col("__x")).cast("double")).alias("__xxd"),
     )
     guard = F.assert_true(
-        (F.col("__xx") <= F.lit(exact)) & (F.abs("__xy") <= F.lit(exact)),
+        (F.col("__xx") <= F.lit(exact))
+        & (F.abs("__xy") <= F.lit(exact))
+        & (F.col("__xx").cast("double") == F.col("__xxd"))
+        & (F.col("__xy").cast("double") == F.col("__xyd")),
         F.lit("train_hashed_linear: per-bucket sufficient statistic "
-              "exceeds 2^53 — exact-double determinism no longer holds; "
-              "raise the bucket count or cap per-doc token counts"),
+              "exceeds 2^53 (or overflowed the long accumulator) — "
+              "exact-double determinism no longer holds; raise the "
+              "bucket count or cap per-doc token counts"),
     )
     return stats.select(
         "bucket",

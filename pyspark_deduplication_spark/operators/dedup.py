@@ -100,17 +100,25 @@ def with_surrogate_id(
          the explicit partition count keeps AQE from re-coalescing.
       2. ``monotonically_increasing_id`` stamps each row — increasing
          in row order, and in the current (long-stable) implementation
-         consecutive WITHIN a partition. One extra tiny job collects
-         per-partition (min, max, count) — ≤ n_parts rows, model-state
-         sized — and VERIFIES ``max − min + 1 == count`` so the
-         consecutiveness assumption is checked at runtime, not trusted.
-      3. Global ids fold in as LITERAL per-partition offset maps — a
-         pure projection, no second exchange, no broadcast join.
+         consecutive WITHIN a partition. A per-partition aggregate
+         derives (min, max, count) and VERIFIES ``max − min + 1 ==
+         count`` via ``assert_true`` so the consecutiveness assumption
+         is checked at runtime, not trusted.
+      3. Cumulative offsets come from a single-row window over those
+         ≤ n_parts aggregate rows (model-state sized) and broadcast-
+         join back onto the rows.
 
-      Consistency: both jobs re-evaluate the same plan;
-      ``RangePartitioner`` samples with a deterministic per-partition
-      seed, so partition membership and in-partition order are stable
-      across the two runs.
+      Consistency: everything is ONE plan — the aggregate branch and
+      the row branch read the SAME range shuffle via Spark's
+      exchange-reuse rule (``ReusedExchange``; pinned in
+      test_dedup.py), so partition membership cannot diverge between
+      offset derivation and id stamping. (Two separate jobs would
+      re-sample range boundaries with a different RDD-id-derived seed
+      each run — review r7 finding.) Ties on the order keys may
+      interleave differently per run, but min/max/count are
+      tie-invariant, so ids stay contiguous and correct; which tied
+      row gets which id was never guaranteed, same as the window
+      spelling.
     """
     if not deterministic_order:
         return df.withColumn(id_col, F.monotonically_increasing_id())
@@ -128,32 +136,32 @@ def with_surrogate_id(
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__mid", F.monotonically_increasing_id())
     )
-    stats = sorted(
-        (int(r["__pid"]), int(r["mn"]), int(r["mx"]), int(r["cnt"]))
-        for r in m.groupBy("__pid").agg(
-            F.min("__mid").alias("mn"),
-            F.max("__mid").alias("mx"),
-            F.count("*").alias("cnt"),
-        ).collect()  # ≤ n_parts rows — model state, tiny
+    stats = m.groupBy("__pid").agg(
+        F.min("__mid").alias("__mn"),
+        F.max("__mid").alias("__mx"),
+        F.count("*").alias("__cnt"),
     )
-    if not stats:
-        return df.withColumn(id_col, F.monotonically_increasing_id())
-    base_entries, running = [], 0
-    for pid, mn, mx, cnt in stats:
-        if mx - mn + 1 != cnt:
-            raise RuntimeError(
-                "monotonically_increasing_id is no longer consecutive "
-                f"within partition {pid} ({mn}..{mx} over {cnt} rows); "
-                "the scalable surrogate-id recipe needs updating for "
-                "this Spark version"
-            )
-        # id = __mid − mn + running + 1  ⇒  __mid + (running − mn + 1)
-        base_entries += [F.lit(pid), F.lit(running - mn + 1)]
-        running += cnt
-    base = F.element_at(F.create_map(*base_entries), F.col("__pid"))
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    guard = F.assert_true(
+        F.col("__mx") - F.col("__mn") + 1 == F.col("__cnt"),
+        F.lit("monotonically_increasing_id is no longer consecutive "
+              "within a partition; the scalable surrogate-id recipe "
+              "needs updating for this Spark version"),
+    )
+    # id = __mid − mn + offset + 1  ⇒  __mid + __base
+    offs = stats.select(
+        "__pid",
+        F.when(
+            guard.isNull(),
+            F.coalesce(F.sum("__cnt").over(woff), F.lit(0))
+            - F.col("__mn") + 1,
+        ).alias("__base"),
+    )
     return (
-        m.withColumn(id_col, (F.col("__mid") + base).cast("long"))
-        .drop("__pid", "__mid")
+        m.join(F.broadcast(offs), "__pid")
+        .withColumn(id_col, (F.col("__mid") + F.col("__base")).cast("long"))
+        .drop("__pid", "__mid", "__base")
     )
 
 

@@ -686,21 +686,11 @@ def incremental_semantic_dedup(
     post-filter distinct moves bare ids only.
 
     Returns the surviving rows of ``new_vectors`` (all columns)."""
-    from pyspark_deduplication_spark.functions.vectors import (
-        cosine_similarity_pd,
-    )
-
     cand = incremental_semantic_dedup_candidates(
         new_vectors, corpus, n_cells, vec_id, vec_col,
         n_iter, n_probe, train_sample_mod, max_cell_size, index,
     )
-    dup_ids = (
-        cand.filter(
-            cosine_similarity_pd(F.col("__nvec"), F.col("__cvec"))
-            >= threshold)
-        .select(F.col("__nid").alias(vec_id))
-        .distinct()
-    )
+    dup_ids = _semantic_hit_ids(cand, threshold, vec_id)
     fresh = new_vectors.join(dup_ids, vec_id, "left_anti")
     fresh = fresh.localCheckpoint()
     keep = semantic_dedup(
@@ -708,6 +698,24 @@ def incremental_semantic_dedup(
         train_sample_mod, max_cell_size,
     ).filter(F.col("keep")).select(vec_id)
     return fresh.join(keep, vec_id, "left_semi")
+
+
+def _semantic_hit_ids(cand: DataFrame, threshold: float, vec_id: str):
+    """Distinct batch ids whose candidate rows score cosine ≥ threshold
+    — the shared score-then-slim tail of ``incremental_semantic_dedup``
+    and ``semantic_decontaminate``: candidates score with the Arrow
+    cosine per appearance, and only BARE ids shuffle afterwards."""
+    from pyspark_deduplication_spark.functions.vectors import (
+        cosine_similarity_pd,
+    )
+
+    return (
+        cand.filter(
+            cosine_similarity_pd(F.col("__nvec"), F.col("__cvec"))
+            >= threshold)
+        .select(F.col("__nid").alias(vec_id))
+        .distinct()
+    )
 
 
 def semantic_decontaminate(
@@ -741,24 +749,14 @@ def semantic_decontaminate(
     guaranteed-no-false-negative backstop.
 
     Returns batch rows (all columns) + ``contaminated`` (bool)."""
-    from pyspark_deduplication_spark.functions.vectors import (
-        cosine_similarity_pd,
-    )
+    from pyspark_deduplication_spark.operators.quality import flag_by_ids
 
     cand = incremental_semantic_dedup_candidates(
         batch, heldout, n_cells, vec_id, vec_col,
         n_iter, n_probe, train_sample_mod, max_cell_size, index,
     )
-    hit_ids = (
-        cand.filter(
-            cosine_similarity_pd(F.col("__nvec"), F.col("__cvec"))
-            >= threshold)
-        .select(F.col("__nid").alias(vec_id))
-        .distinct()
-    )
-    return batch.join(
-        hit_ids.withColumn("contaminated", F.lit(True)), vec_id, "left"
-    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+    return flag_by_ids(
+        batch, _semantic_hit_ids(cand, threshold, vec_id), vec_id)
 
 
 def hyperplane_lsh_buckets(

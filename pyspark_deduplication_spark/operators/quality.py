@@ -107,9 +107,11 @@ def build_decontamination_index(
     new benchmark lands, ``bit_or``-merge its table with the standing
     one (Bloom filters union losslessly).
 
-    Feed it to ``bloom_decontaminate(index=...)`` or
-    ``gram_hit_positions``-compatible probes built with the SAME
-    ``num_bits``/``k_hashes``."""
+    The table CARRIES its own (num_bits, k_hashes) as constant columns
+    — a Bloom filter probed with different geometry than it was built
+    with silently loses the no-false-negative guarantee (review r7
+    finding), so ``bloom_decontaminate(index=...)`` validates them
+    against the call's parameters and refuses a mismatch."""
     from pyspark.sql import functions as F
 
     from pyspark_deduplication_spark.functions.text import (
@@ -132,6 +134,8 @@ def build_decontamination_index(
         )
         .groupBy("word_index")
         .agg(F.bit_or("mask").alias("word"))
+        .withColumn("num_bits", F.lit(int(num_bits)))
+        .withColumn("k_hashes", F.lit(int(k_hashes)))
     )
 
 
@@ -154,6 +158,20 @@ def build_gram_index(heldout, text_col: str = "text", n: int = 5):
             .alias("gram"))
         .distinct()
     )
+
+
+def flag_by_ids(df, hit_ids, id_col: str, flag_col: str = "contaminated"):
+    """Annotate ``df`` with a boolean ``flag_col`` that is True exactly
+    for rows whose id appears in ``hit_ids`` (a distinct-id frame) —
+    the shared tail of every decontamination leg (exact grams, Bloom
+    grams, semantic), so join/NULL semantics live in ONE place. The
+    hit set is ids only and broadcasts when small."""
+    from pyspark.sql import functions as F
+
+    return df.join(
+        hit_ids.select(id_col).withColumn(flag_col, F.lit(True)),
+        id_col, "left",
+    ).withColumn(flag_col, F.coalesce(flag_col, F.lit(False)))
 
 
 def decontaminate_exact(
@@ -183,9 +201,7 @@ def decontaminate_exact(
         grams.join(F.broadcast(gram_index), "gram", "left_semi")
         .select(id_col).distinct()
     )
-    return corpus.join(
-        hits.withColumn("contaminated", F.lit(True)), id_col, "left"
-    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+    return flag_by_ids(corpus, hits, id_col)
 
 
 def bloom_decontaminate(
@@ -240,10 +256,27 @@ def bloom_decontaminate(
     )
 
     if index is not None:
-        held_bits = index
+        # geometry check: probing a Bloom table with different
+        # (num_bits, k_hashes) than it was built with silently yields
+        # false negatives — the one failure mode this operator promises
+        # not to have. One tiny job over the broadcastable index.
+        if {"num_bits", "k_hashes"} <= set(index.columns):
+            meta = index.select("num_bits", "k_hashes").first()
+            if meta is not None and (
+                int(meta["num_bits"]) != num_bits
+                or int(meta["k_hashes"]) != k_hashes
+            ):
+                raise ValueError(
+                    f"decontamination index was built with num_bits="
+                    f"{meta['num_bits']}, k_hashes={meta['k_hashes']} "
+                    f"but is being probed with num_bits={num_bits}, "
+                    f"k_hashes={k_hashes} — pass matching parameters"
+                )
+        held_bits = index.select("word_index", "word")
     elif heldout is not None:
         held_bits = build_decontamination_index(
-            heldout, text_col, n, num_bits, k_hashes)
+            heldout, text_col, n, num_bits, k_hashes
+        ).select("word_index", "word")
     else:
         raise ValueError("pass either heldout or index")
     corpus_probes = (
@@ -276,6 +309,4 @@ def bloom_decontaminate(
         .select(id_col)
         .distinct()
     )
-    return corpus.join(
-        hits.withColumn("contaminated", F.lit(True)), id_col, "left"
-    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+    return flag_by_ids(corpus, hits, id_col)

@@ -148,11 +148,16 @@ def execute_token_budget(
     hot for the whole stretch). Factor-vs-exactness is the standard
     sampling trade: ``None`` (default) windows everything and is
     EXACT; the pytest pins superset-equality on a skewed fixture.
-    Corner guards keep the pre-filter a STRICT superset of the exact
-    path: zero/NULL-token rows always survive it (exact keeps them
-    whenever the running sum permits — e.g. every zero-token row of a
-    zero-budget group), and a NULL group inventory (all-NULL token
-    column) falls back to keep-all instead of dropping the group.
+    Corner escapes are GROUP-LEVEL only — keep the ENTIRE group when
+    its budget is ≤ 0 or NULL, or its token inventory is ≤ 0 or NULL —
+    because group-level keep-all preserves the prefix property (the
+    window then sums over exactly the rows the exact path sums over).
+    A per-row escape (e.g. "always keep zero-token rows") would NOT: it
+    admits rows from beyond the cut while dropping positive-token rows
+    before them, shrinking those rows' running sums and keeping rows
+    the exact path drops (review r7 finding). The zero-budget corner
+    (frac=0 → thr '0000' would drop the zero-token rows exact keeps)
+    is exactly the budget ≤ 0 escape.
 
     Returns the kept rows of ``df`` (all columns) plus ``__cum_tokens``
     (the inclusive running sum, handy for audit)."""
@@ -189,9 +194,9 @@ def execute_token_budget(
             joined.join(F.broadcast(inv), group_col)
             .filter((F.col("__gtok") <= 0)
                     | F.col("__gtok").isNull()
+                    | (F.col("__budget") <= 0)
+                    | F.col("__budget").isNull()
                     | (ceiled >= 65536)
-                    | (F.coalesce(F.col(tokens_col).cast("double"),
-                                  F.lit(0.0)) == 0.0)
                     | (F.substring(order_key, 1, 4) < thr))
             .drop("__gtok")
         )

@@ -138,15 +138,21 @@ def test_surrogate_id_scalable_matches_window(spark, sf_dir):
                           scalable=True)
     assert sorted((r.id, r.c_name) for r in w.collect()) == \
         sorted((r.id, r.c_name) for r in z.collect())
-    # JVM-side contract: no row ever round-trips through Python workers,
-    # and the only exchange is the range-repartition itself (offsets are
-    # literal maps — no second shuffle, no broadcast join)
+    # JVM-side contract: no row ever round-trips through Python workers;
+    # exactly ONE data-sized shuffle (the range repartition), which the
+    # offset branch READS BACK via exchange reuse — the reuse is the
+    # correctness pin: two independent range shuffles would re-sample
+    # boundaries with different RDD-id seeds and could disagree on
+    # partition membership between offset derivation and id stamping
     plan = explain_str(z)
     assert "PythonRDD" not in plan and "BatchEvalPython" not in plan, plan
     assert "Scan ExistingRDD" not in plan, plan
-    import re
     final = plan.split("== Initial Plan ==")[0]
-    assert len(re.findall(r"Exchange \(\d+\)", final)) == 1, plan
+    # the corpus is scanned and range-shuffled exactly once; the offset
+    # branch reads that same shuffle back (ReusedExchange) — remaining
+    # exchanges operate on the ≤ n_parts aggregate rows only
+    assert final.count("Scan parquet") == 1, plan
+    assert "ReusedExchange" in final, plan
 
 
 def test_keep_first_is_partial_aggregate(spark, sf_dir):

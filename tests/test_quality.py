@@ -127,6 +127,11 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     via_index = {r.doc_id: r.contaminated for r in
                  bloom_decontaminate(corpus, index=idx).collect()}
     assert via_index == out
+    # geometry mismatch must refuse loudly, not silently miss leaks
+    import pytest
+
+    with pytest.raises(ValueError, match="num_bits"):
+        bloom_decontaminate(corpus, index=idx, num_bits=1 << 22)
     # index unions losslessly: table from held ∪ held == table from held
     merged = (build_decontamination_index(held)
               .unionByName(idx)

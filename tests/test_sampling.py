@@ -301,6 +301,24 @@ def test_execute_token_budget_prefilter_zero_budget_and_null_corners(spark):
         df, budgets, prefilter_factor=2.0).collect())
     assert exact == pref == [1, 3]
 
+    # prefix-property counterexample (review r7): a zero-token row
+    # hashing AFTER a budget-busting row must stay dropped — a per-row
+    # zero-token escape would admit it with a shrunken running sum.
+    # md5 hash order for seed 'mix' is doc1, doc3, doc2; doc3 busts the
+    # zero budget, so exact keeps only doc1 — and so must the prefilter
+    # (the group-level budget<=0 escape keeps ALL rows through the
+    # window, which then sums exactly what the exact path sums).
+    rows2 = [(1, "pz", 0), (2, "pz", 0), (3, "pz", 7)]
+    df2 = spark.createDataFrame(
+        rows2, "doc_id long, source string, n_tok long")
+    b2 = spark.createDataFrame(
+        [("pz", 0)], "source string, planned_tokens long")
+    exact2 = sorted(r.doc_id for r in execute_token_budget(df2, b2)
+                    .collect())
+    pref2 = sorted(r.doc_id for r in execute_token_budget(
+        df2, b2, prefilter_factor=2.0).collect())
+    assert exact2 == pref2 == [1]
+
     null_rows = [(1, "ng", None), (2, "ng", None)]
     dfn = spark.createDataFrame(
         null_rows, "doc_id long, source string, n_tok long")
