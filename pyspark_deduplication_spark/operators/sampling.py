@@ -103,6 +103,36 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    group_expr,
+    key_col: str,
+    splits: dict[str, float],
+    seed: str = "42",
+    split_col: str = "split",
+    group_key_col: str = "group_key",
+) -> DataFrame:
+    """Dup-group-aware train/val/test assignment: rows that share
+    ``group_expr`` (a content fingerprint, a CC component id, …) get
+    the GROUP's minimum ``key_col`` as their split key, so duplicates
+    can never straddle splits — the leakage ``hash_split`` alone cannot
+    prevent (two byte-identical docs with different ids are split
+    independently, and a test doc with a train twin is a leaked label).
+
+    One shuffle (the group window, keyed by the fingerprint — at 100 TB
+    project to (key, fingerprint) first and join back, or reuse an
+    already-persisted dedup component table as ``group_expr``). The
+    split itself stays the row-local ``hash_split`` projection, so all
+    its stability properties carry over at group granularity: a group's
+    split never changes as the corpus grows, and singleton groups match
+    the naive row split exactly. Returns ``df`` + ``group_key_col`` +
+    ``split_col``."""
+    w = Window.partitionBy(group_expr)
+    grouped = df.withColumn(
+        group_key_col, F.min(F.col(key_col)).over(w))
+    return hash_split(grouped, group_key_col, splits, seed, split_col)
+
+
 def execute_token_budget(
     df: DataFrame,
     budgets: DataFrame,

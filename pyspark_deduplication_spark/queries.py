@@ -5739,6 +5739,63 @@ def bloom_decontaminate_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-group-aware 80/10/10 split: docs sharing a content
+    fingerprint take their group's min doc_id as the split key
+    (``leakage_safe_split``), so exact duplicates can never land on
+    opposite sides of a train/test boundary. Reports, per split, doc
+    and token mass plus ``n_leaky_docs`` — docs whose NAIVE row-level
+    split would have disagreed with their group's split, i.e. the
+    leaks the group-aware key just prevented."""
+    from pyspark_deduplication_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    grouped = leakage_safe_split(
+        docs, doc_fingerprint(F.col("text")), "doc_id", fractions)
+    both = hash_split(grouped, "doc_id", fractions, split_col="row_split")
+    return (
+        both.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).cast("long")
+            .alias("sum_tokens"),
+            F.sum((F.col("row_split") != F.col("split")).cast("long"))
+            .alias("n_leaky_docs"),
+        )
+    )
+
+
+# same hash_split thresholds as _SPLIT_ORACLE: 0.8 -> 'cd', 0.9 -> 'e6'
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id, text, md5({_NORM_SQL}) AS f FROM documents
+),
+g AS (SELECT f, min(doc_id) AS gkey FROM fp GROUP BY f),
+keyed AS (
+  SELECT fp.doc_id, fp.text, g.gkey,
+         CASE WHEN substring(md5(CAST(g.gkey AS VARCHAR) || '42'), 1, 2) < 'cd'
+              THEN 'train'
+              WHEN substring(md5(CAST(g.gkey AS VARCHAR) || '42'), 1, 2) < 'e6'
+              THEN 'val' ELSE 'test' END AS split,
+         CASE WHEN substring(md5(CAST(fp.doc_id AS VARCHAR) || '42'), 1, 2) < 'cd'
+              THEN 'train'
+              WHEN substring(md5(CAST(fp.doc_id AS VARCHAR) || '42'), 1, 2) < 'e6'
+              THEN 'val' ELSE 'test' END AS row_split
+  FROM fp JOIN g USING (f)
+)
+SELECT split, count(*) AS n_docs,
+       CAST(sum({_NTOK_SQL}) AS BIGINT) AS sum_tokens,
+       CAST(sum(CASE WHEN row_split <> split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaky_docs
+FROM keyed
+GROUP BY split
+"""
+
+
 def incremental_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-batch decontamination against a PERSISTED exact gram
     index — the train-once shape of ``decontaminate_against_src0``
@@ -6840,6 +6897,9 @@ CATALOG: dict[str, Query] = {
     "incremental_decontaminate_docs": Query(
         incremental_decontaminate_docs, _INCR_DECONTAMINATE_ORACLE,
         tags=["text", "dedup", "pipeline", "incremental"]),
+    "leakage_safe_split_docs": Query(
+        leakage_safe_split_docs, _LEAKAGE_SPLIT_ORACLE,
+        tags=["sampling", "dedup", "pipeline"]),
     "doc_chunks": Query(doc_chunks, _CHUNKS_ORACLE,
                         tags=["text", "pipeline"]),
     "pack_training_sequences": Query(pack_training_sequences, _PACK_ORACLE,
@@ -6992,7 +7052,10 @@ CATALOG: dict[str, Query] = {
 # rotation): (a) this round's NEW oracle-backed entries, then (b)
 # canaries for every code path round 7 CHANGED (literal-argmax cell
 # assignment, JVM scalable surrogate ids, trainer 2^53 guard, sampling
-# prefilter corners, decontam index), then (c) the 38 OLDEST-graded
+# prefilter corners, decontam index; media_dedup_by_content rotated
+# out — its content-md5 path is untouched and green in r6, while the
+# round's dhash contract change is pytest-covered), then (c) the
+# OLDEST-graded
 # oracle entries — every oracle-backed entry last graded in r1 plus
 # the alphabetical head of r2 — so their green is re-proven rather
 # than assumed (faithful_fuzzy_join_parts / ratcliff_rescored_pairs
@@ -7004,6 +7067,7 @@ _GRADED_ORDER = [
     # (a) new this round, never graded
     "incremental_decontaminate_docs",  # persisted exact gram index (r7)
     "surrogate_ids_scalable_parts",    # JVM zipWithIndex rewrite (r7)
+    "leakage_safe_split_docs",         # dup-group-aware split (r7)
     # (b) canaries for round-7-changed code paths
     "surrogate_ids_parts",         # surrogate ids, window spelling
     "knn_bruteforce",              # vector search (knn.py touched)
@@ -7013,7 +7077,6 @@ _GRADED_ORDER = [
     "curation_pipeline_docs",      # end-to-end (trainer inside)
     "corpus_mixture_execute",      # token-budget execute (sampling.py)
     "decontaminate_against_src0",  # decontamination family baseline
-    "media_dedup_by_content",      # multimodal (dhash contract change)
     "q1_pricing_summary",          # flagship family tripwire
     # (c) stale canaries: last graded r1 (all oracle-backed ones) …
     "corpus_health_by_source",

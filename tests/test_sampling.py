@@ -329,3 +329,45 @@ def test_execute_token_budget_prefilter_zero_budget_and_null_corners(spark):
     pref_n = sorted(r.doc_id for r in execute_token_budget(
         dfn, bn, prefilter_factor=2.0).collect())
     assert exact_n == pref_n
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    """Dup-group-aware split: every member of a fingerprint group lands
+    in ONE split (keyed by the group's min id), singleton groups match
+    the naive row split exactly, and the assignment is stable under
+    corpus growth (existing rows keep their split when rows append)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = [(i, f"unique document number {i}") for i in range(40)]
+    rows += [(100 + i, "identical duplicated body text") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(
+        df, F.md5(F.col("text")), "doc_id", fractions).collect()
+
+    by_id = {r.doc_id: r for r in out}
+    dup_splits = {by_id[100 + i].split for i in range(6)}
+    assert len(dup_splits) == 1  # the whole group moves together
+    assert all(by_id[100 + i].group_key == 100 for i in range(6))
+
+    naive = {r.doc_id: r.split for r in hash_split(
+        df, "doc_id", fractions).collect()}
+    for i in range(40):  # singletons: group split == row split
+        assert by_id[i].split == naive[i]
+
+    # growth stability: appending new docs — including fresh dups of
+    # existing ones (higher ids, so group mins don't move) — must not
+    # change any existing row's split
+    grown = spark.createDataFrame(
+        rows + [(500 + i, f"unique document number {i}") for i in range(3)],
+        "doc_id long, text string")
+    regrown = {r.doc_id: r.split for r in leakage_safe_split(
+        grown, F.md5(F.col("text")), "doc_id", fractions).collect()}
+    assert all(regrown[r.doc_id] == r.split for r in out)
+    for i in range(3):  # and the new dups inherit their group's split
+        assert regrown[500 + i] == by_id[i].split
