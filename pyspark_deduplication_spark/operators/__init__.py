@@ -32,6 +32,7 @@ from pyspark_deduplication_spark.operators.knn import (  # noqa: F401
     lsh_near_dup_pairs,
     pq_encode,
     pq_knn,
+    semantic_decontaminate,
     semantic_dedup,
     train_centroids,
     train_pq_codebook,
@@ -62,12 +63,21 @@ from pyspark_deduplication_spark.operators.partitioning import (  # noqa: F401
 from pyspark_deduplication_spark.operators.chunking import (  # noqa: F401
     chunk_documents,
 )
+from pyspark_deduplication_spark.operators.quality import (  # noqa: F401
+    bloom_decontaminate,
+    build_decontamination_index,
+    build_gram_index,
+    check_constraints,
+    decontaminate_exact,
+    flag_by_ids,
+)
 from pyspark_deduplication_spark.operators.sampling import (  # noqa: F401
     cap_per_group,
     execute_token_budget,
     hash_bucket,
     hash_sample,
     hash_split,
+    leakage_safe_split,
     stratified_hash_sample,
 )
 from pyspark_deduplication_spark.operators.timeseries import (  # noqa: F401

@@ -35,7 +35,6 @@ from pyspark.sql.functions import pandas_udf
 from pyspark_deduplication_spark.functions.similarity import jaccard
 from pyspark_deduplication_spark.functions.text import (
     doc_fingerprint,
-    normalize_text,
     tokenize,
     word_ngrams,
     word_ngrams_of,
