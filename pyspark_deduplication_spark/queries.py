@@ -6896,10 +6896,10 @@ CATALOG: dict[str, Query] = {
                                         tags=["text", "dedup", "pipeline"]),
     "incremental_decontaminate_docs": Query(
         incremental_decontaminate_docs, _INCR_DECONTAMINATE_ORACLE,
-        tags=["text", "dedup", "pipeline", "incremental"]),
+        bench=True, tags=["text", "dedup", "pipeline", "incremental"]),
     "leakage_safe_split_docs": Query(
         leakage_safe_split_docs, _LEAKAGE_SPLIT_ORACLE,
-        tags=["sampling", "dedup", "pipeline"]),
+        bench=True, tags=["sampling", "dedup", "pipeline"]),
     "doc_chunks": Query(doc_chunks, _CHUNKS_ORACLE,
                         tags=["text", "pipeline"]),
     "pack_training_sequences": Query(pack_training_sequences, _PACK_ORACLE,
