@@ -117,3 +117,70 @@ def test_chunking_reconstructs_token_stream(n_tokens, size, overlap_frac):
         toks = row.chunk_text.split()
         rebuilt.extend(toks if i == 0 else toks[overlap:])
     assert rebuilt == words
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=500),
+                  st.sampled_from(["a", "b", "c"]),
+                  st.one_of(st.none(),
+                            st.integers(min_value=0, max_value=50))),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    ),
+    budgets=st.tuples(st.integers(min_value=0, max_value=60),
+                      st.integers(min_value=0, max_value=60),
+                      st.integers(min_value=0, max_value=60)),
+    factor=st.floats(min_value=1.0, max_value=4.0),
+)
+def test_token_budget_prefilter_equals_exact(rows, budgets, factor):
+    """The prefiltered greedy-prefix selection must equal the exact
+    (window-everything) selection for ANY corpus, budgets — including
+    zero — NULL token counts, and pre-filter factor ≥ 1 at this scale
+    (group inventories are far below the 2-hex threshold granularity
+    cliff): the review-r7 prefix-property guarantee, generalized."""
+    from pyspark_deduplication_spark.operators.sampling import (
+        execute_token_budget,
+    )
+
+    df = _SPARK.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    bdf = _SPARK.createDataFrame(
+        list(zip(["a", "b", "c"], budgets)),
+        "source string, planned_tokens long")
+    exact = sorted(r.doc_id for r in execute_token_budget(df, bdf).collect())
+    pref = sorted(r.doc_id for r in execute_token_budget(
+        df, bdf, prefilter_factor=factor).collect())
+    assert exact == pref
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(TEXT, min_size=1, max_size=30),
+    dup_mask=st.lists(st.booleans(), min_size=1, max_size=30),
+)
+def test_leakage_safe_split_never_straddles(texts, dup_mask):
+    """For ANY corpus (including hash-adversarial duplicate layouts):
+    every group of byte-identical texts lands in exactly one split, the
+    group key is the group's min id, and all input rows come back."""
+    from pyspark_deduplication_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    rows = []
+    for i, t in enumerate(texts):
+        dup = dup_mask[i % len(dup_mask)]
+        rows.append((i, texts[0] if dup else t))
+    df = _SPARK.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(
+        df, F.md5(F.col("text")), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    assert sorted(r.doc_id for r in out) == [r[0] for r in rows]
+    by_text: dict[str, set] = {}
+    mins: dict[str, int] = {}
+    for i, t in rows:
+        by_text.setdefault(t, set())
+        mins[t] = min(mins.get(t, i), i)
+    for r in out:
+        by_text[rows[r.doc_id][1]].add(r.split)
+        assert r.group_key == mins[rows[r.doc_id][1]]
+    assert all(len(s) == 1 for s in by_text.values())
