@@ -268,6 +268,28 @@ def _assign_cells_join(
     )
 
 
+def build_ivf_index(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 4,
+    train_sample_mod: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assigned_vectors) for ``ivf_knn(index=...)`` — the
+    TRAIN-ONCE step a production vector store persists (centroids as a
+    tiny table, the cell-assigned corpus as cell-partitioned parquet)
+    and probes on every query batch instead of re-training and
+    re-assigning per call; append a new batch's assignments to keep the
+    index current (cell geometry stays fixed until a periodic
+    re-train). Completes the train-once family alongside the MinHash,
+    SemDeDup and decontamination indexes."""
+    centroids = train_centroids(
+        vectors, n_cells, vec_id, vec_col, n_iter, train_sample_mod
+    )
+    return centroids, assign_cells(vectors, centroids, vec_col)
+
+
 def ivf_knn(
     vectors: DataFrame,
     queries: DataFrame,
@@ -280,17 +302,26 @@ def ivf_knn(
     query_col: str = "embedding",
     n_iter: int = 4,
     train_sample_mod: int = 1,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose cell is among the
     query's ``n_probe`` nearest cells. Same output schema as
     ``brute_force_knn``; recall rises with n_probe (== n_cells ⇒ exact).
     ``n_iter``/``train_sample_mod`` feed centroid training (k-means
     rounds; ``n_iter=0`` = the single-pass hash-representative init).
+
+    ``index`` short-circuits the build with a persisted
+    (centroids, assigned_vectors) pair from ``build_ivf_index`` — the
+    train-once shape shared with the MinHash/SemDeDup/decontamination
+    indexes: the corpus is scanned only for the probed cells' rows and
+    ``vectors`` is never touched.
     """
-    centroids = train_centroids(
-        vectors, n_cells, vec_id, vec_col, n_iter, train_sample_mod
-    )
-    indexed = assign_cells(vectors, centroids, vec_col)  # + cell_id
+    if index is not None:
+        centroids, indexed = index
+    else:
+        centroids, indexed = build_ivf_index(
+            vectors, n_cells, vec_id, vec_col, n_iter, train_sample_mod
+        )
 
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_col).alias("__qvec")

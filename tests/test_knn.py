@@ -463,6 +463,30 @@ def test_semantic_decontaminate_flags_planted_leak(spark):
     assert via_idx == got
 
 
+def test_ivf_knn_with_persisted_index_matches_inline(spark):
+    """ivf_knn(index=...) over a prebuilt (centroids, assignments) pair
+    must return exactly the inline result — the train-once contract —
+    with the vectors argument never touched (None passes)."""
+    from pyspark_deduplication_spark.operators.knn import (
+        build_ivf_index,
+        ivf_knn,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(12)])
+            for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        rows[:5], "query_id long, embedding array<float>")
+
+    inline = sorted(map(str, ivf_knn(
+        emb, q, k=5, n_cells=4, n_probe=2).collect()))
+    idx = build_ivf_index(emb, n_cells=4)
+    via_idx = sorted(map(str, ivf_knn(
+        None, q, k=5, n_cells=4, n_probe=2, index=idx).collect()))
+    assert via_idx == inline
+
+
 def test_pq_kmeans_codebook_beats_hash_standin(spark):
     """Per-subspace Lloyd must strictly beat the n_iter=0 hash stand-in
     on clustered data — same criterion as the IVF centroid test."""

@@ -491,6 +491,38 @@ def test_semantic_and_ivfpq_assignment_shuffle_free(spark):
     assert "__row" not in plan, plan
 
 
+def test_incremental_decontaminate_index_broadcasts(spark):
+    """The persisted-gram-index probe: the index side broadcasts onto
+    the batch (BroadcastHashJoin), never sort-merge — the batch is the
+    only data-sized participant at 100 TB."""
+    from pyspark_deduplication_spark.queries import (
+        incremental_decontaminate_docs,
+    )
+
+    plan = explain_str(
+        incremental_decontaminate_docs(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_leakage_safe_split_single_group_shuffle(spark):
+    """Group-aware split: ONE data-sized exchange (the fingerprint
+    window); the split assignment itself is a row-local projection —
+    no join, no second corpus shuffle before the final aggregation."""
+    import re
+
+    from pyspark_deduplication_spark.queries import leakage_safe_split_docs
+
+    plan = explain_str(
+        leakage_safe_split_docs(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("(1) Scan parquet") == 1, plan
+    # window exchange + aggregation exchange — nothing else data-sized
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan
+
+
 def test_curation_pipeline_no_cartesian_weights_broadcast(spark):
     """The five-stage curation pipeline stays shuffle-disciplined end to
     end: trained weights broadcast onto the corpus, no cartesian, no
