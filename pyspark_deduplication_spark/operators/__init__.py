@@ -24,6 +24,7 @@ from pyspark_deduplication_spark.operators.joins import (  # noqa: F401
 from pyspark_deduplication_spark.operators.knn import (  # noqa: F401
     brute_force_knn,
     build_ivf_index,
+    build_ivfpq_index,
     embedding_near_dup_pairs,
     build_semantic_dedup_index,
     hyperplane_lsh_buckets,

@@ -1152,6 +1152,64 @@ def pq_knn(
     )
 
 
+def build_ivfpq_index(
+    vectors: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 4,
+    train_sample_mod: int = 1,
+    residual: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(centroids, codebook, codes) for ``ivfpq_knn(index=...)`` — the
+    TRAIN-ONCE step of the billion-scale ANN shape (FAISS persists
+    exactly these three artifacts): coarse centroids and the PQ
+    codebook are tiny model tables; ``codes`` is the (id, cell_id,
+    codes) table at ~m bytes per vector — the piece that makes the
+    index fit memory at 100 TB. Query batches probe via
+    ``ivfpq_knn(index=...)`` without re-training or re-encoding;
+    append a new batch's codes to stay current (cell geometry and
+    codebook fixed until a periodic re-train). ``residual`` must match
+    between build and search (it changes what the codes encode)."""
+    # Cosine metric ⇒ index UNIT vectors (standard practice for
+    # IP/cosine PQ): dot(q, x̂) is then ∝ cosine within a query, so the
+    # ADC shortlist ranks by the same metric the rerank and the truth
+    # use. Zero-norm vectors index as-is (they score 0 everywhere).
+    # The exact rerank still reads the ORIGINAL vectors.
+    nrm = l2_norm(F.col(vec_col))
+    unit_vecs = vectors.select(
+        F.col(vec_id),
+        F.when(nrm > 0, F.transform(F.col(vec_col).cast("array<double>"),
+                                    lambda x: x / nrm))
+        .otherwise(F.col(vec_col).cast("array<double>")).alias(vec_col),
+    )
+    cents = train_centroids(
+        unit_vecs, n_cells, vec_id, vec_col, n_iter, train_sample_mod
+    )
+    indexed = assign_cells(unit_vecs, cents, vec_col, 1)
+    if residual:
+        # v − centroid(cell): centroids broadcast, map-only transform
+        indexed = indexed.join(F.broadcast(cents), "cell_id").select(
+            F.col(vec_id), F.col("cell_id"),
+            F.zip_with(F.col(vec_col).cast("array<double>"),
+                       F.col("centroid"),
+                       lambda a, b: a - b).alias(vec_col),
+        )
+    cb = train_pq_codebook(
+        indexed, dim, m_subspaces, k_codes, vec_id, vec_col,
+        n_iter, train_sample_mod,
+    )
+    # cell_id rides through the encode groupBy (functionally dependent
+    # on vec_id) — a corpus-×-corpus (assignments ⋈ codes) re-join
+    # would be a second full shuffle of the index build
+    codes = pq_encode(indexed, cb, dim, m_subspaces, vec_id, vec_col,
+                      carry_cols=["cell_id"])
+    return cents, cb, codes
+
+
 def ivfpq_knn(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1169,6 +1227,7 @@ def ivfpq_knn(
     n_iter: int = 4,
     train_sample_mod: int = 1,
     residual: bool = False,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF×PQ composition — the standard billion-scale ANN shape
     (Jégou et al. TPAMI'11, the FAISS ``IVFx,PQy`` index): coarse IVF
@@ -1202,40 +1261,20 @@ def ivfpq_knn(
     shortlists are all broadcast model state).
 
     Returns (query_id, neighbor_id, score, rank) — exact cosine on the
-    reranked survivors, same schema as ``ivf_knn``."""
-    # Cosine metric ⇒ index UNIT vectors (standard practice for
-    # IP/cosine PQ): dot(q, x̂) is then ∝ cosine within a query, so the
-    # ADC shortlist ranks by the same metric the rerank and the truth
-    # use. Zero-norm vectors index as-is (they score 0 everywhere).
-    # The exact rerank still reads the ORIGINAL vectors.
-    nrm = l2_norm(F.col(vec_col))
-    unit_vecs = vectors.select(
-        F.col(vec_id),
-        F.when(nrm > 0, F.transform(F.col(vec_col).cast("array<double>"),
-                                    lambda x: x / nrm))
-        .otherwise(F.col(vec_col).cast("array<double>")).alias(vec_col),
-    )
-    cents = train_centroids(
-        unit_vecs, n_cells, vec_id, vec_col, n_iter, train_sample_mod
-    )
-    indexed = assign_cells(unit_vecs, cents, vec_col, 1)
-    if residual:
-        # v − centroid(cell): centroids broadcast, map-only transform
-        indexed = indexed.join(F.broadcast(cents), "cell_id").select(
-            F.col(vec_id), F.col("cell_id"),
-            F.zip_with(F.col(vec_col).cast("array<double>"),
-                       F.col("centroid"),
-                       lambda a, b: a - b).alias(vec_col),
+    reranked survivors, same schema as ``ivf_knn``.
+
+    ``index`` short-circuits the build with a persisted
+    (centroids, codebook, codes) triple from ``build_ivfpq_index``
+    (built with the same ``residual`` flag). ``vectors`` is then read
+    ONLY by the final exact rerank — the full-vector corpus table the
+    production layout keeps alongside the codes."""
+    if index is not None:
+        cents, cb, codes = index
+    else:
+        cents, cb, codes = build_ivfpq_index(
+            vectors, dim, n_cells, m_subspaces, k_codes, vec_id, vec_col,
+            n_iter, train_sample_mod, residual,
         )
-    cb = train_pq_codebook(
-        indexed, dim, m_subspaces, k_codes, vec_id, vec_col,
-        n_iter, train_sample_mod,
-    )
-    # cell_id rides through the encode groupBy (functionally dependent
-    # on vec_id) — a corpus-×-corpus (assignments ⋈ codes) re-join
-    # would be a second full shuffle of the index build
-    index = pq_encode(indexed, cb, dim, m_subspaces, vec_id, vec_col,
-                      carry_cols=["cell_id"])
 
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_col).alias("__qvec")
@@ -1275,7 +1314,7 @@ def ivfpq_knn(
     )
 
     cand = (
-        index.join(F.broadcast(probes), "cell_id")
+        codes.join(F.broadcast(probes), "cell_id")
         .filter(F.col(vec_id) != F.col("__qid"))
         .select("__qid", vec_id, "__qc",
                 F.posexplode("codes").alias("subspace", "code"))

@@ -487,6 +487,37 @@ def test_ivf_knn_with_persisted_index_matches_inline(spark):
     assert via_idx == inline
 
 
+def test_ivfpq_knn_with_persisted_index_matches_inline(spark):
+    """ivfpq_knn(index=...) over a prebuilt (centroids, codebook,
+    codes) triple must return exactly the inline result, for both the
+    raw and residual (IVFADC) encodings; vectors are read only by the
+    exact rerank."""
+    from pyspark_deduplication_spark.operators.knn import (
+        build_ivfpq_index,
+        ivfpq_knn,
+    )
+
+    rng = np.random.RandomState(13)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        rows[:4], "query_id long, embedding array<float>")
+
+    for residual in (False, True):
+        inline = sorted(map(str, ivfpq_knn(
+            emb, q, dim=16, k=5, n_cells=4, n_probe=2, m_subspaces=4,
+            k_codes=8, rerank=20, residual=residual).collect()))
+        idx = build_ivfpq_index(
+            emb, dim=16, n_cells=4, m_subspaces=4, k_codes=8,
+            residual=residual)
+        via_idx = sorted(map(str, ivfpq_knn(
+            emb, q, dim=16, k=5, n_cells=4, n_probe=2, m_subspaces=4,
+            k_codes=8, rerank=20, residual=residual,
+            index=idx).collect()))
+        assert via_idx == inline, f"residual={residual}"
+
+
 def test_pq_kmeans_codebook_beats_hash_standin(spark):
     """Per-subspace Lloyd must strictly beat the n_iter=0 hash stand-in
     on clustered data — same criterion as the IVF centroid test."""
