@@ -5061,6 +5061,112 @@ FROM scored GROUP BY doc_id
 """
 
 
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM perplexity per document — the CCNet-style
+    quality filter (Wenzek et al. 2020 score documents with a KenLM
+    n-gram model and keep the low-perplexity head): p(w2|w1) =
+    0.7·c(w1,w2)/c(w1) + 0.3·p_add1(w2), trained on the corpus itself,
+    reported as mean token logprob and ppl = exp(−mean) for a bounded
+    id slice. Extends ``doc_unigram_logprob`` with sequence context:
+    templated/boilerplate text scores low-ppl, lexically incoherent
+    text high-ppl, which the order-free unigram proxy cannot separate.
+
+    Determinism: all probabilities derive from exact integer counts;
+    per-bigram logprob is 8dp-rounded, the per-doc sum 6dp-rounded
+    before the mean (same contract as the unigram query), and ppl is
+    exp of the already-rounded mean — both engines round identical
+    doubles.
+
+    Scale shape: bigram pairs are map-only per doc (zip of two array
+    slices); the LM is two hash aggs (c12 keyed on the bigram, c1 on
+    the left token) plus a broadcast 1-row totals frame; scoring joins
+    the per-doc bigram stream to the LM keyed on (w1,w2) — a plain
+    shuffle hash join at 100 TB (the bigram dictionary is
+    vocab²-bounded, not corpus-bounded), AQE-broadcast at test SF."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(tokenize(F.col("text")), lambda x: x != F.lit("")).alias("t"))
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1), i ->"
+            " struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+        )).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    unig = (
+        toks.select(F.explode("t").alias("w2"))
+        .groupBy("w2").agg(F.count(F.lit(1)).alias("uc"))
+    )
+    tot = unig.agg(F.sum("uc").cast("double").alias("total"),
+                   F.count(F.lit(1)).cast("double").alias("vocab"))
+    lp = F.round(F.log(
+        F.lit(0.7) * (F.col("n12").cast("double") / F.col("n1").cast("double"))
+        + F.lit(0.3) * ((F.col("uc").cast("double") + 1.0)
+                        / (F.col("total") + F.col("vocab")))), 8)
+    lm = (
+        c12.join(c1, "w1")
+        .join(unig, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", lp.alias("lp"))
+    )
+    agg = (
+        pairs.filter(F.col("doc_id") < 60)
+        .join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+             F.round(F.sum("lp"), 6).alias("sum_lp"))
+        .select("doc_id", "n_bigrams",
+                F.round(F.col("sum_lp") / F.col("n_bigrams").cast("double"), 6)
+                .alias("mean_logprob"))
+    )
+    return agg.withColumn("ppl", F.round(F.exp(-F.col("mean_logprob")), 6))
+
+
+_BIGRAM_PPL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({_TOKENS_SQL}, x -> x <> '') AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(t[1:len(t)-1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS n12 FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS n1 FROM pairs GROUP BY w1),
+unig AS (
+  SELECT term, count(*) AS uc
+  FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+),
+tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS total,
+               CAST(count(*) AS DOUBLE) AS vocab FROM unig),
+lm AS (
+  SELECT c12.w1, c12.w2,
+         round(ln(0.7 * (CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                  + 0.3 * ((CAST(uc AS DOUBLE) + 1.0) / (total + vocab))), 8)
+           AS lp
+  FROM c12 JOIN c1 USING (w1)
+       JOIN unig ON c12.w2 = unig.term
+       CROSS JOIN tot
+),
+agg AS (
+  SELECT pairs.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(round(sum(lp), 6) / CAST(count(*) AS DOUBLE), 6)
+           AS mean_logprob
+  FROM pairs JOIN lm ON pairs.w1 = lm.w1 AND pairs.w2 = lm.w2
+  WHERE pairs.doc_id < 60
+  GROUP BY pairs.doc_id
+)
+SELECT doc_id, n_bigrams, mean_logprob,
+       round(exp(-mean_logprob), 6) AS ppl
+FROM agg
+"""
+
+
 def doc_dup_span_fraction(
     spark: SparkSession, sf_dir: str, hash_grams: bool = False
 ) -> DataFrame:
@@ -6933,6 +7039,10 @@ CATALOG: dict[str, Query] = {
                                   tags=["agg", "stats"]),
     "doc_unigram_logprob": Query(doc_unigram_logprob, _UNIGRAM_LP_ORACLE,
                                  tags=["text", "stats", "pipeline"]),
+    # CCNet-style interpolated-bigram LM perplexity filter (r7)
+    "doc_bigram_perplexity": Query(doc_bigram_perplexity, _BIGRAM_PPL_ORACLE,
+                                   tags=["text", "stats", "quality",
+                                         "pipeline"]),
     "doc_dup_span_fraction": Query(doc_dup_span_fraction, _DUP_SPAN_ORACLE,
                                    bench=True,
                                    tags=["dedup", "text", "pipeline"]),
