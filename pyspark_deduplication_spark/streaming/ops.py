@@ -269,6 +269,103 @@ def streaming_corpus_ingest(
     return write_stream_foreach_batch(docs_stream, ingest, checkpoint_dir)
 
 
+def streaming_embedding_ingest(
+    vec_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    n_iter: int = 4,
+    n_probe: int = 2,
+    max_cell_size: int | None = 4096,
+):
+    """Continuously ingest EMBEDDINGS into a semantically-dedup-free
+    corpus — the SemDeDup twin of ``streaming_corpus_ingest``: each
+    micro-batch dedups internally (``semantic_dedup``), then drops rows
+    cosine-≥-threshold against ANY earlier epoch via the persisted
+    (centroids, index) pair, and survivors append as an
+    epoch-partitioned parquet that IS the index for later batches.
+
+    Production shape end-to-end: centroids train ONCE on the first
+    epoch and persist to ``<corpus_dir>_centroids`` — cell geometry
+    stays fixed across the stream's lifetime, so every later batch does
+    ZERO corpus-sized work (``incremental_semantic_dedup(index=...)``
+    scans only the standing index's probed cells; the corpus never
+    re-trains, re-assigns or self-joins). Each epoch's survivors are
+    single-cell-assigned with the SAME frozen centroids and their
+    (id, vector, cell_id) rows land as that epoch's partition —
+    appending the index entries, exactly the maintenance contract
+    ``build_semantic_dedup_index`` documents. Re-train-and-rebuild on
+    geometry drift is a batch job outside the stream.
+
+    Exactly-once mirrors the MinHash twin: each epoch dynamically
+    OVERWRITES its own ``epoch=<id>`` partition (and epoch 0 overwrites
+    the centroid table — retraining on the identical replayed batch is
+    deterministic), so a replayed micro-batch rewrites identical files.
+
+    ``max_cell_size`` arms the mega-cell guard inside every
+    batch-INTERNAL dedup. The standing table is deliberately UNCAPPED:
+    it is simultaneously the corpus content and the index, so a
+    per-cell cap would silently delete corpus rows — and the lossless
+    half of the guard has nothing to shed anyway (every stored row
+    already survived a ≥-threshold filter, so the table holds no exact
+    clones). A degenerate embedding space can still grow a dense cell
+    across epochs; bound it with a periodic offline
+    ``build_semantic_dedup_index`` rebuild (capped index + separate
+    content table), the same cadence geometry drift needs.
+    """
+    from pyspark_deduplication_spark.operators.knn import (
+        assign_cells,
+        incremental_semantic_dedup,
+        semantic_dedup,
+        train_centroids,
+    )
+
+    cent_dir = corpus_dir.rstrip("/") + "_centroids"
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            cents = spark.read.parquet(cent_dir)
+            have_index = len(cents.take(1)) > 0
+        except Exception:
+            have_index = False
+        if have_index:
+            idx = (
+                spark.read.parquet(corpus_dir)
+                .where(F.col("epoch") < F.lit(epoch_id))
+                .select(F.col(vec_id).alias("__cid"),
+                        F.col(vec_col).alias("__cvec"), "cell_id")
+            )
+            fresh = incremental_semantic_dedup(
+                batch_df, batch_df.limit(0), threshold, n_cells,
+                vec_id, vec_col, n_iter, n_probe,
+                max_cell_size=max_cell_size, index=(cents, idx),
+            )
+        else:
+            keep = (
+                semantic_dedup(batch_df, threshold, n_cells, vec_id,
+                               vec_col, n_iter, 1, 1, max_cell_size)
+                .filter(F.col("keep")).select(vec_id)
+            )
+            fresh = batch_df.join(keep, vec_id, "left_semi")
+            cents = train_centroids(
+                fresh.select(F.col(vec_id), F.col(vec_col)),
+                n_cells, vec_id, vec_col, n_iter, 1)
+            cents.write.mode("overwrite").parquet(cent_dir)
+        entries = assign_cells(
+            fresh.select(F.col(vec_id), F.col(vec_col)), cents, vec_col, 1)
+        (entries.withColumn("epoch", F.lit(epoch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(corpus_dir))
+
+    return write_stream_foreach_batch(vec_stream, ingest, checkpoint_dir)
+
+
 def stream_static_enrich(
     stream: DataFrame,
     static_dim: DataFrame,

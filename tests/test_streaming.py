@@ -247,3 +247,52 @@ def test_streaming_corpus_ingest_drops_cross_epoch_near_dups(spark, tmp_path):
     assert 11 in ids                  # epoch 2 fresh content
     assert 10 not in ids              # cross-epoch near-dup dropped
     assert "epoch" in final.columns
+
+
+def test_streaming_embedding_ingest_drops_cross_epoch_semantic_dups(
+    spark, tmp_path
+):
+    """Embeddings streaming in over two epochs: a batch-internal cosine
+    clone collapses in epoch 1, an epoch-2 vector near-duplicating the
+    standing corpus never enters, fresh directions from both epochs do,
+    and the centroid table persists once with frozen geometry."""
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_embedding_ingest,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "vec_corpus")
+    ckpt = str(tmp_path / "ckpt")
+    v1 = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0, 0.0]
+    v3 = [0.0, 0.0, 1.0, 0.0]
+    # file names sort f1 < f2 -> maxFilesPerTrigger=1 delivers them as
+    # ordered epochs (same harness as the MinHash ingest test)
+    spark.createDataFrame(
+        [(1, v1),
+         (2, [2.0, 0.0, 0.0, 0.0]),   # cosine 1.0 with id 1: batch dup
+         (3, v2)],
+        schema).coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    spark.createDataFrame(
+        [(10, [1.0, 0.01, 0.0, 0.0]),  # cosine ~0.99995 vs corpus id 1
+         (11, v3)],
+        schema).coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_embedding_ingest(stream, corpus_dir, ckpt,
+                                   threshold=0.95, n_cells=4)
+    q.awaitTermination(180)
+
+    final = spark.read.parquet(corpus_dir)
+    ids = sorted(r.vec_id for r in final.select("vec_id").collect())
+    assert ids == [1, 3, 11]          # 2 batch-dup, 10 cross-epoch dup
+    assert {"vec_id", "embedding", "cell_id", "epoch"} <= set(final.columns)
+    cents = spark.read.parquet(corpus_dir + "_centroids")
+    assert cents.count() > 0          # frozen geometry persisted once
