@@ -54,6 +54,7 @@ from pyspark_deduplication_spark.operators.dedup import (
 )
 from pyspark_deduplication_spark.operators.knn import (
     brute_force_knn,
+    build_ivf_index,
     embedding_near_dup_pairs,
     ivf_knn,
     semantic_dedup,
@@ -1520,6 +1521,58 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                   query_id="query_id")
     return out.select("query_id", "neighbor_id",
                       F.round("score", 6).alias("score"), "rank")
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the IVF probe ladder against exact brute
+    force — "measure, don't guess" as a first-class query rather than a
+    test-only assertion: one shared train-once index
+    (``build_ivf_index``, the persisted production artifact), probed at
+    n_probe ∈ {1, 2, 4}, scored against the exact top-5 for a
+    deterministic query slice. This is the operational dial a 100 TB
+    deployment tunes: the report shows exactly what recall each probe
+    budget buys before anyone commits to a cluster-wide n_probe.
+
+    Deterministic: both sides break score ties by neighbor id, so the
+    top-5 SETS are unique and recall is integer-exact over /5.0.
+    Rows-only by design (the approximate side is not SQL-expressible);
+    the ladder's monotonicity and the n_probe == n_cells ⇒ exact
+    identity are pinned in ``test_knn.py``.
+
+    Scale shape: ground truth broadcasts the bounded query set and
+    streams the corpus once; each ladder rung re-probes the SAME index
+    (map-only literal-argmax assignment — recomputed per rung here,
+    read from parquet in production); recall joins move only
+    (query_id, neighbor_id) pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    ground = brute_force_knn(emb, qset, k=5, query_id="query_id").select(
+        "query_id", "neighbor_id")
+    idx = build_ivf_index(emb, n_cells=8)
+    rungs = []
+    for n_probe in (1, 2, 4):
+        approx = ivf_knn(emb, qset, k=5, n_cells=8, n_probe=n_probe,
+                         query_id="query_id", index=idx)
+        per_q = (
+            ground.join(
+                approx.select("query_id", "neighbor_id")
+                .withColumn("__hit", F.lit(1)),
+                ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg((F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                  / F.lit(5.0)).alias("recall"))
+        )
+        rungs.append(
+            per_q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"),
+                      F.round(F.avg("recall"), 6).alias("mean_recall"),
+                      F.round(F.min("recall"), 6).alias("min_recall"))
+            .select(F.lit(n_probe).cast("long").alias("n_probe"),
+                    "n_queries", "mean_recall", "min_recall")
+        )
+    out = rungs[0].unionByName(rungs[1]).unionByName(rungs[2])
+    return out.orderBy("n_probe")
 
 
 def cross_table_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6895,6 +6948,10 @@ CATALOG: dict[str, Query] = {
     "embedding_near_dups": Query(embedding_near_dups, _EMB_NEAR_DUP_ORACLE,
                                  tags=["vector", "dedup"]),
     "knn_ivf": Query(knn_ivf, None, tags=["vector"]),
+    # measured recall@5 ladder vs brute force over one shared index
+    # (rows-only; ladder monotonicity pinned in test_knn.py) (r7)
+    "ann_recall_report": Query(ann_recall_report, None,
+                               tags=["vector", "stats", "scale"]),
     "pq_knn_embeddings": Query(pq_knn_embeddings, None, tags=["vector"]),
     # IVF×PQ composed ANN (rows-only; recall + exactness in test_knn.py)
     "ivfpq_knn_embeddings": Query(ivfpq_knn_embeddings, None,

@@ -829,3 +829,33 @@ def test_incremental_semantic_dedup_with_persisted_index(spark):
             batch, corpus.limit(0), threshold=0.999, n_cells=3,
             max_cell_size=50, index=idx).collect())
         assert inline == prebuilt == [901 + seed], (inline, prebuilt)
+
+
+def test_ann_recall_report_ladder(spark, sf_dir):
+    """The probe ladder is monotone non-decreasing in mean recall, every
+    recall lands in [0, 1], and the full-probe setting (n_probe ==
+    n_cells) reproduces brute force exactly — recall 1.0."""
+    from pyspark_deduplication_spark.queries import ann_recall_report
+    from pyspark_deduplication_spark.operators.knn import (
+        brute_force_knn,
+        ivf_knn,
+    )
+    from pyspark.sql import functions as F
+
+    rows = ann_recall_report(spark, sf_dir).collect()
+    assert [r.n_probe for r in rows] == [1, 2, 4]
+    means = [r.mean_recall for r in rows]
+    assert all(0.0 <= m <= 1.0 for m in means)
+    assert means == sorted(means)          # more probes never hurt
+    assert all(r.n_queries == 20 for r in rows)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qset = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding"))
+    ground = {(r.query_id, r.neighbor_id)
+              for r in brute_force_knn(emb, qset, k=5,
+                                       query_id="query_id").collect()}
+    full = {(r.query_id, r.neighbor_id)
+            for r in ivf_knn(emb, qset, k=5, n_cells=8, n_probe=8,
+                             query_id="query_id").collect()}
+    assert full == ground                  # n_probe == n_cells => exact
