@@ -5691,6 +5691,86 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multinomial mixture planning — the OTHER
+    standard mixing recipe next to explicit target weights
+    (``corpus_mixture_plan``): sample sources ∝ tokensᵅ with α = 0.5
+    (√-smoothing; XLM-R trains with α = 0.3, GPT-3 hand-tunes the same
+    flattening), boosting small sources and damping dominant ones
+    without any hand-set weight table. Reports natural vs tempered
+    share, the token target realizing the tempered share under the
+    budget, the ≤1-capped sampling rate, and ``upsample_epochs`` —
+    temperature sampling legitimately asks for MORE than a small
+    source's inventory (epochs > 1), which the waterfill planner's
+    cap-at-1 contract forbids, so the two planners are complementary.
+
+    Determinism: IEEE-754 ``sqrt`` is correctly rounded on every
+    engine, per-source √tokens rounds to 9dp before the (few-source)
+    sum which rounds to 9dp again — the established ``__wsum``
+    contract. Plan shape: one aggregation over documents + a 1-row
+    broadcast normalizer; no driver collect."""
+    budget = 100_000
+    inv = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).cast("long").alias("tokens"))
+        .withColumn(
+            "sq", F.round(F.sqrt(F.col("tokens").cast("double")), 9))
+    )
+    tot = inv.agg(F.sum("tokens").cast("double").alias("__ttot"),
+                  F.round(F.sum("sq"), 9).alias("__ssum"))
+    target = F.round(
+        F.lit(budget) * F.col("sq") / F.col("__ssum")).cast("long")
+    return (
+        inv.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "tokens",
+            F.round(F.col("tokens").cast("double") / F.col("__ttot"), 9)
+            .alias("nat_share"),
+            F.round(F.col("sq") / F.col("__ssum"), 9).alias("temp_share"),
+            target.alias("target_tokens"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.round(F.least(
+                F.lit(1.0),
+                F.col("target_tokens").cast("double")
+                / F.col("tokens").cast("double")), 9))
+        .withColumn(
+            "upsample_epochs",
+            F.round(F.col("target_tokens").cast("double")
+                    / F.col("tokens").cast("double"), 6))
+    )
+
+
+_TEMPERATURE_MIXTURE_ORACLE = f"""
+WITH inv AS (
+  SELECT source, CAST(sum({_NTOK_SQL}) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT source, tokens,
+         round(sqrt(CAST(tokens AS DOUBLE)), 9) AS sq
+  FROM inv
+),
+tot AS (
+  SELECT CAST(sum(tokens) AS DOUBLE) AS ttot,
+         round(sum(sq), 9) AS ssum
+  FROM s
+)
+SELECT source, tokens,
+       round(CAST(tokens AS DOUBLE) / ttot, 9) AS nat_share,
+       round(sq / ssum, 9) AS temp_share,
+       CAST(round(100000 * sq / ssum) AS BIGINT) AS target_tokens,
+       round(least(1.0, CAST(CAST(round(100000 * sq / ssum) AS BIGINT)
+                             AS DOUBLE) / CAST(tokens AS DOUBLE)), 9)
+         AS sample_rate,
+       round(CAST(CAST(round(100000 * sq / ssum) AS BIGINT) AS DOUBLE)
+             / CAST(tokens AS DOUBLE), 6) AS upsample_epochs
+FROM s CROSS JOIN tot
+"""
+
+
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: spherical-k-means cells →
     within-cell cosine near-dup pairs → transitive components → min-id
@@ -7115,6 +7195,11 @@ CATALOG: dict[str, Query] = {
                                 tags=["sampling", "pipeline"]),
     "corpus_mixture_plan": Query(corpus_mixture_plan, _MIXTURE_ORACLE,
                                  tags=["sampling", "pipeline", "stats"]),
+    # α=0.5 temperature-smoothed multinomial mixing (r7)
+    "temperature_mixture_plan": Query(temperature_mixture_plan,
+                                      _TEMPERATURE_MIXTURE_ORACLE,
+                                      tags=["sampling", "pipeline",
+                                            "stats"]),
     # round-5 additions
     "remove_dup_spans_docs": Query(remove_dup_spans_docs,
                                    _REMOVE_DUP_SPANS_ORACLE,
