@@ -1437,6 +1437,102 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote label accuracy per class — the classic
+    embedding-quality eval (is the space locally label-coherent?) run
+    entirely inside the engine: each query's 5 exact cosine neighbors
+    (self excluded) vote with their ``label``; ties break to the
+    smallest label for cross-engine determinism; accuracy reports per
+    true label over a bounded query slice.
+
+    Scale shape: the bounded query set broadcasts through
+    ``brute_force_knn`` (corpus streams once); the vote join moves only
+    (query_id, neighbor_id) pairs against the slim (vec_id, label)
+    projection; everything after is two hash aggregates and one tiny
+    window. Swap the brute-force stage for ``ivf_knn(index=...)`` to
+    eval at full-corpus query scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding"))
+    nn = brute_force_knn(emb, qset, k=5, query_id="query_id")
+    votes = (
+        nn.select("query_id", "neighbor_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("label").alias("nlabel")), "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("v").desc(), F.col("nlabel").asc())
+    pred = (votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("query_id", F.col("nlabel").alias("pred_label")))
+    truth = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("true_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_queries"),
+             F.sum(F.when(F.col("pred_label") == F.col("true_label"),
+                          1).otherwise(0)).cast("long").alias("n_correct"))
+        .withColumn("accuracy",
+                    F.round(F.col("n_correct").cast("double")
+                            / F.col("n_queries").cast("double"), 6))
+    )
+
+
+_KNN_LABEL_ACC_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, label AS true_label
+  FROM embeddings WHERE vec_id < 50
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CASE WHEN sqrt(list_sum(list_transform(e.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+               AND sqrt(list_sum(list_transform(q.qvec,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+         THEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(q.qvec,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         ELSE 0.0 END AS raw_score
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+),
+top5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY raw_score DESC, neighbor_id) AS rn
+    FROM scored) WHERE rn <= 5
+),
+votes AS (
+  SELECT t.query_id, e.label AS nlabel, count(*) AS v
+  FROM top5 t JOIN embeddings e ON t.neighbor_id = e.vec_id
+  GROUP BY t.query_id, e.label
+),
+pred AS (
+  SELECT query_id, nlabel AS pred_label FROM (
+    SELECT query_id, nlabel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY v DESC, nlabel) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT q.true_label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN p.pred_label = q.true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(CAST(sum(CASE WHEN p.pred_label = q.true_label
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM pred p JOIN q ON p.query_id = q.query_id
+GROUP BY q.true_label
+"""
+
+
 def pq_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. TPAMI'11): deterministic
     8×16 codebook, corpus compressed to 8 one-byte codes per vector,
@@ -7032,6 +7128,9 @@ CATALOG: dict[str, Query] = {
     # (rows-only; ladder monotonicity pinned in test_knn.py) (r7)
     "ann_recall_report": Query(ann_recall_report, None,
                                tags=["vector", "stats", "scale"]),
+    # 5-NN majority-vote label accuracy per class (r7)
+    "knn_label_accuracy": Query(knn_label_accuracy, _KNN_LABEL_ACC_ORACLE,
+                                tags=["vector", "stats", "quality"]),
     "pq_knn_embeddings": Query(pq_knn_embeddings, None, tags=["vector"]),
     # IVF×PQ composed ANN (rows-only; recall + exactness in test_knn.py)
     "ivfpq_knn_embeddings": Query(ivfpq_knn_embeddings, None,
