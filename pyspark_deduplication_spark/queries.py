@@ -1142,6 +1142,105 @@ def jaccard_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fused_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused lexical + semantic dedup — the production composition a
+    training pipeline actually runs (near-verbatim copies AND
+    paraphrased re-encodings must both collapse): exact 3-gram-Jaccard
+    ≥ 0.7 pairs (inverted-index candidates, `jaccard_near_dup_docs`'
+    spelling) UNION label-blocked cosine ≥ 0.3 pairs
+    (`embedding_near_dups`' spelling, riding the 1:1 documents ↔
+    embeddings id space) feed ONE connected-components pass; min-id
+    keep per fused component. A doc lexically tied to one neighbor and
+    semantically tied to another collapses all three — the transitive
+    closure ACROSS signal types that running the two dedups
+    independently would miss.
+
+    Scale shape: both edge generators are the existing blocked
+    equi-join paths (no Cartesian anywhere); the union moves bare id
+    pairs; CC is the pointer-doubling O(log d) operator. Oracle: the
+    same two pair sets unioned into a recursive-CTE closure."""
+    from pyspark_deduplication_spark.operators.dedup import ngram_index_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+    shingled = toks.select(
+        "doc_id", word_ngrams_of(F.col("__toks"), 3).alias("grams"))
+    cand = ngram_index_pairs(shingled, "doc_id", "grams",
+                             prefix_jaccard=0.7)
+    ga = shingled.select(F.col("doc_id").alias("id_a"),
+                         F.col("grams").alias("g_a"))
+    gb = shingled.select(F.col("doc_id").alias("id_b"),
+                         F.col("grams").alias("g_b"))
+    jac = (F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+           .cast("double")
+           / F.size(F.array_union(F.col("g_a"), F.col("g_b")))
+           .cast("double"))
+    lex = (cand.join(ga, "id_a").join(gb, "id_b")
+           .filter(F.round(jac, 6) >= 0.7)
+           .select("id_a", "id_b"))
+    sem = (embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
+           .select("id_a", "id_b"))
+    edges = lex.unionByName(sem).distinct()
+    clustered = transitive_clusters(docs.select("doc_id"), edges, "doc_id")
+    return clustered.select(
+        "doc_id", "component",
+        (F.col("doc_id") == F.col("component")).cast("int").alias("keep"))
+
+
+_FUSED_DEDUP_ORACLE = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+shingles AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM toks
+),
+lex AS (
+  -- size prefilter is EXACT for J >= 0.7 (|A| >= 0.7|B| is necessary),
+  -- and the jaccard expression evaluates once via the inner projection
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                        AS DOUBLE), 6) AS j
+    FROM shingles a JOIN shingles b
+      ON a.doc_id < b.doc_id
+     AND CAST(len(a.grams) AS DOUBLE) >= 0.7 * len(b.grams)
+     AND CAST(len(b.grams) AS DOUBLE) >= 0.7 * len(a.grams))
+  WHERE j >= 0.7
+),
+sem AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+           i -> CAST(a.embedding[i] AS DOUBLE)
+                * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3
+),
+pairs AS (SELECT id_a, id_b FROM lex UNION SELECT id_a, id_b FROM sem),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node
+),
+labels AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
+       CAST(CASE WHEN d.doc_id = coalesce(l.component, d.doc_id)
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+"""
+
+
 _JACCARD_DOCS_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
 shingles AS (
@@ -7105,6 +7204,9 @@ CATALOG: dict[str, Query] = {
                                   bench=True, tags=["text", "dedup"]),
     "jaccard_near_dup_docs": Query(jaccard_near_dup_docs, _JACCARD_DOCS_ORACLE,
                                    tags=["dedup", "text"]),
+    # lexical ∪ semantic edges through one CC pass (r7)
+    "fused_dedup_docs": Query(fused_dedup_docs, _FUSED_DEDUP_ORACLE,
+                              tags=["dedup", "text", "vector", "pipeline"]),
     "overlap_near_dup_docs": Query(overlap_near_dup_docs, _OVERLAP_ORACLE,
                                    tags=["dedup", "text"]),
     "similarity_graph_degrees": Query(similarity_graph_degrees,

@@ -533,3 +533,32 @@ def test_curation_pipeline_no_cartesian_weights_broadcast(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fused_dedup_edges_have_no_cartesian(spark, sf_dir):
+    """Both fused-dedup edge generators are blocked equi-joins: the plan
+    feeding connected components must contain no Cartesian/BNL node (the
+    CC pass itself is iterative and checkpointed, so the pin targets the
+    edge union it consumes)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        tokenize,
+        word_ngrams_of,
+    )
+    from pyspark_deduplication_spark.operators.dedup import ngram_index_pairs
+    from pyspark_deduplication_spark.operators.knn import (
+        embedding_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    shingled = docs.select(
+        "doc_id",
+        word_ngrams_of(tokenize(F.col("text")), 3).alias("grams"))
+    cand = ngram_index_pairs(shingled, "doc_id", "grams",
+                             prefix_jaccard=0.7)
+    sem = embedding_near_dup_pairs(emb, threshold=0.3, block_col="label") \
+        .select("id_a", "id_b")
+    edges = cand.select("id_a", "id_b").unionByName(sem).distinct()
+    assert not has_cartesian_or_bnl(edges)
