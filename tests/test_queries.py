@@ -202,3 +202,70 @@ def test_no_oracle_constant_redefinition():
                     seen[t.id] += 1
     dups = {k: v for k, v in seen.items() if v > 1}
     assert not dups, f"oracle constants defined more than once: {dups}"
+
+
+def test_fused_dedup_coarsens_both_single_signal_partitions(spark, sf_dir):
+    """Fused CC must coarsen BOTH single-signal partitions: any two docs
+    sharing a lexical-only component or a semantic-only component must
+    share a fused component (union of edge sets can only merge), and the
+    fused keep-set can never be larger than either single-signal
+    keep-set."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        tokenize,
+        word_ngrams_of,
+    )
+    from pyspark_deduplication_spark.operators.dedup import ngram_index_pairs
+    from pyspark_deduplication_spark.operators.knn import (
+        embedding_near_dup_pairs,
+    )
+    from pyspark_deduplication_spark.operators.linkage import (
+        transitive_clusters,
+    )
+    from pyspark_deduplication_spark.queries import fused_dedup_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    shingled = docs.select(
+        "doc_id", word_ngrams_of(tokenize(F.col("text")), 3).alias("grams"))
+    cand = ngram_index_pairs(shingled, "doc_id", "grams",
+                             prefix_jaccard=0.7)
+    ga = shingled.select(F.col("doc_id").alias("id_a"),
+                         F.col("grams").alias("g_a"))
+    gb = shingled.select(F.col("doc_id").alias("id_b"),
+                         F.col("grams").alias("g_b"))
+    jac = (F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+           .cast("double")
+           / F.size(F.array_union(F.col("g_a"), F.col("g_b")))
+           .cast("double"))
+    lex = (cand.join(ga, "id_a").join(gb, "id_b")
+           .filter(F.round(jac, 6) >= 0.7).select("id_a", "id_b"))
+    sem = (embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
+           .select("id_a", "id_b"))
+    ids = docs.select("doc_id")
+
+    def comp_map(edges):
+        return {r.doc_id: r.component
+                for r in transitive_clusters(ids, edges, "doc_id").collect()}
+
+    lex_c, sem_c = comp_map(lex), comp_map(sem)
+    fused = {r.doc_id: (r.component, r.keep)
+             for r in fused_dedup_docs(spark, sf_dir).collect()}
+    assert set(fused) == set(lex_c) == set(sem_c)
+    by_lex, by_sem = {}, {}
+    for d in fused:
+        by_lex.setdefault(lex_c[d], set()).add(fused[d][0])
+        by_sem.setdefault(sem_c[d], set()).add(fused[d][0])
+    # same single-signal component => same fused component
+    assert all(len(v) == 1 for v in by_lex.values())
+    assert all(len(v) == 1 for v in by_sem.values())
+    n_fused_keep = sum(1 for c, k in fused.values() if k)
+    assert n_fused_keep <= len(set(lex_c.values()))
+    assert n_fused_keep <= len(set(sem_c.values()))
+    # the fusion is non-trivial on this fixture: at least one single-
+    # signal component pair actually merged
+    assert n_fused_keep < min(len(set(lex_c.values())),
+                              len(set(sem_c.values()))) or (
+        len(set(lex_c.values())) == len(set(sem_c.values()))
+        == n_fused_keep)
