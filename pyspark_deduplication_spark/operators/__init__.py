@@ -56,6 +56,8 @@ from pyspark_deduplication_spark.operators.multimodal import (  # noqa: F401
     media_near_dup_perceptual,
     media_repartition,
     sample_video_frames,
+    video_near_dup_perceptual,
+    video_temporal_hash,
 )
 from pyspark_deduplication_spark.operators.partitioning import (  # noqa: F401
     bucketed_join,

@@ -24,6 +24,7 @@ memory footprints.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -245,7 +246,16 @@ def sample_video_frames(
                 for t in range(0, max(duration, 1), every_ms):
                     ids.append(mid)
                     ts.append(t)
-                    feats.append(_fake_decode((payload or b"") + str(t).encode()))
+                    # high-diffusion (payload, t) mix as the fake frame
+                    # bytes: identical (payload, t) ⇒ identical feature
+                    # (the prefix property trimmed/extended cuts rely
+                    # on), distinct payloads ⇒ independent per-frame
+                    # features (a low-diffusion mix makes every video's
+                    # frame-mean sequence near-constant and collapses
+                    # the temporal hash)
+                    key = hashlib.md5(
+                        (payload or b"") + str(t).encode()).digest()
+                    feats.append(_fake_decode(key))
             yield pd.DataFrame(
                 {id_col: ids, "frame_ts_ms": ts, "frame_feature": feats}
             )
@@ -562,6 +572,94 @@ def audio_near_dup_perceptual(
         sigs.join(clustered, id_col)
         .select(
             id_col, "ahash", "component",
+            (F.col(id_col) == F.col("component")).alias("keep"),
+        )
+    )
+
+
+def video_temporal_hash(
+    frames: DataFrame,
+    id_col: str = "media_id",
+    min_frames: int = 9,
+) -> DataFrame:
+    """(id, vhash) 64-bit temporal-difference signatures from sampled
+    frame features — the video leg of the perceptual stack. Per frame a
+    scalar (mean of the frame feature vector); per video the ordered
+    frame-mean sequence hashes as gradient signs (frame t brighter than
+    frame t+1 ⇒ bit 1), bit i LEFT-aligned at position 63−i so a
+    trimmed or extended re-upload of the same program shares its prefix
+    bits and lands within small Hamming distance instead of shifting
+    every bit. Videos with fewer than ``min_frames`` sampled frames
+    hash to NULL (unhashable singleton — the ``image_dhash`` tiny-input
+    contract: a 1-bit hash would merge unrelated shorts into one
+    component).
+
+    Scale shape: frame features reduce to ONE scalar per frame before
+    the per-video shuffle — (id, ts, double) rows move, never feature
+    vectors or payload bytes; the per-video state is a bounded
+    (≤64+1-frame-means) array."""
+    per_frame = frames.select(
+        F.col(id_col),
+        F.col("frame_ts_ms"),
+        (F.aggregate("frame_feature", F.lit(0.0), lambda a, x: a + x)
+         / F.size("frame_feature")).alias("__m"),
+    )
+    ms = F.expr(
+        "transform(array_sort(collect_list(struct(frame_ts_ms, __m))),"
+        " x -> x.__m)")
+    return (
+        per_frame.groupBy(id_col)
+        .agg(ms.alias("__ms"))
+        .select(
+            id_col,
+            F.when(
+                F.size("__ms") >= min_frames,
+                F.expr(
+                    "aggregate(sequence(0, least(size(__ms) - 1, 64) - 1),"
+                    " cast(0 as bigint),"
+                    " (acc, i) -> acc + IF(element_at(__ms, i + 1)"
+                    "                      > element_at(__ms, i + 2),"
+                    "                      shiftleft(cast(1 as bigint),"
+                    "                                63 - i),"
+                    "                      cast(0 as bigint)))"),
+            ).alias("vhash"),
+        )
+    )
+
+
+def video_near_dup_perceptual(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    min_frames: int = 9,
+) -> DataFrame:
+    """Perceptual near-duplicate clustering for videos: frame sampling
+    (``sample_video_frames`` — real ffmpeg extraction swaps in for the
+    deterministic fake, the Spark plumbing is identical) → temporal-
+    difference hashes → pigeonhole Hamming-banded candidate join →
+    transitive components → min-id keep. Same contract and plan shape
+    as the image/audio twins; payload bytes never shuffle. Catches the
+    video re-upload family byte hashing misses: head/tail-trimmed and
+    extension-padded cuts of the same program share left-aligned prefix
+    bits and collapse onto the original."""
+    from pyspark_deduplication_spark.operators.dedup import hamming_edges
+    from pyspark_deduplication_spark.operators.linkage import (
+        transitive_clusters,
+    )
+
+    frames = sample_video_frames(df, every_ms, id_col, payload_col)
+    sigs = df.select(id_col).join(
+        video_temporal_hash(frames, id_col, min_frames), id_col, "left")
+    hashed = sigs.filter(F.col("vhash").isNotNull())
+    edges = hamming_edges(hashed, id_col, "vhash", max_hamming, blocks)
+    clustered = transitive_clusters(sigs.select(id_col), edges, id_col)
+    return (
+        sigs.join(clustered, id_col)
+        .select(
+            id_col, "vhash", "component",
             (F.col(id_col) == F.col("component")).alias("keep"),
         )
     )

@@ -6547,6 +6547,48 @@ def audio_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "ahash", "component", "keep")
 
 
+def video_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video near-dup — the third leg of the perceptual
+    stack (image dHash, audio energy pHash, now temporal-difference
+    video hashing): frame sampling → per-frame scalar → left-aligned
+    gradient-sign hash → Hamming-banded candidate join → CC min-id
+    keep (``operators.multimodal.video_near_dup_perceptual``).
+    Tail-trimmed and extension-padded re-uploads of the same program —
+    which escape byte hashing AND single-frame image hashing — share
+    their prefix bits and collapse onto the original. Fixtures: videos
+    synthesized deterministically from integer keys (S5 precedent;
+    payload bytes + duration metadata — the frame "decode" is the
+    documented deterministic fake, the Spark plumbing is the real
+    product surface): keys ≡ 0 (mod 3) are 60 s originals, ≡ 1 re-emit
+    key−1 trimmed to 55 s, ≡ 2 re-emit key−2 extended to 64 s.
+    Rows-only: byte-level synthesis and the iterative CC are not
+    SQL-expressible; link/non-link ground truth pinned in
+    ``test_multimodal.py``."""
+    import hashlib
+
+    from pyspark_deduplication_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_near_dup_perceptual,
+    )
+
+    def payload(k: int) -> bytes:
+        return hashlib.md5(f"vid{k}".encode()).digest() * 4
+
+    rows = []
+    for k in range(30):
+        if k % 3 == 0:
+            rows.append((k, "video", payload(k), (None, None, None, 60000)))
+        elif k % 3 == 1:
+            rows.append((k, "video", payload(k - 1),
+                         (None, None, None, 55000)))
+        else:
+            rows.append((k, "video", payload(k - 2),
+                         (None, None, None, 64000)))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return video_near_dup_perceptual(df).select(
+        "media_id", "vhash", "component", "keep")
+
+
 def audio_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio feature extraction (strict mode, pure-Python PCM16
     WAV decode — ``operators.multimodal.parse_wav_pcm16``) over
@@ -7459,6 +7501,9 @@ CATALOG: dict[str, Query] = {
     # perceptual audio near-dup (rows-only; ground truth in
     # test_multimodal.py)
     "audio_perceptual_dedup": Query(audio_perceptual_dedup, None,
+                                    tags=["multimodal", "dedup"]),
+    # temporal-difference video hashing — third perceptual leg (r7)
+    "video_perceptual_dedup": Query(video_perceptual_dedup, None,
                                     tags=["multimodal", "dedup"]),
     # Bloom decontamination (rows-only; no-false-negative + FP-bound
     # semantics in test_quality.py)

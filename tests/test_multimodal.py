@@ -464,3 +464,40 @@ def test_perceptual_extractors_respect_custom_id_col(spark):
         [(9, _wav(330.0, ms=80))], "clip_id long, payload binary")
     got = extract_audio_phash(wav, id_col="clip_id").collect()
     assert got[0].clip_id == 9 and got[0].ahash is not None
+
+
+def test_video_perceptual_dedup_links_cuts_not_strangers(spark):
+    """Temporal-difference video hashing: tail-trimmed and extended cuts
+    of a program collapse onto the original; independent programs stay
+    apart; below-min_frames shorts hash NULL and survive as singletons."""
+    import hashlib
+
+    from pyspark_deduplication_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_near_dup_perceptual,
+    )
+
+    def payload(k):
+        return hashlib.md5(f"clip{k}".encode()).digest() * 4
+
+    rows = [
+        (0, "video", payload(0), (None, None, None, 60000)),  # original
+        (1, "video", payload(0), (None, None, None, 55000)),  # trimmed
+        (2, "video", payload(0), (None, None, None, 64000)),  # extended
+        (3, "video", payload(3), (None, None, None, 60000)),  # stranger
+        (4, "video", payload(4), (None, None, None, 3000)),   # short: 3 frames
+        (5, "video", payload(4), (None, None, None, 3000)),   # same short
+        (6, "video", None, (None, None, None, 60000)),        # null payload
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in video_near_dup_perceptual(df).collect()}
+    assert out[1].component == 0 and out[2].component == 0
+    assert out[3].component == 3 and out[3].keep
+    # below min_frames: NULL hash, singleton even for identical content
+    assert out[4].vhash is None and out[5].vhash is None
+    assert out[4].component == 4 and out[5].component == 5
+    assert out[4].keep and out[5].keep
+    # NULL payload still decodes (stub) but 60s of constant frames is a
+    # valid hash path — it must simply not join the planted cluster
+    assert out[6].component not in (0, 3)
+    assert sorted(i for i, r in out.items() if r.keep) == [0, 3, 4, 5, 6]
