@@ -333,12 +333,24 @@ def streaming_embedding_ingest(
         except Exception:
             have_index = False
         if have_index:
-            idx = (
-                spark.read.parquet(corpus_dir)
-                .where(F.col("epoch") < F.lit(epoch_id))
-                .select(F.col(vec_id).alias("__cid"),
-                        F.col(vec_col).alias("__cvec"), "cell_id")
-            )
+            try:
+                idx = (
+                    spark.read.parquet(corpus_dir)
+                    .where(F.col("epoch") < F.lit(epoch_id))
+                    .select(F.col(vec_id).alias("__cid"),
+                            F.col(vec_col).alias("__cvec"), "cell_id")
+                )
+            except Exception:
+                # crash window: centroids committed but the epoch-0
+                # entries write never landed — replay must not die;
+                # an empty index makes the incremental path reduce to
+                # the batch-internal dedup with the existing geometry
+                idx = (
+                    batch_df.select(F.col(vec_id).alias("__cid"),
+                                    F.col(vec_col).alias("__cvec"))
+                    .withColumn("cell_id", F.lit(0).cast("int"))
+                    .limit(0)
+                )
             fresh = incremental_semantic_dedup(
                 batch_df, batch_df.limit(0), threshold, n_cells,
                 vec_id, vec_col, n_iter, n_probe,

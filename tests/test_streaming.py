@@ -296,3 +296,47 @@ def test_streaming_embedding_ingest_drops_cross_epoch_semantic_dups(
     assert {"vec_id", "embedding", "cell_id", "epoch"} <= set(final.columns)
     cents = spark.read.parquet(corpus_dir + "_centroids")
     assert cents.count() > 0          # frozen geometry persisted once
+
+
+def test_streaming_embedding_ingest_survives_centroid_only_crash_window(
+    spark, tmp_path
+):
+    """Replay after the crash window between the epoch-0 centroid write
+    and the entries write: centroids exist, the corpus dir does not —
+    the restarted stream must not die; the batch self-dedups under the
+    committed geometry and lands as epoch 0."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.operators.knn import train_centroids
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_embedding_ingest,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "vc")
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [2.0, 0.0, 0.0, 0.0]),   # cosine clone of 1
+         (3, [0.0, 1.0, 0.0, 0.0])],
+        schema)
+    batch.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    # simulate the committed half of the crash window
+    cents = train_centroids(
+        batch.select("vec_id", "embedding"), 4, "vec_id", "embedding", 4, 1)
+    cents.write.mode("overwrite").parquet(corpus_dir + "_centroids")
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_embedding_ingest(
+        stream, corpus_dir, str(tmp_path / "ckpt"),
+        threshold=0.95, n_cells=4)
+    q.awaitTermination(180)
+
+    final = spark.read.parquet(corpus_dir)
+    assert sorted(r.vec_id for r in final.collect()) == [1, 3]
+    assert final.filter(F.col("epoch") == 0).count() == 2
