@@ -589,15 +589,24 @@ def video_temporal_hash(
     frame t+1 ⇒ bit 1), bit i LEFT-aligned at position 63−i so a
     trimmed or extended re-upload of the same program shares its prefix
     bits and lands within small Hamming distance instead of shifting
-    every bit. Videos with fewer than ``min_frames`` sampled frames
-    hash to NULL (unhashable singleton — the ``image_dhash`` tiny-input
-    contract: a 1-bit hash would merge unrelated shorts into one
-    component).
+    every bit. (Head trims do NOT share the prefix — every bit shifts —
+    so this hash family covers the tail-trim/extension re-upload
+    family only; head-trim robustness needs an alignment-free
+    signature, e.g. a MinHash over the frame-gradient set.) Videos
+    with fewer than ``min_frames`` sampled frames hash to NULL
+    (unhashable singleton — the ``image_dhash`` tiny-input contract:
+    a 1-bit hash would merge unrelated shorts into one component);
+    ``min_frames`` is clamped to ≥ 2 (a 1-frame video has zero
+    gradients to hash).
 
     Scale shape: frame features reduce to ONE scalar per frame before
     the per-video shuffle — (id, ts, double) rows move, never feature
-    vectors or payload bytes; the per-video state is a bounded
-    (≤64+1-frame-means) array."""
+    vectors or payload bytes. The hash reads only the first 65 frame
+    means, but ``collect_list`` itself gathers every frame handed in:
+    callers must pre-bound frames per video to keep the aggregation
+    state bounded (``video_near_dup_perceptual`` filters to the first
+    65 sampling timestamps before calling in)."""
+    min_frames = max(min_frames, 2)
     per_frame = frames.select(
         F.col(id_col),
         F.col("frame_ts_ms"),
@@ -642,15 +651,21 @@ def video_near_dup_perceptual(
     difference hashes → pigeonhole Hamming-banded candidate join →
     transitive components → min-id keep. Same contract and plan shape
     as the image/audio twins; payload bytes never shuffle. Catches the
-    video re-upload family byte hashing misses: head/tail-trimmed and
+    re-upload family byte hashing misses: TAIL-trimmed and
     extension-padded cuts of the same program share left-aligned prefix
-    bits and collapse onto the original."""
+    bits and collapse onto the original (head trims shift every bit —
+    see ``video_temporal_hash``). Frames are pre-bounded to the first
+    65 sampling timestamps so the per-video aggregation state stays
+    fixed-size regardless of clip length (the hash never reads past
+    its 64 gradient bits anyway; long cuts of the same program then
+    hash IDENTICALLY, which only strengthens linking)."""
     from pyspark_deduplication_spark.operators.dedup import hamming_edges
     from pyspark_deduplication_spark.operators.linkage import (
         transitive_clusters,
     )
 
-    frames = sample_video_frames(df, every_ms, id_col, payload_col)
+    frames = sample_video_frames(df, every_ms, id_col, payload_col).filter(
+        F.col("frame_ts_ms") < every_ms * 65)
     sigs = df.select(id_col).join(
         video_temporal_hash(frames, id_col, min_frames), id_col, "left")
     hashed = sigs.filter(F.col("vhash").isNotNull())

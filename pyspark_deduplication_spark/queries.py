@@ -1155,30 +1155,15 @@ def fused_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure ACROSS signal types that running the two dedups
     independently would miss.
 
-    Scale shape: both edge generators are the existing blocked
-    equi-join paths (no Cartesian anywhere); the union moves bare id
-    pairs; CC is the pointer-doubling O(log d) operator. Oracle: the
-    same two pair sets unioned into a recursive-CTE closure."""
-    from pyspark_deduplication_spark.operators.dedup import ngram_index_pairs
-
+    Scale shape: both edge generators ARE the existing single-signal
+    queries (`jaccard_near_dup_docs`, `embedding_near_dups`' operator)
+    — one spelling each, so a threshold/shingle change there cannot
+    silently diverge from the fusion; the union moves bare id pairs;
+    CC is the pointer-doubling O(log d) operator. Oracle: the same two
+    pair sets unioned into a recursive-CTE closure."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("__toks"))
-    shingled = toks.select(
-        "doc_id", word_ngrams_of(F.col("__toks"), 3).alias("grams"))
-    cand = ngram_index_pairs(shingled, "doc_id", "grams",
-                             prefix_jaccard=0.7)
-    ga = shingled.select(F.col("doc_id").alias("id_a"),
-                         F.col("grams").alias("g_a"))
-    gb = shingled.select(F.col("doc_id").alias("id_b"),
-                         F.col("grams").alias("g_b"))
-    jac = (F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
-           .cast("double")
-           / F.size(F.array_union(F.col("g_a"), F.col("g_b")))
-           .cast("double"))
-    lex = (cand.join(ga, "id_a").join(gb, "id_b")
-           .filter(F.round(jac, 6) >= 0.7)
-           .select("id_a", "id_b"))
+    lex = jaccard_near_dup_docs(spark, sf_dir).select("id_a", "id_b")
     sem = (embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
            .select("id_a", "id_b"))
     edges = lex.unionByName(sem).distinct()

@@ -198,6 +198,20 @@ def sessionize_batch(
     )
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """True iff ``path`` exists on its Hadoop filesystem — the existence
+    probe the ingest sinks use instead of a bare try/except around the
+    standing-table read: a TRANSIENT read error (throttle, listing
+    blip) must PROPAGATE so the streaming runtime retries the batch,
+    rather than be misread as "first epoch" — which would silently skip
+    cross-epoch dedup and, for the embedding ingest, retrain and
+    overwrite the frozen centroid geometry, desynchronizing every
+    already-indexed epoch."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def streaming_corpus_ingest(
     docs_stream: DataFrame,
     corpus_dir: str,
@@ -245,13 +259,15 @@ def streaming_corpus_ingest(
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
+        have_corpus = False
+        if _hadoop_path_exists(spark, corpus_dir):
+            # a real read error past the existence probe propagates —
+            # the streaming runtime retries the batch (see
+            # _hadoop_path_exists for why a bare except is wrong here)
             corpus = spark.read.parquet(corpus_dir).where(
                 F.col("epoch") < F.lit(epoch_id)
             ).drop("epoch")
             have_corpus = len(corpus.take(1)) > 0
-        except Exception:
-            have_corpus = False
         if have_corpus:
             fresh = incremental_minhash_dedup(
                 batch_df, corpus, text_col, id_col,
@@ -327,20 +343,23 @@ def streaming_embedding_ingest(
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
+        if len(batch_df.take(1)) == 0:
+            # idle trigger: nothing to dedup and no partition to write
+            # (train_centroids cannot train on an empty first batch)
+            return
+        if _hadoop_path_exists(spark, cent_dir):
+            # transient read errors past the existence probes propagate
+            # (runtime retries the batch); only genuinely-missing paths
+            # route to the first-epoch / crash-window branches
             cents = spark.read.parquet(cent_dir)
-            have_index = len(cents.take(1)) > 0
-        except Exception:
-            have_index = False
-        if have_index:
-            try:
+            if _hadoop_path_exists(spark, corpus_dir):
                 idx = (
                     spark.read.parquet(corpus_dir)
                     .where(F.col("epoch") < F.lit(epoch_id))
                     .select(F.col(vec_id).alias("__cid"),
                             F.col(vec_col).alias("__cvec"), "cell_id")
                 )
-            except Exception:
+            else:
                 # crash window: centroids committed but the epoch-0
                 # entries write never landed — replay must not die;
                 # an empty index makes the incremental path reduce to

@@ -540,25 +540,15 @@ def test_fused_dedup_edges_have_no_cartesian(spark, sf_dir):
     feeding connected components must contain no Cartesian/BNL node (the
     CC pass itself is iterative and checkpointed, so the pin targets the
     edge union it consumes)."""
-    from pyspark.sql import functions as F
-
-    from pyspark_deduplication_spark.functions.text import (
-        tokenize,
-        word_ngrams_of,
-    )
-    from pyspark_deduplication_spark.operators.dedup import ngram_index_pairs
     from pyspark_deduplication_spark.operators.knn import (
         embedding_near_dup_pairs,
     )
+    from pyspark_deduplication_spark.queries import jaccard_near_dup_docs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    shingled = docs.select(
-        "doc_id",
-        word_ngrams_of(tokenize(F.col("text")), 3).alias("grams"))
-    cand = ngram_index_pairs(shingled, "doc_id", "grams",
-                             prefix_jaccard=0.7)
+    # the exact single-signal spellings the fused query composes
+    lex = jaccard_near_dup_docs(spark, sf_dir).select("id_a", "id_b")
     sem = embedding_near_dup_pairs(emb, threshold=0.3, block_col="label") \
         .select("id_a", "id_b")
-    edges = cand.select("id_a", "id_b").unionByName(sem).distinct()
+    edges = lex.unionByName(sem).distinct()
     assert not has_cartesian_or_bnl(edges)

@@ -210,37 +210,21 @@ def test_fused_dedup_coarsens_both_single_signal_partitions(spark, sf_dir):
     share a fused component (union of edge sets can only merge), and the
     fused keep-set can never be larger than either single-signal
     keep-set."""
-    from pyspark.sql import functions as F
-
-    from pyspark_deduplication_spark.functions.text import (
-        tokenize,
-        word_ngrams_of,
-    )
-    from pyspark_deduplication_spark.operators.dedup import ngram_index_pairs
     from pyspark_deduplication_spark.operators.knn import (
         embedding_near_dup_pairs,
     )
     from pyspark_deduplication_spark.operators.linkage import (
         transitive_clusters,
     )
-    from pyspark_deduplication_spark.queries import fused_dedup_docs
+    from pyspark_deduplication_spark.queries import (
+        fused_dedup_docs,
+        jaccard_near_dup_docs,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    shingled = docs.select(
-        "doc_id", word_ngrams_of(tokenize(F.col("text")), 3).alias("grams"))
-    cand = ngram_index_pairs(shingled, "doc_id", "grams",
-                             prefix_jaccard=0.7)
-    ga = shingled.select(F.col("doc_id").alias("id_a"),
-                         F.col("grams").alias("g_a"))
-    gb = shingled.select(F.col("doc_id").alias("id_b"),
-                         F.col("grams").alias("g_b"))
-    jac = (F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
-           .cast("double")
-           / F.size(F.array_union(F.col("g_a"), F.col("g_b")))
-           .cast("double"))
-    lex = (cand.join(ga, "id_a").join(gb, "id_b")
-           .filter(F.round(jac, 6) >= 0.7).select("id_a", "id_b"))
+    # the same single-signal spellings the fused query composes
+    lex = jaccard_near_dup_docs(spark, sf_dir).select("id_a", "id_b")
     sem = (embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
            .select("id_a", "id_b"))
     ids = docs.select("doc_id")
