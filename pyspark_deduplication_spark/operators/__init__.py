@@ -56,7 +56,9 @@ from pyspark_deduplication_spark.operators.multimodal import (  # noqa: F401
     media_near_dup_perceptual,
     media_repartition,
     sample_video_frames,
+    video_gradient_shingles,
     video_near_dup_perceptual,
+    video_near_dup_shingled,
     video_temporal_hash,
 )
 from pyspark_deduplication_spark.operators.partitioning import (  # noqa: F401

@@ -28,7 +28,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -678,6 +678,89 @@ def video_near_dup_perceptual(
             (F.col(id_col) == F.col("component")).alias("keep"),
         )
     )
+
+
+def video_gradient_shingles(
+    frames: DataFrame,
+    id_col: str = "media_id",
+    shingle_bits: int = 16,
+) -> DataFrame:
+    """(id, grams) alignment-FREE video signatures — the head-trim
+    complement to ``video_temporal_hash`` (whose left-aligned bits all
+    shift when the head is cut): the per-frame gradient-sign sequence
+    windows into overlapping ``shingle_bits``-bit patterns, and the
+    video is represented by its SET of patterns. Cutting k head (or
+    tail) frames removes only ~k shingles and leaves every interior
+    shingle byte-identical — Jaccard stays high no matter which end was
+    trimmed — while two independent programs draw ~n shingles from a
+    2^shingle_bits alphabet and overlap negligibly.
+
+    Fully distributed: per-frame scalars and gradient bits derive from
+    one window over (video, ts) — no per-video collect, no bounded-
+    frame cap needed; ``n_frames − shingle_bits`` shingle rows per
+    video flow into one ``collect_set``. Feed ``grams`` straight into
+    ``dedup.ngram_index_pairs`` (see ``video_near_dup_shingled``)."""
+    w = Window.partitionBy(id_col).orderBy("frame_ts_ms")
+    per_frame = frames.select(
+        F.col(id_col),
+        F.col("frame_ts_ms"),
+        (F.aggregate("frame_feature", F.lit(0.0), lambda a, x: a + x)
+         / F.size("frame_feature")).alias("__m"),
+    )
+    bits = per_frame.withColumn(
+        "__bit", (F.col("__m") > F.lead("__m", 1).over(w)).cast("int"))
+    shingle = None
+    for j in range(shingle_bits):
+        term = (F.lead("__bit", j).over(w)
+                * F.lit(1 << (shingle_bits - 1 - j)))
+        shingle = term if shingle is None else shingle + term
+    # a NULL lead anywhere inside the window nulls the sum — exactly
+    # the tail positions with fewer than shingle_bits gradients left
+    shingled = (bits.withColumn("__sh", shingle)
+                .filter(F.col("__sh").isNotNull()))
+    return (shingled.groupBy(id_col)
+            .agg(F.array_sort(F.collect_set("__sh")).alias("grams")))
+
+
+def video_near_dup_shingled(
+    frames: DataFrame,
+    id_col: str = "media_id",
+    shingle_bits: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Head-OR-tail-trim-robust video near-dup clustering: gradient
+    shingle sets → inverted-index candidate join with rare-first prefix
+    filter (``dedup.ngram_index_pairs`` — the text Jaccard machinery,
+    reused verbatim on video signatures) → exact Jaccard verify →
+    transitive components → min-id keep. Takes a FRAMES table (the
+    output of ``sample_video_frames`` or a real ffmpeg extractor) so
+    re-encodes with shifted timestamp grids can be normalized upstream.
+    Videos too short to yield any shingle (< shingle_bits + 1 frames)
+    have empty grams and survive as singletons."""
+    from pyspark_deduplication_spark.operators.dedup import ngram_index_pairs
+    from pyspark_deduplication_spark.operators.linkage import (
+        transitive_clusters,
+    )
+
+    sigs = video_gradient_shingles(frames, id_col, shingle_bits)
+    nonempty = sigs.filter(F.size("grams") > 0)
+    cand = ngram_index_pairs(nonempty, id_col, "grams",
+                             prefix_jaccard=threshold)
+    ga = nonempty.select(F.col(id_col).alias("id_a"),
+                         F.col("grams").alias("g_a"))
+    gb = nonempty.select(F.col(id_col).alias("id_b"),
+                         F.col("grams").alias("g_b"))
+    jac = (F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+           .cast("double")
+           / F.size(F.array_union(F.col("g_a"), F.col("g_b")))
+           .cast("double"))
+    edges = (cand.join(ga, "id_a").join(gb, "id_b")
+             .filter(jac >= threshold).select("id_a", "id_b"))
+    ids = frames.select(id_col).distinct()
+    clustered = transitive_clusters(ids, edges, id_col)
+    return clustered.select(
+        id_col, "component",
+        (F.col(id_col) == F.col("component")).alias("keep"))
 
 
 def resize_images(

@@ -501,3 +501,41 @@ def test_video_perceptual_dedup_links_cuts_not_strangers(spark):
     # valid hash path — it must simply not join the planted cluster
     assert out[6].component not in (0, 3)
     assert sorted(i for i, r in out.items() if r.keep) == [0, 3, 4, 5, 6]
+
+
+def test_video_shingles_link_head_trims_temporal_hash_cannot(spark):
+    """The alignment-free shingle signature links a HEAD-trimmed cut
+    (every temporal-hash bit shifts, so the left-aligned hash family
+    documented in video_temporal_hash misses it), links tail trims too,
+    keeps independent programs apart, and leaves too-short videos as
+    empty-gram singletons."""
+    import hashlib
+
+    from pyspark_deduplication_spark.operators.multimodal import (
+        video_near_dup_shingled,
+    )
+
+    def mean(prog, t):
+        return hashlib.md5(f"{prog}@{t}".encode()).digest()[0] / 255.0
+
+    def frames(mid, prog, start_s, n):
+        # a cut of `prog` starting at source second `start_s`: local
+        # timestamps re-zero, content follows the source clock
+        return [(mid, 1000 * i, [mean(prog, start_s + i)] * 4)
+                for i in range(n)]
+
+    rows = (
+        frames(0, "A", 0, 60)      # original
+        + frames(1, "A", 5, 55)    # HEAD-trimmed 5 s
+        + frames(2, "A", 0, 55)    # tail-trimmed 5 s
+        + frames(3, "B", 0, 60)    # independent program
+        + frames(4, "C", 0, 10)    # too short for 16-bit shingles
+    )
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_ts_ms long, frame_feature array<double>")
+    out = {r.media_id: r for r in video_near_dup_shingled(df).collect()}
+    assert out[1].component == 0   # head trim links
+    assert out[2].component == 0   # tail trim links
+    assert out[3].component == 3 and out[3].keep
+    assert out[4].component == 4 and out[4].keep
+    assert sorted(i for i, r in out.items() if r.keep) == [0, 3, 4]
