@@ -1730,7 +1730,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ground = brute_force_knn(emb, qset, k=5, query_id="query_id").select(
         "query_id", "neighbor_id")
-    idx = build_ivf_index(emb, n_cells=8)
+    cents, assigned = build_ivf_index(emb, n_cells=8)
+    # materialize the assignment once — the in-session stand-in for the
+    # parquet-persisted index the docstring describes; without it each
+    # ladder rung would lazily re-run the corpus assignment
+    idx = (cents, assigned.localCheckpoint())
     rungs = []
     for n_probe in (1, 2, 4):
         approx = ivf_knn(emb, qset, k=5, n_cells=8, n_probe=n_probe,
