@@ -7555,6 +7555,12 @@ _GRADED_ORDER = [
     "incremental_decontaminate_docs",  # persisted exact gram index (r7)
     "surrogate_ids_scalable_parts",    # JVM zipWithIndex rewrite (r7)
     "leakage_safe_split_docs",         # dup-group-aware split (r7)
+    "doc_bigram_perplexity",           # CCNet ppl filter (r7, late)
+    "temperature_mixture_plan",        # α=0.5 mixture smoothing (r7, late)
+    "knn_label_accuracy",              # 5-NN label eval (r7, late)
+    # (fused_dedup_docs stays outside the window: its recursive-CTE
+    # oracle costs ~45s in the gate — parity + pytest cover it; it
+    # queues for a future rotation)
     # (b) canaries for round-7-changed code paths
     "surrogate_ids_parts",         # surrogate ids, window spelling
     "knn_bruteforce",              # vector search (knn.py touched)
@@ -7600,11 +7606,11 @@ _GRADED_ORDER = [
     "q20_heavy_shippers",
     "q2_min_cost_supplier",
     "q4_order_priority_exists",
-    "q7_nation_trade_volume",
-    "q9_nation_year_revenue",
-    "range_join_value_bands",
     "stateful_user_profiles",
     "streaming_dedup_events",
+    # (q7_nation_trade_volume / q9_nation_year_revenue /
+    # range_join_value_bands yield their slots to the three late-r7
+    # additions above; they rejoin the stale queue for r8)
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50
