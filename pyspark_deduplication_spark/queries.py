@@ -2912,6 +2912,152 @@ FROM w, unnest(range(0, nw)) AS r(i)
 """
 
 
+def chunk_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG data path end-to-end, fully oracle-backed: chunk the
+    corpus (32-token windows, stride 24 — ``doc_chunks``' grid), embed
+    chunks AND queries by feature hashing (term → md5 byte bucket, tf
+    weights — Weinberger et al. 2009's hashing trick, the
+    dependency-free embedder), retrieve top-3 chunks per query by
+    SPARSE cosine, and report hit@3 against the known source doc (each
+    query is its doc's first 8 tokens — self-retrieval ground truth).
+
+    The sparse cosine is pure relational algebra — no array columns,
+    no UDFs: vectors live as (key, bucket, weight) rows, the dot
+    product is a bucket equi-join + hash aggregate, norms are integer
+    sums of squares. That is exactly the shape that scales: the
+    256-bucket query side broadcasts, the chunk side never moves
+    payload text past its term explode, and every weight is an exact
+    integer so cross-engine ranking is deterministic (ties break on
+    (doc, chunk)).
+
+    A production swap drops in real model embeddings via ``knn_*``;
+    this query pins the pipeline scaffolding (chunk grid → embed →
+    retrieve → eval) with a DuckDB-checkable spelling."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(tokenize(F.col("text")), lambda x: x != F.lit(""))
+        .alias("t"))
+    nw = F.greatest(
+        F.ceil((F.size("t") - 8).cast("double") / 24.0), F.lit(1)
+    ).cast("int")
+    chunks = (
+        toks.withColumn("__nw", nw)
+        .select("doc_id", F.explode(F.expr(
+            "transform(sequence(0, __nw - 1),"
+            " i -> struct(i AS ci, slice(t, i * 24 + 1, 32) AS ct))"
+        )).alias("c"))
+        .select("doc_id", F.col("c.ci").alias("chunk_index"),
+                F.col("c.ct").alias("ct"))
+    )
+    bucket = F.substring(F.md5(F.concat(F.col("term"), F.lit("|rag"))), 1, 2)
+    cterms = (
+        chunks.select("doc_id", "chunk_index", F.explode("ct").alias("term"))
+        .withColumn("bucket", bucket)
+        .groupBy("doc_id", "chunk_index", "bucket")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    cnorm = (cterms.groupBy("doc_id", "chunk_index")
+             .agg(F.sum(F.col("w") * F.col("w")).alias("cn2")))
+    qterms = (
+        toks.filter((F.col("doc_id") < 30) & (F.size("t") >= 1))
+        .select(F.col("doc_id").alias("qid"),
+                F.explode(F.slice("t", 1, 8)).alias("term"))
+        .withColumn("bucket", bucket)
+        .groupBy("qid", "bucket")
+        .agg(F.count(F.lit(1)).alias("qw"))
+    )
+    qnorm = qterms.groupBy("qid").agg(
+        F.sum(F.col("qw") * F.col("qw")).alias("qn2"))
+    dot = (
+        qterms.join(cterms, "bucket")
+        .groupBy("qid", "doc_id", "chunk_index")
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("dot"))
+    )
+    scored = (
+        dot.join(cnorm, ["doc_id", "chunk_index"])
+        .join(qnorm, "qid")
+        .withColumn(
+            "cos",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("cn2").cast("double"))
+               * F.sqrt(F.col("qn2").cast("double"))))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("doc_id").asc(),
+        F.col("chunk_index").asc())
+    top = (scored.withColumn("rk", F.row_number().over(w_rank))
+           .filter(F.col("rk") <= 3))
+    return (
+        top.groupBy(F.col("qid").alias("query_doc"))
+        .agg(
+            F.max(F.when(F.col("doc_id") == F.col("qid"), 1).otherwise(0))
+            .cast("int").alias("hit_at_3"),
+            F.max(F.when(F.col("rk") == 1, F.round(F.col("cos"), 6)))
+            .alias("top_score"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .alias("top_doc"))
+    )
+
+
+_CHUNK_RETRIEVAL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({_TOKENS_SQL}, x -> x <> '') AS t FROM documents
+),
+w AS (
+  SELECT doc_id, t,
+         greatest(CAST(ceil(CAST(len(t) - 8 AS DOUBLE) / 24.0) AS BIGINT), 1)
+           AS nw
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_index, t[i*24+1 : i*24+32] AS ct
+  FROM w, unnest(range(0, nw)) AS r(i)
+),
+cterms AS (
+  SELECT doc_id, chunk_index,
+         substr(md5(term || '|rag'), 1, 2) AS bucket, count(*) AS wt
+  FROM (SELECT doc_id, chunk_index, unnest(ct) AS term FROM chunks)
+  GROUP BY doc_id, chunk_index, bucket
+),
+cnorm AS (
+  SELECT doc_id, chunk_index, sum(wt * wt) AS cn2
+  FROM cterms GROUP BY doc_id, chunk_index
+),
+qterms AS (
+  SELECT qid, substr(md5(term || '|rag'), 1, 2) AS bucket, count(*) AS qw
+  FROM (SELECT doc_id AS qid, unnest(t[1:8]) AS term
+        FROM toks WHERE doc_id < 30 AND len(t) >= 1)
+  GROUP BY qid, bucket
+),
+qnorm AS (SELECT qid, sum(qw * qw) AS qn2 FROM qterms GROUP BY qid),
+dot AS (
+  SELECT qid, doc_id, chunk_index, sum(qw * wt) AS d
+  FROM qterms JOIN cterms USING (bucket)
+  GROUP BY qid, doc_id, chunk_index
+),
+scored AS (
+  SELECT qid, doc_id, chunk_index,
+         CAST(d AS DOUBLE)
+         / (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cos
+  FROM dot JOIN cnorm USING (doc_id, chunk_index) JOIN qnorm USING (qid)
+),
+top AS (
+  SELECT qid, doc_id, chunk_index, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, doc_id, chunk_index) AS rk
+  FROM scored
+)
+SELECT qid AS query_doc,
+       CAST(max(CASE WHEN doc_id = qid THEN 1 ELSE 0 END) AS INT)
+         AS hit_at_3,
+       max(CASE WHEN rk = 1 THEN round(cos, 6) END) AS top_score,
+       max(CASE WHEN rk = 1 THEN doc_id END) AS top_doc
+FROM top WHERE rk <= 3
+GROUP BY qid
+"""
+
+
 def embedding_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end embedding dedup: cosine near-dup pairs (label-blocked)
     → connected components → one canonical vector per cluster (min
@@ -7377,6 +7523,12 @@ CATALOG: dict[str, Query] = {
         bench=True, tags=["sampling", "dedup", "pipeline"]),
     "doc_chunks": Query(doc_chunks, _CHUNKS_ORACLE,
                         tags=["text", "pipeline"]),
+    # RAG path: chunk → hashed embed → sparse-cosine retrieve → hit@3,
+    # all relational (r7)
+    "chunk_retrieval_eval": Query(chunk_retrieval_eval,
+                                  _CHUNK_RETRIEVAL_ORACLE,
+                                  tags=["text", "vector", "pipeline",
+                                        "stats"]),
     "pack_training_sequences": Query(pack_training_sequences, _PACK_ORACLE,
                                      tags=["text", "pipeline"]),
     "chunk_level_dedup_rate": Query(chunk_level_dedup_rate,
