@@ -7710,6 +7710,7 @@ _GRADED_ORDER = [
     "doc_bigram_perplexity",           # CCNet ppl filter (r7, late)
     "temperature_mixture_plan",        # α=0.5 mixture smoothing (r7, late)
     "knn_label_accuracy",              # 5-NN label eval (r7, late)
+    "chunk_retrieval_eval",            # relational RAG path (r7, late)
     # (fused_dedup_docs stays outside the window: its recursive-CTE
     # oracle costs ~45s in the gate — parity + pytest cover it; it
     # queues for a future rotation)
@@ -7757,12 +7758,12 @@ _GRADED_ORDER = [
     "q16_supplier_part_counts",
     "q20_heavy_shippers",
     "q2_min_cost_supplier",
-    "q4_order_priority_exists",
     "stateful_user_profiles",
     "streaming_dedup_events",
-    # (q7_nation_trade_volume / q9_nation_year_revenue /
-    # range_join_value_bands yield their slots to the three late-r7
-    # additions above; they rejoin the stale queue for r8)
+    # (q4_order_priority_exists / q7_nation_trade_volume /
+    # q9_nation_year_revenue / range_join_value_bands yield their
+    # slots to the four late-r7 additions above; they rejoin the
+    # stale queue for r8)
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50
