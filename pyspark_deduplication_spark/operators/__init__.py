@@ -17,6 +17,11 @@ from pyspark_deduplication_spark.operators.dedup import (  # noqa: F401
     simhash_signatures,
     with_surrogate_id,
 )
+from pyspark_deduplication_spark.operators.fused import (  # noqa: F401
+    fused_dedup,
+    fused_dedup_edges,
+    incremental_fused_dedup,
+)
 from pyspark_deduplication_spark.operators.joins import (  # noqa: F401
     asof_join,
     range_join,

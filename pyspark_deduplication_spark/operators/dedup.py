@@ -351,11 +351,19 @@ def minhash_candidate_pairs(
     bands: int = 16,
     shingle_size: int = 3,
     max_bucket_size: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs sharing any band hash become a
     candidate pair. Returns distinct (id_a, id_b, jaccard_sim) with
     id_a < id_b, Jaccard computed exactly on the shingle sets.
+
+    ``sigs``: precomputed ``minhash_signatures`` output for ``df`` —
+    callers that already signed the frame (the fused incremental path
+    probes a corpus with the same signatures it later self-joins) skip
+    the second signing pass. The caller owns the frame's lifecycle:
+    it should be materialized (persisted or checkpointed) before the
+    fan-out here, and it is NOT unpersisted on return.
 
     Plan shape: signatures (narrow, zero-shuffle) → explode to compact
     (id, band, bucket) keys → self-equi-join on (band, bucket) → distinct
@@ -372,16 +380,20 @@ def minhash_candidate_pairs(
     buckets too (b bands = b independent chances), so recall loss is
     marginal while the worst-case join cost becomes bounded. None = off.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
-    # One pass computes shingles + signatures; both the band join and the
-    # verify join-back reuse it. At cluster scale this would be a persisted
-    # intermediate table; locally an eager cache plays that role. The
-    # count() is load-bearing: persist() is lazy, and the band self-join
-    # fans out into TWO scans of sigs — tasks racing on not-yet-cached
-    # partitions each recompute the full signature pipeline (measured 22s
-    # vs 8s at sf0.1). Materializing once before fan-out removes the race.
-    sigs = sigs.persist()
-    sigs.count()
+    own_sigs = sigs is None
+    if own_sigs:
+        sigs = minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_size)
+        # One pass computes shingles + signatures; both the band join and
+        # the verify join-back reuse it. At cluster scale this would be a
+        # persisted intermediate table; locally an eager cache plays that
+        # role. The count() is load-bearing: persist() is lazy, and the
+        # band self-join fans out into TWO scans of sigs — tasks racing on
+        # not-yet-cached partitions each recompute the full signature
+        # pipeline (measured 22s vs 8s at sf0.1). Materializing once
+        # before fan-out removes the race.
+        sigs = sigs.persist()
+        sigs.count()
 
     banded = _band_keys(sigs, id_col, num_hashes, bands)
 
@@ -421,7 +433,8 @@ def minhash_candidate_pairs(
     # long-lived session running the whole catalog (the driver does)
     # would otherwise accumulate cached blocks across invocations.
     out = out.localCheckpoint(eager=True)
-    sigs.unpersist()
+    if own_sigs:
+        sigs.unpersist()
     return out
 
 

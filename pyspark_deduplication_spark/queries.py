@@ -1104,6 +1104,38 @@ def incremental_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id"))
 
 
+def incremental_fused_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUSED ingestion — the OR-composition of the MinHash
+    and SemDeDup incremental probes (`operators/fused.py`): even-id
+    (doc, embedding) rows are the standing corpus, odd-id rows the new
+    batch; a batch row drops if it near-matches ANY corpus row under
+    EITHER signal (3-gram Jaccard ≥ 0.7 via the LSH band probe, or
+    cosine ≥ 0.3 via the cell probe), then survivors collapse
+    batch-internally through ONE fused connected-components pass. Rides
+    the 1:1 documents ↔ embeddings id space. Both skew guards armed
+    (clone collapse + bucket/cell caps — inert at this SF, load-bearing
+    on clone-heavy corpora). Rows-only (LSH banding + k-means loops);
+    drop/keep/fused-transitivity ground truth pinned on planted
+    fixtures in ``test_fused.py``."""
+    from pyspark_deduplication_spark.operators.fused import (
+        incremental_fused_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    both = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "text", "embedding")
+    corpus = both.filter(F.col("doc_id") % 2 == 0)
+    batch = both.filter(F.col("doc_id") % 2 == 1)
+    return (
+        incremental_fused_dedup(
+            batch, corpus, jaccard_threshold=0.7, cosine_threshold=0.3,
+            n_cells=8, max_bucket_size=4096, max_cell_size=4096,
+        )
+        .select("doc_id")
+    )
+
+
 def simhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup dedup: kept doc_ids (rows-only; Python hash
     kernel not SQL-expressible)."""
@@ -7394,6 +7426,11 @@ CATALOG: dict[str, Query] = {
     "incremental_minhash_docs": Query(incremental_minhash_docs, None,
                                       bench=True,
                                       tags=["dedup", "lsh", "incremental"]),
+    # OR-composed incremental probe (lexical ∪ semantic) + fused
+    # batch-internal CC collapse (r7)
+    "incremental_fused_dedup_docs": Query(
+        incremental_fused_dedup_docs, None,
+        tags=["dedup", "lsh", "vector", "incremental", "pipeline"]),
     "minhash_dedup_docs": Query(minhash_dedup_docs, None,
                                 bench=True, tags=["dedup", "lsh"]),
     "simhash_dedup_docs": Query(simhash_dedup_docs, None, tags=["dedup"]),
