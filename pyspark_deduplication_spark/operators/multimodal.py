@@ -44,6 +44,23 @@ MEDIA_SCHEMA = T.StructType([
     ]), True),
 ])
 
+# Evolved meta with the clip-cut offset (see ``sample_video_frames``'s
+# meta contract): re-uploads that trim the head of the same source
+# program carry the SAME payload and a nonzero ``start_ms``. Readers
+# accept either shape — ``start_ms`` is read if present.
+MEDIA_SCHEMA_V2 = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("start_ms", T.IntegerType(), True),
+    ]), True),
+])
+
 IMAGE_FEATURES_SCHEMA = (
     "media_id long, n_bytes long, payload_sha long, feature array<double>"
 )
@@ -225,10 +242,32 @@ def sample_video_frames(
     """Frame-sampling plumbing: one output row per sampled timestamp with
     a (stubbed) frame payload. Real ffmpeg extraction replaces
     ``_fake_decode``; the explode/one-to-many shape, schema and batch
-    handling are what this operator pins down."""
+    handling are what this operator pins down.
+
+    Meta contract (optional ``start_ms``, read if present — old 4-field
+    ``MEDIA_SCHEMA`` metas keep working): in the stub, ``payload``
+    identifies the SOURCE PROGRAM and ``start_ms`` the cut point of a
+    trimmed re-upload, so frame features key to the source clock
+    (``start_ms + t``) while output ``frame_ts_ms`` stays clip-relative.
+    Two cuts of the same payload then share byte-identical interior
+    frames — exactly what a real extractor produces when re-uploads
+    share content — which lets head-/tail-trim fixtures be expressed at
+    the MEDIA level and flow through this operator instead of
+    hand-synthesizing a frames table."""
     out_schema = (
         f"{id_col} long, frame_ts_ms long, frame_feature array<double>"
     )
+
+    def meta_get(meta, key):
+        if meta is None:
+            return None
+        try:
+            raw = meta.get(key) if isinstance(meta, dict) else meta[key]
+        except (KeyError, IndexError, ValueError, TypeError):
+            return None
+        # Arrow hands struct fields to pandas as floats (NaN for
+        # null) — coerce defensively.
+        return int(raw) if raw is not None and raw == raw else None
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -236,25 +275,20 @@ def sample_video_frames(
             for mid, payload, meta in zip(
                 pdf[id_col], pdf[payload_col], pdf["meta"]
             ):
-                raw = None
-                if meta is not None:
-                    raw = meta.get("duration_ms") if isinstance(meta, dict) \
-                        else meta["duration_ms"]
-                # Arrow hands struct fields to pandas as floats (NaN for
-                # null) — coerce defensively.
-                duration = int(raw) if raw is not None and raw == raw else 0
+                duration = meta_get(meta, "duration_ms") or 0
+                start = meta_get(meta, "start_ms") or 0
                 for t in range(0, max(duration, 1), every_ms):
                     ids.append(mid)
                     ts.append(t)
-                    # high-diffusion (payload, t) mix as the fake frame
-                    # bytes: identical (payload, t) ⇒ identical feature
-                    # (the prefix property trimmed/extended cuts rely
-                    # on), distinct payloads ⇒ independent per-frame
-                    # features (a low-diffusion mix makes every video's
-                    # frame-mean sequence near-constant and collapses
-                    # the temporal hash)
+                    # high-diffusion (payload, source-time) mix as the
+                    # fake frame bytes: identical (payload, start+t) ⇒
+                    # identical feature (the shared-interior property
+                    # trimmed/extended cuts rely on), distinct payloads
+                    # ⇒ independent per-frame features (a low-diffusion
+                    # mix makes every video's frame-mean sequence
+                    # near-constant and collapses the temporal hash)
                     key = hashlib.md5(
-                        (payload or b"") + str(t).encode()).digest()
+                        (payload or b"") + str(start + t).encode()).digest()
                     feats.append(_fake_decode(key))
             yield pd.DataFrame(
                 {id_col: ids, "frame_ts_ms": ts, "frame_feature": feats}

@@ -539,3 +539,40 @@ def test_video_shingles_link_head_trims_temporal_hash_cannot(spark):
     assert out[3].component == 3 and out[3].keep
     assert out[4].component == 4 and out[4].keep
     assert sorted(i for i, r in out.items() if r.keep) == [0, 3, 4]
+
+
+def test_media_level_head_trim_fixture_via_start_ms(spark):
+    """The start_ms meta contract end-to-end: head-/tail-trimmed
+    re-uploads expressed at the MEDIA level (same payload, cut offsets)
+    flow through sample_video_frames and link via the alignment-free
+    shingle path — while the left-aligned temporal-hash path links only
+    the tail trim, exactly the documented split between the two
+    families. Old 4-field metas keep working (start_ms read if
+    present)."""
+    from pyspark_deduplication_spark.operators.multimodal import (
+        MEDIA_SCHEMA_V2,
+        video_near_dup_perceptual,
+        video_near_dup_shingled,
+    )
+
+    prog_a, prog_b = b"source program A", b"source program B"
+    rows = [
+        (0, "video", prog_a, ("video/mp4", 640, 360, 60_000, 0)),
+        (1, "video", prog_a, ("video/mp4", 640, 360, 55_000, 5_000)),  # head trim
+        (2, "video", prog_a, ("video/mp4", 640, 360, 55_000, 0)),      # tail trim
+        (3, "video", prog_b, ("video/mp4", 640, 360, 60_000, None)),   # other program
+        (4, "video", prog_a, ("video/mp4", 640, 360, 10_000, 0)),      # too short
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA_V2)
+    frames = sample_video_frames(media, every_ms=1000)
+
+    sh = {r.media_id: r for r in video_near_dup_shingled(frames).collect()}
+    assert sh[1].component == 0          # head trim links (alignment-free)
+    assert sh[2].component == 0          # tail trim links
+    assert sh[3].component == 3 and sh[3].keep
+    assert sh[4].component == 4 and sh[4].keep  # < 17 frames: no shingles
+    assert sorted(i for i, r in sh.items() if r.keep) == [0, 3, 4]
+
+    ph = {r.media_id: r for r in video_near_dup_perceptual(media).collect()}
+    assert ph[2].component == 0          # tail trim: shared prefix bits
+    assert ph[1].component != 0          # head trim: every bit shifted
