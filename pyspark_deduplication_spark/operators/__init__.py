@@ -89,6 +89,7 @@ from pyspark_deduplication_spark.operators.sampling import (  # noqa: F401
     hash_sample,
     hash_split,
     leakage_safe_split,
+    reservoir_per_group,
     stratified_hash_sample,
 )
 from pyspark_deduplication_spark.operators.timeseries import (  # noqa: F401

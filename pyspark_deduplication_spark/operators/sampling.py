@@ -164,39 +164,40 @@ def execute_token_budget(
     corpus shuffles ONCE on ``group_col`` for the running-sum window
     (the same exchange a per-group cap needs; no global sort). Skewed
     groups bound their OUTPUT at the budget but still window their
-    full input — ``prefilter_factor`` closes that gap at 100 TB: one
-    extra aggregate derives each group's token inventory, and only the
-    hash-order PREFIX expected to hold ``prefilter_factor × budget``
-    tokens enters the window shuffle. Because the pre-filter cuts on
-    the SAME (md5 ‖ seed) order key the window sorts by (a 2-byte hex
-    threshold, granularity 1/65536), the surviving superset contains
-    the true kept prefix whenever that prefix's token mass lies within
-    the first ``prefilter_factor × budget / group_tokens`` fraction of
-    the hash order — guaranteed in expectation with factor ≥ 1 and
-    overwhelmingly likely at factor 2 (md5 order is independent of
-    token counts; a loss requires the prefix's token mass to run ≥2×
-    hot for the whole stretch). Factor-vs-exactness is the standard
-    sampling trade: ``None`` (default) windows everything and is
-    EXACT; the pytest pins superset-equality on a skewed fixture.
-    Corner escapes are GROUP-LEVEL only — keep the ENTIRE group when
-    its budget is ≤ 0 or NULL, or its token inventory is ≤ 0 or NULL —
-    because group-level keep-all preserves the prefix property (the
-    window then sums over exactly the rows the exact path sums over).
-    A per-row escape (e.g. "always keep zero-token rows") would NOT: it
-    admits rows from beyond the cut while dropping positive-token rows
-    before them, shrinking those rows' running sums and keeping rows
-    the exact path drops (review r7 finding). The zero-budget corner
-    (frac=0 → thr '0000' would drop the zero-token rows exact keeps)
-    is exactly the budget ≤ 0 escape.
+    full input — ``prefilter_factor`` closes that gap at 100 TB: only
+    the hash-order PREFIX expected to hold ``prefilter_factor ×
+    budget`` tokens (a 2-byte hex threshold on the SAME (md5 ‖ seed)
+    order key the window sorts by, granularity 1/65536) enters the
+    window shuffle. The pre-filter is provably EXACT for any input —
+    not merely a high-probability superset — via a cut-safety check:
+    two n_groups-sized aggregates derive each group's token inventory
+    and the token mass INSIDE its hash-threshold region, and a group
+    uses the cut only when that region mass strictly exceeds its
+    budget. Region mass > budget means the first budget violator lies
+    inside the region; since token counts are nonnegative the inclusive
+    running sum is nondecreasing, so the exact kept set is precisely
+    the rows before that violator — all inside the region, where the
+    windowed sums over the region equal the sums over the full group.
+    Region mass ≤ budget means the exact prefix could extend past the
+    cut (zero-token tails are the canonical case — a hypothesis-found
+    counterexample: a 0-token row deep in the hash order is kept by
+    the exact path at any depth, which no positional cut can cover),
+    so the group escapes to keep-all, which trivially preserves the
+    prefix property. The same keep-all escape covers budget ≤ 0 /
+    NULL and inventory ≤ 0 / NULL. Escapes are GROUP-LEVEL only: a
+    per-row escape (e.g. "always keep zero-token rows") admits rows
+    from beyond the cut while dropping positive-token rows before
+    them, shrinking running sums and keeping rows the exact path
+    drops (review r7 finding). ``prefilter_factor`` now tunes only
+    how often the cut engages (higher factor → region mass more
+    likely to exceed budget → fewer keep-all fallbacks on light
+    groups); correctness no longer depends on it.
 
     Returns the kept rows of ``df`` (all columns) plus ``__cum_tokens``
     (the inclusive running sum, handy for audit)."""
     order_key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
-    joined = df.join(
-        F.broadcast(budgets.select(F.col(group_col),
-                                   F.col(budget_col).alias("__budget"))),
-        group_col,
-    )
+    bsel = budgets.select(F.col(group_col), F.col(budget_col).alias("__budget"))
+    joined = df.join(F.broadcast(bsel), group_col)
     if prefilter_factor is not None:
         inv = (
             df.groupBy(group_col)
@@ -211,24 +212,49 @@ def execute_token_budget(
         # lower(): conv() emits UPPERCASE hex while md5 renders
         # lowercase, and 'A'-'F' sort below 'a'-'f' — an uppercase
         # threshold would wrongly exclude keys whose boundary nibble
-        # is a letter. The keep-all escape triggers on the CEILED
-        # value, not frac >= 1.0: frac just under 1.0 ceils to 65536,
-        # whose 5-hex-digit spelling lpad(…, 4) would TRUNCATE to
-        # '1000' and silently drop ~94% of the group's true prefix.
+        # is a letter. The escape triggers on the CEILED value, not
+        # frac >= 1.0: frac just under 1.0 ceils to 65536, whose
+        # 5-hex-digit spelling lpad(…, 4) would TRUNCATE to '1000'
+        # and silently drop ~94% of the group's true prefix.
         ceiled = F.ceil(frac * F.lit(65536)).cast("long")
-        thr = F.lpad(
-            F.lower(F.conv(
-                F.least(ceiled, F.lit(65535)).cast("string"), 10, 16)),
-            4, "0")
+        ginfo = (
+            bsel.join(inv, group_col, "left")
+            .withColumn("__esc",
+                        (F.col("__gtok") <= 0)
+                        | F.col("__gtok").isNull()
+                        | (F.col("__budget") <= 0)
+                        | F.col("__budget").isNull()
+                        | (ceiled >= 65536))
+            .withColumn(
+                "__thr",
+                F.lpad(
+                    F.lower(F.conv(
+                        F.least(ceiled, F.lit(65535)).cast("string"),
+                        10, 16)),
+                    4, "0"))
+        )
+        # cut-safety aggregate: token mass inside each group's region
+        reg = (
+            df.join(F.broadcast(ginfo.filter(~F.col("__esc"))
+                                .select(group_col, "__thr")), group_col)
+            .filter(F.substring(order_key, 1, 4) < F.col("__thr"))
+            .groupBy(group_col)
+            .agg(F.sum(F.col(tokens_col)).cast("double").alias("__rmass"))
+        )
+        gmeta = (
+            ginfo.join(reg, group_col, "left")
+            .withColumn(
+                "__keep_all",
+                F.col("__esc")
+                | (F.coalesce(F.col("__rmass"), F.lit(0.0))
+                   <= F.col("__budget")))
+            .select(group_col, "__thr", "__keep_all")
+        )
         joined = (
-            joined.join(F.broadcast(inv), group_col)
-            .filter((F.col("__gtok") <= 0)
-                    | F.col("__gtok").isNull()
-                    | (F.col("__budget") <= 0)
-                    | F.col("__budget").isNull()
-                    | (ceiled >= 65536)
-                    | (F.substring(order_key, 1, 4) < thr))
-            .drop("__gtok")
+            joined.join(F.broadcast(gmeta), group_col)
+            .filter(F.col("__keep_all")
+                    | (F.substring(order_key, 1, 4) < F.col("__thr")))
+            .drop("__thr", "__keep_all")
         )
     w = (
         Window.partitionBy(group_col)
@@ -241,6 +267,49 @@ def execute_token_budget(
             F.sum(F.col(tokens_col)).over(w).cast("long"))
         .filter(F.col("__cum_tokens") <= F.col("__budget"))
         .drop("__budget")
+    )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    seed: str = "42",
+) -> DataFrame:
+    """Bounded uniform k-sample per group — the engine's reservoir
+    sampler: keep the ``k`` rows with the SMALLEST ``md5(key‖seed)``
+    per group (bottom-k / KMV order statistics). The hash plays the
+    role of the reservoir algorithm's random tag, so the kept set is a
+    uniform random size-min(k, n) subset of each group — but unlike
+    Algorithm R it is deterministic, partitioning-independent, and
+    **mergeable**: ``bottomk(A ∪ B) == bottomk(bottomk(A) ∪ B)`` (an
+    element of the combined bottom-k is in the bottom-k of any subset
+    containing it), which is exactly the reservoir update rule a
+    continuous-ingest pipeline needs — the standing sample plus a new
+    batch re-caps to the new standing sample with no per-row state and
+    no dependence on arrival order (``streaming/ops.py::
+    streaming_reservoir_ingest`` is that loop). Rows duplicated on
+    ``(group, key)`` collapse first so a replayed batch cannot occupy
+    two reservoir slots with one logical row.
+
+    One hash-partition shuffle on ``group_col`` + a rank window
+    (``cap_per_group``); output is bounded at k·|groups| rows. Same
+    md5 idiom as ``hash_sample``/``hash_split``, so reservoirs nest
+    consistently with the rest of the sampling family and DuckDB
+    replicates the selection byte-for-byte (the catalog oracle)."""
+    tag = F.md5(F.concat(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null")),
+        F.lit(seed)))
+    deduped = df.dropDuplicates([group_col, key_col])
+    tagged = deduped.withColumn(
+        "__tag",
+        F.struct(tag.alias("h"),
+                 F.col(key_col).cast("string").alias("k")))
+    return (
+        cap_per_group(tagged, group_col, "__tag", k)
+        .filter(F.col("__kept"))
+        .drop("__tag", "__kept")
     )
 
 

@@ -998,6 +998,40 @@ GROUP BY lang
 """
 
 
+def reservoir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded per-source uniform sample: the 5 docs with the smallest
+    md5(doc_id‖seed) per source (`sampling.reservoir_per_group` —
+    bottom-k-by-hash, the mergeable deterministic reservoir whose
+    streaming update loop is `streaming_reservoir_ingest`). The hash
+    plays the reservoir tag, so the oracle replicates the selection
+    byte-for-byte; `sample_rank` is the position in the per-group hash
+    order (1 = smallest tag)."""
+    from pyspark_deduplication_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    res = reservoir_per_group(docs, "source", "doc_id", k=5)
+    tag = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("42")))
+    w = Window.partitionBy("source").orderBy(tag)
+    return (res.withColumn("sample_rank",
+                           F.row_number().over(w).cast("long"))
+            .select("source", "doc_id", "sample_rank"))
+
+
+_RESERVOIR_ORACLE = """
+SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '42'),
+                    CAST(doc_id AS VARCHAR)) AS rn
+  FROM documents)
+WHERE rn <= 5
+"""
+
+
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: predicted language distribution."""
     docs = _t(spark, sf_dir, "documents")
@@ -7576,6 +7610,9 @@ CATALOG: dict[str, Query] = {
                                     tags=["dedup", "text", "pipeline"]),
     "stratified_sample_docs": Query(stratified_sample_docs, _SAMPLE_ORACLE,
                                     tags=["sampling", "pipeline"]),
+    # mergeable bottom-k-by-hash reservoir, per source (r7)
+    "reservoir_sample_docs": Query(reservoir_sample_docs, _RESERVOIR_ORACLE,
+                                   tags=["sampling", "streaming"]),
     "quality_weighted_sample": Query(quality_weighted_sample,
                                      _QUALITY_SAMPLE_ORACLE,
                                      tags=["sampling", "text", "pipeline"]),

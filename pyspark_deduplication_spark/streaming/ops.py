@@ -397,6 +397,63 @@ def streaming_embedding_ingest(
     return write_stream_foreach_batch(vec_stream, ingest, checkpoint_dir)
 
 
+def streaming_reservoir_ingest(
+    stream: DataFrame,
+    reservoir_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    key_col: str,
+    k: int,
+    seed: str = "42",
+):
+    """Maintain a bounded per-group uniform sample over a stream — the
+    streaming twin of ``stratified_sample_docs``'s deterministic-hash
+    family, built on ``sampling.reservoir_per_group``'s merge property
+    (``bottomk(A ∪ B) == bottomk(bottomk(A) ∪ B)``): each micro-batch
+    unions the standing reservoir with the new rows and re-caps to the
+    bottom-k-by-``md5(key‖seed)`` per group. No per-row streaming
+    state, no dependence on arrival order — after ANY prefix of
+    batches the reservoir equals the batch operator run over the
+    concatenation of those batches (pinned in ``test_streaming.py``),
+    which Algorithm-R-style random reservoirs cannot promise under
+    replay.
+
+    Exactly-once: each epoch writes the FULL new reservoir state
+    (≤ k·|groups| rows — bounded by construction, so a full rewrite
+    per epoch is cheap) into its own ``epoch=<id>`` partition; a
+    replayed micro-batch reads the same prior state (latest epoch
+    < its own) and deterministically rewrites the identical
+    partition. Prior epochs remain as a bounded audit trail of the
+    sample's evolution; compact with ``compact_small_files`` or drop
+    old partitions when lineage is not wanted."""
+    from pyspark_deduplication_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = batch_df
+        if _hadoop_path_exists(spark, reservoir_dir):
+            # transient read errors past the existence probe propagate —
+            # the runtime retries the batch (see _hadoop_path_exists)
+            prior_all = spark.read.parquet(reservoir_dir).where(
+                F.col("epoch") < F.lit(epoch_id))
+            head = prior_all.select(F.max("epoch").alias("__e")).collect()
+            if head and head[0]["__e"] is not None:
+                prior = (prior_all
+                         .where(F.col("epoch") == F.lit(head[0]["__e"]))
+                         .drop("epoch"))
+                base = batch_df.unionByName(prior)
+        new_res = reservoir_per_group(base, group_col, key_col, k, seed)
+        (new_res.withColumn("epoch", F.lit(epoch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(reservoir_dir))
+
+    return write_stream_foreach_batch(stream, ingest, checkpoint_dir)
+
+
 def stream_static_enrich(
     stream: DataFrame,
     static_dim: DataFrame,

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from difflib import SequenceMatcher
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -133,6 +133,11 @@ def test_chunking_reconstructs_token_stream(n_tokens, size, overlap_frac):
                       st.integers(min_value=0, max_value=60)),
     factor=st.floats(min_value=1.0, max_value=4.0),
 )
+@example(
+    rows=[(0, 'c', 4), (1, 'c', 0)],
+    budgets=(0, 0, 1),
+    factor=1.0,
+).via('discovered failure')
 def test_token_budget_prefilter_equals_exact(rows, budgets, factor):
     """The prefiltered greedy-prefix selection must equal the exact
     (window-everything) selection for ANY corpus, budgets — including

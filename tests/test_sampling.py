@@ -371,3 +371,54 @@ def test_leakage_safe_split_groups_never_straddle(spark):
     assert all(regrown[r.doc_id] == r.split for r in out)
     for i in range(3):  # and the new dups inherit their group's split
         assert regrown[500 + i] == by_id[i].split
+
+
+def test_reservoir_per_group_merge_property(spark):
+    """The reservoir update rule: bottomk(A ∪ B) == bottomk(bottomk(A)
+    ∪ B) — any arrival-order chunking converges to the same sample,
+    which is what lets the streaming ingest keep no per-row state."""
+    from pyspark_deduplication_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    df = spark.createDataFrame([(i % 5, i) for i in range(200)],
+                               "grp int, id long")
+    a, b = df.filter("id < 120"), df.filter("id >= 120")
+    full = sorted((r.grp, r.id)
+                  for r in reservoir_per_group(df, "grp", "id", 7).collect())
+    merged = sorted(
+        (r.grp, r.id)
+        for r in reservoir_per_group(
+            reservoir_per_group(a, "grp", "id", 7).unionByName(b),
+            "grp", "id", 7).collect())
+    assert full == merged
+    # three-way chunking converges too
+    c1, c2, c3 = (df.filter("id % 3 = " + str(m)) for m in range(3))
+    step = reservoir_per_group(c1, "grp", "id", 7)
+    step = reservoir_per_group(step.unionByName(c2), "grp", "id", 7)
+    step = reservoir_per_group(step.unionByName(c3), "grp", "id", 7)
+    assert full == sorted((r.grp, r.id) for r in step.collect())
+
+
+def test_reservoir_per_group_bounded_and_deterministic(spark):
+    from pyspark_deduplication_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    rows = [(0, i) for i in range(40)] + [(1, i) for i in range(100, 103)]
+    df = spark.createDataFrame(rows, "grp int, id long")
+    out = reservoir_per_group(df, "grp", "id", 5)
+    got = sorted((r.grp, r.id) for r in out.collect())
+    sizes = {}
+    for g, _ in got:
+        sizes[g] = sizes.get(g, 0) + 1
+    assert sizes[0] == 5                      # capped at k
+    assert sizes[1] == 3                      # under-k group kept whole
+    # partitioning-independent (the window orders on (hash, key))
+    again = sorted((r.grp, r.id)
+                   for r in reservoir_per_group(
+                       df.repartition(7), "grp", "id", 5).collect())
+    assert got == again
+    # replayed (duplicate) rows cannot occupy two slots
+    doubled = reservoir_per_group(df.unionByName(df), "grp", "id", 5)
+    assert got == sorted((r.grp, r.id) for r in doubled.collect())

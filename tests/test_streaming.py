@@ -340,3 +340,53 @@ def test_streaming_embedding_ingest_survives_centroid_only_crash_window(
     final = spark.read.parquet(corpus_dir)
     assert sorted(r.vec_id for r in final.collect()) == [1, 3]
     assert final.filter(F.col("epoch") == 0).count() == 2
+
+
+def test_streaming_reservoir_ingest_matches_batch_operator(spark, tmp_path):
+    """Per-group reservoir over two epochs: the standing sample after
+    the last epoch equals the batch operator over the concatenation of
+    every row that ever streamed in (the merge property end-to-end),
+    stays bounded at k per group, and is epoch-partitioned."""
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_reservoir_ingest,
+    )
+
+    schema = T.StructType([
+        T.StructField("grp", T.StringType()),
+        T.StructField("id", T.LongType()),
+    ])
+    src = str(tmp_path / "incoming")
+    res_dir = str(tmp_path / "reservoir")
+    ckpt = str(tmp_path / "ckpt")
+    e1 = [("a", i) for i in range(1, 5)] + [("b", 10), ("b", 11)]
+    e2 = [("a", i) for i in range(5, 9)] + [("b", 12)]
+    spark.createDataFrame(e1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f1")
+    spark.createDataFrame(e2, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f2")
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_reservoir_ingest(stream, res_dir, ckpt,
+                                   group_col="grp", key_col="id", k=2)
+    q.awaitTermination(180)
+
+    all_rows = spark.createDataFrame(e1 + e2, schema)
+    expect = sorted((r.grp, r.id)
+                    for r in reservoir_per_group(
+                        all_rows, "grp", "id", 2).collect())
+    final = spark.read.parquet(res_dir)
+    assert "epoch" in final.columns
+    last = final.agg({"epoch": "max"}).collect()[0][0]
+    got = sorted((r.grp, r.id)
+                 for r in final.where(final.epoch == last).collect())
+    assert got == expect
+    counts = {}
+    for g, _ in got:
+        counts[g] = counts.get(g, 0) + 1
+    assert all(v <= 2 for v in counts.values())
