@@ -5521,10 +5521,13 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     text high-ppl, which the order-free unigram proxy cannot separate.
 
     Determinism: all probabilities derive from exact integer counts;
-    per-bigram logprob is 8dp-rounded, the per-doc sum 6dp-rounded
-    before the mean (same contract as the unigram query), and ppl is
-    exp of the already-rounded mean — both engines round identical
-    doubles.
+    per-bigram logprobs quantize to BIGINT 1e-8 units so the per-doc
+    sum is exact integer arithmetic (order-independent) and the 6dp
+    mean is an integer half-away-from-zero division — bit-identical on
+    any engine. (The earlier double-rounding spelling was vulnerable
+    to the cross-engine .5-boundary tie the trigram twin actually hit
+    at sf0.01 — see ``doc_trigram_perplexity``; hardened together.)
+    ppl is exp of the exact mean, display-rounded.
 
     Scale shape: bigram pairs are map-only per doc (zip of two array
     slices); the LM is two hash aggs (c12 keyed on the bigram, c1 on
@@ -5555,22 +5558,24 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = F.round(F.log(
         F.lit(0.7) * (F.col("n12").cast("double") / F.col("n1").cast("double"))
         + F.lit(0.3) * ((F.col("uc").cast("double") + 1.0)
-                        / (F.col("total") + F.col("vocab")))), 8)
+                        / (F.col("total") + F.col("vocab")))
+    ) * F.lit(1e8)).cast("long")
     lm = (
         c12.join(c1, "w1")
         .join(unig, "w2")
         .crossJoin(F.broadcast(tot))
-        .select("w1", "w2", lp.alias("lp"))
+        .select("w1", "w2", lp.alias("lp8"))
     )
     agg = (
         pairs.filter(F.col("doc_id") < 60)
         .join(lm, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-             F.round(F.sum("lp"), 6).alias("sum_lp"))
+             F.sum("lp8").alias("__s8"))
         .select("doc_id", "n_bigrams",
-                F.round(F.col("sum_lp") / F.col("n_bigrams").cast("double"), 6)
-                .alias("mean_logprob"))
+                (F.expr("-((2 * (-__s8) + 100 * n_bigrams)"
+                        " div (200 * n_bigrams))").cast("double")
+                 / F.lit(1e6)).alias("mean_logprob"))
     )
     return agg.withColumn("ppl", F.round(F.exp(-F.col("mean_logprob")), 6))
 
@@ -5595,22 +5600,173 @@ tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS total,
                CAST(count(*) AS DOUBLE) AS vocab FROM unig),
 lm AS (
   SELECT c12.w1, c12.w2,
-         round(ln(0.7 * (CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE))
-                  + 0.3 * ((CAST(uc AS DOUBLE) + 1.0) / (total + vocab))), 8)
-           AS lp
+         CAST(round(ln(0.7 * (CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       + 0.3 * ((CAST(uc AS DOUBLE) + 1.0)
+                                / (total + vocab))) * 1e8) AS BIGINT)
+           AS lp8
   FROM c12 JOIN c1 USING (w1)
        JOIN unig ON c12.w2 = unig.term
        CROSS JOIN tot
 ),
 agg AS (
   SELECT pairs.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         round(round(sum(lp), 6) / CAST(count(*) AS DOUBLE), 6)
+         CAST(-((2 * (-sum(lp8)) + 100 * count(*))
+                // (200 * count(*))) AS DOUBLE) / 1e6
            AS mean_logprob
   FROM pairs JOIN lm ON pairs.w1 = lm.w1 AND pairs.w2 = lm.w2
   WHERE pairs.doc_id < 60
   GROUP BY pairs.doc_id
 )
 SELECT doc_id, n_bigrams, mean_logprob,
+       round(exp(-mean_logprob), 6) AS ppl
+FROM agg
+"""
+
+
+def doc_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-TRIGRAM LM perplexity per document — the deeper leg
+    of the CCNet-style perplexity filter family (`doc_bigram_perplexity`
+    is the bigram leg): p(w3|w1,w2) = 0.5·c(w1w2w3)/c(w1w2) +
+    0.3·c(w2w3)/c(w2·) + 0.2·p_add1(w3), trained on the corpus itself
+    — Jelinek-Mercer interpolation over raw count ratios (each ratio ≤ 1
+    since every trigram occurrence contains its prefix bigram, so
+    p ≤ 1 and lp ≤ 0). Two tokens of context separate formulaic
+    three-word boilerplate from merely common word pairs, which the
+    bigram leg scores identically.
+
+    Determinism: probabilities from exact integer counts; per-trigram
+    logprobs quantize to BIGINT 1e-8 units (one libm ln + one round per
+    distinct trigram), so the per-doc sum is EXACT integer arithmetic —
+    order-independent across partitions — and the 6dp mean is an
+    integer half-away-from-zero division, bit-identical on any engine.
+    The earlier "round the double sum, then round the double mean"
+    spelling hit a real cross-engine tie at sf0.01: mean·1e6 landed on
+    an exact .5 boundary where Spark (BigDecimal HALF_UP on the exact
+    binary value) and DuckDB (multiply-by-1e6-then-round) disagree by
+    one micro-unit. ppl = exp of the exact mean, display-rounded.
+
+    Scale shape: trigram and bigram streams are map-only per doc; the
+    LM is three hash aggs (c123, c12, left-counts) + unigrams + a
+    broadcast totals row; scoring joins the per-doc trigram stream to
+    the LM on (w1,w2,w3) — a plain shuffle hash join at 100 TB (the
+    dictionary is bounded by distinct trigrams seen, not corpus
+    rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(tokenize(F.col("text")), lambda x: x != F.lit("")).alias("t"))
+    tri = (
+        toks.filter(F.size("t") >= 3)
+        .select("doc_id", F.explode(F.expr(
+            "transform(sequence(1, size(t) - 2), i ->"
+            " struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2,"
+            "        element_at(t, i + 2) AS w3))"
+        )).alias("g"))
+        .select("doc_id", "g.w1", "g.w2", "g.w3")
+    )
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1), i ->"
+            " struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+        )).alias("p"))
+        .select("p.a", "p.b")
+    )
+    c123 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n123"))
+    c12 = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n12"))
+    cl = big.groupBy("a").agg(F.count(F.lit(1)).alias("n1"))
+    unig = (
+        toks.select(F.explode("t").alias("w3"))
+        .groupBy("w3").agg(F.count(F.lit(1)).alias("uc"))
+    )
+    tot = unig.agg(F.sum("uc").cast("double").alias("total"),
+                   F.count(F.lit(1)).cast("double").alias("vocab"))
+    lp = F.round(F.log(
+        F.lit(0.5) * (F.col("n123").cast("double")
+                      / F.col("n12").cast("double"))
+        + F.lit(0.3) * (F.col("n23").cast("double")
+                        / F.col("n1").cast("double"))
+        + F.lit(0.2) * ((F.col("uc").cast("double") + 1.0)
+                        / (F.col("total") + F.col("vocab")))
+    ) * F.lit(1e8)).cast("long")
+    p12 = c12.select(F.col("a").alias("w1"), F.col("b").alias("w2"), "n12")
+    p23 = c12.select(F.col("a").alias("w2"), F.col("b").alias("w3"),
+                     F.col("n12").alias("n23"))
+    c2 = cl.select(F.col("a").alias("w2"), "n1")
+    lm = (
+        c123.join(p12, ["w1", "w2"])
+        .join(p23, ["w2", "w3"])
+        .join(c2, "w2")
+        .join(unig, "w3")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "w3", lp.alias("lp8"))
+    )
+    agg = (
+        tri.filter(F.col("doc_id") < 60)
+        .join(lm, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+             F.sum("lp8").alias("__s8"))
+        # half-away-from-zero (sum8 / (100·n)) in exact integer units:
+        # lp8 sums are 1e-8-grid, the mean lands on the 1e-6 grid
+        .select("doc_id", "n_trigrams",
+                (F.expr("-((2 * (-__s8) + 100 * n_trigrams)"
+                        " div (200 * n_trigrams))").cast("double")
+                 / F.lit(1e6)).alias("mean_logprob"))
+    )
+    return agg.withColumn("ppl", F.round(F.exp(-F.col("mean_logprob")), 6))
+
+
+_TRIGRAM_PPL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({_TOKENS_SQL}, x -> x <> '') AS t FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         unnest(t[1:len(t)-2]) AS w1,
+         unnest(t[2:len(t)-1]) AS w2,
+         unnest(t[3:len(t)]) AS w3
+  FROM toks WHERE len(t) >= 3
+),
+big AS (
+  SELECT unnest(t[1:len(t)-1]) AS a,
+         unnest(t[2:len(t)]) AS b
+  FROM toks WHERE len(t) >= 2
+),
+c123 AS (SELECT w1, w2, w3, count(*) AS n123 FROM tri GROUP BY w1, w2, w3),
+c12 AS (SELECT a, b, count(*) AS n12 FROM big GROUP BY a, b),
+cl AS (SELECT a, count(*) AS n1 FROM big GROUP BY a),
+unig AS (
+  SELECT term, count(*) AS uc
+  FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+),
+tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS total,
+               CAST(count(*) AS DOUBLE) AS vocab FROM unig),
+lm AS (
+  SELECT c123.w1, c123.w2, c123.w3,
+         CAST(round(ln(0.5 * (CAST(n123 AS DOUBLE)
+                              / CAST(p12.n12 AS DOUBLE))
+                       + 0.3 * (CAST(p23.n12 AS DOUBLE)
+                                / CAST(cl.n1 AS DOUBLE))
+                       + 0.2 * ((CAST(uc AS DOUBLE) + 1.0)
+                                / (total + vocab))) * 1e8) AS BIGINT)
+           AS lp8
+  FROM c123 JOIN c12 p12 ON c123.w1 = p12.a AND c123.w2 = p12.b
+       JOIN c12 p23 ON c123.w2 = p23.a AND c123.w3 = p23.b
+       JOIN cl ON c123.w2 = cl.a
+       JOIN unig ON c123.w3 = unig.term
+       CROSS JOIN tot
+),
+agg AS (
+  SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         CAST(-((2 * (-sum(lp8)) + 100 * count(*))
+                // (200 * count(*))) AS DOUBLE) / 1e6
+           AS mean_logprob
+  FROM tri JOIN lm ON tri.w1 = lm.w1 AND tri.w2 = lm.w2 AND tri.w3 = lm.w3
+  WHERE tri.doc_id < 60
+  GROUP BY tri.doc_id
+)
+SELECT doc_id, n_trigrams, mean_logprob,
        round(exp(-mean_logprob), 6) AS ppl
 FROM agg
 """
@@ -7638,6 +7794,11 @@ CATALOG: dict[str, Query] = {
     "doc_bigram_perplexity": Query(doc_bigram_perplexity, _BIGRAM_PPL_ORACLE,
                                    tags=["text", "stats", "quality",
                                          "pipeline"]),
+    # Jelinek-Mercer trigram leg of the perplexity filter family (r7)
+    "doc_trigram_perplexity": Query(doc_trigram_perplexity,
+                                    _TRIGRAM_PPL_ORACLE,
+                                    tags=["text", "stats", "quality",
+                                          "pipeline"]),
     "doc_dup_span_fraction": Query(doc_dup_span_fraction, _DUP_SPAN_ORACLE,
                                    bench=True,
                                    tags=["dedup", "text", "pipeline"]),
