@@ -552,3 +552,17 @@ def test_fused_dedup_edges_have_no_cartesian(spark, sf_dir):
         .select("id_a", "id_b")
     edges = lex.unionByName(sem).distinct()
     assert not has_cartesian_or_bnl(edges)
+
+
+def test_fused_operator_edges_have_no_cartesian(spark):
+    """The OPERATOR-form fused edges (MinHash lexical leg ∪ SemDeDup
+    semantic leg, `operators/fused.py`) stay blocked equi-joins too —
+    no Cartesian/BNL anywhere in the union feeding the CC pass."""
+    from pyspark_deduplication_spark.operators.fused import fused_dedup_edges
+
+    rows = [(i, f"tok{i} " * 20, [float(i), 1.0, 0.0, 0.0])
+            for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<float>")
+    edges = fused_dedup_edges(df, n_cells=2)
+    assert not has_cartesian_or_bnl(edges)
