@@ -397,6 +397,142 @@ def streaming_embedding_ingest(
     return write_stream_foreach_batch(vec_stream, ingest, checkpoint_dir)
 
 
+def streaming_fused_ingest(
+    doc_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    jaccard_threshold: float = 0.7,
+    cosine_threshold: float = 0.95,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    max_bucket_size: int | None = 4096,
+    n_cells: int = 16,
+    n_iter: int = 4,
+    n_probe: int = 2,
+    max_cell_size: int | None = 4096,
+):
+    """Continuously ingest (text, embedding) rows into a corpus that is
+    near-dup-free under BOTH signals — the fused capstone of the ingest
+    family (`streaming_corpus_ingest` = lexical leg,
+    `streaming_embedding_ingest` = semantic leg): each micro-batch
+    probes the standing corpus through `operators/fused.py::
+    incremental_fused_dedup` (drop on EITHER MinHash-Jaccard or
+    cosine-cell hit, then ONE fused CC collapse batch-internally), and
+    survivors append to three epoch-partitioned artifacts that ARE the
+    probe state for later batches:
+
+    - ``corpus_dir``                 — the content rows themselves;
+    - ``<corpus_dir>_sigs``          — clone-collapsed MinHash
+      signatures of each epoch's survivors (`build_minhash_index`
+      shape; per-epoch collapse suffices because survivors are already
+      cross-epoch clean — an exact clone of an earlier epoch has
+      Jaccard 1 and never lands);
+    - ``<corpus_dir>_centroids`` + ``<corpus_dir>_index`` — the frozen
+      cell geometry (trained ONCE on epoch 0, the
+      `streaming_embedding_ingest` contract) and each epoch's
+      (id, vector, cell_id) entries.
+
+    Every post-0 batch therefore runs ZERO corpus-sized work on either
+    leg. Exactly-once mirrors the single-signal twins: each epoch
+    dynamically overwrites its own partitions and epoch 0's centroid
+    retrain on a replayed batch is deterministic. Skew guards
+    (``max_bucket_size``, ``max_cell_size``) arm the per-batch probes
+    and the batch-internal collapse by default."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from pyspark_deduplication_spark.operators.fused import (
+        fused_dedup,
+        incremental_fused_dedup,
+    )
+    from pyspark_deduplication_spark.operators.knn import (
+        assign_cells,
+        train_centroids,
+    )
+
+    base = corpus_dir.rstrip("/")
+    sig_dir = base + "_sigs"
+    cent_dir = base + "_centroids"
+    idx_dir = base + "_index"
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if len(batch_df.take(1)) == 0:
+            return
+        if _hadoop_path_exists(spark, cent_dir):
+            # transient read errors past the existence probes propagate
+            # (runtime retries); genuinely-missing paths are the
+            # centroids-committed-first crash window — empty stand-ins
+            # reduce the probe to the batch-internal fused collapse
+            cents = spark.read.parquet(cent_dir)
+            if _hadoop_path_exists(spark, sig_dir):
+                mh_idx = (spark.read.parquet(sig_dir)
+                          .where(F.col("epoch") < F.lit(epoch_id))
+                          .drop("epoch"))
+            else:
+                mh_idx = build_minhash_index(
+                    batch_df, text_col, id_col, num_hashes,
+                    shingle_size).limit(0)
+            if _hadoop_path_exists(spark, idx_dir):
+                sem_idx = (
+                    spark.read.parquet(idx_dir)
+                    .where(F.col("epoch") < F.lit(epoch_id))
+                    .select(F.col(id_col).alias("__cid"),
+                            F.col(vec_col).alias("__cvec"), "cell_id")
+                )
+            else:
+                sem_idx = (
+                    batch_df.select(F.col(id_col).alias("__cid"),
+                                    F.col(vec_col).alias("__cvec"))
+                    .withColumn("cell_id", F.lit(0).cast("int"))
+                    .limit(0)
+                )
+            fresh = incremental_fused_dedup(
+                batch_df, corpus=None, id_col=id_col, text_col=text_col,
+                vec_col=vec_col, jaccard_threshold=jaccard_threshold,
+                cosine_threshold=cosine_threshold, num_hashes=num_hashes,
+                bands=bands, shingle_size=shingle_size,
+                max_bucket_size=max_bucket_size, n_cells=n_cells,
+                n_iter=n_iter, n_probe=n_probe,
+                max_cell_size=max_cell_size,
+                minhash_index=mh_idx, semantic_index=(cents, sem_idx),
+            )
+        else:
+            keep = fused_dedup(
+                batch_df, id_col, text_col, vec_col, jaccard_threshold,
+                cosine_threshold, num_hashes, bands, shingle_size,
+                max_bucket_size, n_cells, n_iter, 1, 1, max_cell_size,
+            ).filter(F.col("keep")).select(id_col)
+            fresh = batch_df.join(keep, id_col, "left_semi")
+            cents = train_centroids(
+                fresh.select(F.col(id_col), F.col(vec_col)),
+                n_cells, id_col, vec_col, n_iter, 1)
+            cents.write.mode("overwrite").parquet(cent_dir)
+        # one materialization feeds the three epoch appends
+        fresh = fresh.localCheckpoint(eager=True)
+
+        def _epoch_append(df: DataFrame, path: str) -> None:
+            (df.withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch")
+             .parquet(path))
+
+        _epoch_append(
+            build_minhash_index(fresh, text_col, id_col, num_hashes,
+                                shingle_size), sig_dir)
+        _epoch_append(
+            assign_cells(fresh.select(F.col(id_col), F.col(vec_col)),
+                         cents, vec_col, 1), idx_dir)
+        _epoch_append(fresh, corpus_dir)
+
+    return write_stream_foreach_batch(doc_stream, ingest, checkpoint_dir)
+
+
 def streaming_reservoir_ingest(
     stream: DataFrame,
     reservoir_dir: str,

@@ -390,3 +390,68 @@ def test_streaming_reservoir_ingest_matches_batch_operator(spark, tmp_path):
     for g, _ in got:
         counts[g] = counts.get(g, 0) + 1
     assert all(v <= 2 for v in counts.values())
+
+
+def test_streaming_fused_ingest_drops_on_either_signal(spark, tmp_path):
+    """Fused ingest over two epochs: an epoch-2 doc near-duplicating
+    epoch 1 LEXICALLY (text variant, novel vector) never lands, one
+    near-duplicating it SEMANTICALLY (novel text, cosine-clone vector)
+    never lands, fresh content from both epochs does, a batch-internal
+    lexical dup collapses in epoch 1, and all three probe artifacts
+    (signature index, frozen centroids, cell index) persist."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_fused_ingest,
+    )
+
+    def sent(prefix, n=30):
+        return " ".join(f"{prefix}w{i}" for i in range(n))
+
+    def variant(text, pos=15):
+        toks = text.split()
+        toks[pos] = toks[pos] + "x"
+        return " ".join(toks)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "fused_corpus")
+    ckpt = str(tmp_path / "ckpt")
+    v1 = [5.0, 1.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 5.0, 0.0]
+    e1 = [
+        (1, sent("alpha"), v1),
+        (2, sent("beta"), v2),
+        (3, variant(sent("alpha")), [0.0, 0.0, 0.0, 7.0]),  # lex dup of 1
+    ]
+    e2 = [
+        (10, variant(sent("alpha"), pos=14), [7.0, 0.0, 0.0, 1.0]),  # lex hit
+        (11, sent("gamma"), [x * 1.0005 for x in v2]),               # sem hit
+        (12, sent("delta"), [1.0, 7.0, 0.0, 3.0]),                   # fresh
+    ]
+    spark.createDataFrame(e1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f1")
+    spark.createDataFrame(e2, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f2")
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_fused_ingest(
+        stream, corpus_dir, ckpt,
+        jaccard_threshold=0.7, cosine_threshold=0.999, n_cells=2)
+    q.awaitTermination(240)
+
+    final = spark.read.parquet(corpus_dir)
+    ids = sorted(r.doc_id for r in final.select("doc_id").collect())
+    assert ids == [1, 2, 12], ids
+    assert "epoch" in final.columns
+    for suffix in ("_sigs", "_centroids", "_index"):
+        assert os.path.exists(corpus_dir + suffix), suffix
+    idx = spark.read.parquet(corpus_dir + "_index")
+    assert sorted(r.doc_id for r in idx.collect()) == [1, 2, 12]
