@@ -72,7 +72,10 @@ from pyspark_deduplication_spark.operators.partitioning import (  # noqa: F401
     write_bucketed,
 )
 from pyspark_deduplication_spark.operators.chunking import (  # noqa: F401
+    build_span_index,
     chunk_documents,
+    incremental_remove_duplicate_spans,
+    remove_duplicate_spans,
 )
 from pyspark_deduplication_spark.operators.quality import (  # noqa: F401
     bloom_decontaminate,

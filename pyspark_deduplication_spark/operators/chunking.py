@@ -169,6 +169,18 @@ def remove_duplicate_spans(
         )
         .distinct()
     )
+    return _clean_from_covered(df, staged, covered, text_col, id_col)
+
+
+def _clean_from_covered(
+    df: DataFrame, staged: DataFrame, covered: DataFrame,
+    text_col: str, id_col: str,
+) -> DataFrame:
+    """Shared reassembly tail of the span-removal family: drop the
+    covered (id, tpos) positions from the staged token stream, re-join
+    each document's survivors in order, and pass blank documents
+    through as (0, 0, '') — one spelling for the batch operator and
+    the incremental twin."""
     tokens = staged.select(
         id_col, F.posexplode(F.col("__t")).alias("tpos", "token")
     )
@@ -209,6 +221,99 @@ def remove_duplicate_spans(
         )
     )
     return cleaned.unionByName(blanks)
+
+
+def build_span_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 50,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Distinct table of ALL overlapping ``span``-token windows in the
+    corpus — the train-once artifact for
+    ``incremental_remove_duplicate_spans`` (the span-level member of
+    the persisted-index family: MinHash / SemDeDup / decontam / IVF).
+    Persist once; append-merge = union + distinct with each ingested
+    batch's windows. ``hash_grams=True`` stores ``xxhash64(gram)``
+    longs instead of gram strings (the 100 TB spelling — 8 bytes per
+    row, ~2⁻⁶⁴ collision risk); the probe side must match."""
+    staged = (
+        corpus.filter(F.trim(F.col(text_col)) != "")
+        .select(tokenize(F.col(text_col)).alias("__t"))
+    )
+    gram_expr = word_ngrams_all_of(F.col("__t"), span)
+    if hash_grams:
+        gram_expr = F.transform(gram_expr, lambda g: F.xxhash64(g))
+    return staged.select(F.explode(gram_expr).alias("gram")).distinct()
+
+
+def incremental_remove_duplicate_spans(
+    new_docs: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 50,
+    hash_grams: bool = False,
+    span_index: DataFrame | None = None,
+) -> DataFrame:
+    """ExactSubstr span removal for a NEW batch against a STANDING
+    corpus — the incremental twin of ``remove_duplicate_spans`` for
+    continuous ingest: a batch token position is covered (and removed)
+    when any ``span``-token window containing it occurs in the standing
+    corpus OR in another document of the batch itself; survivors
+    reassemble in order. The batch-internal rule keeps the batch clean
+    against itself, so appending survivors (and union-merging their
+    windows into the index) preserves the invariant for the next batch.
+
+    One documented asymmetry vs the batch operator: the standing corpus
+    is immutable here, so its copies of a shared span REMAIN (the batch
+    operator removes every occurrence corpus-wide); a periodic offline
+    ``remove_duplicate_spans`` over the full corpus restores the
+    remove-all semantics, the same cadence as index rebuilds elsewhere.
+
+    ``span_index`` short-circuits the corpus scan with the persisted
+    ``build_span_index`` table (the production shape — the corpus
+    argument is never touched and may be None). The index probe is a
+    gram-keyed semi-join (shuffle join at scale — the index is
+    corpus-sized; nothing broadcasts); ``hash_grams`` must match the
+    index build. Returns ``(id, n_tokens, n_kept, clean_text)``."""
+    if span_index is None:
+        if corpus is None:
+            raise ValueError(
+                "incremental_remove_duplicate_spans: corpus=None "
+                "requires span_index")
+        span_index = build_span_index(
+            corpus, text_col, id_col, span, hash_grams)
+    staged = (
+        new_docs.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__t"))
+    )
+    gram_expr = word_ngrams_all_of(F.col("__t"), span)
+    if hash_grams:
+        gram_expr = F.transform(gram_expr, lambda g: F.xxhash64(g))
+    grams = staged.select(
+        id_col, F.posexplode(gram_expr).alias("pos", "gram")
+    )
+    batch_dup = (
+        grams.select(id_col, "gram").distinct()
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2).select("gram")
+    )
+    hit_grams = (
+        span_index.select("gram").unionByName(batch_dup).distinct()
+    )
+    covered = (
+        grams.join(hit_grams, "gram", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(span - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    return _clean_from_covered(new_docs, staged, covered, text_col, id_col)
 
 
 def strip_boilerplate_chunks(

@@ -5923,6 +5923,87 @@ FROM toks LEFT JOIN reasm USING (doc_id)
 """
 
 
+def incremental_dup_span_removal_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ExactSubstr span removal: even-id docs are the
+    standing corpus (its 8-token windows persist as a
+    ``build_span_index`` table), odd-id docs the ingest batch; batch
+    token positions covered by any window occurring in the corpus OR
+    in another batch doc are removed and survivors reassemble in order
+    (`chunking.incremental_remove_duplicate_spans`). The corpus is
+    immutable — only the batch is cleaned. Reports md5(clean_text) so
+    the graded payload stays narrow while pinning the reassembly
+    byte-for-byte."""
+    from pyspark_deduplication_spark.operators.chunking import (
+        build_span_index,
+        incremental_remove_duplicate_spans,
+    )
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.trim(F.col("text")) != "")
+            .select("doc_id", "text"))
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = build_span_index(corpus, "text", "doc_id", span=8)
+    out = incremental_remove_duplicate_spans(
+        batch, text_col="text", id_col="doc_id", span=8, span_index=idx)
+    return out.select(
+        "doc_id", "n_tokens", "n_kept",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+_INCR_SPAN_REMOVAL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE trim(text) <> ''
+),
+btoks AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+cidx AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+                                 i -> array_to_string(t[i:i+7], ' ')))
+             AS gram
+    FROM toks WHERE doc_id % 2 = 0
+  )
+),
+bgrams AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(t) - 7, 1) + 1)) - 1 AS pos,
+         unnest(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+                               i -> array_to_string(t[i:i+7], ' '))) AS gram
+  FROM btoks
+),
+bdup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS df FROM bgrams GROUP BY gram
+  ) WHERE df >= 2
+),
+hit AS (SELECT gram FROM cidx UNION SELECT gram FROM bdup),
+covered AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id, unnest(range(pos, pos + 8)) AS tpos
+    FROM bgrams WHERE gram IN (SELECT gram FROM hit)
+  )
+),
+tokens AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) - 1 AS tpos, unnest(t) AS token
+  FROM btoks
+),
+kept AS (SELECT tokens.* FROM tokens ANTI JOIN covered USING (doc_id, tpos)),
+reasm AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(token, ' ' ORDER BY tpos)) AS clean_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT btoks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(clean_md5, md5('')) AS clean_md5
+FROM btoks LEFT JOIN reasm USING (doc_id)
+"""
+
+
 def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary training, round 0 (Sennrich et al. 2016 over
     GPT-2 pre-tokenizer units): the top-20 most frequent adjacent
@@ -7823,6 +7904,10 @@ CATALOG: dict[str, Query] = {
     "remove_dup_spans_docs": Query(remove_dup_spans_docs,
                                    _REMOVE_DUP_SPANS_ORACLE,
                                    tags=["dedup", "text", "pipeline"]),
+    # span-level incremental twin over a persisted window index (r7)
+    "incremental_dup_span_removal_docs": Query(
+        incremental_dup_span_removal_docs, _INCR_SPAN_REMOVAL_ORACLE,
+        tags=["dedup", "text", "incremental", "pipeline"]),
     "bpe_first_merge_pairs": Query(bpe_first_merge_pairs,
                                    _BPE_FIRST_MERGE_ORACLE,
                                    tags=["text", "tokenizer", "agg"]),

@@ -329,3 +329,51 @@ def test_compression_ratio_orders_text_regimes(spark):
     # (base62 noise deflates to ~0.78, heavy repetition to ~0.04)
     assert got[1] < 0.45 and got[3] > 0.75, got
     assert got[4] == 1.0 and got[5] == 1.0
+
+
+def test_incremental_span_removal_ground_truth(spark):
+    """Incremental ExactSubstr: a batch span occurring in the standing
+    corpus is removed from the batch (corpus untouched by contract), a
+    span shared by two batch docs is removed from both, novel text
+    survives verbatim, and the persisted-index / hashed-gram paths
+    equal the inline raw-gram path."""
+    from pyspark_deduplication_spark.operators.chunking import (
+        build_span_index,
+        incremental_remove_duplicate_spans,
+    )
+
+    S = " ".join(f"s{i}" for i in range(8))       # corpus span
+    T = " ".join(f"t{i}" for i in range(8))       # batch-shared span
+    corpus = spark.createDataFrame(
+        [(0, f"{S} c0 c1 c2 c3 c4 c5 c6 c7")],
+        "doc_id long, text string")
+    novel1 = " ".join(f"a{i}" for i in range(8))
+    novel2 = " ".join(f"b{i}" for i in range(8))
+    novel3 = " ".join(f"d{i}" for i in range(8))
+    novel4 = " ".join(f"e{i}" for i in range(8))
+    batch = spark.createDataFrame(
+        [(101, f"{novel1} {S}"),          # corpus hit: S removed
+         (102, f"{T} {novel2}"),          # batch-shared: T removed
+         (103, f"{T} {novel3}"),
+         (104, novel4)],                  # novel: untouched
+        "doc_id long, text string")
+
+    out = {r.doc_id: r for r in incremental_remove_duplicate_spans(
+        batch, corpus, span=8).collect()}
+    assert out[101].clean_text == novel1 and out[101].n_kept == 8
+    assert out[102].clean_text == novel2
+    assert out[103].clean_text == novel3
+    assert out[104].clean_text == novel4 and out[104].n_kept == 8
+
+    idx = build_span_index(corpus, span=8)
+    via_idx = {r.doc_id: r for r in incremental_remove_duplicate_spans(
+        batch, span=8, span_index=idx).collect()}
+    hashed = {r.doc_id: r for r in incremental_remove_duplicate_spans(
+        batch, corpus, span=8, hash_grams=True).collect()}
+    for d in (101, 102, 103, 104):
+        assert via_idx[d].clean_text == out[d].clean_text
+        assert hashed[d].clean_text == out[d].clean_text
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="requires span_index"):
+        incremental_remove_duplicate_spans(batch, span=8)
