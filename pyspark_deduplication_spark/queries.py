@@ -1208,6 +1208,68 @@ def jaccard_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the MinHash-LSH band ladder against the EXACT
+    n-gram-Jaccard pair set — the text twin of ``ann_recall_report``
+    ("measure, don't guess" for the lexical index): one shared
+    signature table (64 hashes — the persisted ``build_minhash_index``
+    artifact in production), banded at b ∈ {4, 8, 16}, candidate pairs
+    scored against the exact ``jaccard_near_dup_docs`` ground truth
+    (J ≥ 0.7, inverted-index join — deterministic and complete). The
+    operational dial: the report shows what recall each banding budget
+    buys (and what candidate volume it costs) before anyone commits a
+    cluster-wide config. Rows-only by design (banding is not
+    SQL-expressible); ladder monotonicity and planted-pair recall are
+    pinned in ``test_dedup.py``.
+
+    Scale shape: signatures compute once and persist; each rung
+    shuffles only (id, band, bucket) keys; the recall join moves bare
+    id pairs."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        _band_keys,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = (jaccard_near_dup_docs(spark, sf_dir)
+             .select("id_a", "id_b").localCheckpoint())
+    sigs = minhash_signatures(docs, "text", "doc_id", 64, 3).persist()
+    sigs.count()
+    rungs = []
+    for bands in (4, 8, 16):
+        keyed = _band_keys(sigs, "doc_id", 64, bands)
+        cand = (
+            keyed.alias("a").join(
+                keyed.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .localCheckpoint()
+        )
+        scored = truth.join(
+            cand.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left")
+        rungs.append(
+            scored.agg(
+                F.count(F.lit(1)).cast("long").alias("n_truth"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("long").alias("n_hit"))
+            .crossJoin(cand.agg(F.count(F.lit(1)).cast("long")
+                                .alias("n_candidates")))
+            .select(F.lit(bands).cast("long").alias("bands"),
+                    "n_candidates", "n_truth", "n_hit",
+                    F.round(F.col("n_hit").cast("double")
+                            / F.col("n_truth").cast("double"), 6)
+                    .alias("recall"))
+        )
+    out = rungs[0].unionByName(rungs[1]).unionByName(rungs[2])
+    sigs.unpersist()
+    return out.orderBy("bands")
+
+
 def fused_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused lexical + semantic dedup — the production composition a
     training pipeline actually runs (near-verbatim copies AND
@@ -7694,6 +7756,9 @@ CATALOG: dict[str, Query] = {
                                       tags=["dedup", "text", "stats"]),
     "minhash_candidates_docs": Query(minhash_candidates_docs, None,
                                      bench=True, tags=["dedup", "lsh"]),
+    # measured band-ladder recall vs exact Jaccard ground truth (r7)
+    "lsh_recall_report": Query(lsh_recall_report, None,
+                               tags=["dedup", "lsh", "stats", "scale"]),
     "incremental_minhash_docs": Query(incremental_minhash_docs, None,
                                       bench=True,
                                       tags=["dedup", "lsh", "incremental"]),

@@ -383,3 +383,32 @@ def test_incremental_minhash_with_persisted_signature_index(spark):
         batch, corpus.limit(0), threshold=0.6, max_bucket_size=40,
         corpus_sigs=idx).collect())
     assert inline == prebuilt == [901], (inline, prebuilt)
+
+
+def test_lsh_recall_ladder_monotone_and_complete_on_planted(spark, tmp_path):
+    """The band-ladder recall report: recall is nondecreasing in the
+    band count, candidate volume nondecreasing too, and 16 bands
+    recover every planted near-identical pair (J ≈ 0.9+, where the
+    16-band collision probability is ~1)."""
+    import pyspark.sql.functions as F
+
+    from pyspark_deduplication_spark.queries import lsh_recall_report
+
+    rows = []
+    for g in range(12):
+        base = " ".join(f"g{g}w{i}" for i in range(30))
+        toks = base.split()
+        toks[15] = toks[15] + "x"
+        rows.append((2 * g, base))
+        rows.append((2 * g + 1, " ".join(toks)))   # J ≈ 0.8 partner
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    out = {r.bands: r for r in lsh_recall_report(spark, sf).collect()}
+    assert list(sorted(out)) == [4, 8, 16]
+    assert out[16].n_truth == 12
+    assert out[4].recall <= out[8].recall <= out[16].recall
+    assert out[4].n_candidates <= out[8].n_candidates \
+        <= out[16].n_candidates
+    assert out[16].recall == 1.0
