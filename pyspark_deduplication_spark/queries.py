@@ -8098,6 +8098,7 @@ _GRADED_ORDER = [
     "chunk_retrieval_eval",            # relational RAG path (r7, late)
     "doc_trigram_perplexity",          # JM trigram ppl leg (r7, late)
     "reservoir_sample_docs",           # mergeable bottom-k sample (r7, late)
+    "incremental_dup_span_removal_docs",  # span-index probe (r7, late)
     # (fused_dedup_docs stays outside the window: its recursive-CTE
     # oracle costs ~45s in the gate — parity + pytest cover it; it
     # queues for a future rotation)
@@ -8141,15 +8142,15 @@ _GRADED_ORDER = [
     "q10_returned_items",
     "q11_important_part_values",
     "q12_priority_by_quantity_band",
-    "q15_top_supplier_per_year",
     "q2_min_cost_supplier",
     "stateful_user_profiles",
     "streaming_dedup_events",
     # (q4_order_priority_exists / q7_nation_trade_volume /
     # q9_nation_year_revenue / range_join_value_bands yield their
     # slots to the four late-r7 additions above, and
-    # q16_supplier_part_counts / q20_heavy_shippers to the trigram-ppl
-    # and reservoir entries — the TPC-H family keeps ten other
+    # q16_supplier_part_counts / q20_heavy_shippers /
+    # q15_top_supplier_per_year to the trigram-ppl, reservoir and
+    # span-index entries — the TPC-H family keeps nine other
     # representatives in-window; displaced entries rejoin the stale
     # queue for r8)
 ]
