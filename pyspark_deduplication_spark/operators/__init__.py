@@ -39,9 +39,11 @@ from pyspark_deduplication_spark.operators.knn import (  # noqa: F401
     lsh_near_dup_pairs,
     pq_encode,
     pq_knn,
+    project_pca,
     semantic_decontaminate,
     semantic_dedup,
     train_centroids,
+    train_pca,
     train_pq_codebook,
 )
 from pyspark_deduplication_spark.operators.linkage import (  # noqa: F401

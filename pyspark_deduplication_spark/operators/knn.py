@@ -1353,3 +1353,106 @@ def ivfpq_knn(
         exact.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
     )
+
+
+def train_pca(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 8,
+):
+    """One-pass distributed PCA — the OPQ-style preprocessing step a
+    vector pipeline runs before coarse quantization (rotate/reduce so
+    IVF cells and PQ subspaces see decorrelated coordinates), and the
+    standard embedding-drift / intrinsic-dimension diagnostic.
+
+    Model-state shape (the ``train_bpe_merges`` / Gram-trainer
+    pattern): the corpus is touched EXACTLY ONCE — an Arrow
+    ``mapInPandas`` kernel reduces each partition to (n, Σx, XᵀX), a
+    d + d² float payload independent of partition row count — and the
+    driver sums the ≤ n_partitions stat rows, forms the covariance,
+    and eigendecomposes a d×d matrix (d-bounded model state; LAPACK
+    ``eigh``). Nothing corpus-sized ever shuffles; d ≲ a few thousand
+    is the documented regime (d² floats per partition).
+
+    Returns ``(mean, components, explained_ratio)``: ``mean`` is the
+    length-d column mean; ``components`` the top ``n_components`` unit
+    eigenvectors (rows, eigenvalue-descending, sign-normalized so each
+    row's largest-|entry| coordinate is positive — eigenvector sign is
+    otherwise arbitrary); ``explained_ratio`` their eigenvalue shares
+    of total variance. Floating-point partial sums make the last
+    digits partition-order-sensitive — agreement to ~1e-9, pinned at
+    1e-6 in tests; rows-only in the catalog by design.
+
+    Feed ``components`` to ``project_pca`` for the zero-shuffle
+    projection."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, sx, g = 0, None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n += X.shape[0]
+            sx = X.sum(axis=0) if sx is None else sx + X.sum(axis=0)
+            gg = X.T @ X
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "sx": [sx.tolist()], "g": [g.ravel().tolist()]})
+
+    parts = (
+        vectors.select(F.col(vec_col))
+        .mapInPandas(stats, "n long, sx array<double>, g array<double>")
+        .collect()
+    )
+    if not parts:
+        raise ValueError("train_pca: empty input")
+    n = sum(r["n"] for r in parts)
+    sx = np.sum([np.asarray(r["sx"]) for r in parts], axis=0)
+    d = sx.shape[0]
+    g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts], axis=0)
+    mean = sx / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = []
+    ratios = []
+    total = float(np.clip(evals.sum(), 1e-300, None))
+    for idx in order:
+        v = evecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:    # sign convention
+            v = -v
+        comps.append([float(x) for x in v])
+        ratios.append(float(max(evals[idx], 0.0) / total))
+    return [float(x) for x in mean], comps, ratios
+
+
+def project_pca(
+    df: DataFrame,
+    model,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto a trained PCA basis — out[i] =
+    Σ_j (x_j − mean_j)·W_ij, built as a per-row LITERAL expression
+    over the broadcast-free model constants (the ``_nearest_cell_expr``
+    discipline: model state enters the plan as literals, the corpus
+    never shuffles, whole-stage codegen keeps it JVM-side). Appends
+    ``out_col`` as array<double> of length n_components."""
+    mean, comps, _ = model
+    outs = []
+    for row in comps:
+        term = None
+        for j, (m, w) in enumerate(zip(mean, row)):
+            if w == 0.0:
+                continue
+            t = (F.element_at(F.col(vec_col), j + 1).cast("double")
+                 - F.lit(float(m))) * F.lit(float(w))
+            term = t if term is None else term + t
+        outs.append(term if term is not None else F.lit(0.0))
+    return df.withColumn(out_col, F.array(*outs))

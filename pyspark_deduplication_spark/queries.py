@@ -1270,6 +1270,28 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("bands")
 
 
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-PCA spectrum report over the embeddings table
+    (`knn.train_pca` — one corpus pass reducing each partition to
+    (n, Σx, XᵀX); d-bounded driver eigendecomposition as model state):
+    per-component explained-variance ratio and cumulative share for
+    the top 8 components — the intrinsic-dimension diagnostic run
+    before choosing IVF/PQ geometry. Rows-only by design (LAPACK
+    eigenvectors are not SQL-expressible); numpy ground truth and
+    projection equivalence pinned in ``test_knn.py``."""
+    from pyspark_deduplication_spark.operators.knn import train_pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, _, ratios = train_pca(emb, "embedding", n_components=8)
+    rows = []
+    cum = 0.0
+    for i, r in enumerate(ratios):
+        cum += r
+        rows.append((i, round(r, 6), round(cum, 6)))
+    return spark.createDataFrame(
+        rows, "component long, explained_ratio double, cum_ratio double")
+
+
 def fused_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused lexical + semantic dedup — the production composition a
     training pipeline actually runs (near-verbatim copies AND
@@ -7794,6 +7816,9 @@ CATALOG: dict[str, Query] = {
                                      tags=["vector", "dedup"]),
     "embedding_norm_stats": Query(embedding_norm_stats, _EMB_NORM_ORACLE,
                                   tags=["vector", "stats"]),
+    # one-pass distributed PCA spectrum (r7)
+    "embedding_pca_variance": Query(embedding_pca_variance, None,
+                                    tags=["vector", "stats", "scale"]),
     "levenshtein_links_customers": Query(levenshtein_links_customers,
                                          _LEV_CUST_ORACLE, tags=["linkage"]),
     "cross_table_entity_match": Query(cross_table_entity_match,

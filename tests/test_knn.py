@@ -859,3 +859,53 @@ def test_ann_recall_report_ladder(spark, sf_dir):
             for r in ivf_knn(emb, qset, k=5, n_cells=8, n_probe=8,
                              query_id="query_id").collect()}
     assert full == ground                  # n_probe == n_cells => exact
+
+
+def test_train_pca_matches_numpy_and_projects(spark):
+    """PCA ground truth: on planted anisotropic data the distributed
+    one-pass trainer reproduces numpy's eigendecomposition (components
+    to 1e-6 under the shared sign convention), the top component
+    captures the planted dominant direction, the literal projection
+    equals the numpy projection, and repartitioning only perturbs
+    floating-point tails."""
+    from pyspark_deduplication_spark.operators.knn import (
+        project_pca,
+        train_pca,
+    )
+
+    rng = np.random.RandomState(11)
+    d, n = 8, 400
+    # variance concentrated on a planted direction
+    u = np.ones(d) / np.sqrt(d)
+    X = (rng.standard_normal((n, 1)) * 10.0) @ u[None, :] \
+        + rng.standard_normal((n, d)) * 0.5
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    # float32 storage: train on what Spark actually holds
+    X32 = X.astype(np.float32).astype(np.float64)
+
+    mean, comps, ratios = train_pca(df, n_components=3)
+    assert np.allclose(mean, X32.mean(axis=0), atol=1e-6)
+    cov = np.cov(X32.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    for k, idx in enumerate(order):
+        v = evecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        assert np.allclose(comps[k], v, atol=1e-6), k
+        assert abs(ratios[k] - evals[idx] / evals.sum()) < 1e-6
+    # planted direction dominates
+    assert ratios[0] > 0.9
+    assert abs(float(np.dot(comps[0], u))) > 0.999
+
+    proj = {r.vec_id: list(r.pca) for r in
+            project_pca(df, (mean, comps, ratios)).collect()}
+    expect = (X32 - np.asarray(mean)) @ np.asarray(comps).T
+    for i in range(0, n, 57):
+        assert np.allclose(proj[i], expect[i], atol=1e-6), i
+
+    mean2, comps2, _ = train_pca(df.repartition(13), n_components=3)
+    assert np.allclose(mean, mean2, atol=1e-9)
+    assert np.allclose(comps, comps2, atol=1e-6)
