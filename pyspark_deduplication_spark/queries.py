@@ -6636,6 +6636,90 @@ GROUP BY bt.doc_id
 """
 
 
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the trained quality model — the
+    calibration table a curation pipeline reads before fixing a keep
+    threshold: for each candidate cutoff, how many docs survive, what
+    fraction of the corpus that is, and how precise the kept set is
+    against the training labels. Composes on
+    ``doc_trained_quality_score``'s bit-exact scores (integer
+    sufficient statistics, 2⁻²⁰-grid weights), so every count is
+    integer-exact cross-engine; the threshold grid rides a broadcast
+    5-row literal frame. Guarded precision: NULL when nothing is kept
+    (no 0/0 NaN divergence)."""
+    scored = doc_trained_quality_score(spark, sf_dir)
+    labels = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.length("text") >= 300).cast("int").alias("label"))
+    j = scored.join(labels, "doc_id")
+    grid = spark.createDataFrame(
+        [(6.0,), (10.0,), (12.0,), (14.0,), (18.0,)], "threshold double")
+    kept = (F.col("score") > F.col("threshold")).cast("long")
+    agg = (
+        j.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum(kept).alias("n_kept"),
+             F.sum(kept * F.col("label")).alias("n_pos_kept"))
+    )
+    return agg.select(
+        "threshold", "n_docs", "n_kept", "n_pos_kept",
+        F.round(F.col("n_kept").cast("double")
+                / F.col("n_docs").cast("double"), 6).alias("keep_rate"),
+        F.when(F.col("n_kept") > 0,
+               F.round(F.col("n_pos_kept").cast("double")
+                       / F.col("n_kept").cast("double"), 6))
+        .alias("precision"),
+    )
+
+
+_QUALITY_SWEEP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+bt AS (
+  SELECT doc_id, substr(md5(term || 'q5'), 1, 2) AS b FROM clean
+),
+y AS (
+  SELECT doc_id, CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+x AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x
+  FROM bt GROUP BY doc_id, b
+),
+w AS (
+  SELECT b,
+         floor(1048576.0 * CAST(sum(x.x * y.y) AS DOUBLE)
+               / (CAST(sum(x.x * x.x) AS DOUBLE) + 1.0)) / 1048576.0 AS wt
+  FROM x JOIN y USING (doc_id) GROUP BY b
+),
+scored AS (
+  SELECT bt.doc_id, sum(w.wt) AS score
+  FROM bt JOIN w ON bt.b = w.b
+  GROUP BY bt.doc_id
+),
+grid AS (SELECT unnest([6.0, 10.0, 12.0, 14.0, 18.0]) AS threshold),
+agg AS (
+  SELECT threshold,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN score > threshold THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(sum(CASE WHEN score > threshold THEN y.y ELSE 0 END) AS BIGINT)
+           AS n_pos_kept
+  FROM scored JOIN y USING (doc_id) CROSS JOIN grid
+  GROUP BY threshold
+)
+SELECT CAST(threshold AS DOUBLE) AS threshold, n_docs, n_kept, n_pos_kept,
+       round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS keep_rate,
+       CASE WHEN n_kept > 0
+            THEN round(CAST(n_pos_kept AS DOUBLE) / CAST(n_kept AS DOUBLE), 6)
+       END AS precision
+FROM agg
+"""
+
+
 def doc_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality triage (``functions.text.
     compression_ratio``): zlib-deflate ratio per doc, banded into the
@@ -8074,6 +8158,11 @@ CATALOG: dict[str, Query] = {
                                        _TRAINED_QUALITY_ORACLE,
                                        tags=["text", "quality", "scoring",
                                              "train"]),
+    # operating-point calibration table for the trained model (r7)
+    "quality_threshold_sweep": Query(quality_threshold_sweep,
+                                     _QUALITY_SWEEP_ORACLE,
+                                     tags=["text", "quality", "scoring",
+                                           "stats"]),
     # end-to-end curation: train → score-filter → dedup → cap → split,
     # every stage in one oracle (r6)
     "curation_pipeline_docs": Query(curation_pipeline_docs,

@@ -189,3 +189,33 @@ def test_leakage_safe_split_never_straddles(texts, dup_mask):
         by_text[rows[r.doc_id][1]].add(r.split)
         assert r.group_key == mins[rows[r.doc_id][1]]
     assert all(len(s) == 1 for s in by_text.values())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),
+                  st.integers(min_value=0, max_value=400)),
+        min_size=1, max_size=60, unique_by=lambda t: t[1],
+    ),
+    k=st.integers(min_value=1, max_value=6),
+    cut=st.integers(min_value=0, max_value=400),
+)
+def test_reservoir_merge_property_any_split(rows, k, cut):
+    """bottomk(A ∪ B) == bottomk(bottomk(A) ∪ B) for ANY corpus, group
+    layout, k and split point — the invariant the streaming reservoir
+    ingest's statelessness rests on."""
+    from pyspark_deduplication_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    df = _SPARK.createDataFrame(rows, "grp int, id long")
+    a, b = df.filter(f"id < {cut}"), df.filter(f"id >= {cut}")
+    full = sorted((r.grp, r.id)
+                  for r in reservoir_per_group(df, "grp", "id", k).collect())
+    merged = sorted(
+        (r.grp, r.id)
+        for r in reservoir_per_group(
+            reservoir_per_group(a, "grp", "id", k).unionByName(b),
+            "grp", "id", k).collect())
+    assert full == merged
