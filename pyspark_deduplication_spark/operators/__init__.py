@@ -79,6 +79,11 @@ from pyspark_deduplication_spark.operators.chunking import (  # noqa: F401
     incremental_remove_duplicate_spans,
     remove_duplicate_spans,
 )
+from pyspark_deduplication_spark.operators.unigram import (  # noqa: F401
+    substring_candidates,
+    train_unigram,
+    unigram_encode,
+)
 from pyspark_deduplication_spark.operators.quality import (  # noqa: F401
     bloom_decontaminate,
     build_decontamination_index,

@@ -1,0 +1,213 @@
+"""Distributed unigram-LM tokenizer training (Kudo 2018, "Subword
+Regularization" — the SentencePiece `--model_type=unigram` algorithm),
+completing the tokenizer family next to ``operators/bpe.py``.
+
+Same 100 TB shape as BPE training: the corpus is touched EXACTLY ONCE
+(pretoken explode → (word, wc) hash aggregate); every EM round runs on
+the vocabulary-sized word table. The piece inventory is MODEL STATE —
+bounded by the seed size, like BPE's merge list or k-means' centroids —
+so it collects to the driver between rounds and enters the next round's
+Arrow kernel as a closure constant. The per-round E-step is one
+map-only segmentation pass over distinct words plus one (piece → Σ wc)
+hash aggregate; nothing corpus-sized ever re-shuffles.
+
+Documented deviations from the SentencePiece trainer (simplifications,
+each pinned by the pure-Python reference test in ``test_unigram.py``):
+
+- **Hard EM** (Viterbi counts) instead of full forward-backward
+  expectations — the common "viterbi EM" variant; piece probabilities
+  converge to the same dominant segmentations on separable corpora.
+- **Probability-ranked pruning** instead of loss-delta pruning: after
+  each EM phase the lowest-probability multi-char pieces drop (single
+  characters are never pruned, so every word stays segmentable — the
+  same invariant SentencePiece maintains).
+- Seeding uses frequency-weighted substring counts (all substrings up
+  to ``max_piece_len``) rather than the Enhanced Suffix Array; both
+  yield "frequent substrings" — ESA is an implementation optimization,
+  not a semantic difference, at bounded piece length.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_deduplication_spark.operators.bpe import bpe_word_counts
+
+_CHAR_FLOOR_LP = -30.0  # log-prob floor for unseen single chars at encode
+
+
+def substring_candidates(
+    words: DataFrame, max_piece_len: int = 4
+) -> DataFrame:
+    """(piece, score) over a (word, wc) table: every substring of every
+    word up to ``max_piece_len``, scored by the frequency-weighted
+    POSITIONAL occurrence count Σ wc (a word 'aaa' contributes 'a'
+    three times) — map-only nested-HOF explode + one hash aggregate."""
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.transform(
+            F.sequence(
+                F.lit(1),
+                F.least(F.lit(max_piece_len), F.length("word") - i + 1)),
+            lambda ln: F.col("word").substr(i, ln),
+        ),
+    ))
+    return (
+        words.select(F.col("wc"), F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("score"))
+    )
+
+
+def _viterbi(word: str, logp: dict, max_len: int) -> list[str]:
+    """Best segmentation of ``word`` under piece log-probs — earliest
+    split wins ties (strict improvement only), so the result is
+    deterministic. Unknown single chars take the floor log-prob (cannot
+    occur when the vocab was seeded from the same corpus; needed for
+    encoding unseen text)."""
+    n = len(word)
+    neg = float("-inf")
+    dp = [0.0] + [neg] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            p = logp.get(word[j:i])
+            if p is None and i - j == 1:
+                p = _CHAR_FLOOR_LP
+            if p is not None and dp[j] + p > dp[i]:
+                dp[i] = dp[j] + p
+                back[i] = j
+    out: list[str] = []
+    i = n
+    while i > 0:
+        out.append(word[back[i]:i])
+        i = back[i]
+    return out[::-1]
+
+
+def _segmenter_udf(logp: dict, max_len: int):
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def seg(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: _viterbi(w, logp, max_len))
+
+    return seg
+
+
+def _viterbi_counts(
+    words: DataFrame, logp: dict, max_len: int
+) -> dict[str, int]:
+    """E-step: segment every DISTINCT word under the current model and
+    aggregate wc-weighted piece counts — one Arrow pass over the word
+    table + one (piece → Σ wc) shuffle; the returned dict is
+    vocab-bounded model state."""
+    seg = _segmenter_udf(logp, max_len)
+    rows = (
+        words.select(F.col("wc"), F.explode(seg(F.col("word"))).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("n"))
+        .collect()
+    )
+    return {r["piece"]: int(r["n"]) for r in rows}
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 120,
+    max_piece_len: int = 4,
+    seed_multi: int = 400,
+    n_iters: int = 2,
+    prune_frac: float = 0.25,
+) -> DataFrame:
+    """Learn a unigram-LM piece vocabulary over a text corpus. Returns
+    (piece, logprob, is_char) — the trained model table
+    ``unigram_encode`` consumes (persist it as the production
+    artifact). Characters are never pruned; multi-char
+    pieces shrink by ``prune_frac`` per round (lowest probability
+    first, ties by piece) with an EM re-fit after each prune, until at
+    most ``vocab_size`` pieces remain."""
+    spark = df.sparkSession
+    words = bpe_word_counts(df, text_col).localCheckpoint()
+    seeds = substring_candidates(words, max_piece_len)
+    chars = [
+        (r["piece"], int(r["score"]))
+        for r in seeds.filter(F.length("piece") == 1).collect()
+    ]
+    multi = [
+        (r["piece"], int(r["score"]))
+        for r in (
+            seeds.filter(F.length("piece") >= 2)
+            .orderBy(F.col("score").desc(), F.col("piece").asc())
+            .limit(seed_multi)
+            .collect()
+        )
+    ]
+    counts = dict(chars)
+    counts.update(dict(multi))
+    char_set = {p for p, _ in chars}
+
+    def normalize(cnt: dict) -> dict:
+        # chars keep a count floor of 1 so every word stays segmentable
+        full = {p: max(n, 1) if p in char_set else n
+                for p, n in cnt.items() if n > 0 or p in char_set}
+        total = float(sum(full.values()))
+        return {p: math.log(n / total) for p, n in full.items()}
+
+    logp = normalize(counts)
+    for _ in range(n_iters):
+        logp = normalize(_viterbi_counts(words, logp, max_piece_len))
+    while len(logp) > vocab_size:
+        multi_now = sorted(
+            ((lp, p) for p, lp in logp.items() if p not in char_set))
+        n_drop = min(
+            max(1, int(len(multi_now) * prune_frac)),
+            len(logp) - vocab_size,
+            len(multi_now),
+        )
+        if n_drop <= 0:
+            break
+        dropped = {p for _, p in multi_now[:n_drop]}
+        logp = {p: lp for p, lp in logp.items() if p not in dropped}
+        logp = normalize(_viterbi_counts(words, logp, max_piece_len))
+    rows = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [(p, float(lp), p in char_set) for p, lp in rows],
+        "piece string, logprob double, is_char boolean",
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode a corpus with a trained unigram model and report per-doc
+    token budgets (id, n_pretokens, n_unigram_tokens) — the
+    ``apply_bpe_merges`` dictionary trick verbatim: the Viterbi kernel
+    touches only the DISTINCT word table; per-word piece counts join
+    back onto per-(doc, word) counts. The model (vocab-bounded) is
+    collected once into the kernel closure."""
+    from pyspark_deduplication_spark.functions.text import pretokenize
+
+    model = {r["piece"]: float(r["logprob"]) for r in pieces.collect()}
+    max_len = max((len(p) for p in model), default=1)
+    seg = _segmenter_udf(model, max_len)
+    pretoks = df.select(
+        F.col(id_col), F.explode(pretokenize(F.col(text_col))).alias("word"))
+    per_doc_word = pretoks.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("__n"))
+    vocab = per_doc_word.select("word").distinct().withColumn(
+        "__len", F.size(seg(F.col("word"))))
+    return (
+        per_doc_word.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(F.sum("__n").cast("long").alias("n_pretokens"),
+             F.sum(F.col("__n") * F.col("__len")).cast("long")
+             .alias("n_unigram_tokens"))
+    )

@@ -6135,6 +6135,79 @@ ORDER BY pair_count DESC, sym_left ASC, sym_right ASC LIMIT 20
 """
 
 
+def unigram_seed_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training, round 0 (Kudo 2018 / SentencePiece
+    seeding): the top-20 multi-char substring candidates over the
+    corpus's pretoken word table, scored by frequency-weighted
+    positional occurrence count — the exact inventory
+    ``train_unigram`` seeds its EM from (the ``bpe_first_merge_pairs``
+    pattern: the relational round is oracle-verified, the iterative
+    loop is the rows-only twin ``unigram_tokenize_docs`` with a
+    pure-Python reference pytest). Total (score desc, piece) order
+    makes the LIMIT deterministic."""
+    from pyspark_deduplication_spark.operators.bpe import bpe_word_counts
+    from pyspark_deduplication_spark.operators.unigram import (
+        substring_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = bpe_word_counts(docs, "text")
+    return (
+        substring_candidates(words, max_piece_len=4)
+        .filter(F.length("piece") >= 2)
+        .select("piece", F.col("score").cast("long").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("piece").asc())
+        .limit(20)
+    )
+
+
+_UNIGRAM_SEED_ORACLE = r"""
+WITH words AS (
+  SELECT word, count(*) AS wc FROM (
+    SELECT unnest(regexp_extract_all(text,
+        '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+'))
+      AS word
+    FROM documents
+  ) GROUP BY word
+),
+subs AS (
+  SELECT wc,
+         unnest(flatten(list_transform(range(1, length(word) + 1),
+             i -> list_transform(
+                    range(1, least(4, length(word) - i + 1) + 1),
+                    L -> substr(word, i, L))))) AS piece
+  FROM words
+)
+SELECT piece, CAST(sum(wc) AS BIGINT) AS score
+FROM subs WHERE length(piece) >= 2
+GROUP BY piece
+ORDER BY score DESC, piece ASC LIMIT 20
+"""
+
+
+def unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgets under the corpus's own trained unigram-LM
+    vocabulary: hard-EM train (`operators/unigram.py` — corpus touched
+    once, EM rounds on the word table, vocab as model state), Viterbi
+    encode via the dictionary trick, per-doc pretoken / unigram-token
+    counts for a bounded id slice. Rows-only (iterative EM + LAPACK-free
+    but non-SQL Viterbi); the trainer matches a pure-Python reference
+    and the seeding round is oracle-verified by
+    ``unigram_seed_pieces``."""
+    from pyspark_deduplication_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pieces = train_unigram(docs, "text", vocab_size=120, max_piece_len=4,
+                           seed_multi=400, n_iters=2)
+    return (
+        unigram_encode(docs, pieces)
+        .filter(F.col("doc_id") < 60)
+    )
+
+
 def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first 12 learned BPE merges over the documents corpus —
     the iterative loop (rows-only: per-round argmax + fold-merge is
@@ -8085,6 +8158,13 @@ CATALOG: dict[str, Query] = {
     "bpe_first_merge_pairs": Query(bpe_first_merge_pairs,
                                    _BPE_FIRST_MERGE_ORACLE,
                                    tags=["text", "tokenizer", "agg"]),
+    # unigram-LM tokenizer family (r7): oracle-verified seeding round +
+    # rows-only EM train/encode twin
+    "unigram_seed_pieces": Query(unigram_seed_pieces,
+                                 _UNIGRAM_SEED_ORACLE,
+                                 tags=["text", "tokenizer", "agg"]),
+    "unigram_tokenize_docs": Query(unigram_tokenize_docs, None,
+                                   tags=["text", "tokenizer", "train"]),
     # iterative BPE loop (rows-only — per-round argmax; ground truth
     # pinned against a pure-Python trainer in test_bpe.py)
     "bpe_merges_docs": Query(bpe_merges_docs, None,
@@ -8213,6 +8293,8 @@ _GRADED_ORDER = [
     "doc_trigram_perplexity",          # JM trigram ppl leg (r7, late)
     "reservoir_sample_docs",           # mergeable bottom-k sample (r7, late)
     "incremental_dup_span_removal_docs",  # span-index probe (r7, late)
+    "quality_threshold_sweep",         # model calibration table (r7, late)
+    "unigram_seed_pieces",             # unigram tokenizer seeding (r7, late)
     # (fused_dedup_docs stays outside the window: its recursive-CTE
     # oracle costs ~45s in the gate — parity + pytest cover it; it
     # queues for a future rotation)
@@ -8252,21 +8334,21 @@ _GRADED_ORDER = [
     "golden_customer_records",
     "grouping_sets_order_revenue",
     "nation_revenue_share",
-    "overlap_near_dup_docs",
     "q10_returned_items",
     "q11_important_part_values",
     "q12_priority_by_quantity_band",
-    "q2_min_cost_supplier",
     "stateful_user_profiles",
     "streaming_dedup_events",
     # (q4_order_priority_exists / q7_nation_trade_volume /
     # q9_nation_year_revenue / range_join_value_bands yield their
-    # slots to the four late-r7 additions above, and
+    # slots to the four late-r7 additions above;
     # q16_supplier_part_counts / q20_heavy_shippers /
-    # q15_top_supplier_per_year to the trigram-ppl, reservoir and
-    # span-index entries — the TPC-H family keeps nine other
-    # representatives in-window; displaced entries rejoin the stale
-    # queue for r8)
+    # q15_top_supplier_per_year / q2_min_cost_supplier to the
+    # trigram-ppl, reservoir, span-index and threshold-sweep entries —
+    # TPC-H keeps eight other in-window representatives — and
+    # overlap_near_dup_docs to the unigram seeding round (the exact
+    # doc-pair family keeps jaccard_near_dup_docs via its r7-graded
+    # row); displaced entries rejoin the stale queue for r8)
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

@@ -1,0 +1,172 @@
+"""Unigram-LM tokenizer: distributed trainer vs a pure-Python reference
+(the ``test_bpe.py`` pattern), segmentation invariants, planted-unit
+recovery, and the encode dictionary trick."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+_PRETOK = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+|"
+    r" ?[^a-zA-Z0-9\s']+|\s+")
+
+_FLOOR = -30.0
+
+
+def _ref_viterbi(word, logp, max_len):
+    n = len(word)
+    dp = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            p = logp.get(word[j:i])
+            if p is None and i - j == 1:
+                p = _FLOOR
+            if p is not None and dp[j] + p > dp[i]:
+                dp[i], back[i] = dp[j] + p, j
+    out, i = [], n
+    while i > 0:
+        out.append(word[back[i]:i])
+        i = back[i]
+    return out[::-1]
+
+
+def _ref_train(texts, vocab_size, max_piece_len, seed_multi, n_iters,
+               prune_frac):
+    """Pure-Python mirror of operators/unigram.py::train_unigram."""
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in _PRETOK.findall(t):
+            wc[w] = wc.get(w, 0) + 1
+    scores: dict[str, int] = {}
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for ln in range(1, min(max_piece_len, len(w) - i) + 1):
+                p = w[i:i + ln]
+                scores[p] = scores.get(p, 0) + c
+    chars = {p: s for p, s in scores.items() if len(p) == 1}
+    multi = sorted(((p, s) for p, s in scores.items() if len(p) >= 2),
+                   key=lambda kv: (-kv[1], kv[0]))[:seed_multi]
+    counts = dict(chars)
+    counts.update(dict(multi))
+    char_set = set(chars)
+
+    def normalize(cnt):
+        full = {p: max(n, 1) if p in char_set else n
+                for p, n in cnt.items() if n > 0 or p in char_set}
+        total = float(sum(full.values()))
+        return {p: math.log(n / total) for p, n in full.items()}
+
+    def estep(logp):
+        cnt: dict[str, int] = {}
+        for w, c in wc.items():
+            for p in _ref_viterbi(w, logp, max_piece_len):
+                cnt[p] = cnt.get(p, 0) + c
+        return cnt
+
+    logp = normalize(counts)
+    for _ in range(n_iters):
+        logp = normalize(estep(logp))
+    while len(logp) > vocab_size:
+        multi_now = sorted(
+            ((lp, p) for p, lp in logp.items() if p not in char_set))
+        n_drop = min(max(1, int(len(multi_now) * prune_frac)),
+                     len(logp) - vocab_size, len(multi_now))
+        if n_drop <= 0:
+            break
+        dropped = {p for _, p in multi_now[:n_drop]}
+        logp = {p: lp for p, lp in logp.items() if p not in dropped}
+        logp = normalize(estep(logp))
+    return logp, char_set
+
+
+TEXTS = [
+    "the market opened the market closed the market rallied",
+    "a quiet market and a quiet day in the market hall",
+    "markets market the of of of weather weather report",
+]
+
+
+def test_train_unigram_matches_reference(spark):
+    from pyspark_deduplication_spark.operators.unigram import train_unigram
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    got = {r.piece: (r.logprob, r.is_char)
+           for r in train_unigram(df, vocab_size=40, max_piece_len=4,
+                                  seed_multi=200, n_iters=2).collect()}
+    ref, char_set = _ref_train(TEXTS, 40, 4, 200, 2, 0.25)
+    assert set(got) == set(ref), (set(got) ^ set(ref))
+    for p, lp in ref.items():
+        assert abs(got[p][0] - lp) < 1e-9, p
+        assert got[p][1] == (p in char_set)
+
+
+def test_unigram_recovers_planted_unit_and_covers(spark):
+    """A corpus dominated by one multi-char unit keeps that unit as a
+    piece through pruning, and every Viterbi segmentation concatenates
+    back to its word."""
+    from pyspark_deduplication_spark.operators.unigram import (
+        _viterbi,
+        train_unigram,
+    )
+
+    texts = ["zzqx zzqx zzqx zzqx zzqx other words here"] * 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    pieces = train_unigram(df, vocab_size=30, max_piece_len=4,
+                           seed_multi=100, n_iters=2)
+    model = {r.piece: r.logprob for r in pieces.collect()}
+    assert "zzqx" in model
+    max_len = max(len(p) for p in model)
+    for w in [" zzqx", "zzqx", " other", " words", "unseen"]:
+        segs = _viterbi(w, model, max_len)
+        assert "".join(segs) == w, (w, segs)
+    # the planted word segments as (space, unit) — not characters
+    assert _viterbi(" zzqx", model, max_len) == [" ", "zzqx"]
+
+
+def test_unigram_encode_budgets(spark):
+    """The dictionary-trick encoder: budgets equal the reference
+    per-word Viterbi lengths times word counts; pretoken counts match
+    the pretokenizer."""
+    from pyspark_deduplication_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    pieces = train_unigram(df, vocab_size=40, max_piece_len=4,
+                           seed_multi=200, n_iters=2)
+    model = {r.piece: r.logprob for r in pieces.collect()}
+    max_len = max(len(p) for p in model)
+    out = {r.doc_id: r for r in
+           unigram_encode(df, pieces).collect()}
+    for i, t in enumerate(TEXTS):
+        words = _PRETOK.findall(t)
+        n_uni = sum(len(_ref_viterbi(w, model, max_len)) for w in words)
+        assert out[i].n_pretokens == len(words), i
+        assert out[i].n_unigram_tokens == n_uni, i
+        assert out[i].n_unigram_tokens <= sum(len(w) for w in words)
+
+
+def test_substring_candidates_positional_scores(spark):
+    from pyspark_deduplication_spark.operators.bpe import bpe_word_counts
+    from pyspark_deduplication_spark.operators.unigram import (
+        substring_candidates,
+    )
+
+    df = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    words = bpe_word_counts(df, "text")
+    got = {r.piece: r.score
+           for r in substring_candidates(words, 3).collect()}
+    # 'aaa' appears twice as a pretoken ('aaa' and ' aaa'); positional
+    # substring counts: in 'aaa' -> a x3, aa x2, aaa x1
+    assert got["a"] == 6
+    assert got["aa"] == 4
+    assert got["aaa"] == 2
+    assert got[" aa"] == 1 and got[" "] == 1
