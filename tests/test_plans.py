@@ -566,3 +566,21 @@ def test_fused_operator_edges_have_no_cartesian(spark):
         rows, "doc_id long, text string, embedding array<float>")
     edges = fused_dedup_edges(df, n_cells=2)
     assert not has_cartesian_or_bnl(edges)
+
+
+def test_project_pca_is_map_only_and_codegen(spark):
+    """The PCA projection enters the plan as literal expressions —
+    no Exchange, no Python eval node, inside whole-stage codegen."""
+    from pyspark_deduplication_spark.operators.knn import project_pca
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    model = ([0.0, 0.0, 0.0, 0.0],
+             [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+             [0.5, 0.5])
+    proj = project_pca(df, model)
+    plan = explain_str(proj)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert wholestage_codegen_spans(proj) >= 1
