@@ -455,3 +455,58 @@ def test_streaming_fused_ingest_drops_on_either_signal(spark, tmp_path):
         assert os.path.exists(corpus_dir + suffix), suffix
     idx = spark.read.parquet(corpus_dir + "_index")
     assert sorted(r.doc_id for r in idx.collect()) == [1, 2, 12]
+
+
+def test_streaming_fused_ingest_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once: wiping the CHECKPOINT (not the data) and replaying
+    the whole stream rewrites identical artifacts — epoch 0 takes the
+    incremental branch on replay (centroids already persisted, empty
+    prior epochs) and must neither retrain the frozen geometry nor
+    change any partition's content."""
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_fused_ingest,
+    )
+
+    def sent(prefix, n=30):
+        return " ".join(f"{prefix}w{i}" for i in range(n))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "fused_corpus")
+    e1 = [(1, sent("alpha"), [5.0, 1.0, 0.0, 0.0]),
+          (2, sent("beta"), [0.0, 1.0, 5.0, 0.0])]
+    e2 = [(10, sent("gamma"), [1.0, 7.0, 0.0, 3.0])]
+    spark.createDataFrame(e1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f1")
+    spark.createDataFrame(e2, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f2")
+
+    def run(ckpt):
+        stream = (spark.readStream.format("parquet").schema(schema)
+                  .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+        q = streaming_fused_ingest(stream, corpus_dir, str(tmp_path / ckpt),
+                                   cosine_threshold=0.999, n_cells=2)
+        q.awaitTermination(240)
+
+    def state():
+        corpus = sorted(
+            (r.doc_id, r.epoch)
+            for r in spark.read.parquet(corpus_dir).collect())
+        cents = sorted(
+            tuple(r.centroid) for r in
+            spark.read.parquet(corpus_dir + "_centroids").collect())
+        idx = sorted(
+            (r.doc_id, r.cell_id, r.epoch)
+            for r in spark.read.parquet(corpus_dir + "_index").collect())
+        return corpus, cents, idx
+
+    run("ckpt1")
+    first = state()
+    run("ckpt2")   # full replay, fresh checkpoint, same data dirs
+    assert state() == first
