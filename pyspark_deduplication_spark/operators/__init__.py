@@ -37,6 +37,7 @@ from pyspark_deduplication_spark.operators.knn import (  # noqa: F401
     ivf_knn,
     ivfpq_knn,
     lsh_near_dup_pairs,
+    opq_reorder,
     pq_encode,
     pq_knn,
     project_pca,

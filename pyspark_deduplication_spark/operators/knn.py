@@ -1456,3 +1456,59 @@ def project_pca(
             term = t if term is None else term + t
         outs.append(term if term is not None else F.lit(0.0))
     return df.withColumn(out_col, F.array(*outs))
+
+
+def opq_reorder(model, m_subspaces: int):
+    """Parametric-OPQ dimension allocation (Ge et al. 2013, "Optimized
+    Product Quantization", §parametric solution): reorder a trained PCA
+    basis so the ``m_subspaces`` contiguous slices PQ will cut carry
+    BALANCED variance — greedy: walk components by explained variance
+    descending, assign each to the subspace with the smallest current
+    log-variance sum AMONG the subspaces holding the fewest components
+    so far (capacity d/m each). The minimum-count restriction is
+    load-bearing: log-sum comparisons are scale-invariant only between
+    bins with EQUAL counts (rescaling all variances by c shifts a
+    count-n bin by n·log c) — the unrestricted greedy applied to
+    normalized ratios (< 1, negative logs) keeps refilling the same
+    bin and degenerates to the identity permutation, i.e. exactly the
+    eigenvalue-sorted anti-pattern this function exists to avoid
+    (caught by the distortion test).
+
+    Why not plain PCA order: contiguous slicing of an
+    eigenvalue-sorted basis concentrates the leading eigenvalues into
+    subspace 0, which must then quantize ALL the signal with one
+    codebook while the other subspaces quantize noise — measurably
+    WORSE than raw-space PQ (pinned in
+    ``test_pca_rotation_improves_pq_recall``'s raw-vs-plain
+    comparison). Balancing gives each codebook one share of the
+    spectrum — the independent-quantizer regime PQ's error analysis
+    assumes.
+
+    Input/output are ``train_pca`` models (mean, components,
+    explained_ratio); feed the result to ``project_pca`` and run
+    ``train_pq_codebook`` / ``pq_encode`` / ``pq_knn`` on the
+    projected column. The component count must be divisible by
+    ``m_subspaces``."""
+    import math as _math
+
+    mean, comps, ratios = model
+    d = len(comps)
+    if d % m_subspaces != 0:
+        raise ValueError(
+            f"opq_reorder: {d} components not divisible by "
+            f"m={m_subspaces}")
+    cap = d // m_subspaces
+    order = sorted(range(d), key=lambda i: (-ratios[i], i))
+    bins: list[list[int]] = [[] for _ in range(m_subspaces)]
+    sums = [0.0] * m_subspaces
+    for idx in order:
+        open_bins = [b for b in range(m_subspaces) if len(bins[b]) < cap]
+        min_count = min(len(bins[b]) for b in open_bins)
+        eligible = [b for b in open_bins if len(bins[b]) == min_count]
+        b = min(eligible, key=lambda x: (sums[x], x))
+        bins[b].append(idx)
+        sums[b] += _math.log(max(ratios[idx], 1e-12))
+    perm = [i for b in bins for i in b]
+    return (mean,
+            [comps[i] for i in perm],
+            [ratios[i] for i in perm])
