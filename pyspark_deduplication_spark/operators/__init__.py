@@ -111,5 +111,10 @@ from pyspark_deduplication_spark.operators.diff import (  # noqa: F401
     snapshot_diff,
 )
 from pyspark_deduplication_spark.operators.profiling import (  # noqa: F401
+    cms_build,
+    cms_estimate,
+    cms_merge,
+    hll_rollup,
+    hll_union_rollup,
     profile_numeric,
 )

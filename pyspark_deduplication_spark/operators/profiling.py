@@ -82,3 +82,85 @@ def hll_union_rollup(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(*agg)
     return sketches.agg(*agg)
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a
+    ``(row, col, cnt)`` table — the FREQUENCY member of the engine's
+    mergeable-sketch family (HLL = distinct, Bloom word table =
+    membership): ≤ depth·width cells no matter how many distinct keys
+    the corpus holds, so per-source / per-day frequency sketches
+    persist as tiny tables and any later rollup is a cell-wise sum —
+    ``cms_merge`` — with no re-scan of raw data.
+
+    Hand-rolled from native expressions like the Bloom table: each of
+    the ``depth`` hash rows maps the key to ``pmod(xxhash64(key, row),
+    width)`` and counts collisions with one hash aggregate. Counts are
+    exact integer sums, so a sketch is bit-identical under any
+    partitioning and merge order. Standard guarantees: estimates never
+    undercount; overcount ≤ e·N/width with probability 1−e^−depth
+    (probe with ``cms_estimate``)."""
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])).alias("row")
+    keyed = df.select(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+        .alias("__k")
+    ).select("__k", rows)
+    return (
+        keyed.select(
+            "row",
+            F.pmod(F.xxhash64(F.col("__k"), F.col("row")),
+                   F.lit(width)).alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of Count-Min sketches built with the SAME
+    (width, depth) — the union step: cms_merge(cms(A), cms(B)) equals
+    cms(A ∪ B) cell-for-cell (exact integer sums), pinned by test."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Frequency estimates for a probe key set: min over the depth
+    rows of the probed cells (an absent cell counts 0). CMS cannot
+    enumerate its keys — callers supply candidates (in practice: local
+    per-partition top-k, a dictionary, or last epoch's heavy hitters)
+    and threshold the estimates for heavy-hitter reports. Returns the
+    probe rows + ``est_count`` (never below the true count). The
+    sketch is ≤ depth·width rows and broadcasts."""
+    probe_cells = probes.select(
+        F.col(key_col),
+        F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+        .alias("__k"),
+    ).select(
+        key_col,
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row"),
+        F.col("__k"),
+    ).select(
+        key_col, "row",
+        F.pmod(F.xxhash64(F.col("__k"), F.col("row")),
+               F.lit(width)).alias("col"),
+    )
+    joined = probe_cells.join(F.broadcast(sketch), ["row", "col"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+             .cast("long").alias("est_count"))
+    )

@@ -60,3 +60,39 @@ def test_hll_rollup_and_union_accuracy(spark, sf_dir):
         hll_rollup(docs, ["source"], "text", lg_k=12), []
     ).collect()[0].approx_distinct
     assert again == unioned
+
+
+def test_cms_never_undercounts_and_merges_exactly(spark):
+    """Count-Min contracts: estimates ≥ true counts for every key; on a
+    skewed corpus with width ≫ distinct keys the heavy key is exact;
+    and cms_merge(cms(A), cms(B)) equals cms(A ∪ B) cell-for-cell."""
+    from pyspark_deduplication_spark.operators.profiling import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = ([("heavy",)] * 500
+            + [(f"k{i % 37}",) for i in range(300)]
+            + [(None,)] * 7)
+    df = spark.createDataFrame(rows, "key string")
+    sketch = cms_build(df, "key", width=256, depth=4)
+    truth = {r.key: r.cnt for r in
+             df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    probes = df.select("key").distinct()
+    est = {r.key: r.est_count for r in
+           cms_estimate(sketch, probes, "key", width=256, depth=4).collect()}
+    for k, n in truth.items():
+        assert est[k] >= n, (k, est[k], n)
+    assert est["heavy"] == 500        # width ≫ keys: heavy key exact
+    assert est[None] == 7             # NULLs hash the sentinel
+
+    a, b = df.limit(400), df.subtract(df.limit(400))
+    # randomSplit is seeded-random; a deterministic split keeps it simple
+    a = df.filter(F.xxhash64("key") % 2 == 0)
+    b = df.filter(F.xxhash64("key") % 2 != 0)
+    merged = cms_merge(cms_build(a, "key", 256, 4),
+                       cms_build(b, "key", 256, 4))
+    direct = {(r.row, r.col): r.cnt for r in sketch.collect()}
+    via_merge = {(r.row, r.col): r.cnt for r in merged.collect()}
+    assert direct == via_merge
