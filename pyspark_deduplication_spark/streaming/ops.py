@@ -568,6 +568,11 @@ def streaming_reservoir_ingest(
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if len(batch_df.take(1)) == 0:
+            # idle trigger: the standing reservoir is already current —
+            # writing an identical epoch partition would only grow the
+            # audit trail for nothing
+            return
         base = batch_df
         if _hadoop_path_exists(spark, reservoir_dir):
             # transient read errors past the existence probe propagate —
