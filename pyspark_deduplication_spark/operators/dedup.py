@@ -405,21 +405,7 @@ def minhash_candidate_pairs(
             .drop("__bsz")
         )
 
-    left = banded.alias("a")
-    right = banded.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = band_candidate_pairs(banded, id_col)
     shingle_sets = sigs.select(F.col(id_col), F.col("shingles"))
     out = (
         pairs.join(shingle_sets.withColumnRenamed(id_col, "id_a")
@@ -436,6 +422,31 @@ def minhash_candidate_pairs(
     if own_sigs:
         sigs.unpersist()
     return out
+
+
+def band_candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """Distinct ``(id_a, id_b)`` with ``id_a < id_b`` from an
+    ``(id, band, bucket)`` key frame — the band self-join core shared
+    by ``minhash_candidate_pairs`` and the ``lsh_recall_report``
+    ladder: ONE spelling, so the recall report measures exactly the
+    candidate set production generates (a drifted copy would silently
+    measure something else — the precise failure the report exists to
+    catch)."""
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def ngram_index_pairs(

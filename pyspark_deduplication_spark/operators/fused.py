@@ -187,15 +187,21 @@ def incremental_fused_dedup(
     new_sigs = minhash_signatures(
         new_batch, text_col, id_col, num_hashes, shingle_size).persist()
     pre_collapsed = minhash_index is not None
+    own_corpus_sigs = minhash_index is None
     corpus_sigs = minhash_index
     if corpus_sigs is None:
+        # only frames derived HERE get persisted/unpersisted — a passed
+        # minhash_index is caller-owned (the train-once reuse shape:
+        # evicting it would force every later batch to rebuild the
+        # corpus-sized signature cache; same lifecycle rule as
+        # minhash_candidate_pairs' sigs= contract)
         corpus_sigs = minhash_signatures(
-            corpus, text_col, id_col, num_hashes, shingle_size)
-    corpus_sigs = corpus_sigs.persist()
+            corpus, text_col, id_col, num_hashes, shingle_size).persist()
     # eager: both frames are read by the band probe AND the shingle
     # join-back — see the fan-out race note in minhash_candidate_pairs
     new_sigs.count()
-    corpus_sigs.count()
+    if own_corpus_sigs:
+        corpus_sigs.count()
     cand = incremental_minhash_candidates(
         new_sigs, corpus_sigs, id_col, num_hashes, bands, max_bucket_size,
         pre_collapsed)
@@ -222,7 +228,13 @@ def incremental_fused_dedup(
     )
     sem_hits = _semantic_hit_ids(sem_cand, cosine_threshold, id_col)
 
-    dup_ids = lex_hits.unionByName(sem_hits).distinct()
+    # Materialize the bare hit-id set ONCE before it fans out into the
+    # two anti-joins below — without this, each eager localCheckpoint
+    # re-executes the whole lexical AND semantic corpus probe (band
+    # join, Jaccard verify, cell assignment, Arrow cosine) a second
+    # time; dup_ids is ids only, so the checkpoint is tiny.
+    dup_ids = (lex_hits.unionByName(sem_hits).distinct()
+               .localCheckpoint(eager=True))
     fresh = new_batch.join(dup_ids, id_col, "left_anti")
     # Materialize the survivor set before the fused self-collapse fans
     # out into both edge legs (and before releasing the signature cache).
@@ -233,7 +245,8 @@ def incremental_fused_dedup(
         .localCheckpoint(eager=True)
     )
     new_sigs.unpersist()
-    corpus_sigs.unpersist()
+    if own_corpus_sigs:
+        corpus_sigs.unpersist()
 
     # -- batch-internal fused collapse ---------------------------------
     keep = fused_dedup(

@@ -142,9 +142,10 @@ def cms_estimate(
     rows of the probed cells (an absent cell counts 0). CMS cannot
     enumerate its keys — callers supply candidates (in practice: local
     per-partition top-k, a dictionary, or last epoch's heavy hitters)
-    and threshold the estimates for heavy-hitter reports. Returns the
-    probe rows + ``est_count`` (never below the true count). The
-    sketch is ≤ depth·width rows and broadcasts."""
+    and threshold the estimates for heavy-hitter reports. Returns ONE
+    ``(key, est_count)`` row per DISTINCT probe key (est never below
+    the true count) — join back by key to re-attach other probe
+    columns. The sketch is ≤ depth·width rows and broadcasts."""
     probe_cells = probes.select(
         F.col(key_col),
         F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))

@@ -203,9 +203,17 @@ def execute_token_budget(
             df.groupBy(group_col)
             .agg(F.sum(F.col(tokens_col)).cast("double").alias("__gtok"))
         )
+        # NULL-out a non-positive inventory BEFORE dividing: under ANSI
+        # mode (the Spark 4 default) a double division by zero THROWS
+        # rather than yielding Inf, and this expression evaluates for
+        # every group — including the gtok=0 groups the escape below
+        # keeps whole (hypothesis-found; pinned by @example). Division
+        # by NULL is NULL, least() skips it, and ceiled=65536 routes
+        # the group into the keep-all escape.
+        safe_gtok = F.when(F.col("__gtok") > 0, F.col("__gtok"))
         frac = F.least(
             F.lit(1.0),
-            F.lit(float(prefilter_factor)) * F.col("__budget") / F.col("__gtok"),
+            F.lit(float(prefilter_factor)) * F.col("__budget") / safe_gtok,
         )
         # 2-byte hex threshold on the order key: keep the hash-order
         # prefix expected to carry prefilter_factor × budget tokens.
@@ -291,7 +299,13 @@ def reservoir_per_group(
     no dependence on arrival order (``streaming/ops.py::
     streaming_reservoir_ingest`` is that loop). Rows duplicated on
     ``(group, key)`` collapse first so a replayed batch cannot occupy
-    two reservoir slots with one logical row.
+    two reservoir slots with one logical row — and the survivor is the
+    MINIMUM row under the full-row struct order, not an arbitrary one
+    (a bare ``dropDuplicates`` keeps whichever physical row arrives
+    first, which would make the streaming loop's replay-rewrites-
+    identical-partitions claim false whenever a key re-arrives with a
+    changed payload; review-caught). Columns must therefore be
+    orderable (no map type).
 
     One hash-partition shuffle on ``group_col`` + a rank window
     (``cap_per_group``); output is bounded at k·|groups| rows. Same
@@ -301,7 +315,13 @@ def reservoir_per_group(
     tag = F.md5(F.concat(
         F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null")),
         F.lit(seed)))
-    deduped = df.dropDuplicates([group_col, key_col])
+    wdup = Window.partitionBy(group_col, key_col).orderBy(
+        F.struct(*[F.col(c) for c in df.columns]))
+    deduped = (
+        df.withColumn("__dup_rn", F.row_number().over(wdup))
+        .filter(F.col("__dup_rn") == 1)
+        .drop("__dup_rn")
+    )
     tagged = deduped.withColumn(
         "__tag",
         F.struct(tag.alias("h"),

@@ -153,8 +153,17 @@ def train_unigram(
 
     def normalize(cnt: dict) -> dict:
         # chars keep a count floor of 1 so every word stays segmentable
-        full = {p: max(n, 1) if p in char_set else n
-                for p, n in cnt.items() if n > 0 or p in char_set}
+        # — iterate cnt ∪ char_set, NOT cnt alone: a char fully covered
+        # by a retained multi-char piece gets NO Viterbi count and
+        # would silently vanish from the model (review-caught; the
+        # "characters are never pruned" invariant is pinned by test)
+        full = {}
+        for p in set(cnt) | char_set:
+            n = cnt.get(p, 0)
+            if p in char_set:
+                n = max(n, 1)
+            if n > 0:
+                full[p] = n
         total = float(sum(full.values()))
         return {p: math.log(n / total) for p, n in full.items()}
 

@@ -1227,6 +1227,7 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     id pairs."""
     from pyspark_deduplication_spark.operators.dedup import (
         _band_keys,
+        band_candidate_pairs,
         minhash_signatures,
     )
 
@@ -1237,32 +1238,27 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs.count()
     rungs = []
     for bands in (4, 8, 16):
-        keyed = _band_keys(sigs, "doc_id", 64, bands)
-        cand = (
-            keyed.alias("a").join(
-                keyed.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("id_a"),
-                    F.col("b.doc_id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-            .localCheckpoint()
-        )
+        cand = band_candidate_pairs(
+            _band_keys(sigs, "doc_id", 64, bands), "doc_id"
+        ).localCheckpoint()
         scored = truth.join(
             cand.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left")
         rungs.append(
             scored.agg(
                 F.count(F.lit(1)).cast("long").alias("n_truth"),
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))),
+                    F.lit(0))
                 .cast("long").alias("n_hit"))
             .crossJoin(cand.agg(F.count(F.lit(1)).cast("long")
                                 .alias("n_candidates")))
             .select(F.lit(bands).cast("long").alias("bands"),
                     "n_candidates", "n_truth", "n_hit",
-                    F.round(F.col("n_hit").cast("double")
-                            / F.col("n_truth").cast("double"), 6)
+                    # recall over an empty truth set is NULL-with-intent
+                    # (nothing to recall), never a 0/0 NaN
+                    F.when(F.col("n_truth") > 0,
+                           F.round(F.col("n_hit").cast("double")
+                                   / F.col("n_truth").cast("double"), 6))
                     .alias("recall"))
         )
     out = rungs[0].unionByName(rungs[1]).unionByName(rungs[2])

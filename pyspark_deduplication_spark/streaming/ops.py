@@ -484,6 +484,32 @@ def streaming_fused_ingest(
                     .select(F.col(id_col).alias("__cid"),
                             F.col(vec_col).alias("__cvec"), "cell_id")
                 )
+                if max_cell_size is not None:
+                    # probe-time mega-cell cap: the standing entries
+                    # accumulate ACROSS epochs, so a per-epoch cap at
+                    # append time cannot bound a degenerate cell's
+                    # total — cap the deterministic hash-ranked subset
+                    # here instead (the MinHash leg's per-bucket cap
+                    # already re-applies at probe time; this is its
+                    # cell twin). Safe because idx_dir is a pure index
+                    # — the corpus content lives in corpus_dir — and
+                    # lossless-in-spirit: survivors hold no exact
+                    # clones (cosine 1 ≥ any threshold drops them), so
+                    # the cap trades only the marginal recall the
+                    # batch operators document.
+                    from pyspark_deduplication_spark.operators.sampling \
+                        import cap_per_group
+
+                    sem_idx = (
+                        sem_idx.withColumn(
+                            "__ord",
+                            F.struct(F.xxhash64(F.col("__cid")),
+                                     F.col("__cid")))
+                        .transform(lambda d: cap_per_group(
+                            d, "cell_id", "__ord", max_cell_size))
+                        .filter(F.col("__kept"))
+                        .drop("__ord", "__kept")
+                    )
             else:
                 sem_idx = (
                     batch_df.select(F.col(id_col).alias("__cid"),

@@ -138,6 +138,13 @@ def test_chunking_reconstructs_token_stream(n_tokens, size, overlap_frac):
     budgets=(0, 0, 1),
     factor=1.0,
 ).via('discovered failure')
+@example(
+    # zero token inventory: the prefilter's frac division must not
+    # raise DIVIDE_BY_ZERO under ANSI mode (Spark 4 default)
+    rows=[(0, 'a', 0)],
+    budgets=(0, 0, 0),
+    factor=1.0,
+).via('discovered failure')
 def test_token_budget_prefilter_equals_exact(rows, budgets, factor):
     """The prefiltered greedy-prefix selection must equal the exact
     (window-everything) selection for ANY corpus, budgets — including

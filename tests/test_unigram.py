@@ -55,8 +55,13 @@ def _ref_train(texts, vocab_size, max_piece_len, seed_multi, n_iters,
     char_set = set(chars)
 
     def normalize(cnt):
-        full = {p: max(n, 1) if p in char_set else n
-                for p, n in cnt.items() if n > 0 or p in char_set}
+        full = {}
+        for p in set(cnt) | char_set:
+            n = cnt.get(p, 0)
+            if p in char_set:
+                n = max(n, 1)
+            if n > 0:
+                full[p] = n
         total = float(sum(full.values()))
         return {p: math.log(n / total) for p, n in full.items()}
 
@@ -170,3 +175,21 @@ def test_substring_candidates_positional_scores(spark):
     assert got["aa"] == 4
     assert got["aaa"] == 2
     assert got[" aa"] == 1 and got[" "] == 1
+
+
+def test_chars_never_pruned_even_when_fully_covered(spark):
+    """The review-caught invariant: a character that only ever appears
+    inside a retained multi-char piece gets zero Viterbi count, yet
+    must stay in the model with a floored probability (is_char row
+    present), keeping unseen words segmentable."""
+    from pyspark_deduplication_spark.operators.unigram import train_unigram
+
+    # 'qu' dominates; 'q' and 'u' never appear outside it
+    texts = ["ququ ququ ququ ququ"] * 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    pieces = train_unigram(df, vocab_size=20, max_piece_len=4,
+                           seed_multi=50, n_iters=2)
+    rows = {r.piece: r for r in pieces.collect()}
+    for ch in ("q", "u"):
+        assert ch in rows and rows[ch].is_char, ch
