@@ -14,9 +14,13 @@ hash aggregate; nothing corpus-sized ever re-shuffles.
 Documented deviations from the SentencePiece trainer (simplifications,
 each pinned by the pure-Python reference test in ``test_unigram.py``):
 
-- **Hard EM** (Viterbi counts) instead of full forward-backward
-  expectations — the common "viterbi EM" variant; piece probabilities
-  converge to the same dominant segmentations on separable corpora.
+- **Hard EM** (Viterbi counts) by DEFAULT instead of full
+  forward-backward expectations — the common "viterbi EM" variant;
+  piece probabilities converge to the same dominant segmentations on
+  separable corpora. ``train_unigram(em="soft")`` closes this
+  deviation: the E-step runs true forward-backward posterior expected
+  counts (``_forward_backward``), pinned against brute-force
+  segmentation enumeration in ``test_unigram.py``.
 - **Probability-ranked pruning** instead of loss-delta pruning: after
   each EM phase the lowest-probability multi-char pieces drop (single
   characters are never pruned, so every word stays segmentable — the
@@ -115,6 +119,96 @@ def _viterbi_counts(
     return {r["piece"]: int(r["n"]) for r in rows}
 
 
+def _forward_backward(
+    word: str, logp: dict, max_len: int
+) -> list[tuple[str, float]]:
+    """Posterior expected piece counts for one word under the current
+    model — the FULL-EM E-step kernel (forward-backward over the
+    segmentation lattice; spans ≤ ``max_len``): expected count of a
+    piece = Σ over its spans of exp(α_j + log p + β_i − log Z). Words
+    are short, so plain log-sum-exp per position is cheap and stable.
+    Unknown single chars take the floor log-prob (cannot occur when the
+    vocab was seeded from the same corpus)."""
+    neg = float("-inf")
+
+    def lse(vals: list[float]) -> float:
+        if not vals:
+            return neg
+        m = max(vals)
+        if m == neg:
+            return neg
+        return m + math.log(sum(math.exp(v - m) for v in vals))
+
+    def span_lp(j: int, i: int):
+        p = logp.get(word[j:i])
+        if p is None and i - j == 1:
+            p = _CHAR_FLOOR_LP
+        return p
+
+    n = len(word)
+    alpha = [neg] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(1, n + 1):
+        acc = []
+        for j in range(max(0, i - max_len), i):
+            p = span_lp(j, i)
+            if p is not None and alpha[j] > neg:
+                acc.append(alpha[j] + p)
+        alpha[i] = lse(acc)
+    beta = [neg] * (n + 1)
+    beta[n] = 0.0
+    for j in range(n - 1, -1, -1):
+        acc = []
+        for i in range(j + 1, min(j + max_len, n) + 1):
+            p = span_lp(j, i)
+            if p is not None and beta[i] > neg:
+                acc.append(p + beta[i])
+        beta[j] = lse(acc)
+    z = alpha[n]
+    if z == neg:
+        return []
+    out: dict[str, float] = {}
+    for j in range(n):
+        if alpha[j] == neg:
+            continue
+        for i in range(j + 1, min(j + max_len, n) + 1):
+            p = span_lp(j, i)
+            if p is None or beta[i] == neg:
+                continue
+            w = math.exp(alpha[j] + p + beta[i] - z)
+            piece = word[j:i]
+            out[piece] = out.get(piece, 0.0) + w
+    return sorted(out.items())
+
+
+def _soft_counts(
+    words: DataFrame, logp: dict, max_len: int
+) -> dict[str, float]:
+    """Full-EM E-step: expected piece counts over every DISTINCT word,
+    weighted by word frequency — same one-pass shape as
+    ``_viterbi_counts`` but emitting (piece, weight) posteriors from
+    the forward-backward kernel. Aggregated sums round to 9 decimals
+    so partition-order float jitter cannot reach the model (the
+    ``train_centroids`` convention)."""
+    model = dict(logp)
+    ml = max_len
+
+    @F.pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("piece", T.StringType()),
+        T.StructField("w", T.DoubleType()),
+    ])))
+    def seg(words_s: pd.Series) -> pd.Series:
+        return words_s.map(lambda w: _forward_backward(w, model, ml))
+
+    rows = (
+        words.select(F.col("wc"), F.explode(seg(F.col("word"))).alias("e"))
+        .groupBy(F.col("e.piece").alias("piece"))
+        .agg(F.round(F.sum(F.col("e.w") * F.col("wc")), 9).alias("n"))
+        .collect()
+    )
+    return {r["piece"]: float(r["n"]) for r in rows}
+
+
 def train_unigram(
     df: DataFrame,
     text_col: str = "text",
@@ -123,6 +217,7 @@ def train_unigram(
     seed_multi: int = 400,
     n_iters: int = 2,
     prune_frac: float = 0.25,
+    em: str = "hard",
 ) -> DataFrame:
     """Learn a unigram-LM piece vocabulary over a text corpus. Returns
     (piece, logprob, is_char) — the trained model table
@@ -130,7 +225,16 @@ def train_unigram(
     artifact). Characters are never pruned; multi-char
     pieces shrink by ``prune_frac`` per round (lowest probability
     first, ties by piece) with an EM re-fit after each prune, until at
-    most ``vocab_size`` pieces remain."""
+    most ``vocab_size`` pieces remain.
+
+    ``em="hard"`` (default) uses Viterbi counts — fast, the common
+    simplification. ``em="soft"`` runs FULL forward-backward EM
+    (posterior expected counts — closing the main documented deviation
+    from the SentencePiece trainer): pieces that lose every Viterbi
+    argmax but carry real posterior mass keep calibrated
+    probabilities instead of starving to the floor; distributed shape
+    is identical (one Arrow pass over the word table per round, model
+    state collected between rounds)."""
     spark = df.sparkSession
     words = bpe_word_counts(df, text_col).localCheckpoint()
     seeds = substring_candidates(words, max_piece_len)
@@ -167,9 +271,13 @@ def train_unigram(
         total = float(sum(full.values()))
         return {p: math.log(n / total) for p, n in full.items()}
 
+    if em not in ("hard", "soft"):
+        raise ValueError(f"train_unigram: unknown em mode {em!r}")
+    estep = _viterbi_counts if em == "hard" else _soft_counts
+
     logp = normalize(counts)
     for _ in range(n_iters):
-        logp = normalize(_viterbi_counts(words, logp, max_piece_len))
+        logp = normalize(estep(words, logp, max_piece_len))
     while len(logp) > vocab_size:
         multi_now = sorted(
             ((lp, p) for p, lp in logp.items() if p not in char_set))
@@ -182,7 +290,7 @@ def train_unigram(
             break
         dropped = {p for _, p in multi_now[:n_drop]}
         logp = {p: lp for p, lp in logp.items() if p not in dropped}
-        logp = normalize(_viterbi_counts(words, logp, max_piece_len))
+        logp = normalize(estep(words, logp, max_piece_len))
     rows = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
     return spark.createDataFrame(
         [(p, float(lp), p in char_set) for p, lp in rows],

@@ -193,3 +193,115 @@ def test_chars_never_pruned_even_when_fully_covered(spark):
     rows = {r.piece: r for r in pieces.collect()}
     for ch in ("q", "u"):
         assert ch in rows and rows[ch].is_char, ch
+
+
+def test_forward_backward_matches_enumeration():
+    """The soft-EM kernel's posterior expected counts equal brute-force
+    enumeration over ALL segmentations of the word."""
+    from pyspark_deduplication_spark.operators.unigram import (
+        _forward_backward,
+    )
+
+    logp = {p: math.log(v) for p, v in
+            {"a": 0.2, "b": 0.15, "ab": 0.3, "ba": 0.1, "aba": 0.05,
+             "bb": 0.2}.items()}
+    word, max_len = "abab", 3
+
+    def enumerate_segs(w):
+        if not w:
+            return [([], 0.0)]
+        out = []
+        for ln in range(1, min(max_len, len(w)) + 1):
+            piece = w[:ln]
+            lp = logp.get(piece)
+            if lp is None and ln == 1:
+                lp = -30.0
+            if lp is None:
+                continue
+            for rest, rlp in enumerate_segs(w[ln:]):
+                out.append(([piece] + rest, lp + rlp))
+        return out
+
+    segs = enumerate_segs(word)
+    z = math.log(sum(math.exp(lp) for _, lp in segs))
+    expect: dict[str, float] = {}
+    for pieces, lp in segs:
+        post = math.exp(lp - z)
+        for p in pieces:
+            expect[p] = expect.get(p, 0.0) + post
+    got = dict(_forward_backward(word, logp, max_len))
+    assert set(got) == set(expect)
+    for p in expect:
+        assert abs(got[p] - expect[p]) < 1e-12, p
+
+
+def test_soft_em_matches_sequential_reference(spark):
+    """The distributed soft-EM loop (Arrow kernel + rounded aggregate)
+    equals a sequential driver loop over the same kernel — pinning the
+    dataflow; and soft EM keeps calibrated mass on a piece hard EM
+    starves (the documented fidelity difference)."""
+    from pyspark_deduplication_spark.operators.unigram import (
+        _forward_backward,
+        train_unigram,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    got = {r.piece: r.logprob
+           for r in train_unigram(df, vocab_size=40, max_piece_len=4,
+                                  seed_multi=200, n_iters=2,
+                                  em="soft").collect()}
+
+    # sequential mirror (same seeding as _ref_train, soft E-step)
+    wc: dict[str, int] = {}
+    for t in TEXTS:
+        for w in _PRETOK.findall(t):
+            wc[w] = wc.get(w, 0) + 1
+    scores: dict[str, int] = {}
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for ln in range(1, min(4, len(w) - i) + 1):
+                p = w[i:i + ln]
+                scores[p] = scores.get(p, 0) + c
+    chars = {p: s for p, s in scores.items() if len(p) == 1}
+    multi = sorted(((p, s) for p, s in scores.items() if len(p) >= 2),
+                   key=lambda kv: (-kv[1], kv[0]))[:200]
+    counts = dict(chars)
+    counts.update(dict(multi))
+    char_set = set(chars)
+
+    def normalize(cnt):
+        full = {}
+        for p in set(cnt) | char_set:
+            n = cnt.get(p, 0)
+            if p in char_set:
+                n = max(n, 1)
+            if n > 0:
+                full[p] = n
+        total = float(sum(full.values()))
+        return {p: math.log(n / total) for p, n in full.items()}
+
+    def estep(logp):
+        cnt: dict[str, float] = {}
+        for w, c in wc.items():
+            for p, wgt in _forward_backward(w, logp, 4):
+                cnt[p] = cnt.get(p, 0.0) + wgt * c
+        return {p: round(n, 9) for p, n in cnt.items()}
+
+    ref = normalize(counts)
+    for _ in range(2):
+        ref = normalize(estep(ref))
+    while len(ref) > 40:
+        multi_now = sorted(
+            ((lp, p) for p, lp in ref.items() if p not in char_set))
+        n_drop = min(max(1, int(len(multi_now) * 0.25)),
+                     len(ref) - 40, len(multi_now))
+        if n_drop <= 0:
+            break
+        dropped = {p for _, p in multi_now[:n_drop]}
+        ref = {p: lp for p, lp in ref.items() if p not in dropped}
+        ref = normalize(estep(ref))
+
+    assert set(got) == set(ref), set(got) ^ set(ref)
+    for p, lp in ref.items():
+        assert abs(got[p] - lp) < 1e-6, p
