@@ -8,6 +8,8 @@ from pyspark_deduplication_spark.sources.readers import (  # noqa: F401
     validate_columns,
 )
 from pyspark_deduplication_spark.sources.writers import (  # noqa: F401
+    compact_small_files,
+    consolidate_epochs,
     write_csv,
     write_jdbc,
     write_parquet,

@@ -309,3 +309,69 @@ def compact_small_files(
         os.rename(dest, path)
         shutil.rmtree(old)
     return n_files
+
+
+def consolidate_epochs(
+    spark, path: str, upto: int | None = None, mode: str = "append"
+) -> int:
+    """Fold the epoch partitions of a streaming artifact table (any
+    ``partitionBy("epoch")`` sink in ``streaming/ops.py``) into ONE
+    partition at the MAXIMUM consolidated epoch id. Reads of the form
+    ``epoch < current_batch_epoch`` see equivalent state afterwards:
+    checkpointed batch ids only ever increase, so the consolidated id
+    stays strictly below every future batch's — the invariant that
+    makes this safe to run between micro-batches.
+
+    ``mode`` must match the table's epoch SEMANTICS:
+
+    - ``"append"`` — each epoch holds NEW rows (the corpus content,
+      span/signature/cell-index tables): every consolidated row is
+      kept, relabelled to the target epoch.
+    - ``"snapshot"`` — each epoch holds the FULL standing state
+      (``streaming_reservoir_ingest``): only the newest consolidated
+      epoch's rows survive; older lineage is dropped (folding
+      superseded snapshots together would resurrect displaced rows).
+
+    ``upto`` consolidates only epochs ≤ it (leaving newer partitions
+    untouched — e.g. keep the last day's lineage); ``None`` folds
+    everything. The rewrite goes through the same two-rename in-place
+    swap as ``compact_small_files`` (local paths only; same recovery
+    caveat) and rewrites every consolidated row once — table
+    maintenance cost, run it at the compaction cadence. Returns the
+    number of epoch partitions consolidated (0 = nothing to do,
+    table untouched)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    if urlparse(path).scheme not in ("", "file"):
+        raise ValueError(
+            f"consolidate_epochs is local-filesystem-only, got {path!r}")
+
+    if mode not in ("append", "snapshot"):
+        raise ValueError(f"consolidate_epochs: unknown mode {mode!r}")
+    df = spark.read.parquet(path)
+    sel = df if upto is None else df.where(F.col("epoch") <= upto)
+    epochs = [r["epoch"] for r in sel.select("epoch").distinct().collect()]
+    if len(epochs) <= 1:
+        return 0
+    target = max(epochs)
+    if mode == "snapshot":
+        sel = sel.where(F.col("epoch") == target)
+    consolidated = (
+        sel.drop("epoch").withColumn("epoch", F.lit(target))
+    )
+    keep = None
+    if upto is not None:
+        keep = df.where(F.col("epoch") > upto)
+    out = consolidated if keep is None else consolidated.unionByName(keep)
+
+    tmp = path.rstrip("/") + "__epochs_tmp"
+    (out.write.mode("overwrite").partitionBy("epoch").parquet(tmp))
+    old = path.rstrip("/") + "__epochs_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(epochs)

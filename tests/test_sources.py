@@ -335,3 +335,103 @@ def test_compact_small_files_swap_leaves_no_residue(spark, tmp_path):
     assert spark.read.parquet(src).count() == 500
     leftovers = [p.name for p in tmp_path.iterdir() if "compact" in p.name]
     assert leftovers == []
+
+
+def test_consolidate_epochs_preserves_content_and_stream_resumes(
+    spark, tmp_path
+):
+    """Epoch consolidation: content identical under the reader's
+    `epoch < next_batch` contract, `upto` leaves newer lineage
+    untouched, and a resumed streaming reservoir picks up the
+    consolidated state seamlessly (final sample == batch operator over
+    every row that ever streamed)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+    from pyspark_deduplication_spark.sources.writers import (
+        consolidate_epochs,
+    )
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_reservoir_ingest,
+    )
+
+    schema = T.StructType([
+        T.StructField("grp", T.StringType()),
+        T.StructField("id", T.LongType()),
+    ])
+    src = str(tmp_path / "incoming")
+    res_dir = str(tmp_path / "reservoir")
+    ckpt = str(tmp_path / "ckpt")
+    e1 = [("a", i) for i in range(1, 5)]
+    e2 = [("a", i) for i in range(5, 9)] + [("b", 10)]
+    e3 = [("a", i) for i in range(9, 13)] + [("b", 11)]
+    spark.createDataFrame(e1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f1")
+    spark.createDataFrame(e2, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f2")
+
+    def run():
+        stream = (spark.readStream.format("parquet").schema(schema)
+                  .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+        q = streaming_reservoir_ingest(stream, res_dir, ckpt,
+                                       group_col="grp", key_col="id", k=2)
+        q.awaitTermination(180)
+
+    run()
+    before = spark.read.parquet(res_dir)
+    last = before.agg(F.max("epoch")).collect()[0][0]
+    latest_rows = sorted((r.grp, r.id) for r in
+                         before.where(before.epoch == last).collect())
+    # upto= below the second epoch selects a single partition — a
+    # documented no-op (nothing to fold), table untouched
+    n = consolidate_epochs(spark, res_dir, upto=last - 1)
+    assert n == 0
+    after = spark.read.parquet(res_dir)
+    assert sorted((r.grp, r.id) for r in
+                  after.where(after.epoch == last).collect()) == latest_rows
+    # full snapshot-mode consolidation → a single epoch partition
+    # holding exactly the latest standing state (append mode would
+    # resurrect displaced snapshot rows — wrong for this table kind)
+    consolidate_epochs(spark, res_dir, mode="snapshot")
+    folded = spark.read.parquet(res_dir)
+    assert folded.select("epoch").distinct().count() == 1
+    assert sorted((r.grp, r.id) for r in folded.collect()) == latest_rows
+
+    # the stream resumes against the consolidated table
+    spark.createDataFrame(e3, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f3")
+    run()
+    final = spark.read.parquet(res_dir)
+    last2 = final.agg(F.max("epoch")).collect()[0][0]
+    got = sorted((r.grp, r.id) for r in
+                 final.where(final.epoch == last2).collect())
+    expect = sorted(
+        (r.grp, r.id)
+        for r in reservoir_per_group(
+            spark.createDataFrame(e1 + e2 + e3, schema),
+            "grp", "id", 2).collect())
+    assert got == expect
+
+
+def test_consolidate_epochs_append_mode_keeps_all_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.sources.writers import (
+        consolidate_epochs,
+    )
+
+    path = str(tmp_path / "appendtable")
+    for e, vals in ((0, [1, 2]), (1, [3]), (2, [4, 5])):
+        (spark.createDataFrame([(v,) for v in vals], "v long")
+         .withColumn("epoch", F.lit(e))
+         .write.mode("append").partitionBy("epoch").parquet(path))
+    n = consolidate_epochs(spark, path, upto=1)
+    assert n == 2
+    df = spark.read.parquet(path)
+    assert sorted(r.epoch for r in df.select("epoch").distinct().collect()) \
+        == [1, 2]
+    assert sorted(r.v for r in df.where("epoch = 1").collect()) == [1, 2, 3]
+    assert sorted(r.v for r in df.where("epoch = 2").collect()) == [4, 5]
