@@ -21,10 +21,17 @@ each pinned by the pure-Python reference test in ``test_unigram.py``):
   deviation: the E-step runs true forward-backward posterior expected
   counts (``_forward_backward``), pinned against brute-force
   segmentation enumeration in ``test_unigram.py``.
-- **Probability-ranked pruning** instead of loss-delta pruning: after
-  each EM phase the lowest-probability multi-char pieces drop (single
-  characters are never pruned, so every word stays segmentable — the
-  same invariant SentencePiece maintains).
+- **Probability-ranked pruning** by DEFAULT instead of loss-delta
+  pruning: after each EM phase the lowest-probability multi-char
+  pieces drop (single characters are never pruned, so every word
+  stays segmentable — the same invariant SentencePiece maintains).
+  ``train_unigram(prune="loss")`` closes this deviation too: pieces
+  drop by the estimated LIKELIHOOD COST of removal — expected count ×
+  (own logprob − best alternative segmentation's logprob), Kudo's
+  criterion — so a rare piece whose characters are otherwise scarce
+  (expensive to re-segment) outlives a more probable piece that
+  decomposes cheaply; pinned by a planted contrast in
+  ``test_unigram.py``.
 - Seeding uses frequency-weighted substring counts (all substrings up
   to ``max_piece_len``) rather than the Enhanced Suffix Array; both
   yield "frequent substrings" — ESA is an implementation optimization,
@@ -209,6 +216,29 @@ def _soft_counts(
     return {r["piece"]: float(r["n"]) for r in rows}
 
 
+def _loss_deltas(
+    logp: dict, char_set: set, counts: dict, max_len: int
+) -> dict[str, float]:
+    """Per-piece removal cost (Kudo's pruning criterion, driver-side
+    over the vocab-bounded model state): Δ(p) ≈ E[count(p)] ·
+    (log p(p) − logprob of p's text best-segmented WITHOUT p). Always
+    ≥ 0 — the alternative segmentation is available to the Viterbi
+    path too, so it can only score lower. Pieces whose characters are
+    otherwise scarce re-segment expensively and get LARGE deltas even
+    at low own-probability — the case probability-ranked pruning gets
+    backwards."""
+    deltas: dict[str, float] = {}
+    for p, lp in logp.items():
+        if p in char_set:
+            continue
+        reduced = {q: v for q, v in logp.items() if q != p}
+        alt = sum(
+            reduced.get(piece, _CHAR_FLOOR_LP)
+            for piece in _viterbi(p, reduced, max_len))
+        deltas[p] = counts.get(p, 0) * (lp - alt)
+    return deltas
+
+
 def train_unigram(
     df: DataFrame,
     text_col: str = "text",
@@ -218,6 +248,7 @@ def train_unigram(
     n_iters: int = 2,
     prune_frac: float = 0.25,
     em: str = "hard",
+    prune: str = "prob",
 ) -> DataFrame:
     """Learn a unigram-LM piece vocabulary over a text corpus. Returns
     (piece, logprob, is_char) — the trained model table
@@ -234,7 +265,14 @@ def train_unigram(
     argmax but carry real posterior mass keep calibrated
     probabilities instead of starving to the floor; distributed shape
     is identical (one Arrow pass over the word table per round, model
-    state collected between rounds)."""
+    state collected between rounds).
+
+    ``prune="prob"`` (default) ranks drops by probability;
+    ``prune="loss"`` ranks by estimated removal cost
+    (``_loss_deltas`` — Kudo's criterion): both are driver-side over
+    vocab-bounded state, but loss ranking protects rare pieces whose
+    characters are otherwise scarce (expensive to re-segment) over
+    probable pieces that decompose cheaply."""
     spark = df.sparkSession
     words = bpe_word_counts(df, text_col).localCheckpoint()
     seeds = substring_candidates(words, max_piece_len)
@@ -273,24 +311,34 @@ def train_unigram(
 
     if em not in ("hard", "soft"):
         raise ValueError(f"train_unigram: unknown em mode {em!r}")
+    if prune not in ("prob", "loss"):
+        raise ValueError(f"train_unigram: unknown prune mode {prune!r}")
     estep = _viterbi_counts if em == "hard" else _soft_counts
 
+    last_counts: dict = dict(counts)
     logp = normalize(counts)
     for _ in range(n_iters):
-        logp = normalize(estep(words, logp, max_piece_len))
+        last_counts = estep(words, logp, max_piece_len)
+        logp = normalize(last_counts)
     while len(logp) > vocab_size:
-        multi_now = sorted(
-            ((lp, p) for p, lp in logp.items() if p not in char_set))
+        if prune == "prob":
+            ranked = sorted(
+                ((lp, p) for p, lp in logp.items() if p not in char_set))
+        else:
+            ranked = sorted(
+                ((d, p) for p, d in _loss_deltas(
+                    logp, char_set, last_counts, max_piece_len).items()))
         n_drop = min(
-            max(1, int(len(multi_now) * prune_frac)),
+            max(1, int(len(ranked) * prune_frac)),
             len(logp) - vocab_size,
-            len(multi_now),
+            len(ranked),
         )
         if n_drop <= 0:
             break
-        dropped = {p for _, p in multi_now[:n_drop]}
+        dropped = {p for _, p in ranked[:n_drop]}
         logp = {p: lp for p, lp in logp.items() if p not in dropped}
-        logp = normalize(estep(words, logp, max_piece_len))
+        last_counts = estep(words, logp, max_piece_len)
+        logp = normalize(last_counts)
     rows = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
     return spark.createDataFrame(
         [(p, float(lp), p in char_set) for p, lp in rows],

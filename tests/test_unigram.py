@@ -305,3 +305,46 @@ def test_soft_em_matches_sequential_reference(spark):
     assert set(got) == set(ref), set(got) ^ set(ref)
     for p, lp in ref.items():
         assert abs(got[p] - lp) < 1e-6, p
+
+
+def test_loss_delta_pruning_protects_irreplaceable_pieces(spark):
+    """The prune-mode contrast: probability ranking drops the rarer
+    piece, while loss-delta ranking protects the piece whose removal
+    costs the most likelihood — the rare unit over scarce characters
+    outlives the probable unit that decomposes cheaply."""
+    from pyspark_deduplication_spark.operators.unigram import (
+        _loss_deltas,
+        train_unigram,
+    )
+
+    # unit-level contrast on a hand-built model: 'ab' is more probable
+    # (20 occurrences, chars a/b common → cheap alternative), 'xyz' is
+    # rarer (10) but its chars are floor-probability (alternative
+    # catastrophic). Probability ranking drops 'xyz' first; loss-delta
+    # ranks 'ab' as the cheaper removal.
+    logp = {"a": math.log(0.25), "b": math.log(0.25),
+            "x": math.log(0.001), "y": math.log(0.001),
+            "z": math.log(0.001),
+            "ab": math.log(0.3), "xyz": math.log(0.15)}
+    counts = {"ab": 20, "xyz": 10}
+    char_set = {"a", "b", "x", "y", "z"}
+    deltas = _loss_deltas(logp, char_set, counts, max_len=3)
+    assert set(deltas) == {"ab", "xyz"}
+    assert all(d >= 0 for d in deltas.values())
+    assert deltas["ab"] < deltas["xyz"]          # loss: 'ab' cheaper
+    assert logp["xyz"] < logp["ab"]              # prob: 'xyz' first
+
+    # end-to-end: loss-mode training runs, respects vocab_size, keeps
+    # every char, and still recovers the dominant planted unit
+    texts = ["zzqx zzqx zzqx zzqx other words here"] * 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    pieces = train_unigram(df, vocab_size=30, max_piece_len=4,
+                           seed_multi=100, n_iters=2, prune="loss")
+    rows = {r.piece: r for r in pieces.collect()}
+    assert len(rows) <= 30 + sum(1 for p in rows if rows[p].is_char)
+    assert "zzqx" in rows
+    chars_in_corpus = {c for t in texts for w in _PRETOK.findall(t)
+                       for c in w}
+    for c in chars_in_corpus:
+        assert c in rows and rows[c].is_char, c
