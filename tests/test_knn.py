@@ -963,3 +963,42 @@ def test_opq_allocation_cuts_pq_distortion(spark):
     naive = pq_mse(plain, "rot")
     assert opq * 1.5 < raw, (opq, raw)
     assert naive > opq, (naive, opq)
+
+
+def test_opq_projected_ivfpq_composition_is_exact_at_full_settings(spark):
+    """The PCA→OPQ→IVFPQ pipeline composed through the public APIs:
+    project the corpus AND queries with the balanced rotation, build
+    and query IVFPQ entirely in the rotated space — at full probe +
+    full rerank the composition must reproduce the rotated space's own
+    brute force exactly (the degenerate-settings pin, now through the
+    whole preprocessing chain)."""
+    from pyspark_deduplication_spark.operators.knn import (
+        brute_force_knn,
+        ivfpq_knn,
+        opq_reorder,
+        project_pca,
+        train_pca,
+    )
+
+    rng = np.random.RandomState(23)
+    d, n = 8, 60
+    lam = 50.0 * 0.5 ** np.arange(d)
+    basis, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    X = (rng.standard_normal((n, d)) * np.sqrt(lam)) @ basis.T
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    model = opq_reorder(train_pca(emb, n_components=d), m_subspaces=2)
+    proj = project_pca(emb, model, out_col="rot").localCheckpoint()
+    qset = (proj.filter(F.col("vec_id") < 5)
+            .select((F.col("vec_id") + 100).alias("query_id"),
+                    F.col("rot")))
+    bf = {(r.query_id, r.neighbor_id, round(r.score, 9), r.rank)
+          for r in brute_force_knn(proj, qset, k=5,
+                                   vec_col="rot", query_col="rot").collect()}
+    got = {(r.query_id, r.neighbor_id, round(r.score, 9), r.rank)
+           for r in ivfpq_knn(proj, qset, dim=d, k=5, n_cells=4,
+                              n_probe=4, m_subspaces=2, k_codes=8,
+                              rerank=n, vec_col="rot",
+                              query_col="rot").collect()}
+    assert got == bf
