@@ -559,6 +559,75 @@ def streaming_fused_ingest(
     return write_stream_foreach_batch(doc_stream, ingest, checkpoint_dir)
 
 
+def streaming_span_ingest(
+    doc_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 8,
+    hash_grams: bool = False,
+):
+    """Continuously ingest documents with ExactSubstr span hygiene —
+    the streaming loop of `chunking.incremental_remove_duplicate_spans`
+    (the span-level member of the ingest family): each micro-batch
+    removes token positions covered by any ``span``-token window
+    already in the standing index OR shared across the batch,
+    reassembles the cleaned text, appends the cleaned rows
+    ``(id, n_tokens, n_kept, clean_text)`` as that epoch's
+    ``corpus_dir`` partition, and appends the CLEANED text's own
+    windows to ``<corpus_dir>_spanidx`` so later batches dedup against
+    exactly what the corpus now contains.
+
+    Exactly-once mirrors the other ingest loops: every epoch
+    dynamically overwrites its own partitions, and the whole pipeline
+    is deterministic, so replay rewrites identical files. The standing
+    corpus is immutable per the incremental operator's contract (its
+    copies of a shared span remain; the offline batch operator
+    restores remove-all semantics at maintenance cadence —
+    ``consolidate_epochs(mode="append")`` handles the index lineage
+    there too)."""
+    from pyspark_deduplication_spark.operators.chunking import (
+        build_span_index,
+        incremental_remove_duplicate_spans,
+    )
+
+    idx_dir = corpus_dir.rstrip("/") + "_spanidx"
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if len(batch_df.take(1)) == 0:
+            return
+        if _hadoop_path_exists(spark, idx_dir):
+            span_index = (spark.read.parquet(idx_dir)
+                          .where(F.col("epoch") < F.lit(epoch_id))
+                          .drop("epoch"))
+        else:
+            span_index = build_span_index(
+                batch_df, text_col, id_col, span, hash_grams).limit(0)
+        cleaned = incremental_remove_duplicate_spans(
+            batch_df, text_col=text_col, id_col=id_col, span=span,
+            hash_grams=hash_grams, span_index=span_index,
+        ).localCheckpoint(eager=True)
+
+        def _epoch_append(df: DataFrame, path: str) -> None:
+            (df.withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch")
+             .parquet(path))
+
+        _epoch_append(cleaned, corpus_dir)
+        _epoch_append(
+            build_span_index(
+                cleaned.select(F.col(id_col),
+                               F.col("clean_text").alias(text_col)),
+                text_col, id_col, span, hash_grams),
+            idx_dir)
+
+    return write_stream_foreach_batch(doc_stream, ingest, checkpoint_dir)
+
+
 def streaming_reservoir_ingest(
     stream: DataFrame,
     reservoir_dir: str,

@@ -510,3 +510,55 @@ def test_streaming_fused_ingest_replay_is_idempotent(spark, tmp_path):
     first = state()
     run("ckpt2")   # full replay, fresh checkpoint, same data dirs
     assert state() == first
+
+
+def test_streaming_span_ingest_cleans_against_standing_windows(
+    spark, tmp_path
+):
+    """Span ingest over two epochs: an epoch-2 doc repeating a span
+    already in the epoch-1 corpus stores with that span REMOVED, novel
+    text stores verbatim, a batch-internal shared span is stripped
+    from both carriers, and the window index grows from the CLEANED
+    text."""
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_span_ingest,
+    )
+
+    S = " ".join(f"s{i}" for i in range(8))
+    T8 = " ".join(f"t{i}" for i in range(8))
+    novel1 = " ".join(f"a{i}" for i in range(8))
+    novel2 = " ".join(f"b{i}" for i in range(8))
+    novel3 = " ".join(f"d{i}" for i in range(8))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "span_corpus")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, f"{S} c0 c1 c2 c3 c4 c5 c6 c7")], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f1")
+    spark.createDataFrame(
+        [(10, f"{novel1} {S}"),       # standing-span hit: S removed
+         (11, f"{T8} {novel2}"),      # batch-shared: T8 removed
+         (12, f"{T8} {novel3}")],
+        schema).coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_span_ingest(stream, corpus_dir, ckpt, span=8)
+    q.awaitTermination(180)
+
+    rows = {r.doc_id: r for r in spark.read.parquet(corpus_dir).collect()}
+    assert rows[1].clean_text.startswith(S)      # epoch 1: nothing standing
+    assert rows[10].clean_text == novel1
+    assert rows[11].clean_text == novel2
+    assert rows[12].clean_text == novel3
+    idx = spark.read.parquet(corpus_dir + "_spanidx")
+    grams = {r.gram for r in idx.collect()}
+    assert S in grams                            # epoch-1 windows indexed
+    assert novel1 in grams                       # cleaned epoch-2 windows
+    assert T8 not in grams                       # removed spans never index
