@@ -1288,6 +1288,42 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "component long, explained_ratio double, cum_ratio double")
 
 
+def gram_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter bigrams via the Count-Min sketch
+    (`profiling.cms_build/cms_estimate`): the corpus's bigram stream
+    folds into a 4·4096-cell sketch (bounded no matter the vocabulary),
+    and a CANDIDATE set — the distinct bigrams of a 25% deterministic
+    hash sample, the convention that surfaces any gram of non-trivial
+    frequency with near-certainty — probes it for estimates; top-20 by
+    (estimate desc, gram). The never-undercount guarantee means no
+    true heavy hitter below a reported estimate is missed by
+    thresholding. Rows-only (xxhash64 cell layout is not
+    SQL-expressible); sketch contracts pinned in
+    ``test_sketches.py``."""
+    from pyspark_deduplication_spark.operators.profiling import (
+        cms_build,
+        cms_estimate,
+    )
+    from pyspark_deduplication_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(word_ngrams_of(tokenize(F.col("text")), 2))
+        .alias("gram"))
+    sketch = cms_build(grams, "gram", width=4096, depth=4)
+    cand = (
+        hash_sample(docs, "doc_id", 0.25)
+        .select(F.explode(word_ngrams_of(tokenize(F.col("text")), 2))
+                .alias("gram"))
+        .distinct()
+    )
+    return (
+        cms_estimate(sketch, cand, "gram", width=4096, depth=4)
+        .orderBy(F.col("est_count").desc(), F.col("gram").asc())
+        .limit(20)
+    )
+
+
 def fused_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused lexical + semantic dedup — the production composition a
     training pipeline actually runs (near-verbatim copies AND
@@ -7917,6 +7953,10 @@ CATALOG: dict[str, Query] = {
                                         tags=["text", "tokens"]),
     "hll_distinct_rollup": Query(hll_distinct_rollup, None,
                                  tags=["profiling", "sketch"]),
+    # CMS frequency sketch probed by a sampled candidate set (r7)
+    "gram_heavy_hitters_cms": Query(gram_heavy_hitters_cms, None,
+                                    tags=["profiling", "sketch", "text",
+                                          "scale"]),
     "winnow_near_dup_docs": Query(winnow_near_dup_docs, _WINNOW_ORACLE,
                                   bench=True, tags=["text", "dedup"]),
     "jaccard_near_dup_docs": Query(jaccard_near_dup_docs, _JACCARD_DOCS_ORACLE,
