@@ -740,7 +740,7 @@ pairs AS (
   WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.35
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION SELECT id_b, id_a FROM pairs
 ),
@@ -1391,7 +1391,7 @@ sem AS (
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3
 ),
 pairs AS (SELECT id_a, id_b FROM lex UNION SELECT id_a, id_b FROM sem),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION SELECT id_b, id_a FROM pairs
 ),
@@ -3274,7 +3274,7 @@ pairs AS (
            * sqrt(list_sum(list_transform(b.embedding,
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION SELECT id_b, id_a FROM pairs
 ),
@@ -3983,7 +3983,7 @@ pairs AS (
     ON a.c_custkey < b.c_custkey
    AND levenshtein(a.c_name, b.c_name) <= 3
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION SELECT id_b, id_a FROM pairs
 ),
@@ -8331,9 +8331,12 @@ _GRADED_ORDER = [
     "incremental_dup_span_removal_docs",  # span-index probe (r7, late)
     "quality_threshold_sweep",         # model calibration table (r7, late)
     "unigram_seed_pieces",             # unigram tokenizer seeding (r7, late)
-    # (fused_dedup_docs stays outside the window: its recursive-CTE
-    # oracle costs ~45s in the gate — parity + pytest cover it; it
-    # queues for a future rotation)
+    "fused_dedup_docs",                # fused lexical+semantic CC (r7, late):
+    #   previously excluded on oracle cost (~45s) — DuckDB was
+    #   re-evaluating the non-materialized `edges` CTE (and its 4.8s
+    #   all-pairs lexical join upstream) on EVERY recursive-CTE
+    #   iteration; `edges AS MATERIALIZED` pins one evaluation and the
+    #   oracle now runs in ~5.6s, cheap enough for the gate.
     # (b) canaries for round-7-changed code paths
     "surrogate_ids_parts",         # surrogate ids, window spelling
     "knn_bruteforce",              # vector search (knn.py touched)
@@ -8374,7 +8377,10 @@ _GRADED_ORDER = [
     "q11_important_part_values",
     "q12_priority_by_quantity_band",
     "stateful_user_profiles",
-    "streaming_dedup_events",
+    # (streaming_dedup_events yields its slot to fused_dedup_docs —
+    # the only never-graded oracle entry — and rejoins the r8 stale
+    # queue; the streaming family keeps stateful_user_profiles and
+    # events_gapfill_hourly in-window)
     # (q4_order_priority_exists / q7_nation_trade_volume /
     # q9_nation_year_revenue / range_join_value_bands yield their
     # slots to the four late-r7 additions above;
