@@ -1443,19 +1443,43 @@ def project_pca(
     over the broadcast-free model constants (the ``_nearest_cell_expr``
     discipline: model state enters the plan as literals, the corpus
     never shuffles, whole-stage codegen keeps it JVM-side). Appends
-    ``out_col`` as array<double> of length n_components."""
+    ``out_col`` as array<double> of length n_components.
+
+    Two spellings of the same arithmetic: small models unroll into
+    scalar multiply-adds (widest codegen span); past 512 weight terms
+    the unrolled Java method body outgrows the JVM's 64 KB limit
+    (codegen fallback + constant-folding heap blowup observed at
+    16×64), so wide models switch to a literal weight MATRIX walked by
+    ``transform``/``zip_with``/``aggregate`` — a runtime loop in one
+    compact expression, still JVM-side, with the mean folded into a
+    per-component bias (out_i = Σ_j x_j·W_ij − mean·W_i)."""
     mean, comps, _ = model
-    outs = []
-    for row in comps:
-        term = None
-        for j, (m, w) in enumerate(zip(mean, row)):
-            if w == 0.0:
-                continue
-            t = (F.element_at(F.col(vec_col), j + 1).cast("double")
-                 - F.lit(float(m))) * F.lit(float(w))
-            term = t if term is None else term + t
-        outs.append(term if term is not None else F.lit(0.0))
-    return df.withColumn(out_col, F.array(*outs))
+    if len(comps) * len(mean) <= 512:
+        outs = []
+        for row in comps:
+            term = None
+            for j, (m, w) in enumerate(zip(mean, row)):
+                if w == 0.0:
+                    continue
+                t = (F.element_at(F.col(vec_col), j + 1).cast("double")
+                     - F.lit(float(m))) * F.lit(float(w))
+                term = t if term is None else term + t
+            outs.append(term if term is not None else F.lit(0.0))
+        return df.withColumn(out_col, F.array(*outs))
+    w_lit = F.array(*[
+        F.array(*[F.lit(float(w)) for w in row]) for row in comps])
+    b_lit = F.array(*[
+        F.lit(float(sum(m * w for m, w in zip(mean, row))))
+        for row in comps])
+    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    proj = F.transform(
+        w_lit,
+        lambda row, i: F.aggregate(
+            F.zip_with(xd, row, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ) - F.element_at(b_lit, i + 1),
+    )
+    return df.withColumn(out_col, proj)
 
 
 def opq_reorder(model, m_subspaces: int):
@@ -1512,3 +1536,169 @@ def opq_reorder(model, m_subspaces: int):
     return (mean,
             [comps[i] for i in perm],
             [ratios[i] for i in perm])
+
+
+def _opq_procrustes_stats(
+    vectors: DataFrame,
+    vec_col: str,
+    mean,
+    rot,
+    books,
+):
+    """One corpus pass of the learned-OPQ loop: per partition, center
+    the raw vectors (A = X − mean), rotate (Z = A·Wᵀ), quantize each
+    contiguous subspace slice of Z against its codebook (argmin-L2),
+    and reduce to the d_in×d_out correlation M = Σ aᵀ·ŷ plus the total
+    quantization error — the sufficient statistics of the orthogonal-
+    Procrustes update (model-state shape: payload is d_in·d_out + 2
+    floats per partition, independent of row count; the corpus never
+    shuffles). Returns (M, err, n) summed on the driver."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    mu = np.asarray(mean, dtype=np.float64)
+    W = np.asarray(rot, dtype=np.float64)          # d_out × d_in rows
+    d_in, d_out = mu.shape[0], W.shape[0]
+    sub = d_out // len(books)
+    cw = [np.asarray(b, dtype=np.float64) for b in books]   # m × (k×sub)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M, err, n = np.zeros((d_in, d_out)), 0.0, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            A = X - mu
+            Z = A @ W.T
+            Y = np.empty_like(Z)
+            for s, C in enumerate(cw):
+                Zs = Z[:, s * sub:(s + 1) * sub]
+                d2 = ((Zs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                Y[:, s * sub:(s + 1) * sub] = C[np.argmin(d2, axis=1)]
+            M += A.T @ Y
+            err += float(((Z - Y) ** 2).sum())
+            n += X.shape[0]
+        if n:
+            yield pd.DataFrame(
+                {"m": [M.ravel().tolist()], "err": [err], "n": [n]})
+
+    parts = (
+        vectors.select(F.col(vec_col))
+        .mapInPandas(stats, "m array<double>, err double, n long")
+        .collect()
+    )
+    if not parts:
+        raise ValueError("train_opq: empty input")
+    M = np.sum([np.asarray(r["m"]).reshape(d_in, d_out) for r in parts],
+               axis=0)
+    return (M,
+            float(sum(r["err"] for r in parts)),
+            int(sum(r["n"] for r in parts)))
+
+
+def train_opq(
+    vectors: DataFrame,
+    dim: int,
+    m_subspaces: int = 4,
+    k_codes: int = 16,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_components: int | None = None,
+    n_rounds: int = 3,
+    pq_iter: int = 2,
+    init: str = "pca",
+):
+    """Learned (non-parametric) OPQ — Ge et al. 2013 §non-parametric
+    solution, the iterative upgrade of ``opq_reorder``'s one-shot
+    eigenvalue allocation: alternate (a) train PQ codebooks in the
+    current rotated space (``train_pq_codebook``, hash-seeded Lloyd)
+    and (b) re-solve the rotation as an orthogonal Procrustes problem
+    against the codebooks' reconstructions — min_W Σ‖W·a − ŷ‖² over
+    (semi-)orthogonal W, solved by the SVD of the correlation
+    M = Σ a·ŷᵀ from ``_opq_procrustes_stats``: W = V·Uᵀ. Each round
+    can only re-fit the rotation to the CURRENT quantizer exactly, so
+    distortion is driven down jointly where the parametric allocation
+    can only permute PCA axes.
+
+    Distributed shape per round: one codebook train (its own bounded
+    Lloyd passes) + ONE Procrustes stats pass reducing partitions to
+    d_in·d_out floats; the driver SVDs a d-bounded matrix. Nothing
+    corpus-sized shuffles or collects.
+
+    ``n_components < dim`` learns a rectangular row-orthonormal W
+    (Stiefel Procrustes — same SVD solution), fusing dimension
+    reduction into the learned rotation; ``init="pca"`` seeds from the
+    balanced parametric model (recommended), ``init="identity"`` from
+    the raw axes (requires ``n_components == dim``).
+
+    Returns ``(model, codebook, history)``: ``model`` is a
+    ``train_pca``-shaped tuple (mean, W rows, ratios — ratios carried
+    from the init for tuple compatibility, not meaningful after
+    learned updates) ready for ``project_pca``; ``codebook`` a
+    (subspace, code, codeword) frame trained in the FINAL rotation
+    (feed both to ``pq_encode``/``pq_knn``/``ivfpq_knn`` on the
+    projected column); ``history`` the per-round mean quantization
+    error ending with the final rotation+codebook distortion.
+    Float partial sums keep this rows-only (catalog:
+    ``opq_distortion_report``); contracts pinned in ``test_knn.py``."""
+    import numpy as np
+
+    d_out = n_components or dim
+    if d_out % m_subspaces != 0:
+        raise ValueError(
+            f"train_opq: {d_out} components not divisible by "
+            f"m={m_subspaces}")
+    if init == "pca":
+        model0 = opq_reorder(
+            train_pca(vectors, vec_col, n_components=d_out), m_subspaces)
+        mean, rot, ratios = model0
+    elif init == "identity":
+        if d_out != dim:
+            raise ValueError("train_opq: identity init requires "
+                             "n_components == dim")
+        mean_row = vectors.select(F.array(*[
+            F.avg(F.element_at(F.col(vec_col), i + 1).cast("double"))
+            for i in range(dim)
+        ]).alias("mu")).collect()[0]["mu"]
+        mean = [float(x) for x in mean_row]
+        rot = np.eye(dim).tolist()
+        ratios = [1.0 / dim] * dim
+    else:
+        raise ValueError(f"train_opq: unknown init {init!r}")
+
+    sel = vectors.select(F.col(vec_id), F.col(vec_col))
+    sub = d_out // m_subspaces
+    history: list[float] = []
+    codebook = None
+    for _ in range(n_rounds):
+        proj = project_pca(sel, (mean, rot, ratios), vec_col, "__opq")
+        codebook = train_pq_codebook(
+            proj, dim=d_out, m_subspaces=m_subspaces, k_codes=k_codes,
+            vec_id=vec_id, vec_col="__opq", n_iter=pq_iter)
+        rows = codebook.collect()       # m·k bounded model state
+        books = []
+        for s in range(m_subspaces):
+            codes = sorted((int(r["code"]), [float(x) for x in r["codeword"]])
+                           for r in rows if int(r["subspace"]) == s)
+            books.append([w for _, w in codes])
+        M, err, n = _opq_procrustes_stats(sel, vec_col, mean, rot, books)
+        history.append(err / n / d_out)
+        U, _, Vh = np.linalg.svd(M, full_matrices=False)
+        rot = [[float(x) for x in row] for row in (Vh.T @ U.T)]
+    # final codebook in the final rotation + its distortion
+    proj = project_pca(sel, (mean, rot, ratios), vec_col, "__opq")
+    codebook = train_pq_codebook(
+        proj, dim=d_out, m_subspaces=m_subspaces, k_codes=k_codes,
+        vec_id=vec_id, vec_col="__opq", n_iter=pq_iter)
+    rows = codebook.collect()
+    books = []
+    for s in range(m_subspaces):
+        codes = sorted((int(r["code"]), [float(x) for x in r["codeword"]])
+                       for r in rows if int(r["subspace"]) == s)
+        books.append([w for _, w in codes])
+    _, err, n = _opq_procrustes_stats(sel, vec_col, mean, rot, books)
+    history.append(err / n / d_out)
+    return (mean, rot, ratios), codebook, history

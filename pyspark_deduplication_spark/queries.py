@@ -1288,6 +1288,31 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "component long, explained_ratio double, cum_ratio double")
 
 
+def opq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-OPQ convergence report (`knn.train_opq` — Ge et al.
+    2013 non-parametric solution): seed a rank-16 Stiefel rotation
+    from the balanced parametric model, alternate PQ-codebook training
+    with the orthogonal-Procrustes rotation refit for two rounds, and
+    report the per-step mean quantization error — step 0 IS the
+    parametric (`opq_reorder`) model's distortion, so the report shows
+    what the learned iterations buy over the one-shot allocation.
+    One Procrustes-stats pass per round (partitions reduce to
+    d_in·d_out floats), PQ's own bounded Lloyd passes — nothing
+    corpus-sized moves. Rows-only by design (SVD factors and float
+    partial sums are not SQL-expressible); monotone-improvement and
+    orthogonality contracts pinned in ``test_knn.py``."""
+    from pyspark_deduplication_spark.operators.knn import train_opq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, _, hist = train_opq(
+        emb, dim=64, m_subspaces=4, k_codes=16, n_components=16,
+        n_rounds=2, pq_iter=2)
+    labels = ["parametric_init", "learned_round_1", "learned_round_2"]
+    return spark.createDataFrame(
+        [(i, labels[i], round(h, 6)) for i, h in enumerate(hist)],
+        "step long, stage string, mse_per_dim double")
+
+
 def gram_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter bigrams via the Count-Min sketch
     (`profiling.cms_build/cms_estimate`): the corpus's bigram stream
@@ -8012,6 +8037,9 @@ CATALOG: dict[str, Query] = {
     # one-pass distributed PCA spectrum (r7)
     "embedding_pca_variance": Query(embedding_pca_variance, None,
                                     tags=["vector", "stats", "scale"]),
+    # learned OPQ rotation convergence (r7, late)
+    "opq_distortion_report": Query(opq_distortion_report, None,
+                                   tags=["vector", "scale", "report"]),
     "levenshtein_links_customers": Query(levenshtein_links_customers,
                                          _LEV_CUST_ORACLE, tags=["linkage"]),
     "cross_table_entity_match": Query(cross_table_entity_match,
