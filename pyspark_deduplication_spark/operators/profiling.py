@@ -11,7 +11,7 @@ acceptable and the Expand disappears.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -164,4 +164,101 @@ def cms_estimate(
         joined.groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
              .cast("long").alias("est_count"))
+    )
+
+
+def quantile_sketch_build(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int = 128,
+    seed: str = "42",
+) -> DataFrame:
+    """Mergeable quantile sketch — the QUANTILE member of the engine's
+    mergeable-sketch family (HLL = distinct, Bloom word table =
+    membership, CMS = frequency): per group, keep the ``k`` (tag,
+    value) pairs with the smallest ``md5(key‖seed)`` tag — a KMV
+    bottom-k, i.e. a deterministic uniform k-sample whose empirical
+    quantiles estimate the group's quantiles with rank error
+    O(√(q(1−q)/k)) (Hoeffding; measured in ``test_sketches.py``).
+
+    Same hash-tag discipline as ``sampling.reservoir_per_group``, so
+    the sketch inherits the reservoir MERGE property —
+    ``bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B))`` — which is
+    what makes per-partition / per-day sketch tables reusable: any
+    later rollup is ``quantile_sketch_merge`` over stored sketches,
+    no re-scan of raw data, unlike exact percentiles whose partials
+    do not merge across grouping keys. Deterministic and
+    partitioning-independent (md5 tags, total tiebreak on value), so
+    DuckDB replicates the selection byte-for-byte — the sketch is
+    oracle-gradable, unlike randomized KLL compaction.
+
+    Output: (``group_col``, h, v) — ≤ k rows per group; one shuffle
+    on the group key. Estimate with ``quantile_sketch_estimate``."""
+    tag = F.md5(F.concat(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null")),
+        F.lit(seed)))
+    pre = df.select(
+        F.col(group_col),
+        tag.alias("h"),
+        F.col(value_col).cast("double").alias("v"))
+    w = Window.partitionBy(group_col).orderBy("h", "v")
+    return (
+        pre.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def quantile_sketch_merge(
+    *sketches: DataFrame,
+    group_col: str = "source",
+    k: int = 128,
+) -> DataFrame:
+    """Union sketches built with the SAME (key, seed, k) and re-cap to
+    bottom-k per group — equals building on the unioned raw data
+    row-for-row (the KMV merge property, pinned by test). Bounded at
+    k·|groups| rows in, k·|groups| out."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    w = Window.partitionBy(group_col).orderBy("h", "v")
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame,
+    qs: list[float],
+    group_col: str = "source",
+) -> DataFrame:
+    """Quantile estimates from a sketch: per group, the value at rank
+    ``max(1, ceil(q·n))`` of the sample ordered by (value, tag) — the
+    lower empirical quantile, with the tag as a deterministic tiebreak
+    so estimates are partition-order-independent. Returns
+    (``group_col``, q, sample_n, est_value) sorted by (group, q).
+    The sketch is k·|groups|-bounded, so every step here is
+    sketch-sized — raw data is never touched."""
+    counts = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("sample_n"))
+    w = Window.partitionBy(group_col).orderBy("v", "h")
+    ranked = sketch.withColumn("__vr", F.row_number().over(w))
+    want = counts.select(
+        group_col, "sample_n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn(
+        "__rank",
+        F.greatest(F.lit(1),
+                   F.ceil(F.col("q") * F.col("sample_n"))).cast("int"))
+    return (
+        want.join(ranked,
+                  (want[group_col] == ranked[group_col])
+                  & (want["__rank"] == ranked["__vr"]))
+        .select(want[group_col], "q", "sample_n",
+                F.col("v").alias("est_value"))
+        .orderBy(group_col, "q")
     )

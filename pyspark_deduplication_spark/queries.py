@@ -1288,6 +1288,66 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "component long, explained_ratio double, cum_ratio double")
 
 
+def token_quantile_sketch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimated token-length quantiles per source
+    (`profiling.quantile_sketch_build/estimate` — the QUANTILE member
+    of the mergeable-sketch family): a deterministic KMV bottom-128
+    sample per source (md5 tags, the reservoir discipline) estimates
+    p50/p90/p99 of per-doc token counts without ever sorting the
+    corpus — at 100 TB the sketch tables persist per-day and any
+    rollup is `quantile_sketch_merge`, no raw re-scan. The sample is
+    hash-deterministic, so unlike randomized KLL compaction the whole
+    estimate is ORACLE-gradable: DuckDB replicates the selection
+    byte-for-byte. Rank-error bound and merge property pinned in
+    ``test_sketches.py``."""
+    from pyspark_deduplication_spark.operators.profiling import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(
+        "source", "doc_id",
+        F.size(tokenize(F.col("text"))).alias("n_tokens"))
+    sketch = quantile_sketch_build(
+        vals, "source", "doc_id", "n_tokens", k=128)
+    return quantile_sketch_estimate(sketch, [0.5, 0.9, 0.99], "source")
+
+
+_TOKEN_QSKETCH_ORACLE = f"""
+WITH t AS (
+  SELECT source,
+         md5(CAST(doc_id AS VARCHAR) || '42') AS h,
+         CAST(len({_TOKENS_SQL}) AS DOUBLE) AS v
+  FROM documents
+),
+samp AS (
+  SELECT source, h, v FROM (
+    SELECT source, h, v,
+           row_number() OVER (PARTITION BY source ORDER BY h, v) AS rn
+    FROM t)
+  WHERE rn <= 128
+),
+n AS (SELECT source, count(*) AS sample_n FROM samp GROUP BY source),
+ranked AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v, h) AS vr
+  FROM samp
+),
+qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                      CAST(0.99 AS DOUBLE)]) AS q),
+want AS (
+  SELECT n.source, qs.q, n.sample_n,
+         greatest(1, CAST(ceil(qs.q * n.sample_n) AS INT)) AS rank
+  FROM n CROSS JOIN qs
+)
+SELECT w.source, w.q, CAST(w.sample_n AS BIGINT) AS sample_n,
+       r.v AS est_value
+FROM want w JOIN ranked r ON r.source = w.source AND r.vr = w.rank
+ORDER BY w.source, w.q
+"""
+
+
 def opq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-OPQ convergence report (`knn.train_opq` — Ge et al.
     2013 non-parametric solution): seed a rank-16 Stiefel rotation
@@ -8040,6 +8100,10 @@ CATALOG: dict[str, Query] = {
     # learned OPQ rotation convergence (r7, late)
     "opq_distortion_report": Query(opq_distortion_report, None,
                                    tags=["vector", "scale", "report"]),
+    # mergeable KMV quantile sketch (r7, late)
+    "token_quantile_sketch_docs": Query(token_quantile_sketch_docs,
+                                        _TOKEN_QSKETCH_ORACLE,
+                                        tags=["sketch", "stats", "scale"]),
     "levenshtein_links_customers": Query(levenshtein_links_customers,
                                          _LEV_CUST_ORACLE, tags=["linkage"]),
     "cross_table_entity_match": Query(cross_table_entity_match,
@@ -8359,6 +8423,7 @@ _GRADED_ORDER = [
     "incremental_dup_span_removal_docs",  # span-index probe (r7, late)
     "quality_threshold_sweep",         # model calibration table (r7, late)
     "unigram_seed_pieces",             # unigram tokenizer seeding (r7, late)
+    "token_quantile_sketch_docs",      # mergeable KMV quantile sketch (r7, late)
     "fused_dedup_docs",                # fused lexical+semantic CC (r7, late):
     #   previously excluded on oracle cost (~45s) — DuckDB was
     #   re-evaluating the non-materialized `edges` CTE (and its 4.8s
@@ -8402,7 +8467,9 @@ _GRADED_ORDER = [
     "grouping_sets_order_revenue",
     "nation_revenue_share",
     "q10_returned_items",
-    "q11_important_part_values",
+    # (q11_important_part_values yields its slot to
+    # token_quantile_sketch_docs and rejoins the r8 stale queue;
+    # TPC-H keeps q10/q12/q13/q14/q17/q22/q8 in-window)
     "q12_priority_by_quantity_band",
     "stateful_user_profiles",
     # (streaming_dedup_events yields its slot to fused_dedup_docs —

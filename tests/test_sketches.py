@@ -96,3 +96,68 @@ def test_cms_never_undercounts_and_merges_exactly(spark):
     direct = {(r.row, r.col): r.cnt for r in sketch.collect()}
     via_merge = {(r.row, r.col): r.cnt for r in merged.collect()}
     assert direct == via_merge
+
+
+def test_quantile_sketch_merge_equals_build_on_union(spark):
+    """The KMV merge property on the quantile sketch:
+    merge(build(A), build(B)) must equal build(A ∪ B) ROW-FOR-ROW
+    (bottom-k by deterministic md5 tag — an element of the combined
+    bottom-k is in the bottom-k of any subset containing it), and the
+    estimates must agree exactly. Also pins partitioning independence
+    (repartition(13) cannot change a hash-ordered selection)."""
+    from pyspark_deduplication_spark.operators.profiling import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+    )
+
+    rows = [(f"g{i % 3}", i, float((i * 37) % 101)) for i in range(600)]
+    df = spark.createDataFrame(rows, "source string, id long, v double")
+    a = df.filter(F.col("id") % 2 == 0)
+    b = df.filter(F.col("id") % 2 == 1)
+
+    whole = quantile_sketch_build(df, "source", "id", "v", k=32)
+    merged = quantile_sketch_merge(
+        quantile_sketch_build(a, "source", "id", "v", k=32),
+        quantile_sketch_build(b, "source", "id", "v", k=32),
+        group_col="source", k=32)
+    key = lambda r: (r["source"], r["h"], r["v"])  # noqa: E731
+    assert sorted(map(key, whole.collect())) \
+        == sorted(map(key, merged.collect()))
+
+    repart = quantile_sketch_build(
+        df.repartition(13), "source", "id", "v", k=32)
+    assert sorted(map(key, whole.collect())) \
+        == sorted(map(key, repart.collect()))
+
+    est_w = quantile_sketch_estimate(whole, [0.5, 0.9], "source").collect()
+    est_m = quantile_sketch_estimate(merged, [0.5, 0.9], "source").collect()
+    assert [tuple(r) for r in est_w] == [tuple(r) for r in est_m]
+
+
+def test_quantile_sketch_rank_error_bound(spark):
+    """Accuracy contract: a size-k KMV sample's empirical q-quantile
+    has true rank within q ± ~3·√(q(1−q)/k). At k=256 over n=5000 the
+    3σ band is ±0.094; pin ±0.1 on the DETERMINISTIC md5 sample (no
+    flakiness — the bound is measured, not assumed). Also pins the
+    rank-1 corner: any q ≤ 1/n estimates the group minimum."""
+    from pyspark_deduplication_spark.operators.profiling import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+    )
+
+    n, k = 5000, 256
+    df = spark.createDataFrame(
+        [("g", i, float((i * 7919) % n)) for i in range(n)],
+        "source string, id long, v double")
+    sketch = quantile_sketch_build(df, "source", "id", "v", k=k)
+    assert sketch.count() == k
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = quantile_sketch_estimate(sketch, [q], "source") \
+            .first()["est_value"]
+        true_rank = df.filter(F.col("v") <= est).count() / n
+        assert abs(true_rank - q) <= 0.1, (q, est, true_rank)
+
+    tiny = quantile_sketch_estimate(sketch, [0.0001], "source").first()
+    sample_min = sketch.agg(F.min("v")).first()[0]
+    assert tiny["est_value"] == sample_min
