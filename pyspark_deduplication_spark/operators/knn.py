@@ -64,6 +64,59 @@ def brute_force_knn(
     )
 
 
+def hard_negative_mining(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "embedding",
+    label_col: str = "label",
+    query_label_col: str = "label",
+    dup_threshold: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    recipe): for each query, the top-k most-similar corpus vectors
+    that are NOT positives — a candidate must carry a DIFFERENT label
+    than the query, and (optionally) score BELOW ``dup_threshold``,
+    which drops near-duplicates that are overwhelmingly unlabeled
+    positives (mining them as negatives poisons the loss). Both
+    exclusions apply BEFORE ranking — a hard negative is the best
+    among eligible candidates, not a leftover of the unfiltered top-k.
+
+    Same scale shape as ``brute_force_knn``: the bounded query set
+    (id, vector, label) broadcasts, the corpus streams once, native
+    ``zip_with``/``aggregate`` cosine, window top-k. Returns
+    (query_id, neighbor_id, score, rank), ties broken by neighbor id.
+    Exact by construction — the IVF/PQ family is the approximate
+    scale path when the query set itself is corpus-sized."""
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_col).alias("__qvec"),
+        F.col(query_label_col).alias("__qlabel"),
+    )
+    joined = (
+        vectors.join(F.broadcast(q), how="cross")
+        .filter(F.col(vec_id) != F.col("__qid"))
+        .filter(~F.col(label_col).eqNullSafe(F.col("__qlabel")))
+    )
+    scored = joined.select(
+        F.col("__qid").alias(query_id),
+        F.col(vec_id).alias("neighbor_id"),
+        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    if dup_threshold is not None:
+        scored = scored.filter(F.col("score") < dup_threshold)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _cell_sim_structs(cents: list[tuple[int, list[float]]], vec_col: str):
     """``array<struct<sim,negid>>`` of per-cell similarity scores as a
     pure per-row expression over centroid literals — no join, no

@@ -965,6 +965,43 @@ def test_opq_allocation_cuts_pq_distortion(spark):
     assert naive > opq, (naive, opq)
 
 
+def test_hard_negative_mining_excludes_positives_and_clones(spark):
+    """Planted contract: the query's nearest overall neighbor shares
+    its label (a positive) and the next nearest is a near-clone above
+    the dup threshold (an unlabeled positive) — BOTH must be excluded
+    BEFORE ranking, so the mined rank-1 negative is the best vector
+    that is neither, not a leftover of the unfiltered top-k. NULL
+    labels never match any query label (null-safe inequality keeps
+    them eligible)."""
+    from pyspark_deduplication_spark.operators.knn import (
+        hard_negative_mining,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 7),        # query, label 7
+        (1, [0.999, 0.04, 0.0], 7),     # nearest: same label → positive
+        (2, [0.998, 0.06, 0.0], 3),     # near-clone, cos ≈ 0.998 → dup
+        (3, [0.9, 0.44, 0.0], 3),       # the true hard negative
+        (4, [0.0, 1.0, 0.0], 3),        # easy negative
+        (5, [0.0, 0.0, 1.0], None),     # NULL label: eligible
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label")
+
+    got = hard_negative_mining(emb, q, k=3, dup_threshold=0.95).collect()
+    ids = [r.neighbor_id for r in got]
+    assert ids[0] == 3, got                     # best eligible wins
+    assert 1 not in ids and 2 not in ids, got   # positive + clone out
+    assert 5 in ids, got                        # NULL label eligible
+    assert [r.rank for r in got] == [1, 2, 3]
+
+    # without the dup threshold the clone is rank 1 (it's cross-label)
+    raw = hard_negative_mining(emb, q, k=1).collect()
+    assert raw[0].neighbor_id == 2
+
+
 def test_learned_opq_improves_on_parametric_init(spark):
     """The non-parametric OPQ loop (`train_opq`): seeded from the
     balanced parametric model, each round's Procrustes step re-solves
