@@ -37,6 +37,7 @@ from pyspark_deduplication_spark.functions.text import (
     doc_fingerprint,
     tokenize,
     word_ngrams,
+    word_ngrams_all_of,
     word_ngrams_of,
 )
 
@@ -520,6 +521,193 @@ def minhash_dedup(
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def _icws_mix(x: np.ndarray, salt: int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 — the deterministic
+    per-(gram, slot, draw) random stream ICWS consumes. Integer wrap is
+    the arithmetic (numpy unsigned mul/add wrap silently)."""
+    z = x + np.uint64((salt * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _icws_uniform(x: np.ndarray, salt: int) -> np.ndarray:
+    """Uniform(0,1) from a mixed 64-bit stream: top 53 bits + ½ulp so
+    the value is never 0 or 1 (logs stay finite)."""
+    return ((_icws_mix(x, salt) >> np.uint64(11)).astype(np.float64)
+            + 0.5) * (2.0 ** -53)
+
+
+def weighted_minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Weighted MinHash signatures via Improved Consistent Weighted
+    Sampling (Ioffe 2010, ICWS): per slot, draw r,c ~ Gamma(2,1) and
+    β ~ Uniform(0,1) per (gram, slot) from deterministic splitmix64
+    streams, take t = ⌊ln w / r + β⌋, ln a = ln c − r·(t − β) − r, and
+    keep the gram minimizing a; the slot value hashes (gram, t) so two
+    docs collide on a slot with probability equal to their GENERALIZED
+    (tf-weighted) Jaccard Σmin(w)/Σmax(w) — the similarity the
+    unweighted MinHash family cannot see (a doc that repeats a
+    boilerplate paragraph 50× looks identical to one containing it
+    once under set semantics; weighted Jaccard separates them).
+
+    Plan shape mirrors ``minhash_signatures``: shingles WITH repeats
+    (``word_ngrams_all_of``), one JVM-side ``xxhash64`` per gram (the
+    only string hashing), then an Arrow kernel does np.unique for the
+    tf weights and the ICWS argmin per slot — entirely row-local, zero
+    shuffle. Returns (id, whashes, signature): ``whashes`` keeps the
+    hashed multiset for exact weighted-Jaccard verification downstream
+    (the ``shingles`` analogue). Empty docs sign as all-(−1) sentinel
+    slots (never collide). Rows-only in the catalog by design (ICWS
+    streams are not SQL-expressible); estimator accuracy vs exact
+    weighted Jaccard pinned in ``test_dedup.py``."""
+    slot_salt = np.arange(num_hashes, dtype=np.uint64) * np.uint64(5)
+    empty = np.full(num_hashes, -1, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def kernel(hashes: pd.Series) -> pd.Series:
+        sigs = []
+        for arr in hashes:
+            a = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            if a.size == 0:
+                sigs.append(empty)
+                continue
+            grams, counts = np.unique(a, return_counts=True)
+            lnw = np.log(counts.astype(np.float64))      # weights = tf
+            base = grams[:, None] ^ _icws_mix(
+                slot_salt, 101)[None, :]                  # m × H streams
+            u1 = _icws_uniform(base, 1)
+            u2 = _icws_uniform(base, 2)
+            r = -np.log(u1 * u2)                          # Gamma(2,1)
+            u3 = _icws_uniform(base, 3)
+            u4 = _icws_uniform(base, 4)
+            lnc = np.log(-np.log(u3 * u4))                # ln Gamma(2,1)
+            beta = _icws_uniform(base, 5)
+            t = np.floor(lnw[:, None] / r + beta)
+            lna = lnc - r * (t - beta) - r
+            k = np.argmin(lna, axis=0)                    # winner per slot
+            win_t = t[k, np.arange(t.shape[1])]
+            # slot value identifies (gram, t): mix the winning gram's
+            # stream with its t so equal samples collide across docs
+            val = _icws_mix(
+                grams[k] ^ win_t.astype(np.int64).astype(np.uint64), 9)
+            sigs.append(val.astype(np.int64))
+        return pd.Series(sigs)
+
+    tokenized = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    grams = tokenized.select(
+        F.col(id_col),
+        F.transform(
+            word_ngrams_all_of(F.col("__toks"), shingle_size),
+            lambda g: F.xxhash64(F.lit(7), g),
+        ).alias("whashes"),
+    )
+    return grams.select(
+        F.col(id_col), F.col("whashes"),
+        kernel(F.col("whashes")).alias("signature"))
+
+
+def weighted_jaccard_of(a: Column, b: Column) -> Column:
+    """Exact generalized Jaccard Σmin(tf)/Σmax(tf) of two hashed gram
+    MULTISETS (``whashes`` columns) — the verify step for weighted
+    MinHash candidates, as an Arrow kernel (np.unique + intersect per
+    pair; row-local)."""
+    @pandas_udf("double")
+    def kernel(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
+        out = []
+        for xa, xb in zip(a_col, b_col):
+            ga, ca = np.unique(np.asarray(xa, dtype=np.int64),
+                               return_counts=True)
+            gb, cb = np.unique(np.asarray(xb, dtype=np.int64),
+                               return_counts=True)
+            if ga.size == 0 and gb.size == 0:
+                out.append(0.0)
+                continue
+            common, ia, ib = np.intersect1d(
+                ga, gb, assume_unique=True, return_indices=True)
+            mins = np.minimum(ca[ia], cb[ib]).sum()
+            maxs = ca.sum() + cb.sum() - mins
+            out.append(float(mins) / float(maxs) if maxs else 0.0)
+        return pd.Series(out)
+
+    return kernel(a, b)
+
+
+def weighted_minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH banding over ICWS signatures: same compact (id, band,
+    bucket) shuffle, bucket-join and skew guard as the unweighted
+    path (``_band_keys``/``band_candidate_pairs`` are shared), but
+    collision probability tracks WEIGHTED Jaccard, and the verify
+    join-back computes the exact Σmin/Σmax on the hashed multisets.
+    Returns distinct (id_a, id_b, weighted_jaccard_sim)."""
+    sigs = weighted_minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_size)
+    # eager materialization before the band fan-out (same race as
+    # minhash_candidate_pairs — two downstream scans)
+    sigs = sigs.persist()
+    sigs.count()
+
+    banded = _band_keys(sigs, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    pairs = band_candidate_pairs(banded, id_col)
+    msets = sigs.select(F.col(id_col), F.col("whashes"))
+    out = (
+        pairs.join(msets.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("whashes", "wh_a"), "id_a")
+        .join(msets.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("whashes", "wh_b"), "id_b")
+        .select("id_a", "id_b",
+                weighted_jaccard_of(F.col("wh_a"), F.col("wh_b"))
+                .alias("weighted_jaccard_sim"))
+    )
+    out = out.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
+
+
+def weighted_minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Near-duplicate removal under tf-weighted Jaccard: ICWS-LSH
+    candidates → exact Σmin/Σmax verify at ``threshold`` → connected
+    components → keep the min-id doc per component."""
+    from pyspark_deduplication_spark.operators.linkage import connected_components
+
+    edges = weighted_minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_size
+    ).filter(F.col("weighted_jaccard_sim") >= threshold)
+    comps = connected_components(edges, "id_a", "id_b")
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")
 
 

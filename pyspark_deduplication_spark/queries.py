@@ -1288,6 +1288,32 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "component long, explained_ratio double, cum_ratio double")
 
 
+def weighted_jaccard_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tf-WEIGHTED near-dup candidates over the corpus
+    (`dedup.weighted_minhash_candidate_pairs` — ICWS, Ioffe 2010):
+    LSH banding where collision probability tracks GENERALIZED Jaccard
+    Σmin(tf)/Σmax(tf), the similarity that separates a doc containing
+    a boilerplate paragraph once from one repeating it 50× (set-based
+    MinHash sees them as identical). Same compact band-key shuffle and
+    skew guard as the unweighted path; exact Σmin/Σmax verify on the
+    hashed multisets. Rows-only by design (ICWS streams are not
+    SQL-expressible); estimator accuracy, repetition separation and
+    banding recall pinned in ``test_dedup.py``."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        weighted_minhash_candidate_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        weighted_minhash_candidate_pairs(docs, num_hashes=64, bands=16)
+        .filter(F.col("weighted_jaccard_sim") >= 0.5)
+        .select("id_a", "id_b",
+                F.round("weighted_jaccard_sim", 6)
+                .alias("weighted_jaccard_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def token_quantile_sketch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-estimated token-length quantiles per source
     (`profiling.quantile_sketch_build/estimate` — the QUANTILE member
@@ -8125,6 +8151,9 @@ CATALOG: dict[str, Query] = {
     "minhash_dedup_docs": Query(minhash_dedup_docs, None,
                                 bench=True, tags=["dedup", "lsh"]),
     "simhash_dedup_docs": Query(simhash_dedup_docs, None, tags=["dedup"]),
+    # tf-weighted (generalized-Jaccard) near dups via ICWS (r7, late)
+    "weighted_jaccard_near_dup_docs": Query(
+        weighted_jaccard_near_dup_docs, None, tags=["dedup", "lsh"]),
     # similarity search
     "knn_bruteforce": Query(knn_bruteforce, _KNN_ORACLE, bench=True,
                             tags=["vector"]),

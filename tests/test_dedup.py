@@ -412,3 +412,131 @@ def test_lsh_recall_ladder_monotone_and_complete_on_planted(spark, tmp_path):
     assert out[4].n_candidates <= out[8].n_candidates \
         <= out[16].n_candidates
     assert out[16].recall == 1.0
+
+
+def test_weighted_minhash_estimator_tracks_weighted_jaccard(spark):
+    """ICWS accuracy contract: slot-collision rate estimates the exact
+    GENERALIZED Jaccard Σmin(tf)/Σmax(tf). Planted corpus: B repeats
+    A's boilerplate 5× (weighted J ≈ 0.16 — prototype exact 0.1600,
+    est 0.1523 at H=256), an identical clone (J = 1 → identical
+    signatures, deterministic), and a disjoint doc (J = 0 → zero
+    collisions, the −1 sentinel never matches a real slot). Pin
+    |est − exact| ≤ 0.07 (3σ at H=256 is 0.069). Also pins
+    partitioning independence — the streams are hash-seeded."""
+    import numpy as np
+
+    from pyspark_deduplication_spark.operators.dedup import (
+        weighted_minhash_signatures,
+    )
+
+    a = ("the quick brown fox jumps over the lazy dog near the river "
+         "bank today")
+    b = " ".join([a] * 5) + " completely different suffix text goes here now"
+    c = "unrelated content about astronomy and telescopes in the mountains"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c), (3, a)], "doc_id long, text string")
+    sigs = {r.doc_id: (np.asarray(r.whashes), np.asarray(r.signature))
+            for r in weighted_minhash_signatures(
+                df, num_hashes=256).collect()}
+
+    def exact_wj(x, y):
+        ga, ca = np.unique(x, return_counts=True)
+        gb, cb = np.unique(y, return_counts=True)
+        _, ia, ib = np.intersect1d(ga, gb, assume_unique=True,
+                                   return_indices=True)
+        mins = np.minimum(ca[ia], cb[ib]).sum()
+        return mins / (ca.sum() + cb.sum() - mins)
+
+    wa, sa = sigs[0]
+    wb, sb = sigs[1]
+    exact = exact_wj(wa, wb)
+    assert 0.1 < exact < 0.25, exact            # repetition, not set, Jaccard
+    assert abs((sa == sb).mean() - exact) <= 0.07
+    assert (sigs[0][1] == sigs[3][1]).all()     # clone: identical signature
+    assert (sigs[0][1] == sigs[2][1]).sum() == 0  # disjoint: no collisions
+
+    repart = {r.doc_id: np.asarray(r.signature)
+              for r in weighted_minhash_signatures(
+                  df.repartition(7), num_hashes=256).collect()}
+    for k in sigs:
+        assert (sigs[k][1] == repart[k]).all()
+
+
+def test_weighted_minhash_separates_repetition_where_set_jaccard_cannot(spark):
+    """The operator's reason to exist: A = one boilerplate paragraph,
+    B = the same paragraph 50× — their SHINGLE SETS are identical
+    (set Jaccard 1.0, `minhash_dedup` merges them) but their weighted
+    Jaccard is ~1/50, so `weighted_minhash_dedup` at threshold 0.5
+    keeps both. A true clone pair still collapses on the weighted
+    path."""
+    from pyspark_deduplication_spark.functions.similarity import jaccard
+    from pyspark_deduplication_spark.functions.text import (
+        tokenize,
+        word_ngrams_of,
+    )
+    from pyspark_deduplication_spark.operators.dedup import (
+        weighted_minhash_dedup,
+    )
+
+    para = ("subscribe to our newsletter for updates about products and "
+            "services offered by the site")
+    df = spark.createDataFrame(
+        [(1, para), (2, " ".join([para] * 50)), (3, para)],
+        "doc_id long, text string")
+
+    sets = df.select(
+        "doc_id", word_ngrams_of(tokenize(F.col("text")), 3).alias("g"))
+    a = sets.filter("doc_id = 1").select(F.col("g").alias("ga"))
+    b = sets.filter("doc_id = 2").select(F.col("g").alias("gb"))
+    set_j = a.crossJoin(b).select(
+        jaccard(F.col("ga"), F.col("gb")).alias("j")).first()["j"]
+    # set semantics are nearly blind to the 50× repetition: only the
+    # junction shingles differ, so A and B sit ABOVE the usual 0.8
+    # set-Jaccard dedup threshold (minhash_dedup would merge them)
+    assert set_j >= 0.85, set_j
+
+    kept = sorted(r.doc_id for r in
+                  weighted_minhash_dedup(df, threshold=0.5).collect())
+    assert kept == [1, 2]                        # repeat survives, clone dies
+
+
+def test_weighted_minhash_banding_finds_planted_high_wj_pairs(spark):
+    """Banding recall on the weighted path: planted pairs with
+    weighted J ≥ 0.85 (per-doc token tweaks on a repeated-paragraph
+    base) must all surface from 64/16 banding (collision prob
+    1−(1−s⁴)¹⁶ ≥ 0.9998 at s = 0.85) with their exact Σmin/Σmax
+    verified scores; strangers stay absent."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        weighted_minhash_candidate_pairs,
+    )
+
+    rows = []
+    for i in range(6):
+        # pair (10i, 10i+1): same group-private 3×-repeated vocabulary,
+        # one trailing token differs — weighted J ≈ 0.9 within the
+        # pair, 0 across groups (vocabularies are disjoint)
+        base = " ".join(f"w{i}x{j}" for j in range(30))
+        rep = " ".join([base] * 3)
+        rows.append((10 * i, rep + f" epsilon{i}"))
+        rows.append((10 * i + 1, rep + f" delta{i}"))
+    for i in range(20):
+        rows.append((1000 + i, f"completely unrelated filler number {i} "
+                     f"with its own distinct vocabulary token{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {(r.id_a, r.id_b): r.weighted_jaccard_sim
+             for r in weighted_minhash_candidate_pairs(
+                 df, num_hashes=64, bands=16).collect()}
+    for i in range(6):
+        key = (10 * i, 10 * i + 1)
+        assert key in pairs, key
+        assert pairs[key] >= 0.85, (key, pairs[key])
+    # filler docs share boilerplate (WJ ≈ 0.38) so SOME surface as
+    # candidates — correct LSH behavior; the exact verify score keeps
+    # every one below the dedup threshold, and no cross-group planted
+    # pair appears at all (vocabularies are disjoint)
+    for (a, b), wj in pairs.items():
+        if a >= 1000 or b >= 1000:
+            assert wj < 0.5, ((a, b), wj)
+        else:
+            assert b == a + 1, (a, b)
