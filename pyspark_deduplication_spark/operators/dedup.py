@@ -711,6 +711,85 @@ def weighted_minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def build_weighted_minhash_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Persist-once ICWS signature table — the weighted twin of
+    ``build_minhash_index``: (id, whashes, signature) with exact
+    multiset clones collapsed to their min-id representative
+    (byte-identical gram multisets have identical weighted Jaccard to
+    any probe, so the collapse is lossless for match decisions while
+    clone-heavy buckets shed their mass). Feed to
+    ``incremental_weighted_minhash_dedup(corpus_sigs=...)``; append
+    each ingest batch's surviving signatures to stay current."""
+    sigs = weighted_minhash_signatures(
+        corpus, text_col, id_col, num_hashes, shingle_size)
+    return (
+        clone_representatives(sigs, id_col, "whashes")
+        .filter(F.col(id_col) == F.col("__rep"))
+        .drop("__rep")
+    )
+
+
+def incremental_weighted_minhash_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    max_bucket_size: int | None = None,
+    corpus_sigs: DataFrame | None = None,
+    pre_collapsed: bool | None = None,
+) -> DataFrame:
+    """Tf-weighted near-dup filter for a NEW batch against an EXISTING
+    corpus — ``incremental_minhash_dedup`` with ICWS signatures and
+    exact Σmin/Σmax verification. Same contract throughout: the corpus
+    never self-joins (its banded keys come from the persisted index or
+    are derived once here), a batch doc at/above ``threshold`` against
+    ANY corpus doc drops, survivors clean batch-internally with
+    ``weighted_minhash_dedup``, and the skew guard (multiset clone
+    collapse + per-bucket cap) arms via ``max_bucket_size`` with the
+    same ``pre_collapsed`` provenance inference as the set path."""
+    new_sigs = weighted_minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_size).persist()
+    if pre_collapsed is None:
+        pre_collapsed = corpus_sigs is not None
+    if corpus_sigs is None:
+        corpus_sigs = weighted_minhash_signatures(
+            corpus, text_col, id_col, num_hashes, shingle_size)
+    corpus_sigs = corpus_sigs.persist()
+    new_sigs.count()
+    corpus_sigs.count()
+    cand = incremental_minhash_candidates(
+        new_sigs, corpus_sigs, id_col, num_hashes, bands, max_bucket_size,
+        pre_collapsed, content_col="whashes")
+    new_wh = new_sigs.select(F.col(id_col).alias("new_id"),
+                             F.col("whashes").alias("wh_new"))
+    corpus_wh = corpus_sigs.select(F.col(id_col).alias("corpus_id"),
+                                   F.col("whashes").alias("wh_corpus"))
+    dup_ids = (
+        cand.join(new_wh, "new_id")
+        .join(corpus_wh, "corpus_id")
+        .filter(weighted_jaccard_of(
+            F.col("wh_new"), F.col("wh_corpus")) >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    fresh = new_docs.join(dup_ids, on=id_col, how="left_anti")
+    fresh = fresh.localCheckpoint(eager=True)
+    new_sigs.unpersist()
+    corpus_sigs.unpersist()
+    return weighted_minhash_dedup(fresh, text_col, id_col, threshold,
+                                  num_hashes, bands, shingle_size)
+
+
 def clone_representatives(
     df: DataFrame, id_col: str, content_col: str
 ) -> DataFrame:
@@ -771,11 +850,16 @@ def incremental_minhash_candidates(
     bands: int = 16,
     max_bucket_size: int | None = None,
     pre_collapsed: bool = False,
+    content_col: str = "shingles",
 ) -> DataFrame:
     """(new_id, corpus_id) candidate pairs for
     ``incremental_minhash_dedup`` from precomputed signature frames —
     factored out so tests can pin the candidate-count bound (the
     ``incremental_semantic_dedup_candidates`` precedent).
+    ``content_col`` names the set/multiset column backing the
+    clone-collapse key — "shingles" for the set path, "whashes" for
+    the ICWS weighted path (byte-identical multisets have identical
+    weighted Jaccard to any probe, so the collapse stays lossless).
 
     Guarded (``max_bucket_size``), two stages mirroring the SemDeDup
     incremental guard:
@@ -795,7 +879,7 @@ def incremental_minhash_candidates(
     reps = corpus_sigs
     if max_bucket_size is not None and not pre_collapsed:
         reps = (
-            clone_representatives(reps, id_col, "shingles")
+            clone_representatives(reps, id_col, content_col)
             .filter(F.col(id_col) == F.col("__rep"))
             .drop("__rep")
         )

@@ -1138,6 +1138,30 @@ def incremental_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id"))
 
 
+def incremental_weighted_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TF-WEIGHTED near-dup ingestion
+    (`dedup.incremental_weighted_minhash_dedup` — the ICWS twin of
+    `incremental_minhash_docs`): even-id docs are the standing corpus,
+    odd-id docs the new batch; a batch doc whose GENERALIZED Jaccard
+    Σmin(tf)/Σmax(tf) against any corpus doc reaches 0.6 drops, then
+    survivors dedup among themselves under the same metric. The corpus
+    never self-joins; the multiset clone collapse + bucket cap guard is
+    armed. Rows-only (ICWS streams are not SQL-expressible); the
+    keep/drop and persisted-index contracts are pinned in
+    ``test_dedup.py``."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        incremental_weighted_minhash_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return (incremental_weighted_minhash_dedup(
+                batch, corpus, "text", "doc_id",
+                threshold=0.6, max_bucket_size=4096)
+            .select("doc_id"))
+
+
 def incremental_fused_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental FUSED ingestion — the OR-composition of the MinHash
     and SemDeDup incremental probes (`operators/fused.py`): even-id
@@ -8154,6 +8178,9 @@ CATALOG: dict[str, Query] = {
     # tf-weighted (generalized-Jaccard) near dups via ICWS (r7, late)
     "weighted_jaccard_near_dup_docs": Query(
         weighted_jaccard_near_dup_docs, None, tags=["dedup", "lsh"]),
+    "incremental_weighted_minhash_docs": Query(
+        incremental_weighted_minhash_docs, None,
+        tags=["dedup", "lsh", "incremental"]),
     # similarity search
     "knn_bruteforce": Query(knn_bruteforce, _KNN_ORACLE, bench=True,
                             tags=["vector"]),

@@ -540,3 +540,47 @@ def test_weighted_minhash_banding_finds_planted_high_wj_pairs(spark):
             assert wj < 0.5, ((a, b), wj)
         else:
             assert b == a + 1, (a, b)
+
+
+def test_incremental_weighted_minhash_and_persisted_index(spark):
+    """The weighted twin of the incremental MinHash contract: a batch
+    doc weighted-similar to the corpus drops; a doc sharing the
+    corpus doc's SHINGLE SET but not its weight profile (the 40×
+    repetition) survives — the set-based incremental path would drop
+    it; batch-internal weighted dups collapse to one survivor; fresh
+    content passes. The persisted ``build_weighted_minhash_index``
+    path must agree with inline signing exactly (multiset clone
+    collapse is lossless)."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        build_weighted_minhash_index,
+        incremental_weighted_minhash_dedup,
+    )
+
+    para = ("training corpora need careful deduplication before any "
+            "model sees them at scale")
+    corpus = spark.createDataFrame(
+        [(1, para), (2, "some other corpus document about compilers "
+                        "and optimization passes entirely")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, para + " ok"),                 # weighted near-dup of 1 → drop
+         (101, " ".join([para] * 40)),        # same shingle SET, weights
+                                              # differ 40× → must SURVIVE
+         (102, "genuinely fresh content about marine biology and reefs "
+               "with unique words"),
+         (103, "genuinely fresh content about marine biology and reefs "
+               "with unique wordz"),           # weighted dup of 102 in-batch
+         ],
+        "doc_id long, text string")
+
+    kept = sorted(r.doc_id for r in incremental_weighted_minhash_dedup(
+        batch, corpus, threshold=0.6).collect())
+    assert 100 not in kept
+    assert 101 in kept, kept
+    assert len([k for k in kept if k in (102, 103)]) == 1, kept
+
+    idx = build_weighted_minhash_index(corpus).localCheckpoint()
+    kept_idx = sorted(r.doc_id for r in incremental_weighted_minhash_dedup(
+        batch, corpus, threshold=0.6, corpus_sigs=idx,
+        max_bucket_size=64).collect())
+    assert kept_idx == kept, (kept_idx, kept)
