@@ -164,6 +164,56 @@ def _topn_cells_expr(
     return F.transform(ranked, lambda s: (-s["negid"]).cast("long"))
 
 
+def coreset_sample(
+    vectors: DataFrame,
+    n_cells: int = 32,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 4,
+    per_cell: int = 1,
+    train_sample_mod: int = 1,
+) -> DataFrame:
+    """Diversity-preserving subset selection (k-center-style coreset —
+    the curation counterpart of dedup: instead of dropping what is too
+    SIMILAR, keep what best COVERS the space): train spherical k-means
+    cells, then keep the ``per_cell`` vectors most cosine-similar to
+    their own cell's centroid — one representative per region, so the
+    sample spans every populated mode of the embedding distribution
+    where a uniform sample oversamples dense modes and misses thin
+    ones.
+
+    Scale shape: centroids are model state (broadcast-free literals);
+    the corpus is scanned ONCE with a row-local argmax for assignment
+    and the within-cell selection shuffles only slim (id, cell, score)
+    rows for the rank window — payload vectors never move. Note the
+    assignment dot is against UNIT centroids, so ranking rows within a
+    cell divides by the row norm to get true cosine (the row norm is
+    constant across CELLS, which is why assignment can skip it, but
+    not across ROWS). Zero vectors score NULL and sort last.
+
+    Returns (``vec_id``, cell_id, score, rank ≤ ``per_cell``), rank 1
+    = the cell's medoid-like representative. Deterministic (hash
+    init, 9dp-rounded Lloyd sums, id tiebreaks)."""
+    cents_df = train_centroids(
+        vectors, n_cells, vec_id, vec_col, n_iter, train_sample_mod)
+    cents = sorted(
+        (int(r["cell_id"]), [float(x) for x in r["centroid"]])
+        for r in cents_df.collect()     # n_cells rows — model state
+    )
+    best = F.array_max(_cell_sim_structs(cents, vec_col))
+    scored = vectors.select(
+        F.col(vec_id),
+        (-best["negid"]).cast("long").alias("cell_id"),
+        (best["sim"] / l2_norm(F.col(vec_col))).alias("score"),
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("score").desc(), F.col(vec_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_cell)
+    )
+
+
 def train_centroids(
     vectors: DataFrame,
     n_cells: int = 16,

@@ -1312,6 +1312,86 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "component long, explained_ratio double, cum_ratio double")
 
 
+def vocab_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: how many NEW distinct
+    3-gram shingles each tenth of the corpus contributes, and the
+    cumulative vocabulary through it — the diagnostic that says
+    whether more crawl keeps buying new content or the corpus has
+    saturated (a flattening curve is the data-driven stop signal for
+    collection, and a step jump flags a distribution shift).
+
+    Scale shape: deciles come from pure integer arithmetic on the id
+    range (two broadcast scalars — no global ntile window, which would
+    serialize the corpus through one partition); each gram reduces to
+    its FIRST decile with one hash aggregate (map-side combine), the
+    per-decile counts are 10 rows, and the running sum is a
+     10-row window. Exact integer throughout → oracle-gradable."""
+    docs = _t(spark, sf_dir, "documents")
+    rng = docs.agg(F.min("doc_id").alias("mn"),
+                   F.max("doc_id").alias("mx")).first()
+    mn, span = int(rng["mn"]), int(rng["mx"]) - int(rng["mn"]) + 1
+    grams = docs.select(
+        F.expr(f"CAST((doc_id - {mn}) * 10 AS BIGINT) div {span} + 1")
+        .alias("decile"),
+        F.explode(word_ngrams_of(tokenize(F.col("text")), 3)).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("decile").alias("decile"))
+    counts = first.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("new_grams"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        counts.withColumn("cum_grams", F.sum("new_grams").over(w))
+        .orderBy("decile")
+    )
+
+
+_VOCAB_GROWTH_ORACLE = f"""
+WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' ')))) AS gram
+  FROM toks
+),
+dec AS (
+  SELECT g.gram,
+         ((g.doc_id - b.mn) * 10) // (b.mx - b.mn + 1) + 1 AS decile
+  FROM grams g, b
+),
+first AS (SELECT gram, min(decile) AS decile FROM dec GROUP BY gram),
+counts AS (SELECT decile, count(*) AS new_grams FROM first GROUP BY decile)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(new_grams AS BIGINT) AS new_grams,
+       CAST(sum(new_grams) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_grams
+FROM counts ORDER BY decile
+"""
+
+
+def coreset_sample_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving coreset over the embeddings table
+    (`knn.coreset_sample`): 32 spherical k-means cells, keep the 2
+    vectors most cosine-similar to their own centroid per cell — one
+    pass, row-local assignment, slim-row rank window; the curation
+    step that keeps coverage of every embedding mode where a uniform
+    sample oversamples dense regions. Rows-only by design (Lloyd
+    literals are not SQL-expressible); representative-is-argmax,
+    coverage and determinism pinned in ``test_knn.py``."""
+    from pyspark_deduplication_spark.operators.knn import coreset_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        coreset_sample(emb, n_cells=32, per_cell=2)
+        .select("cell_id", "vec_id", F.round("score", 6).alias("score"),
+                "rank")
+        .orderBy("cell_id", "rank")
+    )
+
+
 def weighted_jaccard_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tf-WEIGHTED near-dup candidates over the corpus
     (`dedup.weighted_minhash_candidate_pairs` — ICWS, Ioffe 2010):
@@ -8220,6 +8300,13 @@ CATALOG: dict[str, Query] = {
     "token_quantile_sketch_docs": Query(token_quantile_sketch_docs,
                                         _TOKEN_QSKETCH_ORACLE,
                                         tags=["sketch", "stats", "scale"]),
+    # Heaps-law vocabulary growth curve (r7, late)
+    "vocab_growth_report": Query(vocab_growth_report, _VOCAB_GROWTH_ORACLE,
+                                 tags=["stats", "text", "scale"]),
+    # k-center coreset selection (r7, late)
+    "coreset_sample_embeddings": Query(coreset_sample_embeddings, None,
+                                       tags=["vector", "sampling",
+                                             "training"]),
     "levenshtein_links_customers": Query(levenshtein_links_customers,
                                          _LEV_CUST_ORACLE, tags=["linkage"]),
     "cross_table_entity_match": Query(cross_table_entity_match,
@@ -8541,6 +8628,7 @@ _GRADED_ORDER = [
     "unigram_seed_pieces",             # unigram tokenizer seeding (r7, late)
     "token_quantile_sketch_docs",      # mergeable KMV quantile sketch (r7, late)
     "hard_negative_mining_embeddings",  # contrastive negatives (r7, late)
+    "vocab_growth_report",             # Heaps-law growth curve (r7, late)
     "fused_dedup_docs",                # fused lexical+semantic CC (r7, late):
     #   previously excluded on oracle cost (~45s) — DuckDB was
     #   re-evaluating the non-materialized `edges` CTE (and its 4.8s
@@ -8577,7 +8665,9 @@ _GRADED_ORDER = [
     "windowed_collect_set_parts",
     # … then the alphabetical head of r2
     "asof_forward_tolerance",
-    "cube_lineitem_flags",
+    # (cube_lineitem_flags yields its slot to vocab_growth_report and
+    # rejoins the r8 stale queue; grouping_sets_order_revenue keeps
+    # the rollup family in-window)
     "embedding_near_dups",
     "events_gapfill_hourly",
     "golden_customer_records",

@@ -965,6 +965,57 @@ def test_opq_allocation_cuts_pq_distortion(spark):
     assert naive > opq, (naive, opq)
 
 
+def test_coreset_sample_picks_true_cell_representatives(spark):
+    """Coreset contract against numpy ground truth: re-deriving the
+    assignment (argmax dot vs unit centroids, ties to smaller cell id)
+    and the within-cell ranking (true cosine, ties to smaller vec_id)
+    from the trained centroids must reproduce exactly the operator's
+    picks; every populated cell is represented; per_cell caps the
+    output; repartitioning changes nothing."""
+    from pyspark_deduplication_spark.operators.knn import (
+        coreset_sample,
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(13)
+    d, n = 8, 240
+    X = rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+
+    n_cells = 8
+    cents = {int(r.cell_id): np.asarray(r.centroid) for r in
+             train_centroids(df, n_cells=n_cells, n_iter=3).collect()}
+    units = {c: v / np.linalg.norm(v) if np.linalg.norm(v) else v
+             for c, v in cents.items()}
+    X64 = X.astype(np.float32).astype(np.float64)
+    dots = np.stack([X64 @ units[c] for c in sorted(units)], axis=1)
+    assign = dots.argmax(axis=1)            # ties → smaller cell (argmax)
+    cos = dots[np.arange(n), assign] / np.linalg.norm(X64, axis=1)
+    expect = {}
+    for c in sorted(units):
+        members = np.where(assign == c)[0]
+        if members.size:
+            order = members[np.lexsort((members, -cos[members]))]
+            expect[c] = [int(i) for i in order[:2]]
+
+    got = {}
+    for r in coreset_sample(df, n_cells=n_cells, n_iter=3,
+                            per_cell=2).collect():
+        got.setdefault(int(r.cell_id), []).append((r.rank, int(r.vec_id)))
+    got = {c: [v for _, v in sorted(rows)] for c, rows in got.items()}
+    assert got == expect
+
+    again = {(r.cell_id, r.vec_id, r.rank) for r in
+             coreset_sample(df.repartition(11), n_cells=n_cells,
+                            n_iter=3, per_cell=2).collect()}
+    base = {(r.cell_id, r.vec_id, r.rank) for r in
+            coreset_sample(df, n_cells=n_cells, n_iter=3,
+                           per_cell=2).collect()}
+    assert again == base
+
+
 def test_hard_negative_mining_excludes_positives_and_clones(spark):
     """Planted contract: the query's nearest overall neighbor shares
     its label (a positive) and the next nearest is a near-clone above
