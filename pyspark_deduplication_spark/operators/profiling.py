@@ -203,9 +203,21 @@ def quantile_sketch_build(
         F.col(group_col),
         tag.alias("h"),
         F.col(value_col).cast("double").alias("v"))
+    return _sketch_cap(pre, group_col, k)
+
+
+def _sketch_cap(rows: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Shared bottom-k re-cap: collapse duplicate tags first (same key
+    observed twice — a replayed batch or re-arriving key — keeps the
+    MIN value, deterministically), then keep the k smallest tags per
+    group. The collapse is what makes the streaming ingest's
+    replay-rewrites-identical-state claim true: without it a replayed
+    batch's rows would double-occupy slots and displace legitimate
+    sample members."""
+    deduped = rows.groupBy(group_col, "h").agg(F.min("v").alias("v"))
     w = Window.partitionBy(group_col).orderBy("h", "v")
     return (
-        pre.withColumn("__rn", F.row_number().over(w))
+        deduped.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
@@ -223,12 +235,7 @@ def quantile_sketch_merge(
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    w = Window.partitionBy(group_col).orderBy("h", "v")
-    return (
-        out.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _sketch_cap(out, group_col, k)
 
 
 def quantile_sketch_estimate(

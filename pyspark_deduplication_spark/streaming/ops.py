@@ -690,6 +690,63 @@ def streaming_reservoir_ingest(
     return write_stream_foreach_batch(stream, ingest, checkpoint_dir)
 
 
+def streaming_quantile_sketch_ingest(
+    stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int = 128,
+    seed: str = "42",
+):
+    """Maintain per-group quantile sketches over a stream — the
+    streaming member of the mergeable-sketch family's quantile leg,
+    riding ``profiling.quantile_sketch_build``'s KMV merge property
+    (bottomk(A ∪ B) == bottomk(bottomk(A) ∪ B), the exact contract
+    the reservoir ingest uses): each micro-batch sketches its own rows
+    and re-caps the union with the standing sketch. No per-row
+    streaming state, arrival-order independent — after any prefix of
+    batches the sketch equals ``quantile_sketch_build`` over the
+    concatenation (pinned in ``test_streaming.py``), so
+    ``quantile_sketch_estimate`` over the standing table serves live
+    p50/p90/p99 dashboards without ever re-scanning history.
+
+    Exactly-once mirrors the reservoir ingest: every epoch writes the
+    FULL bounded state (≤ k·|groups| rows) into its own
+    ``epoch=<id>`` partition; replayed batches deterministically
+    rewrite identical partitions; fold lineage with
+    ``consolidate_epochs(mode="snapshot")``."""
+    from pyspark_deduplication_spark.operators.profiling import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if len(batch_df.take(1)) == 0:
+            return
+        new_sk = quantile_sketch_build(
+            batch_df, group_col, key_col, value_col, k, seed)
+        if _hadoop_path_exists(spark, sketch_dir):
+            prior_all = spark.read.parquet(sketch_dir).where(
+                F.col("epoch") < F.lit(epoch_id))
+            head = prior_all.select(F.max("epoch").alias("__e")).collect()
+            if head and head[0]["__e"] is not None:
+                prior = (prior_all
+                         .where(F.col("epoch") == F.lit(head[0]["__e"]))
+                         .drop("epoch"))
+                new_sk = quantile_sketch_merge(
+                    new_sk, prior, group_col=group_col, k=k)
+        (new_sk.withColumn("epoch", F.lit(epoch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(sketch_dir))
+
+    return write_stream_foreach_batch(stream, ingest, checkpoint_dir)
+
+
 def stream_static_enrich(
     stream: DataFrame,
     static_dim: DataFrame,

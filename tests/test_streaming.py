@@ -392,6 +392,77 @@ def test_streaming_reservoir_ingest_matches_batch_operator(spark, tmp_path):
     assert all(v <= 2 for v in counts.values())
 
 
+def test_streaming_quantile_sketch_ingest_matches_batch(spark, tmp_path):
+    """Quantile-sketch ingest over two epochs: the standing sketch
+    after the last epoch equals ``quantile_sketch_build`` over every
+    row that ever streamed in (the KMV merge property end-to-end,
+    tag-for-tag), stays bounded at k per group, and estimates computed
+    from the standing table match the batch path exactly. Re-merging
+    the final state with one of its own constituent batches changes
+    nothing (the replay-idempotence collapse)."""
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.operators.profiling import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+    )
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_quantile_sketch_ingest,
+    )
+
+    schema = T.StructType([
+        T.StructField("grp", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ])
+    src = str(tmp_path / "incoming")
+    sk_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    e1 = [("a", i, float(i * 3 % 17)) for i in range(12)] + \
+         [("b", i, float(i)) for i in range(100, 106)]
+    e2 = [("a", i, float(i * 5 % 23)) for i in range(12, 24)] + \
+         [("b", i, float(i)) for i in range(106, 110)]
+    spark.createDataFrame(e1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f1")
+    spark.createDataFrame(e2, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f2")
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_quantile_sketch_ingest(
+        stream, sk_dir, ckpt, group_col="grp", key_col="id",
+        value_col="val", k=8)
+    q.awaitTermination(180)
+
+    all_rows = spark.createDataFrame(e1 + e2, schema)
+    expect_sk = quantile_sketch_build(all_rows, "grp", "id", "val", k=8)
+    expect = sorted((r.grp, r.h, r.v) for r in expect_sk.collect())
+    final = spark.read.parquet(sk_dir)
+    last = final.agg({"epoch": "max"}).collect()[0][0]
+    standing = final.where(final.epoch == last).drop("epoch")
+    got = sorted((r.grp, r.h, r.v) for r in standing.collect())
+    assert got == expect
+
+    counts = {}
+    for g, _, _ in got:
+        counts[g] = counts.get(g, 0) + 1
+    assert all(v <= 8 for v in counts.values())
+
+    est_live = [tuple(r) for r in quantile_sketch_estimate(
+        standing, [0.5, 0.9], "grp").collect()]
+    est_batch = [tuple(r) for r in quantile_sketch_estimate(
+        expect_sk, [0.5, 0.9], "grp").collect()]
+    assert est_live == est_batch
+
+    replayed = quantile_sketch_merge(
+        standing,
+        quantile_sketch_build(spark.createDataFrame(e1, schema),
+                              "grp", "id", "val", k=8),
+        group_col="grp", k=8)
+    assert sorted((r.grp, r.h, r.v) for r in replayed.collect()) == expect
+
+
 def test_streaming_fused_ingest_drops_on_either_signal(spark, tmp_path):
     """Fused ingest over two epochs: an epoch-2 doc near-duplicating
     epoch 1 LEXICALLY (text variant, novel vector) never lands, one
