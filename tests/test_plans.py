@@ -584,3 +584,85 @@ def test_project_pca_is_map_only_and_codegen(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert wholestage_codegen_spans(proj) >= 1
+
+
+def test_weighted_minhash_signatures_row_local_and_slim_band_join(spark, sf_dir):
+    """ICWS signatures must be map-only (tokenize → gram hash →
+    Arrow kernel, no Exchange — the `minhash_signatures` discipline),
+    and the weighted band self-join must shuffle only (id, band,
+    bucket) keys: no exchange partitioned on band keys may carry the
+    whashes multiset column."""
+    import re
+
+    from pyspark_deduplication_spark.operators.dedup import (
+        weighted_minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(weighted_minhash_signatures(docs))
+    assert "Exchange" not in plan
+
+    from pyspark_deduplication_spark.operators.dedup import _band_keys
+
+    sigs = weighted_minhash_signatures(docs)
+    banded = _band_keys(sigs, "doc_id", 64, 16)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pyspark_deduplication_spark.operators.dedup import (
+            band_candidate_pairs,
+        )
+
+        plan = explain_str(band_candidate_pairs(banded, "doc_id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    blocks = re.split(r"\n\n", plan)
+    band_exchanges = [
+        b for b in blocks
+        if re.search(r"\(\d+\) Exchange", b)
+        and "band#" in b and "bucket#" in b
+    ]
+    assert band_exchanges, "expected band-keyed exchanges"
+    for b in band_exchanges:
+        assert "whashes#" not in b, b
+
+
+def test_coreset_sample_shuffles_only_slim_rows(spark):
+    """Coreset selection: assignment + scoring are row-local literal
+    expressions (no join against centroids, no Python eval); the only
+    exchange feeds the rank window and carries (vec_id, cell_id,
+    score) — never the embedding payload."""
+    import re
+
+    from pyspark_deduplication_spark.operators.knn import coreset_sample
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0, 0.0]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    out = coreset_sample(df, n_cells=4, n_iter=1, per_cell=2)
+    plan = explain_str(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    blocks = re.split(r"\n\n", plan)
+    exchanges = [b for b in blocks if re.search(r"\(\d+\) Exchange", b)]
+    assert exchanges, "expected the rank-window exchange"
+    for b in exchanges:
+        assert "embedding#" not in b, b
+
+
+def test_project_pca_wide_spelling_stays_jvm_side(spark):
+    """Past the 512-term threshold the literal-matrix zip_with
+    spelling must still be shuffle-free and JVM-side (no Python eval
+    node) — the whole point of the fallback is avoiding the codegen
+    64 KB blowup without leaving the JVM."""
+    from pyspark_deduplication_spark.operators.knn import project_pca
+
+    d, nc = 32, 17                              # 544 terms → wide path
+    df = spark.createDataFrame(
+        [(i, [float(i)] * d) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    model = ([0.0] * d,
+             [[float(i == j) for j in range(d)] for i in range(nc)],
+             [0.0] * nc)
+    plan = explain_str(project_pca(df, model))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
