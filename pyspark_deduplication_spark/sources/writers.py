@@ -141,6 +141,54 @@ def write_sorted_parquet(
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Export the corpus as deterministic TRAINING SHARDS — the last
+    mile of the curation pipeline, where a trainer's data loader wants
+    many same-sized, internally-shuffled files it can assign to
+    workers: each row hash-assigns to a shard via its epoch-salted md5
+    key (the ``epoch_shuffle_docs`` key family — append-stable,
+    reproducible, a DIFFERENT permutation per epoch) and rows within a
+    shard are written in key order, so global read order =
+    concatenated shard order = the epoch's md5 permutation restricted
+    to hash-sharding. One shuffle (the shard repartition); no global
+    sort, no single-partition window — shard balance is binomial
+    (±O(√(n/shards))), which is what every production shard writer
+    accepts in exchange for scale.
+
+    Writes ``shard=<i>`` parquet partitions and returns the MANIFEST
+    frame (shard, n_rows[, n_tokens]) the loader reads for length
+    bucketing / work assignment — compute it from the same keyed frame
+    so it cannot drift from the files."""
+    key = F.md5(F.concat(F.lit(f"{epoch}:"),
+                         F.col(id_col).cast("string")))
+    keyed = (
+        df.withColumn("__key", key)
+        .withColumn("shard",
+                    F.pmod(F.xxhash64(F.col("__key")), F.lit(n_shards)))
+    )
+    (
+        keyed.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__key")
+        .drop("__key")
+        .write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if token_col is not None:
+        aggs.append(F.sum(F.col(token_col)).alias("n_tokens"))
+    return keyed.groupBy("shard").agg(*aggs).orderBy("shard")
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

@@ -435,3 +435,56 @@ def test_consolidate_epochs_append_mode_keeps_all_rows(spark, tmp_path):
         == [1, 2]
     assert sorted(r.v for r in df.where("epoch = 1").collect()) == [1, 2, 3]
     assert sorted(r.v for r in df.where("epoch = 2").collect()) == [4, 5]
+
+
+def test_write_training_shards_deterministic_and_ordered(spark, tmp_path):
+    """Shard export contract: every row lands in exactly one of
+    n_shards; within a shard the on-disk row order is the epoch md5
+    key order (the loader's read order IS the epoch permutation);
+    the manifest matches the files exactly; a rewrite is byte-stable;
+    a different epoch yields a different permutation but the same
+    manifest totals."""
+    from pyspark_deduplication_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}", (i % 7) + 1) for i in range(200)],
+        "doc_id long, text string, n_tokens int")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        docs, path, n_shards=4, epoch=1, token_col="n_tokens").collect()
+    assert [r.shard for r in manifest] == [0, 1, 2, 3]
+    assert sum(r.n_rows for r in manifest) == 200
+    assert sum(r.n_tokens for r in manifest) == \
+        docs.agg(F.sum("n_tokens")).first()[0]
+
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    per_shard = {r.shard: r.n_rows for r in manifest}
+    for shard, n in per_shard.items():
+        rows = (spark.read.parquet(f"{path}/shard={shard}")
+                .withColumn("__f", F.input_file_name())
+                .collect())
+        assert len(rows) == n
+        import hashlib
+        keys = [hashlib.md5(f"1:{r.doc_id}".encode()).hexdigest()
+                for r in rows]
+        assert keys == sorted(keys), shard   # on-disk order = key order
+
+    again = write_training_shards(
+        docs, path, n_shards=4, epoch=1, token_col="n_tokens").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in manifest]
+
+    e2 = write_training_shards(
+        docs, str(tmp_path / "shards2"), n_shards=4, epoch=2,
+        token_col="n_tokens").collect()
+    assert sum(r.n_rows for r in e2) == 200
+    assert {r.shard: r.n_rows for r in e2} != per_shard or \
+        True  # balance may coincide; the permutation check is below
+    s0_e1 = [r.doc_id for r in
+             spark.read.parquet(f"{path}/shard=0").collect()]
+    s0_e2 = [r.doc_id for r in
+             spark.read.parquet(str(tmp_path / "shards2") + "/shard=0")
+             .collect()]
+    assert s0_e1 != s0_e2                    # epochs permute differently
