@@ -51,6 +51,12 @@ NOTES = {
     "corpus_mixture_execute": "waterfill plan iterates the checkpointed n_sources relation; budgets broadcast; one exchange on source for the running-sum window — no global sort",
     "cross_source_dup_matrix": "blank-doc filter + chunking map-only; distinct + self-join move (16-byte md5, source) pairs only — text never shuffles",
     "curation_pipeline_docs": "five stages, shuffle-disciplined end to end: trainer aggregations → broadcast weight join → fingerprint window → per-source cap window → projection split; no SortMergeJoin, no cartesian",
+    "weighted_jaccard_near_dup_docs": "ICWS signatures map-only (one JVM hash per gram, Arrow argmin kernel); band join shuffles (id, band, bucket) only; multiset verify joins back by id for survivors",
+    "token_quantile_sketch_docs": "one group-key shuffle for the bottom-k window; estimation runs on the k·|groups|-bounded sketch — raw data read once",
+    "vocab_growth_report": "integer id-range deciles from two broadcast scalars (no global ntile window); gram → first-decile hash aggregate with map-side partials; 10-row running sum",
+    "coreset_sample_embeddings": "centroid literals live in the plan (no join); assignment + cosine scoring row-local; only slim (id, cell, score) rows shuffle for the rank window",
+    "hard_negative_mining_embeddings": "bounded (id, vector, label) query set broadcast; corpus scans in place; label + dup-ceiling exclusions filter BEFORE the top-k window",
+    "fused_dedup_docs": "both edge generators ARE the single-signal queries (one spelling each); the union moves bare id pairs; CC is pointer-doubling over ids",
 }
 
 
