@@ -1250,8 +1250,6 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only (id, band, bucket) keys; the recall join moves bare
     id pairs."""
     from pyspark_deduplication_spark.operators.dedup import (
-        _band_keys,
-        band_candidate_pairs,
         minhash_signatures,
     )
 
@@ -1260,10 +1258,26 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("id_a", "id_b").localCheckpoint())
     sigs = minhash_signatures(docs, "text", "doc_id", 64, 3).persist()
     sigs.count()
+    out = _band_recall_ladder(sigs, truth, "doc_id", 64, (4, 8, 16))
+    sigs.unpersist()
+    return out
+
+
+def _band_recall_ladder(sigs, truth, id_col, num_hashes, rung_bands):
+    """Score an LSH band ladder against an exact ground-truth pair
+    set: per rung, (bands, n_candidates, n_truth, n_hit, recall) —
+    shared by the set-Jaccard and weighted-Jaccard recall reports.
+    Each rung shuffles only (id, band, bucket) keys; the recall join
+    moves bare id pairs."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        _band_keys,
+        band_candidate_pairs,
+    )
+
     rungs = []
-    for bands in (4, 8, 16):
+    for bands in rung_bands:
         cand = band_candidate_pairs(
-            _band_keys(sigs, "doc_id", 64, bands), "doc_id"
+            _band_keys(sigs, id_col, num_hashes, bands), id_col
         ).localCheckpoint()
         scored = truth.join(
             cand.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left")
@@ -1285,9 +1299,53 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    / F.col("n_truth").cast("double"), 6))
                     .alias("recall"))
         )
-    out = rungs[0].unionByName(rungs[1]).unionByName(rungs[2])
-    sigs.unpersist()
+    out = rungs[0]
+    for r in rungs[1:]:
+        out = out.unionByName(r)
     return out.orderBy("bands")
+
+
+def weighted_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the WEIGHTED (ICWS) band ladder against the
+    exact generalized-Jaccard pair set — the weighted twin of
+    `lsh_recall_report`, sharing its rung scorer: ICWS signatures of a
+    deterministic 40% doc sample (recall measurement needs exact
+    all-pairs ground truth, which is quadratic — so it runs
+    sample-bounded, the production discipline), exact Σmin/Σmax truth
+    at ≥ 0.5 with the necessary multiset-size-ratio prefilter
+    (Σmin/Σmax ≤ min(|A|,|B|)/max(|A|,|B|), so |A| ≥ 0.5·|B| is
+    required — the fused-oracle prefilter pattern), ladder at
+    b ∈ {4, 8, 16}. Rows-only by design; ladder monotonicity pinned in
+    ``test_dedup.py``."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        weighted_jaccard_of,
+        weighted_minhash_signatures,
+    )
+    from pyspark_deduplication_spark.operators.sampling import hash_sample
+
+    docs = hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.4)
+    sigs = weighted_minhash_signatures(docs, "text", "doc_id", 64, 3) \
+        .persist()
+    sigs.count()
+    sized = sigs.select("doc_id", "whashes",
+                        F.size("whashes").alias("__n"))
+    a = sized.select(F.col("doc_id").alias("id_a"),
+                     F.col("whashes").alias("wh_a"),
+                     F.col("__n").alias("na"))
+    b = sized.select(F.col("doc_id").alias("id_b"),
+                     F.col("whashes").alias("wh_b"),
+                     F.col("__n").alias("nb"))
+    truth = (
+        a.join(b, (F.col("id_a") < F.col("id_b"))
+               & (F.col("na") * 2 >= F.col("nb"))
+               & (F.col("nb") * 2 >= F.col("na")))
+        .filter(weighted_jaccard_of(F.col("wh_a"), F.col("wh_b")) >= 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    out = _band_recall_ladder(sigs, truth, "doc_id", 64, (4, 8, 16))
+    sigs.unpersist()
+    return out
 
 
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8244,6 +8302,10 @@ CATALOG: dict[str, Query] = {
     # measured band-ladder recall vs exact Jaccard ground truth (r7)
     "lsh_recall_report": Query(lsh_recall_report, None,
                                tags=["dedup", "lsh", "stats", "scale"]),
+    # weighted twin: ICWS ladder vs exact generalized Jaccard (r7, late)
+    "weighted_lsh_recall_report": Query(
+        weighted_lsh_recall_report, None,
+        tags=["dedup", "lsh", "stats", "scale"]),
     "incremental_minhash_docs": Query(incremental_minhash_docs, None,
                                       bench=True,
                                       tags=["dedup", "lsh", "incremental"]),

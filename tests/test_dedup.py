@@ -584,3 +584,35 @@ def test_incremental_weighted_minhash_and_persisted_index(spark):
         batch, corpus, threshold=0.6, corpus_sigs=idx,
         max_bucket_size=64).collect())
     assert kept_idx == kept, (kept_idx, kept)
+
+
+def test_weighted_lsh_recall_ladder_monotone_on_planted(spark, tmp_path):
+    """The weighted recall ladder (shared rung scorer): on a corpus
+    with planted weighted-J ≥ 0.85 pairs, recall and candidate volume
+    are monotone in the band count and the 16-band rung recovers every
+    planted pair (collision prob ≥ 0.9998 at s = 0.85)."""
+    from pyspark_deduplication_spark.queries import (
+        _band_recall_ladder,
+    )
+    from pyspark_deduplication_spark.operators.dedup import (
+        weighted_minhash_signatures,
+    )
+
+    rows = []
+    for i in range(8):
+        base = " ".join(f"v{i}q{j}" for j in range(30))
+        rep = " ".join([base] * 3)
+        rows.append((2 * i, rep + f" left{i}"))
+        rows.append((2 * i + 1, rep + f" right{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = weighted_minhash_signatures(df, num_hashes=64).localCheckpoint()
+    truth = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(8)], "id_a long, id_b long")
+    out = {r.bands: r for r in
+           _band_recall_ladder(sigs, truth, "doc_id", 64,
+                               (4, 8, 16)).collect()}
+    assert out[16].n_truth == 8
+    assert out[4].recall <= out[8].recall <= out[16].recall
+    assert out[4].n_candidates <= out[8].n_candidates \
+        <= out[16].n_candidates
+    assert out[16].recall == 1.0
