@@ -1370,6 +1370,83 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "component long, explained_ratio double, cum_ratio double")
 
 
+def weighted_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact generalized (tf-weighted) Jaccard pairs over the corpus,
+    computed RELATIONALLY — the oracle-graded exactness anchor
+    for the weighted family (the ICWS queries are rows-only; this pins
+    the metric itself cross-engine): non-distinct 3-gram explode →
+    (doc, gram, tf) table → gram equi-join for Σmin(tf) → sizes join →
+    Σmin/Σmax ≥ 0.3. All-integer numerators/denominators make the 6dp
+    round bit-equal on any engine. The relational spelling is also the
+    at-scale EXACT verify: candidates join through the tf table on
+    gram keys instead of shipping whole multisets (the Arrow-kernel
+    verify in `weighted_minhash_candidate_pairs` trades that shuffle
+    for row-local work on the few survivors; `test_dedup.py` pins the
+    two spellings equal)."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.col("doc_id"),
+        F.explode(word_ngrams_all_of(tokenize(F.col("text")), 3))
+        .alias("gram"))
+    tf = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c"))
+    sizes = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    a = tf.select(F.col("doc_id").alias("id_a"), "gram",
+                  F.col("c").alias("ca"))
+    b = tf.select(F.col("doc_id").alias("id_b"), "gram",
+                  F.col("c").alias("cb"))
+    inter = (
+        a.join(b, ["gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("m"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a").join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("m").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("m"))
+                    .cast("double"), 6).alias("weighted_jaccard_sim"))
+        .filter(F.col("weighted_jaccard_sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_WEIGHTED_PAIRS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS gram
+  FROM toks
+),
+tf AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
+sizes AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sum(least(a.c, b.c)) AS m
+  FROM tf a JOIN tf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.m AS DOUBLE)
+             / CAST(na.n + nb.n - i.m AS DOUBLE), 6)
+         AS weighted_jaccard_sim
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE round(CAST(i.m AS DOUBLE)
+            / CAST(na.n + nb.n - i.m AS DOUBLE), 6) >= 0.3
+ORDER BY i.id_a, i.id_b
+"""
+
+
 def vocab_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-growth (Heaps-law) curve: how many NEW distinct
     3-gram shingles each tenth of the corpus contributes, and the
@@ -8320,6 +8397,10 @@ CATALOG: dict[str, Query] = {
     # tf-weighted (generalized-Jaccard) near dups via ICWS (r7, late)
     "weighted_jaccard_near_dup_docs": Query(
         weighted_jaccard_near_dup_docs, None, tags=["dedup", "lsh"]),
+    # exact weighted-Jaccard anchor, relational spelling (r7, late)
+    "weighted_jaccard_pairs_exact": Query(
+        weighted_jaccard_pairs_exact, _WEIGHTED_PAIRS_ORACLE,
+        tags=["dedup", "stats"]),
     "incremental_weighted_minhash_docs": Query(
         incremental_weighted_minhash_docs, None,
         tags=["dedup", "lsh", "incremental"]),
@@ -8691,6 +8772,7 @@ _GRADED_ORDER = [
     "token_quantile_sketch_docs",      # mergeable KMV quantile sketch (r7, late)
     "hard_negative_mining_embeddings",  # contrastive negatives (r7, late)
     "vocab_growth_report",             # Heaps-law growth curve (r7, late)
+    "weighted_jaccard_pairs_exact",    # weighted-metric anchor (r7, late)
     "fused_dedup_docs",                # fused lexical+semantic CC (r7, late):
     #   previously excluded on oracle cost (~45s) — DuckDB was
     #   re-evaluating the non-materialized `edges` CTE (and its 4.8s
@@ -8734,7 +8816,8 @@ _GRADED_ORDER = [
     "events_gapfill_hourly",
     "golden_customer_records",
     "grouping_sets_order_revenue",
-    "nation_revenue_share",
+    # (nation_revenue_share yields its slot to
+    # weighted_jaccard_pairs_exact and rejoins the r8 stale queue)
     # (q10_returned_items and q11_important_part_values yield their
     # slots to hard_negative_mining_embeddings and
     # token_quantile_sketch_docs, rejoining the r8 stale queue;

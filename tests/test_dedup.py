@@ -616,3 +616,72 @@ def test_weighted_lsh_recall_ladder_monotone_on_planted(spark, tmp_path):
     assert out[4].n_candidates <= out[8].n_candidates \
         <= out[16].n_candidates
     assert out[16].recall == 1.0
+
+
+def test_weighted_jaccard_kernel_matches_relational_spelling(spark):
+    """The two exact-verify spellings of generalized Jaccard must agree
+    bit-for-bit: the Arrow kernel (`weighted_jaccard_of`, row-local on
+    hashed multisets) and the relational tf-table join
+    (`weighted_jaccard_pairs_exact`'s shape — explode → tf → gram
+    equi-join → Σmin / sizes). Both run over the same docs with the
+    identical 6dp round."""
+    from pyspark_deduplication_spark.functions.text import (
+        tokenize,
+        word_ngrams_all_of,
+    )
+    from pyspark_deduplication_spark.operators.dedup import (
+        weighted_jaccard_of,
+    )
+
+    rows = [(0, "a b c a b c a b"), (1, "a b c d e f a b"),
+            (2, "a b c a b c a b x"), (3, "q r s t u v w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    grams = df.select(
+        "doc_id",
+        F.explode(word_ngrams_all_of(tokenize(F.col("text")), 3))
+        .alias("gram"))
+    tf = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    sizes = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    a = tf.select(F.col("doc_id").alias("id_a"), "gram",
+                  F.col("c").alias("ca"))
+    b = tf.select(F.col("doc_id").alias("id_b"), "gram",
+                  F.col("c").alias("cb"))
+    inter = (a.join(b, ["gram"]).filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.sum(F.least("ca", "cb")).alias("m")))
+    na = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("n").alias("nb"))
+    relational = {
+        (r.id_a, r.id_b): r.j
+        for r in inter.join(na, "id_a").join(nb, "id_b").select(
+            "id_a", "id_b",
+            F.round(F.col("m").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("m"))
+                    .cast("double"), 6).alias("j")).collect()
+    }
+
+    hashed = df.select(
+        "doc_id",
+        F.transform(word_ngrams_all_of(tokenize(F.col("text")), 3),
+                    lambda g: F.xxhash64(F.lit(7), g)).alias("wh"))
+    wa = hashed.select(F.col("doc_id").alias("id_a"),
+                       F.col("wh").alias("wh_a"))
+    wb = hashed.select(F.col("doc_id").alias("id_b"),
+                       F.col("wh").alias("wh_b"))
+    kernel = {
+        (r.id_a, r.id_b): r.j
+        for r in wa.crossJoin(wb).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(weighted_jaccard_of(
+                    F.col("wh_a"), F.col("wh_b")), 6).alias("j"))
+        .collect()
+    }
+    for k, v in relational.items():
+        assert kernel[k] == v, (k, kernel[k], v)
+    # pairs absent from the relational set share no gram: kernel says 0
+    for k, v in kernel.items():
+        if k not in relational:
+            assert v == 0.0, (k, v)
