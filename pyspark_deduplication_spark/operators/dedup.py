@@ -344,6 +344,31 @@ def _band_keys(
     ).select(id_col, "bk.band", "bk.bucket")
 
 
+def _cap_buckets(banded, max_bucket_size: int | None):
+    """Per-(band, bucket) hard cap — the m² skew suppressor shared by
+    the set and weighted candidate generators (one spelling, so a
+    guard fix cannot silently miss a family). None = off."""
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
+def collapse_clones(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Keep one min-id representative per byte-identical ``content_col``
+    — the shared clone-collapse wrapper over ``clone_representatives``
+    (set path keys on "shingles", weighted path on "whashes")."""
+    return (
+        clone_representatives(df, id_col, content_col)
+        .filter(F.col(id_col) == F.col("__rep"))
+        .drop("__rep")
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -396,15 +421,8 @@ def minhash_candidate_pairs(
         sigs = sigs.persist()
         sigs.count()
 
-    banded = _band_keys(sigs, id_col, num_hashes, bands)
-
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+    banded = _cap_buckets(
+        _band_keys(sigs, id_col, num_hashes, bands), max_bucket_size)
 
     pairs = band_candidate_pairs(banded, id_col)
     shingle_sets = sigs.select(F.col(id_col), F.col("shingles"))
@@ -565,10 +583,15 @@ def weighted_minhash_signatures(
     tf weights and the ICWS argmin per slot — entirely row-local, zero
     shuffle. Returns (id, whashes, signature): ``whashes`` keeps the
     hashed multiset for exact weighted-Jaccard verification downstream
-    (the ``shingles`` analogue). Empty docs sign as all-(−1) sentinel
-    slots (never collide). Rows-only in the catalog by design (ICWS
-    streams are not SQL-expressible); estimator accuracy vs exact
-    weighted Jaccard pinned in ``test_dedup.py``."""
+    (the ``shingles`` analogue). Empty gram arrays cannot occur through
+    THIS entry point (blank text is pre-filtered and the n-gram builder
+    emits ≥1 gram); the kernel still guards with an all-(−1) sentinel
+    for defensive robustness — note such rows would share the SAME
+    sentinel signature and band together (review-caught doc fix), so a
+    caller feeding pre-hashed arrays directly must pre-filter empties.
+    Rows-only in the catalog by design (ICWS streams are not
+    SQL-expressible); estimator accuracy vs exact weighted Jaccard
+    pinned in ``test_dedup.py``."""
     slot_salt = np.arange(num_hashes, dtype=np.uint64) * np.uint64(5)
     empty = np.full(num_hashes, -1, dtype=np.int64)
 
@@ -664,14 +687,8 @@ def weighted_minhash_candidate_pairs(
     sigs = sigs.persist()
     sigs.count()
 
-    banded = _band_keys(sigs, id_col, num_hashes, bands)
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+    banded = _cap_buckets(
+        _band_keys(sigs, id_col, num_hashes, bands), max_bucket_size)
     pairs = band_candidate_pairs(banded, id_col)
     msets = sigs.select(F.col(id_col), F.col("whashes"))
     out = (
@@ -728,11 +745,7 @@ def build_weighted_minhash_index(
     each ingest batch's surviving signatures to stay current."""
     sigs = weighted_minhash_signatures(
         corpus, text_col, id_col, num_hashes, shingle_size)
-    return (
-        clone_representatives(sigs, id_col, "whashes")
-        .filter(F.col(id_col) == F.col("__rep"))
-        .drop("__rep")
-    )
+    return collapse_clones(sigs, id_col, "whashes")
 
 
 def incremental_weighted_minhash_dedup(
@@ -835,11 +848,7 @@ def build_minhash_index(
     ``incremental_minhash_dedup(corpus_sigs=...)``."""
     sigs = minhash_signatures(corpus, text_col, id_col,
                               num_hashes, shingle_size)
-    return (
-        clone_representatives(sigs, id_col, "shingles")
-        .filter(F.col(id_col) == F.col("__rep"))
-        .drop("__rep")
-    )
+    return collapse_clones(sigs, id_col, "shingles")
 
 
 def incremental_minhash_candidates(
@@ -878,11 +887,7 @@ def incremental_minhash_candidates(
        ``bands − 1`` independent band probes)."""
     reps = corpus_sigs
     if max_bucket_size is not None and not pre_collapsed:
-        reps = (
-            clone_representatives(reps, id_col, content_col)
-            .filter(F.col(id_col) == F.col("__rep"))
-            .drop("__rep")
-        )
+        reps = collapse_clones(reps, id_col, content_col)
     nb = _band_keys(new_sigs, id_col, num_hashes, bands).select(
         F.col(id_col).alias("new_id"), "band", "bucket")
     cb = _band_keys(reps, id_col, num_hashes, bands).select(

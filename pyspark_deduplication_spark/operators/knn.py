@@ -1645,43 +1645,54 @@ def _opq_procrustes_stats(
     vectors: DataFrame,
     vec_col: str,
     mean,
+    base,
     rot,
     books,
 ):
     """One corpus pass of the learned-OPQ loop: per partition, center
-    the raw vectors (A = X − mean), rotate (Z = A·Wᵀ), quantize each
-    contiguous subspace slice of Z against its codebook (argmin-L2),
-    and reduce to the d_in×d_out correlation M = Σ aᵀ·ŷ plus the total
-    quantization error — the sufficient statistics of the orthogonal-
-    Procrustes update (model-state shape: payload is d_in·d_out + 2
-    floats per partition, independent of row count; the corpus never
-    shuffles). Returns (M, err, n) summed on the driver."""
+    the raw vectors (A = X − mean), project onto the FIXED base
+    (A′ = A·Bᵀ — the init rotation, possibly dimension-reducing), apply
+    the learned SQUARE rotation (Z = A′·Rᵀ), quantize each contiguous
+    subspace slice of Z against its codebook (argmin-L2), and reduce to
+    the d_out×d_out correlation M = Σ a′ᵀ·ŷ plus the total quantization
+    error — the sufficient statistics of the orthogonal-Procrustes
+    update. The base/square split is load-bearing for exactness
+    (review-caught): for square R, ‖R·a′‖ = ‖a′‖, so minimizing
+    Σ‖R·a′ − ŷ‖² reduces to maximizing tr(R·M) and the SVD solution
+    R = V·Uᵀ is the EXACT minimizer; a rectangular W updated the same
+    way ignores the W-dependent tr(W·S·Wᵀ) energy term (unbalanced
+    Procrustes — no closed form), which is what Ge et al. 2013 avoid
+    by reducing with PCA FIRST and rotating square in the reduced
+    space. Model-state shape: payload is d_out² + 2 floats per
+    partition, independent of row count; the corpus never shuffles.
+    Returns (M, err, n) summed on the driver."""
     from typing import Iterator
 
     import numpy as np
     import pandas as pd
 
     mu = np.asarray(mean, dtype=np.float64)
-    W = np.asarray(rot, dtype=np.float64)          # d_out × d_in rows
-    d_in, d_out = mu.shape[0], W.shape[0]
+    B = np.asarray(base, dtype=np.float64)         # d_out × d_in rows
+    R = np.asarray(rot, dtype=np.float64)          # d_out × d_out
+    d_out = B.shape[0]
     sub = d_out // len(books)
     cw = [np.asarray(b, dtype=np.float64) for b in books]   # m × (k×sub)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        M, err, n = np.zeros((d_in, d_out)), 0.0, 0
+        M, err, n = np.zeros((d_out, d_out)), 0.0, 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            A = X - mu
-            Z = A @ W.T
+            Ap = (X - mu) @ B.T
+            Z = Ap @ R.T
             Y = np.empty_like(Z)
             for s, C in enumerate(cw):
                 Zs = Z[:, s * sub:(s + 1) * sub]
                 d2 = ((Zs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
                 Y[:, s * sub:(s + 1) * sub] = C[np.argmin(d2, axis=1)]
-            M += A.T @ Y
+            M += Ap.T @ Y
             err += float(((Z - Y) ** 2).sum())
             n += X.shape[0]
         if n:
@@ -1695,7 +1706,7 @@ def _opq_procrustes_stats(
     )
     if not parts:
         raise ValueError("train_opq: empty input")
-    M = np.sum([np.asarray(r["m"]).reshape(d_in, d_out) for r in parts],
+    M = np.sum([np.asarray(r["m"]).reshape(d_out, d_out) for r in parts],
                axis=0)
     return (M,
             float(sum(r["err"] for r in parts)),
@@ -1719,34 +1730,43 @@ def train_opq(
     eigenvalue allocation: alternate (a) train PQ codebooks in the
     current rotated space (``train_pq_codebook``, hash-seeded Lloyd)
     and (b) re-solve the rotation as an orthogonal Procrustes problem
-    against the codebooks' reconstructions — min_W Σ‖W·a − ŷ‖² over
-    (semi-)orthogonal W, solved by the SVD of the correlation
-    M = Σ a·ŷᵀ from ``_opq_procrustes_stats``: W = V·Uᵀ. Each round
-    can only re-fit the rotation to the CURRENT quantizer exactly, so
-    distortion is driven down jointly where the parametric allocation
-    can only permute PCA axes.
+    against the codebooks' reconstructions. The learned parameter is a
+    SQUARE d_out×d_out rotation R applied AFTER the fixed init
+    projection B (the paper's own composition — PCA-reduce first,
+    rotate square in the reduced space): for square R,
+    ‖R·a′‖ = ‖a′‖, so min_R Σ‖R·a′ − ŷ‖² is solved EXACTLY by the
+    SVD of M = Σ a′·ŷᵀ (R = V·Uᵀ) — each round's rotation step
+    cannot increase distortion against the current quantizer. (A
+    rectangular W updated the same way would be the unbalanced
+    Procrustes problem with no closed form — review-caught; the
+    composed model rows R·B stay row-orthonormal either way.)
 
     Distributed shape per round: one codebook train (its own bounded
     Lloyd passes) + ONE Procrustes stats pass reducing partitions to
-    d_in·d_out floats; the driver SVDs a d-bounded matrix. Nothing
+    d_out² floats; the driver SVDs a d-bounded matrix. Nothing
     corpus-sized shuffles or collects.
 
-    ``n_components < dim`` learns a rectangular row-orthonormal W
-    (Stiefel Procrustes — same SVD solution), fusing dimension
-    reduction into the learned rotation; ``init="pca"`` seeds from the
+    ``n_components < dim`` reduces dimension via the init projection
+    (B is the eigenvalue-balanced PCA basis) with the square rotation
+    learned in the reduced space; ``init="pca"`` seeds from the
     balanced parametric model (recommended), ``init="identity"`` from
     the raw axes (requires ``n_components == dim``).
 
     Returns ``(model, codebook, history)``: ``model`` is a
-    ``train_pca``-shaped tuple (mean, W rows, ratios — ratios carried
-    from the init for tuple compatibility, not meaningful after
-    learned updates) ready for ``project_pca``; ``codebook`` a
-    (subspace, code, codeword) frame trained in the FINAL rotation
+    ``train_pca``-shaped tuple (mean, R·B rows, ratios — ratios
+    carried from the init for tuple compatibility, not meaningful
+    after learned updates) ready for ``project_pca``; ``codebook`` a
+    (subspace, code, codeword) frame matching the returned rotation
     (feed both to ``pq_encode``/``pq_knn``/``ivfpq_knn`` on the
-    projected column); ``history`` the per-round mean quantization
-    error ending with the final rotation+codebook distortion.
-    Float partial sums keep this rows-only (catalog:
-    ``opq_distortion_report``); contracts pinned in ``test_knn.py``."""
+    projected column); ``history`` the per-state mean quantization
+    error (init state first, final rotation+codebook last). Each
+    rotation step is exact, but codebooks re-train from hash init each
+    round (not warm-started), so a later state can measure slightly
+    worse — the returned (model, codebook) is therefore the BEST
+    MEASURED state: its distortion is ``min(history)``, never worse
+    than the parametric init at ``history[0]``. Float partial sums
+    keep this rows-only (catalog: ``opq_distortion_report``);
+    contracts pinned in ``test_knn.py``."""
     import numpy as np
 
     d_out = n_components or dim
@@ -1757,7 +1777,7 @@ def train_opq(
     if init == "pca":
         model0 = opq_reorder(
             train_pca(vectors, vec_col, n_components=d_out), m_subspaces)
-        mean, rot, ratios = model0
+        mean, base, ratios = model0
     elif init == "identity":
         if d_out != dim:
             raise ValueError("train_opq: identity init requires "
@@ -1767,41 +1787,67 @@ def train_opq(
             for i in range(dim)
         ]).alias("mu")).collect()[0]["mu"]
         mean = [float(x) for x in mean_row]
-        rot = np.eye(dim).tolist()
+        base = np.eye(dim).tolist()
         ratios = [1.0 / dim] * dim
     else:
         raise ValueError(f"train_opq: unknown init {init!r}")
 
     sel = vectors.select(F.col(vec_id), F.col(vec_col))
-    sub = d_out // m_subspaces
     history: list[float] = []
     codebook = None
+    R = np.eye(d_out)
+
+    def composed_rows():
+        return [[float(x) for x in row]
+                for row in (R @ np.asarray(base, dtype=np.float64))]
+
+    def collect_books(cb):
+        rows = cb.collect()             # m·k bounded model state
+        books = []
+        for s in range(m_subspaces):
+            codes = sorted(
+                (int(r["code"]), [float(x) for x in r["codeword"]])
+                for r in rows if int(r["subspace"]) == s)
+            books.append([w for _, w in codes])
+        return books
+
+    best = None                         # (err, R, books)
     for _ in range(n_rounds):
-        proj = project_pca(sel, (mean, rot, ratios), vec_col, "__opq")
+        proj = project_pca(
+            sel, (mean, composed_rows(), ratios), vec_col, "__opq")
         codebook = train_pq_codebook(
             proj, dim=d_out, m_subspaces=m_subspaces, k_codes=k_codes,
             vec_id=vec_id, vec_col="__opq", n_iter=pq_iter)
-        rows = codebook.collect()       # m·k bounded model state
-        books = []
-        for s in range(m_subspaces):
-            codes = sorted((int(r["code"]), [float(x) for x in r["codeword"]])
-                           for r in rows if int(r["subspace"]) == s)
-            books.append([w for _, w in codes])
-        M, err, n = _opq_procrustes_stats(sel, vec_col, mean, rot, books)
+        books = collect_books(codebook)
+        M, err, n = _opq_procrustes_stats(
+            sel, vec_col, mean, base, R.tolist(), books)
         history.append(err / n / d_out)
+        if best is None or history[-1] < best[0]:
+            best = (history[-1], R.copy(), books)
         U, _, Vh = np.linalg.svd(M, full_matrices=False)
-        rot = [[float(x) for x in row] for row in (Vh.T @ U.T)]
+        R = Vh.T @ U.T                  # exact square-Procrustes update
     # final codebook in the final rotation + its distortion
-    proj = project_pca(sel, (mean, rot, ratios), vec_col, "__opq")
+    proj = project_pca(
+        sel, (mean, composed_rows(), ratios), vec_col, "__opq")
     codebook = train_pq_codebook(
         proj, dim=d_out, m_subspaces=m_subspaces, k_codes=k_codes,
         vec_id=vec_id, vec_col="__opq", n_iter=pq_iter)
-    rows = codebook.collect()
-    books = []
-    for s in range(m_subspaces):
-        codes = sorted((int(r["code"]), [float(x) for x in r["codeword"]])
-                       for r in rows if int(r["subspace"]) == s)
-        books.append([w for _, w in codes])
-    _, err, n = _opq_procrustes_stats(sel, vec_col, mean, rot, books)
+    books = collect_books(codebook)
+    _, err, n = _opq_procrustes_stats(
+        sel, vec_col, mean, base, R.tolist(), books)
     history.append(err / n / d_out)
-    return (mean, rot, ratios), codebook, history
+    if history[-1] < best[0]:
+        best = (history[-1], R, books)
+    # keep-best: each ROTATION step is an exact minimizer for its
+    # codebook, but codebooks re-train from hash init every round (not
+    # warm-started), so a later round's fresh Lloyd can measure
+    # slightly worse than an earlier state. Return the best MEASURED
+    # (rotation, codebook) pair — the returned model's distortion is
+    # min(history), never worse than the parametric init (history[0]).
+    _, R, books = best
+    spark = vectors.sparkSession
+    codebook = spark.createDataFrame(
+        [(s, c, w) for s, rows_ in enumerate(books)
+         for c, w in enumerate(rows_)],
+        "subspace int, code long, codeword array<double>")
+    return (mean, composed_rows(), ratios), codebook, history

@@ -213,13 +213,23 @@ def _sketch_cap(rows: DataFrame, group_col: str, k: int) -> DataFrame:
     group. The collapse is what makes the streaming ingest's
     replay-rewrites-identical-state claim true: without it a replayed
     batch's rows would double-occupy slots and displace legitimate
-    sample members."""
-    deduped = rows.groupBy(group_col, "h").agg(F.min("v").alias("v"))
+    sample members.
+
+    ONE exchange on the group key (review-caught: the former
+    groupBy(group, h) spelling added a second full (group, h)-keyed
+    exchange that reduced nothing in the normal unique-key case): both
+    the tag collapse (lag over the sorted run — ordering by (h, v)
+    puts each tag's MIN value first) and the bottom-k rank share the
+    same window partitioning, so Catalyst plans a single Exchange +
+    Sort feeding both Window operators (pinned in
+    ``test_plans.py``)."""
     w = Window.partitionBy(group_col).orderBy("h", "v")
     return (
-        deduped.withColumn("__rn", F.row_number().over(w))
+        rows.withColumn("__prev", F.lag("h").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("h")))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .drop("__rn")
+        .drop("__prev", "__rn")
     )
 
 

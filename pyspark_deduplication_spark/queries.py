@@ -1571,9 +1571,11 @@ def token_quantile_sketch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # token_count, not size(tokenize(...)): blank/punct-only docs count
+    # 0 tokens (split of empty normalized text yields [''] → size 1)
     vals = docs.select(
         "source", "doc_id",
-        F.size(tokenize(F.col("text"))).alias("n_tokens"))
+        token_count(F.col("text")).alias("n_tokens"))
     sketch = quantile_sketch_build(
         vals, "source", "doc_id", "n_tokens", k=128)
     return quantile_sketch_estimate(sketch, [0.5, 0.9, 0.99], "source")
@@ -1583,7 +1585,7 @@ _TOKEN_QSKETCH_ORACLE = f"""
 WITH t AS (
   SELECT source,
          md5(CAST(doc_id AS VARCHAR) || '42') AS h,
-         CAST(len({_TOKENS_SQL}) AS DOUBLE) AS v
+         CAST({_NTOK_SQL} AS DOUBLE) AS v
   FROM documents
 ),
 samp AS (

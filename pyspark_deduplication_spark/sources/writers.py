@@ -174,12 +174,16 @@ def write_training_shards(
         .withColumn("shard",
                     F.pmod(F.xxhash64(F.col("__key")), F.lit(n_shards)))
     )
+    # STATIC overwrite on purpose: an export replaces the whole
+    # dataset, so a re-export with fewer shards (or an empty shard)
+    # must not leave stale shard=<i> partitions behind to mix old rows
+    # into the corpus — dynamic partition overwrite is the EPOCH-sink
+    # idiom (streaming ingests), not the exporter's (review-caught).
     (
         keyed.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "__key")
         .drop("__key")
         .write.mode(mode)
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard")
         .parquet(path)
     )

@@ -666,3 +666,22 @@ def test_project_pca_wide_spelling_stays_jvm_side(spark):
     plan = explain_str(project_pca(df, model))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantile_sketch_build_single_exchange(spark):
+    """The sketch bottom-k (tag collapse + rank) must share ONE
+    group-keyed exchange — the lag filter and the row_number ride the
+    same window partitioning (review-caught: a groupBy(group, h)
+    pre-collapse added a second full exchange that reduced nothing
+    for unique keys)."""
+    import re
+
+    from pyspark_deduplication_spark.operators.profiling import (
+        quantile_sketch_build,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i, float(i)) for i in range(60)],
+        "source string, id long, v double")
+    plan = explain_str(quantile_sketch_build(df, "source", "id", "v", k=8))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

@@ -488,3 +488,12 @@ def test_write_training_shards_deterministic_and_ordered(spark, tmp_path):
              spark.read.parquet(str(tmp_path / "shards2") + "/shard=0")
              .collect()]
     assert s0_e1 != s0_e2                    # epochs permute differently
+
+    # static overwrite: re-exporting with FEWER shards must replace
+    # the whole path — no stale shard=<i> partitions mixing old rows
+    write_training_shards(docs, path, n_shards=2, epoch=1)
+    assert spark.read.parquet(path).count() == 200
+    import os
+    shard_dirs = sorted(d for d in os.listdir(path)
+                        if d.startswith("shard="))
+    assert shard_dirs == ["shard=0", "shard=1"], shard_dirs
