@@ -120,9 +120,9 @@ def build_decontamination_index(
     )
 
     return (
-        heldout.select(
-            F.explode(word_ngrams_of(tokenize(F.col(text_col)), n))
-            .alias("gram"))
+        heldout.select(tokenize(F.col(text_col)).alias("__toks"))
+        .select(F.explode(word_ngrams_of(F.col("__toks"), n))
+                .alias("gram"))
         .select(_bloom_probe_positions(
             F.col("gram"), num_bits, k_hashes).alias("pos"))
         .select(
@@ -153,9 +153,9 @@ def build_gram_index(heldout, text_col: str = "text", n: int = 5):
     )
 
     return (
-        heldout.select(
-            F.explode(word_ngrams_of(tokenize(F.col(text_col)), n))
-            .alias("gram"))
+        heldout.select(tokenize(F.col(text_col)).alias("__toks"))
+        .select(F.explode(word_ngrams_of(F.col("__toks"), n))
+                .alias("gram"))
         .distinct()
     )
 
@@ -193,10 +193,12 @@ def decontaminate_exact(
         word_ngrams_of,
     )
 
-    grams = corpus.select(
-        F.col(id_col),
-        F.explode(word_ngrams_of(tokenize(F.col(text_col)), n))
-        .alias("gram"))
+    grams = (
+        corpus.select(F.col(id_col),
+                      tokenize(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col),
+                F.explode(word_ngrams_of(F.col("__toks"), n))
+                .alias("gram")))
     hits = (
         grams.join(F.broadcast(gram_index), "gram", "left_semi")
         .select(id_col).distinct()
@@ -280,10 +282,11 @@ def bloom_decontaminate(
     else:
         raise ValueError("pass either heldout or index")
     corpus_probes = (
-        corpus.select(
-            F.col(id_col),
-            F.explode(word_ngrams_of(tokenize(F.col(text_col)), n))
-            .alias("gram"))
+        corpus.select(F.col(id_col),
+                      tokenize(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col),
+                F.explode(word_ngrams_of(F.col("__toks"), n))
+                .alias("gram"))
         .select(
             F.col(id_col), F.col("gram"),
             _bloom_probe_positions(

@@ -1384,9 +1384,11 @@ def weighted_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row-local work on the few survivors; `test_dedup.py` pins the
     two spellings equal)."""
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
+    toks = docs.select(
+        F.col("doc_id"), tokenize(F.col("text")).alias("__toks"))
+    grams = toks.select(
         F.col("doc_id"),
-        F.explode(word_ngrams_all_of(tokenize(F.col("text")), 3))
+        F.explode(word_ngrams_all_of(F.col("__toks"), 3))
         .alias("gram"))
     tf = grams.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).alias("c"))
@@ -1465,10 +1467,18 @@ def vocab_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = docs.agg(F.min("doc_id").alias("mn"),
                    F.max("doc_id").alias("mx")).first()
     mn, span = int(rng["mn"]), int(rng["mx"]) - int(rng["mn"]) + 1
-    grams = docs.select(
+    # staged projection (the minhash_signatures discipline): tokenize
+    # ONCE into a named column before shingling — inlining it into
+    # word_ngrams_of re-runs the 3-regex normalize+split per gram
+    # reference (measured 15s → ~2s at sf0.1 for this query)
+    toks = docs.select(
         F.expr(f"CAST((doc_id - {mn}) * 10 AS BIGINT) div {span} + 1")
         .alias("decile"),
-        F.explode(word_ngrams_of(tokenize(F.col("text")), 3)).alias("gram"),
+        tokenize(F.col("text")).alias("__toks"),
+    )
+    grams = toks.select(
+        "decile",
+        F.explode(word_ngrams_of(F.col("__toks"), 3)).alias("gram"),
     )
     first = grams.groupBy("gram").agg(F.min("decile").alias("decile"))
     counts = first.groupBy("decile").agg(
@@ -1659,13 +1669,15 @@ def gram_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_deduplication_spark.operators.sampling import hash_sample
 
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        F.explode(word_ngrams_of(tokenize(F.col("text")), 2))
-        .alias("gram"))
+    grams = (
+        docs.select(tokenize(F.col("text")).alias("__toks"))
+        .select(F.explode(word_ngrams_of(F.col("__toks"), 2))
+                .alias("gram")))
     sketch = cms_build(grams, "gram", width=4096, depth=4)
     cand = (
         hash_sample(docs, "doc_id", 0.25)
-        .select(F.explode(word_ngrams_of(tokenize(F.col("text")), 2))
+        .select(tokenize(F.col("text")).alias("__toks"))
+        .select(F.explode(word_ngrams_of(F.col("__toks"), 2))
                 .alias("gram"))
         .distinct()
     )
@@ -8398,7 +8410,8 @@ CATALOG: dict[str, Query] = {
     "simhash_dedup_docs": Query(simhash_dedup_docs, None, tags=["dedup"]),
     # tf-weighted (generalized-Jaccard) near dups via ICWS (r7, late)
     "weighted_jaccard_near_dup_docs": Query(
-        weighted_jaccard_near_dup_docs, None, tags=["dedup", "lsh"]),
+        weighted_jaccard_near_dup_docs, None, bench=True,
+        tags=["dedup", "lsh"]),
     # exact weighted-Jaccard anchor, relational spelling (r7, late)
     "weighted_jaccard_pairs_exact": Query(
         weighted_jaccard_pairs_exact, _WEIGHTED_PAIRS_ORACLE,
@@ -8443,11 +8456,11 @@ CATALOG: dict[str, Query] = {
                                    tags=["vector", "scale", "report"]),
     # mergeable KMV quantile sketch (r7, late)
     "token_quantile_sketch_docs": Query(token_quantile_sketch_docs,
-                                        _TOKEN_QSKETCH_ORACLE,
+                                        _TOKEN_QSKETCH_ORACLE, bench=True,
                                         tags=["sketch", "stats", "scale"]),
     # Heaps-law vocabulary growth curve (r7, late)
     "vocab_growth_report": Query(vocab_growth_report, _VOCAB_GROWTH_ORACLE,
-                                 tags=["stats", "text", "scale"]),
+                                 bench=True, tags=["stats", "text", "scale"]),
     # k-center coreset selection (r7, late)
     "coreset_sample_embeddings": Query(coreset_sample_embeddings, None,
                                        tags=["vector", "sampling",
