@@ -1488,6 +1488,28 @@ def train_pca(
 
     Feed ``components`` to ``project_pca`` for the zero-shuffle
     projection."""
+    try:
+        return pca_from_stats(pca_stats(vectors, vec_col), n_components)
+    except ValueError as e:
+        if "empty input" in str(e):
+            raise ValueError("train_pca: empty input") from e
+        raise
+
+
+def pca_stats(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PCA family's PERSIST-ONCE artifact: reduce the corpus to its
+    sufficient statistics (n, Σx, XᵀX) as a ONE-ROW frame — write it
+    next to the other train-once indexes (MinHash signatures, SemDeDup
+    cells, decontamination grams) and the PCA/OPQ preprocessing never
+    re-reads history: an ingest batch's stats MERGE exactly
+    (``merge_pca_stats`` — sums of sums), and ``pca_from_stats``
+    re-derives the model from the standing row in O(d²) driver work.
+    Exactness is structural, not approximate: stats of a union ARE the
+    elementwise sums, so incremental == retrain-on-union up to float
+    summation order (pinned at 1e-9 in ``test_knn.py``)."""
     from typing import Iterator
 
     import numpy as np
@@ -1514,11 +1536,46 @@ def train_pca(
         .collect()
     )
     if not parts:
-        raise ValueError("train_pca: empty input")
+        raise ValueError("pca_stats: empty input")
+    import numpy as np
     n = sum(r["n"] for r in parts)
     sx = np.sum([np.asarray(r["sx"]) for r in parts], axis=0)
+    g = np.sum([np.asarray(r["g"]) for r in parts], axis=0)
+    return vectors.sparkSession.createDataFrame(
+        [(int(n), [float(x) for x in sx], [float(x) for x in g])],
+        "n long, sx array<double>, g array<double>")
+
+
+def merge_pca_stats(*stats: DataFrame) -> DataFrame:
+    """Merge persisted PCA stats rows (standing corpus + new batches):
+    elementwise sums, computed driver-side — each frame is d + d² + 1
+    scalars of MODEL STATE, so collecting them is the same discipline
+    as ``train_centroids``' per-round aggregate, not a data-path
+    collect. Exact and order-independent up to float summation."""
+    import numpy as np
+
+    rows = [r for s in stats for r in s.collect()]
+    n = sum(int(r["n"]) for r in rows)
+    sx = np.sum([np.asarray(r["sx"], dtype=np.float64) for r in rows],
+                axis=0)
+    g = np.sum([np.asarray(r["g"], dtype=np.float64) for r in rows],
+               axis=0)
+    return stats[0].sparkSession.createDataFrame(
+        [(int(n), [float(x) for x in sx], [float(x) for x in g])],
+        "n long, sx array<double>, g array<double>")
+
+
+def pca_from_stats(stats: DataFrame, n_components: int = 8):
+    """Derive the (mean, components, explained_ratio) model from a
+    stats row — ``train_pca``'s tail, factored so persisted/merged
+    stats skip the corpus pass entirely."""
+    import numpy as np
+
+    row = stats.collect()[0]            # one row — model state
+    n = int(row["n"])
+    sx = np.asarray(row["sx"], dtype=np.float64)
     d = sx.shape[0]
-    g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts], axis=0)
+    g = np.asarray(row["g"], dtype=np.float64).reshape(d, d)
     mean = sx / n
     cov = g / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)          # ascending

@@ -911,6 +911,46 @@ def test_train_pca_matches_numpy_and_projects(spark):
     assert np.allclose(comps, comps2, atol=1e-6)
 
 
+def test_pca_stats_merge_equals_whole_train(spark):
+    """The persist-once PCA artifact: stats of the union ARE the
+    elementwise sums, so (a) pca_from_stats(merge(stats(A), stats(B)))
+    reproduces train_pca on A ∪ B to float-summation tolerance, and
+    (b) the incremental shape — persisted corpus stats + a new batch's
+    stats — equals retraining on everything, with no corpus re-read
+    (the train-once triad discipline extended to the PCA/OPQ
+    preprocessing)."""
+    from pyspark_deduplication_spark.operators.knn import (
+        merge_pca_stats,
+        pca_from_stats,
+        pca_stats,
+        train_pca,
+    )
+
+    rng = np.random.RandomState(31)
+    d, n = 8, 300
+    lam = 60.0 * 0.6 ** np.arange(d)
+    basis, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    X = (rng.standard_normal((n, d)) * np.sqrt(lam)) @ basis.T
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    a = df.filter(F.col("vec_id") < 200)        # "standing corpus"
+    b = df.filter(F.col("vec_id") >= 200)       # "new batch"
+
+    mean_w, comps_w, ratios_w = train_pca(df, n_components=4)
+    standing = pca_stats(a).localCheckpoint()   # the persisted artifact
+    merged = merge_pca_stats(standing, pca_stats(b))
+    mean_m, comps_m, ratios_m = pca_from_stats(merged, n_components=4)
+
+    assert np.allclose(mean_w, mean_m, atol=1e-9)
+    assert np.allclose(comps_w, comps_m, atol=1e-9)
+    assert np.allclose(ratios_w, ratios_m, atol=1e-9)
+
+    row = merged.first()
+    assert row["n"] == n
+    assert len(row["sx"]) == d and len(row["g"]) == d * d
+
+
 def test_opq_allocation_cuts_pq_distortion(spark):
     """The parametric-OPQ claim, pinned on the quantity OPQ optimizes
     (reconstruction distortion, which bounds the ADC score error): on a
