@@ -747,6 +747,53 @@ def streaming_quantile_sketch_ingest(
     return write_stream_foreach_batch(stream, ingest, checkpoint_dir)
 
 
+def streaming_pca_stats_ingest(
+    stream: DataFrame,
+    stats_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+):
+    """Maintain the persisted PCA sufficient-statistics artifact over
+    an embedding stream — the PCA/OPQ member of the artifact-ingest
+    family (MinHash signature index, SemDeDup cells, reservoir,
+    quantile sketch): each micro-batch reduces to its own one-row
+    (n, Σx, XᵀX) stats and merges EXACTLY into the standing row
+    (sums of sums — ``knn.merge_pca_stats``), so
+    ``knn.pca_from_stats`` can re-derive the current rotation model at
+    any time with zero corpus re-reads. State is d² + d + 1 scalars,
+    written whole per epoch into its own ``epoch=<id>`` partition —
+    replayed batches deterministically rewrite identical state
+    (snapshot idiom; fold lineage with
+    ``consolidate_epochs(mode="snapshot")``). Stream ≡ batch pinned
+    in ``test_streaming.py``."""
+    from pyspark_deduplication_spark.operators.knn import (
+        merge_pca_stats,
+        pca_stats,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if len(batch_df.take(1)) == 0:
+            return
+        new_stats = pca_stats(batch_df, vec_col)
+        if _hadoop_path_exists(spark, stats_dir):
+            prior_all = spark.read.parquet(stats_dir).where(
+                F.col("epoch") < F.lit(epoch_id))
+            head = prior_all.select(F.max("epoch").alias("__e")).collect()
+            if head and head[0]["__e"] is not None:
+                prior = (prior_all
+                         .where(F.col("epoch") == F.lit(head[0]["__e"]))
+                         .drop("epoch"))
+                new_stats = merge_pca_stats(prior, new_stats)
+        (new_stats.withColumn("epoch", F.lit(epoch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(stats_dir))
+
+    return write_stream_foreach_batch(stream, ingest, checkpoint_dir)
+
+
 def stream_static_enrich(
     stream: DataFrame,
     static_dim: DataFrame,

@@ -463,6 +463,58 @@ def test_streaming_quantile_sketch_ingest_matches_batch(spark, tmp_path):
     assert sorted((r.grp, r.h, r.v) for r in replayed.collect()) == expect
 
 
+def test_streaming_pca_stats_ingest_matches_batch(spark, tmp_path):
+    """PCA-stats ingest over two epochs: the standing one-row artifact
+    after the last epoch carries the exact sums over every vector that
+    ever streamed in, and the model derived from it matches training
+    on the concatenation (1e-9 — float summation order only)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.operators.knn import (
+        pca_from_stats,
+        train_pca,
+    )
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_pca_stats_ingest,
+    )
+
+    rng = np.random.RandomState(17)
+    d, n = 6, 120
+    X = rng.standard_normal((n, d)) * np.sqrt(20.0 * 0.5 ** np.arange(d))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    src = str(tmp_path / "incoming")
+    st_dir = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(rows[:70], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f1")
+    spark.createDataFrame(rows[70:], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f2")
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_pca_stats_ingest(stream, st_dir, ckpt)
+    q.awaitTermination(180)
+
+    final = spark.read.parquet(st_dir)
+    last = final.agg({"epoch": "max"}).collect()[0][0]
+    standing = final.where(final.epoch == last).drop("epoch")
+    assert standing.count() == 1
+    assert standing.first()["n"] == n
+
+    mean_s, comps_s, ratios_s = pca_from_stats(standing, n_components=3)
+    all_df = spark.createDataFrame(rows, schema)
+    mean_b, comps_b, ratios_b = train_pca(all_df, n_components=3)
+    assert np.allclose(mean_s, mean_b, atol=1e-9)
+    assert np.allclose(comps_s, comps_b, atol=1e-9)
+    assert np.allclose(ratios_s, ratios_b, atol=1e-9)
+
+
 def test_streaming_fused_ingest_drops_on_either_signal(spark, tmp_path):
     """Fused ingest over two epochs: an epoch-2 doc near-duplicating
     epoch 1 LEXICALLY (text variant, novel vector) never lands, one
