@@ -5020,6 +5020,64 @@ GROUP BY source
 """
 
 
+def embedding_norm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm p50/p90 via the mergeable KMV quantile sketch
+    (`profiling.quantile_sketch_build/estimate`) — the vector-hygiene
+    twin of `token_quantile_sketch_docs`, composing the sketch over a
+    second table: per-row norms are row-local (identical double
+    accumulation order both engines, the `knn_bruteforce` precedent),
+    the md5 bottom-32 selection is deterministic, so the whole
+    estimate grades cross-engine. At 100 TB the per-label norm
+    sketches persist and roll up without re-reading vectors."""
+    from pyspark_deduplication_spark.functions.vectors import l2_norm
+    from pyspark_deduplication_spark.operators.profiling import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vals = emb.select("label", "vec_id",
+                      l2_norm(F.col("embedding")).alias("norm"))
+    sketch = quantile_sketch_build(vals, "label", "vec_id", "norm", k=32)
+    out = quantile_sketch_estimate(sketch, [0.5, 0.9], "label")
+    return out.select("label", "q", "sample_n",
+                      F.round("est_value", 6).alias("est_norm"))
+
+
+_EMB_NORM_SKETCH_ORACLE = """
+WITH t AS (
+  SELECT label,
+         md5(CAST(vec_id AS VARCHAR) || '42') AS h,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS v
+  FROM embeddings
+),
+samp AS (
+  SELECT label, h, v FROM (
+    SELECT label, h, v,
+           row_number() OVER (PARTITION BY label ORDER BY h, v) AS rn
+    FROM t)
+  WHERE rn <= 32
+),
+n AS (SELECT label, count(*) AS sample_n FROM samp GROUP BY label),
+ranked AS (
+  SELECT label, v,
+         row_number() OVER (PARTITION BY label ORDER BY v, h) AS vr
+  FROM samp
+),
+qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q),
+want AS (
+  SELECT n.label, qs.q, n.sample_n,
+         greatest(1, CAST(ceil(qs.q * n.sample_n) AS INT)) AS rank
+  FROM n CROSS JOIN qs
+)
+SELECT w.label, w.q, CAST(w.sample_n AS BIGINT) AS sample_n,
+       round(r.v, 6) AS est_norm
+FROM want w JOIN ranked r ON r.label = w.label AND r.vr = w.rank
+ORDER BY w.label, w.q
+"""
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector hygiene check: L2-norm min/max per label (native
     aggregate/zip arithmetic, no UDF) — catches unnormalized or
@@ -8446,6 +8504,10 @@ CATALOG: dict[str, Query] = {
     "embedding_cluster_dedup": Query(embedding_cluster_dedup,
                                      _EMB_CLUSTER_ORACLE,
                                      tags=["vector", "dedup"]),
+    # per-label norm quantiles via the KMV sketch (r7, late)
+    "embedding_norm_sketch": Query(embedding_norm_sketch,
+                                   _EMB_NORM_SKETCH_ORACLE,
+                                   tags=["vector", "sketch", "stats"]),
     "embedding_norm_stats": Query(embedding_norm_stats, _EMB_NORM_ORACLE,
                                   tags=["vector", "stats"]),
     # one-pass distributed PCA spectrum (r7)
@@ -8788,6 +8850,7 @@ _GRADED_ORDER = [
     "hard_negative_mining_embeddings",  # contrastive negatives (r7, late)
     "vocab_growth_report",             # Heaps-law growth curve (r7, late)
     "weighted_jaccard_pairs_exact",    # weighted-metric anchor (r7, late)
+    "embedding_norm_sketch",           # sketch x vectors composition (r7, late)
     "fused_dedup_docs",                # fused lexical+semantic CC (r7, late):
     #   previously excluded on oracle cost (~45s) — DuckDB was
     #   re-evaluating the non-materialized `edges` CTE (and its 4.8s
@@ -8806,7 +8869,9 @@ _GRADED_ORDER = [
     "q1_pricing_summary",          # flagship family tripwire
     # (c) stale canaries: last graded r1 (all oracle-backed ones) …
     "corpus_health_by_source",
-    "customers_without_orders",
+    # (customers_without_orders yields its slot to
+    # embedding_norm_sketch and rejoins the r8 stale queue; the
+    # anti-join family keeps q22_dormant_customers in-window)
     "dedup_exact_count",
     "doc_quality_scores",
     "incremental_dedup_docs",
