@@ -57,6 +57,7 @@ NOTES = {
     "coreset_sample_embeddings": "centroid literals live in the plan (no join); assignment + cosine scoring row-local; only slim (id, cell, score) rows shuffle for the rank window",
     "hard_negative_mining_embeddings": "bounded (id, vector, label) query set broadcast; corpus scans in place; label + dup-ceiling exclusions filter BEFORE the top-k window",
     "fused_dedup_docs": "both edge generators ARE the single-signal queries (one spelling each); the union moves bare id pairs; CC is pointer-doubling over ids",
+    "embedding_norm_sketch": "row-local L2 norms; ONE group-key exchange shared by the tag-collapse and rank windows; estimation on the bounded sketch",
 }
 
 
