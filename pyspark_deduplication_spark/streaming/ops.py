@@ -285,6 +285,58 @@ def streaming_corpus_ingest(
     return write_stream_foreach_batch(docs_stream, ingest, checkpoint_dir)
 
 
+def streaming_weighted_corpus_ingest(
+    docs_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 4096,
+):
+    """Continuously ingest documents into a corpus free of TF-WEIGHTED
+    near-dups — the ICWS twin of ``streaming_corpus_ingest``, for
+    corpora where set semantics are blind (boilerplate-repetition
+    variants): each micro-batch dedups internally under generalized
+    Jaccard, then drops docs whose Σmin/Σmax against ANY earlier epoch
+    reaches ``threshold`` (``incremental_weighted_minhash_dedup`` —
+    the standing corpus is probed by band key, never self-joined), and
+    survivors land as an epoch-partitioned parquet append. Same
+    exactly-once epoch-overwrite contract, same armed-by-default
+    multiset clone-collapse + bucket-cap guard and its recall trade as
+    the set-path loop."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        incremental_weighted_minhash_dedup,
+        weighted_minhash_dedup,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        have_corpus = False
+        if _hadoop_path_exists(spark, corpus_dir):
+            corpus = spark.read.parquet(corpus_dir).where(
+                F.col("epoch") < F.lit(epoch_id)
+            ).drop("epoch")
+            have_corpus = len(corpus.take(1)) > 0
+        if have_corpus:
+            fresh = incremental_weighted_minhash_dedup(
+                batch_df, corpus, text_col, id_col,
+                threshold, num_hashes, bands,
+                max_bucket_size=max_bucket_size)
+        else:
+            fresh = weighted_minhash_dedup(
+                batch_df, text_col, id_col, threshold, num_hashes, bands)
+        (fresh.withColumn("epoch", F.lit(epoch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(corpus_dir))
+
+    return write_stream_foreach_batch(docs_stream, ingest, checkpoint_dir)
+
+
 def streaming_embedding_ingest(
     vec_stream: DataFrame,
     corpus_dir: str,

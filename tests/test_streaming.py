@@ -463,6 +463,58 @@ def test_streaming_quantile_sketch_ingest_matches_batch(spark, tmp_path):
     assert sorted((r.grp, r.h, r.v) for r in replayed.collect()) == expect
 
 
+def test_streaming_weighted_corpus_ingest_drops_on_weight_profile(
+        spark, tmp_path):
+    """Weighted ingest over two epochs: an epoch-2 doc weighted-near
+    the epoch-1 corpus never lands; a doc sharing an epoch-1 doc's
+    SHINGLE SET but repeating it 40× (weighted J ≈ 1/40 — the case the
+    set-path loop would wrongly drop) DOES land; fresh content lands;
+    a batch-internal weighted dup collapses in its own epoch."""
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_weighted_corpus_ingest,
+    )
+
+    para = ("these exact words describe the corpus ingestion loop for "
+            "weighted jaccard testing purposes")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    e1 = [(1, para),
+          (2, "completely different first epoch material about rivers "
+              "and mountains and weather")]
+    e2 = [(10, para + " ok"),                  # weighted dup of 1 → drop
+          (11, " ".join([para] * 40)),          # same set, 40× weights →
+                                                # must LAND
+          (12, "fresh second epoch content about astronomy telescopes "
+               "and planetary orbits"),
+          (13, "fresh second epoch content about astronomy telescopes "
+               "and planetary orbitz")]         # in-batch weighted dup
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(e1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f1")
+    spark.createDataFrame(e2, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f2")
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_weighted_corpus_ingest(
+        stream, corpus_dir, ckpt, threshold=0.6)
+    q.awaitTermination(240)
+
+    kept = sorted(r.doc_id for r in
+                  spark.read.parquet(corpus_dir).collect())
+    assert 1 in kept and 2 in kept
+    assert 10 not in kept
+    assert 11 in kept, kept
+    assert 12 in kept
+    assert len([k for k in kept if k in (12, 13)]) == 1, kept
+
+
 def test_streaming_pca_stats_ingest_matches_batch(spark, tmp_path):
     """PCA-stats ingest over two epochs: the standing one-row artifact
     after the last epoch carries the exact sums over every vector that
