@@ -1033,6 +1033,7 @@ def train_pq_codebook(
     vec_col: str = "embedding",
     n_iter: int = 4,
     train_sample_mod: int = 1,
+    init_book: dict | None = None,
 ) -> DataFrame:
     """PQ codebook: the vector space splits into ``m_subspaces``
     contiguous slices; each subspace gets ``k_codes`` codewords trained
@@ -1062,32 +1063,45 @@ def train_pq_codebook(
         raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
     spark = vectors.sparkSession
     sub = dim // m_subspaces
-    parts = []
-    for m in range(m_subspaces):
-        w = Window.partitionBy("__code").orderBy(F.col(vec_id))
-        parts.append(
-            vectors.select(
-                F.col(vec_id),
-                _subvec(vec_col, m, sub).alias("codeword"),
-                F.pmod(F.xxhash64(F.lit(m), F.col(vec_id)),
-                       F.lit(k_codes)).alias("__code"),
+    if init_book is not None:
+        # warm start from a caller-provided {(subspace, code): codeword}
+        # (the OPQ loop passes the previous round's book so Lloyd
+        # refines instead of re-electing hash representatives — the
+        # reinit noise that motivated train_opq's keep-best return)
+        book: dict[tuple[int, int], list[float]] = {
+            k: [float(x) for x in v] for k, v in init_book.items()}
+        if n_iter <= 0:
+            return spark.createDataFrame(
+                [(m, c, w) for (m, c), w in sorted(book.items())],
+                "subspace int, code long, codeword array<double>")
+    else:
+        parts = []
+        for m in range(m_subspaces):
+            w = Window.partitionBy("__code").orderBy(F.col(vec_id))
+            parts.append(
+                vectors.select(
+                    F.col(vec_id),
+                    _subvec(vec_col, m, sub).alias("codeword"),
+                    F.pmod(F.xxhash64(F.lit(m), F.col(vec_id)),
+                           F.lit(k_codes)).alias("__code"),
+                )
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(F.lit(m).alias("subspace"),
+                        F.col("__code").alias("code"), "codeword")
             )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(F.lit(m).alias("subspace"),
-                    F.col("__code").alias("code"), "codeword")
-        )
-    init = parts[0]
-    for p in parts[1:]:
-        init = init.unionAll(p)
-    if n_iter <= 0:
-        return init
+        init = parts[0]
+        for p in parts[1:]:
+            init = init.unionAll(p)
+        if n_iter <= 0:
+            return init
 
-    # {(subspace, code): codeword} — m·k rows of model state
-    book: dict[tuple[int, int], list[float]] = {
-        (int(r["subspace"]), int(r["code"])): [float(x) for x in r["codeword"]]
-        for r in init.collect()
-    }
+        # {(subspace, code): codeword} — m·k rows of model state
+        book = {
+            (int(r["subspace"]), int(r["code"])):
+                [float(x) for x in r["codeword"]]
+            for r in init.collect()
+        }
     train = vectors.select(F.col(vec_id), F.col(vec_col))
     if train_sample_mod > 1:
         train = train.filter(
@@ -1869,13 +1883,17 @@ def train_opq(
         return books
 
     best = None                         # (err, R, books)
+    prev_book = None                    # warm start across rounds
     for _ in range(n_rounds):
         proj = project_pca(
             sel, (mean, composed_rows(), ratios), vec_col, "__opq")
         codebook = train_pq_codebook(
             proj, dim=d_out, m_subspaces=m_subspaces, k_codes=k_codes,
-            vec_id=vec_id, vec_col="__opq", n_iter=pq_iter)
+            vec_id=vec_id, vec_col="__opq", n_iter=pq_iter,
+            init_book=prev_book)
         books = collect_books(codebook)
+        prev_book = {(si, ci): w for si, rows_ in enumerate(books)
+                     for ci, w in enumerate(rows_)}
         M, err, n = _opq_procrustes_stats(
             sel, vec_col, mean, base, R.tolist(), books)
         history.append(err / n / d_out)
@@ -1888,7 +1906,8 @@ def train_opq(
         sel, (mean, composed_rows(), ratios), vec_col, "__opq")
     codebook = train_pq_codebook(
         proj, dim=d_out, m_subspaces=m_subspaces, k_codes=k_codes,
-        vec_id=vec_id, vec_col="__opq", n_iter=pq_iter)
+        vec_id=vec_id, vec_col="__opq", n_iter=pq_iter,
+        init_book=prev_book)
     books = collect_books(codebook)
     _, err, n = _opq_procrustes_stats(
         sel, vec_col, mean, base, R.tolist(), books)

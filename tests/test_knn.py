@@ -1155,13 +1155,12 @@ def test_learned_opq_rectangular_reduces_and_stays_stiefel(spark):
     W = np.asarray(model[1])
     assert W.shape == (nc, d)
     assert np.allclose(W @ W.T, np.eye(nc), atol=1e-9)
-    # keep-best contract: the RETURNED state is the best measured one,
-    # so its distortion (min of history) never loses to the parametric
-    # init at history[0]; individual later entries may wobble within
-    # codebook-reinit noise (each round's Lloyd restarts from hash
-    # init) — bound that wobble too
+    # with warm-started codebooks BOTH alternation steps are
+    # non-increasing (exact square Procrustes + Lloyd refinement from
+    # the previous book), so the history is monotone up to the 9dp
+    # Lloyd-sum rounding; keep-best still guards the return value
+    assert all(b <= a + 1e-6 for a, b in zip(hist, hist[1:])), hist
     assert min(hist) <= hist[0] + 1e-9, hist
-    assert max(hist) <= hist[0] * 1.05, hist
     row = project_pca(df, model, out_col="rot").select("rot").first()
     assert len(row["rot"]) == nc
 
