@@ -172,6 +172,7 @@ def coreset_sample(
     n_iter: int = 4,
     per_cell: int = 1,
     train_sample_mod: int = 1,
+    budget: int | None = None,
 ) -> DataFrame:
     """Diversity-preserving subset selection (k-center-style coreset —
     the curation counterpart of dedup: instead of dropping what is too
@@ -192,8 +193,12 @@ def coreset_sample(
     not across ROWS). Zero vectors score NULL and sort last.
 
     Returns (``vec_id``, cell_id, score, rank ≤ ``per_cell``), rank 1
-    = the cell's medoid-like representative. Deterministic (hash
-    init, 9dp-rounded Lloyd sums, id tiebreaks)."""
+    = the cell's medoid-like representative. ``budget`` switches from
+    the flat per-cell cap to PROPORTIONAL quotas (max(1, round(
+    budget·n_c/n)) per cell): dense modes get more representatives,
+    every populated cell keeps at least one, output within n_cells of
+    the budget. Deterministic (hash init, 9dp-rounded Lloyd sums, id
+    tiebreaks)."""
     cents_df = train_centroids(
         vectors, n_cells, vec_id, vec_col, n_iter, train_sample_mod)
     cents = sorted(
@@ -208,9 +213,26 @@ def coreset_sample(
     )
     w = Window.partitionBy("cell_id").orderBy(
         F.col("score").desc(), F.col(vec_id).asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if budget is None:
+        return ranked.filter(F.col("rank") <= per_cell)
+    # proportional quotas: a total sample budget splits across cells by
+    # mass — quota_c = max(1, round(budget·n_c/n)) — so dense modes get
+    # more representatives while every populated cell keeps at least
+    # one (the uniform-coverage floor). Same single slim-row exchange:
+    # the cell count rides the rank window's partitioning and the
+    # total is a broadcast scalar. Output size is within n_cells of
+    # the budget (per-cell rounding).
+    total = vectors.count()
+    quota = F.greatest(
+        F.lit(1),
+        F.round(F.lit(float(budget))
+                * F.count(F.lit(1)).over(Window.partitionBy("cell_id"))
+                / F.lit(float(total))).cast("int"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= per_cell)
+        ranked.withColumn("__quota", quota)
+        .filter(F.col("rank") <= F.col("__quota"))
+        .drop("__quota")
     )
 
 

@@ -1056,6 +1056,50 @@ def test_coreset_sample_picks_true_cell_representatives(spark):
     assert again == base
 
 
+def test_coreset_budget_quotas_proportional_with_floor(spark):
+    """Budgeted coreset: quotas split the total budget by cell mass
+    (max(1, round(budget·n_c/n))), so a cell 4× as populated gets ~4×
+    the representatives, every populated cell keeps ≥1, the output
+    lands within n_cells of the budget, and each cell's picks are its
+    top-scored members (same ranking as the flat cap)."""
+    from pyspark_deduplication_spark.operators.knn import coreset_sample
+
+    rng = np.random.RandomState(41)
+    rows = []
+    # 4 well-separated clusters with very different masses
+    anchors = np.eye(4)
+    masses = [120, 60, 24, 12]
+    i = 0
+    for a, m in zip(anchors, masses):
+        for _ in range(m):
+            v = a + 0.05 * rng.standard_normal(4)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = coreset_sample(df, n_cells=4, n_iter=3, budget=36).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell_id, []).append(r)
+    sizes = sorted((len(v) for v in by_cell.values()), reverse=True)
+    n_total = sum(sizes)
+    assert abs(n_total - 36) <= 4, sizes          # within n_cells
+    assert all(v >= 1 for v in sizes)
+    assert sizes[0] >= 3 * sizes[-1], sizes       # mass-proportional
+
+    # same ranking as the flat cap: where the budgeted quota is ≥ 2,
+    # the flat per_cell=2 picks are exactly the budgeted top-2 by rank
+    flat = coreset_sample(df, n_cells=4, n_iter=3, per_cell=2).collect()
+    flat_by_cell = {}
+    for r in flat:
+        flat_by_cell.setdefault(r.cell_id, set()).add(r.vec_id)
+    for c, members in flat_by_cell.items():
+        ranked = [r.vec_id for r in sorted(by_cell[c],
+                                           key=lambda r: r.rank)]
+        if len(ranked) >= 2:
+            assert members == set(ranked[:2]), (c, members, ranked)
+
+
 def test_hard_negative_mining_excludes_positives_and_clones(spark):
     """Planted contract: the query's nearest overall neighbor shares
     its label (a positive) and the next nearest is a near-clone above
