@@ -226,3 +226,80 @@ def test_reservoir_merge_property_any_split(rows, k, cut):
             reservoir_per_group(a, "grp", "id", k).unionByName(b),
             "grp", "id", k).collect())
     assert full == merged
+
+
+@given(st.lists(
+    st.tuples(st.lists(st.integers(1, 40), min_size=0, max_size=30),
+              st.lists(st.integers(1, 40), min_size=0, max_size=30)),
+    min_size=1, max_size=25))
+@settings(max_examples=30, deadline=None)
+def test_weighted_jaccard_kernel_properties(pairs):
+    """Generalized-Jaccard kernel invariants on generated multisets:
+    symmetric, bounded in [0, 1], exactly 1 on identical non-empty
+    multisets, 0 on disjoint ones, and equal to the pure-Python
+    Σmin/Σmax ground truth on every pair."""
+    from collections import Counter
+
+    from pyspark_deduplication_spark.operators.dedup import (
+        weighted_jaccard_of,
+    )
+
+    rows = [(i, [int(x) for x in a], [int(x) for x in b])
+            for i, (a, b) in enumerate(pairs)]
+    df = _SPARK.createDataFrame(
+        rows, "i long, a array<long>, b array<long>")
+    got_ab = {r.i: r.j for r in df.select(
+        "i", weighted_jaccard_of(F.col("a"), F.col("b")).alias("j"))
+        .collect()}
+    got_ba = {r.i: r.j for r in df.select(
+        "i", weighted_jaccard_of(F.col("b"), F.col("a")).alias("j"))
+        .collect()}
+    for i, a, b in rows:
+        ca, cb = Counter(a), Counter(b)
+        mins = sum((ca & cb).values())
+        maxs = sum((ca | cb).values())
+        expect = mins / maxs if maxs else 0.0
+        assert got_ab[i] == got_ba[i]
+        assert 0.0 <= got_ab[i] <= 1.0
+        assert abs(got_ab[i] - expect) < 1e-12, (a, b, got_ab[i], expect)
+        if a and a == b:
+            assert got_ab[i] == 1.0
+        if not (ca & cb):
+            assert got_ab[i] == 0.0
+
+
+@given(st.lists(st.tuples(st.sampled_from(["g1", "g2"]),
+                          st.integers(0, 10_000),
+                          st.floats(-1e6, 1e6, allow_nan=False)),
+                min_size=1, max_size=60),
+       st.integers(1, 3))
+@settings(max_examples=15, deadline=None)
+def test_quantile_sketch_merge_associative_and_union_equal(rows, splits):
+    """KMV sketch algebra on generated data: any partition of the rows
+    into chunks, merged in any association order, equals building the
+    sketch on the whole — including duplicate keys (the min-value
+    collapse must behave identically inline and across merges)."""
+    from pyspark_deduplication_spark.operators.profiling import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+    )
+
+    schema = "g string, id long, v double"
+    whole = quantile_sketch_build(
+        _SPARK.createDataFrame(rows, schema), "g", "id", "v", k=8)
+    expect = sorted((r.g, r.h, r.v) for r in whole.collect())
+
+    chunks = [rows[i::splits] for i in range(splits)]
+    chunks = [c for c in chunks if c]
+    sketches = [quantile_sketch_build(
+        _SPARK.createDataFrame(c, schema), "g", "id", "v", k=8)
+        for c in chunks]
+    left = sketches[0]
+    for s in sketches[1:]:
+        left = quantile_sketch_merge(left, s, group_col="g", k=8)
+    assert sorted((r.g, r.h, r.v) for r in left.collect()) == expect
+    if len(sketches) > 1:
+        right = sketches[-1]
+        for s in reversed(sketches[:-1]):
+            right = quantile_sketch_merge(s, right, group_col="g", k=8)
+        assert sorted((r.g, r.h, r.v) for r in right.collect()) == expect
