@@ -114,6 +114,32 @@ def word_ngrams_all_of(tokens: Column, n: int = 3) -> Column:
     )
 
 
+def staged_grams(
+    df,
+    text_col: str,
+    n: int = 3,
+    carry_cols: list | None = None,
+    distinct: bool = True,
+    out_col: str = "gram",
+):
+    """Explode a text column into n-gram rows with the tokenizer
+    STAGED into a named intermediate column — the one shared spelling
+    of the hot-path discipline (inlining ``tokenize`` into the n-gram
+    builders re-runs the 3-regex normalize+split per gram reference;
+    measured 10× on ``vocab_growth_report``; review-caught as a
+    seven-site hand-copy). ``carry_cols`` ride along (strings or
+    Column expressions); ``distinct=False`` preserves duplicate grams
+    for frequency/weighted analysis. Map-only — zero shuffle."""
+    carry = [F.col(c) if isinstance(c, str) else c
+             for c in (carry_cols or [])]
+    toks = df.select(*carry, tokenize(F.col(text_col)).alias("__toks"))
+    builder = word_ngrams_of if distinct else word_ngrams_all_of
+    names = toks.columns[:-1]
+    return toks.select(
+        *[F.col(c) for c in names],
+        F.explode(builder(F.col("__toks"), n)).alias(out_col))
+
+
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (space-joined) over the normalized tokens —
     the shingling step for MinHash document dedup. Prefer staging tokens

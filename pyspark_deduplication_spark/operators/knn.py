@@ -1089,7 +1089,21 @@ def train_pq_codebook(
         # warm start from a caller-provided {(subspace, code): codeword}
         # (the OPQ loop passes the previous round's book so Lloyd
         # refines instead of re-electing hash representatives — the
-        # reinit noise that motivated train_opq's keep-best return)
+        # reinit noise that motivated train_opq's keep-best return).
+        # Validate shape up front: a wrong-k/wrong-dim book would
+        # otherwise train silently with the wrong code set, or corrupt
+        # distances deep inside zip_with (which truncates to the
+        # shorter array) — review-caught.
+        expect_keys = {(m, c) for m in range(m_subspaces)
+                       for c in range(k_codes)}
+        if set(init_book) != expect_keys:
+            raise ValueError(
+                f"train_pq_codebook: init_book keys do not cover "
+                f"m={m_subspaces} × k={k_codes}")
+        if any(len(v) != sub for v in init_book.values()):
+            raise ValueError(
+                f"train_pq_codebook: init_book codeword length != "
+                f"sub_dim {sub}")
         book: dict[tuple[int, int], list[float]] = {
             k: [float(x) for x in v] for k, v in init_book.items()}
         if n_iter <= 0:
@@ -1573,7 +1587,6 @@ def pca_stats(
     )
     if not parts:
         raise ValueError("pca_stats: empty input")
-    import numpy as np
     n = sum(r["n"] for r in parts)
     sx = np.sum([np.asarray(r["sx"]) for r in parts], axis=0)
     g = np.sum([np.asarray(r["g"]) for r in parts], axis=0)
@@ -1590,7 +1603,11 @@ def merge_pca_stats(*stats: DataFrame) -> DataFrame:
     collect. Exact and order-independent up to float summation."""
     import numpy as np
 
+    if not stats:
+        raise ValueError("merge_pca_stats: no stats frames given")
     rows = [r for s in stats for r in s.collect()]
+    if not rows:
+        raise ValueError("merge_pca_stats: empty input (no stats rows)")
     n = sum(int(r["n"]) for r in rows)
     sx = np.sum([np.asarray(r["sx"], dtype=np.float64) for r in rows],
                 axis=0)
@@ -1604,10 +1621,22 @@ def merge_pca_stats(*stats: DataFrame) -> DataFrame:
 def pca_from_stats(stats: DataFrame, n_components: int = 8):
     """Derive the (mean, components, explained_ratio) model from a
     stats row — ``train_pca``'s tail, factored so persisted/merged
-    stats skip the corpus pass entirely."""
+    stats skip the corpus pass entirely. Enforces the documented
+    ONE-ROW contract: a multi-row frame (e.g. the epoch-partitioned
+    table ``streaming_pca_stats_ingest`` writes, read WITHOUT
+    filtering to the latest epoch) would otherwise silently derive the
+    model from an arbitrary row (review-caught)."""
     import numpy as np
 
-    row = stats.collect()[0]            # one row — model state
+    rows = stats.collect()              # model state
+    if not rows:
+        raise ValueError("pca_from_stats: empty input")
+    if len(rows) != 1:
+        raise ValueError(
+            f"pca_from_stats: expected exactly one stats row, got "
+            f"{len(rows)} — reading the epoch-partitioned ingest table? "
+            "filter to the latest epoch (or merge_pca_stats) first")
+    row = rows[0]
     n = int(row["n"])
     sx = np.asarray(row["sx"], dtype=np.float64)
     d = sx.shape[0]
@@ -1852,14 +1881,16 @@ def train_opq(
     (subspace, code, codeword) frame matching the returned rotation
     (feed both to ``pq_encode``/``pq_knn``/``ivfpq_knn`` on the
     projected column); ``history`` the per-state mean quantization
-    error (init state first, final rotation+codebook last). Each
-    rotation step is exact, but codebooks re-train from hash init each
-    round (not warm-started), so a later state can measure slightly
-    worse — the returned (model, codebook) is therefore the BEST
-    MEASURED state: its distortion is ``min(history)``, never worse
-    than the parametric init at ``history[0]``. Float partial sums
-    keep this rows-only (catalog: ``opq_distortion_report``);
-    contracts pinned in ``test_knn.py``."""
+    error (init state first, final rotation+codebook last). Both
+    alternation steps are non-increasing — the rotation update is the
+    exact Procrustes minimizer and codebooks WARM-START from the
+    previous round's book (``init_book``), so history is monotone up
+    to the Lloyd 9dp sum rounding (pinned). The returned
+    (model, codebook) is still the BEST MEASURED state (belt and
+    braces for that rounding edge): its distortion is
+    ``min(history)``, never worse than the parametric init at
+    ``history[0]``. Float partial sums keep this rows-only (catalog:
+    ``opq_distortion_report``); contracts pinned in ``test_knn.py``."""
     import numpy as np
 
     d_out = n_components or dim
@@ -1936,11 +1967,11 @@ def train_opq(
     history.append(err / n / d_out)
     if history[-1] < best[0]:
         best = (history[-1], R, books)
-    # keep-best: each ROTATION step is an exact minimizer for its
-    # codebook, but codebooks re-train from hash init every round (not
-    # warm-started), so a later round's fresh Lloyd can measure
-    # slightly worse than an earlier state. Return the best MEASURED
-    # (rotation, codebook) pair — the returned model's distortion is
+    # keep-best: with warm-started codebooks both alternation steps
+    # are non-increasing, but the Lloyd update rounds per-position
+    # sums to 9dp, so a boundary-adjacent state can in principle
+    # measure a hair worse. Return the best MEASURED (rotation,
+    # codebook) pair — the returned model's distortion is
     # min(history), never worse than the parametric init (history[0]).
     _, R, books = best
     spark = vectors.sparkSession

@@ -114,15 +114,10 @@ def build_decontamination_index(
     against the call's parameters and refuses a mismatch."""
     from pyspark.sql import functions as F
 
-    from pyspark_deduplication_spark.functions.text import (
-        tokenize,
-        word_ngrams_of,
-    )
+    from pyspark_deduplication_spark.functions.text import staged_grams
 
     return (
-        heldout.select(tokenize(F.col(text_col)).alias("__toks"))
-        .select(F.explode(word_ngrams_of(F.col("__toks"), n))
-                .alias("gram"))
+        staged_grams(heldout, text_col, n)
         .select(_bloom_probe_positions(
             F.col("gram"), num_bits, k_hashes).alias("pos"))
         .select(
@@ -147,15 +142,10 @@ def build_gram_index(heldout, text_col: str = "text", n: int = 5):
     held-out side outgrows broadcast range."""
     from pyspark.sql import functions as F
 
-    from pyspark_deduplication_spark.functions.text import (
-        tokenize,
-        word_ngrams_of,
-    )
+    from pyspark_deduplication_spark.functions.text import staged_grams
 
     return (
-        heldout.select(tokenize(F.col(text_col)).alias("__toks"))
-        .select(F.explode(word_ngrams_of(F.col("__toks"), n))
-                .alias("gram"))
+        staged_grams(heldout, text_col, n)
         .distinct()
     )
 
@@ -188,17 +178,9 @@ def decontaminate_exact(
     index build."""
     from pyspark.sql import functions as F
 
-    from pyspark_deduplication_spark.functions.text import (
-        tokenize,
-        word_ngrams_of,
-    )
+    from pyspark_deduplication_spark.functions.text import staged_grams
 
-    grams = (
-        corpus.select(F.col(id_col),
-                      tokenize(F.col(text_col)).alias("__toks"))
-        .select(F.col(id_col),
-                F.explode(word_ngrams_of(F.col("__toks"), n))
-                .alias("gram")))
+    grams = staged_grams(corpus, text_col, n, carry_cols=[id_col])
     hits = (
         grams.join(F.broadcast(gram_index), "gram", "left_semi")
         .select(id_col).distinct()
@@ -252,10 +234,7 @@ def bloom_decontaminate(
     ``~contaminated`` for the clean set."""
     from pyspark.sql import functions as F
 
-    from pyspark_deduplication_spark.functions.text import (
-        tokenize,
-        word_ngrams_of,
-    )
+    from pyspark_deduplication_spark.functions.text import staged_grams
 
     if index is not None:
         # geometry check: probing a Bloom table with different
@@ -282,11 +261,7 @@ def bloom_decontaminate(
     else:
         raise ValueError("pass either heldout or index")
     corpus_probes = (
-        corpus.select(F.col(id_col),
-                      tokenize(F.col(text_col)).alias("__toks"))
-        .select(F.col(id_col),
-                F.explode(word_ngrams_of(F.col("__toks"), n))
-                .alias("gram"))
+        staged_grams(corpus, text_col, n, carry_cols=[id_col])
         .select(
             F.col(id_col), F.col("gram"),
             _bloom_probe_positions(

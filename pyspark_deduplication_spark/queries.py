@@ -37,6 +37,7 @@ from pyspark_deduplication_spark.functions.text import (
     pii_counts,
     quality_features,
     redact_pii,
+    staged_grams,
     token_count,
     tokenize,
     winnow_of,
@@ -1384,12 +1385,8 @@ def weighted_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row-local work on the few survivors; `test_dedup.py` pins the
     two spellings equal)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.col("doc_id"), tokenize(F.col("text")).alias("__toks"))
-    grams = toks.select(
-        F.col("doc_id"),
-        F.explode(word_ngrams_all_of(F.col("__toks"), 3))
-        .alias("gram"))
+    grams = staged_grams(docs, "text", 3, carry_cols=["doc_id"],
+                         distinct=False)
     tf = grams.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).alias("c"))
     sizes = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
@@ -1467,19 +1464,14 @@ def vocab_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = docs.agg(F.min("doc_id").alias("mn"),
                    F.max("doc_id").alias("mx")).first()
     mn, span = int(rng["mn"]), int(rng["mx"]) - int(rng["mn"]) + 1
-    # staged projection (the minhash_signatures discipline): tokenize
-    # ONCE into a named column before shingling — inlining it into
-    # word_ngrams_of re-runs the 3-regex normalize+split per gram
-    # reference (measured 15s → ~2s at sf0.1 for this query)
-    toks = docs.select(
-        F.expr(f"CAST((doc_id - {mn}) * 10 AS BIGINT) div {span} + 1")
-        .alias("decile"),
-        tokenize(F.col("text")).alias("__toks"),
-    )
-    grams = toks.select(
-        "decile",
-        F.explode(word_ngrams_of(F.col("__toks"), 3)).alias("gram"),
-    )
+    # staged_grams stages the tokenizer into a named column before
+    # shingling — inlining it re-runs the 3-regex normalize+split per
+    # gram reference (measured 15s → ~2s at sf0.1 for this query)
+    grams = staged_grams(
+        docs, "text", 3,
+        carry_cols=[
+            F.expr(f"CAST((doc_id - {mn}) * 10 AS BIGINT) div {span} + 1")
+            .alias("decile")])
     first = grams.groupBy("gram").agg(F.min("decile").alias("decile"))
     counts = first.groupBy("decile").agg(
         F.count(F.lit(1)).alias("new_grams"))
@@ -1669,16 +1661,10 @@ def gram_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_deduplication_spark.operators.sampling import hash_sample
 
     docs = _t(spark, sf_dir, "documents")
-    grams = (
-        docs.select(tokenize(F.col("text")).alias("__toks"))
-        .select(F.explode(word_ngrams_of(F.col("__toks"), 2))
-                .alias("gram")))
+    grams = staged_grams(docs, "text", 2)
     sketch = cms_build(grams, "gram", width=4096, depth=4)
     cand = (
-        hash_sample(docs, "doc_id", 0.25)
-        .select(tokenize(F.col("text")).alias("__toks"))
-        .select(F.explode(word_ngrams_of(F.col("__toks"), 2))
-                .alias("gram"))
+        staged_grams(hash_sample(docs, "doc_id", 0.25), "text", 2)
         .distinct()
     )
     return (

@@ -212,6 +212,27 @@ def _hadoop_path_exists(spark, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _latest_epoch_state(spark, state_dir: str, epoch_id: int):
+    """Read the LATEST prior epoch's rows from an epoch-partitioned
+    state table (epoch < this batch's id — a replayed batch must see
+    the same prior state it saw the first time), or None when the dir
+    is absent or holds no earlier epoch. The shared prior-state read
+    of the snapshot-style ingest loops (reservoir, quantile sketch,
+    PCA stats — review-caught triplication); transient read errors
+    past the existence probe propagate so the runtime retries
+    (``_hadoop_path_exists``)."""
+    if not _hadoop_path_exists(spark, state_dir):
+        return None
+    prior_all = spark.read.parquet(state_dir).where(
+        F.col("epoch") < F.lit(epoch_id))
+    head = prior_all.select(F.max("epoch").alias("__e")).collect()
+    if not head or head[0]["__e"] is None:
+        return None
+    return (prior_all
+            .where(F.col("epoch") == F.lit(head[0]["__e"]))
+            .drop("epoch"))
+
+
 def streaming_corpus_ingest(
     docs_stream: DataFrame,
     corpus_dir: str,
@@ -721,17 +742,9 @@ def streaming_reservoir_ingest(
             # audit trail for nothing
             return
         base = batch_df
-        if _hadoop_path_exists(spark, reservoir_dir):
-            # transient read errors past the existence probe propagate —
-            # the runtime retries the batch (see _hadoop_path_exists)
-            prior_all = spark.read.parquet(reservoir_dir).where(
-                F.col("epoch") < F.lit(epoch_id))
-            head = prior_all.select(F.max("epoch").alias("__e")).collect()
-            if head and head[0]["__e"] is not None:
-                prior = (prior_all
-                         .where(F.col("epoch") == F.lit(head[0]["__e"]))
-                         .drop("epoch"))
-                base = batch_df.unionByName(prior)
+        prior = _latest_epoch_state(spark, reservoir_dir, epoch_id)
+        if prior is not None:
+            base = batch_df.unionByName(prior)
         new_res = reservoir_per_group(base, group_col, key_col, k, seed)
         (new_res.withColumn("epoch", F.lit(epoch_id))
          .write.mode("overwrite")
@@ -780,16 +793,10 @@ def streaming_quantile_sketch_ingest(
             return
         new_sk = quantile_sketch_build(
             batch_df, group_col, key_col, value_col, k, seed)
-        if _hadoop_path_exists(spark, sketch_dir):
-            prior_all = spark.read.parquet(sketch_dir).where(
-                F.col("epoch") < F.lit(epoch_id))
-            head = prior_all.select(F.max("epoch").alias("__e")).collect()
-            if head and head[0]["__e"] is not None:
-                prior = (prior_all
-                         .where(F.col("epoch") == F.lit(head[0]["__e"]))
-                         .drop("epoch"))
-                new_sk = quantile_sketch_merge(
-                    new_sk, prior, group_col=group_col, k=k)
+        prior = _latest_epoch_state(spark, sketch_dir, epoch_id)
+        if prior is not None:
+            new_sk = quantile_sketch_merge(
+                new_sk, prior, group_col=group_col, k=k)
         (new_sk.withColumn("epoch", F.lit(epoch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
@@ -828,15 +835,9 @@ def streaming_pca_stats_ingest(
         if len(batch_df.take(1)) == 0:
             return
         new_stats = pca_stats(batch_df, vec_col)
-        if _hadoop_path_exists(spark, stats_dir):
-            prior_all = spark.read.parquet(stats_dir).where(
-                F.col("epoch") < F.lit(epoch_id))
-            head = prior_all.select(F.max("epoch").alias("__e")).collect()
-            if head and head[0]["__e"] is not None:
-                prior = (prior_all
-                         .where(F.col("epoch") == F.lit(head[0]["__e"]))
-                         .drop("epoch"))
-                new_stats = merge_pca_stats(prior, new_stats)
+        prior = _latest_epoch_state(spark, stats_dir, epoch_id)
+        if prior is not None:
+            new_stats = merge_pca_stats(prior, new_stats)
         (new_stats.withColumn("epoch", F.lit(epoch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")

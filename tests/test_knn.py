@@ -951,6 +951,41 @@ def test_pca_stats_merge_equals_whole_train(spark):
     assert len(row["sx"]) == d and len(row["g"]) == d * d
 
 
+def test_pca_stats_and_opq_guards(spark):
+    """Robustness contracts (review-caught): pca_from_stats enforces
+    its one-row contract (a multi-row epoch table read without the
+    latest-epoch filter must error, not silently model an arbitrary
+    row); merge_pca_stats rejects empty inputs with a clear message
+    (was an opaque numpy TypeError); train_pq_codebook validates a
+    warm-start book's key coverage and codeword length up front."""
+    import pytest as _pytest
+
+    from pyspark_deduplication_spark.operators.knn import (
+        merge_pca_stats,
+        pca_from_stats,
+        pca_stats,
+        train_pq_codebook,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    st = pca_stats(df)
+    with _pytest.raises(ValueError, match="exactly one stats row"):
+        pca_from_stats(st.unionByName(st))
+    with _pytest.raises(ValueError, match="empty input"):
+        merge_pca_stats(st.limit(0))
+    with _pytest.raises(ValueError, match="no stats frames"):
+        merge_pca_stats()
+    with _pytest.raises(ValueError, match="init_book keys"):
+        train_pq_codebook(df, dim=4, m_subspaces=2, k_codes=4,
+                          init_book={(0, 0): [0.0, 0.0]})
+    full_bad_len = {(m, c): [0.0] for m in range(2) for c in range(4)}
+    with _pytest.raises(ValueError, match="codeword length"):
+        train_pq_codebook(df, dim=4, m_subspaces=2, k_codes=4,
+                          init_book=full_bad_len)
+
+
 def test_opq_allocation_cuts_pq_distortion(spark):
     """The parametric-OPQ claim, pinned on the quantity OPQ optimizes
     (reconstruction distortion, which bounds the ADC score error): on a
