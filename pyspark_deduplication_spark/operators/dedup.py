@@ -774,12 +774,15 @@ def incremental_weighted_minhash_dedup(
         new_docs, text_col, id_col, num_hashes, shingle_size).persist()
     if pre_collapsed is None:
         pre_collapsed = corpus_sigs is not None
-    if corpus_sigs is None:
+    # caller-owned lifecycle: only frames derived HERE get persisted /
+    # unpersisted — evicting a caller-provided train-once index would
+    # force every later ingest batch to re-materialize it
+    own_corpus_sigs = corpus_sigs is None
+    if own_corpus_sigs:
         corpus_sigs = weighted_minhash_signatures(
-            corpus, text_col, id_col, num_hashes, shingle_size)
-    corpus_sigs = corpus_sigs.persist()
+            corpus, text_col, id_col, num_hashes, shingle_size).persist()
+        corpus_sigs.count()
     new_sigs.count()
-    corpus_sigs.count()
     cand = incremental_minhash_candidates(
         new_sigs, corpus_sigs, id_col, num_hashes, bands, max_bucket_size,
         pre_collapsed, content_col="whashes")
@@ -798,7 +801,8 @@ def incremental_weighted_minhash_dedup(
     fresh = new_docs.join(dup_ids, on=id_col, how="left_anti")
     fresh = fresh.localCheckpoint(eager=True)
     new_sigs.unpersist()
-    corpus_sigs.unpersist()
+    if own_corpus_sigs:
+        corpus_sigs.unpersist()
     return weighted_minhash_dedup(fresh, text_col, id_col, threshold,
                                   num_hashes, bands, shingle_size)
 
@@ -962,14 +966,17 @@ def incremental_minhash_dedup(
         new_docs, text_col, id_col, num_hashes, shingle_size).persist()
     if pre_collapsed is None:
         pre_collapsed = corpus_sigs is not None
-    if corpus_sigs is None:
+    # caller-owned lifecycle: only frames derived HERE get persisted /
+    # unpersisted — evicting a caller-provided train-once index would
+    # force every later ingest batch to re-materialize it
+    own_corpus_sigs = corpus_sigs is None
+    if own_corpus_sigs:
         corpus_sigs = minhash_signatures(
-            corpus, text_col, id_col, num_hashes, shingle_size)
-    corpus_sigs = corpus_sigs.persist()
+            corpus, text_col, id_col, num_hashes, shingle_size).persist()
+        corpus_sigs.count()
     # eager: both frames are read by the band probe AND the shingle
     # join-back — see the fan-out race note in minhash_candidate_pairs
     new_sigs.count()
-    corpus_sigs.count()
     cand = incremental_minhash_candidates(
         new_sigs, corpus_sigs, id_col, num_hashes, bands, max_bucket_size,
         pre_collapsed)
@@ -987,7 +994,8 @@ def incremental_minhash_dedup(
     fresh = new_docs.join(dup_ids, on=id_col, how="left_anti")
     fresh = fresh.localCheckpoint(eager=True)
     new_sigs.unpersist()
-    corpus_sigs.unpersist()
+    if own_corpus_sigs:
+        corpus_sigs.unpersist()
     return minhash_dedup(fresh, text_col, id_col, threshold,
                          num_hashes, bands, shingle_size)
 

@@ -228,13 +228,18 @@ def _loss_deltas(
     at low own-probability — the case probability-ranked pruning gets
     backwards."""
     deltas: dict[str, float] = {}
-    for p, lp in logp.items():
+    for p, lp in list(logp.items()):
         if p in char_set:
             continue
-        reduced = {q: v for q, v in logp.items() if q != p}
-        alt = sum(
-            reduced.get(piece, _CHAR_FLOOR_LP)
-            for piece in _viterbi(p, reduced, max_len))
+        # pop/restore the single key instead of copying the dict per
+        # piece — keeps a prune round O(V·piece_len), not O(V²)
+        del logp[p]
+        try:
+            alt = sum(
+                logp.get(piece, _CHAR_FLOOR_LP)
+                for piece in _viterbi(p, logp, max_len))
+        finally:
+            logp[p] = lp
         deltas[p] = counts.get(p, 0) * (lp - alt)
     return deltas
 

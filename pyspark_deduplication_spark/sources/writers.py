@@ -374,6 +374,18 @@ def consolidate_epochs(
     stays strictly below every future batch's — the invariant that
     makes this safe to run between micro-batches.
 
+    The NEWEST on-disk epoch is never folded into itself by default:
+    it may be an UNCOMMITTED batch (sink written, crash before the
+    streaming checkpoint commit — exactly the replay window the
+    epoch-overwrite idiom exists for). If that batch replayed after
+    being folded, its ``epoch < epoch_id`` reads would see no prior
+    state and its dynamic partition overwrite would wipe the
+    consolidated partition. So ``upto=None`` defaults to the
+    SECOND-newest epoch, leaving the newest partition untouched. Pass
+    an explicit ``upto`` to override — it MUST be strictly below the
+    last committed batch id (the on-disk max is only safe when the
+    stream is stopped and its final batch is known committed).
+
     ``mode`` must match the table's epoch SEMANTICS:
 
     - ``"append"`` — each epoch holds NEW rows (the corpus content,
@@ -386,7 +398,8 @@ def consolidate_epochs(
 
     ``upto`` consolidates only epochs ≤ it (leaving newer partitions
     untouched — e.g. keep the last day's lineage); ``None`` folds
-    everything. The rewrite goes through the same two-rename in-place
+    everything below the newest epoch (see above). The rewrite goes
+    through the same two-rename in-place
     swap as ``compact_small_files`` (local paths only; same recovery
     caveat) and rewrites every consolidated row once — table
     maintenance cost, run it at the compaction cadence. Returns the
@@ -403,8 +416,16 @@ def consolidate_epochs(
     if mode not in ("append", "snapshot"):
         raise ValueError(f"consolidate_epochs: unknown mode {mode!r}")
     df = spark.read.parquet(path)
-    sel = df if upto is None else df.where(F.col("epoch") <= upto)
-    epochs = [r["epoch"] for r in sel.select("epoch").distinct().collect()]
+    all_epochs = sorted(
+        r["epoch"] for r in df.select("epoch").distinct().collect())
+    if upto is None:
+        # never fold the newest epoch into itself (possibly an
+        # uncommitted batch — see docstring); default to second-newest
+        if len(all_epochs) < 3:
+            return 0
+        upto = all_epochs[-2]
+    sel = df.where(F.col("epoch") <= upto)
+    epochs = [e for e in all_epochs if e <= upto]
     if len(epochs) <= 1:
         return 0
     target = max(epochs)
@@ -413,10 +434,8 @@ def consolidate_epochs(
     consolidated = (
         sel.drop("epoch").withColumn("epoch", F.lit(target))
     )
-    keep = None
-    if upto is not None:
-        keep = df.where(F.col("epoch") > upto)
-    out = consolidated if keep is None else consolidated.unionByName(keep)
+    keep = df.where(F.col("epoch") > upto)
+    out = consolidated.unionByName(keep)
 
     tmp = path.rstrip("/") + "__epochs_tmp"
     (out.write.mode("overwrite").partitionBy("epoch").parquet(tmp))

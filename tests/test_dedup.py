@@ -586,6 +586,41 @@ def test_incremental_weighted_minhash_and_persisted_index(spark):
     assert kept_idx == kept, (kept_idx, kept)
 
 
+def test_incremental_dedup_does_not_evict_caller_owned_index(spark):
+    """Caller-owned lifecycle: a persisted train-once index passed via
+    ``corpus_sigs`` must still be cached after the ingest call — Spark
+    caching is not reference-counted, so an internal unpersist() would
+    silently force every later batch to re-materialize the index."""
+    from pyspark.storagelevel import StorageLevel
+
+    from pyspark_deduplication_spark.operators.dedup import (
+        build_minhash_index,
+        build_weighted_minhash_index,
+        incremental_minhash_dedup,
+        incremental_weighted_minhash_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} with shared filler text")
+         for i in range(8)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "a wholly new document about lunar geology")],
+        "doc_id long, text string")
+
+    for build, ingest in (
+        (build_minhash_index, incremental_minhash_dedup),
+        (build_weighted_minhash_index, incremental_weighted_minhash_dedup),
+    ):
+        idx = build(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+        idx.count()
+        ingest(batch, corpus.limit(0), threshold=0.6,
+               corpus_sigs=idx).collect()
+        assert idx.storageLevel.useMemory, (
+            f"{ingest.__name__} evicted the caller's persisted index")
+        idx.unpersist()
+
+
 def test_weighted_lsh_recall_ladder_monotone_on_planted(spark, tmp_path):
     """The weighted recall ladder (shared rung scorer): on a corpus
     with planted weighted-J ≥ 0.85 pairs, recall and candidate volume

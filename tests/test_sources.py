@@ -392,10 +392,14 @@ def test_consolidate_epochs_preserves_content_and_stream_resumes(
     after = spark.read.parquet(res_dir)
     assert sorted((r.grp, r.id) for r in
                   after.where(after.epoch == last).collect()) == latest_rows
-    # full snapshot-mode consolidation → a single epoch partition
-    # holding exactly the latest standing state (append mode would
-    # resurrect displaced snapshot rows — wrong for this table kind)
-    consolidate_epochs(spark, res_dir, mode="snapshot")
+    # default upto never touches the newest epoch (it could be an
+    # uncommitted batch) — with only 2 epochs on disk that's a no-op
+    assert consolidate_epochs(spark, res_dir, mode="snapshot") == 0
+    # the stream is terminated here, so `last` is known committed and
+    # an explicit upto=last may fold everything: a single epoch
+    # partition holding exactly the latest standing state (append mode
+    # would resurrect displaced snapshot rows — wrong for this table)
+    consolidate_epochs(spark, res_dir, mode="snapshot", upto=last)
     folded = spark.read.parquet(res_dir)
     assert folded.select("epoch").distinct().count() == 1
     assert sorted((r.grp, r.id) for r in folded.collect()) == latest_rows
@@ -435,6 +439,32 @@ def test_consolidate_epochs_append_mode_keeps_all_rows(spark, tmp_path):
         == [1, 2]
     assert sorted(r.v for r in df.where("epoch = 1").collect()) == [1, 2, 3]
     assert sorted(r.v for r in df.where("epoch = 2").collect()) == [4, 5]
+
+
+def test_consolidate_epochs_default_spares_newest_epoch(spark, tmp_path):
+    """upto=None folds up to the SECOND-newest epoch only: the newest
+    partition (a possibly-uncommitted batch) survives byte-identical,
+    so a crash-replay of that batch still sees its prior state."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.sources.writers import (
+        consolidate_epochs,
+    )
+
+    path = str(tmp_path / "defaulttable")
+    for e, vals in ((0, [1, 2]), (1, [3]), (2, [4, 5])):
+        (spark.createDataFrame([(v,) for v in vals], "v long")
+         .withColumn("epoch", F.lit(e))
+         .write.mode("append").partitionBy("epoch").parquet(path))
+    n = consolidate_epochs(spark, path)
+    assert n == 2  # epochs 0 and 1 folded into 1; epoch 2 untouched
+    df = spark.read.parquet(path)
+    assert sorted(r.epoch for r in df.select("epoch").distinct().collect()) \
+        == [1, 2]
+    assert sorted(r.v for r in df.where("epoch = 1").collect()) == [1, 2, 3]
+    assert sorted(r.v for r in df.where("epoch = 2").collect()) == [4, 5]
+    # with <3 epochs, the safe default has nothing it may fold
+    assert consolidate_epochs(spark, path) == 0
 
 
 def test_write_training_shards_deterministic_and_ordered(spark, tmp_path):
