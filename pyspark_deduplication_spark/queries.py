@@ -1195,6 +1195,89 @@ def incremental_fused_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_fused_dedup_docs_exact(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Incremental FUSED ingestion with EXACT probes — the oracle-graded
+    twin of `incremental_fused_dedup_docs`, pinning the incremental
+    SEMANTICS (drop-against-corpus under either signal, then ONE fused
+    connected-components pass batch-internally) cross-engine, the same
+    split `fused_dedup_docs` uses for the batch family (exact
+    generators carry the oracle; the LSH/cell operator form carries the
+    recall pins). Even-id (doc, embedding) rows are the standing
+    corpus, odd-id rows the new batch. A batch row drops when 3-gram
+    Jaccard ≥ 0.7 against ANY corpus row (two-sided inverted-index
+    probe with exact verify — the equi-join-on-gram shape, no
+    batch×corpus cross join) OR label-blocked cosine ≥ 0.3 (the
+    `embedding_near_dups` spelling). Survivors cluster through the
+    fused closure; output is the survivor labelling (doc_id, component,
+    keep). Oracle: the same probes + the recursive-CTE closure."""
+    from pyspark_deduplication_spark.operators.dedup import ngram_index_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+    sh = toks.select(
+        "doc_id", word_ngrams_of(F.col("__toks"), 3).alias("grams"))
+    is_batch = F.col("doc_id") % 2 == 1
+    bsh = sh.filter(is_batch)
+    csh = sh.filter(~is_batch)
+
+    # lexical cross probe: batch postings equi-join corpus postings on
+    # the gram (any J>0 pair surfaces exactly once), wide gram arrays
+    # join back only for candidates
+    bpost = bsh.select(F.col("doc_id").alias("new_id"),
+                       F.explode("grams").alias("gram"))
+    cpost = csh.select(F.col("doc_id").alias("corpus_id"),
+                       F.explode("grams").alias("gram"))
+    cand = (bpost.join(cpost, "gram")
+            .select("new_id", "corpus_id").distinct())
+    ga = bsh.select(F.col("doc_id").alias("new_id"),
+                    F.col("grams").alias("g_a"))
+    gb = csh.select(F.col("doc_id").alias("corpus_id"),
+                    F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size(F.array_union(F.col("g_a"), F.col("g_b")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    lex_hit = (cand.join(ga, "new_id").join(gb, "corpus_id")
+               .filter(jac >= 0.7).select("new_id"))
+
+    # semantic cross probe: label-blocked exact cosine
+    bv = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("new_id"), F.col("label").alias("__lbl"),
+        F.col("embedding").alias("vec_a"))
+    cv = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("corpus_id"), F.col("label").alias("__lbl"),
+        F.col("embedding").alias("vec_b"))
+    sem_hit = (bv.join(cv, "__lbl")
+               .filter(cosine_similarity(F.col("vec_a"),
+                                         F.col("vec_b")) >= 0.3)
+               .select("new_id"))
+
+    dropped = lex_hit.unionByName(sem_hit).distinct()
+    surv = (docs.filter(is_batch).select("doc_id")
+            .join(dropped.withColumnRenamed("new_id", "doc_id"),
+                  "doc_id", "left_anti"))
+
+    # batch-internal fused closure over survivors
+    ssh = sh.join(surv, "doc_id")
+    cand2 = ngram_index_pairs(ssh, "doc_id", "grams", prefix_jaccard=0.7)
+    ga2 = ssh.select(F.col("doc_id").alias("id_a"),
+                     F.col("grams").alias("g_a"))
+    gb2 = ssh.select(F.col("doc_id").alias("id_b"),
+                     F.col("grams").alias("g_b"))
+    in_lex = (cand2.join(ga2, "id_a").join(gb2, "id_b")
+              .filter(jac >= 0.7).select("id_a", "id_b"))
+    semb = (emb.join(surv, emb["vec_id"] == surv["doc_id"])
+            .select("vec_id", "label", "embedding"))
+    in_sem = embedding_near_dup_pairs(
+        semb, threshold=0.3, block_col="label").select("id_a", "id_b")
+    edges = in_lex.unionByName(in_sem).distinct()
+    clustered = transitive_clusters(surv, edges, "doc_id")
+    return clustered.select(
+        "doc_id", "component",
+        (F.col("doc_id") == F.col("component")).cast("int").alias("keep"))
+
+
 def simhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup dedup: kept doc_ids (rows-only; Python hash
     kernel not SQL-expressible)."""
@@ -1774,6 +1857,80 @@ FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
 WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
             6) >= 0.7
+"""
+
+
+_COSINE_SQL = """list_sum(list_transform(range(1, len({a}) + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform({a},
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform({b},
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+_INC_FUSED_EXACT_ORACLE = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+shingles AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM toks
+),
+bsh AS (SELECT * FROM shingles WHERE doc_id % 2 = 1),
+csh AS (SELECT * FROM shingles WHERE doc_id % 2 = 0),
+lex_hit AS (
+  SELECT DISTINCT new_id FROM (
+    SELECT b.doc_id AS new_id,
+           round(CAST(len(list_intersect(b.grams, c.grams)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(b.grams, c.grams)))
+                        AS DOUBLE), 6) AS j
+    FROM bsh b JOIN csh c ON len(list_intersect(b.grams, c.grams)) > 0)
+  WHERE j >= 0.7
+),
+sem_hit AS (
+  SELECT DISTINCT b.vec_id AS new_id
+  FROM embeddings b JOIN embeddings c
+    ON b.vec_id % 2 = 1 AND c.vec_id % 2 = 0 AND b.label = c.label
+  WHERE {_COSINE_SQL.format(a='b.embedding', b='c.embedding')} >= 0.3
+),
+surv AS MATERIALIZED (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 2 = 1
+    AND doc_id NOT IN (SELECT new_id FROM lex_hit
+                       UNION SELECT new_id FROM sem_hit)
+),
+ssh AS (SELECT s.* FROM shingles s JOIN surv USING (doc_id)),
+in_lex AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                        AS DOUBLE), 6) AS j
+    FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id)
+  WHERE j >= 0.7
+),
+in_sem AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN surv sa ON a.vec_id = sa.doc_id
+       JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       JOIN surv sb ON b.vec_id = sb.doc_id
+  WHERE {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} >= 0.3
+),
+pairs AS (SELECT id_a, id_b FROM in_lex UNION SELECT id_a, id_b FROM in_sem),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node
+),
+labels AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+SELECT s.doc_id, coalesce(l.component, s.doc_id) AS component,
+       CAST(CASE WHEN s.doc_id = coalesce(l.component, s.doc_id)
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM surv s LEFT JOIN labels l ON s.doc_id = l.node
 """
 
 
@@ -6680,6 +6837,140 @@ ORDER BY score DESC, piece ASC LIMIT 20
 """
 
 
+def unigram_encode_seeded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi-encode documents under the ROUND-0 seeded unigram model —
+    the oracle-graded encoder twin of ``unigram_tokenize_docs`` (which
+    stays rows-only for the iterative EM), completing the
+    ``unigram_seed_pieces`` split: seeding is relational (oracle-green
+    there), and now the ENCODER is cross-engine-pinned too, leaving
+    only the EM loop to the pure-Python reference pytest. Model: all
+    single-char pieces plus the top-400 multi-char substring candidates
+    (score desc, piece asc — ``train_unigram``'s exact seed inventory),
+    logprobs ln(score/total) QUANTIZED to BIGINT 1e-8 units (the
+    ``doc_bigram_perplexity`` determinism pattern), so the Viterbi DP
+    runs in exact integer arithmetic on both engines and the
+    earliest-split tie-break can never be flipped by float drift.
+    Output: per-doc (n_pretokens, n_unigram_tokens) for doc_id < 60.
+    Oracle: the same model in SQL + a recursive-CTE Viterbi whose
+    arg-max struct carries (score, -j, count) — max score, earliest
+    split, path token count.
+
+    Scale shape: the model is vocab-bounded state (chars + 400 pieces);
+    the Viterbi kernel touches DISTINCT words only (the
+    ``apply_bpe_merges`` dictionary trick); per-doc counts come from
+    the (doc, word) join-back — nothing corpus-sized recomputes."""
+    from pyspark_deduplication_spark.operators.bpe import bpe_word_counts
+    from pyspark_deduplication_spark.operators.unigram import (
+        substring_candidates,
+        unigram_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = bpe_word_counts(docs, "text").localCheckpoint()
+    seeds = substring_candidates(words, max_piece_len=4).localCheckpoint()
+    chars = seeds.filter(F.length("piece") == 1)
+    multi = (seeds.filter(F.length("piece") >= 2)
+             .orderBy(F.col("score").desc(), F.col("piece").asc())
+             .limit(400))
+    model0 = chars.unionByName(multi)
+    tot = model0.agg(F.sum("score").cast("double").alias("total"))
+    pieces = (
+        model0.crossJoin(F.broadcast(tot))
+        .select("piece",
+                F.round(F.log(F.col("score").cast("double")
+                              / F.col("total")) * F.lit(1e8))
+                .cast("long").cast("double").alias("logprob"))
+    )
+    return unigram_encode(docs.filter(F.col("doc_id") < 60), pieces)
+
+
+_UNIGRAM_ENCODE_SEEDED_ORACLE = r"""
+WITH RECURSIVE
+words AS (
+  SELECT word, count(*) AS wc FROM (
+    SELECT unnest(regexp_extract_all(text,
+        '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+'))
+      AS word
+    FROM documents
+  ) GROUP BY word
+),
+subs AS (
+  SELECT wc,
+         unnest(flatten(list_transform(range(1, length(word) + 1),
+             i -> list_transform(
+                    range(1, least(4, length(word) - i + 1) + 1),
+                    L -> substr(word, i, L))))) AS piece
+  FROM words
+),
+scored AS (SELECT piece, sum(wc) AS score FROM subs GROUP BY piece),
+model0 AS (
+  SELECT piece, score FROM scored WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, score FROM (
+    SELECT piece, score FROM scored WHERE length(piece) >= 2
+    ORDER BY score DESC, piece ASC LIMIT 400)
+),
+tot AS (SELECT CAST(sum(score) AS DOUBLE) AS total FROM model0),
+model AS (
+  SELECT piece,
+         CAST(round(ln(CAST(score AS DOUBLE) / total) * 1e8) AS BIGINT) AS lp8
+  FROM model0 CROSS JOIN tot
+),
+pretoks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text,
+        '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+'))
+      AS word
+  FROM documents WHERE doc_id < 60
+),
+pdw AS (SELECT doc_id, word, count(*) AS n FROM pretoks GROUP BY doc_id, word),
+dw AS (SELECT DISTINCT word FROM pdw),
+spans0 AS (
+  SELECT word,
+         unnest(flatten(list_transform(range(1, length(word) + 1),
+             i -> list_transform(range(greatest(i - 4, 0), i),
+                  j -> {'i': i, 'j': j})))) AS s
+  FROM dw
+),
+spans AS MATERIALIZED (
+  -- unknown single chars take the -30.0 floor in 1e-8 units; it can
+  -- never fire here (every corpus char is a model piece) but keeps the
+  -- span table total like the Python kernel's
+  SELECT s0.word, s0.s['i'] AS i, s0.s['j'] AS j,
+         coalesce(m.lp8, -3000000000) AS lp8
+  FROM spans0 s0 LEFT JOIN model m
+    ON substr(s0.word, CAST(s0.s['j'] AS INT) + 1,
+              CAST(s0.s['i'] - s0.s['j'] AS INT)) = m.piece
+  WHERE m.lp8 IS NOT NULL OR s0.s['i'] - s0.s['j'] = 1
+),
+vit(word, i, dp, cnt) AS (
+  SELECT word, CAST(0 AS BIGINT), [CAST(0 AS BIGINT)], [CAST(0 AS BIGINT)]
+  FROM dw
+  UNION ALL
+  -- arg-max struct: max score, then earliest split (-j), which pins
+  -- the path token count — the Python kernel's strict-improvement
+  -- ascending-j tie-break, in exact integer arithmetic
+  SELECT word, i + 1, list_append(dp, b['s']), list_append(cnt, b['c'])
+  FROM (
+    SELECT v.word AS word, v.i AS i, v.dp AS dp, v.cnt AS cnt,
+           max({'s': v.dp[CAST(s.j AS INT) + 1] + s.lp8, 'nj': -s.j,
+                'c': v.cnt[CAST(s.j AS INT) + 1] + 1}) AS b
+    FROM vit v JOIN spans s ON s.word = v.word AND s.i = v.i + 1
+    GROUP BY v.word, v.i, v.dp, v.cnt
+  )
+),
+seg AS (
+  SELECT word, cnt[CAST(i AS INT) + 1] AS n_pieces
+  FROM vit WHERE i = length(word)
+)
+SELECT p.doc_id,
+       CAST(sum(p.n) AS BIGINT) AS n_pretokens,
+       CAST(sum(p.n * s.n_pieces) AS BIGINT) AS n_unigram_tokens
+FROM pdw p JOIN seg s USING (word)
+GROUP BY p.doc_id
+"""
+
+
 def unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token budgets under the corpus's own trained unigram-LM
     vocabulary: hard-EM train (`operators/unigram.py` — corpus touched
@@ -8449,6 +8740,9 @@ CATALOG: dict[str, Query] = {
     "incremental_fused_dedup_docs": Query(
         incremental_fused_dedup_docs, None,
         tags=["dedup", "lsh", "vector", "incremental", "pipeline"]),
+    "incremental_fused_dedup_docs_exact": Query(
+        incremental_fused_dedup_docs_exact, _INC_FUSED_EXACT_ORACLE,
+        tags=["dedup", "vector", "incremental", "pipeline"]),
     "minhash_dedup_docs": Query(minhash_dedup_docs, None,
                                 bench=True, tags=["dedup", "lsh"]),
     "simhash_dedup_docs": Query(simhash_dedup_docs, None, tags=["dedup"]),
@@ -8702,6 +8996,9 @@ CATALOG: dict[str, Query] = {
                                  tags=["text", "tokenizer", "agg"]),
     "unigram_tokenize_docs": Query(unigram_tokenize_docs, None,
                                    tags=["text", "tokenizer", "train"]),
+    "unigram_encode_seeded_docs": Query(unigram_encode_seeded_docs,
+                                        _UNIGRAM_ENCODE_SEEDED_ORACLE,
+                                        tags=["text", "tokenizer"]),
     # iterative BPE loop (rows-only — per-round argmax; ground truth
     # pinned against a pure-Python trainer in test_bpe.py)
     "bpe_merges_docs": Query(bpe_merges_docs, None,
