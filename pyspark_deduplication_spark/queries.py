@@ -1175,7 +1175,9 @@ def incremental_fused_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (clone collapse + bucket/cell caps — inert at this SF, load-bearing
     on clone-heavy corpora). Rows-only (LSH banding + k-means loops);
     drop/keep/fused-transitivity ground truth pinned on planted
-    fixtures in ``test_fused.py``."""
+    fixtures in ``test_fused.py``, and the incremental SEMANTICS
+    (drop-against-corpus + fused batch-internal closure) are
+    oracle-graded by ``incremental_fused_dedup_docs_exact``."""
     from pyspark_deduplication_spark.operators.fused import (
         incremental_fused_dedup,
     )
@@ -1326,9 +1328,11 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (J ≥ 0.7, inverted-index join — deterministic and complete). The
     operational dial: the report shows what recall each banding budget
     buys (and what candidate volume it costs) before anyone commits a
-    cluster-wide config. Rows-only by design (banding is not
-    SQL-expressible); ladder monotonicity and planted-pair recall are
-    pinned in ``test_dedup.py``.
+    cluster-wide config. Rows-only by design (xxhash64 banding is
+    not DuckDB-expressible); ladder monotonicity and planted-pair
+    recall are pinned in ``test_dedup.py``, and the md5-hash-family
+    twin ``lsh_recall_report_md5`` carries the cross-engine oracle for
+    the whole signature→band→score pipeline.
 
     Scale shape: signatures compute once and persist; each rung
     shuffles only (id, band, bucket) keys; the recall join moves bare
@@ -1345,6 +1349,164 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _band_recall_ladder(sigs, truth, "doc_id", 64, (4, 8, 16))
     sigs.unpersist()
     return out
+
+
+def lsh_recall_report_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH recall ladder with a CROSS-ENGINE-VERIFIABLE
+    hash family — the oracle-graded twin of ``lsh_recall_report``
+    (which keeps the production xxhash64 streams and stays rows-only):
+    per-shingle h1/h2 are the first/second 8 hex chars of md5 parsed
+    as uint32, signatures are the same Kirsch-Mitzenmacher double-hash
+    ``(h1 + i·h2) mod 2³²`` (the SAME numpy Arrow kernel — only the
+    stream source differs), and band buckets are the RAW signature
+    slices (joined as strings) rather than an xxhash64 of them, so
+    every stage is exact integer arithmetic DuckDB can replicate.
+    Statistically the ladder is the same diagnostic — any 2-universal
+    stream family measures the banding trade-off; the md5 streams cost
+    more per shingle, which a report (not a hot path) can afford.
+    Output: (bands, n_candidates, n_truth, n_hit, recall) at
+    b ∈ {4, 8, 16} against the exact J ≥ 0.7 ground truth."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        _minhash_signature,
+        band_candidate_pairs,
+        ngram_index_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+    sh = toks.select(
+        "doc_id", word_ngrams_of(F.col("__toks"), 3).alias("grams")).persist()
+    sh.count()
+
+    # exact ground truth (the jaccard_near_dup_docs spelling)
+    cand = ngram_index_pairs(sh, "doc_id", "grams", prefix_jaccard=0.7)
+    ga = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
+    gb = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size(F.array_union(F.col("g_a"), F.col("g_b")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    truth = (cand.join(ga, "id_a").join(gb, "id_b")
+             .filter(jac >= 0.7).select("id_a", "id_b").localCheckpoint())
+
+    def md5_stream(offset: int):
+        return F.transform(
+            F.col("grams"),
+            lambda s: F.conv(
+                F.substring(F.md5(s), offset, 8), 16, 10).cast("long"))
+
+    hashed = sh.select("doc_id", md5_stream(1).alias("__h1"),
+                       md5_stream(9).alias("__h2"))
+    sigs = hashed.select(
+        "doc_id",
+        _minhash_signature(F.col("__h1"), F.col("__h2"), 64)
+        .alias("signature")).persist()
+    sigs.count()
+
+    rungs = []
+    for bands in (4, 8, 16):
+        rpb = 64 // bands
+        banded = sigs.select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(",", *[
+                        F.col("signature")[b * rpb + r].cast("string")
+                        for r in range(rpb)
+                    ]).alias("bucket"))
+                for b in range(bands)
+            ])).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.bucket")
+        pairs = band_candidate_pairs(banded, "doc_id").localCheckpoint()
+        scored = truth.join(
+            pairs.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left")
+        rungs.append(
+            scored.agg(
+                F.count(F.lit(1)).cast("long").alias("n_truth"),
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))), F.lit(0))
+                .cast("long").alias("n_hit"))
+            .crossJoin(pairs.agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_candidates")))
+            .select(F.lit(bands).cast("long").alias("bands"),
+                    "n_candidates", "n_truth", "n_hit",
+                    F.when(F.col("n_truth") > 0,
+                           F.round(F.col("n_hit").cast("double")
+                                   / F.col("n_truth").cast("double"), 6))
+                    .alias("recall"))
+        )
+    sh.unpersist()
+    sigs.unpersist()
+    out = rungs[0]
+    for r in rungs[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("bands")
+
+
+_LSH_RECALL_MD5_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE trim(text) <> ''
+),
+shingles AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM toks
+),
+truth AS MATERIALIZED (
+  -- size prefilter is EXACT for J >= 0.7 (|A| >= 0.7|B| is necessary)
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                        AS DOUBLE), 6) AS j
+    FROM shingles a JOIN shingles b
+      ON a.doc_id < b.doc_id
+     AND CAST(len(a.grams) AS DOUBLE) >= 0.7 * len(b.grams)
+     AND CAST(len(b.grams) AS DOUBLE) >= 0.7 * len(a.grams))
+  WHERE j >= 0.7
+),
+hashes AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+  FROM (SELECT doc_id, unnest(grams) AS s FROM shingles)
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, i, min((h1 + h2 * i) % 4294967296) AS m
+  FROM hashes CROSS JOIN range(64) r(i)
+  GROUP BY doc_id, i
+),
+rungs AS (SELECT unnest([4, 8, 16]) AS bands),
+keys AS MATERIALIZED (
+  SELECT r.bands, s.doc_id, s.i // (64 // r.bands) AS band,
+         array_to_string(list(s.m ORDER BY s.i), ',') AS bucket
+  FROM sig s CROSS JOIN rungs r
+  GROUP BY r.bands, s.doc_id, s.i // (64 // r.bands)
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT k1.bands, k1.doc_id AS id_a, k2.doc_id AS id_b
+  FROM keys k1 JOIN keys k2
+    ON k1.bands = k2.bands AND k1.band = k2.band
+   AND k1.bucket = k2.bucket AND k1.doc_id < k2.doc_id
+),
+ncand AS (SELECT bands, count(*) AS n_candidates FROM cand GROUP BY bands),
+hits AS (
+  SELECT r.bands, count(*) AS n_truth, count(c.id_a) AS n_hit
+  FROM rungs r CROSS JOIN truth t
+  LEFT JOIN cand c
+    ON c.bands = r.bands AND c.id_a = t.id_a AND c.id_b = t.id_b
+  GROUP BY r.bands
+)
+SELECT CAST(h.bands AS BIGINT) AS bands,
+       CAST(coalesce(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(h.n_truth AS BIGINT) AS n_truth,
+       CAST(h.n_hit AS BIGINT) AS n_hit,
+       CASE WHEN h.n_truth > 0
+            THEN round(CAST(h.n_hit AS DOUBLE) / h.n_truth, 6) END AS recall
+FROM hits h LEFT JOIN ncand n USING (bands)
+ORDER BY bands
+"""
 
 
 def _band_recall_ladder(sigs, truth, id_col, num_hashes, rung_bands):
@@ -2167,6 +2329,220 @@ HAVING count(*) >= 3
 # ---------------------------------------------------------------------------
 
 
+def hyperplane_ann_recall_report(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Measured recall@5 of a sign-random-projection (hyperplane LSH)
+    ANN index against exact brute force — the oracle-graded twin of
+    ``ann_recall_report`` (which stays rows-only because k-means IVF
+    training is iterative): hyperplane p's component d is the md5-hex
+    integer of ``"p|d"`` mapped to [-0.5, 0.5) — a DETERMINISTIC,
+    cross-engine-reproducible projection family (division by 2³² and
+    the 0.5 shift are exact in IEEE doubles), so bucket membership,
+    candidate sets and the recall ladder are all SQL-expressible. One
+    16-bit signature per vector computes once; rungs use its first
+    n ∈ {4, 8, 16} bits (fewer planes → coarser buckets → higher
+    recall, more candidates — the same dial IVF's n_probe turns).
+    Per-query recall aggregates from exact integer hit counts (never a
+    distributed float mean), so the report is bit-stable.
+
+    Structure: 16 sign bits per vector, banded into 4 TABLES of 4 bits
+    (the classic multi-table OR-amplification — same band machinery as
+    MinHash LSH); rung L ∈ {1, 2, 4} probes the first L tables, so the
+    ladder shows what recall each extra table buys and what candidate
+    volume it costs (the fixture's true top-5 sit near cosine ≈ 0.33 —
+    single-table recall is structurally low there, which is exactly
+    what the report should reveal before anyone ships a table budget).
+
+    Scale shape: the projection is map-only per vector; candidates
+    come from an equi-join on the (table, bucket) key; only the
+    bounded query set broadcasts. Ground truth is the same exact top-5
+    the ``knn_bruteforce`` oracle pins (ties by neighbor id)."""
+    import hashlib
+
+    from pyspark_deduplication_spark.functions.vectors import dot
+
+    dim, n_planes_max, bits_per_table = 64, 16, 4
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def w(p: int, d: int) -> float:
+        h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+        return int(h[:8], 16) / 2 ** 32 - 0.5
+
+    planes = [
+        F.array(*[F.lit(w(p, d)) for d in range(dim)])
+        for p in range(n_planes_max)
+    ]
+    bits = [
+        F.when(dot(F.col("embedding"), planes[p]) >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        for p in range(n_planes_max)
+    ]
+    n_tables = n_planes_max // bits_per_table
+    keys = emb.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.concat(*bits[t * bits_per_table:(t + 1) * bits_per_table])
+                .alias("bucket"))
+            for t in range(n_tables)
+        ])).alias("bk"),
+    ).select("vec_id", "embedding", "bk.tbl", "bk.bucket").persist()
+    keys.count()
+
+    qset = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding"))
+    ground = (brute_force_knn(emb, qset, k=5, query_id="query_id")
+              .select("query_id", "neighbor_id").localCheckpoint())
+
+    rungs = []
+    for n in (1, 2, 4):
+        corpus_b = keys.select(F.col("vec_id").alias("neighbor_id"),
+                               F.col("embedding").alias("__nvec"),
+                               "tbl", "bucket")
+        query_b = keys.filter((F.col("vec_id") < 20) & (F.col("tbl") < n)) \
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("__qvec"), "tbl", "bucket")
+        cand = (
+            query_b.join(corpus_b, ["tbl", "bucket"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "__qvec", "__nvec")
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .localCheckpoint()
+        )
+        wnd = Window.partitionBy("query_id").orderBy(
+            F.col("__score").desc(), F.col("neighbor_id").asc())
+        approx = (
+            cand.select("query_id", "neighbor_id",
+                        cosine_similarity(F.col("__nvec"),
+                                          F.col("__qvec")).alias("__score"))
+            .withColumn("__rank", F.row_number().over(wnd))
+            .filter(F.col("__rank") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        per_q = (
+            ground.join(approx.withColumn("__hit", F.lit(1)),
+                        ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                 .cast("long").alias("hits"))
+        )
+        rungs.append(
+            per_q.agg(
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.sum("hits").alias("__sh"),
+                F.min("hits").alias("__mh"))
+            .crossJoin(cand.agg(F.count(F.lit(1)).cast("long")
+                                .alias("n_candidates")))
+            .select(
+                F.lit(n).cast("long").alias("n_tables"),
+                "n_queries", "n_candidates",
+                F.round(F.col("__sh").cast("double")
+                        / (F.lit(5.0) * F.col("n_queries")), 6)
+                .alias("mean_recall"),
+                F.round(F.col("__mh").cast("double") / F.lit(5.0), 6)
+                .alias("min_recall"))
+        )
+    keys.unpersist()
+    out = rungs[0]
+    for r in rungs[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("n_tables")
+
+
+_HYPERPLANE_ANN_ORACLE = """
+WITH planes AS (
+  SELECT p, list_transform(range(0, 64),
+           d -> ('0x' || substr(md5(p || '|' || d), 1, 8))::BIGINT
+                / 4294967296.0 - 0.5) AS w
+  FROM (SELECT unnest(range(0, 16)) AS p)
+),
+bits AS MATERIALIZED (
+  SELECT e.vec_id, p.p,
+         CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+keys AS MATERIALIZED (
+  SELECT b.vec_id, b.p // 4 AS tbl,
+         string_agg(b.bit, '' ORDER BY b.p) AS bucket
+  FROM bits b
+  GROUP BY b.vec_id, b.p // 4
+),
+rungs AS (SELECT unnest([1, 2, 4]) AS n_tables),
+ground AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CASE WHEN sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+                        AND sqrt(list_sum(list_transform(q.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+                  THEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+                         i -> CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(q.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                  ELSE 0.0 END DESC, e.vec_id) AS rnk
+    FROM embeddings e
+    JOIN embeddings q ON q.vec_id < 20 AND e.vec_id <> q.vec_id)
+  WHERE rnk <= 5
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT r.n_tables, kq.vec_id AS query_id, kc.vec_id AS neighbor_id
+  FROM rungs r
+  JOIN keys kq ON kq.tbl < r.n_tables AND kq.vec_id < 20
+  JOIN keys kc ON kc.tbl = kq.tbl AND kc.bucket = kq.bucket
+              AND kc.vec_id <> kq.vec_id
+),
+ncand AS (
+  SELECT n_tables, count(*) AS n_candidates FROM cand GROUP BY n_tables
+),
+approx AS MATERIALIZED (
+  SELECT n_tables, query_id, neighbor_id FROM (
+    SELECT c.n_tables, c.query_id, c.neighbor_id,
+           row_number() OVER (
+             PARTITION BY c.n_tables, c.query_id
+             ORDER BY CASE WHEN sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+                        AND sqrt(list_sum(list_transform(q.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+                  THEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+                         i -> CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(q.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                  ELSE 0.0 END DESC, c.neighbor_id) AS rnk
+    FROM cand c
+    JOIN embeddings q ON q.vec_id = c.query_id
+    JOIN embeddings e ON e.vec_id = c.neighbor_id)
+  WHERE rnk <= 5
+),
+perq AS (
+  SELECT r.n_tables, g.query_id, count(a.neighbor_id) AS hits
+  FROM rungs r CROSS JOIN ground g
+  LEFT JOIN approx a ON a.n_tables = r.n_tables
+                    AND a.query_id = g.query_id
+                    AND a.neighbor_id = g.neighbor_id
+  GROUP BY r.n_tables, g.query_id
+)
+SELECT CAST(p.n_tables AS BIGINT) AS n_tables,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(coalesce(any_value(n.n_candidates), 0) AS BIGINT)
+         AS n_candidates,
+       round(sum(p.hits) / (5.0 * count(*)), 6) AS mean_recall,
+       round(min(p.hits) / 5.0, 6) AS min_recall
+FROM perq p LEFT JOIN ncand n ON n.n_tables = p.n_tables
+GROUP BY p.n_tables ORDER BY p.n_tables
+"""
+
+
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for the first 10 vectors as queries.
     Scores rounded to 6dp (both engines do ordered double accumulation
@@ -2459,9 +2835,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic: both sides break score ties by neighbor id, so the
     top-5 SETS are unique and recall is integer-exact over /5.0.
-    Rows-only by design (the approximate side is not SQL-expressible);
+    Rows-only by design (k-means training is iterative);
     the ladder's monotonicity and the n_probe == n_cells ⇒ exact
-    identity are pinned in ``test_knn.py``.
+    identity are pinned in ``test_knn.py``, and
+    ``hyperplane_ann_recall_report`` carries the cross-engine oracle
+    for the approximate-index-vs-exact-truth recall machinery.
 
     Scale shape: ground truth broadcasts the bounded query set and
     streams the corpus once; each ladder rung re-probes the SAME index
@@ -6976,10 +7354,10 @@ def unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary: hard-EM train (`operators/unigram.py` — corpus touched
     once, EM rounds on the word table, vocab as model state), Viterbi
     encode via the dictionary trick, per-doc pretoken / unigram-token
-    counts for a bounded id slice. Rows-only (iterative EM + LAPACK-free
-    but non-SQL Viterbi); the trainer matches a pure-Python reference
-    and the seeding round is oracle-verified by
-    ``unigram_seed_pieces``."""
+    counts for a bounded id slice. Rows-only (iterative EM); the trainer
+    matches a pure-Python reference, the seeding round is
+    oracle-verified by ``unigram_seed_pieces``, and the Viterbi
+    ENCODER is oracle-graded by ``unigram_encode_seeded_docs``."""
     from pyspark_deduplication_spark.operators.unigram import (
         train_unigram,
         unigram_encode,
@@ -8728,6 +9106,9 @@ CATALOG: dict[str, Query] = {
     # measured band-ladder recall vs exact Jaccard ground truth (r7)
     "lsh_recall_report": Query(lsh_recall_report, None,
                                tags=["dedup", "lsh", "stats", "scale"]),
+    "lsh_recall_report_md5": Query(lsh_recall_report_md5,
+                                   _LSH_RECALL_MD5_ORACLE,
+                                   tags=["dedup", "lsh", "stats"]),
     # weighted twin: ICWS ladder vs exact generalized Jaccard (r7, late)
     "weighted_lsh_recall_report": Query(
         weighted_lsh_recall_report, None,
@@ -8767,6 +9148,9 @@ CATALOG: dict[str, Query] = {
     # (rows-only; ladder monotonicity pinned in test_knn.py) (r7)
     "ann_recall_report": Query(ann_recall_report, None,
                                tags=["vector", "stats", "scale"]),
+    "hyperplane_ann_recall_report": Query(hyperplane_ann_recall_report,
+                                          _HYPERPLANE_ANN_ORACLE,
+                                          tags=["vector", "stats"]),
     # 5-NN majority-vote label accuracy per class (r7)
     "knn_label_accuracy": Query(knn_label_accuracy, _KNN_LABEL_ACC_ORACLE,
                                 tags=["vector", "stats", "quality"]),
