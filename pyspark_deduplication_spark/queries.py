@@ -9500,91 +9500,63 @@ CATALOG: dict[str, Query] = {
 # tools/grade_window.py lists them). Rows-only entries stay after
 # position 50 so no graded slot records err:"no_oracle".
 _GRADED_ORDER = [
-    # (a) new this round, never graded
-    "incremental_decontaminate_docs",  # persisted exact gram index (r7)
-    "surrogate_ids_scalable_parts",    # JVM zipWithIndex rewrite (r7)
-    "leakage_safe_split_docs",         # dup-group-aware split (r7)
-    "doc_bigram_perplexity",           # CCNet ppl filter (r7, late)
-    "temperature_mixture_plan",        # α=0.5 mixture smoothing (r7, late)
-    "knn_label_accuracy",              # 5-NN label eval (r7, late)
-    "chunk_retrieval_eval",            # relational RAG path (r7, late)
-    "doc_trigram_perplexity",          # JM trigram ppl leg (r7, late)
-    "reservoir_sample_docs",           # mergeable bottom-k sample (r7, late)
-    "incremental_dup_span_removal_docs",  # span-index probe (r7, late)
-    "quality_threshold_sweep",         # model calibration table (r7, late)
-    "unigram_seed_pieces",             # unigram tokenizer seeding (r7, late)
-    "token_quantile_sketch_docs",      # mergeable KMV quantile sketch (r7, late)
-    "hard_negative_mining_embeddings",  # contrastive negatives (r7, late)
-    "vocab_growth_report",             # Heaps-law growth curve (r7, late)
-    "weighted_jaccard_pairs_exact",    # weighted-metric anchor (r7, late)
-    "embedding_norm_sketch",           # sketch x vectors composition (r7, late)
-    "fused_dedup_docs",                # fused lexical+semantic CC (r7, late):
-    #   previously excluded on oracle cost (~45s) — DuckDB was
-    #   re-evaluating the non-materialized `edges` CTE (and its 4.8s
-    #   all-pairs lexical join upstream) on EVERY recursive-CTE
-    #   iteration; `edges AS MATERIALIZED` pins one evaluation and the
-    #   oracle now runs in ~5.6s, cheap enough for the gate.
-    # (b) canaries for round-7-changed code paths
-    "surrogate_ids_parts",         # surrogate ids, window spelling
-    "knn_bruteforce",              # vector search (knn.py touched)
-    "embedding_cluster_dedup",     # cell-assignment rewrite guard
-    "doc_trained_quality_score",   # trainer with new 2^53 guard
-    "doc_hashed_quality_score",    # hashed linear inference
-    "curation_pipeline_docs",      # end-to-end (trainer inside)
-    "corpus_mixture_execute",      # token-budget execute (sampling.py)
-    "decontaminate_against_src0",  # decontamination family baseline
-    "q1_pricing_summary",          # flagship family tripwire
-    # (c) stale canaries: last graded r1 (all oracle-backed ones) …
-    "corpus_health_by_source",
-    # (customers_without_orders yields its slot to
-    # embedding_norm_sketch and rejoins the r8 stale queue; the
-    # anti-join family keeps q22_dormant_customers in-window)
-    "dedup_exact_count",
-    "doc_quality_scores",
-    "incremental_dedup_docs",
-    "merge_upsert_customers",
-    "order_interarrival_stats",
-    "order_priority_pivot",
-    "part_size_histogram",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q22_dormant_customers",
-    "q8_market_share",
-    "snapshot_diff_customers",
-    "top3_customers_per_nation",
-    "windowed_collect_set_parts",
-    # … then the alphabetical head of r2
-    "asof_forward_tolerance",
-    # (cube_lineitem_flags yields its slot to vocab_growth_report and
-    # rejoins the r8 stale queue; grouping_sets_order_revenue keeps
-    # the rollup family in-window)
-    "embedding_near_dups",
-    "events_gapfill_hourly",
-    "golden_customer_records",
-    "grouping_sets_order_revenue",
-    # (nation_revenue_share yields its slot to
-    # weighted_jaccard_pairs_exact and rejoins the r8 stale queue)
-    # (q10_returned_items and q11_important_part_values yield their
-    # slots to hard_negative_mining_embeddings and
-    # token_quantile_sketch_docs, rejoining the r8 stale queue;
-    # TPC-H keeps q12/q13/q14/q17/q22/q8 in-window)
-    "q12_priority_by_quantity_band",
-    "stateful_user_profiles",
-    # (streaming_dedup_events yields its slot to fused_dedup_docs —
-    # the only never-graded oracle entry — and rejoins the r8 stale
-    # queue; the streaming family keeps stateful_user_profiles and
-    # events_gapfill_hourly in-window)
-    # (q4_order_priority_exists / q7_nation_trade_volume /
-    # q9_nation_year_revenue / range_join_value_bands yield their
-    # slots to the four late-r7 additions above;
-    # q16_supplier_part_counts / q20_heavy_shippers /
-    # q15_top_supplier_per_year / q2_min_cost_supplier to the
-    # trigram-ppl, reservoir, span-index and threshold-sweep entries —
-    # TPC-H keeps eight other in-window representatives — and
-    # overlap_near_dup_docs to the unigram seeding round (the exact
-    # doc-pair family keeps jaccard_near_dup_docs via its r7-graded
-    # row); displaced entries rejoin the stale queue for r8)
+    # (a) new this round (r8), never graded — the four rows-only-family
+    # promotions (VERDICT r7 item 2)
+    "incremental_fused_dedup_docs_exact",  # exact-probe incremental fused
+    "unigram_encode_seeded_docs",      # quantized-DP Viterbi encoder
+    "lsh_recall_report_md5",           # md5-family MinHash band ladder
+    "hyperplane_ann_recall_report",    # banded sign-projection ANN recall
+    # (b) canaries for round-8-changed / shared code paths
+    "unigram_seed_pieces",         # seed inventory the new encoder rides
+    "fused_dedup_docs",            # closure + oracle machinery shared
+    "jaccard_near_dup_docs",       # exact-truth spelling shared by ladders
+    "knn_bruteforce",              # ground-truth spelling shared by ANN report
+    "embedding_cluster_dedup",     # recursive-CTE cluster family
+    "dedup_exact_count",           # core dedup tripwire
+    "incremental_dedup_docs",      # incremental family baseline
+    "q1_pricing_summary",          # flagship family + bench watch
+    # (c) stale-queue burn-down, oldest first (VERDICT r7 item 1):
+    # the r1 entry, the whole r2 block, then the alphabetical head of
+    # r3 — 38 rotations; the r9 queue drops to 19
+    "customers_without_orders",        # r1
+    "cube_lineitem_flags",             # r2 …
+    "nation_revenue_share",
+    "overlap_near_dup_docs",
+    "q10_returned_items",
+    "q11_important_part_values",
+    "q15_top_supplier_per_year",
+    "q16_supplier_part_counts",
+    "q20_heavy_shippers",
+    "q2_min_cost_supplier",
+    "q4_order_priority_exists",
+    "q7_nation_trade_volume",
+    "q9_nation_year_revenue",
+    "range_join_value_bands",
+    "streaming_dedup_events",
+    "streaming_join_purchases_errors",
+    "streaming_sliding_windows",
+    "strip_boilerplate_docs",          # … end of the r2 block
+    "chunk_level_dedup_rate",          # r3 alphabetical head …
+    "count_distinct_parts",
+    "customers_with_big_orders",
+    "doc_language_id",
+    "doc_oov_rates",
+    "doc_regex_token_count",
+    "doc_repetition_scores",
+    "doc_top_terms",
+    "embedding_norm_stats",
+    "events_dedup_keep_earliest",
+    "events_dow_hour_heatmap",
+    "events_funnel",
+    "events_hourly_anomalies",
+    "events_hourly_windows",
+    "events_json_props",
+    "events_moving_average",
+    "events_retention_cohorts",
+    "events_sliding_windows",
+    "faithful_fuzzy_join_lev",
+    "levenshtein_links_customers",     # … r3 tail (order_value_stats
+    # onward, 12 entries) plus the r4 block (7) queue for r9
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

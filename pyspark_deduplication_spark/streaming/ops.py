@@ -243,6 +243,7 @@ def streaming_corpus_ingest(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: int | None = 4096,
+    maintain_sig_index: bool = True,
 ):
     """Continuously ingest documents into a near-dup-free corpus: each
     micro-batch first dedups internally, then drops docs that near-
@@ -254,9 +255,20 @@ def streaming_corpus_ingest(
     directory, so a replayed micro-batch (restart between sink write and
     checkpoint commit) rewrites the identical partition instead of
     appending duplicates — idempotence per epoch, which is the
-    ``foreachBatch`` contract. In production the corpus side would keep
-    a persisted signature table per epoch instead of re-signing (see the
-    operator's docstring); the dataflow shape is identical.
+    ``foreachBatch`` contract.
+
+    ``maintain_sig_index`` (default on — the ``streaming_fused_ingest``
+    pattern, now in the single-signal loop too): each epoch's survivors
+    also append their clone-collapsed signatures to
+    ``<corpus_dir>_sigs``, and later batches probe THAT table instead of
+    re-signing the whole corpus — the per-batch cost drops from
+    O(corpus) shingle+hash work to a parquet read of compact signatures.
+    Per-epoch collapse suffices because survivors are cross-epoch clean
+    (an exact clone of an earlier epoch has Jaccard 1 and never lands).
+    Crash windows degrade gracefully: a missing/behind sig table falls
+    back to deriving signatures from the corpus rows for that batch, and
+    the epoch overwrite repairs the index on replay. ``False`` restores
+    the re-sign-per-batch spelling (no side artifact).
 
     ``max_bucket_size`` (armed by DEFAULT here — the streaming path IS
     the continuous-ingest workload the guard exists for) bounds the
@@ -274,17 +286,27 @@ def streaming_corpus_ingest(
     lower the cap.
     """
     from pyspark_deduplication_spark.operators.dedup import (
+        build_minhash_index,
         incremental_minhash_dedup,
         minhash_dedup,
     )
 
+    sig_dir = corpus_dir.rstrip("/") + "_sigs"
+
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        have_corpus = False
-        if _hadoop_path_exists(spark, corpus_dir):
+        corpus, corpus_sigs, have_corpus = None, None, False
+        if maintain_sig_index and _hadoop_path_exists(spark, sig_dir):
             # a real read error past the existence probe propagates —
             # the streaming runtime retries the batch (see
             # _hadoop_path_exists for why a bare except is wrong here)
+            sigs = spark.read.parquet(sig_dir).where(
+                F.col("epoch") < F.lit(epoch_id)).drop("epoch")
+            if len(sigs.take(1)) > 0:
+                corpus_sigs, have_corpus = sigs, True
+        if not have_corpus and _hadoop_path_exists(spark, corpus_dir):
+            # no (usable) sig index: derive signatures from the corpus
+            # rows for this batch (migration / crash-window fallback)
             corpus = spark.read.parquet(corpus_dir).where(
                 F.col("epoch") < F.lit(epoch_id)
             ).drop("epoch")
@@ -293,10 +315,19 @@ def streaming_corpus_ingest(
             fresh = incremental_minhash_dedup(
                 batch_df, corpus, text_col, id_col,
                 threshold, num_hashes, bands,
-                max_bucket_size=max_bucket_size)
+                max_bucket_size=max_bucket_size, corpus_sigs=corpus_sigs)
         else:
             fresh = minhash_dedup(
                 batch_df, text_col, id_col, threshold, num_hashes, bands)
+        if maintain_sig_index:
+            # one materialization feeds both epoch appends
+            fresh = fresh.localCheckpoint(eager=True)
+            (build_minhash_index(fresh, text_col, id_col, num_hashes)
+             .withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch")
+             .parquet(sig_dir))
         (fresh.withColumn("epoch", F.lit(epoch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
@@ -316,6 +347,7 @@ def streaming_weighted_corpus_ingest(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: int | None = 4096,
+    maintain_sig_index: bool = True,
 ):
     """Continuously ingest documents into a corpus free of TF-WEIGHTED
     near-dups — the ICWS twin of ``streaming_corpus_ingest``, for
@@ -327,16 +359,30 @@ def streaming_weighted_corpus_ingest(
     survivors land as an epoch-partitioned parquet append. Same
     exactly-once epoch-overwrite contract, same armed-by-default
     multiset clone-collapse + bucket-cap guard and its recall trade as
-    the set-path loop."""
+    the set-path loop, and the same ``maintain_sig_index`` contract:
+    survivors' ICWS signatures append per-epoch to
+    ``<corpus_dir>_wsigs`` (``build_weighted_minhash_index`` shape), so
+    later batches probe compact persisted signatures instead of
+    re-running the numpy ICWS kernel over the whole corpus — the
+    weighted kernel is the priciest signature stage in the family,
+    which makes the index MORE valuable here than on the set path."""
     from pyspark_deduplication_spark.operators.dedup import (
+        build_weighted_minhash_index,
         incremental_weighted_minhash_dedup,
         weighted_minhash_dedup,
     )
 
+    sig_dir = corpus_dir.rstrip("/") + "_wsigs"
+
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        have_corpus = False
-        if _hadoop_path_exists(spark, corpus_dir):
+        corpus, corpus_sigs, have_corpus = None, None, False
+        if maintain_sig_index and _hadoop_path_exists(spark, sig_dir):
+            sigs = spark.read.parquet(sig_dir).where(
+                F.col("epoch") < F.lit(epoch_id)).drop("epoch")
+            if len(sigs.take(1)) > 0:
+                corpus_sigs, have_corpus = sigs, True
+        if not have_corpus and _hadoop_path_exists(spark, corpus_dir):
             corpus = spark.read.parquet(corpus_dir).where(
                 F.col("epoch") < F.lit(epoch_id)
             ).drop("epoch")
@@ -345,10 +391,19 @@ def streaming_weighted_corpus_ingest(
             fresh = incremental_weighted_minhash_dedup(
                 batch_df, corpus, text_col, id_col,
                 threshold, num_hashes, bands,
-                max_bucket_size=max_bucket_size)
+                max_bucket_size=max_bucket_size, corpus_sigs=corpus_sigs)
         else:
             fresh = weighted_minhash_dedup(
                 batch_df, text_col, id_col, threshold, num_hashes, bands)
+        if maintain_sig_index:
+            fresh = fresh.localCheckpoint(eager=True)
+            (build_weighted_minhash_index(fresh, text_col, id_col,
+                                          num_hashes)
+             .withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch")
+             .parquet(sig_dir))
         (fresh.withColumn("epoch", F.lit(epoch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")

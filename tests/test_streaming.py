@@ -248,6 +248,95 @@ def test_streaming_corpus_ingest_drops_cross_epoch_near_dups(spark, tmp_path):
     assert 10 not in ids              # cross-epoch near-dup dropped
     assert "epoch" in final.columns
 
+    # the maintained signature index holds exactly the survivors'
+    # signatures, epoch-aligned with the corpus (probes read THIS
+    # table instead of re-signing the corpus)
+    sigs = spark.read.parquet(corpus_dir + "_sigs")
+    assert sorted(r.doc_id for r in sigs.select("doc_id").collect()) \
+        == ids
+    assert {"signature", "shingles", "epoch"} <= set(sigs.columns)
+    corpus_epochs = {(r.doc_id, r.epoch) for r in
+                     final.select("doc_id", "epoch").collect()}
+    sig_epochs = {(r.doc_id, r.epoch) for r in
+                  sigs.select("doc_id", "epoch").collect()}
+    assert sig_epochs == corpus_epochs
+
+
+def test_streaming_corpus_ingest_sig_index_equivalent_and_fallback(
+        spark, tmp_path):
+    """The persisted-sig-index loop admits exactly the docs the
+    re-sign-per-batch loop admits; with the sig table deleted
+    mid-history (crash window / migration), the next epoch falls back
+    to corpus-derived signatures, still drops cross-epoch near-dups,
+    and rebuilds index lineage from its own epoch onward."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_corpus_ingest,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill every single day at dawn")
+    e1 = [(1, base),
+          (2, "spark shuffles partition data across executors while "
+              "the adaptive engine re-plans joins from statistics")]
+    e2 = [(10, base + " indeed"),
+          (11, "a wholly new document about tokenizers and byte pair "
+               "encodings for language model training corpora")]
+    e3 = [(20, base + " again indeed"),    # near-dup of doc 1 (fallback
+                                           # epoch must still drop it)
+          (21, "entirely novel third epoch material regarding oceanic "
+               "currents and coral reef ecosystems worldwide")]
+
+    def run(tag, maintain, epochs, pre=None):
+        src = str(tmp_path / f"in_{tag}")
+        corpus_dir = str(tmp_path / f"corpus_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        for i, rows in enumerate(epochs):
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("overwrite").parquet(f"{src}/f{i}")
+        if pre:
+            pre(corpus_dir)
+        stream = (spark.readStream.format("parquet").schema(schema)
+                  .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+        q = streaming_corpus_ingest(stream, corpus_dir, ckpt,
+                                    threshold=0.5,
+                                    maintain_sig_index=maintain)
+        q.awaitTermination(240)
+        return corpus_dir, sorted(
+            r.doc_id for r in spark.read.parquet(corpus_dir).collect())
+
+    _, with_idx = run("idx", True, [e1, e2])
+    d, without = run("plain", False, [e1, e2])
+    assert with_idx == without
+    assert not (tmp_path / "corpus_plain_sigs").exists()
+
+    # resume the indexed run with the sig table destroyed: epoch 3
+    # probes via the corpus-row fallback
+    src = str(tmp_path / "in_idx")
+    corpus_dir = str(tmp_path / "corpus_idx")
+    shutil.rmtree(corpus_dir + "_sigs")
+    spark.createDataFrame(e3, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f2")
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_corpus_ingest(stream, corpus_dir,
+                                str(tmp_path / "ckpt_idx"),
+                                threshold=0.5, maintain_sig_index=True)
+    q.awaitTermination(240)
+    ids = sorted(r.doc_id for r in
+                 spark.read.parquet(corpus_dir).collect())
+    assert 20 not in ids and 21 in ids, ids
+    # the index restarts from the fallback epoch's survivors
+    sigs = spark.read.parquet(corpus_dir + "_sigs")
+    assert sorted(r.doc_id for r in sigs.collect()) == [21]
+
 
 def test_streaming_embedding_ingest_drops_cross_epoch_semantic_dups(
     spark, tmp_path
@@ -513,6 +602,13 @@ def test_streaming_weighted_corpus_ingest_drops_on_weight_profile(
     assert 11 in kept, kept
     assert 12 in kept
     assert len([k for k in kept if k in (12, 13)]) == 1, kept
+
+    # the maintained ICWS index mirrors the corpus (epoch 2's probe
+    # read THIS table — the numpy kernel never re-ran over epoch 1)
+    wsigs = spark.read.parquet(corpus_dir + "_wsigs")
+    assert sorted(r.doc_id for r in wsigs.select("doc_id").collect()) \
+        == kept
+    assert {"whashes", "epoch"} <= set(wsigs.columns)
 
 
 def test_streaming_pca_stats_ingest_matches_batch(spark, tmp_path):
