@@ -767,9 +767,12 @@ def incremental_weighted_minhash_dedup(
     never self-joins (its banded keys come from the persisted index or
     are derived once here), a batch doc at/above ``threshold`` against
     ANY corpus doc drops, survivors clean batch-internally with
-    ``weighted_minhash_dedup``, and the skew guard (multiset clone
+    ``weighted_minhash_dedup``, the skew guard (multiset clone
     collapse + per-bucket cap) arms via ``max_bucket_size`` with the
-    same ``pre_collapsed`` provenance inference as the set path."""
+    same ``pre_collapsed`` provenance inference as the set path, and a
+    caller-provided ``corpus_sigs`` must be deterministic
+    (parquet-backed) or persisted — it fans out to both the band probe
+    and the whashes verify join-back (see the set-path docstring)."""
     new_sigs = weighted_minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_size).persist()
     if pre_collapsed is None:
@@ -961,7 +964,16 @@ def incremental_minhash_dedup(
     from ``corpus`` are not. A caller who persisted RAW
     ``minhash_signatures`` output instead must pass
     ``pre_collapsed=False`` or the clone-collapse stage of the skew
-    guard is silently skipped (the per-bucket cap still applies)."""
+    guard is silently skipped (the per-bucket cap still applies).
+
+    A caller-provided ``corpus_sigs`` MUST be deterministic (e.g.
+    parquet-backed, as a persisted index is) or already
+    persisted/checkpointed: it is read by BOTH the band probe and the
+    shingle verify join-back, and an uncached nondeterministic frame
+    can recompute differently per consumer (the fan-out race the
+    internal persist+count guards against for signatures derived
+    here — the operator deliberately does NOT persist a caller-owned
+    index, so the lifecycle stays with the caller)."""
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_size).persist()
     if pre_collapsed is None:

@@ -212,6 +212,107 @@ def _hadoop_path_exists(spark, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _epoch_partitions(spark, path: str) -> set[int]:
+    """``epoch=<n>`` partition values present under an epoch-partitioned
+    parquet table — a filesystem METADATA listing (no data read). The
+    ingest loops compare these sets to decide whether the persisted
+    signature index COVERS the corpus: a merely non-empty check let an
+    index rebuilt by a fallback epoch (holding only that epoch's
+    survivors) shadow all earlier epochs forever, silently admitting
+    their near-dups (advisory r8). Missing path → empty set; transient
+    listing errors propagate so the streaming runtime retries the batch
+    (same contract as ``_hadoop_path_exists``)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return set()
+    epochs = set()
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("epoch="):
+            epochs.add(int(name.split("=", 1)[1]))
+    return epochs
+
+
+def _sig_indexed_dedup_ingest(
+    batch_df: DataFrame,
+    epoch_id: int,
+    corpus_dir: str,
+    sig_dir: str,
+    id_col: str,
+    maintain_sig_index: bool,
+    build_index,
+    incremental,
+    full,
+) -> None:
+    """Shared ``foreachBatch`` body of the MinHash / weighted-MinHash
+    corpus ingest loops (the two loops differ only in which signature
+    family they call — ``build_index(survivors)``,
+    ``incremental(batch, corpus, corpus_sigs)``, ``full(batch)``).
+
+    Epoch-coverage contract (advisory r8): the persisted signature
+    index is trusted ONLY when its epoch partitions cover every corpus
+    epoch below this batch. When the index is missing or BEHIND
+    (deleted mid-history, or ``maintain_sig_index`` newly enabled over
+    an existing multi-epoch corpus), this batch signs the uncovered
+    epochs' corpus rows once, BACKFILLS those signatures into the index
+    (dynamic per-epoch overwrite — idempotent on replay), and probes
+    the healed table; every later epoch then trusts a complete index
+    again. The pre-r9 spelling checked only that the index was
+    non-empty, so one fallback epoch rebuilt ``<corpus_dir>_sigs`` with
+    its OWN survivors and near-dups of all earlier epochs were admitted
+    forever after.
+
+    Exactly-once: survivors (and their signatures) overwrite their own
+    ``epoch=<id>`` partition, so a replayed micro-batch rewrites the
+    identical partition instead of appending duplicates."""
+    spark = batch_df.sparkSession
+    corpus_epochs = {e for e in _epoch_partitions(spark, corpus_dir)
+                     if e < epoch_id}
+    corpus, corpus_sigs = None, None
+    if corpus_epochs and maintain_sig_index:
+        sig_epochs = {e for e in _epoch_partitions(spark, sig_dir)
+                      if e < epoch_id}
+        missing = corpus_epochs - sig_epochs
+        if missing:
+            # heal-before-trust: derive the missing epochs' signatures
+            # from their corpus rows (signatures are a pure function of
+            # the rows, so replay rewrites identical partitions)
+            miss_rows = spark.read.parquet(corpus_dir).where(
+                F.col("epoch").isin(sorted(missing)))
+            (build_index(miss_rows.drop("epoch"))
+             .join(miss_rows.select(id_col, "epoch"), id_col)
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch")
+             .parquet(sig_dir))
+        # parquet-backed, hence deterministic — safe to feed unpersisted
+        # to the incremental probe's fan-out (corpus_sigs contract)
+        corpus_sigs = spark.read.parquet(sig_dir).where(
+            F.col("epoch") < F.lit(epoch_id)).drop("epoch")
+    elif corpus_epochs:
+        corpus = spark.read.parquet(corpus_dir).where(
+            F.col("epoch") < F.lit(epoch_id)).drop("epoch")
+    if corpus_epochs:
+        fresh = incremental(batch_df, corpus, corpus_sigs)
+    else:
+        fresh = full(batch_df)
+    if maintain_sig_index:
+        # one materialization feeds both epoch appends
+        fresh = fresh.localCheckpoint(eager=True)
+        (build_index(fresh)
+         .withColumn("epoch", F.lit(epoch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(sig_dir))
+    (fresh.withColumn("epoch", F.lit(epoch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("epoch")
+     .parquet(corpus_dir))
+
+
 def _latest_epoch_state(spark, state_dir: str, epoch_id: int):
     """Read the LATEST prior epoch's rows from an epoch-partitioned
     state table (epoch < this batch's id — a replayed batch must see
@@ -265,10 +366,15 @@ def streaming_corpus_ingest(
     O(corpus) shingle+hash work to a parquet read of compact signatures.
     Per-epoch collapse suffices because survivors are cross-epoch clean
     (an exact clone of an earlier epoch has Jaccard 1 and never lands).
-    Crash windows degrade gracefully: a missing/behind sig table falls
-    back to deriving signatures from the corpus rows for that batch, and
-    the epoch overwrite repairs the index on replay. ``False`` restores
-    the re-sign-per-batch spelling (no side artifact).
+    Crash windows HEAL: the index is trusted only when its epoch
+    partitions cover every corpus epoch below the batch — a missing or
+    behind sig table (deleted mid-history, or the flag newly enabled
+    over an existing corpus) triggers a one-batch backfill of the
+    uncovered epochs' signatures from their corpus rows before the
+    probe, so later epochs trust a complete index again (advisory r8:
+    the old non-empty check let one fallback epoch shadow all earlier
+    epochs forever). ``False`` restores the re-sign-per-batch spelling
+    (no side artifact).
 
     ``max_bucket_size`` (armed by DEFAULT here — the streaming path IS
     the continuous-ingest workload the guard exists for) bounds the
@@ -294,45 +400,17 @@ def streaming_corpus_ingest(
     sig_dir = corpus_dir.rstrip("/") + "_sigs"
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        corpus, corpus_sigs, have_corpus = None, None, False
-        if maintain_sig_index and _hadoop_path_exists(spark, sig_dir):
-            # a real read error past the existence probe propagates —
-            # the streaming runtime retries the batch (see
-            # _hadoop_path_exists for why a bare except is wrong here)
-            sigs = spark.read.parquet(sig_dir).where(
-                F.col("epoch") < F.lit(epoch_id)).drop("epoch")
-            if len(sigs.take(1)) > 0:
-                corpus_sigs, have_corpus = sigs, True
-        if not have_corpus and _hadoop_path_exists(spark, corpus_dir):
-            # no (usable) sig index: derive signatures from the corpus
-            # rows for this batch (migration / crash-window fallback)
-            corpus = spark.read.parquet(corpus_dir).where(
-                F.col("epoch") < F.lit(epoch_id)
-            ).drop("epoch")
-            have_corpus = len(corpus.take(1)) > 0
-        if have_corpus:
-            fresh = incremental_minhash_dedup(
-                batch_df, corpus, text_col, id_col,
-                threshold, num_hashes, bands,
-                max_bucket_size=max_bucket_size, corpus_sigs=corpus_sigs)
-        else:
-            fresh = minhash_dedup(
-                batch_df, text_col, id_col, threshold, num_hashes, bands)
-        if maintain_sig_index:
-            # one materialization feeds both epoch appends
-            fresh = fresh.localCheckpoint(eager=True)
-            (build_minhash_index(fresh, text_col, id_col, num_hashes)
-             .withColumn("epoch", F.lit(epoch_id))
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("epoch")
-             .parquet(sig_dir))
-        (fresh.withColumn("epoch", F.lit(epoch_id))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("epoch")
-         .parquet(corpus_dir))
+        _sig_indexed_dedup_ingest(
+            batch_df, epoch_id, corpus_dir, sig_dir, id_col,
+            maintain_sig_index,
+            build_index=lambda df: build_minhash_index(
+                df, text_col, id_col, num_hashes),
+            incremental=lambda b, c, cs: incremental_minhash_dedup(
+                b, c, text_col, id_col, threshold, num_hashes, bands,
+                max_bucket_size=max_bucket_size, corpus_sigs=cs),
+            full=lambda b: minhash_dedup(
+                b, text_col, id_col, threshold, num_hashes, bands),
+        )
 
     return write_stream_foreach_batch(docs_stream, ingest, checkpoint_dir)
 
@@ -375,40 +453,17 @@ def streaming_weighted_corpus_ingest(
     sig_dir = corpus_dir.rstrip("/") + "_wsigs"
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        corpus, corpus_sigs, have_corpus = None, None, False
-        if maintain_sig_index and _hadoop_path_exists(spark, sig_dir):
-            sigs = spark.read.parquet(sig_dir).where(
-                F.col("epoch") < F.lit(epoch_id)).drop("epoch")
-            if len(sigs.take(1)) > 0:
-                corpus_sigs, have_corpus = sigs, True
-        if not have_corpus and _hadoop_path_exists(spark, corpus_dir):
-            corpus = spark.read.parquet(corpus_dir).where(
-                F.col("epoch") < F.lit(epoch_id)
-            ).drop("epoch")
-            have_corpus = len(corpus.take(1)) > 0
-        if have_corpus:
-            fresh = incremental_weighted_minhash_dedup(
-                batch_df, corpus, text_col, id_col,
-                threshold, num_hashes, bands,
-                max_bucket_size=max_bucket_size, corpus_sigs=corpus_sigs)
-        else:
-            fresh = weighted_minhash_dedup(
-                batch_df, text_col, id_col, threshold, num_hashes, bands)
-        if maintain_sig_index:
-            fresh = fresh.localCheckpoint(eager=True)
-            (build_weighted_minhash_index(fresh, text_col, id_col,
-                                          num_hashes)
-             .withColumn("epoch", F.lit(epoch_id))
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("epoch")
-             .parquet(sig_dir))
-        (fresh.withColumn("epoch", F.lit(epoch_id))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("epoch")
-         .parquet(corpus_dir))
+        _sig_indexed_dedup_ingest(
+            batch_df, epoch_id, corpus_dir, sig_dir, id_col,
+            maintain_sig_index,
+            build_index=lambda df: build_weighted_minhash_index(
+                df, text_col, id_col, num_hashes),
+            incremental=lambda b, c, cs: incremental_weighted_minhash_dedup(
+                b, c, text_col, id_col, threshold, num_hashes, bands,
+                max_bucket_size=max_bucket_size, corpus_sigs=cs),
+            full=lambda b: weighted_minhash_dedup(
+                b, text_col, id_col, threshold, num_hashes, bands),
+        )
 
     return write_stream_foreach_batch(docs_stream, ingest, checkpoint_dir)
 
@@ -569,7 +624,12 @@ def streaming_fused_ingest(
     dynamically overwrites its own partitions and epoch 0's centroid
     retrain on a replayed batch is deterministic. Skew guards
     (``max_bucket_size``, ``max_cell_size``) arm the per-batch probes
-    and the batch-internal collapse by default."""
+    and the batch-internal collapse by default. Both probe indexes
+    carry the heal-before-trust contract (advisory r8, see
+    ``_sig_indexed_dedup_ingest``): an index whose epoch partitions
+    lag the corpus is backfilled from the corpus rows before any batch
+    trusts it, so a mid-history index deletion costs one re-derivation
+    instead of silently admitting earlier epochs' near-dups forever."""
     from pyspark_deduplication_spark.operators.dedup import (
         build_minhash_index,
     )
@@ -597,7 +657,36 @@ def streaming_fused_ingest(
             # centroids-committed-first crash window — empty stand-ins
             # reduce the probe to the batch-internal fused collapse
             cents = spark.read.parquet(cent_dir)
-            if _hadoop_path_exists(spark, sig_dir):
+            corpus_epochs = {e for e in
+                             _epoch_partitions(spark, corpus_dir)
+                             if e < epoch_id}
+
+            def _heal(path: str, sign) -> None:
+                # heal-before-trust (the _sig_indexed_dedup_ingest
+                # contract, advisory r8): an index missing epochs the
+                # corpus has (deleted mid-history) would silently admit
+                # those epochs' near-dups forever — re-derive the
+                # uncovered epochs' entries from their corpus rows
+                # (pure function of the rows → idempotent on replay)
+                missing = corpus_epochs - {
+                    e for e in _epoch_partitions(spark, path)
+                    if e < epoch_id}
+                if missing:
+                    miss_rows = spark.read.parquet(corpus_dir).where(
+                        F.col("epoch").isin(sorted(missing)))
+                    (sign(miss_rows.drop("epoch"))
+                     .join(miss_rows.select(id_col, "epoch"), id_col)
+                     .write.mode("overwrite")
+                     .option("partitionOverwriteMode", "dynamic")
+                     .partitionBy("epoch")
+                     .parquet(path))
+
+            if corpus_epochs:
+                _heal(sig_dir, lambda df: build_minhash_index(
+                    df, text_col, id_col, num_hashes, shingle_size))
+                _heal(idx_dir, lambda df: assign_cells(
+                    df.select(F.col(id_col), F.col(vec_col)),
+                    cents, vec_col, 1))
                 mh_idx = (spark.read.parquet(sig_dir)
                           .where(F.col("epoch") < F.lit(epoch_id))
                           .drop("epoch"))
@@ -605,7 +694,7 @@ def streaming_fused_ingest(
                 mh_idx = build_minhash_index(
                     batch_df, text_col, id_col, num_hashes,
                     shingle_size).limit(0)
-            if _hadoop_path_exists(spark, idx_dir):
+            if corpus_epochs:
                 sem_idx = (
                     spark.read.parquet(idx_dir)
                     .where(F.col("epoch") < F.lit(epoch_id))

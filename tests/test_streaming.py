@@ -266,9 +266,13 @@ def test_streaming_corpus_ingest_sig_index_equivalent_and_fallback(
         spark, tmp_path):
     """The persisted-sig-index loop admits exactly the docs the
     re-sign-per-batch loop admits; with the sig table deleted
-    mid-history (crash window / migration), the next epoch falls back
-    to corpus-derived signatures, still drops cross-epoch near-dups,
-    and rebuilds index lineage from its own epoch onward."""
+    mid-history (crash window / migration), the next epoch HEALS the
+    index — it backfills every missing epoch's signatures from the
+    corpus rows before trusting it (advisory r8: the old non-empty
+    check rebuilt the index with only the fallback epoch's survivors,
+    so near-dups of all pre-fallback epochs were admitted forever) —
+    still drops cross-epoch near-dups, and epochs AFTER the fallback
+    keep dropping near-dups of PRE-fallback content."""
     import shutil
 
     from pyspark.sql import types as T
@@ -333,9 +337,34 @@ def test_streaming_corpus_ingest_sig_index_equivalent_and_fallback(
     ids = sorted(r.doc_id for r in
                  spark.read.parquet(corpus_dir).collect())
     assert 20 not in ids and 21 in ids, ids
-    # the index restarts from the fallback epoch's survivors
+    # the fallback epoch HEALED the index: every corpus survivor's
+    # signature is back, epoch-aligned (not just the fallback epoch's)
     sigs = spark.read.parquet(corpus_dir + "_sigs")
-    assert sorted(r.doc_id for r in sigs.collect()) == [21]
+    assert sorted(r.doc_id for r in sigs.collect()) == ids
+    assert ({(r.doc_id, r.epoch) for r in
+             sigs.select("doc_id", "epoch").collect()} ==
+            {(r.doc_id, r.epoch) for r in
+             spark.read.parquet(corpus_dir)
+             .select("doc_id", "epoch").collect()})
+
+    # epoch 4 near-duplicates PRE-fallback (epoch-2) content: the
+    # healed index must still drop it (the r8-advisory defect was
+    # exactly this admission)
+    e4 = [(30, "a wholly new document about tokenizers and byte pair "
+               "encodings for language model training corpora indeed"),
+          (31, "fourth epoch text on volcanic island formation and "
+               "tectonic plate subduction zones beneath the pacific")]
+    spark.createDataFrame(e4, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f3")
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_corpus_ingest(stream, corpus_dir,
+                                str(tmp_path / "ckpt_idx"),
+                                threshold=0.5, maintain_sig_index=True)
+    q.awaitTermination(240)
+    ids = sorted(r.doc_id for r in
+                 spark.read.parquet(corpus_dir).collect())
+    assert 30 not in ids and 31 in ids, ids
 
 
 def test_streaming_embedding_ingest_drops_cross_epoch_semantic_dups(
@@ -726,6 +755,79 @@ def test_streaming_fused_ingest_drops_on_either_signal(spark, tmp_path):
         assert os.path.exists(corpus_dir + suffix), suffix
     idx = spark.read.parquet(corpus_dir + "_index")
     assert sorted(r.doc_id for r in idx.collect()) == [1, 2, 12]
+
+
+def test_streaming_fused_ingest_heals_behind_indexes(spark, tmp_path):
+    """Both fused probe indexes deleted mid-history (crash window /
+    migration): the next epoch backfills the missing epochs' entries
+    from the corpus rows before trusting either index (the
+    heal-before-trust contract, advisory r8), so near-dups of
+    PRE-deletion epochs on EITHER signal are still dropped."""
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_fused_ingest,
+    )
+
+    def sent(prefix, n=30):
+        return " ".join(f"{prefix}w{i}" for i in range(n))
+
+    def variant(text, pos=15):
+        toks = text.split()
+        toks[pos] = toks[pos] + "x"
+        return " ".join(toks)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "fused_corpus")
+    ckpt = str(tmp_path / "ckpt")
+    v1 = [5.0, 1.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 5.0, 0.0]
+    e1 = [(1, sent("alpha"), v1), (2, sent("beta"), v2)]
+    e2 = [(10, sent("gamma"), [1.0, 7.0, 0.0, 3.0])]
+    spark.createDataFrame(e1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f1")
+    spark.createDataFrame(e2, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f2")
+
+    def run():
+        stream = (spark.readStream.format("parquet").schema(schema)
+                  .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+        q = streaming_fused_ingest(
+            stream, corpus_dir, ckpt,
+            jaccard_threshold=0.7, cosine_threshold=0.999, n_cells=2)
+        q.awaitTermination(240)
+
+    run()
+    import shutil
+    shutil.rmtree(corpus_dir + "_sigs")
+    shutil.rmtree(corpus_dir + "_index")
+
+    e3 = [
+        (20, variant(sent("alpha")), [7.0, 0.0, 0.0, 1.0]),  # lex dup of 1
+        (21, sent("delta"), [x * 1.0005 for x in v2]),       # sem dup of 2
+        (22, sent("epsilon"), [0.0, 0.0, 1.0, 9.0]),         # fresh
+    ]
+    spark.createDataFrame(e3, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f3")
+    run()
+
+    final = spark.read.parquet(corpus_dir)
+    ids = sorted(r.doc_id for r in final.select("doc_id").collect())
+    assert ids == [1, 2, 10, 22], ids
+    # the heal rebuilt BOTH indexes epoch-complete (corpus-aligned)
+    sigs = spark.read.parquet(corpus_dir + "_sigs")
+    idx = spark.read.parquet(corpus_dir + "_index")
+    corpus_pairs = {(r.doc_id, r.epoch) for r in
+                    final.select("doc_id", "epoch").collect()}
+    assert {(r.doc_id, r.epoch) for r in
+            sigs.select("doc_id", "epoch").collect()} == corpus_pairs
+    assert {(r.doc_id, r.epoch) for r in
+            idx.select("doc_id", "epoch").collect()} == corpus_pairs
 
 
 def test_streaming_fused_ingest_replay_is_idempotent(spark, tmp_path):
