@@ -1163,6 +1163,150 @@ def incremental_weighted_minhash_docs(spark: SparkSession, sf_dir: str) -> DataF
             .select("doc_id"))
 
 
+def incremental_weighted_minhash_docs_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental TF-WEIGHTED ingestion with EXACT probes — the
+    oracle-graded twin of `incremental_weighted_minhash_docs`, pinning
+    the incremental generalized-Jaccard SEMANTICS cross-engine the way
+    `incremental_fused_dedup_docs_exact` pins the fused family (exact
+    relational spelling carries the oracle; the ICWS operator form
+    carries the recall pins in ``test_dedup.py``). Even-id docs are the
+    standing corpus, odd-id docs the new batch; a batch doc drops when
+    Σmin(tf)/Σmax(tf) over non-distinct 3-grams reaches 0.6 against ANY
+    corpus doc — computed through the `weighted_jaccard_pairs_exact` tf
+    table (batch postings equi-join corpus postings on the gram key,
+    never a batch×corpus cross join; all-integer numerators make the
+    6dp round bit-equal on any engine). Survivors then collapse
+    batch-internally under the same exact metric via the transitive
+    closure, min-id keep — output is the survivor labelling
+    (doc_id, component, keep)."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = staged_grams(docs, "text", 3, carry_cols=["doc_id"],
+                         distinct=False)
+    tf = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    sizes = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    is_batch = F.col("doc_id") % 2 == 1
+    btf, ctf = tf.filter(is_batch), tf.filter(~is_batch)
+    wj = F.round(F.col("m").cast("double")
+                 / (F.col("na") + F.col("nb") - F.col("m")).cast("double"), 6)
+
+    # cross probe: Σmin(tf) per (batch, corpus) pair via gram equi-join
+    cross_m = (
+        btf.select(F.col("doc_id").alias("new_id"), "gram",
+                   F.col("c").alias("ca"))
+        .join(ctf.select(F.col("doc_id").alias("corpus_id"), "gram",
+                         F.col("c").alias("cb")), "gram")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.sum(F.least("ca", "cb")).alias("m"))
+    )
+    dropped = (
+        cross_m
+        .join(sizes.select(F.col("doc_id").alias("new_id"),
+                           F.col("n").alias("na")), "new_id")
+        .join(sizes.select(F.col("doc_id").alias("corpus_id"),
+                           F.col("n").alias("nb")), "corpus_id")
+        .filter(wj >= 0.6)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    surv = (docs.filter(is_batch).select("doc_id")
+            .join(dropped, "doc_id", "left_anti"))
+
+    # batch-internal exact closure over survivors
+    stf = btf.join(surv, "doc_id")
+    int_m = (
+        stf.select(F.col("doc_id").alias("id_a"), "gram",
+                   F.col("c").alias("ca"))
+        .join(stf.select(F.col("doc_id").alias("id_b"), "gram",
+                         F.col("c").alias("cb")), "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("m"))
+    )
+    edges = (
+        int_m
+        .join(sizes.select(F.col("doc_id").alias("id_a"),
+                           F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n").alias("nb")), "id_b")
+        .filter(wj >= 0.6)
+        .select("id_a", "id_b")
+    )
+    clustered = transitive_clusters(surv, edges, "doc_id")
+    return clustered.select(
+        "doc_id", "component",
+        (F.col("doc_id") == F.col("component")).cast("int").alias("keep"))
+
+
+_INC_WEIGHTED_EXACT_ORACLE = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS gram
+  FROM toks
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+),
+sizes AS MATERIALIZED (
+  SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id
+),
+cross_m AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+         sum(least(a.c, b.c)) AS m
+  FROM tf a JOIN tf b ON a.gram = b.gram
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY a.doc_id, b.doc_id
+),
+dropped AS (
+  SELECT DISTINCT i.new_id
+  FROM cross_m i
+  JOIN sizes na ON na.doc_id = i.new_id
+  JOIN sizes nb ON nb.doc_id = i.corpus_id
+  WHERE round(CAST(i.m AS DOUBLE)
+              / CAST(na.n + nb.n - i.m AS DOUBLE), 6) >= 0.6
+),
+surv AS MATERIALIZED (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 2 = 1
+    AND doc_id NOT IN (SELECT new_id FROM dropped)
+),
+int_m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(least(a.c, b.c)) AS m
+  FROM tf a JOIN surv sa ON a.doc_id = sa.doc_id
+       JOIN tf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       JOIN surv sb ON b.doc_id = sb.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM int_m i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE round(CAST(i.m AS DOUBLE)
+              / CAST(na.n + nb.n - i.m AS DOUBLE), 6) >= 0.6
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node
+),
+labels AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+SELECT s.doc_id, coalesce(l.component, s.doc_id) AS component,
+       CAST(CASE WHEN s.doc_id = coalesce(l.component, s.doc_id)
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM surv s LEFT JOIN labels l ON s.doc_id = l.node
+"""
+
+
 def incremental_fused_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental FUSED ingestion — the OR-composition of the MinHash
     and SemDeDup incremental probes (`operators/fused.py`): even-id
@@ -1917,6 +2061,66 @@ def gram_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_count").desc(), F.col("gram").asc())
         .limit(20)
     )
+
+
+def gram_heavy_hitters_cms_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CMS heavy-hitter estimates graded against EXACT counts (VERDICT
+    r8 item 7 — the oracle-backed convention for
+    `gram_heavy_hitters_cms`): the candidate set is every bigram whose
+    exact document frequency reaches ``total_gram_rows // 1000`` (a
+    scale-free, SQL-expressible floor — 'grams above an exact-count
+    floor at fixture SF'); each candidate reports its exact df and the
+    bit ``est_ge_exact = (CMS estimate ≥ exact)``. The bit is the
+    sketch's DETERMINISTIC never-undercount guarantee (a key's cells
+    only add colliding keys' counts on top of its own), so the oracle
+    asserts it as constant 1 — any undercount anywhere fails the hash
+    gate. The estimate's VALUE is xxhash64-cell-layout-dependent (not
+    SQL-expressible) and enters the graded output only through the
+    bound bit; the ε-overcount bound is probabilistic and stays pinned
+    in ``test_sketches.py``. The one driver scalar (the floor) is a
+    single count — model-state, not a data-path collect."""
+    from pyspark_deduplication_spark.operators.profiling import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = staged_grams(docs, "text", 2)
+    floor = grams.count() // 1000
+    exact = (grams.groupBy("gram")
+             .agg(F.count(F.lit(1)).alias("exact_count"))
+             .filter(F.col("exact_count") >= F.lit(floor)))
+    sketch = cms_build(grams, "gram", width=4096, depth=4)
+    est = cms_estimate(sketch, exact.select("gram"), "gram",
+                       width=4096, depth=4)
+    return (
+        exact.join(est, "gram")
+        .select(
+            "gram", "exact_count",
+            (F.col("est_count") >= F.col("exact_count"))
+            .cast("int").alias("est_ge_exact"))
+        .orderBy("gram")
+    )
+
+
+_CMS_CHECKED_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 1, 1) + 1),
+           i -> array_to_string(t[i:i+1], ' ')))) AS gram
+  FROM toks
+),
+floor_v AS (SELECT count(*) // 1000 AS f FROM grams),
+df AS (SELECT gram, count(*) AS exact_count FROM grams GROUP BY gram)
+SELECT gram, exact_count, CAST(1 AS INT) AS est_ge_exact
+FROM df, floor_v
+WHERE exact_count >= f
+ORDER BY gram
+"""
 
 
 def fused_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9089,6 +9293,11 @@ CATALOG: dict[str, Query] = {
     "gram_heavy_hitters_cms": Query(gram_heavy_hitters_cms, None,
                                     tags=["profiling", "sketch", "text",
                                           "scale"]),
+    # CMS estimates graded vs exact counts + never-undercount bound
+    # (r9, VERDICT r8 item 7)
+    "gram_heavy_hitters_cms_checked": Query(
+        gram_heavy_hitters_cms_checked, _CMS_CHECKED_ORACLE,
+        tags=["profiling", "sketch", "text"]),
     "winnow_near_dup_docs": Query(winnow_near_dup_docs, _WINNOW_ORACLE,
                                   bench=True, tags=["text", "dedup"]),
     "jaccard_near_dup_docs": Query(jaccard_near_dup_docs, _JACCARD_DOCS_ORACLE,
@@ -9131,6 +9340,11 @@ CATALOG: dict[str, Query] = {
     "weighted_jaccard_near_dup_docs": Query(
         weighted_jaccard_near_dup_docs, None, bench=True,
         tags=["dedup", "lsh"]),
+    # exact-probe incremental weighted twin (r9, VERDICT r8 item 5)
+    "incremental_weighted_minhash_docs_exact": Query(
+        incremental_weighted_minhash_docs_exact,
+        _INC_WEIGHTED_EXACT_ORACLE,
+        tags=["dedup", "incremental"]),
     # exact weighted-Jaccard anchor, relational spelling (r7, late)
     "weighted_jaccard_pairs_exact": Query(
         weighted_jaccard_pairs_exact, _WEIGHTED_PAIRS_ORACLE,
@@ -9500,63 +9714,66 @@ CATALOG: dict[str, Query] = {
 # tools/grade_window.py lists them). Rows-only entries stay after
 # position 50 so no graded slot records err:"no_oracle".
 _GRADED_ORDER = [
-    # (a) new this round (r8), never graded — the four rows-only-family
-    # promotions (VERDICT r7 item 2)
-    "incremental_fused_dedup_docs_exact",  # exact-probe incremental fused
-    "unigram_encode_seeded_docs",      # quantized-DP Viterbi encoder
-    "lsh_recall_report_md5",           # md5-family MinHash band ladder
-    "hyperplane_ann_recall_report",    # banded sign-projection ANN recall
-    # (b) canaries for round-8-changed / shared code paths
-    "unigram_seed_pieces",         # seed inventory the new encoder rides
-    "fused_dedup_docs",            # closure + oracle machinery shared
-    "jaccard_near_dup_docs",       # exact-truth spelling shared by ladders
-    "knn_bruteforce",              # ground-truth spelling shared by ANN report
-    "embedding_cluster_dedup",     # recursive-CTE cluster family
-    "dedup_exact_count",           # core dedup tripwire
-    "incremental_dedup_docs",      # incremental family baseline
-    "q1_pricing_summary",          # flagship family + bench watch
-    # (c) stale-queue burn-down, oldest first (VERDICT r7 item 1):
-    # the r1 entry, the whole r2 block, then the alphabetical head of
-    # r3 — 38 rotations; the r9 queue drops to 19
-    "customers_without_orders",        # r1
-    "cube_lineitem_flags",             # r2 …
-    "nation_revenue_share",
-    "overlap_near_dup_docs",
-    "q10_returned_items",
-    "q11_important_part_values",
-    "q15_top_supplier_per_year",
-    "q16_supplier_part_counts",
-    "q20_heavy_shippers",
-    "q2_min_cost_supplier",
-    "q4_order_priority_exists",
-    "q7_nation_trade_volume",
-    "q9_nation_year_revenue",
-    "range_join_value_bands",
-    "streaming_dedup_events",
-    "streaming_join_purchases_errors",
-    "streaming_sliding_windows",
-    "strip_boilerplate_docs",          # … end of the r2 block
-    "chunk_level_dedup_rate",          # r3 alphabetical head …
-    "count_distinct_parts",
-    "customers_with_big_orders",
-    "doc_language_id",
-    "doc_oov_rates",
-    "doc_regex_token_count",
-    "doc_repetition_scores",
-    "doc_top_terms",
-    "embedding_norm_stats",
-    "events_dedup_keep_earliest",
-    "events_dow_hour_heatmap",
-    "events_funnel",
-    "events_hourly_anomalies",
-    "events_hourly_windows",
-    "events_json_props",
-    "events_moving_average",
-    "events_retention_cohorts",
-    "events_sliding_windows",
-    "faithful_fuzzy_join_lev",
-    "levenshtein_links_customers",     # … r3 tail (order_value_stats
-    # onward, 12 entries) plus the r4 block (7) queue for r9
+    # (a) new this round (r9), never graded — VERDICT r8 items 5 & 7
+    "incremental_weighted_minhash_docs_exact",  # exact-probe inc. ICWS twin
+    "gram_heavy_hitters_cms_checked",  # CMS vs exact + never-undercount
+    # (b) stale-queue burn-down, oldest first (VERDICT r8 item 3): the
+    # ENTIRE r3-r5 queue — 24 rotations; every oracle-backed entry's
+    # last grade is then ≥ r6
+    "order_value_stats",               # r3 …
+    "pii_redaction_report",
+    "pretoken_budget_by_segment",
+    "quality_filter_docs",
+    "quality_weighted_sample",
+    "scd2_user_state_intervals",
+    "session_conversion_stats",
+    "set_ops_customer_segments",
+    "similarity_graph_degrees",
+    "top_word_trigrams",
+    "union_evolved_schemas",
+    "unpivot_part_metrics",            # … end of the r3 block
+    "customer_balance_ranks",          # r4 …
+    "dedup_full_row",
+    "doc_chunks",
+    "lineitem_running_totals",
+    "ntile_customer_value",
+    "q21_late_sole_suppliers",
+    "yearly_revenue_growth",           # … end of the r4 block
+    "doc_fingerprint_dedup",           # r5 …
+    "levenshtein_links_parts",
+    "source_capped_corpus",
+    "stratified_sample_docs",
+    "winnow_near_dup_docs",            # … end of the r5 block
+    # (c) canaries: the alphabetical head of the r6 block (now 3
+    # rounds old — the next stale frontier), which happens to cover
+    # this round's touched families (dedup/fused/weighted canaries:
+    # dedup_exact_parts, doc_dup_span_fraction, fuzzy_*,
+    # cross_source_dup_matrix, duplicate_pressure_by_source,
+    # media_dedup_by_content); the r6 tail (16) + r7 queue for r10
+    "asof_purchases_to_errors",
+    "bpe_first_merge_pairs",
+    "corpus_mixture_plan",
+    "corpus_mixture_waterfill",
+    "cross_source_dup_matrix",
+    "cross_table_entity_match",
+    "customer_rfm_segments",
+    "daily_revenue_trailing_week",
+    "dedup_exact_parts",
+    "doc_dup_span_fraction",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "doc_unigram_logprob",
+    "domain_capped_corpus",
+    "dq_orders_report",
+    "duplicate_pressure_by_source",
+    "epoch_shuffle_docs",
+    "events_sessionize",
+    "fuzzy_clusters_parts",
+    "fuzzy_pairs_blocked_parts",
+    "lineitem_price_quantiles",
+    "media_dedup_by_content",
+    "pack_training_sequences",
+    "pivot_year_flag_revenue",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

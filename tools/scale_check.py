@@ -1,0 +1,160 @@
+"""sf1 scaling checkpoint (VERDICT r7 item 4 / r8 item 1): time the
+dedup-family queries at a base fixture and a ``factor``×-replicated one
+(``tools/make_scale_fixture.py`` — near-dup rate preserved, so workload
+SHAPE is fixed while n grows) and report per-query scaling exponents
+
+    exponent = ln(t_scaled / t_base) / ln(factor)
+
+≈1.0 is linear, ≈2.0 quadratic. Two families of rows:
+
+- **as-cataloged** — the query exactly as ``queries()`` defines it,
+  fixture knobs (n_cells=8, label blocking) HELD FIXED. Capacity knobs
+  that are meant to track n (an IVF's cell count) then make per-cell /
+  per-block work grow, so a super-linear exponent here indicts the
+  FIXTURE PARAMETERIZATION, not the operator.
+- **knob-scaled** (names suffixed ``@scaled``) — the same operator with
+  its capacity knob grown with n (n_cells × factor → constant expected
+  cell size), i.e. how a 100 TB deployment would actually configure it.
+  THESE rows carry the scaling claim.
+
+Usage:
+    python tools/scale_check.py BASE_DIR SCALED_DIR FACTOR [names...]
+    SCALE_RUNS=n  best-of-n per (query, sf) timing (default 2)
+
+Prints one JSON line per query and a closing summary line; paste the
+table into BASELINE.md's sf1 section.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = [
+    "minhash_dedup_docs",
+    "incremental_minhash_docs",
+    "semantic_dedup_embeddings",
+    "incremental_semantic_dedup_embeddings",
+    "fused_dedup_docs",
+]
+
+
+def _knob_scaled_variants(factor: int):
+    """The dedup-family operators re-invoked with capacity knobs grown
+    with n — the deployment spelling of each query (same operator code
+    path, only the knob differs; catalog fixtures pin n_cells=8 for
+    oracle determinism at tiny SF)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.operators.fused import fused_dedup
+    from pyspark_deduplication_spark.operators.knn import (
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+    from pyspark_deduplication_spark.queries import _t
+
+    def sem(n_cells):
+        def q(spark, sf_dir):
+            emb = _t(spark, sf_dir, "embeddings")
+            return semantic_dedup(emb, threshold=0.3, n_cells=n_cells,
+                                  max_cell_size=4096)
+        return q
+
+    def inc_sem(n_cells):
+        def q(spark, sf_dir):
+            emb = _t(spark, sf_dir, "embeddings")
+            batch = emb.filter(F.col("vec_id") % 4 == 0)
+            corpus = emb.filter(F.col("vec_id") % 4 != 0)
+            return incremental_semantic_dedup(
+                batch, corpus, threshold=0.3, n_cells=n_cells,
+                max_cell_size=4096).select("vec_id", "label")
+        return q
+
+    def fused(n_cells):
+        # the PRODUCTION fused operator (cells, not label blocking —
+        # the catalog entry's label-blocked semantic leg exists for
+        # oracle-ability and grows with block size by construction)
+        def q(spark, sf_dir):
+            docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+            emb = _t(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("doc_id"), "embedding")
+            both = docs.join(emb, "doc_id")
+            return fused_dedup(
+                both, "doc_id", "text", "embedding",
+                jaccard_threshold=0.7, cosine_threshold=0.7,
+                n_cells=n_cells, max_bucket_size=4096, max_cell_size=4096)
+        return q
+
+    return {
+        "semantic_dedup_embeddings@scaled": (sem(8), sem(8 * factor)),
+        "incremental_semantic_dedup_embeddings@scaled":
+            (inc_sem(8), inc_sem(8 * factor)),
+        "fused_dedup_docs@scaled": (fused(8), fused(8 * factor)),
+    }
+
+
+def main() -> None:
+    import time
+
+    base_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scaled_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfscale/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    names = sys.argv[4:] or DEFAULT_QUERIES
+    runs = int(os.environ.get("SCALE_RUNS", "2"))
+
+    from pyspark_deduplication_spark.queries import CATALOG
+    from pyspark_deduplication_spark.session import get_spark
+
+    spark = get_spark("scale_check")
+    variants = _knob_scaled_variants(factor)
+
+    plan: list[tuple[str, object, object]] = []
+    for n in names:
+        plan.append((n, CATALOG[n].fn, CATALOG[n].fn))
+        if n + "@scaled" in variants:
+            plan.append((n + "@scaled", *variants[n + "@scaled"]))
+
+    # one untimed warm query per fixture (JIT + parquet footers)
+    for d in (base_dir, scaled_dir):
+        CATALOG["minhash_dedup_docs"].fn(spark, d).write.format(
+            "noop").mode("overwrite").save()
+
+    def timed(fn, d) -> float:
+        best = math.inf
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    rows = []
+    for name, fn_base, fn_scaled in plan:
+        tb = timed(fn_base, base_dir)
+        ts = timed(fn_scaled, scaled_dir)
+        row = {
+            "query": name,
+            "t_base_sec": round(tb, 2),
+            "t_scaled_sec": round(ts, 2),
+            "ratio": round(ts / tb, 2),
+            "exponent": round(math.log(ts / tb) / math.log(factor), 2),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    print(json.dumps({
+        "metric": "sf1_scaling_exponents",
+        "factor": factor,
+        "base": base_dir,
+        "scaled": scaled_dir,
+        "runs": runs,
+        "rows": rows,
+    }), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
