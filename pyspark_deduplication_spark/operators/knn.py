@@ -291,6 +291,14 @@ def train_centroids(
         int(r["cell_id"]): [float(x) for x in r["centroid"]]
         for r in init.collect()  # n_cells rows — model state, tiny
     }
+    if not cents:
+        # EMPTY training input (e.g. an ingest batch whose rows all
+        # dropped against the corpus): return the empty init frame —
+        # the Lloyd assignment literal over zero centroids is not even
+        # constructible (array_max over an empty array literal), and
+        # downstream assign_cells/pairing handle an empty centroid
+        # table through the join fallback
+        return init
     train = vectors.select(F.col(vec_id), F.col(vec_col))
     if train_sample_mod > 1:
         train = train.filter(

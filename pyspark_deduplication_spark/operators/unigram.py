@@ -75,12 +75,17 @@ def substring_candidates(
     )
 
 
-def _viterbi(word: str, logp: dict, max_len: int) -> list[str]:
+def _viterbi(word: str, logp: dict, max_len: int,
+             char_floor_lp: float = _CHAR_FLOOR_LP) -> list[str]:
     """Best segmentation of ``word`` under piece log-probs — earliest
     split wins ties (strict improvement only), so the result is
     deterministic. Unknown single chars take the floor log-prob (cannot
     occur when the vocab was seeded from the same corpus; needed for
-    encoding unseen text)."""
+    encoding unseen text). ``char_floor_lp`` must live on the SAME
+    scale as the model's logprobs — a caller feeding quantized-integer
+    scores (the ``unigram_encode_seeded_docs`` 1e8-unit spelling) must
+    scale the floor too, or an out-of-model char at ~-30 would be
+    nearly free next to ~-1e9 piece scores (advisory r8)."""
     n = len(word)
     neg = float("-inf")
     dp = [0.0] + [neg] * n
@@ -89,7 +94,7 @@ def _viterbi(word: str, logp: dict, max_len: int) -> list[str]:
         for j in range(max(0, i - max_len), i):
             p = logp.get(word[j:i])
             if p is None and i - j == 1:
-                p = _CHAR_FLOOR_LP
+                p = char_floor_lp
             if p is not None and dp[j] + p > dp[i]:
                 dp[i] = dp[j] + p
                 back[i] = j
@@ -101,10 +106,12 @@ def _viterbi(word: str, logp: dict, max_len: int) -> list[str]:
     return out[::-1]
 
 
-def _segmenter_udf(logp: dict, max_len: int):
+def _segmenter_udf(logp: dict, max_len: int,
+                   char_floor_lp: float = _CHAR_FLOOR_LP):
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def seg(words: pd.Series) -> pd.Series:
-        return words.map(lambda w: _viterbi(w, logp, max_len))
+        return words.map(
+            lambda w: _viterbi(w, logp, max_len, char_floor_lp))
 
     return seg
 
@@ -356,18 +363,22 @@ def unigram_encode(
     pieces: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    char_floor_lp: float = _CHAR_FLOOR_LP,
 ) -> DataFrame:
     """Encode a corpus with a trained unigram model and report per-doc
     token budgets (id, n_pretokens, n_unigram_tokens) — the
     ``apply_bpe_merges`` dictionary trick verbatim: the Viterbi kernel
     touches only the DISTINCT word table; per-word piece counts join
     back onto per-(doc, word) counts. The model (vocab-bounded) is
-    collected once into the kernel closure."""
+    collected once into the kernel closure. ``char_floor_lp`` (the
+    unseen-single-char penalty) must be on the same scale as the
+    model's ``logprob`` column — pass a scaled floor when the model's
+    scores are quantized (advisory r8)."""
     from pyspark_deduplication_spark.functions.text import pretokenize
 
     model = {r["piece"]: float(r["logprob"]) for r in pieces.collect()}
     max_len = max((len(p) for p in model), default=1)
-    seg = _segmenter_udf(model, max_len)
+    seg = _segmenter_udf(model, max_len, char_floor_lp)
     pretoks = df.select(
         F.col(id_col), F.explode(pretokenize(F.col(text_col))).alias("word"))
     per_doc_word = pretoks.groupBy(id_col, "word").agg(

@@ -1636,8 +1636,12 @@ cand AS MATERIALIZED (
 ),
 ncand AS (SELECT bands, count(*) AS n_candidates FROM cand GROUP BY bands),
 hits AS (
-  SELECT r.bands, count(*) AS n_truth, count(c.id_a) AS n_hit
-  FROM rungs r CROSS JOIN truth t
+  -- LEFT JOIN from rungs (not CROSS JOIN truth): each rung yields a
+  -- row even on a truth-free fixture — n_truth=0, recall NULL —
+  -- matching the Spark side's agg-over-empty behavior (advisory r8)
+  SELECT r.bands, count(t.id_a) AS n_truth, count(c.id_a) AS n_hit
+  FROM rungs r
+  LEFT JOIN truth t ON true
   LEFT JOIN cand c
     ON c.bands = r.bands AND c.id_a = t.id_a AND c.id_b = t.id_b
   GROUP BY r.bands
@@ -7463,7 +7467,14 @@ def unigram_encode_seeded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                               / F.col("total")) * F.lit(1e8))
                 .cast("long").cast("double").alias("logprob"))
     )
-    return unigram_encode(docs.filter(F.col("doc_id") < 60), pieces)
+    # floor scaled to the quantized-logprob units (-30.0 × 1e8), so an
+    # out-of-model char costs the same on both engines (the oracle's
+    # -3000000000) — unreachable on the current fixture (every
+    # doc_id<60 char is a corpus char, hence a seeded piece) but kept
+    # aligned so an encode-slice or fixture change cannot silently
+    # diverge (advisory r8)
+    return unigram_encode(docs.filter(F.col("doc_id") < 60), pieces,
+                          char_floor_lp=-30.0 * 1e8)
 
 
 _UNIGRAM_ENCODE_SEEDED_ORACLE = r"""

@@ -432,6 +432,9 @@ def consolidate_epochs(
 
     if mode not in ("append", "snapshot"):
         raise ValueError(f"consolidate_epochs: unknown mode {mode!r}")
+    import logging
+
+    log = logging.getLogger(__name__)
     df = spark.read.parquet(path)
     all_epochs = sorted(
         r["epoch"] for r in df.select("epoch").distinct().collect())
@@ -439,11 +442,25 @@ def consolidate_epochs(
         # never fold the newest epoch into itself (possibly an
         # uncommitted batch — see docstring); default to second-newest
         if len(all_epochs) < 3:
+            # say so — upto=None used to fold EVERYTHING (advisory r8);
+            # an operator expecting full consolidation should notice
+            log.info(
+                "consolidate_epochs(%s): %d epoch(s) on disk — nothing "
+                "folded (upto=None spares the newest epoch; pass an "
+                "explicit committed upto to fold a 2-epoch table)",
+                path, len(all_epochs))
             return 0
         upto = all_epochs[-2]
+        log.info(
+            "consolidate_epochs(%s): upto=None spares the newest epoch "
+            "%s (possibly uncommitted); folding through epoch %s",
+            path, all_epochs[-1], upto)
     sel = df.where(F.col("epoch") <= upto)
     epochs = [e for e in all_epochs if e <= upto]
     if len(epochs) <= 1:
+        log.info(
+            "consolidate_epochs(%s): %d epoch(s) at/below upto=%s — "
+            "nothing to fold", path, len(epochs), upto)
         return 0
     target = max(epochs)
     if mode == "snapshot":

@@ -1335,3 +1335,37 @@ def test_opq_projected_ivfpq_composition_is_exact_at_full_settings(spark):
                               rerank=n, vec_col="rot",
                               query_col="rot").collect()}
     assert got == bf
+
+
+def test_semantic_dedup_family_survives_empty_input(spark):
+    """EMPTY training input (an ingest batch whose rows ALL dropped
+    against the corpus — routine in steady-state streaming) must flow
+    through the semantic family, not crash: train_centroids' Lloyd
+    assignment literal over zero centroids is unbuildable (r9,
+    surfaced by the sf1 scale run), so it returns the empty init frame
+    and every downstream stage handles the empty centroid table."""
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.operators.knn import (
+        incremental_semantic_dedup,
+        semantic_dedup,
+        train_centroids,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    empty = spark.createDataFrame([], schema)
+    assert train_centroids(empty, 8).count() == 0
+    assert semantic_dedup(empty, 0.3, 8, max_cell_size=4096).count() == 0
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], schema)
+    batch = spark.createDataFrame(
+        [(10, [1.0, 0.01]), (11, [0.01, 1.0])], schema)
+    # threshold 0.3 drops BOTH batch rows -> the batch-internal dedup
+    # runs on an empty survivor frame
+    out = incremental_semantic_dedup(
+        batch, corpus, threshold=0.3, n_cells=4, max_cell_size=4096)
+    assert out.count() == 0
