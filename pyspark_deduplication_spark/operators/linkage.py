@@ -231,15 +231,47 @@ def blocked_similarity_cross_join(
 # ---------------------------------------------------------------------------
 
 
+def _strip_inherited_stats(df: DataFrame) -> DataFrame:
+    """Re-wrap a checkpointed DataFrame so its logical plan stops
+    carrying the ORIGIN plan's sizeInBytes estimate.
+
+    checkpoint/localCheckpoint copy the optimized plan's statistics
+    into the new LogicalRDD (good for one-shot checkpoints: estimates
+    stay informative). But Spark's default join estimate is the PRODUCT
+    of child sizes, so in an ITERATIVE algorithm each round's
+    checkpoint inherits the previous round's product and the estimate
+    grows as a power tower — at sf0.1 the fused-dedup CC loop crossed
+    BigInteger's 2^31-bit ceiling by round ~15, with Catalyst spending
+    minutes per stats call multiplying million-digit integers while
+    executors sat idle, then throwing 'BigInteger would overflow
+    supported range' (r9 scale checkpoint). The rewrap
+    (``internalCreateDataFrame`` over the SAME materialized InternalRow
+    RDD — no recompute, no Python round-trip) resets the estimate to
+    ``defaultSizeInBytes``; join strategies stay sound because AQE
+    picks them from RUNTIME shuffle sizes."""
+    try:
+        jdf = df._jdf
+        spark = df.sparkSession
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(new_jdf, spark)
+    except Exception:
+        # no py4j internals (non-classic session): keep the plain
+        # checkpoint — correct, merely exposed to slow stats growth
+        return df
+
+
 def _checkpoint(df: DataFrame) -> DataFrame:
     """Eager lineage truncation. Uses the reliable checkpoint dir when the
     session has one (cluster mode: survives executor loss, required for
     long iterative jobs); falls back to localCheckpoint (executor-local
-    blocks — fine for local mode and short iteration counts)."""
+    blocks — fine for local mode and short iteration counts). The
+    result's inherited stats estimate is stripped — required for
+    iterative callers (see ``_strip_inherited_stats``)."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir():
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return _strip_inherited_stats(df.checkpoint(eager=True))
+    return _strip_inherited_stats(df.localCheckpoint(eager=True))
 
 
 def connected_components(

@@ -36,9 +36,19 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
 
+    # In local mode the driver JVM IS the whole engine — every executor
+    # thread, the block manager, shuffle state, and localCheckpoint
+    # blocks live in its heap. Spark's 1g default is sized for a
+    # cluster driver that only coordinates; leaving it in place here
+    # capped 32 executor threads at 1 GiB TOTAL and OOMed the sf1
+    # scale run (r9). Honored only when the JVM isn't up yet (i.e. the
+    # first get_spark in the process), like every JVM-level conf.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime shuffle-partition coalescing, skew-join splitting,
         # and dynamic join-strategy switching. Essential at 100 TB where
