@@ -57,11 +57,26 @@ def main() -> None:
         except Exception:
             pass
 
+    def _clean() -> None:
+        # Spark's ContextCleaner reclaims unreferenced checkpoint /
+        # broadcast / shuffle blocks only when the JVM garbage-collects
+        # — with a real driver heap (8g since r9) GC can go quiet for
+        # the whole set, so blocks from 20 earlier queries congest the
+        # late rows (doc_dup_span_fraction read 2-3x its solo-warm
+        # median purely from position). One explicit GC between
+        # queries, OUTSIDE the timed window, starts every row from the
+        # cleaned state its baseline was recorded under.
+        import gc
+
+        gc.collect()  # drop py4j refs first so the JVM GC can reap them
+        spark.sparkContext._jvm.System.gc()
+
     per_query: dict[str, float] = {}
     for name in names:
         q = CATALOG[name]
         samples = []
         for _ in range(runs):
+            _clean()
             t0 = time.perf_counter()
             # noop sink executes the full plan without driver collection
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

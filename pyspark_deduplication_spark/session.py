@@ -49,6 +49,12 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.driver.memory", driver_mem)
+        # ContextCleaner only reclaims unreferenced shuffle/broadcast/
+        # checkpoint blocks when the JVM garbage-collects; with a real
+        # heap, GC can go quiet for tens of minutes in a long-lived
+        # local session and stale blocks congest later jobs. 5min
+        # (default 30min) keeps steady-state cleanup flowing.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime shuffle-partition coalescing, skew-join splitting,
         # and dynamic join-strategy switching. Essential at 100 TB where
