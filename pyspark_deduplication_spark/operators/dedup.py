@@ -673,19 +673,28 @@ def weighted_minhash_candidate_pairs(
     bands: int = 16,
     shingle_size: int = 3,
     max_bucket_size: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding over ICWS signatures: same compact (id, band,
     bucket) shuffle, bucket-join and skew guard as the unweighted
     path (``_band_keys``/``band_candidate_pairs`` are shared), but
     collision probability tracks WEIGHTED Jaccard, and the verify
     join-back computes the exact Σmin/Σmax on the hashed multisets.
-    Returns distinct (id_a, id_b, weighted_jaccard_sim)."""
-    sigs = weighted_minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_size)
-    # eager materialization before the band fan-out (same race as
-    # minhash_candidate_pairs — two downstream scans)
-    sigs = sigs.persist()
-    sigs.count()
+    Returns distinct (id_a, id_b, weighted_jaccard_sim).
+
+    ``sigs`` forwards precomputed ``weighted_minhash_signatures``
+    output — same caller-owned lifecycle and determinism contract as
+    ``minhash_candidate_pairs``' ``sigs=`` (must be persisted or
+    parquet-backed; it fans out into the band keys AND the whashes
+    verify join-back)."""
+    own_sigs = sigs is None
+    if own_sigs:
+        sigs = weighted_minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_size)
+        # eager materialization before the band fan-out (same race as
+        # minhash_candidate_pairs — two downstream scans)
+        sigs = sigs.persist()
+        sigs.count()
 
     banded = _cap_buckets(
         _band_keys(sigs, id_col, num_hashes, bands), max_bucket_size)
@@ -701,7 +710,8 @@ def weighted_minhash_candidate_pairs(
                 .alias("weighted_jaccard_sim"))
     )
     out = out.localCheckpoint(eager=True)
-    sigs.unpersist()
+    if own_sigs:
+        sigs.unpersist()
     return out
 
 

@@ -43,6 +43,9 @@ from pyspark_deduplication_spark.operators.dedup import (
     incremental_minhash_candidates,
     minhash_candidate_pairs,
     minhash_signatures,
+    weighted_jaccard_of,
+    weighted_minhash_candidate_pairs,
+    weighted_minhash_signatures,
 )
 from pyspark_deduplication_spark.operators.knn import (
     _semantic_hit_ids,
@@ -69,17 +72,25 @@ def fused_dedup_edges(
     train_sample_mod: int = 1,
     max_cell_size: int | None = None,
     sigs: DataFrame | None = None,
+    weighted_threshold: float | None = None,
+    wsigs: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct ``(id_a, id_b)`` near-dup edges within ``batch`` under
-    EITHER signal: MinHash-blocked exact-Jaccard ≥ ``jaccard_threshold``
-    on ``text_col`` ∪ cell-blocked cosine ≥ ``cosine_threshold`` on
-    ``vec_col``. The batch carries both columns in one frame (the 1:1
-    documents ↔ embeddings id space).
+    ANY enabled signal: MinHash-blocked exact-Jaccard ≥
+    ``jaccard_threshold`` on ``text_col`` ∪ cell-blocked cosine ≥
+    ``cosine_threshold`` on ``vec_col`` ∪ (when ``weighted_threshold``
+    is set) ICWS-blocked exact generalized Jaccard Σmin(tf)/Σmax(tf) ≥
+    ``weighted_threshold`` on the same text — the third leg for
+    boilerplate-repetition near-dups, where tf weighting fires on pairs
+    whose SET Jaccard is near zero (shared mass in repeated grams, so
+    neither other signal sees them). The batch carries both columns in
+    one frame (the 1:1 documents ↔ embeddings id space).
 
-    ``sigs`` forwards precomputed MinHash signatures (see
-    ``minhash_candidate_pairs``); both guards (``max_bucket_size``,
-    ``max_cell_size``) forward to their legs. Only bare id pairs move
-    through the union."""
+    ``sigs``/``wsigs`` forward precomputed MinHash / ICWS signatures
+    (see each ``*_candidate_pairs``); all guards (``max_bucket_size``,
+    ``max_cell_size``) forward to their legs — the weighted leg shares
+    the banding machinery and hence the same clone-collapse/cap guard.
+    Only bare id pairs move through the union."""
     lex = minhash_candidate_pairs(
         batch, text_col, id_col, num_hashes, bands, shingle_size,
         max_bucket_size, sigs=sigs,
@@ -89,7 +100,15 @@ def fused_dedup_edges(
         n_cells, id_col, vec_col, n_iter, n_probe, train_sample_mod,
         max_cell_size,
     ).select("id_a", "id_b")
-    return lex.unionByName(sem).dropDuplicates(["id_a", "id_b"])
+    edges = lex.unionByName(sem)
+    if weighted_threshold is not None:
+        wtd = weighted_minhash_candidate_pairs(
+            batch, text_col, id_col, num_hashes, bands, shingle_size,
+            max_bucket_size, sigs=wsigs,
+        ).filter(F.col("weighted_jaccard_sim") >= weighted_threshold) \
+            .select("id_a", "id_b")
+        edges = edges.unionByName(wtd)
+    return edges.dropDuplicates(["id_a", "id_b"])
 
 
 def fused_dedup(
@@ -109,17 +128,22 @@ def fused_dedup(
     train_sample_mod: int = 1,
     max_cell_size: int | None = None,
     sigs: DataFrame | None = None,
+    weighted_threshold: float | None = None,
+    wsigs: DataFrame | None = None,
 ) -> DataFrame:
     """Fused dedup labelling for one batch: ``(id, component, keep)`` —
     one connected-components pass over the union edge set, min-id keep
     per fused component. The MinHash-leg twin of
     ``queries.fused_dedup_docs`` (which spells the lexical leg with the
     exact inverted-index join so its oracle stays deterministic); this
-    operator form is the 100 TB spelling for both legs."""
+    operator form is the 100 TB spelling for all legs.
+    ``weighted_threshold`` arms the optional third (tf-weighted ICWS)
+    edge leg — see ``fused_dedup_edges``."""
     edges = fused_dedup_edges(
         batch, id_col, text_col, vec_col, jaccard_threshold,
         cosine_threshold, num_hashes, bands, shingle_size, max_bucket_size,
         n_cells, n_iter, n_probe, train_sample_mod, max_cell_size, sigs,
+        weighted_threshold, wsigs,
     )
     clustered = transitive_clusters(batch.select(id_col), edges, id_col)
     return clustered.select(
@@ -148,6 +172,8 @@ def incremental_fused_dedup(
     max_cell_size: int | None = None,
     minhash_index: DataFrame | None = None,
     semantic_index: tuple[DataFrame, DataFrame] | None = None,
+    weighted_threshold: float | None = None,
+    weighted_index: DataFrame | None = None,
 ) -> DataFrame:
     """Fused near-dup filter for a NEW batch against an EXISTING corpus —
     the OR-composition of ``incremental_minhash_dedup`` and
@@ -177,11 +203,22 @@ def incremental_fused_dedup(
     ``test_queries``' fused coarsening test, and for this path in
     ``test_fused.py``).
 
+    ``weighted_threshold`` arms the optional third (tf-weighted ICWS)
+    leg on both the corpus probe and the batch-internal collapse — the
+    boilerplate-repetition signal the other two miss (see
+    ``fused_dedup_edges``); ``weighted_index`` passes its persisted
+    ``build_weighted_minhash_index`` table.
+
     Returns the surviving rows of ``new_batch`` (all columns)."""
     if corpus is None and (minhash_index is None or semantic_index is None):
         raise ValueError(
             "incremental_fused_dedup: corpus=None requires BOTH "
             "minhash_index and semantic_index")
+    if (corpus is None and weighted_threshold is not None
+            and weighted_index is None):
+        raise ValueError(
+            "incremental_fused_dedup: corpus=None with the weighted leg "
+            "armed requires weighted_index")
 
     # -- lexical corpus probe (incremental_minhash_dedup's probe stage) --
     new_sigs = minhash_signatures(
@@ -227,23 +264,71 @@ def incremental_fused_dedup(
         max_cell_size, semantic_index,
     )
     sem_hits = _semantic_hit_ids(sem_cand, cosine_threshold, id_col)
+    all_hits = lex_hits.unionByName(sem_hits)
+
+    # -- weighted corpus probe (incremental_weighted_minhash_dedup's
+    # probe stage; shares the banded candidate machinery via
+    # content_col="whashes") --------------------------------------------
+    new_wsigs = None
+    own_corpus_wsigs = False
+    corpus_wsigs = weighted_index
+    if weighted_threshold is not None:
+        new_wsigs = weighted_minhash_signatures(
+            new_batch, text_col, id_col, num_hashes, shingle_size).persist()
+        w_pre_collapsed = weighted_index is not None
+        own_corpus_wsigs = weighted_index is None
+        if corpus_wsigs is None:
+            corpus_wsigs = weighted_minhash_signatures(
+                corpus, text_col, id_col, num_hashes,
+                shingle_size).persist()
+        new_wsigs.count()
+        if own_corpus_wsigs:
+            corpus_wsigs.count()
+        wcand = incremental_minhash_candidates(
+            new_wsigs, corpus_wsigs, id_col, num_hashes, bands,
+            max_bucket_size, w_pre_collapsed, content_col="whashes")
+        new_wh = new_wsigs.select(F.col(id_col).alias("new_id"),
+                                  F.col("whashes").alias("wh_new"))
+        corpus_wh = corpus_wsigs.select(F.col(id_col).alias("corpus_id"),
+                                        F.col("whashes").alias("wh_corpus"))
+        wtd_hits = (
+            wcand.join(new_wh, "new_id")
+            .join(corpus_wh, "corpus_id")
+            .filter(weighted_jaccard_of(F.col("wh_new"),
+                                        F.col("wh_corpus"))
+                    >= weighted_threshold)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        all_hits = all_hits.unionByName(wtd_hits)
 
     # Materialize the bare hit-id set ONCE before it fans out into the
-    # two anti-joins below — without this, each eager localCheckpoint
-    # re-executes the whole lexical AND semantic corpus probe (band
-    # join, Jaccard verify, cell assignment, Arrow cosine) a second
-    # time; dup_ids is ids only, so the checkpoint is tiny.
-    dup_ids = (lex_hits.unionByName(sem_hits).distinct()
-               .localCheckpoint(eager=True))
+    # anti-joins below — without this, each eager localCheckpoint
+    # re-executes the whole lexical AND semantic (AND weighted) corpus
+    # probe (band join, Jaccard verify, cell assignment, Arrow cosine)
+    # a second time; dup_ids is ids only, so the checkpoint is tiny.
+    dup_ids = all_hits.distinct().localCheckpoint(eager=True)
     fresh = new_batch.join(dup_ids, id_col, "left_anti")
     # Materialize the survivor set before the fused self-collapse fans
-    # out into both edge legs (and before releasing the signature cache).
+    # out into the edge legs (and before releasing the signature caches).
     fresh = fresh.localCheckpoint(eager=True)
+    dropped = dup_ids.withColumnRenamed(id_col, "__dropped")
     fresh_sigs = (
-        new_sigs.join(dup_ids.withColumnRenamed(id_col, "__dropped"),
-                      new_sigs[id_col] == F.col("__dropped"), "left_anti")
+        new_sigs.join(dropped, new_sigs[id_col] == F.col("__dropped"),
+                      "left_anti")
         .localCheckpoint(eager=True)
     )
+    fresh_wsigs = None
+    if new_wsigs is not None:
+        fresh_wsigs = (
+            new_wsigs.join(dropped,
+                           new_wsigs[id_col] == F.col("__dropped"),
+                           "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        new_wsigs.unpersist()
+    if own_corpus_wsigs:
+        corpus_wsigs.unpersist()
     new_sigs.unpersist()
     if own_corpus_sigs:
         corpus_sigs.unpersist()
@@ -253,6 +338,7 @@ def incremental_fused_dedup(
         fresh, id_col, text_col, vec_col, jaccard_threshold,
         cosine_threshold, num_hashes, bands, shingle_size, max_bucket_size,
         n_cells, n_iter, 1, train_sample_mod, max_cell_size,
-        sigs=fresh_sigs,
+        sigs=fresh_sigs, weighted_threshold=weighted_threshold,
+        wsigs=fresh_wsigs,
     ).filter(F.col("keep")).select(id_col)
     return fresh.join(keep, id_col, "left_semi")

@@ -597,6 +597,7 @@ def streaming_fused_ingest(
     n_iter: int = 4,
     n_probe: int = 2,
     max_cell_size: int | None = 4096,
+    weighted_threshold: float | None = None,
 ):
     """Continuously ingest (text, embedding) rows into a corpus that is
     near-dup-free under BOTH signals — the fused capstone of the ingest
@@ -606,7 +607,12 @@ def streaming_fused_ingest(
     incremental_fused_dedup` (drop on EITHER MinHash-Jaccard or
     cosine-cell hit, then ONE fused CC collapse batch-internally), and
     survivors append to three epoch-partitioned artifacts that ARE the
-    probe state for later batches:
+    probe state for later batches (``weighted_threshold`` arms a THIRD
+    leg — tf-weighted ICWS generalized Jaccard, the
+    boilerplate-repetition signal set semantics miss — with its own
+    persisted per-epoch index at ``<corpus_dir>_wsigs``, the
+    ``streaming_weighted_corpus_ingest`` artifact shape, healed under
+    the same epoch-coverage contract):
 
     - ``corpus_dir``                 — the content rows themselves;
     - ``<corpus_dir>_sigs``          — clone-collapsed MinHash
@@ -632,6 +638,7 @@ def streaming_fused_ingest(
     instead of silently admitting earlier epochs' near-dups forever."""
     from pyspark_deduplication_spark.operators.dedup import (
         build_minhash_index,
+        build_weighted_minhash_index,
     )
     from pyspark_deduplication_spark.operators.fused import (
         fused_dedup,
@@ -646,6 +653,7 @@ def streaming_fused_ingest(
     sig_dir = base + "_sigs"
     cent_dir = base + "_centroids"
     idx_dir = base + "_index"
+    wsig_dir = base + "_wsigs"
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -694,6 +702,20 @@ def streaming_fused_ingest(
                 mh_idx = build_minhash_index(
                     batch_df, text_col, id_col, num_hashes,
                     shingle_size).limit(0)
+            w_idx = None
+            if weighted_threshold is not None:
+                if corpus_epochs:
+                    _heal(wsig_dir,
+                          lambda df: build_weighted_minhash_index(
+                              df, text_col, id_col, num_hashes,
+                              shingle_size))
+                    w_idx = (spark.read.parquet(wsig_dir)
+                             .where(F.col("epoch") < F.lit(epoch_id))
+                             .drop("epoch"))
+                else:
+                    w_idx = build_weighted_minhash_index(
+                        batch_df, text_col, id_col, num_hashes,
+                        shingle_size).limit(0)
             if corpus_epochs:
                 sem_idx = (
                     spark.read.parquet(idx_dir)
@@ -743,12 +765,15 @@ def streaming_fused_ingest(
                 n_iter=n_iter, n_probe=n_probe,
                 max_cell_size=max_cell_size,
                 minhash_index=mh_idx, semantic_index=(cents, sem_idx),
+                weighted_threshold=weighted_threshold,
+                weighted_index=w_idx,
             )
         else:
             keep = fused_dedup(
                 batch_df, id_col, text_col, vec_col, jaccard_threshold,
                 cosine_threshold, num_hashes, bands, shingle_size,
                 max_bucket_size, n_cells, n_iter, 1, 1, max_cell_size,
+                weighted_threshold=weighted_threshold,
             ).filter(F.col("keep")).select(id_col)
             fresh = batch_df.join(keep, id_col, "left_semi")
             cents = train_centroids(
@@ -771,6 +796,11 @@ def streaming_fused_ingest(
         _epoch_append(
             assign_cells(fresh.select(F.col(id_col), F.col(vec_col)),
                          cents, vec_col, 1), idx_dir)
+        if weighted_threshold is not None:
+            _epoch_append(
+                build_weighted_minhash_index(
+                    fresh, text_col, id_col, num_hashes, shingle_size),
+                wsig_dir)
         _epoch_append(fresh, corpus_dir)
 
     return write_stream_foreach_batch(doc_stream, ingest, checkpoint_dir)

@@ -125,3 +125,87 @@ def test_incremental_fused_requires_corpus_or_indexes(spark, fused_fixture):
     _, batch = fused_fixture
     with pytest.raises(ValueError, match="requires BOTH"):
         incremental_fused_dedup(batch, corpus=None)
+
+
+def _repetitive(tail_prefix: str, n_rep: int = 30, n_tail: int = 10) -> str:
+    """Boilerplate-repetition text: a repeated 3-word block (high-tf
+    shingles, tiny DISTINCT shingle set) plus a unique tail. Two docs
+    sharing the block but not the tail have SET 3-gram Jaccard far
+    below 0.7 while generalized (tf-weighted) Jaccard stays high —
+    the pair class only the weighted leg can see."""
+    block = "lorem ipsum boiler " * n_rep
+    tail = " ".join(f"{tail_prefix}t{i}" for i in range(n_tail))
+    return (block + tail).strip()
+
+
+def test_fused_weighted_leg_catches_repetition_pairs(spark):
+    """A repetition pair (shared high-tf block, disjoint tails,
+    orthogonal vectors) survives the two-signal fused collapse but
+    folds into one component when weighted_threshold arms the third
+    leg — and the novel doc is untouched either way."""
+    from pyspark_deduplication_spark.operators.fused import fused_dedup
+
+    rows = [
+        (1, _repetitive("a"), [1.0, 0.0, 0.0, 0.0]),
+        (2, _repetitive("b"), [0.0, 1.0, 0.0, 0.0]),
+        (3, _sentence("novel"), [0.0, 0.0, 1.0, 0.0]),
+    ]
+    schema = "doc_id long, text string, embedding array<float>"
+    batch = spark.createDataFrame(rows, schema)
+
+    two_signal = fused_dedup(
+        batch, jaccard_threshold=0.7, cosine_threshold=0.999, n_cells=2)
+    assert sorted(r.doc_id for r in two_signal.collect() if r.keep) \
+        == [1, 2, 3]
+
+    three_signal = fused_dedup(
+        batch, jaccard_threshold=0.7, cosine_threshold=0.999, n_cells=2,
+        weighted_threshold=0.5)
+    out = {r.doc_id: (r.component, r.keep)
+           for r in three_signal.collect()}
+    assert out[2][0] == 1 and not out[2][1], out
+    assert out[1][1] and out[3][1], out
+
+
+def test_incremental_fused_weighted_probe_drops_corpus_repetition(spark):
+    """Incremental three-signal probe: a batch doc tf-near an existing
+    corpus doc (set-Jaccard low, vectors orthogonal) drops ONLY when
+    the weighted leg is armed; with the leg armed the novel batch doc
+    still survives. Also pinned: the persisted weighted index path
+    admits exactly the same survivors as deriving from the corpus."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        build_minhash_index,
+        build_weighted_minhash_index,
+    )
+    from pyspark_deduplication_spark.operators.fused import (
+        incremental_fused_dedup,
+    )
+    from pyspark_deduplication_spark.operators.knn import (
+        build_semantic_dedup_index,
+    )
+
+    schema = "doc_id long, text string, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [(1, _repetitive("c1"), [1.0, 0.0, 0.0, 0.0]),
+         (2, _sentence("c2"), [0.0, 1.0, 0.0, 0.0])], schema)
+    batch = spark.createDataFrame(
+        [(10, _repetitive("x"), [0.0, 0.0, 1.0, 0.0]),   # tf-near doc 1
+         (11, _sentence("fresh"), [0.0, 0.0, 0.0, 1.0])], schema)
+
+    kw = dict(jaccard_threshold=0.7, cosine_threshold=0.999, n_cells=2)
+    two = incremental_fused_dedup(batch, corpus, **kw)
+    assert sorted(r.doc_id for r in two.collect()) == [10, 11]
+
+    three = incremental_fused_dedup(
+        batch, corpus, weighted_threshold=0.5, **kw)
+    assert sorted(r.doc_id for r in three.collect()) == [11]
+
+    # persisted-index path: same admission decision, corpus untouched
+    mh = build_minhash_index(corpus).localCheckpoint()
+    sem = build_semantic_dedup_index(corpus.select("doc_id", "embedding"),
+                                     n_cells=2, vec_id="doc_id")
+    w = build_weighted_minhash_index(corpus).localCheckpoint()
+    via_index = incremental_fused_dedup(
+        batch, corpus=None, minhash_index=mh, semantic_index=sem,
+        weighted_threshold=0.5, weighted_index=w, **kw)
+    assert sorted(r.doc_id for r in via_index.collect()) == [11]

@@ -935,3 +935,62 @@ def test_streaming_span_ingest_cleans_against_standing_windows(
     assert S in grams                            # epoch-1 windows indexed
     assert novel1 in grams                       # cleaned epoch-2 windows
     assert T8 not in grams                       # removed spans never index
+
+
+def test_streaming_fused_ingest_weighted_leg(spark, tmp_path):
+    """Three-signal fused ingest: with ``weighted_threshold`` armed the
+    loop maintains a third per-epoch index (<corpus>_wsigs) and an
+    epoch-2 doc that tf-near-duplicates epoch-1 boilerplate (set-Jaccard
+    low, vectors orthogonal — invisible to the other two legs) never
+    lands, while the same loop without the leg admits it."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_fused_ingest,
+    )
+
+    def rep(tail_prefix, n_rep=30, n_tail=10):
+        block = "lorem ipsum boiler " * n_rep
+        tail = " ".join(f"{tail_prefix}t{i}" for i in range(n_tail))
+        return (block + tail).strip()
+
+    def sent(prefix, n=30):
+        return " ".join(f"{prefix}w{i}" for i in range(n))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    e1 = [(1, rep("a"), [1.0, 0.0, 0.0, 0.0]),
+          (2, sent("beta"), [0.0, 1.0, 0.0, 0.0])]
+    e2 = [(10, rep("z"), [0.0, 0.0, 1.0, 0.0]),     # tf-dup of doc 1
+          (11, sent("gamma"), [0.0, 0.0, 0.0, 1.0])]
+
+    def run(tag, weighted):
+        src = str(tmp_path / f"in_{tag}")
+        corpus_dir = str(tmp_path / f"corpus_{tag}")
+        for i, rows in enumerate((e1, e2)):
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("overwrite").parquet(f"{src}/f{i}")
+        stream = (spark.readStream.format("parquet").schema(schema)
+                  .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+        q = streaming_fused_ingest(
+            stream, corpus_dir, str(tmp_path / f"ckpt_{tag}"),
+            jaccard_threshold=0.7, cosine_threshold=0.999, n_cells=2,
+            weighted_threshold=weighted)
+        q.awaitTermination(240)
+        return corpus_dir, sorted(
+            r.doc_id for r in spark.read.parquet(corpus_dir).collect())
+
+    d2, two_signal = run("two", None)
+    assert two_signal == [1, 2, 10, 11]
+    assert not os.path.exists(d2 + "_wsigs")
+
+    d3, three_signal = run("three", 0.5)
+    assert three_signal == [1, 2, 11], three_signal
+    wsigs = spark.read.parquet(d3 + "_wsigs")
+    assert {"whashes", "epoch"} <= set(wsigs.columns)
+    assert sorted(r.doc_id for r in wsigs.collect()) == [1, 2, 11]
