@@ -863,6 +863,14 @@ _NORM_SQL = (
     " '\\s+', ' ', 'g'))"
 )
 _TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+_COSINE_SQL = """list_sum(list_transform(range(1, len({a}) + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform({a},
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform({b},
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
 _NTOK_SQL = f"CASE WHEN len({_NORM_SQL}) = 0 THEN 0 ELSE len({_TOKENS_SQL}) END"
 
 
@@ -2211,6 +2219,107 @@ FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
 """
 
 
+def fused_dedup_docs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-signal fused dedup — `fused_dedup_docs` plus the
+    tf-weighted leg (r9: the `operators/fused.py weighted_threshold`
+    feature's oracle-graded batch twin): exact 3-gram-Jaccard ≥ 0.7
+    pairs ∪ label-blocked cosine ≥ 0.3 pairs ∪ exact generalized
+    Jaccard Σmin(tf)/Σmax(tf) ≥ 0.4 pairs (the
+    `weighted_jaccard_pairs_exact` spelling — the boilerplate-
+    repetition signal the other two miss) feed ONE connected-components
+    pass; min-id keep per fused component. Each edge generator IS an
+    existing oracle-graded query's spelling, so the fusion cannot
+    silently diverge from the single-signal truths."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = jaccard_near_dup_docs(spark, sf_dir).select("id_a", "id_b")
+    sem = (embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
+           .select("id_a", "id_b"))
+    wtd = (weighted_jaccard_pairs_exact(spark, sf_dir)
+           .filter(F.col("weighted_jaccard_sim") >= 0.4)
+           .select("id_a", "id_b"))
+    edges = lex.unionByName(sem).unionByName(wtd).distinct()
+    clustered = transitive_clusters(docs.select("doc_id"), edges, "doc_id")
+    return clustered.select(
+        "doc_id", "component",
+        (F.col("doc_id") == F.col("component")).cast("int").alias("keep"))
+
+
+_FUSED_WEIGHTED_ORACLE = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+shingles AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM toks
+),
+lex AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                        AS DOUBLE), 6) AS j
+    FROM shingles a JOIN shingles b
+      ON a.doc_id < b.doc_id
+     AND CAST(len(a.grams) AS DOUBLE) >= 0.7 * len(b.grams)
+     AND CAST(len(b.grams) AS DOUBLE) >= 0.7 * len(a.grams))
+  WHERE j >= 0.7
+),
+sem AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} >= 0.3
+),
+wgrams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS gram
+  FROM toks
+),
+wtf AS MATERIALIZED (
+  SELECT doc_id, gram, count(*) AS c FROM wgrams GROUP BY doc_id, gram
+),
+wsizes AS MATERIALIZED (
+  SELECT doc_id, sum(c) AS n FROM wtf GROUP BY doc_id
+),
+winter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(least(a.c, b.c)) AS m
+  FROM wtf a JOIN wtf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+wtd AS (
+  SELECT i.id_a, i.id_b
+  FROM winter i
+  JOIN wsizes na ON na.doc_id = i.id_a
+  JOIN wsizes nb ON nb.doc_id = i.id_b
+  WHERE round(CAST(i.m AS DOUBLE)
+              / CAST(na.n + nb.n - i.m AS DOUBLE), 6) >= 0.4
+),
+pairs AS (
+  SELECT id_a, id_b FROM lex
+  UNION SELECT id_a, id_b FROM sem
+  UNION SELECT id_a, id_b FROM wtd
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node
+),
+labels AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
+       CAST(CASE WHEN d.doc_id = coalesce(l.component, d.doc_id)
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+"""
+
+
 _JACCARD_DOCS_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
 shingles AS (
@@ -2229,13 +2338,6 @@ WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
             6) >= 0.7
 """
 
-
-_COSINE_SQL = """list_sum(list_transform(range(1, len({a}) + 1),
-           i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
-        / (sqrt(list_sum(list_transform({a},
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * sqrt(list_sum(list_transform({b},
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
 
 _INC_FUSED_EXACT_ORACLE = f"""
 WITH RECURSIVE
@@ -9316,6 +9418,10 @@ CATALOG: dict[str, Query] = {
     # lexical ∪ semantic edges through one CC pass (r7)
     "fused_dedup_docs": Query(fused_dedup_docs, _FUSED_DEDUP_ORACLE,
                               tags=["dedup", "text", "vector", "pipeline"]),
+    # + the tf-weighted third leg (r9 weighted_threshold feature twin)
+    "fused_dedup_docs_weighted": Query(
+        fused_dedup_docs_weighted, _FUSED_WEIGHTED_ORACLE,
+        tags=["dedup", "text", "vector", "pipeline"]),
     "overlap_near_dup_docs": Query(overlap_near_dup_docs, _OVERLAP_ORACLE,
                                    tags=["dedup", "text"]),
     "similarity_graph_degrees": Query(similarity_graph_degrees,
@@ -9726,8 +9832,10 @@ CATALOG: dict[str, Query] = {
 # position 50 so no graded slot records err:"no_oracle".
 _GRADED_ORDER = [
     # (a) new this round (r9), never graded — VERDICT r8 items 5 & 7
+    # plus the three-signal fused twin of the new weighted_threshold leg
     "incremental_weighted_minhash_docs_exact",  # exact-probe inc. ICWS twin
     "gram_heavy_hitters_cms_checked",  # CMS vs exact + never-undercount
+    "fused_dedup_docs_weighted",       # lex ∪ sem ∪ tf-weighted closure
     # (b) stale-queue burn-down, oldest first (VERDICT r8 item 3): the
     # ENTIRE r3-r5 queue — 24 rotations; every oracle-backed entry's
     # last grade is then ≥ r6
@@ -9784,7 +9892,6 @@ _GRADED_ORDER = [
     "lineitem_price_quantiles",
     "media_dedup_by_content",
     "pack_training_sequences",
-    "pivot_year_flag_revenue",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50
