@@ -129,3 +129,35 @@ def test_connected_components_long_chain_converges(spark):
     comps = connected_components(edges, max_iterations=25).collect()
     assert {r.component for r in comps} == {0}
     assert len(comps) == 201
+
+
+def test_checkpoint_strips_inherited_stats(spark):
+    """Iterated checkpoints must NOT compound the origin plan's
+    sizeInBytes estimate: checkpoint/localCheckpoint copy it into the
+    new LogicalRDD, and Spark's default join estimate is the product
+    of child sizes, so an iterative algorithm's estimate grows as a
+    power tower — the r9 sf1 run crossed BigInteger's 2^31-bit ceiling
+    inside connected components (minutes of million-digit stats math,
+    then 'BigInteger would overflow supported range').
+    ``_checkpoint`` strips the inherited stats; three join+checkpoint
+    rounds must leave the estimate flat instead of squaring it."""
+    from pyspark_deduplication_spark.operators.linkage import _checkpoint
+
+    def est(df) -> int:
+        return int(str(df._jdf.queryExecution()
+                       .optimizedPlan().stats().sizeInBytes()))
+
+    a = spark.range(1000).select(F.col("id").alias("x"))
+    j = a.join(a.withColumnRenamed("x", "y"),
+               F.col("x") == F.col("y")).drop("y")
+    inherited = est(j.localCheckpoint())      # the raw-Spark behavior
+    df = _checkpoint(j)
+    s0 = est(df)
+    for _ in range(3):
+        df = _checkpoint(
+            df.join(df.withColumnRenamed("x", "y"),
+                    F.col("x") == F.col("y")).drop("y"))
+    assert est(df) <= s0, "estimate compounds across checkpoint rounds"
+    # sanity: raw Spark really does inherit (the behavior we strip) —
+    # if this ever stops holding upstream, the strip can be retired
+    assert inherited == est(j)
