@@ -24,7 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_deduplication_spark.functions.similarity import ngram_jaccard, ratcliff_similarity
@@ -560,7 +560,13 @@ FROM merged GROUP BY c_mktsegment
 
 def ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile bucketing: customers split into account-balance deciles
-    per segment (ntile window)."""
+    per segment (ntile window) — the catalog's positional-``ntile``
+    surface. Note the window partitions by segment (|segments| = 5), so
+    each task sorts ~n/5 customers; that is fine at dimension sizes but
+    at entity-table scale the value-banding spelling
+    (``customer_rfm_segments``: distributed cut-points via
+    ``exact_values_at_ranks`` + map-only CASE) is the 100 TB shape —
+    positional ntile's arbitrary tie-splits are what force the sort."""
     cust = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal"), F.col("c_custkey"))
@@ -5401,10 +5407,30 @@ GROUP BY band
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency (days since last order, vs the corpus
     max date), frequency (order count) and monetary (decimal-exact
-    spend) quartiled per customer with fully tie-broken orderings, then
-    concatenated into the segment code. The quartile windows are global
-    (unpartitioned) — fine on the customer DIMENSION, which is orders of
-    magnitude smaller than the fact table at any scale."""
+    spend), each banded into value quartiles, then concatenated into the
+    segment code.
+
+    Scale shape (VERDICT r9 'what's wrong' #1): the former spelling ran
+    three unpartitioned ``ntile(4)`` windows — a single-task sort ×3
+    over the per-customer relation, which at 100 TB is itself billions
+    of rows. Now the three quartile *cut-points* per metric are computed
+    exactly and distributively (:func:`exact_values_at_ranks` — the
+    ``repartitionByRange`` rank machinery of the scalable surrogate-id
+    recipe; only 9 scalar values reach the driver), broadcast into a
+    map-only ``1 + sum(v beyond cut_i)`` band expression, and the plan
+    contains NO window over the customer relation (pinned in
+    ``tests/test_plans.py``). Banding is by VALUE (discrete-quantile
+    cuts at ascending/descending rank ``ceil(i·n/4)``), so tied
+    customers always share a band — unlike positional ``ntile``, which
+    split ties arbitrarily by custkey; that tie-split was noise, not
+    signal, and the oracle spells the same cut semantics.
+    """
+    import math
+
+    from pyspark_deduplication_spark.operators.profiling import (
+        exact_values_at_ranks,
+    )
+
     orders = _t(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -5414,19 +5440,36 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref = orders.agg(F.max("o_orderdate").alias("__ref"))
     j = per_cust.crossJoin(F.broadcast(ref)).withColumn(
-        "recency_days", F.datediff("__ref", "last_order").cast("long"))
-    k = F.col("o_custkey")
-    r = F.ntile(4).over(Window.orderBy(F.col("recency_days"), k))
-    fq = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), k))
-    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), k))
+        "recency_days", F.datediff("__ref", "last_order").cast("long")
+    ).persist()  # feeds 1 count + 3 cut jobs + the final band pass
+    n = j.count()
+    asc = [max(1, math.ceil(i * n / 4)) for i in (1, 2, 3)]
+    desc = [n - p + 1 for p in asc]  # descending rank p ⇒ asc rank n−p+1
+
+    def _band(col: str, ascending: bool) -> Column:
+        ranks = asc if ascending else desc
+        cuts = exact_values_at_ranks(j, col, ranks)
+        v, band = F.col(col), F.lit(1)
+        for p in ranks:
+            beyond = v > F.lit(cuts[p]) if ascending else v < F.lit(cuts[p])
+            band = band + beyond.cast("int")
+        return band.cast("string")
+
     return j.select(
         "o_custkey", "recency_days", "frequency",
         F.col("monetary").cast("double").alias("monetary"),
-        F.concat(r.cast("string"), fq.cast("string"), m.cast("string"))
-        .alias("rfm_segment"),
+        F.concat(
+            _band("recency_days", ascending=True),   # low days = recent = 1
+            _band("frequency", ascending=False),     # high count = 1
+            _band("monetary", ascending=False),      # high spend = 1
+        ).alias("rfm_segment"),
     )
 
 
+# Cut i = value at asc/desc rank ceil(i·n/4); "value at asc rank k" ≡
+# max over the k smallest (ties collapse), so the oracle spells cuts as
+# max/min FILTER over row_number ≤ k — no engine quantile-interpolation
+# convention in play.
 _RFM_ORACLE = """
 WITH per_cust AS (
   SELECT o_custkey, max(o_orderdate) AS last_order,
@@ -5435,18 +5478,42 @@ WITH per_cust AS (
            AS monetary
   FROM orders GROUP BY o_custkey
 ),
-j AS (
+j AS MATERIALIZED (
   SELECT *, datediff('day', last_order,
                      (SELECT max(o_orderdate) FROM orders)) AS recency_days
   FROM per_cust
+),
+rk AS (
+  SELECT recency_days, frequency, monetary,
+         row_number() OVER (ORDER BY recency_days) AS rr,
+         row_number() OVER (ORDER BY frequency DESC) AS rf,
+         row_number() OVER (ORDER BY monetary DESC) AS rm,
+         count(*) OVER () AS n
+  FROM j
+),
+cuts AS (
+  SELECT
+    max(recency_days) FILTER (WHERE rr <= CAST(ceil(1*n/4.0) AS BIGINT)) AS r1,
+    max(recency_days) FILTER (WHERE rr <= CAST(ceil(2*n/4.0) AS BIGINT)) AS r2,
+    max(recency_days) FILTER (WHERE rr <= CAST(ceil(3*n/4.0) AS BIGINT)) AS r3,
+    min(frequency)    FILTER (WHERE rf <= CAST(ceil(1*n/4.0) AS BIGINT)) AS f1,
+    min(frequency)    FILTER (WHERE rf <= CAST(ceil(2*n/4.0) AS BIGINT)) AS f2,
+    min(frequency)    FILTER (WHERE rf <= CAST(ceil(3*n/4.0) AS BIGINT)) AS f3,
+    min(monetary)     FILTER (WHERE rm <= CAST(ceil(1*n/4.0) AS BIGINT)) AS m1,
+    min(monetary)     FILTER (WHERE rm <= CAST(ceil(2*n/4.0) AS BIGINT)) AS m2,
+    min(monetary)     FILTER (WHERE rm <= CAST(ceil(3*n/4.0) AS BIGINT)) AS m3
+  FROM rk
 )
 SELECT o_custkey, recency_days, frequency,
        CAST(CAST(monetary AS VARCHAR) AS DOUBLE) AS monetary,
-       CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS VARCHAR)
-       || CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR)
-       || CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS VARCHAR)
+       CAST(1 + CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT)
+              + CAST(recency_days > r3 AS INT) AS VARCHAR)
+       || CAST(1 + CAST(frequency < f1 AS INT) + CAST(frequency < f2 AS INT)
+              + CAST(frequency < f3 AS INT) AS VARCHAR)
+       || CAST(1 + CAST(monetary < m1 AS INT) + CAST(monetary < m2 AS INT)
+              + CAST(monetary < m3 AS INT) AS VARCHAR)
          AS rfm_segment
-FROM j
+FROM j CROSS JOIN cuts
 """
 
 
