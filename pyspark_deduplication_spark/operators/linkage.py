@@ -24,6 +24,8 @@ documents the reference's quirks (one row merging into several clusters,
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -231,6 +233,9 @@ def blocked_similarity_cross_join(
 # ---------------------------------------------------------------------------
 
 
+_STRIP_STATS_WARNED = False
+
+
 def _strip_inherited_stats(df: DataFrame) -> DataFrame:
     """Re-wrap a checkpointed DataFrame so its logical plan stops
     carrying the ORIGIN plan's sizeInBytes estimate.
@@ -255,9 +260,23 @@ def _strip_inherited_stats(df: DataFrame) -> DataFrame:
         new_jdf = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False)
         return DataFrame(new_jdf, spark)
-    except Exception:
-        # no py4j internals (non-classic session): keep the plain
-        # checkpoint — correct, merely exposed to slow stats growth
+    except Exception as exc:
+        # no py4j internals (non-classic session, or the private
+        # internalCreateDataFrame API changed): keep the plain
+        # checkpoint — correct, merely exposed to the stats-growth
+        # overflow at scale. Warn ONCE per process so a scale run that
+        # silently fell back here is visible in the logs (ADVICE r9).
+        global _STRIP_STATS_WARNED
+        if not _STRIP_STATS_WARNED:
+            _STRIP_STATS_WARNED = True
+            warnings.warn(
+                "stats-strip rewrap unavailable "
+                f"({type(exc).__name__}: {exc}); iterative checkpoints "
+                "keep inherited sizeInBytes estimates — long CC loops "
+                "may hit the BigInteger stats overflow at scale",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         return df
 
 

@@ -16,6 +16,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _total_ram_gib() -> int:
+    """Physical RAM in GiB (floor 1). Used to size the local-mode driver
+    heap default; os.sysconf is POSIX-only, so fall back to 8 GiB where
+    it is unavailable rather than guessing small."""
+    try:
+        gib = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) // (
+            1024 ** 3
+        )
+        return max(1, int(gib))
+    except (ValueError, OSError, AttributeError):
+        return 8
+
+
+def _default_driver_mem() -> str:
+    """Local-mode driver heap: ``SPARK_GRAFT_DRIVER_MEM`` if set, else
+    min(8g, ~70 % of physical RAM) — big enough for 32 executor threads
+    on a real box, without OOM-killing constrained CI containers where
+    a fixed 8g ask exceeds the cgroup limit (ADVICE r9)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    return f"{max(1, min(8, _total_ram_gib() * 7 // 10))}g"
+
+
 def get_spark(
     app_name: str = "pyspark_deduplication_spark",
     master: str | None = None,
@@ -43,7 +67,11 @@ def get_spark(
     # capped 32 executor threads at 1 GiB TOTAL and OOMed the sf1
     # scale run (r9). Honored only when the JVM isn't up yet (i.e. the
     # first get_spark in the process), like every JVM-level conf.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # Default: min(8g, ~70% of physical RAM) so constrained CI
+    # containers aren't OOM-killed by a fixed 8g ask (ADVICE r9);
+    # SPARK_GRAFT_DRIVER_MEM overrides (set it HIGH, e.g. 48g, for
+    # sf1+ scale runs on a big box).
+    driver_mem = _default_driver_mem()
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -230,7 +230,15 @@ def _epoch_partitions(spark, path: str) -> set[int]:
     for status in fs.listStatus(jpath):
         name = status.getPath().getName()
         if status.isDirectory() and name.startswith("epoch="):
-            epochs.add(int(name.split("=", 1)[1]))
+            # Non-integer partition values (epoch=__HIVE_DEFAULT_PARTITION__
+            # from a null epoch, a stray directory) must not become a
+            # poison pill that permanently fails every micro-batch
+            # (ADVICE r9): skip them — coverage comparison only needs
+            # the integer epochs both tables can actually carry.
+            try:
+                epochs.add(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
     return epochs
 
 

@@ -10,7 +10,11 @@ it); these pins catch the regressions that would break it."""
 from __future__ import annotations
 
 import pathlib
-import tomllib
+
+try:
+    import tomllib  # Python >= 3.11
+except ImportError:  # pragma: no cover - 3.10 fallback
+    import tomli as tomllib  # type: ignore[no-redef]
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 

@@ -90,3 +90,22 @@ def test_example_airflow_dag_importable_and_tasks_run(spark, tmp_path,
     assert "surrogate" in [c.lower() for c in out.columns] or \
         "ID".lower() in [c.lower() for c in out.columns]
     assert glob.glob(f"{tmp_path}/final/part-*")
+
+
+def test_driver_memory_default_respects_small_hosts(monkeypatch):
+    """ADVICE r9: the local-mode driver-heap default is min(8g, ~70% of
+    physical RAM) so a fixed 8g ask cannot OOM-kill constrained CI
+    containers; SPARK_GRAFT_DRIVER_MEM always wins."""
+    import pyspark_deduplication_spark.session as s
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    monkeypatch.setattr(s, "_total_ram_gib", lambda: 4)
+    assert s._default_driver_mem() == "2g"
+    monkeypatch.setattr(s, "_total_ram_gib", lambda: 1)
+    assert s._default_driver_mem() == "1g"   # floor: never 0g
+    monkeypatch.setattr(s, "_total_ram_gib", lambda: 128)
+    assert s._default_driver_mem() == "8g"   # cap: local default
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "48g")
+    assert s._default_driver_mem() == "48g"  # env always wins
+    monkeypatch.undo()
+    assert s._total_ram_gib() >= 1

@@ -527,3 +527,37 @@ def test_write_training_shards_deterministic_and_ordered(spark, tmp_path):
     shard_dirs = sorted(d for d in os.listdir(path)
                         if d.startswith("shard="))
     assert shard_dirs == ["shard=0", "shard=1"], shard_dirs
+
+
+def test_consolidate_epochs_logs_spared_newest_and_small_table_noop(
+    spark, tmp_path, caplog
+):
+    """VERDICT r9 item 7: the two quiet decisions upto=None makes —
+    sparing the newest (possibly uncommitted) epoch, and refusing to
+    fold a <3-epoch table — must be VISIBLE in the logs so an operator
+    expecting full consolidation notices."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.sources.writers import (
+        consolidate_epochs,
+    )
+
+    logger = "pyspark_deduplication_spark.sources.writers"
+    path = str(tmp_path / "logtable")
+    for e, vals in ((0, [1]), (1, [2])):
+        (spark.createDataFrame([(v,) for v in vals], "v long")
+         .withColumn("epoch", F.lit(e))
+         .write.mode("append").partitionBy("epoch").parquet(path))
+    with caplog.at_level(logging.INFO, logger=logger):
+        assert consolidate_epochs(spark, path) == 0
+    assert any("nothing folded" in r.message for r in caplog.records)
+
+    caplog.clear()
+    (spark.createDataFrame([(3,)], "v long").withColumn("epoch", F.lit(2))
+     .write.mode("append").partitionBy("epoch").parquet(path))
+    with caplog.at_level(logging.INFO, logger=logger):
+        assert consolidate_epochs(spark, path) == 2
+    assert any("spares the newest epoch" in r.message
+               for r in caplog.records)

@@ -994,3 +994,23 @@ def test_streaming_fused_ingest_weighted_leg(spark, tmp_path):
     wsigs = spark.read.parquet(d3 + "_wsigs")
     assert {"whashes", "epoch"} <= set(wsigs.columns)
     assert sorted(r.doc_id for r in wsigs.collect()) == [1, 2, 11]
+
+
+def test_epoch_partitions_skips_non_integer_partition_dirs(spark, tmp_path):
+    """ADVICE r9: a non-integer epoch partition value (null epoch →
+    epoch=__HIVE_DEFAULT_PARTITION__, or a stray directory) must not
+    become a poison pill that fails every subsequent micro-batch —
+    coverage comparison skips it and keeps the integer epochs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.streaming.ops import _epoch_partitions
+
+    path = str(tmp_path / "eptable")
+    for e in (0, 3):
+        (spark.createDataFrame([(1,)], "v long").withColumn("epoch", F.lit(e))
+         .write.mode("append").partitionBy("epoch").parquet(path))
+    os.makedirs(f"{path}/epoch=__HIVE_DEFAULT_PARTITION__")
+    os.makedirs(f"{path}/epoch=stray")
+    assert _epoch_partitions(spark, path) == {0, 3}

@@ -348,3 +348,25 @@ def test_loss_delta_pruning_protects_irreplaceable_pieces(spark):
                        for c in w}
     for c in chars_in_corpus:
         assert c in rows and rows[c].is_char, c
+
+
+def test_encode_floor_must_match_model_quantization_scale(spark):
+    """VERDICT r9 item 7: with 1e8-quantized integer logprobs, an
+    UNSCALED -30 floor makes unseen single chars nearly free, flipping
+    segmentations against any real multi-char piece — the silent
+    cross-engine divergence the scaled floor parameter exists to
+    prevent. Pin both directions so the floor scale can never silently
+    regress."""
+    from pyspark_deduplication_spark.operators.unigram import unigram_encode
+
+    # 'q' is NOT a model piece; 'qq' is. Piece path costs -50e8; the
+    # two-unseen-chars path costs 2*floor.
+    pieces = spark.createDataFrame(
+        [("a", -1.0e8), ("qq", -50.0e8)], "piece string, logprob double")
+    docs = spark.createDataFrame([(1, "qq")], "doc_id long, text string")
+
+    scaled = unigram_encode(docs, pieces, char_floor_lp=-30.0 * 1e8)
+    assert scaled.collect()[0]["n_unigram_tokens"] == 1  # piece wins
+
+    unscaled = unigram_encode(docs, pieces, char_floor_lp=-30.0)
+    assert unscaled.collect()[0]["n_unigram_tokens"] == 2  # chars "win"
