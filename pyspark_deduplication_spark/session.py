@@ -40,6 +40,53 @@ def _default_driver_mem() -> str:
     return f"{max(1, min(8, _total_ram_gib() * 7 // 10))}g"
 
 
+def shuffle_partitions_for_bytes(
+    input_bytes: int,
+    target_partition_bytes: int = 128 << 20,
+    expansion: float = 1.0,
+    floor: int | None = None,
+    cap: int = 200_000,
+) -> int:
+    """Shuffle-partition count sized to the DATA, not the box:
+    ``ceil(input_bytes * expansion / target_partition_bytes)``, floored
+    at the local parallelism and capped against pathological inputs.
+
+    The fixed per-core default is right for fixture-sized runs but
+    misrepresents scale behavior: ``doc_dup_span_fraction`` measured a
+    1.06 sf1 exponent at the static 32 partitions and 0.93 at 128 —
+    post-shuffle partitions must track input size or per-partition state
+    (sort runs, hash tables) grows ∝ n and spills (VERDICT r9 item 4).
+    ``expansion`` converts what you can measure (compressed on-disk
+    bytes) into what actually shuffles: text shingling/gram explosion
+    runs ~two orders of magnitude over zstd-compressed parquet (each
+    token re-appears in k grams, decompressed), so the dedup families
+    size with ``expansion≈100``; plain columnar aggregations are ~3-8×.
+    On a cluster the same rule applies with input_bytes from table
+    metadata; AQE then coalesces DOWN cheaply, but it never splits an
+    undersized partition count UP, so the static conf must start high
+    enough."""
+    floor = floor if floor is not None else (os.cpu_count() or 8)
+    import math
+
+    need = math.ceil(max(0, input_bytes) * expansion
+                     / target_partition_bytes)
+    return max(1, max(floor, min(cap, int(need))))
+
+
+def dir_input_bytes(path: str) -> int:
+    """Total bytes under a local fixture directory (parquet payload for
+    sizing shuffle partitions in local runs/tools). Cluster deployments
+    read this from catalog/table metadata instead."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                continue
+    return total
+
+
 def get_spark(
     app_name: str = "pyspark_deduplication_spark",
     master: str | None = None,

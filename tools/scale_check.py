@@ -107,9 +107,29 @@ def main() -> None:
     runs = int(os.environ.get("SCALE_RUNS", "2"))
 
     from pyspark_deduplication_spark.queries import CATALOG
-    from pyspark_deduplication_spark.session import get_spark
+    from pyspark_deduplication_spark.session import (
+        dir_input_bytes,
+        get_spark,
+        shuffle_partitions_for_bytes,
+    )
 
     spark = get_spark("scale_check")
+    # Shuffle partitions track INPUT SIZE per fixture (VERDICT r9 item
+    # 4): the static per-core default under-partitions the scaled
+    # fixture (doc_dup_span_fraction: exponent 1.06 @32 vs 0.93 @128).
+    # Size on the tables the scale families actually read
+    # (documents+embeddings), with the measured ~100x gram-explosion
+    # factor over compressed parquet; at the base fixture this lands on
+    # the same 32 floor every earlier batch used, so exponents stay
+    # comparable across BASELINE.md batches.
+    parts_for = {
+        d: shuffle_partitions_for_bytes(
+            sum(dir_input_bytes(os.path.join(d, t))
+                for t in ("documents.parquet", "embeddings.parquet")),
+            target_partition_bytes=8 << 20, expansion=100.0)
+        for d in (base_dir, scaled_dir)
+    }
+    print(json.dumps({"shuffle_partitions": parts_for}), flush=True)
     variants = _knob_scaled_variants(factor)
 
     plan: list[tuple[str, object, object]] = []
@@ -124,6 +144,7 @@ def main() -> None:
             "noop").mode("overwrite").save()
 
     def timed(fn, d) -> float:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts_for[d]))
         best = math.inf
         for _ in range(runs):
             t0 = time.perf_counter()
