@@ -9469,10 +9469,14 @@ CATALOG: dict[str, Query] = {
                                         tags=["text", "tokens"]),
     "hll_distinct_rollup": Query(hll_distinct_rollup, None,
                                  tags=["profiling", "sketch"]),
-    # CMS frequency sketch probed by a sampled candidate set (r7)
-    "gram_heavy_hitters_cms": Query(gram_heavy_hitters_cms, None,
-                                    tags=["profiling", "sketch", "text",
-                                          "scale"]),
+    # The sampled-candidate CMS probe (gram_heavy_hitters_cms) is
+    # RETIRED from the catalog (VERDICT r9 item 6): its checked twin
+    # below is the same sketch pipeline under an oracle-gradable
+    # candidate convention, so the uncheckable original added a
+    # rows-only slot without adding verification. The function remains
+    # the production spelling (hash-sampled candidates scale to
+    # unbounded vocabularies; the exact-floor candidate set here needs
+    # an exact gram count) — pinned in test_sketches.py.
     # CMS estimates graded vs exact counts + never-undercount bound
     # (r9, VERDICT r8 item 7)
     "gram_heavy_hitters_cms_checked": Query(
@@ -9496,9 +9500,15 @@ CATALOG: dict[str, Query] = {
                                       tags=["dedup", "text", "stats"]),
     "minhash_candidates_docs": Query(minhash_candidates_docs, None,
                                      bench=True, tags=["dedup", "lsh"]),
-    # measured band-ladder recall vs exact Jaccard ground truth (r7)
-    "lsh_recall_report": Query(lsh_recall_report, None,
-                               tags=["dedup", "lsh", "stats", "scale"]),
+    # The xxhash64-family band-ladder (lsh_recall_report) is RETIRED
+    # from the catalog (VERDICT r9 item 6): the md5-family twin below
+    # grades the ENTIRE signature→band→score pipeline cross-engine, and
+    # any 2-universal stream family measures the same banding
+    # trade-off, so the production-hash original added a rows-only slot
+    # without adding verification. The function remains the production
+    # spelling (xxhash64 streams are ~3x cheaper per shingle) — ladder
+    # monotonicity + planted-pair recall pinned in
+    # test_dedup.py::test_lsh_recall_ladder_monotone_and_complete_on_planted.
     "lsh_recall_report_md5": Query(lsh_recall_report_md5,
                                    _LSH_RECALL_MD5_ORACLE,
                                    tags=["dedup", "lsh", "stats"]),
