@@ -9908,67 +9908,70 @@ CATALOG: dict[str, Query] = {
 # tools/grade_window.py lists them). Rows-only entries stay after
 # position 50 so no graded slot records err:"no_oracle".
 _GRADED_ORDER = [
-    # (a) new this round (r9), never graded — VERDICT r8 items 5 & 7
-    # plus the three-signal fused twin of the new weighted_threshold leg
-    "incremental_weighted_minhash_docs_exact",  # exact-probe inc. ICWS twin
-    "gram_heavy_hitters_cms_checked",  # CMS vs exact + never-undercount
-    "fused_dedup_docs_weighted",       # lex ∪ sem ∪ tf-weighted closure
-    # (b) stale-queue burn-down, oldest first (VERDICT r8 item 3): the
-    # ENTIRE r3-r5 queue — 24 rotations; every oracle-backed entry's
-    # last grade is then ≥ r6
-    "order_value_stats",               # r3 …
-    "pii_redaction_report",
-    "pretoken_budget_by_segment",
-    "quality_filter_docs",
-    "quality_weighted_sample",
-    "scd2_user_state_intervals",
-    "session_conversion_stats",
-    "set_ops_customer_segments",
-    "similarity_graph_degrees",
-    "top_word_trigrams",
-    "union_evolved_schemas",
-    "unpivot_part_metrics",            # … end of the r3 block
-    "customer_balance_ranks",          # r4 …
-    "dedup_full_row",
-    "doc_chunks",
-    "lineitem_running_totals",
-    "ntile_customer_value",
-    "q21_late_sole_suppliers",
-    "yearly_revenue_growth",           # … end of the r4 block
-    "doc_fingerprint_dedup",           # r5 …
-    "levenshtein_links_parts",
-    "source_capped_corpus",
-    "stratified_sample_docs",
-    "winnow_near_dup_docs",            # … end of the r5 block
-    # (c) canaries: the alphabetical head of the r6 block (now 3
-    # rounds old — the next stale frontier), which happens to cover
-    # this round's touched families (dedup/fused/weighted canaries:
-    # dedup_exact_parts, doc_dup_span_fraction, fuzzy_*,
-    # cross_source_dup_matrix, duplicate_pressure_by_source,
-    # media_dedup_by_content); the r6 tail (16) + r7 queue for r10
-    "asof_purchases_to_errors",
-    "bpe_first_merge_pairs",
-    "corpus_mixture_plan",
-    "corpus_mixture_waterfill",
-    "cross_source_dup_matrix",
-    "cross_table_entity_match",
+    # (a) changed this round (r10): the RFM rework (distributed
+    # quartile cut-points + map-only banding replaces the three global
+    # ntile windows — VERDICT r9 item 2) must re-grade under its new
+    # value-banding oracle
     "customer_rfm_segments",
-    "daily_revenue_trailing_week",
-    "dedup_exact_parts",
-    "doc_dup_span_fraction",
-    "doc_tfidf_top_terms",
-    "doc_token_stats",
-    "doc_unigram_logprob",
-    "domain_capped_corpus",
-    "dq_orders_report",
-    "duplicate_pressure_by_source",
-    "epoch_shuffle_docs",
-    "events_sessionize",
-    "fuzzy_clusters_parts",
-    "fuzzy_pairs_blocked_parts",
-    "lineitem_price_quantiles",
-    "media_dedup_by_content",
-    "pack_training_sequences",
+    # (b) stale-queue burn-down (VERDICT r9 item 1): the ENTIRE
+    # remaining r6 queue — after this window, no oracle-backed entry's
+    # last grade is older than r7
+    "pivot_year_flag_revenue",
+    "price_quantity_stats",
+    "profile_customer_columns",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q1_sql_surface",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "remove_dup_spans_docs",
+    "rollup_order_stats",
+    "salted_agg_returnflag",
+    "streaming_enrich_user_tier",
+    "streaming_hourly_windows",
+    "topk_parts_per_brand_agg",
+    "train_val_test_split_docs",
+    "url_canonical_customers",         # … end of the r6 queue
+    # (c) targeted canaries for machinery this round TOUCHES: the
+    # scalable-rank recipe now also carries the RFM cut-points
+    # (surrogate_ids_*), and the ICWS exact anchor heads the r10 sf1
+    # scaling batch (weighted family)
+    "surrogate_ids_parts",
+    "surrogate_ids_scalable_parts",
+    "weighted_jaccard_pairs_exact",
+    # (d) the r7 frontier (next-oldest grades), alphabetical head —
+    # 29 of 43; the tail (q22_dormant_customers …
+    # windowed_collect_set_parts, 11 entries) queues for r11
+    "asof_forward_tolerance",
+    "chunk_retrieval_eval",
+    "corpus_health_by_source",
+    "corpus_mixture_execute",
+    "curation_pipeline_docs",
+    "decontaminate_against_src0",
+    "doc_bigram_perplexity",
+    "doc_hashed_quality_score",
+    "doc_quality_scores",
+    "doc_trained_quality_score",
+    "doc_trigram_perplexity",
+    "embedding_near_dups",
+    "embedding_norm_sketch",
+    "events_gapfill_hourly",
+    "golden_customer_records",
+    "grouping_sets_order_revenue",
+    "hard_negative_mining_embeddings",
+    "incremental_decontaminate_docs",
+    "incremental_dup_span_removal_docs",
+    "knn_label_accuracy",
+    "leakage_safe_split_docs",
+    "merge_upsert_customers",
+    "order_interarrival_stats",
+    "order_priority_pivot",
+    "part_size_histogram",
+    "q12_priority_by_quantity_band",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

@@ -89,11 +89,29 @@ def _knob_scaled_variants(factor: int):
                 n_cells=n_cells, max_bucket_size=4096, max_cell_size=4096)
         return q
 
+    def fused_weighted(n_cells):
+        # the three-signal production operator (r9 weighted_threshold
+        # leg): lexical MinHash ∪ semantic cells ∪ tf-weighted ICWS,
+        # one CC pass — cells knob-scaled like the two-signal variant
+        def q(spark, sf_dir):
+            docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+            emb = _t(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("doc_id"), "embedding")
+            both = docs.join(emb, "doc_id")
+            return fused_dedup(
+                both, "doc_id", "text", "embedding",
+                jaccard_threshold=0.7, cosine_threshold=0.7,
+                n_cells=n_cells, max_bucket_size=4096, max_cell_size=4096,
+                weighted_threshold=0.5)
+        return q
+
     return {
         "semantic_dedup_embeddings@scaled": (sem(8), sem(8 * factor)),
         "incremental_semantic_dedup_embeddings@scaled":
             (inc_sem(8), inc_sem(8 * factor)),
         "fused_dedup_docs@scaled": (fused(8), fused(8 * factor)),
+        "fused_dedup_docs_weighted@scaled":
+            (fused_weighted(8), fused_weighted(8 * factor)),
     }
 
 

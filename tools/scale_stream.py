@@ -1,0 +1,143 @@
+"""sf1 streaming-ingest scaling checkpoint (VERDICT r9 item 3): drive
+``streaming_fused_ingest`` END-TO-END — file-source micro-batches →
+three-signal probe → epoch-partitioned artifacts — over the base and
+``factor``×-scaled fixtures, and report wall-clock plus the scaling
+exponent ``ln(t_scaled/t_base)/ln(factor)``.
+
+The semantic leg's ``n_cells`` knob grows with the factor at the scaled
+fixture (the ``@scaled`` convention of ``tools/scale_check.py`` —
+constant expected cell size, i.e. how a 100 TB deployment configures
+it), and shuffle partitions track input bytes via
+``session.shuffle_partitions_for_bytes``.
+
+After each timed run the MinHash signature index is DELETED and one
+extra batch ingested — the heal-before-trust contract
+(``streaming/ops.py::_sig_indexed_dedup_ingest`` family) must rebuild
+index coverage for every standing corpus epoch, exercising
+epoch-coverage healing at 10× the only sizes pytest drives. The script
+asserts indexed epochs == corpus epochs afterward.
+
+Usage:
+    python tools/scale_stream.py [BASE_DIR] [SCALED_DIR] [FACTOR] [N_BATCHES]
+    SPARK_GRAFT_DRIVER_MEM=48g recommended for the sf1 leg.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORK = "/tmp/scale_stream"
+
+
+def _prep_sources(spark, sf_dir: str, tag: str, n_batches: int) -> str:
+    """Join documents+embeddings and split into n_batches parquet files
+    (one micro-batch each under maxFilesPerTrigger=1)."""
+    from pyspark.sql import functions as F
+
+    src = f"{WORK}/{tag}/src"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding")
+    both = docs.join(emb, "doc_id")
+    for i in range(n_batches):
+        (both.filter(F.col("doc_id") % n_batches == i)
+         .coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}"))
+    return src
+
+
+def _run_ingest(spark, src: str, tag: str, n_cells: int,
+                timeout_sec: int = 3600) -> str:
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_fused_ingest,
+    )
+
+    schema = spark.read.parquet(f"{src}/f0").schema
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    corpus_dir = f"{WORK}/{tag}/corpus"
+    q = streaming_fused_ingest(
+        stream, corpus_dir, f"{WORK}/{tag}/ckpt_{int(time.time()*1e6)}",
+        jaccard_threshold=0.7, cosine_threshold=0.95,
+        n_cells=n_cells, weighted_threshold=0.5)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError(f"{tag}: ingest did not finish in {timeout_sec}s")
+    return corpus_dir
+
+
+def main() -> None:
+    base_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scaled_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfscale/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    n_batches = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+
+    from pyspark_deduplication_spark.session import (
+        dir_input_bytes,
+        get_spark,
+        shuffle_partitions_for_bytes,
+    )
+    from pyspark_deduplication_spark.streaming.ops import _epoch_partitions
+
+    spark = get_spark("scale_stream")
+    shutil.rmtree(WORK, ignore_errors=True)
+
+    rows = []
+    for tag, d, cells in (("base", base_dir, 16),
+                          ("scaled", scaled_dir, 16 * factor)):
+        parts = shuffle_partitions_for_bytes(
+            sum(dir_input_bytes(os.path.join(d, t))
+                for t in ("documents.parquet", "embeddings.parquet")),
+            target_partition_bytes=8 << 20, expansion=100.0)
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        src = _prep_sources(spark, d, tag, n_batches)
+
+        t0 = time.perf_counter()
+        corpus_dir = _run_ingest(spark, src, tag, cells)
+        elapsed = time.perf_counter() - t0
+
+        n_corpus = spark.read.parquet(corpus_dir).count()
+        corpus_epochs = _epoch_partitions(spark, corpus_dir)
+
+        # heal exercise (untimed): kill the MinHash signature index,
+        # ingest ONE more batch — heal-before-trust must backfill every
+        # corpus epoch before the probe trusts the index
+        shutil.rmtree(corpus_dir + "_sigs")
+        extra = spark.read.parquet(f"{src}/f0").limit(50)
+        extra.coalesce(1).write.mode("overwrite").parquet(f"{src}/f_extra")
+        _run_ingest(spark, src, tag, cells)
+        healed = _epoch_partitions(spark, corpus_dir + "_sigs")
+        post_epochs = _epoch_partitions(spark, corpus_dir)
+        assert corpus_epochs <= healed, (
+            f"{tag}: heal left index epochs {sorted(healed)} behind "
+            f"corpus epochs {sorted(post_epochs)}")
+
+        rows.append({"fixture": tag, "dir": d, "n_cells": cells,
+                     "shuffle_partitions": parts,
+                     "n_batches": n_batches,
+                     "corpus_rows": n_corpus,
+                     "wall_sec": round(elapsed, 2),
+                     "heal_epochs_ok": True})
+        print(json.dumps(rows[-1]), flush=True)
+
+    t_base, t_scaled = rows[0]["wall_sec"], rows[1]["wall_sec"]
+    print(json.dumps({
+        "metric": "streaming_fused_ingest_sf1_scaling",
+        "factor": factor,
+        "t_base_sec": t_base,
+        "t_scaled_sec": t_scaled,
+        "ratio": round(t_scaled / t_base, 2),
+        "exponent": round(math.log(t_scaled / t_base) / math.log(factor), 2),
+    }), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
