@@ -74,9 +74,15 @@ def shuffle_partitions_for_bytes(
 
 
 def dir_input_bytes(path: str) -> int:
-    """Total bytes under a local fixture directory (parquet payload for
-    sizing shuffle partitions in local runs/tools). Cluster deployments
-    read this from catalog/table metadata instead."""
+    """Total bytes under a local fixture path — a directory tree or a
+    single file (the driver fixtures are single ``<table>.parquet``
+    files) — for sizing shuffle partitions in local runs/tools. Cluster
+    deployments read this from catalog/table metadata instead."""
+    if os.path.isfile(path):
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return 0
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:

@@ -137,4 +137,6 @@ def test_shuffle_partitions_track_input_bytes(tmp_path):
     (d / "a.bin").write_bytes(b"x" * 100)
     (d / "sub" / "b.bin").write_bytes(b"y" * 50)
     assert dir_input_bytes(str(d)) == 150
+    # driver fixtures are single files, not directories — must size too
+    assert dir_input_bytes(str(d / "a.bin")) == 100
     assert dir_input_bytes(str(tmp_path / "missing")) == 0
