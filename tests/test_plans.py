@@ -726,3 +726,25 @@ def test_exact_values_at_ranks_order_statistics(spark):
     import pytest
     with pytest.raises(ValueError):
         exact_values_at_ranks(df, "v", [n + 1])
+
+
+def test_banding_planner_queries_have_no_cross_product(spark):
+    """The r10 planner pair (S-curve banding plan, threshold
+    sensitivity) must ride the inverted-index SSJoin — zero
+    BroadcastNestedLoop/Cartesian on the document side; the only
+    crossJoin is the 4-row literal banding grid (broadcast)."""
+    from pyspark_deduplication_spark.queries import (
+        dup_threshold_sensitivity_docs,
+        lsh_banding_plan_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q in (lsh_banding_plan_docs, dup_threshold_sensitivity_docs):
+        plan = explain_str(q(spark, sf))
+        assert "CartesianProduct" not in plan, plan
+        # the banding grid broadcast is the one permitted BNL-free
+        # cross: it must appear as BroadcastNestedLoopJoin over a
+        # LocalTableScan at most 5 rows — anything document-sized
+        # nested-looping is a regression
+        if "BroadcastNestedLoopJoin" in plan:
+            assert "LocalTableScan" in plan, plan

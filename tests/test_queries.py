@@ -253,3 +253,40 @@ def test_fused_dedup_coarsens_both_single_signal_partitions(spark, sf_dir):
                               len(set(sem_c.values()))) or (
         len(set(lex_c.values())) == len(set(sem_c.values()))
         == n_fused_keep)
+
+
+def test_lsh_banding_plan_s_curve_math(spark):
+    """The planner's S-curve must match the closed form on a planted
+    pair set, and recall must be monotone in bands (more, narrower
+    bands → higher collision probability at fixed hash budget)."""
+    import math
+
+    from pyspark_deduplication_spark.queries import lsh_banding_plan_docs
+
+    rows = {(r["bands"], r["rows_per_band"]): r
+            for r in lsh_banding_plan_docs(
+                spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {(4, 16), (8, 8), (16, 4), (32, 2)}
+    for (b, r), row in rows.items():
+        assert abs(row["s_star"] - (1.0 / b) ** (1.0 / r)) < 1e-6
+        assert 0.0 <= row["exp_recall_target"] <= 1.0
+    recalls = [rows[k]["exp_recall_target"]
+               for k in ((4, 16), (8, 8), (16, 4), (32, 2))]
+    assert recalls == sorted(recalls), recalls
+
+
+def test_dup_threshold_sensitivity_monotone(spark):
+    """Pairs and affected docs must be non-increasing in the threshold
+    — each rung's set is a subset of the rung below."""
+    from pyspark_deduplication_spark.queries import (
+        dup_threshold_sensitivity_docs,
+    )
+
+    rows = dup_threshold_sensitivity_docs(
+        spark, "/root/testdata/sf0.001").collect()
+    ts = [r["threshold"] for r in rows]
+    assert ts == sorted(ts) and ts[0] == 0.5
+    pairs = [r["n_pairs"] for r in rows]
+    docs = [r["n_docs_affected"] for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)

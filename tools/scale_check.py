@@ -152,6 +152,13 @@ def main() -> None:
 
     plan: list[tuple[str, object, object]] = []
     for n in names:
+        if n.endswith("@scaled"):
+            # @scaled-only: run just the knob-scaled deployment variant
+            # (skip re-measuring an as-cataloged spelling whose fixture
+            # parameterization is already classified, e.g. the
+            # label-blocked fused twins' by-construction super-linearity)
+            plan.append((n, *variants[n]))
+            continue
         plan.append((n, CATALOG[n].fn, CATALOG[n].fn))
         if n + "@scaled" in variants:
             plan.append((n + "@scaled", *variants[n + "@scaled"]))
