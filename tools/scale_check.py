@@ -168,10 +168,23 @@ def main() -> None:
         CATALOG["minhash_dedup_docs"].fn(spark, d).write.format(
             "noop").mode("overwrite").save()
 
+    def _clean() -> None:
+        # bench.py's inter-query GC, same reason (r9): ContextCleaner
+        # reclaims dead shuffle/broadcast/checkpoint blocks only on JVM
+        # GC, which goes quiet on a big heap — blocks from earlier
+        # queries in the batch congest late rows (doc_dup_span_fraction
+        # read exponent 1.27 in-batch behind the fused CC loop vs 0.85
+        # solo-warm, r10). One explicit GC outside the timed window.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     def timed(fn, d) -> float:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts_for[d]))
         best = math.inf
         for _ in range(runs):
+            _clean()
             t0 = time.perf_counter()
             fn(spark, d).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
