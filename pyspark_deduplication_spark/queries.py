@@ -2380,9 +2380,13 @@ def lsh_banding_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       1.0 / F.col("rows_per_band")), 6).alias("s_star"),
         F.col("n_target_pairs").cast("long").alias("n_target_pairs"),
         F.col("n_gray_pairs").cast("long").alias("n_gray_pairs"),
-        F.round(F.col("__tq") / (F.col("n_target_pairs") * 1e6), 6)
+        # empty strata → NULL (matches DuckDB's empty-FILTER sum), not
+        # an ANSI divide-by-zero
+        F.round(F.when(F.col("n_target_pairs") > 0,
+                       F.col("__tq") / (F.col("n_target_pairs") * 1e6)), 6)
         .alias("exp_recall_target"),
-        F.round(F.col("__gq") / (F.col("n_gray_pairs") * 1e6), 6)
+        F.round(F.when(F.col("n_gray_pairs") > 0,
+                       F.col("__gq") / (F.col("n_gray_pairs") * 1e6)), 6)
         .alias("exp_gray_hit_rate"),
     ).orderBy("bands")
 
@@ -2433,12 +2437,18 @@ shingles AS MATERIALIZED (
   FROM toks
 ),
 pairs AS MATERIALIZED (
+  -- size-ratio prefilter is EXACT for J >= 0.5: |A∩B| <= min and
+  -- |A∪B| >= max force J <= min/max, so J >= 0.5 requires
+  -- max <= 2*min — integer predicate evaluated BEFORE the list ops
   SELECT id_a, id_b, jaccard_sim FROM (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                  / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
                         AS DOUBLE), 6) AS jaccard_sim
-    FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id)
+    FROM shingles a JOIN shingles b
+      ON a.doc_id < b.doc_id
+     AND len(a.grams) <= 2 * len(b.grams)
+     AND len(b.grams) <= 2 * len(a.grams))
   WHERE jaccard_sim >= 0.5
 )
 """
@@ -2461,9 +2471,12 @@ SELECT bands, rows_per_band,
        round(power(1.0 / bands, 1.0 / rows_per_band), 6) AS s_star,
        CAST(sum(is_target) AS BIGINT) AS n_target_pairs,
        CAST(sum(1 - is_target) AS BIGINT) AS n_gray_pairs,
-       round(sum(pq * is_target) / (sum(is_target) * 1e6), 6)
+       round(CASE WHEN sum(is_target) > 0
+                  THEN sum(pq * is_target) / (sum(is_target) * 1e6) END, 6)
          AS exp_recall_target,
-       round(sum(pq * (1 - is_target)) / (sum(1 - is_target) * 1e6), 6)
+       round(CASE WHEN sum(1 - is_target) > 0
+                  THEN sum(pq * (1 - is_target))
+                       / (sum(1 - is_target) * 1e6) END, 6)
          AS exp_gray_hit_rate
 FROM scored
 GROUP BY bands, rows_per_band
