@@ -526,14 +526,20 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate removal: LSH candidates → exact-Jaccard verify at
     ``threshold`` → connected components over the surviving pair graph →
-    keep the min-id doc per component. Returns the deduplicated frame."""
+    keep the min-id doc per component. Returns the deduplicated frame.
+    ``max_bucket_size`` forwards the m² skew cap (``_cap_buckets``) —
+    arm it (e.g. 4096) on corpora that may contain degenerate
+    mega-buckets; the incremental/fused family members arm it by
+    default at their call sites."""
     from pyspark_deduplication_spark.operators.linkage import connected_components
 
     edges = minhash_candidate_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_size
+        df, text_col, id_col, num_hashes, bands, shingle_size,
+        max_bucket_size=max_bucket_size,
     ).filter(F.col("jaccard_sim") >= threshold)
     comps = connected_components(edges, "id_a", "id_b")  # (node, component)
     losers = comps.filter(F.col("node") != F.col("component")).select(
@@ -723,14 +729,17 @@ def weighted_minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate removal under tf-weighted Jaccard: ICWS-LSH
     candidates → exact Σmin/Σmax verify at ``threshold`` → connected
-    components → keep the min-id doc per component."""
+    components → keep the min-id doc per component. ``max_bucket_size``
+    forwards the shared m² skew cap, as in :func:`minhash_dedup`."""
     from pyspark_deduplication_spark.operators.linkage import connected_components
 
     edges = weighted_minhash_candidate_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_size
+        df, text_col, id_col, num_hashes, bands, shingle_size,
+        max_bucket_size=max_bucket_size,
     ).filter(F.col("weighted_jaccard_sim") >= threshold)
     comps = connected_components(edges, "id_a", "id_b")
     losers = comps.filter(F.col("node") != F.col("component")).select(

@@ -1116,7 +1116,8 @@ def minhash_candidates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
         minhash_candidate_pairs(docs, "text", "doc_id",
-                                num_hashes=64, bands=16, shingle_size=3)
+                                num_hashes=64, bands=16, shingle_size=3,
+                                max_bucket_size=4096)
         .filter(F.col("jaccard_sim") >= 0.7)
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
     )
@@ -1935,7 +1936,8 @@ def weighted_jaccard_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        weighted_minhash_candidate_pairs(docs, num_hashes=64, bands=16)
+        weighted_minhash_candidate_pairs(docs, num_hashes=64, bands=16,
+                                         max_bucket_size=4096)
         .filter(F.col("weighted_jaccard_sim") >= 0.5)
         .select("id_a", "id_b",
                 F.round("weighted_jaccard_sim", 6)
