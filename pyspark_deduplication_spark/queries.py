@@ -950,6 +950,98 @@ FROM base
 """
 
 
+def gopher_quality_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021, Appendix A —
+    public recipe) as a per-rule pass/fail REPORT over the corpus: word
+    count in [50, 100k], mean word length in [3, 10], ≥80 % of words
+    containing an alphabetic character, ≥2 distinct stopwords present
+    (their required-word heuristic over this engine's stopword set),
+    plus the conjunction row an operator reads as "what would the
+    Gopher filter keep here". The thresholds are the paper's; the
+    tokenizer is the engine's 3-regex normalizer (staged ONCE — the
+    tokenize-staging rule), so the report measures the rules as THIS
+    pipeline would apply them.
+
+    Scale shape: one map pass builds five booleans per doc, one
+    aggregate sums them; the long form unpivots a single 1-row
+    aggregate (``stack``). No shuffle carries text."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(tokenize(F.col("text")), lambda w: F.length(w) > 0)
+    staged = docs.select(F.col("doc_id"), toks.alias("__toks"))
+    n = F.size("__toks")
+    sum_len = F.aggregate(
+        F.transform(F.col("__toks"), F.length),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    mean_len = sum_len.cast("double") / n.cast("double")
+    alpha = F.size(F.filter(F.col("__toks"),
+                            lambda w: w.rlike("[a-z]")))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.col("__toks")),
+        F.array(*[F.lit(s) for s in ("the", "and", "of", "to", "a")])))
+    r1 = (n >= 50) & (n <= 100000)
+    r2 = (n > 0) & (mean_len >= 3.0) & (mean_len <= 10.0)
+    r3 = (n > 0) & (alpha.cast("double") / n.cast("double") >= 0.8)
+    r4 = stop_hits >= 2
+    rules = {"word_count_50_100k": r1, "mean_word_len_3_10": r2,
+             "alpha_word_frac_80": r3, "stopword_hits_2": r4,
+             "all_rules": r1 & r2 & r3 & r4}
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(c.cast("int")).cast("long").alias(f"__{k}")
+          for k, c in rules.items()])
+    stack = ", ".join(f"'{k}', `__{k}`" for k in rules)
+    return (
+        agg.select("__n", F.expr(
+            f"stack({len(rules)}, {stack}) AS (rule, n_pass)"))
+        .select("rule", "n_pass",
+                F.col("__n").alias("n_docs"),
+                F.round(F.col("n_pass") / F.col("__n").cast("double"), 6)
+                .alias("pass_rate"))
+        .orderBy("rule")
+    )
+
+
+_GOPHER_RULES_ORACLE = f"""
+WITH base AS (
+  SELECT list_filter({_TOKENS_SQL}, w -> len(w) > 0) AS t
+  FROM documents
+),
+per_doc AS (
+  SELECT len(t) AS n,
+         CASE WHEN len(t) > 0
+              THEN CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE) END AS mean_len,
+         CASE WHEN len(t) > 0
+              THEN CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                        AS DOUBLE) / CAST(len(t) AS DOUBLE) END AS alpha_frac,
+         len(list_filter(['the', 'and', 'of', 'to', 'a'],
+                         s -> list_contains(t, s))) AS stop_hits
+  FROM base
+),
+flags AS (
+  SELECT CAST(n >= 50 AND n <= 100000 AS INT) AS r1,
+         CAST(n > 0 AND mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS r2,
+         CAST(n > 0 AND alpha_frac >= 0.8 AS INT) AS r3,
+         CAST(stop_hits >= 2 AS INT) AS r4
+  FROM per_doc
+),
+agg AS (
+  SELECT count(*) AS n_docs,
+         sum(r1) AS word_count_50_100k, sum(r2) AS mean_word_len_3_10,
+         sum(r3) AS alpha_word_frac_80, sum(r4) AS stopword_hits_2,
+         sum(r1 * r2 * r3 * r4) AS all_rules
+  FROM flags
+)
+SELECT rule, CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_pass / CAST(n_docs AS DOUBLE), 6) AS pass_rate
+FROM agg
+UNPIVOT (n_pass FOR rule IN (word_count_50_100k, mean_word_len_3_10,
+                             alpha_word_frac_80, stopword_hits_2,
+                             all_rules))
+"""
+
+
 def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical corpus-curation step: drop documents below a quality
     threshold, report per-language retention."""
@@ -9878,6 +9970,10 @@ CATALOG: dict[str, Query] = {
     "corpus_dedup_pipeline": Query(corpus_dedup_pipeline, None,
                                    bench=True, tags=["dedup", "pipeline"]),
     # corpus curation
+    # the published Gopher rule set as a per-rule corpus report (r10)
+    "gopher_quality_rules_docs": Query(
+        gopher_quality_rules_docs, _GOPHER_RULES_ORACLE,
+        tags=["text", "quality", "stats"]),
     "quality_filter_docs": Query(quality_filter_docs, _QUALITY_FILTER_ORACLE,
                                  tags=["text", "pipeline"]),
     "media_dedup_by_content": Query(media_dedup_by_content,
@@ -10111,6 +10207,7 @@ _GRADED_ORDER = [
     "customer_rfm_segments",
     "lsh_banding_plan_docs",
     "dup_threshold_sensitivity_docs",
+    "gopher_quality_rules_docs",
     # (b) stale-queue burn-down (VERDICT r9 item 1): the ENTIRE
     # remaining r6 queue — after this window, no oracle-backed entry's
     # last grade is older than r7
@@ -10168,7 +10265,6 @@ _GRADED_ORDER = [
     "order_priority_pivot",
     "part_size_histogram",
     "q12_priority_by_quantity_band",
-    "q13_customer_distribution",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

@@ -290,3 +290,22 @@ def test_dup_threshold_sensitivity_monotone(spark):
     docs = [r["n_docs_affected"] for r in rows]
     assert pairs == sorted(pairs, reverse=True)
     assert docs == sorted(docs, reverse=True)
+
+
+def test_gopher_rules_report_conjunction_bound(spark):
+    """The all_rules row is the conjunction: its pass count can never
+    exceed any individual rule's, and rates are exact count ratios."""
+    from pyspark_deduplication_spark.queries import gopher_quality_rules_docs
+
+    rows = {r["rule"]: r for r in gopher_quality_rules_docs(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"word_count_50_100k", "mean_word_len_3_10",
+                         "alpha_word_frac_80", "stopword_hits_2",
+                         "all_rules"}
+    n_docs = {r["n_docs"] for r in rows.values()}
+    assert len(n_docs) == 1 and n_docs.pop() == 500
+    for k, r in rows.items():
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        assert abs(r["pass_rate"] - round(r["n_pass"] / r["n_docs"], 6)) < 1e-9
+        if k != "all_rules":
+            assert rows["all_rules"]["n_pass"] <= r["n_pass"]
