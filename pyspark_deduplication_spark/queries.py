@@ -10236,9 +10236,10 @@ _GRADED_ORDER = [
     "surrogate_ids_scalable_parts",
     "weighted_jaccard_pairs_exact",
     # (d) the r7 frontier (next-oldest grades), alphabetical head —
-    # 29 of 43; the tail (q14_promo_revenue, q17_small_quantity_revenue,
-    # q22_dormant_customers …
-    # windowed_collect_set_parts, 11 entries) queues for r11
+    # 26 of 43; the tail (q13_customer_distribution, q14_promo_revenue,
+    # q17_small_quantity_revenue, q22_dormant_customers …
+    # windowed_collect_set_parts — 14 entries) queues for r11, making
+    # room for the three never-graded r10 additions in block (a)
     "asof_forward_tolerance",
     "chunk_retrieval_eval",
     "corpus_health_by_source",
