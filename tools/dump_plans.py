@@ -58,7 +58,25 @@ NOTES = {
     "hard_negative_mining_embeddings": "bounded (id, vector, label) query set broadcast; corpus scans in place; label + dup-ceiling exclusions filter BEFORE the top-k window",
     "fused_dedup_docs": "both edge generators ARE the single-signal queries (one spelling each); the union moves bare id pairs; CC is pointer-doubling over ids",
     "embedding_norm_sketch": "row-local L2 norms; ONE group-key exchange shared by the tag-collapse and rank windows; estimation on the bounded sketch",
+    "customer_rfm_segments": "quartile cut-points computed in separate model-state jobs (range-partition rank machinery); the RETURNED plan is the per-customer aggregate + broadcast scalar ref + map-only band CASE — zero Window nodes, no ntile (r10 rework)",
+    "lsh_banding_plan_docs": "exact pair set via the inverted-index SSJoin (no BNL); 4-row banding grid broadcast-crossed onto the pair aggregate; probabilities quantized to BIGINT before the sum",
+    "dup_threshold_sensitivity_docs": "one inverted-index pass at the lowest rung; pairs explode over cleared rungs (no per-rung re-scan); two hash aggregates join on the 5-row rung key",
+    "gopher_quality_rules_docs": "one map pass builds five booleans per doc; one aggregate sums them; stack unpivots the 1-row result — no shuffle carries text",
 }
+
+HEADER_NOTES = """
+r9 planning-layer note: iterative checkpoints (`linkage._checkpoint`,
+used by every connected-components consumer) now STRIP the inherited
+sizeInBytes estimate — checkpoint copies the origin plan's stats, and
+the default join estimate is a product of child sizes, so CC rounds
+compounded it into BigIntegers past the 2^31-bit ceiling at sf0.1+
+(Catalyst then burned minutes of million-digit arithmetic per stats
+call with executors idle). Stripping resets leaves to
+defaultSizeInBytes; join strategies are unaffected because AQE picks
+them from runtime shuffle sizes (pinned:
+`test_linkage.py::test_checkpoint_strips_inherited_stats`; measured:
+`fused_dedup_docs` at sf0.1 >10 min hang → 66 s).
+"""
 
 
 def main() -> None:
@@ -75,6 +93,7 @@ def main() -> None:
         "scale-invariant; AQE finalizes after execution). These are the plans",
         'the engine is DESIGNED to produce — "the plan you\'d want, not the',
         'first one that passed" — and tests/test_plans.py pins the properties.\n',
+        HEADER_NOTES.strip() + "\n",
     ]
     for name, note in NOTES.items():
         df = CATALOG[name].fn(spark, sf)
