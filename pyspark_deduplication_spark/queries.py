@@ -2449,9 +2449,13 @@ def lsh_banding_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the exact pair set comes from the inverted-index
     SSJoin (zero BNL) at the 0.5 prefix rung; the banding grid is 4
-    literal rows broadcast over the pair aggregate — the corpus is
-    touched once."""
-    pairs = _exact_jaccard_pairs(spark, sf_dir, 0.5).localCheckpoint()
+    literal rows broadcast-expanded in-stream into ONE aggregate — the
+    pair set is consumed in a single pass, so nothing is checkpointed
+    or cached and DataFrame construction is execution-free (ADVICE r10:
+    the former eager localCheckpoint made plan-only consumers run the
+    whole SSJoin just to explain it — and with AQE even eager=False
+    materializes the upstream stages)."""
+    pairs = _exact_jaccard_pairs(spark, sf_dir, 0.5)
     grid = spark.createDataFrame(
         [(4, 16), (8, 8), (16, 4), (32, 2)], "bands int, rows_per_band int")
     j = F.col("jaccard_sim")
@@ -2496,26 +2500,34 @@ def dup_threshold_sensitivity_docs(
     each step). One inverted-index pass at the lowest rung feeds every
     rung (pairs explode over the rungs they clear — no per-rung
     re-scan); ``affected_frac`` is the fraction of the corpus touched.
-    """
-    pairs = _exact_jaccard_pairs(spark, sf_dir, 0.5).localCheckpoint()
-    n_docs = _t(spark, sf_dir, "documents").count()  # model-state scalar
+
+    Single-pass shape: each cleared (pair, rung) row explodes into its
+    two endpoint ids, so ONE groupBy(threshold) yields both counts
+    (``n_pairs = rows/2`` exactly, ``n_docs_affected`` a distinct count)
+    — the pair set is consumed once, nothing is checkpointed, and
+    construction is execution-free for plan-only consumers (ADVICE r10;
+    the corpus denominator is an in-plan 1-row broadcast scalar, not a
+    construction-time ``.count()``)."""
+    pairs = _exact_jaccard_pairs(spark, sf_dir, 0.5)
+    n_docs_df = _t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"))
     rungs = F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
     cleared = pairs.select(
         "id_a", "id_b",
         F.explode(F.filter(rungs, lambda t: F.col("jaccard_sim") >= t))
         .alias("threshold"))
-    ids = cleared.select("threshold", F.col("id_a").alias("doc_id")).unionAll(
-        cleared.select("threshold", F.col("id_b").alias("doc_id")))
-    per_pairs = cleared.groupBy("threshold").agg(
-        F.count(F.lit(1)).alias("n_pairs"))
-    per_docs = ids.groupBy("threshold").agg(
+    ids = cleared.select(
+        "threshold",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id"))
+    agg = ids.groupBy("threshold").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
         F.count_distinct("doc_id").alias("n_docs_affected"))
     return (
-        per_pairs.join(per_docs, "threshold")
+        agg.crossJoin(F.broadcast(n_docs_df))
         .select(
             F.round("threshold", 1).cast("double").alias("threshold"),
             "n_pairs", "n_docs_affected",
-            F.round(F.col("n_docs_affected") / F.lit(float(n_docs)), 6)
+            F.round(F.col("n_docs_affected") / F.col("__n_docs"), 6)
             .alias("affected_frac"),
         )
         .orderBy("threshold")

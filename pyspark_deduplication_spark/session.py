@@ -16,17 +16,44 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _cgroup_limit_bytes() -> int | None:
+    """Container memory cap, if one applies: cgroup v2 ``memory.max``
+    or v1 ``memory.limit_in_bytes``. Returns None when unlimited or
+    unreadable. Needed because ``os.sysconf`` reports the HOST's
+    physical RAM — exactly wrong inside a capped CI container sitting
+    on a big host (ADVICE r10)."""
+    for path in ("/sys/fs/cgroup/memory.max",
+                 "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            raw = open(path).read().strip()
+        except OSError:
+            continue
+        if raw == "max":
+            return None
+        try:
+            limit = int(raw)
+        except ValueError:
+            continue
+        # v1 reports "unlimited" as a huge page-rounded sentinel
+        # (~2^63); anything beyond 4 TiB is not a real cap.
+        if 0 < limit < (4 << 40):
+            return limit
+    return None
+
+
 def _total_ram_gib() -> int:
-    """Physical RAM in GiB (floor 1). Used to size the local-mode driver
-    heap default; os.sysconf is POSIX-only, so fall back to 8 GiB where
-    it is unavailable rather than guessing small."""
+    """Effective RAM in GiB (floor 1): min(physical RAM, cgroup cap).
+    Used to size the local-mode driver heap default; os.sysconf is
+    POSIX-only, so fall back to 8 GiB where it is unavailable rather
+    than guessing small."""
     try:
-        gib = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) // (
-            1024 ** 3
-        )
-        return max(1, int(gib))
+        ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
     except (ValueError, OSError, AttributeError):
         return 8
+    cap = _cgroup_limit_bytes()
+    if cap is not None:
+        ram = min(ram, cap)
+    return max(1, int(ram // (1024 ** 3)))
 
 
 def _default_driver_mem() -> str:

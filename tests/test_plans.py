@@ -729,10 +729,11 @@ def test_exact_values_at_ranks_order_statistics(spark):
 
 
 def test_banding_planner_queries_have_no_cross_product(spark):
-    """The r10 planner pair (S-curve banding plan, threshold
-    sensitivity) must ride the inverted-index SSJoin — zero
+    """The planner pair (S-curve banding plan, threshold sensitivity)
+    must ride the inverted-index SSJoin — zero
     BroadcastNestedLoop/Cartesian on the document side; the only
-    crossJoin is the 4-row literal banding grid (broadcast)."""
+    permitted crosses are the 4-row literal banding grid and the
+    1-row corpus-count scalar (both broadcast)."""
     from pyspark_deduplication_spark.queries import (
         dup_threshold_sensitivity_docs,
         lsh_banding_plan_docs,
@@ -742,12 +743,23 @@ def test_banding_planner_queries_have_no_cross_product(spark):
     for q in (lsh_banding_plan_docs, dup_threshold_sensitivity_docs):
         plan = explain_str(q(spark, sf))
         assert "CartesianProduct" not in plan, plan
-        # the banding grid broadcast is the one permitted BNL-free
-        # cross: it must appear as BroadcastNestedLoopJoin over a
-        # LocalTableScan at most 5 rows — anything document-sized
-        # nested-looping is a regression
+        # the permitted BNL build sides are (a) the 4-row grid from
+        # createDataFrame (ExistingRDD, or LocalTableScan after
+        # constant folding) and (b) the global 1-row count aggregate —
+        # anything document-sized nested-looping is a regression
         if "BroadcastNestedLoopJoin" in plan:
-            # the 4-row grid arrives via createDataFrame → ExistingRDD
-            # (or LocalTableScan after constant folding)
             assert ("LocalTableScan" in plan
-                    or "ExistingRDD" in plan), plan
+                    or "ExistingRDD" in plan
+                    or "count(1)" in plan), plan
+    # construction + explain must be execution-free (ADVICE r10): the
+    # SSJoin pair set is consumed in one pass, never checkpointed
+    before = len(spark.sparkContext._jsc.sc().statusTracker()
+                 .getJobIdsForGroup(None))
+    for q in (lsh_banding_plan_docs, dup_threshold_sensitivity_docs):
+        explain_str(q(spark, sf))
+    after = len(spark.sparkContext._jsc.sc().statusTracker()
+                .getJobIdsForGroup(None))
+    # parquet footer/schema reads are the only jobs allowed (≤1 per
+    # table reference); the SSJoin itself is dozens of tasks across
+    # multiple stages and would blow well past this bound
+    assert after - before <= 4, (before, after)

@@ -157,6 +157,9 @@ def main() -> None:
             # (skip re-measuring an as-cataloged spelling whose fixture
             # parameterization is already classified, e.g. the
             # label-blocked fused twins' by-construction super-linearity)
+            if n not in variants:
+                sys.exit(f"unknown @scaled variant: {n} "
+                         f"(known: {', '.join(sorted(variants))})")
             plan.append((n, *variants[n]))
             continue
         plan.append((n, CATALOG[n].fn, CATALOG[n].fn))

@@ -54,7 +54,7 @@ def _prep_sources(spark, sf_dir: str, tag: str, n_batches: int) -> str:
 
 
 def _run_ingest(spark, src: str, tag: str, n_cells: int,
-                timeout_sec: int = 3600) -> str:
+                timeout_sec: int = 3600, ckpt: str | None = None) -> str:
     from pyspark_deduplication_spark.streaming.ops import (
         streaming_fused_ingest,
     )
@@ -63,8 +63,10 @@ def _run_ingest(spark, src: str, tag: str, n_cells: int,
     stream = (spark.readStream.format("parquet").schema(schema)
               .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
     corpus_dir = f"{WORK}/{tag}/corpus"
+    if ckpt is None:
+        ckpt = f"{WORK}/{tag}/ckpt_{int(time.time()*1e6)}"
     q = streaming_fused_ingest(
-        stream, corpus_dir, f"{WORK}/{tag}/ckpt_{int(time.time()*1e6)}",
+        stream, corpus_dir, ckpt,
         jaccard_threshold=0.7, cosine_threshold=0.95,
         n_cells=n_cells, weighted_threshold=0.5)
     if not q.awaitTermination(timeout_sec):
@@ -99,25 +101,29 @@ def main() -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         src = _prep_sources(spark, d, tag, n_batches)
 
+        ckpt = f"{WORK}/{tag}/ckpt_{int(time.time()*1e6)}"
         t0 = time.perf_counter()
-        corpus_dir = _run_ingest(spark, src, tag, cells)
+        corpus_dir = _run_ingest(spark, src, tag, cells, ckpt=ckpt)
         elapsed = time.perf_counter() - t0
 
         n_corpus = spark.read.parquet(corpus_dir).count()
         corpus_epochs = _epoch_partitions(spark, corpus_dir)
 
         # heal exercise (untimed): kill the MinHash signature index,
-        # ingest ONE more batch — heal-before-trust must backfill every
-        # corpus epoch before the probe trusts the index
+        # then ingest ONE more batch — heal-before-trust must backfill
+        # every corpus epoch before the probe trusts the index. The
+        # heal run REUSES the original checkpoint dir so the file
+        # source sees only f_extra as new (ADVICE r10: a fresh
+        # checkpoint reprocessed all n_batches+1 files, roughly
+        # doubling the untimed work).
         shutil.rmtree(corpus_dir + "_sigs")
         extra = spark.read.parquet(f"{src}/f0").limit(50)
         extra.coalesce(1).write.mode("overwrite").parquet(f"{src}/f_extra")
-        _run_ingest(spark, src, tag, cells)
+        _run_ingest(spark, src, tag, cells, ckpt=ckpt)
         healed = _epoch_partitions(spark, corpus_dir + "_sigs")
-        post_epochs = _epoch_partitions(spark, corpus_dir)
         assert corpus_epochs <= healed, (
             f"{tag}: heal left index epochs {sorted(healed)} behind "
-            f"corpus epochs {sorted(post_epochs)}")
+            f"pre-heal corpus epochs {sorted(corpus_epochs)}")
 
         rows.append({"fixture": tag, "dir": d, "n_cells": cells,
                      "shuffle_partitions": parts,
