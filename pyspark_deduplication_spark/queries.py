@@ -2403,14 +2403,26 @@ FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
 
 
 def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str,
-                         threshold: float) -> DataFrame:
+                         threshold: float,
+                         fraction: float | None = None) -> DataFrame:
     """Exact 3-gram-Jaccard pairs at ``threshold`` — the
     ``jaccard_near_dup_docs`` spelling with the rung parameterized
     (inverted-index candidates are EXACT for J ≥ threshold, so this is
-    the deterministic ground truth at any rung ≥ the prefix filter)."""
+    the deterministic ground truth at any rung ≥ the prefix filter).
+
+    ``fraction``: optional md5 doc-sampling (``sampling.hash_sample``
+    convention) applied BEFORE shingling — the 100 TB spelling for the
+    planner diagnostics, where the exact pair set over the full corpus
+    is the linear-floor cost (VERDICT r10): a pair survives iff BOTH
+    endpoints are sampled (probability f²), so downstream consumers
+    extrapolate pair counts by (1/f)² and the pair-Jaccard DISTRIBUTION
+    (what the S-curve integrates over) is estimated unbiased."""
     from pyspark_deduplication_spark.operators.dedup import ngram_index_pairs
+    from pyspark_deduplication_spark.operators.sampling import hash_sample
 
     docs = _t(spark, sf_dir, "documents")
+    if fraction is not None and fraction < 1.0:
+        docs = hash_sample(docs, "doc_id", fraction)
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("__toks"))
     shingled = toks.select(
         "doc_id", word_ngrams_of(F.col("__toks"), 3).alias("grams"))
@@ -2534,8 +2546,120 @@ def dup_threshold_sensitivity_docs(
     )
 
 
-_EXACT_PAIRS_05_SQL = f"""
-toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+def _sample_weights(fraction: float) -> tuple[float, float]:
+    """(pair_weight, doc_weight) for md5 hash-sampling at ``fraction``:
+    the EFFECTIVE fraction is ``n/256`` with ``n = round(fraction·256)``
+    (``sampling._hex_threshold`` granularity), so extrapolation weights
+    are exact rationals — pairs survive at f² (both endpoints sampled),
+    docs at f."""
+    n = max(1, min(256, round(fraction * 256)))
+    return (256.0 / n) ** 2, 256.0 / n
+
+
+def lsh_banding_plan_sampled_docs(
+    spark: SparkSession, sf_dir: str, fraction: float = 0.25
+) -> DataFrame:
+    """``lsh_banding_plan_docs`` at corpus scale: the same S-curve
+    banding report computed from an md5 HASH-SAMPLE of the documents
+    (VERDICT r10 — the exact-pair core is the linear floor; at 100 TB
+    even a run-once exact report is not executable). Sampling docs at
+    effective fraction f keeps a pair iff BOTH endpoints land in the
+    sample (probability f², independent of J), so the sampled
+    pair-Jaccard distribution is an unbiased estimate of the corpus's
+    and the ratio columns (``exp_recall_target``/``exp_gray_hit_rate``)
+    are consistent plug-in estimates; the count columns extrapolate by
+    the exact rational (1/f)² and carry the ``est_`` prefix. At a fixed
+    absolute sample size the cost is flat in corpus size apart from the
+    initial map-only scan-and-filter — fraction scales as
+    target_sample/n_docs in deployment (the ``@scaled`` row in
+    BASELINE.md measures exactly that)."""
+    pair_w, _ = _sample_weights(fraction)
+    pairs = _exact_jaccard_pairs(spark, sf_dir, 0.5, fraction=fraction)
+    grid = spark.createDataFrame(
+        [(4, 16), (8, 8), (16, 4), (32, 2)], "bands int, rows_per_band int")
+    j = F.col("jaccard_sim")
+    p = 1.0 - F.pow(1.0 - F.pow(j, F.col("rows_per_band")), F.col("bands"))
+    pq = F.round(p * 1e6).cast("long")
+    is_target = (j >= 0.7).cast("int")
+    agg = (
+        pairs.crossJoin(F.broadcast(grid))
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.sum(is_target).alias("__nt"),
+            F.sum(1 - is_target).alias("__ng"),
+            F.sum(pq * is_target).alias("__tq"),
+            F.sum(pq * (1 - is_target)).alias("__gq"),
+        )
+    )
+    return agg.select(
+        "bands", "rows_per_band",
+        F.round(F.pow(1.0 / F.col("bands"),
+                      1.0 / F.col("rows_per_band")), 6).alias("s_star"),
+        F.round(F.col("__nt") * F.lit(pair_w)).cast("long")
+        .alias("est_target_pairs"),
+        F.round(F.col("__ng") * F.lit(pair_w)).cast("long")
+        .alias("est_gray_pairs"),
+        F.round(F.when(F.col("__nt") > 0,
+                       F.col("__tq") / (F.col("__nt") * 1e6)), 6)
+        .alias("exp_recall_target"),
+        F.round(F.when(F.col("__ng") > 0,
+                       F.col("__gq") / (F.col("__ng") * 1e6)), 6)
+        .alias("exp_gray_hit_rate"),
+    ).orderBy("bands")
+
+
+def dup_threshold_sensitivity_sampled_docs(
+    spark: SparkSession, sf_dir: str, fraction: float = 0.25
+) -> DataFrame:
+    """``dup_threshold_sensitivity_docs`` at corpus scale, over the same
+    md5 doc-sample as ``lsh_banding_plan_sampled_docs``. Estimators:
+    ``n_pairs_est`` extrapolates by the exact (1/f)² (unbiased — pair
+    survival is f²); ``n_docs_affected_lb``/``affected_frac_lb`` are
+    LOWER BOUNDS by construction and named so: a sampled doc only
+    counts as affected when at least one of its partners is ALSO
+    sampled (probability 1−(1−f)^k for k partners), so docs with few
+    partners under-count — fine for the dial this report drives (the
+    blast radius an operator is checking is 'at least this big')."""
+    pair_w, doc_w = _sample_weights(fraction)
+    pairs = _exact_jaccard_pairs(spark, sf_dir, 0.5, fraction=fraction)
+    from pyspark_deduplication_spark.operators.sampling import hash_sample
+
+    n_docs_df = hash_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", fraction
+    ).agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
+    rungs = F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+    cleared = pairs.select(
+        "id_a", "id_b",
+        F.explode(F.filter(rungs, lambda t: F.col("jaccard_sim") >= t))
+        .alias("threshold"))
+    ids = cleared.select(
+        "threshold",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id"))
+    agg = ids.groupBy("threshold").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("__np"),
+        F.count_distinct("doc_id").alias("__nd"))
+    return (
+        agg.crossJoin(F.broadcast(n_docs_df))
+        .select(
+            F.round("threshold", 1).cast("double").alias("threshold"),
+            F.round(F.col("__np") * F.lit(pair_w)).cast("long")
+            .alias("n_pairs_est"),
+            F.round(F.col("__nd") * F.lit(doc_w)).cast("long")
+            .alias("n_docs_affected_lb"),
+            F.round(F.col("__nd") / F.col("__n_docs"), 6)
+            .alias("affected_frac_lb"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _exact_pairs_05_sql(doc_filter: str = "TRUE") -> str:
+    """The exact J≥0.5 pair-set CTE block, with an optional document
+    predicate (the sampled planner twins inject the md5 hash-sample
+    bucket test here)."""
+    return f"""
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+         WHERE {doc_filter}),
 shingles AS MATERIALIZED (
   SELECT doc_id, list_distinct(list_transform(
            range(1, greatest(len(t) - 2, 1) + 1),
@@ -2557,6 +2681,68 @@ pairs AS MATERIALIZED (
      AND len(b.grams) <= 2 * len(a.grams))
   WHERE jaccard_sim >= 0.5
 )
+"""
+
+
+_EXACT_PAIRS_05_SQL = _exact_pairs_05_sql()
+
+# md5 hash-sample predicate at fraction 64/256 = 0.25 exactly —
+# byte-identical to ``sampling.hash_sample(docs, "doc_id", 0.25)``
+_DOC_SAMPLE_PRED_25 = (
+    "substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 2) < '40'")
+
+_LSH_BANDING_PLAN_SAMPLED_ORACLE = f"""
+WITH {_exact_pairs_05_sql(_DOC_SAMPLE_PRED_25)},
+grid AS (
+  SELECT * FROM (VALUES (4, 16), (8, 8), (16, 4), (32, 2))
+    AS g(bands, rows_per_band)
+),
+scored AS (
+  SELECT g.bands, g.rows_per_band,
+         CAST(round((1.0 - power(1.0 - power(p.jaccard_sim,
+                                             g.rows_per_band),
+                                 g.bands)) * 1e6) AS BIGINT) AS pq,
+         CASE WHEN p.jaccard_sim >= 0.7 THEN 1 ELSE 0 END AS is_target
+  FROM pairs p CROSS JOIN grid g
+)
+SELECT bands, rows_per_band,
+       round(power(1.0 / bands, 1.0 / rows_per_band), 6) AS s_star,
+       -- fraction 0.25 exactly -> pair weight (1/0.25)^2 = 16
+       CAST(round(sum(is_target) * 16.0) AS BIGINT) AS est_target_pairs,
+       CAST(round(sum(1 - is_target) * 16.0) AS BIGINT) AS est_gray_pairs,
+       round(CASE WHEN sum(is_target) > 0
+                  THEN sum(pq * is_target) / (sum(is_target) * 1e6) END, 6)
+         AS exp_recall_target,
+       round(CASE WHEN sum(1 - is_target) > 0
+                  THEN sum(pq * (1 - is_target))
+                       / (sum(1 - is_target) * 1e6) END, 6)
+         AS exp_gray_hit_rate
+FROM scored
+GROUP BY bands, rows_per_band
+"""
+
+_DUP_THRESHOLD_SENSITIVITY_SAMPLED_ORACLE = f"""
+WITH {_exact_pairs_05_sql(_DOC_SAMPLE_PRED_25)},
+rungs AS (SELECT * FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9))
+            AS r(threshold)),
+cleared AS (
+  SELECT r.threshold, p.id_a, p.id_b
+  FROM pairs p JOIN rungs r ON p.jaccard_sim >= r.threshold
+),
+ids AS (
+  SELECT threshold, id_a AS doc_id FROM cleared
+  UNION ALL SELECT threshold, id_b FROM cleared
+)
+SELECT CAST(threshold AS DOUBLE) AS threshold,
+       -- fraction 0.25 exactly -> pair weight 16, doc weight 4
+       CAST(round((count(*) / 2) * 16.0) AS BIGINT) AS n_pairs_est,
+       CAST(round(count(DISTINCT doc_id) * 4.0) AS BIGINT)
+         AS n_docs_affected_lb,
+       round(count(DISTINCT doc_id)
+             / (SELECT CAST(count(*) AS DOUBLE) FROM documents
+                WHERE {_DOC_SAMPLE_PRED_25}), 6) AS affected_frac_lb
+FROM ids
+GROUP BY threshold
 """
 
 _LSH_BANDING_PLAN_ORACLE = f"""
@@ -9806,6 +9992,17 @@ CATALOG: dict[str, Query] = {
                                    tags=["dedup", "lsh", "stats", "scale"]),
     "dup_threshold_sensitivity_docs": Query(
         dup_threshold_sensitivity_docs, _DUP_THRESHOLD_SENSITIVITY_ORACLE,
+        tags=["dedup", "text", "stats", "scale"]),
+    # sampled planner twins (r11, VERDICT r10 item 2): the SAME reports
+    # estimated from an md5 doc hash-sample at fixed absolute cost —
+    # the spelling that stays executable at 100 TB, where the exact
+    # pair set is the linear floor
+    "lsh_banding_plan_sampled_docs": Query(
+        lsh_banding_plan_sampled_docs, _LSH_BANDING_PLAN_SAMPLED_ORACLE,
+        tags=["dedup", "lsh", "stats", "scale"]),
+    "dup_threshold_sensitivity_sampled_docs": Query(
+        dup_threshold_sensitivity_sampled_docs,
+        _DUP_THRESHOLD_SENSITIVITY_SAMPLED_ORACLE,
         tags=["dedup", "text", "stats", "scale"]),
     # weighted twin: ICWS ladder vs exact generalized Jaccard (r7, late)
     "weighted_lsh_recall_report": Query(

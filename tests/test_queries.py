@@ -292,6 +292,87 @@ def test_dup_threshold_sensitivity_monotone(spark):
     assert docs == sorted(docs, reverse=True)
 
 
+def test_sampled_planners_exact_at_fraction_one(spark):
+    """At fraction=1.0 the hash-sample keeps everything and every
+    extrapolation weight is exactly 1 — the sampled planner twins must
+    reproduce the exact planners value-for-value (the estimator
+    machinery adds zero error of its own)."""
+    from pyspark_deduplication_spark.queries import (
+        dup_threshold_sensitivity_docs,
+        dup_threshold_sensitivity_sampled_docs,
+        lsh_banding_plan_docs,
+        lsh_banding_plan_sampled_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["bands"], r["rows_per_band"]): r
+             for r in lsh_banding_plan_docs(spark, sf).collect()}
+    samp = {(r["bands"], r["rows_per_band"]): r
+            for r in lsh_banding_plan_sampled_docs(
+                spark, sf, fraction=1.0).collect()}
+    assert set(exact) == set(samp)
+    for k, e in exact.items():
+        s = samp[k]
+        assert s["est_target_pairs"] == e["n_target_pairs"]
+        assert s["est_gray_pairs"] == e["n_gray_pairs"]
+        assert s["exp_recall_target"] == e["exp_recall_target"]
+        assert s["exp_gray_hit_rate"] == e["exp_gray_hit_rate"]
+
+    e_rows = {r["threshold"]: r for r in dup_threshold_sensitivity_docs(
+        spark, sf).collect()}
+    s_rows = {r["threshold"]: r
+              for r in dup_threshold_sensitivity_sampled_docs(
+                  spark, sf, fraction=1.0).collect()}
+    assert set(e_rows) == set(s_rows)
+    for t, e in e_rows.items():
+        s = s_rows[t]
+        assert s["n_pairs_est"] == e["n_pairs"]
+        assert s["n_docs_affected_lb"] == e["n_docs_affected"]
+        assert s["affected_frac_lb"] == e["affected_frac"]
+
+
+def test_sampled_planners_agree_with_exact(spark):
+    """At the default fraction (0.25) on the sf0.01 fixture the sampled
+    estimators must land near the exact report: pair-count estimates
+    within a small-sample factor band, the lower-bound doc estimators
+    actually below (≈) the exact values, and the S-curve ratio
+    estimates within a few points of the exact distribution's."""
+    from pyspark_deduplication_spark.queries import (
+        dup_threshold_sensitivity_docs,
+        dup_threshold_sensitivity_sampled_docs,
+        lsh_banding_plan_docs,
+        lsh_banding_plan_sampled_docs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {(r["bands"], r["rows_per_band"]): r
+             for r in lsh_banding_plan_docs(spark, sf).collect()}
+    samp = {(r["bands"], r["rows_per_band"]): r
+            for r in lsh_banding_plan_sampled_docs(spark, sf).collect()}
+    for k, s in samp.items():
+        e = exact[k]
+        # ~2 sampled pairs at this SF: allow a wide small-sample band,
+        # but the estimate must be the right order of magnitude
+        assert e["n_target_pairs"] / 4 <= s["est_target_pairs"] \
+            <= e["n_target_pairs"] * 4
+        if e["exp_recall_target"] is not None:
+            assert abs(s["exp_recall_target"] - e["exp_recall_target"]) < 0.05
+
+    e_rows = {r["threshold"]: r for r in dup_threshold_sensitivity_docs(
+        spark, sf).collect()}
+    s_rows = {r["threshold"]: r
+              for r in dup_threshold_sensitivity_sampled_docs(
+                  spark, sf).collect()}
+    for t, s in s_rows.items():
+        e = e_rows[t]
+        assert e["n_pairs"] / 4 <= s["n_pairs_est"] <= e["n_pairs"] * 4
+        # documented lower bounds: biased DOWN (partner must also be
+        # sampled), so they must not exceed the exact values by more
+        # than upweight rounding
+        assert 0 < s["n_docs_affected_lb"] <= e["n_docs_affected"] * 1.5
+        assert s["affected_frac_lb"] <= e["affected_frac"] * 1.5
+
+
 def test_gopher_rules_report_conjunction_bound(spark):
     """The all_rules row is the conjunction: its pass count can never
     exceed any individual rule's, and rates are exact count ratios."""

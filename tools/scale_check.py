@@ -105,6 +105,20 @@ def _knob_scaled_variants(factor: int):
                 weighted_threshold=0.5)
         return q
 
+    def banding_sampled(fraction):
+        # the sampled planner (r11): fraction shrinks 1/factor at the
+        # scaled fixture so the ABSOLUTE sample size stays constant —
+        # how a 100 TB deployment sets it (target_sample / n_docs).
+        # Cost should stay near-flat apart from the map-only scan.
+        from pyspark_deduplication_spark.queries import (
+            lsh_banding_plan_sampled_docs,
+        )
+
+        def q(spark, sf_dir):
+            return lsh_banding_plan_sampled_docs(
+                spark, sf_dir, fraction=fraction)
+        return q
+
     return {
         "semantic_dedup_embeddings@scaled": (sem(8), sem(8 * factor)),
         "incremental_semantic_dedup_embeddings@scaled":
@@ -112,6 +126,8 @@ def _knob_scaled_variants(factor: int):
         "fused_dedup_docs@scaled": (fused(8), fused(8 * factor)),
         "fused_dedup_docs_weighted@scaled":
             (fused_weighted(8), fused_weighted(8 * factor)),
+        "lsh_banding_plan_sampled_docs@scaled":
+            (banding_sampled(0.5), banding_sampled(0.5 / factor)),
     }
 
 
