@@ -1042,6 +1042,138 @@ UNPIVOT (n_pass FOR rule IN (word_count_50_100k, mean_word_len_3_10,
 """
 
 
+def c4_quality_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published C4 page/line rules (Raffel et al. 2020 §2.2) plus
+    Gopher's line-ratio rules (Rae et al. 2021 Appendix A) as a per-rule
+    pass/fail REPORT — the companion to ``gopher_quality_rules_docs``
+    (real curation stacks both). Rules, with their sources:
+
+    - ``bullet_lines_le_90pct`` / ``ellipsis_lines_le_30pct`` (Rae et
+      al.): remove docs where >90 % of lines start with a bullet or
+      >30 % end with an ellipsis.
+    - ``no_lorem_ipsum`` / ``no_curly_brace`` (Raffel et al.): drop
+      pages containing the placeholder phrase or "{" (code marker).
+    - ``no_javascript_line`` (Raffel et al., their line policy as a doc
+      flag): no line mentions "javascript".
+    - ``min_3_sentences_retained`` (Raffel et al.): after C4's line
+      filter (keep lines ending in terminal punctuation with ≥5 words,
+      javascript lines dropped), the page still has ≥3 sentences.
+    - ``all_rules``: the conjunction an operator reads as "what would
+      the stacked filter keep here".
+
+    Lines are split once into a staged column (the tokenize-staging
+    rule — each per-line rule filters the SAME array, the text is never
+    re-split); docs with zero non-blank lines pass the ratio rules
+    (nothing to remove on) and fail the sentence floor. One map pass
+    builds seven booleans, one aggregate sums them; no shuffle carries
+    text."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = F.filter(F.split(F.col("text"), "\n"),
+                     lambda l: F.length(F.trim(l)) > 0)
+    staged = docs.select(F.col("text"), lines.alias("__lines"))
+    ln = F.col("__lines")
+    n_lines = F.size(ln)
+    n_bullet = F.size(F.filter(ln, lambda l: l.rlike("^\\s*[-*•]")))
+    n_ellipsis = F.size(F.filter(
+        ln, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$")))
+    n_js = F.size(F.filter(
+        ln, lambda l: F.lower(l).contains("javascript")))
+    words_ge_5 = (lambda l: F.size(F.filter(
+        F.split(l, "\\s+"), lambda w: F.length(w) > 0)) >= 5)
+    retained = F.filter(
+        ln, lambda l: F.rtrim(l).rlike('[.!?"]$') & words_ge_5(l)
+        & ~F.lower(l).contains("javascript"))
+    n_sentences = F.aggregate(
+        retained, F.lit(0),
+        lambda a, l: a + F.regexp_count(l, F.lit("[.!?]")))
+    r1 = (n_lines == 0) | (n_bullet.cast("double")
+                           / n_lines.cast("double") <= 0.9)
+    r2 = (n_lines == 0) | (n_ellipsis.cast("double")
+                           / n_lines.cast("double") <= 0.3)
+    r3 = ~F.lower(F.col("text")).contains("lorem ipsum")
+    r4 = ~F.col("text").contains("{")
+    r5 = n_js == 0
+    r6 = n_sentences >= 3
+    rules = {"bullet_lines_le_90pct": r1, "ellipsis_lines_le_30pct": r2,
+             "no_lorem_ipsum": r3, "no_curly_brace": r4,
+             "no_javascript_line": r5, "min_3_sentences_retained": r6,
+             "all_rules": r1 & r2 & r3 & r4 & r5 & r6}
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(c.cast("int")).cast("long").alias(f"__{k}")
+          for k, c in rules.items()])
+    stack = ", ".join(f"'{k}', `__{k}`" for k in rules)
+    return (
+        agg.select("__n", F.expr(
+            f"stack({len(rules)}, {stack}) AS (rule, n_pass)"))
+        .select("rule", "n_pass",
+                F.col("__n").alias("n_docs"),
+                F.round(F.col("n_pass") / F.col("__n").cast("double"), 6)
+                .alias("pass_rate"))
+        .orderBy("rule")
+    )
+
+
+_C4_RULES_ORACLE = """
+WITH base AS (
+  SELECT text,
+         list_filter(string_split(text, chr(10)),
+                     l -> len(trim(l)) > 0) AS lines
+  FROM documents
+),
+per_doc AS (
+  SELECT
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+      AS n_bullet,
+    len(list_filter(lines,
+                    l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+      AS n_ellipsis,
+    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END
+      AS has_lorem,
+    CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
+    len(list_filter(lines, l -> contains(lower(l), 'javascript'))) AS n_js,
+    coalesce(list_sum(list_transform(
+      list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$')
+                         AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                             w -> len(w) > 0)) >= 5
+                         AND NOT contains(lower(l), 'javascript')),
+      l -> len(regexp_extract_all(l, '[.!?]')))), 0) AS n_sentences
+  FROM base
+),
+flags AS (
+  SELECT
+    CAST(n_lines = 0
+         OR n_bullet / CAST(n_lines AS DOUBLE) <= 0.9 AS INT) AS r1,
+    CAST(n_lines = 0
+         OR n_ellipsis / CAST(n_lines AS DOUBLE) <= 0.3 AS INT) AS r2,
+    CAST(has_lorem = 0 AS INT) AS r3,
+    CAST(has_brace = 0 AS INT) AS r4,
+    CAST(n_js = 0 AS INT) AS r5,
+    CAST(n_sentences >= 3 AS INT) AS r6
+  FROM per_doc
+),
+agg AS (
+  SELECT count(*) AS n_docs,
+         sum(r1) AS bullet_lines_le_90pct,
+         sum(r2) AS ellipsis_lines_le_30pct,
+         sum(r3) AS no_lorem_ipsum, sum(r4) AS no_curly_brace,
+         sum(r5) AS no_javascript_line,
+         sum(r6) AS min_3_sentences_retained,
+         sum(r1 * r2 * r3 * r4 * r5 * r6) AS all_rules
+  FROM flags
+)
+SELECT rule, CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_pass / CAST(n_docs AS DOUBLE), 6) AS pass_rate
+FROM agg
+UNPIVOT (n_pass FOR rule IN (bullet_lines_le_90pct,
+                             ellipsis_lines_le_30pct, no_lorem_ipsum,
+                             no_curly_brace, no_javascript_line,
+                             min_3_sentences_retained, all_rules))
+"""
+
+
 def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical corpus-curation step: drop documents below a quality
     threshold, report per-language retention."""
@@ -10182,6 +10314,11 @@ CATALOG: dict[str, Query] = {
     # the published Gopher rule set as a per-rule corpus report (r10)
     "gopher_quality_rules_docs": Query(
         gopher_quality_rules_docs, _GOPHER_RULES_ORACLE,
+        tags=["text", "quality", "stats"]),
+    # the published C4 page/line rules + Gopher line ratios (r11) —
+    # real curation stacks both rule families
+    "c4_quality_rules_docs": Query(
+        c4_quality_rules_docs, _C4_RULES_ORACLE,
         tags=["text", "quality", "stats"]),
     "quality_filter_docs": Query(quality_filter_docs, _QUALITY_FILTER_ORACLE,
                                  tags=["text", "pipeline"]),

@@ -373,6 +373,62 @@ def test_sampled_planners_agree_with_exact(spark):
         assert s["affected_frac_lb"] <= e["affected_frac"] * 1.5
 
 
+def test_c4_rules_known_doc_matrix(spark, tmp_path):
+    """Each C4/line rule verified against a handcrafted corpus where
+    the pass/fail pattern is known per document — the rule logic is
+    pinned here (the parquet fixture is single-line word soup, so the
+    fixture report only exercises determinism)."""
+    from pyspark_deduplication_spark.queries import c4_quality_rules_docs
+
+    good = ("This is a perfectly normal first sentence of prose.\n"
+            "Here is another long and complete second sentence.\n"
+            "And finally a third sentence to clear the floor.")
+    docs = [
+        # doc 0: passes everything
+        (0, good),
+        # doc 1: all bullets (>90%) -> fails bullet rule; also <3
+        # retained sentences (bullet lines lack terminal punct)
+        (1, "• first bullet item\n• second bullet item\n• third one"),
+        # doc 2: every line ends with an ellipsis -> fails ellipsis
+        # rule and the sentence floor
+        (2, "to be continued...\nstill going...\nnever ending..."),
+        # doc 3: lorem ipsum marker (case-insensitive)
+        (3, good + "\nLorem Ipsum dolor sit amet."),
+        # doc 4: curly brace (code marker)
+        (4, good + "\nfunction f() { return 1; }"),
+        # doc 5: a javascript line -> fails the js rule, and the
+        # retained-line filter drops that line before counting
+        # sentences (still >=3 from the good lines)
+        (5, good + "\nPlease enable JavaScript to view this page."),
+        # doc 6: fine lines but each has <5 words -> retained set is
+        # empty -> fails only the sentence floor
+        (6, "Too short.\nAlso short.\nStill short."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["rule"]: r for r in
+            c4_quality_rules_docs(spark, str(tmp_path)).collect()}
+    assert set(rows) == {
+        "bullet_lines_le_90pct", "ellipsis_lines_le_30pct",
+        "no_lorem_ipsum", "no_curly_brace", "no_javascript_line",
+        "min_3_sentences_retained", "all_rules"}
+    n = len(docs)
+    expected = {
+        "bullet_lines_le_90pct": n - 1,          # doc 1
+        "ellipsis_lines_le_30pct": n - 1,        # doc 2
+        "no_lorem_ipsum": n - 1,                 # doc 3
+        "no_curly_brace": n - 1,                 # doc 4
+        "no_javascript_line": n - 1,             # doc 5
+        "min_3_sentences_retained": n - 3,       # docs 1, 2, 6 fail
+        "all_rules": 1,                          # only doc 0
+    }
+    got = {k: r["n_pass"] for k, r in rows.items()}
+    assert got == expected, got
+    for r in rows.values():
+        assert r["n_docs"] == n
+        assert abs(r["pass_rate"] - round(r["n_pass"] / n, 6)) < 1e-9
+
+
 def test_gopher_rules_report_conjunction_bound(spark):
     """The all_rules row is the conjunction: its pass count can never
     exceed any individual rule's, and rates are exact count ratios."""
