@@ -7950,19 +7950,28 @@ FROM totals LEFT JOIN dups ON totals.doc_id = dups.doc_id
 
 
 def remove_dup_spans_docs(
-    spark: SparkSession, sf_dir: str, hash_grams: bool = False
+    spark: SparkSession, sf_dir: str, hash_grams: bool = False,
+    span: int = 8,
 ) -> DataFrame:
     """ExactSubstr duplicated-span removal over the documents table
     (Lee et al. 2022 §4.2 — the *removal* step whose pressure metric is
-    ``doc_dup_span_fraction``): tokens covered by any 8-token window
-    occurring in another document are stripped from every occurrence
-    and the survivors reassemble in order. Reports
+    ``doc_dup_span_fraction``): tokens covered by any ``span``-token
+    window occurring in another document are stripped from every
+    occurrence and the survivors reassemble in order. Reports
     ``md5(clean_text)`` instead of the text itself so the graded
     payload stays narrow while still pinning the reassembly
     byte-for-byte. ``hash_grams=True`` is the 100 TB spelling (all
     gram shuffles keyed on xxhash64 — rows-only twin
     ``remove_dup_spans_docs_hashed``; equality with this exact
-    spelling pinned in ``test_queries.py``)."""
+    spelling pinned in ``test_queries.py``).
+
+    ``span`` defaults to 8 — aggressive, sized to the short fixture
+    docs; the paper's production threshold is 50 tokens, graded as the
+    ``remove_dup_spans_w50_docs`` twin (fixture docs are mostly
+    < 50 tokens, so there the whole-doc-window clause dominates: only
+    exact short clones erase — no min-match knob is needed because
+    window coverage already guarantees every removed run is ≥ span
+    tokens)."""
     from pyspark_deduplication_spark.operators.chunking import (
         remove_duplicate_spans,
     )
@@ -7970,7 +7979,7 @@ def remove_dup_spans_docs(
     docs = (_t(spark, sf_dir, "documents")
             .filter(F.trim(F.col("text")) != "")
             .select("doc_id", "text"))
-    out = remove_duplicate_spans(docs, "text", "doc_id", span=8,
+    out = remove_duplicate_spans(docs, "text", "doc_id", span=span,
                                  hash_grams=hash_grams)
     return out.select(
         "doc_id", "n_tokens", "n_kept",
@@ -7978,15 +7987,20 @@ def remove_dup_spans_docs(
     )
 
 
-_REMOVE_DUP_SPANS_ORACLE = f"""
+def _remove_dup_spans_oracle_sql(span: int) -> str:
+    """The span-removal oracle with the window length parameterized
+    (``t[i:i+k]`` slices are 1-based inclusive in DuckDB, so a
+    ``span``-token window is ``t[i:i+span-1]``)."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE trim(text) <> ''
 ),
 grams AS (
   SELECT doc_id,
-         unnest(range(1, greatest(len(t) - 7, 1) + 1)) - 1 AS pos,
-         unnest(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
-                               i -> array_to_string(t[i:i+7], ' '))) AS gram
+         unnest(range(1, greatest(len(t) - {span - 1}, 1) + 1)) - 1 AS pos,
+         unnest(list_transform(range(1, greatest(len(t) - {span - 1}, 1) + 1),
+                               i -> array_to_string(t[i:i+{span - 1}], ' ')))
+           AS gram
   FROM toks
 ),
 dup AS (
@@ -7996,7 +8010,7 @@ dup AS (
 ),
 covered AS (
   SELECT DISTINCT doc_id, tpos FROM (
-    SELECT doc_id, unnest(range(pos, pos + 8)) AS tpos
+    SELECT doc_id, unnest(range(pos, pos + {span})) AS tpos
     FROM grams WHERE gram IN (SELECT gram FROM dup)
   )
 ),
@@ -8016,6 +8030,10 @@ SELECT toks.doc_id,
        coalesce(clean_md5, md5('')) AS clean_md5
 FROM toks LEFT JOIN reasm USING (doc_id)
 """
+
+
+_REMOVE_DUP_SPANS_ORACLE = _remove_dup_spans_oracle_sql(8)
+_REMOVE_DUP_SPANS_W50_ORACLE = _remove_dup_spans_oracle_sql(50)
 
 
 def incremental_dup_span_removal_docs(
@@ -10411,6 +10429,14 @@ CATALOG: dict[str, Query] = {
     "remove_dup_spans_docs": Query(remove_dup_spans_docs,
                                    _REMOVE_DUP_SPANS_ORACLE,
                                    tags=["dedup", "text", "pipeline"]),
+    # the paper's production window (Lee et al. 50 tokens, r11): on the
+    # short fixture docs the whole-doc-window clause dominates, so only
+    # exact short clones erase — oracle-graded at the published knob
+    "remove_dup_spans_w50_docs": Query(
+        lambda spark, sf_dir: remove_dup_spans_docs(spark, sf_dir,
+                                                    span=50),
+        _REMOVE_DUP_SPANS_W50_ORACLE,
+        tags=["dedup", "text", "pipeline"]),
     # span-level incremental twin over a persisted window index (r7)
     "incremental_dup_span_removal_docs": Query(
         incremental_dup_span_removal_docs, _INCR_SPAN_REMOVAL_ORACLE,

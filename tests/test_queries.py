@@ -139,6 +139,39 @@ def test_remove_duplicate_spans_semantics(spark):
     assert got[1] == got[2] == "" and got[3] == "other words"
 
 
+def test_remove_dup_spans_w50_published_window(spark):
+    """Lee et al.'s production 50-token window on sub-50-token docs:
+    the whole-doc-window clause means only EXACT clones erase — a doc
+    sharing a long-but-partial span with another is untouched, because
+    no 50-token (here: whole-doc) window repeats verbatim."""
+    from pyspark_deduplication_spark.operators.chunking import (
+        remove_duplicate_spans,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, base),                # exact clone pair — both erase
+            (2, base),
+            (3, base + " extra"),     # superset, not an exact window
+            (4, "short unique doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(docs, "text", "doc_id", span=50)
+           .collect()}
+    assert out[1].clean_text == "" and out[2].clean_text == ""
+    assert out[3].n_kept == out[3].n_tokens == 31
+    assert out[4].clean_text == "short unique doc"
+    # at span=8 the same corpus loses the shared 30-token prefix from
+    # doc 3 as well — the window knob is what separates the regimes
+    out8 = {r.doc_id: r for r in
+            remove_duplicate_spans(docs, "text", "doc_id", span=8)
+            .collect()}
+    assert out8[3].n_kept == 1 and out8[3].clean_text == "extra"
+
+
 def test_mixture_waterfill_saturation_cascade(spark):
     """The 20k budget must produce a genuine cascade at sf0.01: the
     Zipf head saturates (planned == inventory), the tail does not, and
