@@ -9288,7 +9288,41 @@ GROUP BY a.source, b.source
 """
 
 
-def media_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _synth_image_rows(n_keys: int) -> list:
+    """Deterministic P6-PPM clone-family synthesis shared by the
+    catalog query and the sf1 scale harness: keys ≡ 0 (mod 3) are
+    originals, ≡ 1 re-emit key−1 upscaled 2×, ≡ 2 re-emit key−2
+    brightness-shifted — content-hash pixels keep distinct keys
+    mutually independent."""
+    import hashlib
+
+    def pix(k: int, r: int, c: int, ch: int) -> int:
+        h = hashlib.md5(f"{k},{r},{c},{ch}".encode()).digest()
+        return h[0] % 171 + 30
+
+    def ppm(k: int, scale: int = 1, shift: int = 0) -> bytes:
+        w, h = 9 * scale, 8 * scale
+        body = bytes(
+            min(255, pix(k, r // scale, c // scale, ch) + shift)
+            for r in range(h) for c in range(w) for ch in range(3)
+        )
+        return (b"P6\n%d %d\n255\n" % (w, h)) + body
+
+    rows = []
+    for k in range(n_keys):
+        if k % 3 == 0:
+            rows.append((k, "image", ppm(k), (None, None, None, None)))
+        elif k % 3 == 1:
+            rows.append((k, "image", ppm(k - 1, scale=2),
+                         (None, None, None, None)))
+        else:
+            rows.append((k, "image", ppm(k - 2, shift=10),
+                         (None, None, None, None)))
+    return rows
+
+
+def media_perceptual_dedup(spark: SparkSession, sf_dir: str,
+                           n_keys: int = 30) -> DataFrame:
     """Perceptual image near-dup over REAL decoded pixels (VERDICT r5
     item 5): dHash signatures (rec.601 luma → 9×8 center-sampled
     downscale → gradient-sign bits) → pigeonhole Hamming-banded
@@ -9303,39 +9337,11 @@ def media_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-level image synthesis isn't SQL-expressible; link/non-link
     ground truth is pinned in ``test_multimodal.py``."""
     from pyspark_deduplication_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
         media_near_dup_perceptual,
     )
 
-    import hashlib
-
-    def pix(k: int, r: int, c: int, ch: int) -> int:
-        # content-hash pixels: images for different keys are mutually
-        # independent (an affine-in-k formula makes cross-key gradient
-        # SIGNS near-parallel and dHash would link planted distincts)
-        h = hashlib.md5(f"{k},{r},{c},{ch}".encode()).digest()
-        return h[0] % 171 + 30
-
-    def ppm(k: int, scale: int = 1, shift: int = 0) -> bytes:
-        w, h = 9 * scale, 8 * scale
-        body = bytes(
-            min(255, pix(k, r // scale, c // scale, ch) + shift)
-            for r in range(h) for c in range(w) for ch in range(3)
-        )
-        return (b"P6\n%d %d\n255\n" % (w, h)) + body
-
-    rows = []
-    for k in range(30):
-        if k % 3 == 0:
-            rows.append((k, "image", ppm(k), (None, None, None, None)))
-        elif k % 3 == 1:
-            rows.append((k, "image", ppm(k - 1, scale=2),
-                         (None, None, None, None)))
-        else:
-            rows.append((k, "image", ppm(k - 2, shift=10),
-                         (None, None, None, None)))
-    from pyspark_deduplication_spark.operators.multimodal import MEDIA_SCHEMA
-
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    df = spark.createDataFrame(_synth_image_rows(n_keys), MEDIA_SCHEMA)
     return media_near_dup_perceptual(df).select(
         "media_id", "dhash", "component", "keep")
 
@@ -10571,73 +10577,70 @@ CATALOG: dict[str, Query] = {
 # tools/grade_window.py lists them). Rows-only entries stay after
 # position 50 so no graded slot records err:"no_oracle".
 _GRADED_ORDER = [
-    # (a) changed this round (r10): the RFM rework (distributed
-    # quartile cut-points + map-only banding replaces the three global
-    # ntile windows — VERDICT r9 item 2) must re-grade under its new
-    # value-banding oracle, plus the two NEW r10 planner queries
-    # (never graded — highest rotation priority)
-    "customer_rfm_segments",
+    # (a) NEW this round (r11, never graded — highest rotation
+    # priority): the sampled planner twins (VERDICT r10 item 2), the
+    # C4/RedPajama rule report (item 5), and the published 50-token
+    # span window (item 8)
+    "lsh_banding_plan_sampled_docs",
+    "dup_threshold_sensitivity_sampled_docs",
+    "c4_quality_rules_docs",
+    "remove_dup_spans_w50_docs",
+    # (b) changed-code canaries: both exact planners were restructured
+    # this round (single-pass aggregation, no eager checkpoint —
+    # ADVICE r10), and remove_dup_spans_docs' oracle now comes from the
+    # span-parameterized generator
     "lsh_banding_plan_docs",
     "dup_threshold_sensitivity_docs",
-    "gopher_quality_rules_docs",
-    # (b) stale-queue burn-down (VERDICT r9 item 1): the ENTIRE
-    # remaining r6 queue — after this window, no oracle-backed entry's
-    # last grade is older than r7
-    "pivot_year_flag_revenue",
-    "price_quantity_stats",
-    "profile_customer_columns",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q1_sql_surface",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
     "remove_dup_spans_docs",
-    "rollup_order_stats",
-    "salted_agg_returnflag",
-    "streaming_enrich_user_tier",
-    "streaming_hourly_windows",
-    "topk_parts_per_brand_agg",
-    "train_val_test_split_docs",
-    "url_canonical_customers",         # … end of the r6 queue
-    # (c) targeted canaries for machinery this round TOUCHES: the
-    # scalable-rank recipe now also carries the RFM cut-points
-    # (surrogate_ids_*), and the ICWS exact anchor heads the r10 sf1
-    # scaling batch (weighted family)
-    "surrogate_ids_parts",
-    "surrogate_ids_scalable_parts",
-    "weighted_jaccard_pairs_exact",
-    # (d) the r7 frontier (next-oldest grades), alphabetical head —
-    # 26 of 43; the tail (q13_customer_distribution, q14_promo_revenue,
-    # q17_small_quantity_revenue, q22_dormant_customers …
-    # windowed_collect_set_parts — 14 entries) queues for r11, making
-    # room for the three never-graded r10 additions in block (a)
-    "asof_forward_tolerance",
-    "chunk_retrieval_eval",
-    "corpus_health_by_source",
-    "corpus_mixture_execute",
-    "curation_pipeline_docs",
-    "decontaminate_against_src0",
-    "doc_bigram_perplexity",
-    "doc_hashed_quality_score",
-    "doc_quality_scores",
-    "doc_trained_quality_score",
-    "doc_trigram_perplexity",
-    "embedding_near_dups",
-    "embedding_norm_sketch",
-    "events_gapfill_hourly",
-    "golden_customer_records",
-    "grouping_sets_order_revenue",
-    "hard_negative_mining_embeddings",
-    "incremental_decontaminate_docs",
-    "incremental_dup_span_removal_docs",
-    "knn_label_accuracy",
-    "leakage_safe_split_docs",
-    "merge_upsert_customers",
-    "order_interarrival_stats",
-    "order_priority_pivot",
-    "part_size_histogram",
-    "q12_priority_by_quantity_band",
+    # (c) stale-queue burn-down (VERDICT r10 item 1): the ENTIRE
+    # remaining r7 queue — after this window, no oracle-backed entry's
+    # last grade is older than r8
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+    "quality_threshold_sweep",
+    "reservoir_sample_docs",
+    "snapshot_diff_customers",
+    "stateful_user_profiles",
+    "temperature_mixture_plan",
+    "token_quantile_sketch_docs",
+    "top3_customers_per_nation",
+    "vocab_growth_report",
+    "windowed_collect_set_parts",      # … end of the r7 queue
+    # (d) the r8 frontier (next-oldest grades), alphabetical head —
+    # 29 of 50; the tail (levenshtein_links_customers …
+    # unigram_seed_pieces, 21 entries) queues for r12
+    "chunk_level_dedup_rate",
+    "count_distinct_parts",
+    "cube_lineitem_flags",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "dedup_exact_count",
+    "doc_language_id",
+    "doc_oov_rates",
+    "doc_regex_token_count",
+    "doc_repetition_scores",
+    "doc_top_terms",
+    "embedding_cluster_dedup",
+    "embedding_norm_stats",
+    "events_dedup_keep_earliest",
+    "events_dow_hour_heatmap",
+    "events_funnel",
+    "events_hourly_anomalies",
+    "events_hourly_windows",
+    "events_json_props",
+    "events_moving_average",
+    "events_retention_cohorts",
+    "events_sliding_windows",
+    "faithful_fuzzy_join_lev",
+    "fused_dedup_docs",
+    "hyperplane_ann_recall_report",
+    "incremental_dedup_docs",
+    "incremental_fused_dedup_docs_exact",
+    "jaccard_near_dup_docs",
+    "knn_bruteforce",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

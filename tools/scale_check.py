@@ -105,6 +105,33 @@ def _knob_scaled_variants(factor: int):
                 weighted_threshold=0.5)
         return q
 
+    def ivfpq(n_cells):
+        # the composed IVF×PQ train+query path with the coarse-cell
+        # knob grown with n (constant expected cell size — how a
+        # deployment sizes the coarse quantizer)
+        from pyspark_deduplication_spark.operators.knn import ivfpq_knn
+
+        def q(spark, sf_dir):
+            emb = _t(spark, sf_dir, "embeddings")
+            queries = emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding"))
+            return ivfpq_knn(emb, queries, dim=64, k=10, n_cells=n_cells,
+                             n_probe=4, m_subspaces=8, k_codes=16,
+                             rerank=50, residual=True)
+        return q
+
+    def media(n_keys):
+        # perceptual image dedup over synthesized clone families —
+        # input size is the synthesis knob (the fixture dirs carry no
+        # media table), so base/scaled grow n_keys by the factor
+        from pyspark_deduplication_spark.queries import (
+            media_perceptual_dedup,
+        )
+
+        def q(spark, sf_dir):
+            return media_perceptual_dedup(spark, sf_dir, n_keys=n_keys)
+        return q
+
     def banding_sampled(fraction):
         # the sampled planner (r11): fraction shrinks 1/factor at the
         # scaled fixture so the ABSOLUTE sample size stays constant —
@@ -128,6 +155,8 @@ def _knob_scaled_variants(factor: int):
             (fused_weighted(8), fused_weighted(8 * factor)),
         "lsh_banding_plan_sampled_docs@scaled":
             (banding_sampled(0.5), banding_sampled(0.5 / factor)),
+        "ivfpq_knn_embeddings@scaled": (ivfpq(8), ivfpq(8 * factor)),
+        "media_perceptual_dedup@scaled": (media(300), media(300 * factor)),
     }
 
 
