@@ -60,8 +60,12 @@ NOTES = {
     "embedding_norm_sketch": "row-local L2 norms; ONE group-key exchange shared by the tag-collapse and rank windows; estimation on the bounded sketch",
     "customer_rfm_segments": "quartile cut-points computed in separate model-state jobs (range-partition rank machinery); the RETURNED plan is the per-customer aggregate + broadcast scalar ref + map-only band CASE — zero Window nodes, no ntile (r10 rework)",
     "lsh_banding_plan_docs": "exact pair set via the inverted-index SSJoin (no BNL); 4-row banding grid broadcast-crossed onto the pair aggregate; probabilities quantized to BIGINT before the sum",
-    "dup_threshold_sensitivity_docs": "one inverted-index pass at the lowest rung; pairs explode over cleared rungs (no per-rung re-scan); two hash aggregates join on the 5-row rung key",
+    "dup_threshold_sensitivity_docs": "one inverted-index pass at the lowest rung; pairs explode over cleared rungs then into endpoint ids (no per-rung re-scan), so a SINGLE hash aggregate yields both counts (r11 rework — no checkpoint, construction execution-free); corpus denominator is a 1-row broadcast scalar",
     "gopher_quality_rules_docs": "one map pass builds five booleans per doc; one aggregate sums them; stack unpivots the 1-row result — no shuffle carries text",
+    "lsh_banding_plan_sampled_docs": "the 100 TB planner spelling: md5 hash-sample filter rides the scan (map-only, before shingling), then the identical SSJoin + banding-grid aggregate over the f²-thinned pair set; count columns upweight by the exact (1/f)²",
+    "dup_threshold_sensitivity_sampled_docs": "sampled twin of the sensitivity dial — same single-aggregate shape over the hash-sampled pair set; unbiased pair estimates, documented _lb doc columns",
+    "c4_quality_rules_docs": "lines split ONCE into a staged array column; seven booleans in one map pass, one aggregate, stack unpivot — no shuffle carries text",
+    "remove_dup_spans_w50_docs": "identical plan family to remove_dup_spans_docs with the window knob at the published 50 tokens: gram/df shuffle, semi-join, coverage explode, one document-keyed reassembly shuffle",
 }
 
 HEADER_NOTES = """
