@@ -236,6 +236,31 @@ def coreset_sample(
     )
 
 
+def _spread_for_lloyd(df: DataFrame) -> DataFrame:
+    """Round-robin the Lloyd training stream to the session shuffle
+    width when it is big enough to matter (r11). The argmin assignment
+    is an interpreted higher-order expression (transform/aggregate are
+    CodegenFallback — excluded from whole-stage codegen), so
+    compute-per-byte is enormous while a compact single-parquet corpus
+    plans 1-2 scan partitions — at sf1 each Lloyd round ran minutes on
+    2 of 32 cores. Below the threshold the shuffle+cache overhead
+    outweighs the parallelism (measured +2.5 s on
+    ``opq_distortion_report``'s many small trainer calls at sf0.1), so
+    small streams stay on their scan partitioning. The size signal is
+    the optimizer's planning-time estimate (file bytes for scans) — no
+    job runs; trainers execute immediately afterwards anyway."""
+    spark = df.sparkSession
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+    except Exception:
+        size = 1 << 60  # unknown → assume big (spread is then safe)
+    if size <= (16 << 20):
+        return df
+    return df.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")))
+
+
 def train_centroids(
     vectors: DataFrame,
     n_cells: int = 16,
@@ -304,32 +329,44 @@ def train_centroids(
         train = train.filter(
             F.pmod(F.xxhash64(F.col(vec_id)), F.lit(train_sample_mod)) == 0
         )
-    for _ in range(n_iter):
-        assigned = train.select(
-            _nearest_cell_expr(sorted(cents.items()), vec_col).alias("cell_id"),
-            F.col(vec_col),
-        )
-        sums = (
-            assigned.select(
-                "cell_id",
-                F.posexplode(F.col(vec_col).cast("array<double>"))
-                .alias("pos", "val"),
+    # Spread (size-conditional, see _spread_for_lloyd) + pin the
+    # training stream across Lloyd rounds, so later rounds neither
+    # re-scan parquet nor re-pay the shuffle; sample-sized when
+    # train_sample_mod is armed — the 100 TB spelling trains on a
+    # hash-sample anyway.
+    train = _spread_for_lloyd(train)
+    train.persist()
+    try:
+        for _ in range(n_iter):
+            assigned = train.select(
+                _nearest_cell_expr(sorted(cents.items()),
+                                   vec_col).alias("cell_id"),
+                F.col(vec_col),
             )
-            .groupBy("cell_id", "pos")
-            .agg(F.round(F.sum("val"), 9).alias("s"), F.count("*").alias("n"))
-            .collect()  # ≤ n_cells × dim scalar rows — model state
-        )
-        dim = len(next(iter(cents.values())))
-        new: dict[int, list[float]] = {}
-        counts: dict[int, int] = {}
-        for r in sums:
-            cid = int(r["cell_id"])
-            new.setdefault(cid, [0.0] * dim)[int(r["pos"])] = float(r["s"])
-            counts[cid] = int(r["n"])
-        cents = {
-            cid: ([s / counts[cid] for s in new[cid]] if cid in new else c)
-            for cid, c in cents.items()
-        }
+            sums = (
+                assigned.select(
+                    "cell_id",
+                    F.posexplode(F.col(vec_col).cast("array<double>"))
+                    .alias("pos", "val"),
+                )
+                .groupBy("cell_id", "pos")
+                .agg(F.round(F.sum("val"), 9).alias("s"),
+                     F.count("*").alias("n"))
+                .collect()  # ≤ n_cells × dim scalar rows — model state
+            )
+            dim = len(next(iter(cents.values())))
+            new: dict[int, list[float]] = {}
+            counts: dict[int, int] = {}
+            for r in sums:
+                cid = int(r["cell_id"])
+                new.setdefault(cid, [0.0] * dim)[int(r["pos"])] = float(r["s"])
+                counts[cid] = int(r["n"])
+            cents = {
+                cid: ([s / counts[cid] for s in new[cid]] if cid in new else c)
+                for cid, c in cents.items()
+            }
+    finally:
+        train.unpersist()
     return spark.createDataFrame(
         [(cid, c) for cid, c in sorted(cents.items())],
         "cell_id long, centroid array<double>",
@@ -1159,45 +1196,56 @@ def train_pq_codebook(
             ])
         ).alias("subspace", "__sv")
     )
-    for _ in range(n_iter):
-        # literal codeword table indexed by subspace, then argmin-L2
-        cw_lit = F.array(*[
-            F.array(*[
-                F.struct(
-                    F.lit(code).alias("code"),
-                    F.array(*[F.lit(float(x))
-                              for x in book[(m, code)]]).alias("cw"),
-                )
-                for code in sorted(c for s, c in book if s == m)
+    # Spread (size-conditional) + pin across Lloyd rounds — same
+    # rationale as train_centroids; the stream is (subspace, sub_dim
+    # floats) per vector-slice, sample-sized under train_sample_mod.
+    rows = _spread_for_lloyd(rows)
+    rows.persist()
+    try:
+        for _ in range(n_iter):
+            # literal codeword table indexed by subspace, then argmin-L2
+            cw_lit = F.array(*[
+                F.array(*[
+                    F.struct(
+                        F.lit(code).alias("code"),
+                        F.array(*[F.lit(float(x))
+                                  for x in book[(m, code)]]).alias("cw"),
+                    )
+                    for code in sorted(c for s, c in book if s == m)
+                ])
+                for m in range(m_subspaces)
             ])
-            for m in range(m_subspaces)
-        ])
-        cand = F.element_at(cw_lit, F.col("subspace") + 1)
-        d2 = lambda c: F.aggregate(  # noqa: E731
-            F.zip_with(F.col("__sv"), c["cw"], lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        best = F.array_min(
-            F.transform(cand, lambda c: F.struct(d2(c).alias("d"),
-                                                 c["code"].alias("code")))
-        )["code"]
-        sums = (
-            rows.select("subspace", best.alias("code"),
-                        F.posexplode(F.col("__sv")).alias("pos", "val"))
-            .groupBy("subspace", "code", "pos")
-            .agg(F.round(F.sum("val"), 9).alias("s"), F.count("*").alias("n"))
-            .collect()  # ≤ m·k·sub_dim scalar rows — model state
-        )
-        new: dict[tuple[int, int], list[float]] = {}
-        counts: dict[tuple[int, int], int] = {}
-        for r in sums:
-            key = (int(r["subspace"]), int(r["code"]))
-            new.setdefault(key, [0.0] * sub)[int(r["pos"])] = float(r["s"])
-            counts[key] = int(r["n"])
-        book = {
-            key: ([s / counts[key] for s in new[key]] if key in new else cw)
-            for key, cw in book.items()
-        }
+            cand = F.element_at(cw_lit, F.col("subspace") + 1)
+            d2 = lambda c: F.aggregate(  # noqa: E731
+                F.zip_with(F.col("__sv"), c["cw"],
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            best = F.array_min(
+                F.transform(cand, lambda c: F.struct(d2(c).alias("d"),
+                                                     c["code"].alias("code")))
+            )["code"]
+            sums = (
+                rows.select("subspace", best.alias("code"),
+                            F.posexplode(F.col("__sv")).alias("pos", "val"))
+                .groupBy("subspace", "code", "pos")
+                .agg(F.round(F.sum("val"), 9).alias("s"),
+                     F.count("*").alias("n"))
+                .collect()  # ≤ m·k·sub_dim scalar rows — model state
+            )
+            new: dict[tuple[int, int], list[float]] = {}
+            counts: dict[tuple[int, int], int] = {}
+            for r in sums:
+                key = (int(r["subspace"]), int(r["code"]))
+                new.setdefault(key, [0.0] * sub)[int(r["pos"])] = float(r["s"])
+                counts[key] = int(r["n"])
+            book = {
+                key: ([s / counts[key] for s in new[key]] if key in new
+                      else cw)
+                for key, cw in book.items()
+            }
+    finally:
+        rows.unpersist()
     return spark.createDataFrame(
         [(m, c, w) for (m, c), w in sorted(book.items())],
         "subspace int, code long, codeword array<double>",
