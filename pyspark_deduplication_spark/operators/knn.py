@@ -146,10 +146,24 @@ def _cell_sim_structs(cents: list[tuple[int, list[float]]], vec_col: str):
 
 
 def _nearest_cell_expr(cents: list[tuple[int, list[float]]], vec_col: str):
-    """Argmax-similarity cell id, row-local (see ``_cell_sim_structs``)."""
-    return (-F.array_max(_cell_sim_structs(cents, vec_col))["negid"]).cast(
+    """Argmax-similarity cell id, row-local (see ``_cell_sim_structs``).
+
+    The result is COALESCED to a −1 sentinel so the column is
+    statically non-nullable (r11): downstream equi-joins on the cell id
+    otherwise make ``InferFiltersFromConstraints`` add
+    ``isnotnull(<this whole argmax expression>)``, which predicate
+    pushdown then sinks BELOW every exchange to the file scan — the
+    entire interpreted assignment (n_cells dot products plus any
+    upstream normalization chain, all CodegenFallback) re-ran per row
+    inside a Filter at raw scan parallelism; jstack at the 10× fixture
+    showed exactly this stack grinding minutes on 2 of 32 cores. A
+    null argmax only arises from a null/absent vector; the −1 sentinel
+    matches no real cell, so inner joins drop those rows exactly as
+    the null did."""
+    best = (-F.array_max(_cell_sim_structs(cents, vec_col))["negid"]).cast(
         "long"
     )
+    return F.coalesce(best, F.lit(-1).cast("long"))
 
 
 def _topn_cells_expr(
@@ -236,27 +250,68 @@ def coreset_sample(
     )
 
 
-def _spread_for_lloyd(df: DataFrame) -> DataFrame:
-    """Round-robin the Lloyd training stream to the session shuffle
-    width when it is big enough to matter (r11). The argmin assignment
-    is an interpreted higher-order expression (transform/aggregate are
-    CodegenFallback — excluded from whole-stage codegen), so
-    compute-per-byte is enormous while a compact single-parquet corpus
-    plans 1-2 scan partitions — at sf1 each Lloyd round ran minutes on
-    2 of 32 cores. Below the threshold the shuffle+cache overhead
-    outweighs the parallelism (measured +2.5 s on
-    ``opq_distortion_report``'s many small trainer calls at sf0.1), so
-    small streams stay on their scan partitioning. The size signal is
-    the optimizer's planning-time estimate (file bytes for scans) — no
-    job runs; trainers execute immediately afterwards anyway."""
-    spark = df.sparkSession
+def _interpreted_hof_input_rows(df: DataFrame) -> int | None:
+    """Planning-time row estimate for the spread decision: sum of
+    parquet footer row counts over the frame's input files (driver
+    metadata reads — no Spark job). Returns None when the inputs are
+    not file-backed (in-memory batches, streaming sources); for
+    multi-table plans (joins) it over-counts, which only errs toward
+    spreading — the safe direction at scale."""
     try:
-        size = int(str(df._jdf.queryExecution().optimizedPlan()
-                       .stats().sizeInBytes()))
+        files = [f for f in df.inputFiles() if f]
     except Exception:
-        size = 1 << 60  # unknown → assume big (spread is then safe)
-    if size <= (16 << 20):
-        return df
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    total = 0
+    for f in files:
+        path = f.split("://", 1)[-1] if f.startswith("file:") else f
+        path = path.replace("file:", "", 1)
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
+def _spread_for_lloyd(df: DataFrame) -> DataFrame:
+    """Round-robin an interpreted-HOF-bound stream to the session
+    shuffle width when it is big enough to matter (r11). The argmin
+    assignment / PQ distance expressions are interpreted higher-order
+    functions (transform/aggregate/zip_with are CodegenFallback —
+    excluded from whole-stage codegen), so compute-per-ROW is enormous
+    while a compact single-parquet corpus plans 1-2 scan partitions —
+    at sf1 each Lloyd round ran minutes on 2 of 32 cores. The exchange
+    also MATERIALIZES upstream projection chains that Catalyst's
+    projection collapse would otherwise inline into every downstream
+    consumer (jstack showed the unit-normalization re-running per
+    (vector, subspace, codeword) row inside pq_encode's predicate).
+
+    Below the threshold the per-call shuffle/cache fixed costs buy
+    nothing (a 2k-row trainer input is seconds of work either way), so
+    small streams stay put. The size signal is parquet FOOTER ROW
+    COUNTS (driver metadata, no job) — on-disk bytes are useless here:
+    compute is per-ROW×expression, and the scaled fixture's 20k rolled
+    vectors zstd-compress to the same ~5 MB as the base's 2k.
+    Non-file-backed inputs fall back to the optimizer's byte
+    estimate."""
+    spark = df.sparkSession
+    rows = _interpreted_hof_input_rows(df)
+    if rows is not None:
+        if rows <= 5_000:
+            return df
+    else:
+        try:
+            size = int(str(df._jdf.queryExecution().optimizedPlan()
+                           .stats().sizeInBytes()))
+        except Exception:
+            size = 1 << 60  # unknown → assume big (spread is safe)
+        if size <= (16 << 20):
+            return df
     return df.repartition(
         int(spark.conf.get("spark.sql.shuffle.partitions")))
 
@@ -1395,6 +1450,16 @@ def build_ivfpq_index(
                                     lambda x: x / nrm))
         .otherwise(F.col(vec_col).cast("array<double>")).alias(vec_col),
     )
+    # MATERIALIZE the normalization at scale (r11): the transform chain
+    # is an interpreted higher-order expression, and Catalyst's
+    # projection collapse inlines it into every downstream consumer —
+    # jstack at sf1 showed the pq_encode distance predicate re-running
+    # CaseWhen(ArrayTransform(Divide)) per (vector, subspace, codeword)
+    # row, i.e. m·k normalizations per vector instead of one. A
+    # size-conditional exchange (same rule as the Lloyd spread) cuts
+    # the chain and buys parallelism; below the threshold the old
+    # single-pass plan stands.
+    unit_vecs = _spread_for_lloyd(unit_vecs)
     cents = train_centroids(
         unit_vecs, n_cells, vec_id, vec_col, n_iter, train_sample_mod
     )
@@ -1407,6 +1472,9 @@ def build_ivfpq_index(
                        F.col("centroid"),
                        lambda a, b: a - b).alias(vec_col),
         )
+        # same collapse hazard for the residual zip_with feeding the
+        # encode explode
+        indexed = _spread_for_lloyd(indexed)
     cb = train_pq_codebook(
         indexed, dim, m_subspaces, k_codes, vec_id, vec_col,
         n_iter, train_sample_mod,
