@@ -1086,10 +1086,13 @@ def c4_quality_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sentences = F.aggregate(
         retained, F.lit(0),
         lambda a, l: a + F.regexp_count(l, F.lit("[.!?]")))
-    r1 = (n_lines == 0) | (n_bullet.cast("double")
-                           / n_lines.cast("double") <= 0.9)
-    r2 = (n_lines == 0) | (n_ellipsis.cast("double")
-                           / n_lines.cast("double") <= 0.3)
+    # NULL divisor for zero-line docs (ANSI raises DIVIDE_BY_ZERO even
+    # when the zero case is excluded by a boolean OR); NULL ≤ t is
+    # NULL, coalesced to the pass-through True — a doc with no lines
+    # has nothing to remove on
+    nd = F.when(n_lines > 0, n_lines.cast("double"))
+    r1 = F.coalesce(n_bullet.cast("double") / nd <= 0.9, F.lit(True))
+    r2 = F.coalesce(n_ellipsis.cast("double") / nd <= 0.3, F.lit(True))
     r3 = ~F.lower(F.col("text")).contains("lorem ipsum")
     r4 = ~F.col("text").contains("{")
     r5 = n_js == 0
@@ -1171,6 +1174,89 @@ UNPIVOT (n_pass FOR rule IN (bullet_lines_le_90pct,
                              ellipsis_lines_le_30pct, no_lorem_ipsum,
                              no_curly_brace, no_javascript_line,
                              min_3_sentences_retained, all_rules))
+"""
+
+
+def c4_quality_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LINE-LEVEL quality SIGNALS (the RedPajama-v2
+    convention: ship the raw dials, let the curation policy threshold
+    them downstream — the companion to the pass/fail report
+    ``c4_quality_rules_docs``): line count, bullet- / ellipsis- /
+    terminal-punctuation line fractions, mean words per line, sentence
+    count, and the C4 page markers (lorem ipsum, curly brace,
+    javascript-line count). One staged line-split, one map pass, no
+    aggregate — the output is a doc-keyed signals table an operator
+    joins against. Fractions are NULL for zero-line docs (nothing to
+    measure), everything else integer-exact or 6dp-rounded."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = F.filter(F.split(F.col("text"), "\n"),
+                     lambda l: F.length(F.trim(l)) > 0)
+    staged = docs.select("doc_id", F.col("text"), lines.alias("__lines"))
+    ln = F.col("__lines")
+    n_lines = F.size(ln)
+    # NULL divisor for zero-line docs (ANSI mode raises DIVIDE_BY_ZERO
+    # even inside an unevaluated CASE branch; x / NULL is NULL in both
+    # engines, which is exactly the wanted "nothing to measure")
+    nd = F.when(n_lines > 0, n_lines.cast("double"))
+    n_bullet = F.size(F.filter(ln, lambda l: l.rlike("^\\s*[-*•]")))
+    n_ellipsis = F.size(F.filter(
+        ln, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$")))
+    n_term = F.size(F.filter(ln, lambda l: F.rtrim(l).rlike('[.!?"]$')))
+    n_js = F.size(F.filter(ln, lambda l: F.lower(l).contains("javascript")))
+    words = F.aggregate(
+        ln, F.lit(0),
+        lambda a, l: a + F.size(F.filter(F.split(l, "\\s+"),
+                                         lambda w: F.length(w) > 0)))
+    frac = lambda c: F.round(c.cast("double") / nd, 6)  # noqa: E731
+    return staged.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        frac(n_bullet).alias("frac_lines_bullet"),
+        frac(n_ellipsis).alias("frac_lines_ellipsis"),
+        frac(n_term).alias("frac_lines_terminal_punct"),
+        F.round(words.cast("double") / nd, 6)
+        .alias("mean_words_per_line"),
+        F.regexp_count(F.col("text"), F.lit("[.!?]")).cast("long")
+        .alias("n_sentences"),
+        F.lower(F.col("text")).contains("lorem ipsum").cast("int")
+        .alias("has_lorem_ipsum"),
+        F.col("text").contains("{").cast("int").alias("has_curly_brace"),
+        n_js.cast("long").alias("n_javascript_lines"),
+    )
+
+
+_C4_SIGNALS_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)),
+                     l -> len(trim(l)) > 0) AS lines
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       round(CASE WHEN len(lines) > 0 THEN
+         len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+         / CAST(len(lines) AS DOUBLE) END, 6) AS frac_lines_bullet,
+       round(CASE WHEN len(lines) > 0 THEN
+         len(list_filter(lines,
+                         l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+         / CAST(len(lines) AS DOUBLE) END, 6) AS frac_lines_ellipsis,
+       round(CASE WHEN len(lines) > 0 THEN
+         len(list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$')))
+         / CAST(len(lines) AS DOUBLE) END, 6) AS frac_lines_terminal_punct,
+       round(CASE WHEN len(lines) > 0 THEN
+         CAST(coalesce(list_sum(list_transform(lines,
+           l -> len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                w -> len(w) > 0)))), 0) AS DOUBLE)
+         / CAST(len(lines) AS DOUBLE) END, 6) AS mean_words_per_line,
+       CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+         AS n_sentences,
+       CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END
+         AS has_lorem_ipsum,
+       CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_curly_brace,
+       CAST(len(list_filter(lines, l -> contains(lower(l), 'javascript')))
+         AS BIGINT) AS n_javascript_lines
+FROM base
 """
 
 
@@ -10344,6 +10430,11 @@ CATALOG: dict[str, Query] = {
     "c4_quality_rules_docs": Query(
         c4_quality_rules_docs, _C4_RULES_ORACLE,
         tags=["text", "quality", "stats"]),
+    # the raw per-doc line-level dials behind those rules (the
+    # RedPajama-v2 quality-signals convention) — r11
+    "c4_quality_signals_docs": Query(
+        c4_quality_signals_docs, _C4_SIGNALS_ORACLE,
+        tags=["text", "quality"]),
     "quality_filter_docs": Query(quality_filter_docs, _QUALITY_FILTER_ORACLE,
                                  tags=["text", "pipeline"]),
     "media_dedup_by_content": Query(media_dedup_by_content,
@@ -10640,7 +10731,9 @@ _GRADED_ORDER = [
     "incremental_dedup_docs",
     "incremental_fused_dedup_docs_exact",
     "jaccard_near_dup_docs",
-    "knn_bruteforce",
+    # (e) the late-r11 addition (never graded): the raw quality-signals
+    # table — takes the final slot; knn_bruteforce heads the r12 queue
+    "c4_quality_signals_docs",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

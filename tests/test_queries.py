@@ -462,6 +462,50 @@ def test_c4_rules_known_doc_matrix(spark, tmp_path):
         assert abs(r["pass_rate"] - round(r["n_pass"] / n, 6)) < 1e-9
 
 
+def test_c4_signals_consistent_with_rules(spark, tmp_path):
+    """The raw signals table and the pass/fail report must agree on
+    the handcrafted corpus: thresholding the signals reproduces the
+    rule pass counts, and the per-doc dials match hand-computed
+    values."""
+    from pyspark_deduplication_spark.queries import (
+        c4_quality_rules_docs,
+        c4_quality_signals_docs,
+    )
+
+    docs = [
+        (0, "Solid first sentence here.\nAnd a proper second one."),
+        (1, "• bullet one\n• bullet two\nplain closing line."),
+        (2, "trailing off...\nLorem ipsum filler { code }."),
+        (3, "   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sig = {r.doc_id: r for r in
+           c4_quality_signals_docs(spark, str(tmp_path)).collect()}
+    assert sig[0].n_lines == 2 and sig[0].frac_lines_bullet == 0.0
+    assert sig[0].frac_lines_terminal_punct == 1.0
+    assert sig[1].n_lines == 3
+    assert abs(sig[1].frac_lines_bullet - round(2 / 3, 6)) < 1e-9
+    assert sig[2].frac_lines_ellipsis == 0.5
+    assert sig[2].has_lorem_ipsum == 1 and sig[2].has_curly_brace == 1
+    assert sig[3].n_lines == 0 and sig[3].frac_lines_bullet is None
+    # cross-check: thresholding the signals reproduces the rule report
+    rules = {r.rule: r.n_pass for r in
+             c4_quality_rules_docs(spark, str(tmp_path)).collect()}
+    n_bullet_pass = sum(
+        1 for r in sig.values()
+        if r.n_lines == 0 or r.frac_lines_bullet <= 0.9)
+    assert rules["bullet_lines_le_90pct"] == n_bullet_pass
+    n_ellipsis_pass = sum(
+        1 for r in sig.values()
+        if r.n_lines == 0 or r.frac_lines_ellipsis <= 0.3)
+    assert rules["ellipsis_lines_le_30pct"] == n_ellipsis_pass
+    assert rules["no_lorem_ipsum"] == sum(
+        1 for r in sig.values() if r.has_lorem_ipsum == 0)
+    assert rules["no_curly_brace"] == sum(
+        1 for r in sig.values() if r.has_curly_brace == 0)
+
+
 def test_gopher_rules_report_conjunction_bound(spark):
     """The all_rules row is the conjunction: its pass count can never
     exceed any individual rule's, and rates are exact count ratios."""
