@@ -1260,6 +1260,300 @@ FROM base
 """
 
 
+# Gopher repetition removal (Rae et al. 2021, Appendix A1.1 — public
+# recipe): the n-gram half of the family. The paper's line/paragraph
+# repetition signals are deliberately absent — this corpus is
+# single-line (no '\n' in any document), so within-doc line-dup
+# fractions are identically zero; the line-level dials live in the C4
+# family above, where they measure something real.
+_REP_TOP_NS = (2, 3, 4)      # "fraction of chars in the MOST COMMON n-gram"
+_REP_DUP_NS = (5, 6, 7, 8, 9, 10)  # "fraction of chars in DUPLICATED n-grams"
+# (max-frequency, tie-broken-by-char-length) packed into one BIGINT so a
+# single max() picks the winner deterministically in both engines;
+# gram char length is bounded by doc length << 1e9
+_REP_SCORE_BASE = 1_000_000_000
+
+
+def gopher_repetition_signals_docs(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Per-document REPETITION signals — the published Gopher
+    repetition-removal recipe (Rae et al. 2021, Appendix A1.1) as a
+    doc-keyed dials table (the within-doc companion to the line-level
+    ``c4_quality_signals_docs`` and the corpus-wide
+    ``doc_repetition_scores``):
+
+    - ``top_{2,3,4}gram_char_frac``: fraction of the document's token
+      characters contained in occurrences of the most frequent word
+      n-gram (occurrence count × n-gram char length / total token
+      chars; >1 possible for self-overlapping repeats, as in the
+      paper's reference implementations). Ties on frequency break to
+      the longest gram — deterministic in both engines via a packed
+      (count, chars) BIGINT score.
+    - ``dup_{5..10}gram_char_frac``: fraction of token characters
+      covered by ANY word n-gram that occurs more than once, each
+      character counted at most once (the union-of-spans semantics the
+      published filters use; ≤1 by construction).
+
+    Characters are counted over normalized tokens (the engine's
+    3-regex tokenizer — the report measures the rules as THIS pipeline
+    would apply them); a signal is NULL when the doc has fewer than n
+    tokens (nothing to measure), and a duplicated-gram fraction is 0.0
+    when grams exist but none repeats.
+
+    Scale shape: the gram stream is built by one explode per document
+    (9 n-values × token count rows), every aggregation and join is
+    keyed by doc_id (+n, +gram) — embarrassingly partitionable, no
+    cross-document edges, no shuffle carries text beyond n-token gram
+    keys (the same shuffle shape as ``doc_repetition_scores`` and the
+    ExactSubstr family)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(tokenize(F.col("text")), lambda w: F.length(w) > 0)
+    base = docs.select("doc_id", toks.alias("__toks")).select(
+        "doc_id", "__toks",
+        F.size("__toks").alias("__m"),
+        F.aggregate(F.transform("__toks", F.length),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x.cast("long")).alias("__chars"),
+    )
+
+    def gram_stream(ns):
+        """(doc_id, n, i, gram, gc) rows — i is the 1-based start
+        position, gc the gram's token-char length (no separators)."""
+        return (
+            base.select(
+                "doc_id", "__toks", "__m",
+                F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"))
+            .where(F.col("__m") >= F.col("n"))
+            .select(
+                "doc_id", "n", "__toks",
+                F.explode(F.sequence(
+                    F.lit(1), F.col("__m") - F.col("n") + 1)).alias("i"))
+            .select(
+                "doc_id", "n", "i",
+                F.concat_ws(" ", F.slice(
+                    "__toks", F.col("i"), F.col("n"))).alias("gram"),
+                F.aggregate(
+                    F.slice("__toks", F.col("i"), F.col("n")),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x).cast("long")).alias("gc"))
+        )
+
+    # top-(2,3,4): frequency per gram, winner = max packed score
+    top = (
+        gram_stream(_REP_TOP_NS)
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("gc").alias("gc"))
+        .groupBy("doc_id", "n")
+        .agg(F.max(F.col("cnt") * F.lit(_REP_SCORE_BASE)
+                   + F.col("gc")).alias("score"))
+        .select(
+            "doc_id", "n",
+            ((F.col("score") / _REP_SCORE_BASE).cast("long")
+             * (F.col("score") % _REP_SCORE_BASE)).alias("num"))
+        .groupBy("doc_id")
+        .agg(*[F.max(F.when(F.col("n") == n, F.col("num")))
+               .alias(f"__t{n}") for n in _REP_TOP_NS])
+    )
+
+    # dup-(5..10): union of token positions covered by repeated grams
+    dup_freq = (
+        gram_stream(_REP_DUP_NS)
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.collect_list("i").alias("pos"))
+        .where(F.col("cnt") > 1)
+    )
+    covered = (
+        dup_freq
+        .select("doc_id", "n", F.explode("pos").alias("i"))
+        .select("doc_id", "n",
+                F.explode(F.sequence(
+                    F.col("i"), F.col("i") + F.col("n") - 1)).alias("p"))
+        .distinct()
+    )
+    toklen = base.select(
+        "doc_id", F.posexplode("__toks").alias("p0", "__tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"),
+             F.length("__tok").cast("long").alias("tl"))
+    dup = (
+        covered.join(toklen, ["doc_id", "p"])
+        .groupBy("doc_id", "n")
+        .agg(F.sum("tl").alias("cov"))
+        .groupBy("doc_id")
+        .agg(*[F.max(F.when(F.col("n") == n, F.col("cov")))
+               .alias(f"__c{n}") for n in _REP_DUP_NS])
+    )
+
+    chars_d = F.col("__chars").cast("double")
+    out = base.join(top, "doc_id", "left").join(dup, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        *[F.round(F.col(f"__t{n}").cast("double") / chars_d, 6)
+          .alias(f"top_{n}gram_char_frac") for n in _REP_TOP_NS],
+        *[F.when(F.col("__m") >= n,
+                 F.round(F.coalesce(F.col(f"__c{n}"), F.lit(0))
+                         .cast("double") / chars_d, 6))
+          .alias(f"dup_{n}gram_char_frac") for n in _REP_DUP_NS],
+    )
+
+
+_REP_SIGNALS_ORACLE = f"""
+WITH meta AS (
+  SELECT doc_id, t, len(t) AS m,
+         CAST(coalesce(list_sum(list_transform(t, w -> len(w))), 0)
+              AS BIGINT) AS chars
+  FROM (SELECT doc_id, list_filter({_TOKENS_SQL}, w -> len(w) > 0) AS t
+        FROM documents)
+),
+grams AS (
+  SELECT doc_id, n, i,
+         array_to_string(t[i:i+n-1], ' ') AS gram,
+         CAST(list_sum(list_transform(t[i:i+n-1], w -> len(w)))
+              AS BIGINT) AS gc
+  FROM meta,
+       unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS nu(n),
+       unnest(range(1, m - n + 2)) AS r(i)
+  WHERE m >= n
+),
+freq AS (
+  SELECT doc_id, n, gram, count(*) AS cnt, max(gc) AS gc,
+         list(i) AS pos
+  FROM grams GROUP BY 1, 2, 3
+),
+top_wide AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN num END) AS t2,
+         max(CASE WHEN n = 3 THEN num END) AS t3,
+         max(CASE WHEN n = 4 THEN num END) AS t4
+  FROM (SELECT doc_id, n,
+               (score // {_REP_SCORE_BASE}) * (score % {_REP_SCORE_BASE})
+                 AS num
+        FROM (SELECT doc_id, n,
+                     max(cnt * {_REP_SCORE_BASE} + gc) AS score
+              FROM freq WHERE n <= 4 GROUP BY 1, 2))
+  GROUP BY 1
+),
+covered AS (
+  SELECT DISTINCT doc_id, n, p
+  FROM (SELECT doc_id, n, unnest(pos) AS i
+        FROM freq WHERE n >= 5 AND cnt > 1) s,
+       unnest(range(i, i + n)) AS q(p)
+),
+toklen AS (
+  SELECT doc_id, i AS p, len(t[i]) AS tl
+  FROM meta, unnest(range(1, m + 1)) AS r(i)
+),
+dup_wide AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 5 THEN covc END) AS c5,
+         max(CASE WHEN n = 6 THEN covc END) AS c6,
+         max(CASE WHEN n = 7 THEN covc END) AS c7,
+         max(CASE WHEN n = 8 THEN covc END) AS c8,
+         max(CASE WHEN n = 9 THEN covc END) AS c9,
+         max(CASE WHEN n = 10 THEN covc END) AS c10
+  FROM (SELECT c.doc_id, c.n, sum(tl) AS covc
+        FROM covered c
+        JOIN toklen tk ON c.doc_id = tk.doc_id AND c.p = tk.p
+        GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT m.doc_id,
+       round(t2 / CAST(chars AS DOUBLE), 6) AS top_2gram_char_frac,
+       round(t3 / CAST(chars AS DOUBLE), 6) AS top_3gram_char_frac,
+       round(t4 / CAST(chars AS DOUBLE), 6) AS top_4gram_char_frac,
+       CASE WHEN m >= 5 THEN round(coalesce(c5, 0)
+         / CAST(chars AS DOUBLE), 6) END AS dup_5gram_char_frac,
+       CASE WHEN m >= 6 THEN round(coalesce(c6, 0)
+         / CAST(chars AS DOUBLE), 6) END AS dup_6gram_char_frac,
+       CASE WHEN m >= 7 THEN round(coalesce(c7, 0)
+         / CAST(chars AS DOUBLE), 6) END AS dup_7gram_char_frac,
+       CASE WHEN m >= 8 THEN round(coalesce(c8, 0)
+         / CAST(chars AS DOUBLE), 6) END AS dup_8gram_char_frac,
+       CASE WHEN m >= 9 THEN round(coalesce(c9, 0)
+         / CAST(chars AS DOUBLE), 6) END AS dup_9gram_char_frac,
+       CASE WHEN m >= 10 THEN round(coalesce(c10, 0)
+         / CAST(chars AS DOUBLE), 6) END AS dup_10gram_char_frac
+FROM meta m
+LEFT JOIN top_wide USING (doc_id)
+LEFT JOIN dup_wide USING (doc_id)
+"""
+
+
+# the paper's thresholds, Rae et al. 2021 Table A1: a doc is removed
+# when the signal EXCEEDS the threshold
+_REP_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+_REP_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11,
+                       10: 0.10}
+
+
+def gopher_repetition_rules_docs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The Gopher repetition FILTERS (Rae et al. 2021, Table A1
+    thresholds over the ``gopher_repetition_signals_docs`` dials) as a
+    per-rule pass/fail report — same shape as
+    ``gopher_quality_rules_docs``, so an operator reads the two
+    side-by-side as "what would the full Gopher filter keep here". A
+    NULL signal (doc shorter than n tokens) passes its rule: no
+    repetition evidence, nothing to remove on."""
+    sig = gopher_repetition_signals_docs(spark, sf_dir)
+    rules = {}
+    for n, t in _REP_TOP_THRESHOLDS.items():
+        rules[f"top_{n}gram_char_frac_le_{int(t * 100)}pct"] = F.coalesce(
+            F.col(f"top_{n}gram_char_frac") <= t, F.lit(True))
+    for n, t in _REP_DUP_THRESHOLDS.items():
+        rules[f"dup_{n}gram_char_frac_le_{int(round(t * 100))}pct"] = (
+            F.coalesce(F.col(f"dup_{n}gram_char_frac") <= t, F.lit(True)))
+    conj = None
+    for c in rules.values():
+        conj = c if conj is None else (conj & c)
+    rules["all_rules"] = conj
+    agg = sig.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(c.cast("int")).cast("long").alias(f"__r{i}")
+          for i, c in enumerate(rules.values())])
+    stack = ", ".join(f"'{k}', `__r{i}`" for i, k in enumerate(rules))
+    return (
+        agg.select("__n", F.expr(
+            f"stack({len(rules)}, {stack}) AS (rule, n_pass)"))
+        .select("rule", "n_pass",
+                F.col("__n").alias("n_docs"),
+                F.round(F.col("n_pass") / F.col("__n").cast("double"), 6)
+                .alias("pass_rate"))
+        .orderBy("rule")
+    )
+
+
+def _rep_rules_oracle() -> str:
+    flags, sums, names = [], [], []
+    for n, t in _REP_TOP_THRESHOLDS.items():
+        nm = f"top_{n}gram_char_frac_le_{int(t * 100)}pct"
+        flags.append(f"CAST(coalesce(top_{n}gram_char_frac <= {t}, TRUE)"
+                     f" AS INT) AS f_{nm}")
+        names.append(nm)
+    for n, t in _REP_DUP_THRESHOLDS.items():
+        nm = f"dup_{n}gram_char_frac_le_{int(round(t * 100))}pct"
+        flags.append(f"CAST(coalesce(dup_{n}gram_char_frac <= {t}, TRUE)"
+                     f" AS INT) AS f_{nm}")
+        names.append(nm)
+    sums = [f"sum(f_{nm}) AS {nm}" for nm in names]
+    conj = " * ".join(f"f_{nm}" for nm in names)
+    return f"""
+WITH sig AS ({_REP_SIGNALS_ORACLE}),
+flags AS (SELECT {', '.join(flags)} FROM sig),
+agg AS (SELECT count(*) AS n_docs, {', '.join(sums)},
+               sum({conj}) AS all_rules
+        FROM flags)
+SELECT rule, CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_pass / CAST(n_docs AS DOUBLE), 6) AS pass_rate
+FROM agg
+UNPIVOT (n_pass FOR rule IN ({', '.join(names)}, all_rules))
+"""
+
+
+_REP_RULES_ORACLE = _rep_rules_oracle()
+
+
 def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical corpus-curation step: drop documents below a quality
     threshold, report per-language retention."""
@@ -10435,6 +10729,14 @@ CATALOG: dict[str, Query] = {
     "c4_quality_signals_docs": Query(
         c4_quality_signals_docs, _C4_SIGNALS_ORACLE,
         tags=["text", "quality"]),
+    # Gopher repetition removal (Rae et al. 2021 A1.1) — the n-gram
+    # char-fraction dials and their Table-A1 threshold report (r11)
+    "gopher_repetition_signals_docs": Query(
+        gopher_repetition_signals_docs, _REP_SIGNALS_ORACLE,
+        tags=["text", "quality", "dedup"]),
+    "gopher_repetition_rules_docs": Query(
+        gopher_repetition_rules_docs, _REP_RULES_ORACLE,
+        tags=["text", "quality", "stats"]),
     "quality_filter_docs": Query(quality_filter_docs, _QUALITY_FILTER_ORACLE,
                                  tags=["text", "pipeline"]),
     "media_dedup_by_content": Query(media_dedup_by_content,
@@ -10701,8 +11003,8 @@ _GRADED_ORDER = [
     "vocab_growth_report",
     "windowed_collect_set_parts",      # … end of the r7 queue
     # (d) the r8 frontier (next-oldest grades), alphabetical head —
-    # 29 of 50; the tail (levenshtein_links_customers …
-    # unigram_seed_pieces, 21 entries) queues for r12
+    # 27 of 50; the tail (incremental_dedup_docs …
+    # unigram_seed_pieces) queues for r12
     "chunk_level_dedup_rate",
     "count_distinct_parts",
     "cube_lineitem_flags",
@@ -10728,12 +11030,14 @@ _GRADED_ORDER = [
     "faithful_fuzzy_join_lev",
     "fused_dedup_docs",
     "hyperplane_ann_recall_report",
-    "incremental_dedup_docs",
-    "incremental_fused_dedup_docs_exact",
     "jaccard_near_dup_docs",
-    # (e) the late-r11 addition (never graded): the raw quality-signals
-    # table — takes the final slot; knn_bruteforce heads the r12 queue
+    # (e) the late-r11 additions (never graded — highest rotation
+    # priority, displacing two r8-frontier entries to the r12 queue):
+    # the raw C4 quality-signals table and the Gopher repetition
+    # signal/rule pair; incremental_dedup_docs heads the r12 queue
     "c4_quality_signals_docs",
+    "gopher_repetition_signals_docs",
+    "gopher_repetition_rules_docs",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

@@ -523,3 +523,138 @@ def test_gopher_rules_report_conjunction_bound(spark):
         assert abs(r["pass_rate"] - round(r["n_pass"] / r["n_docs"], 6)) < 1e-9
         if k != "all_rules":
             assert rows["all_rules"]["n_pass"] <= r["n_pass"]
+
+
+def test_gopher_repetition_signals_hand_matrix(spark, tmp_path):
+    """The Gopher repetition dials (Rae et al. 2021 A1.1) on a
+    handcrafted corpus with hand-computed expected values: overlapping
+    top-gram repeats (frac > 1 allowed, as in the paper's reference
+    implementations), union-of-spans dup coverage (each char once),
+    0.0 for measurable-but-clean, NULL for too-short."""
+    from pyspark_deduplication_spark.queries import (
+        gopher_repetition_signals_docs,
+    )
+
+    docs = [
+        # alternating pair: every window is a repeat of itself
+        (0, "aa bb aa bb aa bb"),
+        # all-distinct tokens: top fracs are the single-gram floor,
+        # every dup frac measurable and 0.0
+        (1, "x y z w v u q r s t"),
+        # one repeated 5-gram, non-overlapping: covers 10 of 11 chars
+        (2, "a b c d e a b c d e f"),
+        # empty after normalization -> everything NULL
+        (3, "   "),
+        # single token -> even the 2-gram signal is NULL
+        (4, "hello"),
+        # maximal self-overlap: dup coverage still counts chars once
+        (5, "z z z z z z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sig = {r.doc_id: r for r in
+           gopher_repetition_signals_docs(spark, str(tmp_path)).collect()}
+    assert len(sig) == len(docs)
+
+    # doc 0: m=6, chars=12; top2 "aa bb" cnt3 gc4 -> 12/12; top3 cnt2
+    # gc6 -> 12/12; top4 "aa bb aa bb" cnt2 gc8 -> 16/12; both 5-grams
+    # and the single 6-gram are unique -> 0.0; 7..10-grams undefined
+    r = sig[0]
+    assert r.top_2gram_char_frac == 1.0
+    assert r.top_3gram_char_frac == 1.0
+    assert abs(r.top_4gram_char_frac - round(16 / 12, 6)) < 1e-9
+    assert r.dup_5gram_char_frac == 0.0 and r.dup_6gram_char_frac == 0.0
+    assert r.dup_7gram_char_frac is None
+    assert r.dup_10gram_char_frac is None
+
+    # doc 1: every gram unique, cnt=1, chars=10 -> top_n = n/10;
+    # m=10 so all dup signals measurable and 0.0
+    r = sig[1]
+    assert r.top_2gram_char_frac == 0.2
+    assert r.top_3gram_char_frac == 0.3
+    assert r.top_4gram_char_frac == 0.4
+    for n in range(5, 11):
+        assert getattr(r, f"dup_{n}gram_char_frac") == 0.0
+
+    # doc 2: "a b c d e" repeats at positions 1 and 6 -> 10 of 11
+    # chars covered at n=5; no longer gram repeats; top fracs from the
+    # doubled prefix grams
+    r = sig[2]
+    assert abs(r.dup_5gram_char_frac - round(10 / 11, 6)) < 1e-9
+    for n in range(6, 11):
+        assert getattr(r, f"dup_{n}gram_char_frac") == 0.0
+    assert abs(r.top_2gram_char_frac - round(4 / 11, 6)) < 1e-9
+    assert abs(r.top_3gram_char_frac - round(6 / 11, 6)) < 1e-9
+    assert abs(r.top_4gram_char_frac - round(8 / 11, 6)) < 1e-9
+
+    # docs 3 and 4: nothing to measure
+    for d in (3, 4):
+        for n in (2, 3, 4):
+            assert getattr(sig[d], f"top_{n}gram_char_frac") is None
+        for n in range(5, 11):
+            assert getattr(sig[d], f"dup_{n}gram_char_frac") is None
+
+    # doc 5: the two overlapping "z z z z z" occurrences cover all 6
+    # chars exactly once -> 1.0 (not 10/6); top2 cnt5 gc2 -> 10/6 > 1
+    r = sig[5]
+    assert r.dup_5gram_char_frac == 1.0
+    assert r.dup_6gram_char_frac == 0.0
+    assert abs(r.top_2gram_char_frac - round(10 / 6, 6)) < 1e-9
+
+
+def test_gopher_repetition_rules_threshold_consistency(spark, tmp_path):
+    """Thresholding the signals table reproduces the rule report's
+    pass counts exactly (NULL signal = vacuous pass), and the
+    conjunction row is bounded by every individual rule."""
+    from pyspark_deduplication_spark.queries import (
+        _REP_DUP_THRESHOLDS,
+        _REP_TOP_THRESHOLDS,
+        gopher_repetition_rules_docs,
+        gopher_repetition_signals_docs,
+    )
+
+    docs = [
+        (0, "aa bb aa bb aa bb"),          # trips every top rule
+        (1, "x y z w v u q r s t"),        # top2 at exactly 0.20: <= passes
+        (2, "a b c d e a b c d e f"),      # trips the dup5 rule
+        (3, "hi"),                         # NULL signals -> all pass
+        (4, "one two three four five six seven eight nine ten eleven"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sig = gopher_repetition_signals_docs(spark, str(tmp_path)).collect()
+    rules = {r.rule: r for r in
+             gopher_repetition_rules_docs(spark, str(tmp_path)).collect()}
+    assert len(rules) == len(_REP_TOP_THRESHOLDS) + len(
+        _REP_DUP_THRESHOLDS) + 1
+
+    def passes(row, col, thr):
+        v = getattr(row, col)
+        return v is None or v <= thr
+
+    expected_all = 0
+    for row in sig:
+        ok = all(passes(row, f"top_{n}gram_char_frac", t)
+                 for n, t in _REP_TOP_THRESHOLDS.items())
+        ok = ok and all(passes(row, f"dup_{n}gram_char_frac", t)
+                        for n, t in _REP_DUP_THRESHOLDS.items())
+        expected_all += int(ok)
+    for n, t in _REP_TOP_THRESHOLDS.items():
+        name = f"top_{n}gram_char_frac_le_{int(t * 100)}pct"
+        want = sum(int(passes(r, f"top_{n}gram_char_frac", t)) for r in sig)
+        assert rules[name].n_pass == want, name
+    for n, t in _REP_DUP_THRESHOLDS.items():
+        name = f"dup_{n}gram_char_frac_le_{int(round(t * 100))}pct"
+        want = sum(int(passes(r, f"dup_{n}gram_char_frac", t)) for r in sig)
+        assert rules[name].n_pass == want, name
+    assert rules["all_rules"].n_pass == expected_all
+    # doc 1 sits exactly ON the top-2 threshold (0.20) and must pass;
+    # doc 3 is NULL and passes vacuously; docs 0/2/4 trip it (1.0,
+    # 4/11, and 10/45 — the all-distinct doc still "tops" at its
+    # longest bigram, 'seven eight' = 10 of 45 chars)
+    assert rules["top_2gram_char_frac_le_20pct"].n_pass == 2
+    for k, r in rules.items():
+        assert r.n_docs == len(docs)
+        assert abs(r.pass_rate - round(r.n_pass / len(docs), 6)) < 1e-9
+        if k != "all_rules":
+            assert rules["all_rules"].n_pass <= r.n_pass
