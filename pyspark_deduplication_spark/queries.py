@@ -1300,49 +1300,67 @@ def gopher_repetition_signals_docs(spark: SparkSession,
     tokens (nothing to measure), and a duplicated-gram fraction is 0.0
     when grams exist but none repeats.
 
-    Scale shape: the gram stream is built by one explode per document
-    (9 n-values × token count rows), every aggregation and join is
-    keyed by doc_id (+n, +gram) — embarrassingly partitionable, no
-    cross-document edges, no shuffle carries text beyond n-token gram
-    keys (the same shuffle shape as ``doc_repetition_scores`` and the
-    ExactSubstr family)."""
+    Scale shape: one logical gram stream serves all 9 n-values and
+    both signal families; Catalyst column-prunes it per branch (the
+    top branch's shuffle carries only (keys, count, chars) — no
+    positions; the dup branch drops the char totals), so the physical
+    plan is two lean corpus passes plus a thin (doc_id, m, chars)
+    anchor projection. Each gram row carries its own token lengths,
+    so the duplicated-span union needs no positions→lengths join (and
+    no fourth pass). Every aggregation is keyed by doc_id (+n, +gram)
+    — embarrassingly partitionable, no cross-document edges, no
+    shuffle carries text beyond n-token gram keys (the same shuffle
+    shape as ``doc_repetition_scores`` and the ExactSubstr family)."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(tokenize(F.col("text")), lambda w: F.length(w) > 0)
     base = docs.select("doc_id", toks.alias("__toks")).select(
-        "doc_id", "__toks",
+        "doc_id",
         F.size("__toks").alias("__m"),
         F.aggregate(F.transform("__toks", F.length),
                     F.lit(0).cast("long"),
                     lambda a, x: a + x.cast("long")).alias("__chars"),
     )
 
-    def gram_stream(ns):
-        """(doc_id, n, i, gram, gc) rows — i is the 1-based start
-        position, gc the gram's token-char length (no separators)."""
-        return (
-            base.select(
-                "doc_id", "__toks", "__m",
-                F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"))
-            .where(F.col("__m") >= F.col("n"))
-            .select(
-                "doc_id", "n", "__toks",
-                F.explode(F.sequence(
-                    F.lit(1), F.col("__m") - F.col("n") + 1)).alias("i"))
-            .select(
-                "doc_id", "n", "i",
-                F.concat_ws(" ", F.slice(
-                    "__toks", F.col("i"), F.col("n"))).alias("gram"),
-                F.aggregate(
-                    F.slice("__toks", F.col("i"), F.col("n")),
-                    F.lit(0).cast("long"),
-                    lambda a, x: a + F.length(x).cast("long")).alias("gc"))
-        )
+    # ONE gram stream for all 9 n-values: (doc_id, n, i, gram, lens) —
+    # i the 1-based start position, lens the gram's per-token char
+    # lengths (identical for every occurrence of the same gram, since
+    # tokens contain no separator chars)
+    all_ns = _REP_TOP_NS + _REP_DUP_NS
+    stream = (
+        docs.select("doc_id", toks.alias("__toks"))
+        .select("doc_id", "__toks", F.size("__toks").alias("__m"))
+        .select(
+            "doc_id", "__toks", "__m",
+            F.explode(F.array(*[F.lit(n) for n in all_ns])).alias("n"))
+        .where(F.col("__m") >= F.col("n"))
+        .select(
+            "doc_id", "n", "__toks",
+            F.explode(F.sequence(
+                F.lit(1), F.col("__m") - F.col("n") + 1)).alias("i"))
+        .select(
+            "doc_id", "n", "i",
+            F.concat_ws(" ", F.slice(
+                "__toks", F.col("i"), F.col("n"))).alias("gram"),
+            F.transform(F.slice("__toks", F.col("i"), F.col("n")),
+                        lambda x: F.length(x).cast("long")).alias("lens"))
+    )
+    # per-gram frequency — position/length payloads are collected only
+    # for the dup family (collect_list skips the NULLs the n<=4 rows
+    # produce), so the top rows shuffle just (keys, count, chars)
+    freq = (
+        stream.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.max(F.aggregate("lens", F.lit(0).cast("long"),
+                               lambda a, x: a + x)).alias("gc"),
+             F.collect_list(F.when(F.col("n") >= _REP_DUP_NS[0],
+                                   F.col("i"))).alias("pos"),
+             F.max(F.when(F.col("n") >= _REP_DUP_NS[0],
+                          F.col("lens"))).alias("lens"))
+    )
 
-    # top-(2,3,4): frequency per gram, winner = max packed score
+    # top-(2,3,4): winner = max packed (count, chars) score
     top = (
-        gram_stream(_REP_TOP_NS)
-        .groupBy("doc_id", "n", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.max("gc").alias("gc"))
+        freq.where(F.col("n") <= _REP_TOP_NS[-1])
         .groupBy("doc_id", "n")
         .agg(F.max(F.col("cnt") * F.lit(_REP_SCORE_BASE)
                    + F.col("gc")).alias("score"))
@@ -1355,28 +1373,16 @@ def gopher_repetition_signals_docs(spark: SparkSession,
                .alias(f"__t{n}") for n in _REP_TOP_NS])
     )
 
-    # dup-(5..10): union of token positions covered by repeated grams
-    dup_freq = (
-        gram_stream(_REP_DUP_NS)
-        .groupBy("doc_id", "n", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"),
-             F.collect_list("i").alias("pos"))
-        .where(F.col("cnt") > 1)
-    )
-    covered = (
-        dup_freq
-        .select("doc_id", "n", F.explode("pos").alias("i"))
-        .select("doc_id", "n",
-                F.explode(F.sequence(
-                    F.col("i"), F.col("i") + F.col("n") - 1)).alias("p"))
-        .distinct()
-    )
-    toklen = base.select(
-        "doc_id", F.posexplode("__toks").alias("p0", "__tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"),
-             F.length("__tok").cast("long").alias("tl"))
+    # dup-(5..10): union of token positions covered by repeated grams,
+    # each position's char length carried in-row (no join back)
     dup = (
-        covered.join(toklen, ["doc_id", "p"])
+        freq.where((F.col("n") >= _REP_DUP_NS[0]) & (F.col("cnt") > 1))
+        .select("doc_id", "n", "lens", F.explode("pos").alias("i"))
+        .select("doc_id", "n", "i",
+                F.posexplode("lens").alias("j", "tl"))
+        .select("doc_id", "n", (F.col("i") + F.col("j")).alias("p"),
+                "tl")
+        .distinct()
         .groupBy("doc_id", "n")
         .agg(F.sum("tl").alias("cov"))
         .groupBy("doc_id")

@@ -66,6 +66,7 @@ NOTES = {
     "dup_threshold_sensitivity_sampled_docs": "sampled twin of the sensitivity dial — same single-aggregate shape over the hash-sampled pair set; unbiased pair estimates, documented _lb doc columns",
     "c4_quality_rules_docs": "lines split ONCE into a staged array column; seven booleans in one map pass, one aggregate, stack unpivot — no shuffle carries text",
     "remove_dup_spans_w50_docs": "identical plan family to remove_dup_spans_docs with the window knob at the published 50 tokens: gram/df shuffle, semi-join, coverage explode, one document-keyed reassembly shuffle",
+    "gopher_repetition_signals_docs": "one logical gram stream, column-pruned per branch: the top-(2,3,4) shuffle carries (doc,n,gram,count,chars) only, the dup-(5..10) branch carries positions+lengths in-row (no lengths join); all aggregations doc-keyed, no cross-document edges",
 }
 
 HEADER_NOTES = """
