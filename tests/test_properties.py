@@ -303,3 +303,89 @@ def test_quantile_sketch_merge_associative_and_union_equal(rows, splits):
         for s in reversed(sketches[:-1]):
             right = quantile_sketch_merge(s, right, group_col="g", k=8)
         assert sorted((r.g, r.h, r.v) for r in right.collect()) == expect
+
+
+def _ref_repetition_signals(text: str) -> dict:
+    """Brute-force Python reference of the Gopher repetition dials
+    (UNROUNDED fractions; the Spark side rounds half-up at 6dp, so
+    comparisons use a 5e-7 tolerance instead of equality)."""
+    import re
+
+    norm = re.sub(r"\s+", " ",
+                  re.sub(r"[^a-z0-9\s]", " ", text.lower())).strip()
+    toks = [w for w in norm.split(" ") if w]
+    m, chars = len(toks), sum(map(len, toks))
+    out = {}
+    for n in (2, 3, 4):
+        if m < n:
+            out[f"top_{n}gram_char_frac"] = None
+            continue
+        grams: dict[str, list[int]] = {}
+        for i in range(m - n + 1):
+            grams.setdefault(" ".join(toks[i:i + n]), []).append(i)
+        cnt, gc = max(
+            (len(v), sum(len(t) for t in toks[v[0]:v[0] + n]))
+            for v in grams.values())
+        out[f"top_{n}gram_char_frac"] = cnt * gc / chars
+    for n in range(5, 11):
+        if m < n:
+            out[f"dup_{n}gram_char_frac"] = None
+            continue
+        grams = {}
+        for i in range(m - n + 1):
+            grams.setdefault(" ".join(toks[i:i + n]), []).append(i)
+        covered: set[int] = set()
+        for v in grams.values():
+            if len(v) > 1:
+                for i in v:
+                    covered.update(range(i, i + n))
+        out[f"dup_{n}gram_char_frac"] = (
+            sum(len(toks[p]) for p in covered) / chars)
+    return out
+
+
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "bb", "ccc", "ab", "b"]),
+             min_size=0, max_size=24).map(" ".join),
+    min_size=1, max_size=8))
+@example(["z z z z z z z z z z z z"])          # maximal self-overlap
+@example(["a bb a bb a bb ccc a bb a bb a bb"])  # repeated 6-gram family
+@settings(max_examples=6, deadline=None)
+def test_repetition_signals_match_bruteforce(texts):
+    """The distributed Gopher repetition dials equal a brute-force
+    per-doc Python oracle on adversarial low-vocab corpora, and the
+    dup coverage is non-increasing in n (an (n+1)-gram repeat implies
+    its constituent n-grams repeat over the same span)."""
+    import tempfile
+
+    from pyspark_deduplication_spark.queries import (
+        gopher_repetition_signals_docs,
+    )
+
+    docs = list(enumerate(texts))
+    df = _SPARK.createDataFrame(docs, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {r.doc_id: r for r in
+               gopher_repetition_signals_docs(_SPARK, d).collect()}
+    assert len(got) == len(docs)
+    for doc_id, text in docs:
+        want = _ref_repetition_signals(text)
+        row = got[doc_id]
+        for col, expected in want.items():
+            actual = getattr(row, col)
+            if expected is None:
+                assert actual is None, (doc_id, col, actual)
+            else:
+                assert actual is not None, (doc_id, col)
+                assert abs(actual - expected) < 5.01e-7, (
+                    doc_id, col, actual, expected)
+        prev = None
+        for n in range(5, 11):
+            cur = getattr(row, f"dup_{n}gram_char_frac")
+            if cur is None:
+                break
+            assert 0.0 <= cur <= 1.0
+            if prev is not None:
+                assert cur <= prev + 1e-9, (doc_id, n, prev, cur)
+            prev = cur
