@@ -2920,6 +2920,134 @@ FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
 """
 
 
+def dedup_keep_best_quality_docs(spark: SparkSession, sf_dir: str,
+                                 lsh_pairs: bool = False) -> DataFrame:
+    """Quality-aware near-dup survivorship — the modern curation move
+    (RefinedWeb/FineWeb keep-the-best convention): among near-duplicate
+    documents keep the HIGHEST-QUALITY one, not the arbitrary min-id
+    representative every other dedup entry uses. Exact 3-gram-Jaccard
+    ≥ 0.7 pairs (the ``jaccard_near_dup_docs`` spelling, inverted-index
+    join — no BNL) → connected components → within each multi-member
+    cluster rank by (quality_score desc, doc_id asc) — quality is the
+    engine's heuristic composite, ROUNDED to 6dp BEFORE ranking so the
+    order is cross-engine deterministic (unrounded FP ties would
+    tie-break differently per engine). Returns the per-doc decision
+    table for multi-member clusters only (singletons carry no
+    decision): component, doc_id, quality, cluster_size, keep.
+
+    Scale shape: pair generation and CC are the proven
+    ``fused_dedup_docs`` machinery; the only new work is one
+    component-keyed window over CLUSTER MEMBERS (bounded by the dedup
+    clusters themselves, not the corpus — skew-capped upstream), and
+    the quality score is a map-only projection joined by doc_id. The
+    exact pair set is the LINEAR-FLOOR core (sf1 exponent 0.97 —
+    same classification as the planner diagnostics); ``lsh_pairs=True``
+    swaps in the banded MinHash candidate generator
+    (``minhash_candidate_pairs``, skew-capped, measured 0.54) — the
+    100 TB deployment spelling, rows-only because xxhash64 banding is
+    not DuckDB-expressible (pytest pins it equal on planted clusters
+    where LSH recall is 1.0)."""
+    docs = _t(spark, sf_dir, "documents")
+    if lsh_pairs:
+        from pyspark_deduplication_spark.operators.dedup import (
+            minhash_candidate_pairs,
+        )
+        pairs = (minhash_candidate_pairs(docs, "text", "doc_id",
+                                         max_bucket_size=4096)
+                 .filter(F.col("jaccard_sim") >= 0.7)
+                 .select("id_a", "id_b"))
+    else:
+        pairs = _exact_jaccard_pairs(spark, sf_dir, 0.7).select(
+            "id_a", "id_b")
+    clustered = transitive_clusters(docs.select("doc_id"), pairs, "doc_id")
+    feats = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id", F.round(feats["quality_score"], 6).alias("quality"))
+    w = Window.partitionBy("component")
+    ranked = (
+        clustered.join(scored, "doc_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("__rn", F.row_number().over(
+            w.orderBy(F.col("quality").desc(), F.col("doc_id").asc())))
+    )
+    return (
+        ranked.where(F.col("cluster_size") > 1)
+        .select("component", "doc_id", "quality",
+                F.col("cluster_size").cast("long").alias("cluster_size"),
+                (F.col("__rn") == 1).cast("int").alias("keep"))
+    )
+
+
+_KEEP_BEST_QUALITY_ORACLE = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+shingles AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM toks
+),
+lex AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                        AS DOUBLE), 6) AS j
+    FROM shingles a JOIN shingles b
+      ON a.doc_id < b.doc_id
+     AND CAST(len(a.grams) AS DOUBLE) >= 0.7 * len(b.grams)
+     AND CAST(len(b.grams) AS DOUBLE) >= 0.7 * len(a.grams))
+  WHERE j >= 0.7
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM lex
+  UNION SELECT id_b, id_a FROM lex
+),
+reach(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node
+),
+labels AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+comp AS (
+  SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+),
+qbase AS (
+  SELECT doc_id,
+         len(text) AS n_chars,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         {_NTOK_SQL} AS n_tokens,
+         len(list_filter({_TOKENS_SQL}, t -> t IN {_STOPWORDS_IN}))
+           AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         round(0.5 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+               + 0.25 * (1.0 - least((CASE WHEN n_chars > 0
+                   THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                   ELSE 0.0 END) * 4, 1.0))
+               + 0.25 * least((CASE WHEN n_tokens > 0
+                   THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   ELSE 0.0 END) * 5, 1.0), 6) AS quality
+  FROM qbase
+),
+ranked AS (
+  SELECT c.component, c.doc_id, s.quality,
+         count(*) OVER (PARTITION BY c.component) AS cluster_size,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY s.quality DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN scored s USING (doc_id)
+)
+SELECT component, doc_id, quality,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(rn = 1 AS INT) AS keep
+FROM ranked WHERE cluster_size > 1
+"""
+
+
 def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str,
                          threshold: float,
                          fraction: float | None = None) -> DataFrame:
@@ -10743,6 +10871,11 @@ CATALOG: dict[str, Query] = {
     "gopher_repetition_rules_docs": Query(
         gopher_repetition_rules_docs, _REP_RULES_ORACLE,
         tags=["text", "quality", "stats"]),
+    # quality-aware near-dup survivorship: keep the BEST doc per
+    # cluster, not the min-id (RefinedWeb/FineWeb convention) — r11
+    "dedup_keep_best_quality_docs": Query(
+        dedup_keep_best_quality_docs, _KEEP_BEST_QUALITY_ORACLE,
+        tags=["dedup", "quality"]),
     "quality_filter_docs": Query(quality_filter_docs, _QUALITY_FILTER_ORACLE,
                                  tags=["text", "pipeline"]),
     "media_dedup_by_content": Query(media_dedup_by_content,
@@ -11036,14 +11169,17 @@ _GRADED_ORDER = [
     "faithful_fuzzy_join_lev",
     "fused_dedup_docs",
     "hyperplane_ann_recall_report",
-    "jaccard_near_dup_docs",
     # (e) the late-r11 additions (never graded — highest rotation
-    # priority, displacing two r8-frontier entries to the r12 queue):
-    # the raw C4 quality-signals table and the Gopher repetition
-    # signal/rule pair; incremental_dedup_docs heads the r12 queue
+    # priority, displacing three r8-frontier entries to the r12
+    # queue): the raw C4 quality-signals table, the Gopher repetition
+    # signal/rule pair, and the quality-aware survivorship entry
+    # (whose pair set IS the displaced jaccard_near_dup_docs spelling,
+    # so that code path stays covered); incremental_dedup_docs heads
+    # the r12 queue
     "c4_quality_signals_docs",
     "gopher_repetition_signals_docs",
     "gopher_repetition_rules_docs",
+    "dedup_keep_best_quality_docs",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

@@ -658,3 +658,62 @@ def test_gopher_repetition_rules_threshold_consistency(spark, tmp_path):
         assert abs(r.pass_rate - round(r.n_pass / len(docs), 6)) < 1e-9
         if k != "all_rules":
             assert rules["all_rules"].n_pass <= r.n_pass
+
+
+def test_dedup_keep_best_quality_argmax_not_min_id(spark, tmp_path):
+    """Survivorship must keep the highest-QUALITY member, not the
+    min-id: punctuation is stripped by shingle normalization (so the
+    planted pairs are exact near-dups, J=1.0) but raw-text punctuation
+    lowers the quality score — the clean higher-id twin must win.
+    Ties fall back to min doc_id; singletons never appear."""
+    from pyspark_deduplication_spark.queries import (
+        dedup_keep_best_quality_docs,
+    )
+
+    # three DISJOINT base texts (no shared 3-grams), so the planted
+    # clusters cannot transitively merge
+    base_a = ("the quick brown fox jumps over a lazy dog near the "
+              "river bank today")
+    base_b = ("market prices rose sharply while cautious traders "
+              "watched global supply signals")
+    base_c = ("gentle rain settled across sleeping valleys before "
+              "morning light returned again")
+    noisy_a = base_a.replace(" ", " !?! ", 8)  # same tokens, punct-heavy
+    noisy_c = base_c.replace(" ", " !?! ", 8)
+    docs = [
+        (10, noisy_a),              # dirty, LOWER id
+        (11, base_a),               # clean, higher id -> must win
+        (20, base_b),               # exact tie pair ...
+        (21, base_b),               # ... min-id wins
+        (30, "completely different singleton content stands alone here"),
+        (40, noisy_c),              # triple: 41 is cleanest
+        (41, base_c),
+        (42, noisy_c + "!!"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = dedup_keep_best_quality_docs(spark, str(tmp_path)).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert 30 not in by_doc                      # singleton excluded
+    kept = {r.doc_id for r in rows if r.keep == 1}
+    assert 11 in kept and 10 not in kept         # argmax beats min-id
+    assert by_doc[11].quality > by_doc[10].quality
+    assert 20 in kept and 21 not in kept         # tie -> min id
+    assert by_doc[20].quality == by_doc[21].quality
+    assert 41 in kept and 40 not in kept and 42 not in kept
+    assert by_doc[41].cluster_size == 3
+    # exactly one keeper per component, every member reported
+    import collections
+    per_comp = collections.Counter(r.component for r in rows if r.keep == 1)
+    sizes = {r.component: r.cluster_size for r in rows}
+    members = collections.Counter(r.component for r in rows)
+    assert all(v == 1 for v in per_comp.values())
+    assert all(members[c] == s for c, s in sizes.items())
+    # the production LSH-pair spelling must agree exactly here: every
+    # planted cluster is J=1.0 (identical shingle sets -> identical
+    # signatures -> guaranteed band collision, recall 1.0)
+    lsh_rows = dedup_keep_best_quality_docs(
+        spark, str(tmp_path), lsh_pairs=True).collect()
+    key = lambda r: (r.component, r.doc_id, r.quality,  # noqa: E731
+                     r.cluster_size, r.keep)
+    assert sorted(map(key, lsh_rows)) == sorted(map(key, rows))

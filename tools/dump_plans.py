@@ -67,6 +67,7 @@ NOTES = {
     "c4_quality_rules_docs": "lines split ONCE into a staged array column; seven booleans in one map pass, one aggregate, stack unpivot — no shuffle carries text",
     "remove_dup_spans_w50_docs": "identical plan family to remove_dup_spans_docs with the window knob at the published 50 tokens: gram/df shuffle, semi-join, coverage explode, one document-keyed reassembly shuffle",
     "gopher_repetition_signals_docs": "one logical gram stream, column-pruned per branch: the top-(2,3,4) shuffle carries (doc,n,gram,count,chars) only, the dup-(5..10) branch carries positions+lengths in-row (no lengths join); all aggregations doc-keyed, no cross-document edges",
+    "dedup_keep_best_quality_docs": "pair set is the inverted-index SSJoin (no BNL); CC is pointer-doubling over bare ids; quality score map-only, joined by doc_id; the only window partitions by component (cluster-bounded, never corpus-wide)",
 }
 
 HEADER_NOTES = """

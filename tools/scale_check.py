@@ -146,7 +146,22 @@ def _knob_scaled_variants(factor: int):
                 spark, sf_dir, fraction=fraction)
         return q
 
+    def keep_best_lsh():
+        # quality-aware survivorship with the production pair
+        # generator (banded MinHash, skew-capped) in place of the
+        # catalog's oracle-gradable exact-Jaccard linear-floor core
+        from pyspark_deduplication_spark.queries import (
+            dedup_keep_best_quality_docs,
+        )
+
+        def q(spark, sf_dir):
+            return dedup_keep_best_quality_docs(spark, sf_dir,
+                                                lsh_pairs=True)
+        return q
+
     return {
+        "dedup_keep_best_quality_docs@scaled":
+            (keep_best_lsh(), keep_best_lsh()),
         "semantic_dedup_embeddings@scaled": (sem(8), sem(8 * factor)),
         "incremental_semantic_dedup_embeddings@scaled":
             (inc_sem(8), inc_sem(8 * factor)),
