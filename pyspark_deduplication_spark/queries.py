@@ -2920,6 +2920,119 @@ FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
 """
 
 
+def dedup_signal_overlap_report(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Signal-agreement report for the fused dedup family: every
+    near-dup pair found by the three signal legs (exact 3-gram Jaccard
+    ≥ 0.7, label-blocked cosine ≥ 0.3, tf-weighted generalized Jaccard
+    ≥ 0.4 — each leg IS its oracle-graded query's spelling), bucketed
+    by WHICH signals found it ('lex', 'lex+wtd', 'sem', …). The
+    operational dial for threshold tuning: a fat lex-only bucket says
+    the semantic threshold is too tight, a fat sem-only bucket marks
+    paraphrase dups the lexical legs can't see, and the three-way
+    intersection is the high-confidence core. One union + one
+    pair-keyed aggregate; the share column's denominator is a window
+    over the ≤7-row combo aggregate (aggregate-sized input, the
+    repo's unpartitioned-window exception)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = jaccard_near_dup_docs(spark, sf_dir).select(
+        "id_a", "id_b", F.lit("lex").alias("sig"))
+    sem = (embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
+           .select("id_a", "id_b", F.lit("sem").alias("sig")))
+    wtd = (weighted_jaccard_pairs_exact(spark, sf_dir)
+           .filter(F.col("weighted_jaccard_sim") >= 0.4)
+           .select("id_a", "id_b", F.lit("wtd").alias("sig")))
+    combos = (
+        lex.unionByName(sem).unionByName(wtd)
+        .groupBy("id_a", "id_b")
+        .agg(F.concat_ws("+", F.array_sort(F.collect_set("sig")))
+             .alias("signals"))
+        .groupBy("signals")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = Window.partitionBy()
+    return (
+        combos.select(
+            "signals", "n_pairs",
+            F.round(F.col("n_pairs").cast("double")
+                    / F.sum("n_pairs").over(w).cast("double"), 6)
+            .alias("share"))
+        .orderBy("signals")
+    )
+
+
+_SIGNAL_OVERLAP_ORACLE = f"""
+WITH
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+shingles AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM toks
+),
+lex AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                        AS DOUBLE), 6) AS j
+    FROM shingles a JOIN shingles b
+      ON a.doc_id < b.doc_id
+     AND CAST(len(a.grams) AS DOUBLE) >= 0.7 * len(b.grams)
+     AND CAST(len(b.grams) AS DOUBLE) >= 0.7 * len(a.grams))
+  WHERE j >= 0.7
+),
+sem AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} >= 0.3
+),
+wgrams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS gram
+  FROM toks
+),
+wtf AS MATERIALIZED (
+  SELECT doc_id, gram, count(*) AS c FROM wgrams GROUP BY doc_id, gram
+),
+wsizes AS MATERIALIZED (
+  SELECT doc_id, sum(c) AS n FROM wtf GROUP BY doc_id
+),
+winter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(least(a.c, b.c)) AS m
+  FROM wtf a JOIN wtf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+wtd AS (
+  SELECT i.id_a, i.id_b
+  FROM winter i
+  JOIN wsizes na ON na.doc_id = i.id_a
+  JOIN wsizes nb ON nb.doc_id = i.id_b
+  WHERE round(CAST(i.m AS DOUBLE)
+              / CAST(na.n + nb.n - i.m AS DOUBLE), 6) >= 0.4
+),
+tagged AS (
+  SELECT id_a, id_b, 'lex' AS sig FROM lex
+  UNION ALL SELECT id_a, id_b, 'sem' FROM sem
+  UNION ALL SELECT id_a, id_b, 'wtd' FROM wtd
+),
+combos AS (
+  SELECT id_a, id_b, string_agg(sig, '+' ORDER BY sig) AS signals
+  FROM tagged GROUP BY id_a, id_b
+),
+counts AS (
+  SELECT signals, count(*) AS n_pairs FROM combos GROUP BY signals
+)
+SELECT signals, CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(CAST(n_pairs AS DOUBLE)
+             / CAST(sum(n_pairs) OVER () AS DOUBLE), 6) AS share
+FROM counts
+"""
+
+
 def dedup_keep_best_quality_docs(spark: SparkSession, sf_dir: str,
                                  lsh_pairs: bool = False) -> DataFrame:
     """Quality-aware near-dup survivorship — the modern curation move
@@ -10876,6 +10989,11 @@ CATALOG: dict[str, Query] = {
     "dedup_keep_best_quality_docs": Query(
         dedup_keep_best_quality_docs, _KEEP_BEST_QUALITY_ORACLE,
         tags=["dedup", "quality"]),
+    # which signal family finds which near-dup pair — the threshold-
+    # tuning dial for the fused dedup (r11)
+    "dedup_signal_overlap_report": Query(
+        dedup_signal_overlap_report, _SIGNAL_OVERLAP_ORACLE,
+        tags=["dedup", "stats"]),
     "quality_filter_docs": Query(quality_filter_docs, _QUALITY_FILTER_ORACLE,
                                  tags=["text", "pipeline"]),
     "media_dedup_by_content": Query(media_dedup_by_content,
@@ -11168,18 +11286,20 @@ _GRADED_ORDER = [
     "events_sliding_windows",
     "faithful_fuzzy_join_lev",
     "fused_dedup_docs",
-    "hyperplane_ann_recall_report",
     # (e) the late-r11 additions (never graded — highest rotation
-    # priority, displacing three r8-frontier entries to the r12
-    # queue): the raw C4 quality-signals table, the Gopher repetition
-    # signal/rule pair, and the quality-aware survivorship entry
-    # (whose pair set IS the displaced jaccard_near_dup_docs spelling,
-    # so that code path stays covered); incremental_dedup_docs heads
-    # the r12 queue
+    # priority, displacing four r8-frontier entries to the r12 queue):
+    # the raw C4 quality-signals table, the Gopher repetition
+    # signal/rule pair, the quality-aware survivorship entry (whose
+    # pair set IS the displaced jaccard_near_dup_docs spelling, so
+    # that code path stays covered), and the signal-overlap report
+    # (whose legs are the displaced hyperplane/jaccard-era spellings
+    # plus the r10-green weighted anchor); incremental_dedup_docs
+    # heads the r12 queue
     "c4_quality_signals_docs",
     "gopher_repetition_signals_docs",
     "gopher_repetition_rules_docs",
     "dedup_keep_best_quality_docs",
+    "dedup_signal_overlap_report",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

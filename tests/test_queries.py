@@ -717,3 +717,46 @@ def test_dedup_keep_best_quality_argmax_not_min_id(spark, tmp_path):
     key = lambda r: (r.component, r.doc_id, r.quality,  # noqa: E731
                      r.cluster_size, r.keep)
     assert sorted(map(key, lsh_rows)) == sorted(map(key, rows))
+
+
+def test_dedup_signal_overlap_combos(spark, tmp_path):
+    """Planted pairs land in the right signal buckets: identical text
+    + identical embedding -> three-way core; same shingle SET with
+    wildly different multiplicities -> lex-only (generalized Jaccard
+    dilutes); repeated boilerplate phrase -> wtd-only (distinct-set
+    Jaccard dilutes); paraphrase twins (same embedding, different
+    text) -> sem-only."""
+    from pyspark_deduplication_spark.queries import (
+        dedup_signal_overlap_report,
+    )
+
+    twelve = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    phrase = ("m n o " * 15).strip()
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, twelve),
+        (4, " ".join([twelve] * 3)),
+        (5, phrase),
+        (6, phrase + " uniq1 uniq2 uniq3 uniq4 uniq5 uniq6"),
+        (7, "completely different seven text content here"),
+        (8, "unrelated eight words that share nothing lexical"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    v = [1.0, 2.0, 3.0, 4.0]
+    far = [-4.0, 3.0, -2.0, 1.0]          # orthogonal-ish, cosine 0
+    emb = [
+        (1, v, "a"), (2, v, "a"),          # sem fires for (1,2)
+        (3, v, "c3"), (4, v, "c4"),        # label-blocked
+        (5, far, "c5"), (6, v, "c6"),
+        (7, v, "b"), (8, v, "b"),          # sem-only pair
+    ]
+    edf = spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label string")
+    edf.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    rows = {r.signals: r for r in
+            dedup_signal_overlap_report(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"lex+sem+wtd", "lex", "wtd", "sem"}, rows
+    assert all(r.n_pairs == 1 for r in rows.values())
+    assert all(abs(r.share - 0.25) < 1e-9 for r in rows.values())
