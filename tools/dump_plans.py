@@ -68,6 +68,7 @@ NOTES = {
     "remove_dup_spans_w50_docs": "identical plan family to remove_dup_spans_docs with the window knob at the published 50 tokens: gram/df shuffle, semi-join, coverage explode, one document-keyed reassembly shuffle",
     "gopher_repetition_signals_docs": "one logical gram stream, column-pruned per branch: the top-(2,3,4) shuffle carries (doc,n,gram,count,chars) only, the dup-(5..10) branch carries positions+lengths in-row (no lengths join); all aggregations doc-keyed, no cross-document edges",
     "dedup_keep_best_quality_docs": "pair set is the inverted-index SSJoin (no BNL); CC is pointer-doubling over bare ids; quality score map-only, joined by doc_id; the only window partitions by component (cluster-bounded, never corpus-wide)",
+    "dedup_signal_overlap_report": "three oracle-graded pair generators union bare id pairs; one pair-keyed aggregate builds the combo key; the share window runs on the <=7-row combo aggregate",
 }
 
 HEADER_NOTES = """
