@@ -763,3 +763,34 @@ def test_banding_planner_queries_have_no_cross_product(spark):
     # table reference); the SSJoin itself is dozens of tasks across
     # multiple stages and would blow well past this bound
     assert after - before <= 4, (before, after)
+
+
+def test_cell_assignment_infers_no_scan_level_argmax_filter(spark, sf_dir):
+    """Regression pin for the r11 constraint-pushdown fix
+    (knn._nearest_cell_expr): the assignment column is coalesced to a
+    -1 sentinel, so it is statically NON-NULLABLE and an equi-join on
+    it must not make InferFiltersFromConstraints push an
+    isnotnull(<whole argmax expression>) Filter down to the file scan
+    (which re-ran the full interpreted assignment per row at scan
+    parallelism - the sf1 ivfpq straggler)."""
+    from pyspark_deduplication_spark.operators.knn import _nearest_cell_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [(0, [1.0] * 64), (1, [-1.0] * 64)]
+    assigned = emb.select(
+        "vec_id", _nearest_cell_expr(cents, "embedding").alias("cell_id"))
+    # (a) static non-nullability is what blocks the constraint inference
+    assert assigned.schema["cell_id"].nullable is False
+    # (b) joining on the assignment must not re-run the argmax inside
+    # any Filter: pre-fix the plan showed
+    # `Condition : isnotnull(-array_max(...aggregate(zip_with(...`
+    # pushed below the exchanges (verified to appear with the
+    # un-coalesced expression); post-fix no Filter condition may
+    # mention the argmax chain
+    other = spark.createDataFrame([(0,), (1,)], "cell_id long")
+    joined = assigned.join(other, "cell_id")
+    plan = explain_str(joined)
+    offending = [ln for ln in plan.splitlines()
+                 if ln.lstrip().startswith("Condition :")
+                 and "array_max" in ln]
+    assert not offending, offending[0][:160]
