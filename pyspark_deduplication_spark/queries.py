@@ -2371,7 +2371,8 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "component long, explained_ratio double, cum_ratio double")
 
 
-def weighted_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def weighted_jaccard_pairs_exact(spark: SparkSession, sf_dir: str,
+                                 fraction: float | None = None) -> DataFrame:
     """Exact generalized (tf-weighted) Jaccard pairs over the corpus,
     computed RELATIONALLY — the oracle-graded exactness anchor
     for the weighted family (the ICWS queries are rows-only; this pins
@@ -2383,8 +2384,17 @@ def weighted_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram keys instead of shipping whole multisets (the Arrow-kernel
     verify in `weighted_minhash_candidate_pairs` trades that shuffle
     for row-local work on the few survivors; `test_dedup.py` pins the
-    two spellings equal)."""
+    two spellings equal).
+
+    ``fraction``: optional md5 doc-sampling (the ``hash_sample``
+    convention, same id stream as ``_exact_jaccard_pairs``) — the
+    100 TB diagnostics spelling; a pair survives iff BOTH endpoints
+    are sampled (probability f²)."""
+    from pyspark_deduplication_spark.operators.sampling import hash_sample
+
     docs = _t(spark, sf_dir, "documents")
+    if fraction is not None and fraction < 1.0:
+        docs = hash_sample(docs, "doc_id", fraction)
     grams = staged_grams(docs, "text", 3, carry_cols=["doc_id"],
                          distinct=False)
     tf = grams.groupBy("doc_id", "gram").agg(
@@ -2934,12 +2944,28 @@ def dedup_signal_overlap_report(spark: SparkSession,
     pair-keyed aggregate; the share column's denominator is a window
     over the ≤7-row combo aggregate (aggregate-sized input, the
     repo's unpartitioned-window exception)."""
+    return _signal_overlap(spark, sf_dir, fraction=None)
+
+
+def _signal_overlap(spark: SparkSession, sf_dir: str,
+                    fraction: float | None) -> DataFrame:
+    """Shared body of the exact and hash-sampled overlap reports.
+    With ``fraction``, every leg runs over the SAME md5 doc sample
+    (documents and embeddings share the id stream, so the sample is
+    coherent across legs) and the count column upweights by the exact
+    rational (1/f)² as ``est_n_pairs``; shares are raw sampled ratios
+    — both numerator and denominator thin by f², so the ratio is the
+    unbiased plug-in estimate with no correction."""
+    from pyspark_deduplication_spark.operators.sampling import hash_sample
+
     emb = _t(spark, sf_dir, "embeddings")
-    lex = jaccard_near_dup_docs(spark, sf_dir).select(
-        "id_a", "id_b", F.lit("lex").alias("sig"))
+    if fraction is not None and fraction < 1.0:
+        emb = hash_sample(emb, "vec_id", fraction)
+    lex = (_exact_jaccard_pairs(spark, sf_dir, 0.7, fraction=fraction)
+           .select("id_a", "id_b", F.lit("lex").alias("sig")))
     sem = (embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
            .select("id_a", "id_b", F.lit("sem").alias("sig")))
-    wtd = (weighted_jaccard_pairs_exact(spark, sf_dir)
+    wtd = (weighted_jaccard_pairs_exact(spark, sf_dir, fraction=fraction)
            .filter(F.col("weighted_jaccard_sim") >= 0.4)
            .select("id_a", "id_b", F.lit("wtd").alias("sig")))
     combos = (
@@ -2951,19 +2977,48 @@ def dedup_signal_overlap_report(spark: SparkSession,
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
     w = Window.partitionBy()
-    return (
-        combos.select(
-            "signals", "n_pairs",
-            F.round(F.col("n_pairs").cast("double")
+    share = F.round(F.col("n_pairs").cast("double")
                     / F.sum("n_pairs").over(w).cast("double"), 6)
-            .alias("share"))
-        .orderBy("signals")
-    )
+    if fraction is None:
+        out = combos.select("signals", "n_pairs", share.alias("share"))
+    else:
+        pair_w, _ = _sample_weights(fraction)
+        out = combos.select(
+            "signals",
+            F.round(F.col("n_pairs") * F.lit(pair_w)).cast("long")
+            .alias("est_n_pairs"),
+            share.alias("share"))
+    return out.orderBy("signals")
 
 
-_SIGNAL_OVERLAP_ORACLE = f"""
+def dedup_signal_overlap_sampled_docs(
+    spark: SparkSession, sf_dir: str, fraction: float = 0.25
+) -> DataFrame:
+    """``dedup_signal_overlap_report`` at corpus scale: all three pair
+    generators are exact linear-floor diagnostics (same classification
+    as the r10 planners), so the 100 TB spelling runs them over one
+    md5 HASH-SAMPLE of the id space — pairs survive at f² regardless
+    of signal, making the per-combo SHARES unbiased plug-in estimates
+    and the ``est_n_pairs`` column an exact-rational (1/f)²
+    extrapolation. Fraction scales as target_sample/n_docs in
+    deployment (the ``@scaled`` row measures exactly that)."""
+    return _signal_overlap(spark, sf_dir, fraction=fraction)
+
+
+def _signal_overlap_oracle(doc_pred: str = "TRUE",
+                           vec_pred: str = "TRUE",
+                           pair_weight: int | None = None) -> str:
+    """Overlap-report oracle; the sampled twin injects the md5 bucket
+    predicates (documents and embeddings share the id stream) and the
+    exact integer pair weight."""
+    count_col = (
+        "CAST(n_pairs AS BIGINT) AS n_pairs" if pair_weight is None
+        else f"CAST(round(n_pairs * {pair_weight}.0) AS BIGINT)"
+             f" AS est_n_pairs")
+    return f"""
 WITH
-toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+         WHERE {doc_pred}),
 shingles AS (
   SELECT doc_id, list_distinct(list_transform(
            range(1, greatest(len(t) - 2, 1) + 1),
@@ -2982,9 +3037,11 @@ lex AS (
      AND CAST(len(b.grams) AS DOUBLE) >= 0.7 * len(a.grams))
   WHERE j >= 0.7
 ),
+semb AS (SELECT vec_id, embedding, label FROM embeddings
+         WHERE {vec_pred}),
 sem AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM embeddings a JOIN embeddings b
+  FROM semb a JOIN semb b
     ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} >= 0.3
 ),
@@ -3026,11 +3083,20 @@ combos AS (
 counts AS (
   SELECT signals, count(*) AS n_pairs FROM combos GROUP BY signals
 )
-SELECT signals, CAST(n_pairs AS BIGINT) AS n_pairs,
+SELECT signals, {count_col},
        round(CAST(n_pairs AS DOUBLE)
              / CAST(sum(n_pairs) OVER () AS DOUBLE), 6) AS share
 FROM counts
 """
+
+
+_SIGNAL_OVERLAP_ORACLE = _signal_overlap_oracle()
+_VEC_SAMPLE_PRED_25 = (
+    "substr(md5(CAST(vec_id AS VARCHAR) || '42'), 1, 2) < '40'")
+_SIGNAL_OVERLAP_SAMPLED_ORACLE = _signal_overlap_oracle(
+    doc_pred="substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 2) < '40'",
+    vec_pred=_VEC_SAMPLE_PRED_25,
+    pair_weight=16)
 
 
 def dedup_keep_best_quality_docs(spark: SparkSession, sf_dir: str,
@@ -10990,10 +11056,14 @@ CATALOG: dict[str, Query] = {
         dedup_keep_best_quality_docs, _KEEP_BEST_QUALITY_ORACLE,
         tags=["dedup", "quality"]),
     # which signal family finds which near-dup pair — the threshold-
-    # tuning dial for the fused dedup (r11)
+    # tuning dial for the fused dedup (r11); the sampled twin is the
+    # 100 TB spelling (flat cost at fixed absolute sample size)
     "dedup_signal_overlap_report": Query(
         dedup_signal_overlap_report, _SIGNAL_OVERLAP_ORACLE,
         tags=["dedup", "stats"]),
+    "dedup_signal_overlap_sampled_docs": Query(
+        dedup_signal_overlap_sampled_docs, _SIGNAL_OVERLAP_SAMPLED_ORACLE,
+        tags=["dedup", "stats", "sampled"]),
     "quality_filter_docs": Query(quality_filter_docs, _QUALITY_FILTER_ORACLE,
                                  tags=["text", "pipeline"]),
     "media_dedup_by_content": Query(media_dedup_by_content,

@@ -760,3 +760,47 @@ def test_dedup_signal_overlap_combos(spark, tmp_path):
     assert set(rows) == {"lex+sem+wtd", "lex", "wtd", "sem"}, rows
     assert all(r.n_pairs == 1 for r in rows.values())
     assert all(abs(r.share - 0.25) < 1e-9 for r in rows.values())
+
+
+def test_signal_overlap_sampled_exact_at_fraction_one(spark):
+    """At fraction=1.0 the hash-sample keeps everything and the pair
+    weight is exactly 1 — the sampled overlap report must reproduce
+    the exact report value-for-value (only the count column is
+    renamed est_n_pairs)."""
+    from pyspark_deduplication_spark.queries import (
+        dedup_signal_overlap_report,
+        dedup_signal_overlap_sampled_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.signals: r for r in
+             dedup_signal_overlap_report(spark, sf).collect()}
+    samp = {r.signals: r for r in dedup_signal_overlap_sampled_docs(
+        spark, sf, fraction=1.0).collect()}
+    assert set(exact) == set(samp)
+    for k, e in exact.items():
+        assert samp[k].est_n_pairs == e.n_pairs
+        assert samp[k].share == e.share
+
+
+def test_signal_overlap_sampled_estimates_reasonable(spark):
+    """At the default fraction (0.25) on sf0.01: every sampled combo
+    class exists in the exact report, the dominant class matches, and
+    the extrapolated total pair count lands within a small-sample
+    band of the exact total (f²=1/16 thinning of ~136 pairs leaves
+    only a handful, so the band is loose but bounded)."""
+    from pyspark_deduplication_spark.queries import (
+        dedup_signal_overlap_report,
+        dedup_signal_overlap_sampled_docs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.signals: r.n_pairs for r in
+             dedup_signal_overlap_report(spark, sf).collect()}
+    samp = {r.signals: r.est_n_pairs for r in
+            dedup_signal_overlap_sampled_docs(spark, sf).collect()}
+    assert samp, "sample produced no pairs at all"
+    assert set(samp) <= set(exact), (set(samp), set(exact))
+    n_exact, n_samp = sum(exact.values()), sum(samp.values())
+    assert 0.2 * n_exact <= n_samp <= 5 * n_exact, (n_exact, n_samp)
+    assert max(samp, key=samp.get) == max(exact, key=exact.get)

@@ -159,9 +159,24 @@ def _knob_scaled_variants(factor: int):
                                                 lsh_pairs=True)
         return q
 
+    def overlap_sampled(fraction):
+        # the sampled overlap report: fraction shrinks 1/factor at the
+        # scaled fixture so the ABSOLUTE sample size stays constant
+        # (target_sample / n_docs — the deployment setting)
+        from pyspark_deduplication_spark.queries import (
+            dedup_signal_overlap_sampled_docs,
+        )
+
+        def q(spark, sf_dir):
+            return dedup_signal_overlap_sampled_docs(
+                spark, sf_dir, fraction=fraction)
+        return q
+
     return {
         "dedup_keep_best_quality_docs@scaled":
             (keep_best_lsh(), keep_best_lsh()),
+        "dedup_signal_overlap_sampled_docs@scaled":
+            (overlap_sampled(0.5), overlap_sampled(0.5 / factor)),
         "semantic_dedup_embeddings@scaled": (sem(8), sem(8 * factor)),
         "incremental_semantic_dedup_embeddings@scaled":
             (inc_sem(8), inc_sem(8 * factor)),
