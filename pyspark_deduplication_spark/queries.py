@@ -3157,6 +3157,145 @@ def dedup_keep_best_quality_docs(spark: SparkSession, sf_dir: str,
     )
 
 
+_REPLACE_ID_BASE = 10**12  # packed (quality, lowest-id) corpus-match score
+
+
+def incremental_keep_best_quality_docs(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Incremental quality-aware survivorship — the ingestion twin of
+    ``dedup_keep_best_quality_docs`` (dedup-with-upgrade): even-id docs
+    are the standing corpus, odd-id docs the new batch. Each batch doc
+    cross-probes the corpus (3-gram Jaccard ≥ 0.7 — the
+    ``incremental_fused_dedup_docs_exact`` posting-join shape, corpus
+    never self-joins), then compares its quality to the BEST-quality
+    corpus match (6dp-quantized, ties → lower corpus id, both packed
+    into one BIGINT so a single max() is deterministic cross-engine):
+
+    - ``insert``: no corpus match — the doc is new content;
+    - ``drop``: the corpus twin is at least as good (ties favor the
+      STANDING corpus, so replaying a batch is idempotent);
+    - ``replace``: the batch doc is strictly better — ``matched_id``
+      names the superseded corpus doc an upsert sink would retire.
+
+    Returns one row per batch doc: doc_id, action, matched_id (NULL
+    for insert), batch_quality, corpus_quality (NULL for insert).
+
+    Scale shape: posting-list equi-join on gram keys (batch grams ×
+    corpus index — no batch×corpus cross join), quality map-only, one
+    per-batch-doc aggregate; the corpus side is probed, never
+    self-joined or shuffled wholesale."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.round(feats["quality_score"] * 1e6).cast("long").alias("q6"))
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+    sh = toks.select(
+        "doc_id", word_ngrams_of(F.col("__toks"), 3).alias("grams"))
+    is_batch = F.col("doc_id") % 2 == 1
+    bsh, csh = sh.filter(is_batch), sh.filter(~is_batch)
+    bpost = bsh.select(F.col("doc_id").alias("new_id"),
+                       F.explode("grams").alias("gram"))
+    cpost = csh.select(F.col("doc_id").alias("corpus_id"),
+                       F.explode("grams").alias("gram"))
+    cand = bpost.join(cpost, "gram").select("new_id", "corpus_id").distinct()
+    ga = bsh.select(F.col("doc_id").alias("new_id"),
+                    F.col("grams").alias("g_a"))
+    gb = csh.select(F.col("doc_id").alias("corpus_id"),
+                    F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size(F.array_union(F.col("g_a"), F.col("g_b")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    matches = (cand.join(ga, "new_id").join(gb, "corpus_id")
+               .filter(jac >= 0.7).select("new_id", "corpus_id"))
+    cq = scored.select(F.col("doc_id").alias("corpus_id"),
+                       F.col("q6").alias("cq6"))
+    best = (
+        matches.join(cq, "corpus_id")
+        .groupBy("new_id")
+        .agg(F.max(F.col("cq6") * F.lit(_REPLACE_ID_BASE)
+                   + (F.lit(_REPLACE_ID_BASE - 1)
+                      - F.col("corpus_id"))).alias("s"))
+    )
+    batch = (scored.filter(is_batch)
+             .join(best, scored["doc_id"] == best["new_id"], "left"))
+    best_q6 = F.expr(f"s DIV {_REPLACE_ID_BASE}")
+    best_id = F.lit(_REPLACE_ID_BASE - 1) - F.col("s") % _REPLACE_ID_BASE
+    return batch.select(
+        "doc_id",
+        F.when(F.col("s").isNull(), F.lit("insert"))
+        .when(best_q6 >= F.col("q6"), F.lit("drop"))
+        .otherwise(F.lit("replace")).alias("action"),
+        F.when(F.col("s").isNotNull(), best_id).alias("matched_id"),
+        F.round(F.col("q6").cast("double") / 1e6, 6)
+        .alias("batch_quality"),
+        F.round(best_q6.cast("double") / 1e6, 6).alias("corpus_quality"),
+    )
+
+
+_INC_KEEP_BEST_ORACLE = f"""
+WITH
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+shingles AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM toks
+),
+qbase AS (
+  SELECT doc_id,
+         len(text) AS n_chars,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         {_NTOK_SQL} AS n_tokens,
+         len(list_filter({_TOKENS_SQL}, t -> t IN {_STOPWORDS_IN}))
+           AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(round((0.5 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+               + 0.25 * (1.0 - least((CASE WHEN n_chars > 0
+                   THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                   ELSE 0.0 END) * 4, 1.0))
+               + 0.25 * least((CASE WHEN n_tokens > 0
+                   THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   ELSE 0.0 END) * 5, 1.0)) * 1e6) AS BIGINT) AS q6
+  FROM qbase
+),
+matches AS (
+  SELECT b.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM shingles b JOIN shingles c
+    ON b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+   AND len(list_intersect(b.grams, c.grams)) > 0
+  WHERE round(CAST(len(list_intersect(b.grams, c.grams)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(b.grams, c.grams)))
+                     AS DOUBLE), 6) >= 0.7
+),
+best AS (
+  SELECT m.new_id,
+         max(s.q6 * {_REPLACE_ID_BASE}
+             + ({_REPLACE_ID_BASE - 1} - m.corpus_id)) AS s
+  FROM matches m JOIN scored s ON s.doc_id = m.corpus_id
+  GROUP BY m.new_id
+)
+SELECT d.doc_id,
+       CASE WHEN b.s IS NULL THEN 'insert'
+            WHEN b.s // {_REPLACE_ID_BASE} >= q.q6 THEN 'drop'
+            ELSE 'replace' END AS action,
+       CASE WHEN b.s IS NOT NULL
+            THEN {_REPLACE_ID_BASE - 1} - b.s % {_REPLACE_ID_BASE}
+       END AS matched_id,
+       round(CAST(q.q6 AS DOUBLE) / 1e6, 6) AS batch_quality,
+       round(CAST(b.s // {_REPLACE_ID_BASE} AS DOUBLE) / 1e6, 6)
+         AS corpus_quality
+FROM documents d
+JOIN scored q ON q.doc_id = d.doc_id
+LEFT JOIN best b ON b.new_id = d.doc_id
+WHERE d.doc_id % 2 = 1
+"""
+
+
 _KEEP_BEST_QUALITY_ORACLE = f"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
@@ -11064,6 +11203,11 @@ CATALOG: dict[str, Query] = {
     "dedup_signal_overlap_sampled_docs": Query(
         dedup_signal_overlap_sampled_docs, _SIGNAL_OVERLAP_SAMPLED_ORACLE,
         tags=["dedup", "stats", "sampled"]),
+    # incremental survivorship: dedup-with-upgrade against the
+    # standing corpus (insert/drop/replace decisions) — r11
+    "incremental_keep_best_quality_docs": Query(
+        incremental_keep_best_quality_docs, _INC_KEEP_BEST_ORACLE,
+        tags=["dedup", "quality", "incremental"]),
     "quality_filter_docs": Query(quality_filter_docs, _QUALITY_FILTER_ORACLE,
                                  tags=["text", "pipeline"]),
     "media_dedup_by_content": Query(media_dedup_by_content,

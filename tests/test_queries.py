@@ -804,3 +804,50 @@ def test_signal_overlap_sampled_estimates_reasonable(spark):
     n_exact, n_samp = sum(exact.values()), sum(samp.values())
     assert 0.2 * n_exact <= n_samp <= 5 * n_exact, (n_exact, n_samp)
     assert max(samp, key=samp.get) == max(exact, key=exact.get)
+
+
+def test_incremental_keep_best_quality_actions(spark, tmp_path):
+    """Dedup-with-upgrade decisions on planted batch/corpus twins:
+    a better batch doc REPLACES its corpus twin, a worse one DROPS,
+    an exact tie DROPS (standing corpus wins - idempotent replay),
+    unmatched inserts, and a multi-match batch doc is judged against
+    the BEST corpus match."""
+    from pyspark_deduplication_spark.queries import (
+        incremental_keep_best_quality_docs,
+    )
+
+    base_a = ("the quick brown fox jumps over a lazy dog near the "
+              "river bank today")
+    base_b = ("market prices rose sharply while cautious traders "
+              "watched global supply signals")
+    base_c = ("gentle rain settled across sleeping valleys before "
+              "morning light returned again")
+    base_d = ("seven silver engines hummed beneath the frozen station "
+              "platform during winter repairs")
+    dirty = lambda s: s.replace(" ", " !?! ", 8)  # noqa: E731
+    docs = [
+        # corpus (even) / batch (odd)
+        (2, dirty(base_a)), (3, base_a),     # batch cleaner -> replace 2
+        (4, base_b), (5, dirty(base_b)),     # corpus cleaner -> drop
+        (6, base_c), (7, base_c),            # exact tie -> drop (corpus)
+        (9, "wholly new unmatched content that inserts cleanly here"),
+        # multi-match on its OWN base text (no cross-group 3-grams):
+        # 8 dirty, 10 clean, batch 11 mid-dirty (4 marks) -> best match
+        # is 10; 11 is worse than 10 -> drop, matched 10
+        (8, dirty(base_d)), (10, base_d),
+        (11, base_d.replace(" ", " !?! ", 4)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in
+            incremental_keep_best_quality_docs(spark, str(tmp_path))
+            .collect()}
+    assert set(rows) == {3, 5, 7, 9, 11}     # one row per batch doc
+    assert rows[3].action == "replace" and rows[3].matched_id == 2
+    assert rows[3].batch_quality > rows[3].corpus_quality
+    assert rows[5].action == "drop" and rows[5].matched_id == 4
+    assert rows[7].action == "drop" and rows[7].matched_id == 6
+    assert rows[7].batch_quality == rows[7].corpus_quality
+    assert rows[9].action == "insert"
+    assert rows[9].matched_id is None and rows[9].corpus_quality is None
+    assert rows[11].action == "drop" and rows[11].matched_id == 10
