@@ -69,6 +69,8 @@ NOTES = {
     "gopher_repetition_signals_docs": "one logical gram stream, column-pruned per branch: the top-(2,3,4) shuffle carries (doc,n,gram,count,chars) only, the dup-(5..10) branch carries positions+lengths in-row (no lengths join); all aggregations doc-keyed, no cross-document edges",
     "dedup_keep_best_quality_docs": "pair set is the inverted-index SSJoin (no BNL); CC is pointer-doubling over bare ids; quality score map-only, joined by doc_id; the only window partitions by component (cluster-bounded, never corpus-wide)",
     "dedup_signal_overlap_report": "three oracle-graded pair generators union bare id pairs; one pair-keyed aggregate builds the combo key; the share window runs on the <=7-row combo aggregate",
+    "dedup_signal_overlap_sampled_docs": "the 100 TB spelling: md5 hash-sample predicates ride every leg's scan (map-only, before shingling/banding); identical combo aggregate over the f^2-thinned pair set; flat cost at fixed absolute sample (sf1 exponent -0.01)",
+    "incremental_keep_best_quality_docs": "batch postings equi-join the corpus gram index (no batch x corpus cross join, corpus never self-joins); the (quality, lowest-id) winner is one packed-BIGINT max per batch doc; quality map-only",
 }
 
 HEADER_NOTES = """
