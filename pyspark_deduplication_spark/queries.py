@@ -1274,8 +1274,8 @@ _REP_DUP_NS = (5, 6, 7, 8, 9, 10)  # "fraction of chars in DUPLICATED n-grams"
 _REP_SCORE_BASE = 1_000_000_000
 
 
-def gopher_repetition_signals_docs(spark: SparkSession,
-                                   sf_dir: str) -> DataFrame:
+def gopher_repetition_signals_docs(spark: SparkSession, sf_dir: str,
+                                   hash_grams: bool = False) -> DataFrame:
     """Per-document REPETITION signals — the published Gopher
     repetition-removal recipe (Rae et al. 2021, Appendix A1.1) as a
     doc-keyed dials table (the within-doc companion to the line-level
@@ -1310,7 +1310,13 @@ def gopher_repetition_signals_docs(spark: SparkSession,
     no fourth pass). Every aggregation is keyed by doc_id (+n, +gram)
     — embarrassingly partitionable, no cross-document edges, no
     shuffle carries text beyond n-token gram keys (the same shuffle
-    shape as ``doc_repetition_scores`` and the ExactSubstr family)."""
+    shape as ``doc_repetition_scores`` and the ExactSubstr family).
+    ``hash_grams=True`` is the 100 TB spelling: xxhash64 gram keys
+    (8 bytes) replace the n-token strings in both shuffles —
+    within-document 64-bit collisions are negligible (the ExactSubstr
+    family's documented trade; rows-only because xxhash64 is not
+    DuckDB-expressible, pinned equal to this oracle-graded spelling in
+    pytest)."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(tokenize(F.col("text")), lambda w: F.length(w) > 0)
     base = docs.select("doc_id", toks.alias("__toks")).select(
@@ -1339,8 +1345,10 @@ def gopher_repetition_signals_docs(spark: SparkSession,
                 F.lit(1), F.col("__m") - F.col("n") + 1)).alias("i"))
         .select(
             "doc_id", "n", "i",
-            F.concat_ws(" ", F.slice(
-                "__toks", F.col("i"), F.col("n"))).alias("gram"),
+            (F.xxhash64(F.concat_ws(" ", F.slice(
+                "__toks", F.col("i"), F.col("n")))) if hash_grams
+             else F.concat_ws(" ", F.slice(
+                 "__toks", F.col("i"), F.col("n")))).alias("gram"),
             F.transform(F.slice("__toks", F.col("i"), F.col("n")),
                         lambda x: F.length(x).cast("long")).alias("lens"))
     )

@@ -851,3 +851,28 @@ def test_incremental_keep_best_quality_actions(spark, tmp_path):
     assert rows[9].action == "insert"
     assert rows[9].matched_id is None and rows[9].corpus_quality is None
     assert rows[11].action == "drop" and rows[11].matched_id == 10
+
+
+def test_repetition_signals_hashed_spelling_matches_exact(spark):
+    """The 100 TB spelling (xxhash64 gram keys) must produce identical
+    per-doc repetition dials to the oracle-verified raw-gram
+    spelling."""
+    from pyspark_deduplication_spark.queries import (
+        gopher_repetition_signals_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cols = None
+    exact = {}
+    for r in gopher_repetition_signals_docs(spark, sf).collect():
+        d = r.asDict()
+        exact[d.pop("doc_id")] = d
+        cols = cols or sorted(d)
+    hashed = {}
+    for r in gopher_repetition_signals_docs(spark, sf,
+                                            hash_grams=True).collect():
+        d = r.asDict()
+        hashed[d.pop("doc_id")] = d
+    assert exact == hashed
+    # the corpus actually exercises the signals (nonzero top fracs)
+    assert any(v["top_2gram_char_frac"] for v in exact.values())
