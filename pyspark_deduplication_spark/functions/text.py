@@ -32,6 +32,33 @@ def _as_col(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# decode order matters: '&amp;' must resolve LAST or '&amp;lt;' would
+# double-decode to '<'
+_HTML_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                  ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
+
+
+def strip_html(col: Column | str) -> Column:
+    """HTML → visible text (the first stage of every web-corpus
+    pipeline): drop ``<script>``/``<style>`` blocks and comments
+    wholesale, strip remaining tags, decode the common entities,
+    collapse whitespace. Pure ``regexp_replace``/``replace`` chain —
+    map-only, whole-stage-codegen'd, zero shuffle — restricted to the
+    Java-regex ∩ RE2 dialect (no backreferences: script and style get
+    separate lazy-block patterns) so the DuckDB oracles replicate it
+    verbatim. A heuristic extractor, not an HTML5 parser: malformed
+    markup degrades to extra whitespace, never to dropped visible
+    text."""
+    s = _as_col(col)
+    s = F.regexp_replace(s, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form: lowercase, punctuation stripped, whitespace
     collapsed, trimmed. The shared preprocessing step for fingerprinting

@@ -38,6 +38,7 @@ from pyspark_deduplication_spark.functions.text import (
     quality_features,
     redact_pii,
     staged_grams,
+    strip_html,
     token_count,
     tokenize,
     winnow_of,
@@ -3940,6 +3941,104 @@ def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     global_row = hll_union_rollup(per_lang, []).select(
         F.lit("__all__").alias("lang"), "approx_distinct")
     return per_lang.select("lang", "approx_distinct").unionAll(global_row)
+
+
+def html_text_extraction_docs(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """HTML → text extraction (``functions.text.strip_html``) proven
+    per document: the corpus text is html-escaped and wrapped in a
+    deterministic page template (title, nav links, a style block, a
+    script block whose payload must NOT leak, a comment, an
+    entity-bearing footer), then extracted back — the same synthesis
+    precedent as the PII query, so the gate grades real nonzero
+    extraction rather than a no-op on tag-free text. Per doc:
+
+    - ``n_tags``: markup elements the extractor had to strip;
+    - ``extracted_chars``: length of the recovered visible text;
+    - ``round_trip_ok``: the extraction equals the EXPECTED visible
+      rendering (title + nav + body + decoded footer) exactly —
+      whitespace-normalized, entities decoded;
+    - ``script_leaked``: the script payload survived (must be 0).
+
+    Everything is a map-only projection in the Java∩RE2 regex
+    dialect; no shuffle, no join."""
+    docs = _t(spark, sf_dir, "documents")
+    esc = F.col("text")
+    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title><style>body { color: #111; }</style>"
+              "<script type=\"text/javascript\">var leak = 1 < 2;"
+              "</script></head><body>"
+              "<div class=\"nav\"><a href=\"/home\">Home</a> | "
+              "<a href=\"/about\">About</a></div>"
+              "<!-- boilerplate comment -->"
+              "<p id=\"main\">"),
+        esc,
+        F.lit("</p><div>&quot;footer&#39;s&nbsp;mark&quot; &amp; done"
+              "</div></body></html>"))
+    norm_text = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    expected = F.trim(F.regexp_replace(F.concat(
+        F.col("source"), F.lit(" Home | About "), norm_text,
+        F.lit(" \"footer's mark\" & done")), r"\s+", " "))
+    staged = docs.select(
+        "doc_id", html.alias("__html"), expected.alias("__want"))
+    extracted = strip_html(F.col("__html"))
+    return staged.select(
+        "doc_id",
+        F.regexp_count(F.col("__html"), F.lit("<[^>]+>")).cast("long")
+        .alias("n_tags"),
+        F.length(extracted).cast("long").alias("extracted_chars"),
+        (extracted == F.col("__want")).cast("int").alias("round_trip_ok"),
+        extracted.contains("var leak").cast("int").alias("script_leaked"),
+    )
+
+
+_HTML_EXTRACT_ORACLE = """
+WITH built AS (
+  SELECT doc_id,
+         '<html><head><title>' || source
+         || '</title><style>body { color: #111; }</style>'
+         || '<script type="text/javascript">var leak = 1 < 2;'
+         || '</script></head><body>'
+         || '<div class="nav"><a href="/home">Home</a> | '
+         || '<a href="/about">About</a></div>'
+         || '<!-- boilerplate comment -->'
+         || '<p id="main">'
+         || replace(replace(replace(text, '&', '&amp;'),
+                            '<', '&lt;'), '>', '&gt;')
+         || '</p><div>&quot;footer&#39;s&nbsp;mark&quot; &amp; done'
+         || '</div></body></html>' AS html,
+         trim(regexp_replace(source || ' Home | About '
+              || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+              || ' "footer''s mark" & done', '\\s+', ' ', 'g')) AS want
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, html, want,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html,
+                     '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS extracted
+  FROM built
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+       CAST(len(extracted) AS BIGINT) AS extracted_chars,
+       CAST(extracted = want AS INT) AS round_trip_ok,
+       CAST(contains(extracted, 'var leak') AS INT) AS script_leaked
+FROM stripped
+"""
 
 
 def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10932,6 +11031,11 @@ CATALOG: dict[str, Query] = {
                                tags=["text"]),
     "pii_redaction_report": Query(pii_redaction_report, _PII_ORACLE,
                                   tags=["text", "pii"]),
+    # HTML -> text extraction (web-corpus stage 1) proven per doc on
+    # synthesized pages — r11
+    "html_text_extraction_docs": Query(
+        html_text_extraction_docs, _HTML_EXTRACT_ORACLE,
+        tags=["text", "pipeline"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),

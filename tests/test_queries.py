@@ -876,3 +876,30 @@ def test_repetition_signals_hashed_spelling_matches_exact(spark):
     assert exact == hashed
     # the corpus actually exercises the signals (nonzero top fracs)
     assert any(v["top_2gram_char_frac"] for v in exact.values())
+
+
+def test_strip_html_adversarial_markup(spark):
+    """The extractor on hostile markup: multiline/uppercase script
+    blocks vanish wholesale, style and comments vanish, entities
+    decode in the order that cannot double-decode (&amp;lt; -> '&lt;'
+    literal, never '<'), and malformed tags degrade to whitespace
+    rather than eating visible text."""
+    from pyspark_deduplication_spark.functions.text import strip_html
+
+    cases = [
+        ("<SCRIPT>\nvar a = '<p>not text</p>';\n</SCRIPT>ok", "ok"),
+        ("<style>p { content: '<fake>' }</style>visible", "visible"),
+        ("a<!-- multi\nline\ncomment -->b", "a b"),
+        ("x &amp;lt; y", "x &lt; y"),          # no double decode
+        ("5 &lt; 6 &amp;&amp; 7 &gt; 2", "5 < 6 && 7 > 2"),
+        ("<div class='q' data-x=\"1\">inner</div>", "inner"),
+        ("plain text with no markup", "plain text with no markup"),
+        ("<p>spaced</p>\n\n<p>out</p>", "spaced out"),
+        ("&quot;q&#39;s&quot;&nbsp;end", "\"q's\" end"),
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(c[0] for c in cases)), "i long, html string")
+    got = {r.i: r.out for r in
+           df.select("i", strip_html("html").alias("out")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
