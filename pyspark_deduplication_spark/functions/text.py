@@ -243,6 +243,40 @@ def winnow_of(kgrams: Column, window: int = 4) -> Column:
     )
 
 
+_WARC_SEP = "WARC/1.0\r\n"
+
+
+def warc_records_of(col: Column | str) -> Column:
+    """Parse a WARC-file blob (the CommonCrawl container format) into
+    ``array<struct<headers:string, payload:string>>`` — records are
+    delimited by the ``WARC/1.0`` version line, headers end at the
+    first blank line, the payload runs to the record's trailing blank
+    line. Pure split/substring chain (NO regex lookahead — RE2 lacks
+    it, and the oracle dialect must replicate every step), map-only.
+    Use ``warc_header_of`` to pull individual named headers."""
+    s = _as_col(col)
+    pieces = F.filter(F.split(s, r"WARC/1\.0\r\n"),
+                      lambda p: F.length(p) > 0)
+
+    def rec(p: Column) -> Column:
+        idx = F.instr(p, "\r\n\r\n")  # 1-based; 0 = headers-only record
+        headers = F.when(idx > 0, F.substr(p, F.lit(1), idx - 1)) \
+                   .otherwise(p)
+        payload = F.when(
+            idx > 0,
+            F.regexp_replace(F.substr(p, idx + 4), r"(\r\n)+$", "")
+        ).otherwise(F.lit(""))
+        return F.struct(headers.alias("headers"), payload.alias("payload"))
+
+    return F.transform(pieces, rec)
+
+
+def warc_header_of(headers: Column, name: str) -> Column:
+    """Value of a named WARC header from a record's header block
+    (empty string when absent). Java∩RE2 regex."""
+    return F.regexp_extract(headers, rf"(?m)^{name}:\s*([^\r\n]+)", 1)
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of the normalized text.
 

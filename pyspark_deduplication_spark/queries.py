@@ -40,6 +40,8 @@ from pyspark_deduplication_spark.functions.text import (
     staged_grams,
     strip_html,
     token_count,
+    warc_header_of,
+    warc_records_of,
     tokenize,
     winnow_of,
     word_ngrams_all_of,
@@ -4038,6 +4040,111 @@ SELECT doc_id,
        CAST(extracted = want AS INT) AS round_trip_ok,
        CAST(contains(extracted, 'var leak') AS INT) AS script_leaked
 FROM stripped
+"""
+
+
+def warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-container ingest (``functions.text.warc_records_of`` — the
+    CommonCrawl format) proven per document: the corpus is packed into
+    one deterministic WARC blob per source (response records with a
+    ``doc://source/id`` target URI and a real Content-Length), then
+    parsed back record-by-record. Per doc: warc_type, whether the
+    declared Content-Length matches the recovered payload, and whether
+    the payload round-trips byte-identical to the original text. Same
+    synthesis precedent as the PII/HTML queries. The heuristic parser
+    reads payloads up to the record's blank-line terminator — correct
+    for single-block payloads like these; binary payloads with
+    embedded blank lines need Content-Length slicing, which the
+    multimodal binary family handles instead.
+
+    Scale shape: the synthesis groupBy is per-source (fixture-sized);
+    PARSING is the scale path and is map-only — split + substring per
+    blob, one explode, no shuffle after the build."""
+    docs = _t(spark, sf_dir, "documents")
+    crlf, blank = "\r\n", "\r\n\r\n"
+    rec = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "WARC-Target-URI: doc://"),
+        F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit(crlf + "Content-Length: "),
+        F.length("text").cast("string"),
+        F.lit(blank), F.col("text"), F.lit(blank))
+    blobs = (
+        docs.select("source", F.struct("doc_id", rec.alias("r")).alias("s"))
+        .groupBy("source")
+        .agg(F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list("s")), lambda x: x["r"]))
+            .alias("blob"))
+    )
+    parsed = (
+        blobs.select(F.explode(warc_records_of(F.col("blob"))).alias("r"))
+        .select(F.col("r.headers").alias("h"),
+                F.col("r.payload").alias("payload"))
+        .select(
+            F.regexp_extract(
+                warc_header_of(F.col("h"), "WARC-Target-URI"),
+                r"doc://[^/]+/([0-9]+)", 1).cast("long").alias("doc_id"),
+            warc_header_of(F.col("h"), "WARC-Type").alias("warc_type"),
+            warc_header_of(F.col("h"), "Content-Length").cast("long")
+            .alias("__clen"),
+            "payload")
+    )
+    return (
+        parsed.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id", "warc_type",
+            (F.col("__clen") == F.length("payload")).cast("int")
+            .alias("content_length_ok"),
+            (F.col("payload") == F.col("text")).cast("int")
+            .alias("payload_matches"))
+    )
+
+
+_WARC_INGEST_ORACLE = """
+WITH recs AS (
+  SELECT source, doc_id,
+         'WARC/1.0' || chr(13) || chr(10)
+         || 'WARC-Type: response' || chr(13) || chr(10)
+         || 'WARC-Target-URI: doc://' || source || '/' || doc_id
+         || chr(13) || chr(10)
+         || 'Content-Length: ' || len(text)
+         || chr(13) || chr(10) || chr(13) || chr(10)
+         || text || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+  FROM documents
+),
+blobs AS (
+  SELECT source, string_agg(rec, '' ORDER BY doc_id) AS blob
+  FROM recs GROUP BY source
+),
+pieces AS (
+  SELECT p FROM blobs,
+       unnest(list_filter(
+         string_split(blob, 'WARC/1.0' || chr(13) || chr(10)),
+         x -> len(x) > 0)) AS u(p)
+),
+parsed AS (
+  SELECT CASE WHEN idx > 0 THEN p[1:idx-1] ELSE p END AS h,
+         CASE WHEN idx > 0
+              THEN regexp_replace(p[idx+4:], '(\\r\\n)+$', '')
+              ELSE '' END AS payload
+  FROM (SELECT p,
+               strpos(p, chr(13)||chr(10)||chr(13)||chr(10)) AS idx
+        FROM pieces)
+),
+fields AS (
+  SELECT CAST(regexp_extract(h, 'doc://[^/]+/([0-9]+)', 1) AS BIGINT)
+           AS doc_id,
+         regexp_extract(h, '(?m)^WARC-Type:\\s*([^\\r\\n]+)', 1)
+           AS warc_type,
+         CAST(regexp_extract(h, '(?m)^Content-Length:\\s*([0-9]+)', 1)
+              AS BIGINT) AS clen,
+         payload
+  FROM parsed
+)
+SELECT f.doc_id, f.warc_type,
+       CAST(f.clen = len(f.payload) AS INT) AS content_length_ok,
+       CAST(f.payload = d.text AS INT) AS payload_matches
+FROM fields f JOIN documents d ON d.doc_id = f.doc_id
 """
 
 
@@ -11036,6 +11143,11 @@ CATALOG: dict[str, Query] = {
     "html_text_extraction_docs": Query(
         html_text_extraction_docs, _HTML_EXTRACT_ORACLE,
         tags=["text", "pipeline"]),
+    # WARC container parse (CommonCrawl stage 0) with per-record
+    # Content-Length + payload round-trip checks — r11
+    "warc_ingest_docs": Query(
+        warc_ingest_docs, _WARC_INGEST_ORACLE,
+        tags=["text", "pipeline", "source"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),

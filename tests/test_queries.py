@@ -903,3 +903,49 @@ def test_strip_html_adversarial_markup(spark):
            df.select("i", strip_html("html").alias("out")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_warc_records_parse_semantics(spark):
+    """The WARC splitter on a hand-built multi-record blob: record
+    count and per-record header/payload recovery, headers-only
+    records degrade to an empty payload, absent headers extract as
+    empty string, and trailing record terminators never leak into
+    payloads."""
+    from pyspark_deduplication_spark.functions.text import (
+        warc_header_of,
+        warc_records_of,
+    )
+    from pyspark.sql import functions as F
+
+    crlf = "\r\n"
+    blob = (
+        "WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf
+        + "WARC-Date: 2026-01-01" + crlf + crlf
+        + "software: synthetic" + crlf + crlf
+        + "WARC/1.0" + crlf + "WARC-Type: request" + crlf
+        + "WARC-Target-URI: doc://src0/7" + crlf + crlf
+        + "GET /7" + crlf + crlf
+        + "WARC/1.0" + crlf + "WARC-Type: response" + crlf
+        + "WARC-Target-URI: doc://src0/7" + crlf
+        + "Content-Length: 11" + crlf + crlf
+        + "hello world" + crlf + crlf
+        # headers-only record (no blank-line separator at all)
+        + "WARC/1.0" + crlf + "WARC-Type: metadata"
+    )
+    df = spark.createDataFrame([(blob,)], "blob string")
+    recs = df.select(
+        F.posexplode(warc_records_of("blob")).alias("i", "r")
+    ).select(
+        "i",
+        warc_header_of(F.col("r.headers"), "WARC-Type").alias("t"),
+        warc_header_of(F.col("r.headers"), "WARC-Target-URI").alias("u"),
+        F.col("r.payload").alias("p"),
+    ).collect()
+    rows = {r.i: r for r in recs}
+    assert len(rows) == 4
+    assert rows[0].t == "warcinfo" and rows[0].p == "software: synthetic"
+    assert rows[0].u == ""                      # absent header -> empty
+    assert rows[1].t == "request" and rows[1].p == "GET /7"
+    assert rows[2].t == "response" and rows[2].p == "hello world"
+    assert rows[2].u == "doc://src0/7"
+    assert rows[3].t == "metadata" and rows[3].p == ""
