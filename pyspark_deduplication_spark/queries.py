@@ -11698,7 +11698,7 @@ _GRADED_ORDER = [
     "vocab_growth_report",
     "windowed_collect_set_parts",      # … end of the r7 queue
     # (d) the r8 frontier (next-oldest grades), alphabetical head —
-    # 27 of 50; the tail (incremental_dedup_docs …
+    # 23 of 50; the tail (events_retention_cohorts …
     # unigram_seed_pieces) queues for r12
     "chunk_level_dedup_rate",
     "count_distinct_parts",
@@ -11720,24 +11720,25 @@ _GRADED_ORDER = [
     "events_hourly_windows",
     "events_json_props",
     "events_moving_average",
-    "events_retention_cohorts",
-    "events_sliding_windows",
-    "faithful_fuzzy_join_lev",
-    "fused_dedup_docs",
     # (e) the late-r11 additions (never graded — highest rotation
-    # priority, displacing four r8-frontier entries to the r12 queue):
-    # the raw C4 quality-signals table, the Gopher repetition
-    # signal/rule pair, the quality-aware survivorship entry (whose
-    # pair set IS the displaced jaccard_near_dup_docs spelling, so
-    # that code path stays covered), and the signal-overlap report
-    # (whose legs are the displaced hyperplane/jaccard-era spellings
-    # plus the r10-green weighted anchor); incremental_dedup_docs
-    # heads the r12 queue
+    # priority per the established policy, displacing eight
+    # r8-frontier entries to the r12 queue; the displaced spellings
+    # stay covered transitively — jaccard/fused legs ARE the overlap
+    # report's generators, faithful_fuzzy has its difflib point-oracle
+    # pytest): the raw C4 quality-signals table, the Gopher repetition
+    # signal/rule pair, the quality-aware survivorship pair (batch +
+    # incremental), the signal-overlap report with its hash-sampled
+    # 100 TB twin, and the web-ingest pair (HTML extraction, WARC
+    # parse); events_retention_cohorts heads the r12 queue
     "c4_quality_signals_docs",
     "gopher_repetition_signals_docs",
     "gopher_repetition_rules_docs",
     "dedup_keep_best_quality_docs",
     "dedup_signal_overlap_report",
+    "dedup_signal_overlap_sampled_docs",
+    "incremental_keep_best_quality_docs",
+    "html_text_extraction_docs",
+    "warc_ingest_docs",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50
