@@ -71,6 +71,8 @@ NOTES = {
     "dedup_signal_overlap_report": "three oracle-graded pair generators union bare id pairs; one pair-keyed aggregate builds the combo key; the share window runs on the <=7-row combo aggregate",
     "dedup_signal_overlap_sampled_docs": "the 100 TB spelling: md5 hash-sample predicates ride every leg's scan (map-only, before shingling/banding); identical combo aggregate over the f^2-thinned pair set; flat cost at fixed absolute sample (sf1 exponent -0.01)",
     "incremental_keep_best_quality_docs": "batch postings equi-join the corpus gram index (no batch x corpus cross join, corpus never self-joins); the (quality, lowest-id) winner is one packed-BIGINT max per batch doc; quality map-only",
+    "html_text_extraction_docs": "pure projection: synthesis + regexp strip chain + round-trip compare all map-only, whole-stage codegen, zero exchange",
+    "warc_ingest_docs": "PARSING is the scale path: split + substring per blob then one explode, map-only; the per-source string_agg is synthesis-fixture machinery (production reads real bounded WARC files as blobs)",
 }
 
 HEADER_NOTES = """
