@@ -389,3 +389,31 @@ def test_repetition_signals_match_bruteforce(texts):
             if prev is not None:
                 assert cur <= prev + 1e-9, (doc_id, n, prev, cur)
             prev = cur
+
+
+@given(st.lists(TEXT, min_size=1, max_size=12))
+@example(["a & b < c > d", "&amp; already escaped", "  spaced   out  "])
+@settings(max_examples=8, deadline=None)
+def test_strip_html_roundtrips_escaped_text(texts):
+    """Any text, html-escaped and wrapped in markup (tags, script,
+    comment), must extract back to its whitespace-normalized self —
+    the html_text_extraction_docs contract on arbitrary content."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import strip_html
+
+    df = _SPARK.createDataFrame(
+        list(enumerate(texts)), "i long, t string")
+    esc = F.col("t")
+    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    html = F.concat(
+        F.lit("<div><script>var x = '<&>';</script><p>"), esc,
+        F.lit("</p><!-- c --></div>"))
+    got = {r.i: r.out for r in
+           df.select("i", strip_html(html).alias("out")).collect()}
+    for i, t in enumerate(texts):
+        want = re.sub(r"\s+", " ", t).strip()
+        assert got[i] == want, (i, got[i], want)
