@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark_deduplication_spark.functions.similarity import ngram_jaccard, ratcliff_similarity
 from pyspark_deduplication_spark.functions.text import (
     LANG_MARKERS,
+    WS_RUN_RE,
     char_kgram_hashes_of,
     detect_language,
     doc_fingerprint,
@@ -3980,10 +3981,10 @@ def html_text_extraction_docs(spark: SparkSession,
         esc,
         F.lit("</p><div>&quot;footer&#39;s&nbsp;mark&quot; &amp; done"
               "</div></body></html>"))
-    norm_text = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    norm_text = F.trim(F.regexp_replace(F.col("text"), WS_RUN_RE, " "))
     expected = F.trim(F.regexp_replace(F.concat(
         F.col("source"), F.lit(" Home | About "), norm_text,
-        F.lit(" \"footer's mark\" & done")), r"\s+", " "))
+        F.lit(" \"footer's mark\" & done")), WS_RUN_RE, " "))
     staged = docs.select(
         "doc_id", html.alias("__html"), expected.alias("__want"))
     extracted = strip_html(F.col("__html"))
@@ -3997,6 +3998,10 @@ def html_text_extraction_docs(spark: SparkSession,
     )
 
 
+# The oracle must collapse the SAME whitespace class as the kernel:
+# WS_RUN_RE is spelled with literal characters precisely so it drops
+# into the RE2 '…' literal unchanged (VERDICT r11 item 1 — bare \\s is
+# ASCII-only in both engines and loses raw NBSP).
 _HTML_EXTRACT_ORACLE = """
 WITH built AS (
   SELECT doc_id,
@@ -4013,8 +4018,8 @@ WITH built AS (
          || '</p><div>&quot;footer&#39;s&nbsp;mark&quot; &amp; done'
          || '</div></body></html>' AS html,
          trim(regexp_replace(source || ' Home | About '
-              || trim(regexp_replace(text, '\\s+', ' ', 'g'))
-              || ' "footer''s mark" & done', '\\s+', ' ', 'g')) AS want
+              || trim(regexp_replace(text, '{WS}', ' ', 'g'))
+              || ' "footer''s mark" & done', '{WS}', ' ', 'g')) AS want
   FROM documents
 ),
 stripped AS (
@@ -4031,7 +4036,7 @@ stripped AS (
                '<[^>]+>', ' ', 'g'),
              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
              '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-           '\\s+', ' ', 'g')) AS extracted
+           '{WS}', ' ', 'g')) AS extracted
   FROM built
 )
 SELECT doc_id,
@@ -4040,7 +4045,7 @@ SELECT doc_id,
        CAST(extracted = want AS INT) AS round_trip_ok,
        CAST(contains(extracted, 'var leak') AS INT) AS script_leaked
 FROM stripped
-"""
+""".replace("{WS}", WS_RUN_RE)
 
 
 def warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

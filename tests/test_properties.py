@@ -393,11 +393,16 @@ def test_repetition_signals_match_bruteforce(texts):
 
 @given(st.lists(TEXT, min_size=1, max_size=12))
 @example(["a & b < c > d", "&amp; already escaped", "  spaced   out  "])
+@example(["\xa0"])  # r11 falsifying example: raw NBSP (ASCII-\s gap)
+@example(["a\xa0b", " line sep", "　 edge "])
 @settings(max_examples=8, deadline=None)
 def test_strip_html_roundtrips_escaped_text(texts):
     """Any text, html-escaped and wrapped in markup (tags, script,
     comment), must extract back to its whitespace-normalized self —
-    the html_text_extraction_docs contract on arbitrary content."""
+    the html_text_extraction_docs contract on arbitrary content.
+    The reference is Python's UNICODE ``\\s`` (re.sub + str.strip):
+    raw NBSP and the Zs/Zl/Zp blocks must normalize exactly like
+    ASCII whitespace (VERDICT r11 item 1)."""
     import re
 
     from pyspark.sql import functions as F

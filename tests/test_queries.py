@@ -905,6 +905,60 @@ def test_strip_html_adversarial_markup(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_unicode_whitespace_policy_pins(spark):
+    """The engine-wide Unicode-whitespace policy, pinned (VERDICT r11
+    item 8). Java/RE2 ``\\s`` is ASCII-only; the kernels differ by
+    design:
+
+    - ``strip_html`` collapses the FULL Python-Unicode ``\\s`` class
+      (``WS_RUN_RE``) — extracted web text must not carry raw NBSP;
+    - ``normalize_text``/``tokenize`` already treat NBSP (and every
+      other Unicode space) as a separator via the ``[^a-z0-9\\s]``
+      punctuation strip — no change needed, pinned here;
+    - ``pretokenize`` keeps GPT-2 fidelity: Unicode spaces fall in the
+      punctuation-run class (``[^a-zA-Z0-9\\s']``), so they become
+      their own pretoken units rather than splitting like ASCII
+      space — matching the released pattern's ASCII-\\s behavior.
+    """
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        UNICODE_EXTRA_WS,
+        WS_RUN_RE,
+        normalize_text,
+        pretoken_count,
+        strip_html,
+        tokenize,
+    )
+
+    # the class IS Python's \s minus ASCII — equivalence by enumeration
+    py_ws = {c for c in map(chr, range(0x11000)) if re.match(r"\s", c)}
+    assert set(UNICODE_EXTRA_WS) == py_ws - set(" \t\n\x0b\f\r")
+    assert WS_RUN_RE == "[\\s" + UNICODE_EXTRA_WS + "]+"
+
+    df = spark.createDataFrame(
+        [(0, "a\xa0b"), (1, " x "), (2, "\xa0\xa0"),
+         (3, "one　two")],
+        "i long, t string")
+    rows = {r.i: r for r in df.select(
+        "i",
+        strip_html(F.col("t")).alias("html_out"),
+        normalize_text("t").alias("norm"),
+        tokenize("t").alias("toks"),
+        pretoken_count("t").alias("n_pre"),
+    ).collect()}
+    assert rows[0].html_out == "a b" and rows[0].norm == "a b"
+    assert rows[0].toks == ["a", "b"]
+    assert rows[1].html_out == "x" and rows[1].norm == "x"
+    assert rows[2].html_out == "" and rows[2].norm == ""
+    assert rows[3].toks == ["one", "two"]
+    # pretokenizer: 'a\xa0b' -> ['a', '\xa0', 'b'] (3 units, the NBSP
+    # is a punctuation run), unlike 'a b' -> ['a', ' b'] (2 units)
+    assert rows[0].n_pre == 3
+
+
 def test_warc_records_parse_semantics(spark):
     """The WARC splitter on a hand-built multi-record blob: record
     count and per-record header/payload recovery, headers-only
