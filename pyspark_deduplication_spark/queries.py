@@ -43,6 +43,7 @@ from pyspark_deduplication_spark.functions.text import (
     token_count,
     warc_header_of,
     warc_records_of,
+    warc_records_sliced,
     tokenize,
     winnow_of,
     word_ngrams_all_of,
@@ -4150,6 +4151,150 @@ SELECT f.doc_id, f.warc_type,
        CAST(f.clen = len(f.payload) AS INT) AS content_length_ok,
        CAST(f.payload = d.text AS INT) AS payload_matches
 FROM fields f JOIN documents d ON d.doc_id = f.doc_id
+"""
+
+
+def warc_binary_ingest_docs(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Content-Length-sliced WARC ingest
+    (``functions.text.warc_records_sliced``) proven on ADVERSARIAL
+    payloads — the binary-payload gap VERDICT r11 item 3 closes. Each
+    document is packed as a response record whose payload contains
+    every structure that corrupts the blank-line heuristic parser: an
+    embedded blank line (``\\r\\n\\r\\n``), an embedded fake
+    ``WARC/1.0`` version line, and a genuine trailing CRLF — exactly
+    the shapes real CommonCrawl binary payloads (images, gzip) take.
+    The record's ``Content-Length`` is real, and the parser must
+    recover the payload byte-exactly by slicing, never by sentinel
+    search. Per doc: warc_type, declared-length match, and byte-exact
+    payload round-trip (1 everywhere is the pass state; the heuristic
+    parser scores 0 on every row — pinned in pytest).
+
+    Scale shape: synthesis groupBy is per-source; parsing is the
+    scale path — a map-only per-blob position fold, one explode, one
+    join back to the corpus. One blob = one row = one task, the
+    CommonCrawl per-file layout."""
+    docs = _t(spark, sf_dir, "documents")
+    crlf, blank = "\r\n", "\r\n\r\n"
+    hostile = F.concat(
+        F.substring("text", 1, 8),
+        F.lit(blank + "WARC/1.0" + crlf),
+        F.col("text"), F.lit(crlf))
+    rec = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "WARC-Target-URI: doc://"),
+        F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit(crlf + "Content-Length: "),
+        F.length(hostile).cast("string"),
+        F.lit(blank), hostile, F.lit(blank))
+    blobs = (
+        docs.select("source", F.struct("doc_id", rec.alias("r")).alias("s"))
+        .groupBy("source")
+        .agg(F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list("s")), lambda x: x["r"]))
+            .alias("blob"))
+    )
+    parsed = (
+        blobs.select(F.explode(warc_records_sliced(F.col("blob")))
+                     .alias("r"))
+        .select(F.col("r.headers").alias("h"),
+                F.col("r.payload").alias("payload"))
+        .select(
+            F.regexp_extract(
+                warc_header_of(F.col("h"), "WARC-Target-URI"),
+                r"doc://[^/]+/([0-9]+)", 1).cast("long").alias("doc_id"),
+            warc_header_of(F.col("h"), "WARC-Type").alias("warc_type"),
+            warc_header_of(F.col("h"), "Content-Length").cast("long")
+            .alias("__clen"),
+            "payload")
+    )
+    return (
+        parsed.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id", "warc_type",
+            (F.col("__clen") == F.length("payload")).cast("int")
+            .alias("content_length_ok"),
+            (F.col("payload") == F.concat(
+                F.substring("text", 1, 8),
+                F.lit(blank + "WARC/1.0" + crlf),
+                F.col("text"), F.lit(crlf))).cast("int")
+            .alias("payload_matches"))
+    )
+
+
+# The oracle replicates the position fold as a recursive CTE (the
+# established connected-components precedent): each recursion step
+# verifies the version line at the cursor, finds the header block's
+# blank-line terminator, reads Content-Length, and jumps past the
+# sliced payload. chr(13)||chr(10) spells CRLF so the SQL carries no
+# escape-dialect risk.
+_WARC_BINARY_INGEST_ORACLE = """
+WITH RECURSIVE recs AS (
+  SELECT source, doc_id,
+         substr(text, 1, 8)
+           || chr(13)||chr(10)||chr(13)||chr(10)
+           || 'WARC/1.0' || chr(13)||chr(10)
+           || text || chr(13)||chr(10) AS hostile
+  FROM documents
+),
+built AS (
+  SELECT source, doc_id,
+         'WARC/1.0' || chr(13) || chr(10)
+         || 'WARC-Type: response' || chr(13) || chr(10)
+         || 'WARC-Target-URI: doc://' || source || '/' || doc_id
+         || chr(13) || chr(10)
+         || 'Content-Length: ' || len(hostile)
+         || chr(13) || chr(10) || chr(13) || chr(10)
+         || hostile || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+  FROM recs
+),
+blobs AS (
+  SELECT source, string_agg(rec, '' ORDER BY doc_id) AS blob
+  FROM built GROUP BY source
+),
+march AS (
+  SELECT source, blob, CAST(1 AS BIGINT) AS pos,
+         CAST(NULL AS VARCHAR) AS h, CAST(NULL AS VARCHAR) AS payload
+  FROM blobs
+  UNION ALL
+  SELECT source, blob,
+         payload_start + clen + 4 AS pos,
+         hdrs AS h,
+         substr(blob, payload_start, clen) AS payload
+  FROM (
+    SELECT source, blob, hdrs,
+           pos + 10 + (hd - 1) + 4 AS payload_start,
+           CAST(regexp_extract(hdrs,
+                '(?m)^Content-Length:\\s*([0-9]+)', 1) AS BIGINT) AS clen
+    FROM (
+      SELECT source, blob, pos, hd,
+             substr(blob, pos + 10, hd - 1) AS hdrs
+      FROM (
+        SELECT source, blob, pos,
+               strpos(substr(blob, pos + 10, 4096),
+                      chr(13)||chr(10)||chr(13)||chr(10)) AS hd
+        FROM march
+        WHERE substr(blob, pos, 10) = 'WARC/1.0' || chr(13)||chr(10)
+      ) w
+      WHERE hd > 0
+    ) x
+  ) y
+  WHERE clen IS NOT NULL
+),
+fields AS (
+  SELECT CAST(regexp_extract(h, 'doc://[^/]+/([0-9]+)', 1) AS BIGINT)
+           AS doc_id,
+         regexp_extract(h, '(?m)^WARC-Type:\\s*([^\\r\\n]+)', 1)
+           AS warc_type,
+         CAST(regexp_extract(h, '(?m)^Content-Length:\\s*([0-9]+)', 1)
+              AS BIGINT) AS clen,
+         payload
+  FROM march WHERE h IS NOT NULL
+)
+SELECT f.doc_id, f.warc_type,
+       CAST(f.clen = len(f.payload) AS INT) AS content_length_ok,
+       CAST(f.payload = r.hostile AS INT) AS payload_matches
+FROM fields f JOIN recs r ON r.doc_id = f.doc_id
 """
 
 
@@ -11153,6 +11298,9 @@ CATALOG: dict[str, Query] = {
     "warc_ingest_docs": Query(
         warc_ingest_docs, _WARC_INGEST_ORACLE,
         tags=["text", "pipeline", "source"]),
+    "warc_binary_ingest_docs": Query(
+        warc_binary_ingest_docs, _WARC_BINARY_INGEST_ORACLE,
+        tags=["text", "pipeline", "source", "binary"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),
