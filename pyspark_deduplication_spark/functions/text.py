@@ -81,6 +81,62 @@ def strip_html(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(s, WS_RUN_RE, " "))
 
 
+# Block-level HTML elements: splitting on their open/close tags turns a
+# page into candidate content blocks (inline markup — a, b, span, em —
+# stays inside a block and is measured there). Java∩RE2 dialect.
+_BLOCK_TAG_RE = (r"(?i)</?(?:p|div|td|tr|table|ul|ol|li|h[1-6]|"
+                 r"blockquote|br|nav|aside|footer|header|section|"
+                 r"article)\b[^>]*>")
+
+
+def extract_main_content(col: Column | str,
+                         min_block_chars: int = 20,
+                         link_density_denom: int = 3) -> Column:
+    """Main-content extraction — the stage-2 between tag-stripping and
+    quality rules in every production web pipeline (the
+    readability/Arc90/trafilatura heuristic family, VERDICT r11 item
+    4): navigation, sidebars, and footers are short and link-dense;
+    article text is long and link-sparse.
+
+    Splits the page (after script/style/comment removal) into blocks
+    at block-level tag boundaries, scores each block on visible-text
+    length and ANCHOR-text share, keeps blocks with
+    ``len >= min_block_chars`` and link density ``<= 1/link_density_
+    denom`` (the density test is exact integer math —
+    ``denom * anchor_chars <= chars`` — so both engines agree with no
+    float edge), and extracts the surviving blocks through
+    ``strip_html``. Lengths are measured on tag-stripped,
+    whitespace-collapsed text with entities still encoded — a
+    deliberate simplification (thresholds are heuristic; decoding
+    first would shift densities by at most a few chars) that keeps
+    the oracle chain short.
+
+    Pure split / higher-order-function / regexp chain: map-only, zero
+    shuffle, whole-stage codegen."""
+    s = _as_col(col)
+    s = F.regexp_replace(s, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    blocks = F.split(s, _BLOCK_TAG_RE)
+
+    def _vis_len(b: Column) -> Column:
+        return F.length(F.trim(F.regexp_replace(
+            F.regexp_replace(b, r"<[^>]+>", " "), WS_RUN_RE, " ")))
+
+    def _keep(b: Column) -> Column:
+        tlen = _vis_len(b)
+        alen = F.aggregate(
+            F.transform(
+                F.regexp_extract_all(
+                    b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), 1),
+                _vis_len),
+            F.lit(0), lambda acc, x: acc + x)
+        return (tlen >= F.lit(min_block_chars)) & \
+               (alen * F.lit(link_density_denom) <= tlen)
+
+    return strip_html(F.array_join(F.filter(blocks, _keep), " "))
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form: lowercase, punctuation stripped, whitespace
     collapsed, trimmed. The shared preprocessing step for fingerprinting

@@ -34,6 +34,7 @@ from pyspark_deduplication_spark.functions.text import (
     char_kgram_hashes_of,
     detect_language,
     doc_fingerprint,
+    extract_main_content,
     normalize_text,
     pii_counts,
     quality_features,
@@ -4152,6 +4153,134 @@ SELECT f.doc_id, f.warc_type,
        CAST(f.payload = d.text AS INT) AS payload_matches
 FROM fields f JOIN documents d ON d.doc_id = f.doc_id
 """
+
+
+def main_content_extraction_docs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Main-content extraction (``functions.text.
+    extract_main_content``) proven per document — the readability-
+    style boilerplate/content classifier VERDICT r11 item 4 asked
+    for, sitting between tag-stripping and the quality rules. Each
+    doc's text is html-escaped into the main ``<p>`` of a
+    boilerplate-laden page template: a link-only nav bar whose
+    visible text is LONG enough to pass the length gate (so the
+    link-density test, not length, must kill it), an all-anchor
+    related-stories list, and a link-heavy footer with trailing
+    copyright chrome. The extractor must recover exactly the
+    whitespace-normalized article text and none of the chrome.
+    Per doc: extracted_chars, main_ok (extraction equals the
+    normalized article), nav_leaked (any nav text survived — must
+    be 0).
+
+    Map-only split + higher-order-function chain; no shuffle, no
+    join. Chains into c4_quality_rules_docs in production order:
+    warc → strip/extract → quality."""
+    docs = _t(spark, sf_dir, "documents")
+    esc = F.col("text")
+    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title><style>body { margin: 0; }</style>"
+              "<script>var nav = 1 < 2;</script></head><body>"
+              "<div class=\"nav\"><a href=\"/\">HomePage</a> | "
+              "<a href=\"/about\">AboutUs</a> | "
+              "<a href=\"/contact\">ContactUs</a></div>"
+              "<ul><li><a href=\"/p1\">Related story one</a></li>"
+              "<li><a href=\"/p2\">Related story two</a></li></ul>"
+              "<p id=\"main\">"),
+        esc,
+        F.lit("</p><div class=\"footer\"><a href=\"/terms\">Terms</a>"
+              " | <a href=\"/privacy\">Privacy</a> | copyright 2024"
+              "</div></body></html>"))
+    want = F.trim(F.regexp_replace(F.col("text"), WS_RUN_RE, " "))
+    staged = docs.select(
+        "doc_id", html.alias("__html"), want.alias("__want"))
+    extracted = extract_main_content(F.col("__html"))
+    return staged.select(
+        "doc_id",
+        F.length(extracted).cast("long").alias("extracted_chars"),
+        (extracted == F.col("__want")).cast("int").alias("main_ok"),
+        (extracted.contains("HomePage")
+         | extracted.contains("Related story")
+         | extracted.contains("copyright")).cast("int")
+        .alias("nav_leaked"),
+    )
+
+
+# Replicates extract_main_content block-by-block: same block-tag
+# split, same integer link-density gate (3·anchor_chars ≤ chars), same
+# strip_html chain over the surviving blocks. {WS} is WS_RUN_RE.
+_MAIN_CONTENT_ORACLE = """
+WITH built AS (
+  SELECT doc_id,
+         '<html><head><title>' || source
+         || '</title><style>body { margin: 0; }</style>'
+         || '<script>var nav = 1 < 2;</script></head><body>'
+         || '<div class="nav"><a href="/">HomePage</a> | '
+         || '<a href="/about">AboutUs</a> | '
+         || '<a href="/contact">ContactUs</a></div>'
+         || '<ul><li><a href="/p1">Related story one</a></li>'
+         || '<li><a href="/p2">Related story two</a></li></ul>'
+         || '<p id="main">'
+         || replace(replace(replace(text, '&', '&amp;'),
+                            '<', '&lt;'), '>', '&gt;')
+         || '</p><div class="footer"><a href="/terms">Terms</a>'
+         || ' | <a href="/privacy">Privacy</a> | copyright 2024'
+         || '</div></body></html>' AS html,
+         trim(regexp_replace(text, '{WS}', ' ', 'g')) AS want
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, want,
+         regexp_split_to_array(
+           regexp_replace(regexp_replace(regexp_replace(html,
+             '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+           '(?i)</?(?:p|div|td|tr|table|ul|ol|li|h[1-6]|blockquote|br|nav|aside|footer|header|section|article)\\b[^>]*>'
+         ) AS bs
+  FROM built
+),
+kept AS (
+  SELECT doc_id, want,
+         array_to_string(list_filter(bs, b ->
+           len(trim(regexp_replace(regexp_replace(b,
+               '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g'))) >= 20
+           AND 3 * coalesce(list_sum(list_transform(
+                 regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                 a -> len(trim(regexp_replace(regexp_replace(a,
+                      '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g'))))), 0)
+               <= len(trim(regexp_replace(regexp_replace(b,
+                    '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g')))
+         ), ' ') AS joined
+  FROM blocks
+),
+stripped AS (
+  SELECT doc_id, want,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(joined,
+                     '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+           '{WS}', ' ', 'g')) AS extracted
+  FROM kept
+)
+SELECT doc_id,
+       CAST(len(extracted) AS BIGINT) AS extracted_chars,
+       CAST(extracted = want AS INT) AS main_ok,
+       CAST(contains(extracted, 'HomePage')
+            OR contains(extracted, 'Related story')
+            OR contains(extracted, 'copyright') AS INT) AS nav_leaked
+FROM stripped
+""".replace("{WS}", WS_RUN_RE)
 
 
 def warc_binary_ingest_docs(spark: SparkSession,
@@ -11301,6 +11430,9 @@ CATALOG: dict[str, Query] = {
     "warc_binary_ingest_docs": Query(
         warc_binary_ingest_docs, _WARC_BINARY_INGEST_ORACLE,
         tags=["text", "pipeline", "source", "binary"]),
+    "main_content_extraction_docs": Query(
+        main_content_extraction_docs, _MAIN_CONTENT_ORACLE,
+        tags=["text", "pipeline", "quality"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),

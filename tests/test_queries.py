@@ -959,6 +959,55 @@ def test_unicode_whitespace_policy_pins(spark):
     assert rows[0].n_pre == 3
 
 
+def test_main_content_extraction_semantics(spark):
+    """extract_main_content pins (VERDICT r11 item 4): the density
+    gate (not length) kills long link-bars, the length gate kills
+    short stray blocks, inline links inside long prose survive, and
+    the extraction chains into the C4 doc rules — boilerplate that
+    fails no_curly_brace / no_javascript on the raw page passes
+    after extraction."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        extract_main_content,
+        strip_html,
+    )
+
+    art1 = ("The actual article text is long enough to keep and has "
+            "no links at all in it.")
+    art2 = ("Second paragraph keeps a single inline "
+            "<a href=\"/r\">reference link</a> inside longer prose.")
+    page = (
+        "<html><head><title>T</title><script>var x = '<p>no</p>';"
+        "</script><style>p { color: red; }</style></head><body>"
+        # link-bar: 30 visible chars (passes the >=20 length gate) but
+        # 24 anchor chars -> density 0.8 kills it
+        "<div><a href=\"/\">HomePage</a> | <a href=\"/a\">AboutUs</a>"
+        " | <a href=\"/c\">ContactUs</a></div>"
+        # stray short block: linkless but under 20 chars
+        "<div>skip me</div>"
+        "<p>" + art1 + "</p><p>" + art2 + "</p>"
+        # footer chrome that violates C4 rules on the raw page; its
+        # anchor share (41 of 78 chars) trips the 1/3 density gate
+        "<div>Please enable JavaScript { } | "
+        "<a href=\"/t\">Terms of use</a> | "
+        "<a href=\"/p\">Privacy policy</a> | "
+        "<a href=\"/c\">Cookie settings</a></div>"
+        "</body></html>")
+    df = spark.createDataFrame([(page,)], "html string")
+    row = df.select(
+        extract_main_content("html").alias("main"),
+        strip_html("html").alias("raw")).head()
+    want = art1 + " " + "Second paragraph keeps a single inline " \
+        "reference link inside longer prose."
+    assert row.main == want, row.main
+    # the chain: C4 doc rules flip from fail (raw page) to pass (main)
+    for txt, ok in [(row.raw, False), (row.main, True)]:
+        no_curly = "{" not in txt
+        no_js = "javascript" not in txt.lower()
+        assert (no_curly and no_js) is ok, (txt, ok)
+
+
 def test_warc_sliced_binary_payloads(spark):
     """Content-Length slicing on a mixed text/binary WARC blob
     (VERDICT r11 item 3): payloads carrying every heuristic-killer —
