@@ -1702,6 +1702,181 @@ FROM scores
 """
 
 
+# Per-language function-word vocabularies for the TRAINED language-ID
+# fixture (VERDICT r11 item 5). Cross-language disjoint, disjoint from
+# the fixture word-salad, and mostly disjoint from LANG_MARKERS — only
+# one marker word per language overlaps (und/les/que/zai), so the
+# marker heuristic gets partial signal while the trained model must
+# learn the rest. All public function words.
+_LANG_VOCAB: dict[str, list[str]] = {
+    "en": ["with", "have", "this", "from",
+           "they", "would", "there", "should"],
+    "de": ["und", "nicht", "sich", "auch", "aber", "nach", "wenn", "noch"],
+    "fr": ["les", "avec", "pour", "dans", "mais", "vous", "tout", "plus"],
+    "es": ["que", "pero", "como", "para", "esta", "todo", "cada", "entre"],
+    "zh": ["zai", "zhong", "guo", "ren", "jiu", "bu", "liao", "hen"],
+}
+
+
+def trained_language_id_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TRAINED language ID vs the marker heuristic, as a held-out
+    accuracy report (VERDICT r11 item 5 — the production upgrade path
+    for ``doc_language_id``). The fixture's ``lang`` label is
+    independent of its word-salad text, so the language signal is
+    synthesized deterministically (the PII/HTML/WARC precedent): each
+    doc gets three function words of its label language appended,
+    drawn from an 8-word-per-language vocabulary by doc_id digits.
+    Docs split 80/20 by ``doc_id % 5``; a multinomial NB over hashed
+    tokens (``functions.scoring.train_token_nb`` — training is pure
+    distributed counting) trains on the 80 % and classifies the
+    held-out 20 %, head-to-head with ``detect_language`` on the same
+    text. The heuristic knows only 5 marker words per language (one
+    of which appears in the vocab) and is drowned by the salad's
+    'the'/'a' → it predicts 'en' almost everywhere; the trained model
+    learns the injected vocabulary through the hash buckets. Per
+    language: eval count, trained-correct, heuristic-correct.
+
+    Scale shape: train = two hash aggregations over exploded tokens
+    (map-side combinable); inference = one (doc,bucket) aggregation +
+    broadcast model join; nothing but the ≤1280-row model ever
+    leaves its stage."""
+    from pyspark_deduplication_spark.functions.scoring import (
+        nb_predict,
+        train_token_nb,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = spark.createDataFrame(
+        sorted(_LANG_VOCAB.items()), "lang string, __ws array<string>")
+    picks = [
+        F.element_at("__ws", ((F.col("doc_id") / F.lit(d)).cast("long")
+                              % 8 + 1).cast("int"))
+        for d in (1, 8, 64)
+    ]
+    synth = (
+        docs.join(F.broadcast(vocab), "lang")
+        .select("doc_id", "lang",
+                (F.col("doc_id") % 5 == 0).alias("__eval"),
+                F.concat_ws(" ", F.col("text"), *picks).alias("__text"))
+    )
+    weights, penalties = train_token_nb(
+        synth.filter(~F.col("__eval")), "lang", "__text", "doc_id",
+        seed="langid")
+    evald = synth.filter(F.col("__eval"))
+    preds = nb_predict(evald, weights, penalties, "__text", "doc_id",
+                       seed="langid")
+    return (
+        evald.select("doc_id", "lang",
+                     detect_language(F.col("__text")).alias("__h"))
+        .join(preds, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eval"),
+             F.sum((F.col("nb_pred") == F.col("lang")).cast("long"))
+             .alias("trained_correct"),
+             F.sum((F.col("__h") == F.col("lang")).cast("long"))
+             .alias("heuristic_correct"))
+    )
+
+
+def _vocab_sql() -> str:
+    rows = ", ".join(
+        "('{}', [{}])".format(l, ", ".join(f"'{w}'" for w in ws))
+        for l, ws in sorted(_LANG_VOCAB.items()))
+    return f"(VALUES {rows}) AS vocab(lang, ws)"
+
+
+# Replicates the whole trained path: same synthesis, same md5 hash
+# buckets, same 2^-20-floored NB weights/penalties (ln is the only
+# libm call; the dyadic grid makes every downstream product and sum
+# exact), same struct-max argmax (score, then label), same marker
+# heuristic as _LANG_ORACLE. 'text' in the tokens CTE is the SYNTH
+# text, so the shared _TOKENS_SQL idiom applies unchanged.
+_TRAINED_LANG_ORACLE = f"""
+WITH synth AS (
+  SELECT d.doc_id, d.lang, d.doc_id % 5 = 0 AS is_eval,
+         d.text || ' '
+           || vocab.ws[CAST(d.doc_id % 8 + 1 AS INT)] || ' '
+           || vocab.ws[CAST(CAST(floor(d.doc_id / 8) AS BIGINT) % 8 + 1 AS INT)]
+           || ' '
+           || vocab.ws[CAST(CAST(floor(d.doc_id / 64) AS BIGINT) % 8 + 1 AS INT)]
+           AS text
+  FROM documents d JOIN {_vocab_sql()} ON vocab.lang = d.lang
+),
+toks AS (
+  SELECT doc_id, lang, is_eval, t
+  FROM synth, unnest({_TOKENS_SQL}) AS u(t)
+  WHERE t <> ''
+),
+counts AS (
+  SELECT lang, substr(md5(t || 'langid'), 1, 2) AS b, count(*) AS c
+  FROM toks WHERE NOT is_eval GROUP BY 1, 2
+),
+weights AS (
+  SELECT lang, b,
+         floor(ln(c + 1.0) * 1048576) / 1048576 AS w
+  FROM counts
+),
+penalties AS (
+  SELECT lang,
+         floor(ln(sum(c) + 256.0) * 1048576) / 1048576 AS p
+  FROM counts GROUP BY lang
+),
+eval_counts AS (
+  SELECT doc_id, lang AS true_lang,
+         substr(md5(t || 'langid'), 1, 2) AS b, count(*) AS n
+  FROM toks WHERE is_eval GROUP BY 1, 2, 3
+),
+eval_n AS (
+  SELECT doc_id, true_lang, sum(n) AS nn
+  FROM eval_counts GROUP BY 1, 2
+),
+contrib AS (
+  SELECT ec.doc_id, w.lang, sum(ec.n * w.w) AS s1
+  FROM eval_counts ec JOIN weights w ON w.b = ec.b
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT en.doc_id, en.true_lang, pp.lang,
+         coalesce(c.s1, 0) - en.nn * pp.p AS score
+  FROM eval_n en CROSS JOIN penalties pp
+  LEFT JOIN contrib c ON c.doc_id = en.doc_id AND c.lang = pp.lang
+),
+nb_pred AS (
+  SELECT doc_id, true_lang, lang AS pred
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, lang DESC) AS rn FROM scores)
+  WHERE rn = 1
+),
+htext AS (SELECT doc_id, text FROM synth WHERE is_eval),
+hscores AS (
+  SELECT doc_id,
+         {_lang_score_sql('de')} AS s_de, {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('es')} AS s_es, {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('zh')} AS s_zh
+  FROM htext
+),
+h_pred AS (
+  SELECT doc_id, CASE
+    WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+    WHEN s_en >= s_de THEN 'en'
+    ELSE 'de' END AS pred
+  FROM hscores
+)
+SELECT n.true_lang AS lang,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN n.pred = n.true_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS trained_correct,
+       CAST(sum(CASE WHEN h.pred = n.true_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS heuristic_correct
+FROM nb_pred n JOIN h_pred h ON h.doc_id = n.doc_id
+GROUP BY 1
+"""
+
+
 def top_word_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle frequency: top-20 word trigrams corpus-wide (explode +
     count + deterministic top-k)."""
@@ -11433,6 +11608,9 @@ CATALOG: dict[str, Query] = {
     "main_content_extraction_docs": Query(
         main_content_extraction_docs, _MAIN_CONTENT_ORACLE,
         tags=["text", "pipeline", "quality"]),
+    "trained_language_id_report": Query(
+        trained_language_id_report, _TRAINED_LANG_ORACLE,
+        tags=["text", "model", "quality"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),

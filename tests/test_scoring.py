@@ -184,3 +184,82 @@ def test_gram_trainer_beats_diagonal_on_collinear_vocab(spark):
     pos = [scores[d] for d, _, y in rows if y == 1]
     neg = [scores[d] for d, _, y in rows if y == 0]
     assert min(pos) > max(neg), (min(pos), max(neg))
+
+
+def test_token_nb_learns_planted_languages(spark):
+    """train_token_nb/nb_predict: a 3-language planted-vocabulary
+    corpus classifies held-out docs perfectly, weights and penalties
+    live on the exact 2^-20 grid (order-independent inference), and
+    predictions are invariant under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.scoring import (
+        nb_predict,
+        train_token_nb,
+    )
+
+    vocab = {"aa": ["alpha", "apex", "arc"], "bb": ["beta", "bolt", "bay"],
+             "cc": ["cusp", "cove", "cap"]}
+    common = "spark table row join"
+    rows = []
+    did = 0
+    for rep in range(12):
+        for lang, ws in sorted(vocab.items()):
+            toks = [ws[(rep + j) % 3] for j in range(2)]
+            rows.append((did, common + " " + " ".join(toks), lang))
+            did += 1
+    train = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    weights, penalties = train_token_nb(train, "lang")
+    for r in weights.collect():
+        assert r.weight * (1 << 20) == int(r.weight * (1 << 20)), r
+    for r in penalties.collect():
+        assert r.penalty * (1 << 20) == int(r.penalty * (1 << 20)), r
+
+    held = spark.createDataFrame(
+        [(900, common + " alpha arc", "aa"),
+         (901, common + " bolt beta", "bb"),
+         (902, common + " cove cusp cap", "cc"),
+         (903, common + " apex", "aa")],
+        "doc_id long, text string, lang string")
+    got = {r.doc_id: r.nb_pred
+           for r in nb_predict(held, weights, penalties).collect()}
+    assert got == {900: "aa", 901: "bb", 902: "cc", 903: "aa"}, got
+    got2 = {r.doc_id: r.nb_pred
+            for r in nb_predict(held.repartition(7), weights,
+                                penalties).collect()}
+    assert got2 == got
+
+
+def test_token_nb_tie_breaks_lexicographically_last(spark):
+    """A doc with zero discriminative evidence and equal class
+    penalties must resolve deterministically to the lexicographically
+    LAST label (the detect_language struct-max convention)."""
+    from pyspark_deduplication_spark.functions.scoring import (
+        nb_predict,
+        train_token_nb,
+    )
+
+    # perfectly symmetric training: both labels see the same counts
+    train = spark.createDataFrame(
+        [(0, "zig zag", "aa"), (1, "zig zag", "bb")],
+        "doc_id long, text string, lang string")
+    weights, penalties = train_token_nb(train, "lang")
+    held = spark.createDataFrame([(9, "zig")], "doc_id long, text string")
+    got = nb_predict(held, weights, penalties).head()
+    assert got.nb_pred == "bb", got
+
+
+def test_trained_language_id_beats_heuristic(spark):
+    """The graded accuracy report at sf0.001: the trained NB must beat
+    the marker heuristic on held-out docs overall AND reach a real
+    accuracy floor — the VERDICT r11 item 5 'done' bar."""
+    from pyspark_deduplication_spark.queries import CATALOG
+
+    rows = CATALOG["trained_language_id_report"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    n = sum(r.n_eval for r in rows)
+    trained = sum(r.trained_correct for r in rows)
+    heur = sum(r.heuristic_correct for r in rows)
+    assert n > 0
+    assert trained > heur, (trained, heur)
+    assert trained / n >= 0.8, (trained, n)
