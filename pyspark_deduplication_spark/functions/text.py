@@ -63,10 +63,10 @@ def strip_html(col: Column | str) -> Column:
     map-only, whole-stage-codegen'd, zero shuffle — restricted to the
     Java-regex ∩ RE2 dialect (no backreferences: script and style get
     separate lazy-block patterns) so the DuckDB oracles replicate it
-    verbatim. The final collapse uses ``WS_RUN_RE``, not bare ``\s+``:
-    Java/RE2 ``\s`` is ASCII-only and raw NBSP bytes are ubiquitous in
+    verbatim. The final collapse uses ``WS_RUN_RE``, not bare ``\\s+``:
+    Java/RE2 ``\\s`` is ASCII-only and raw NBSP bytes are ubiquitous in
     crawled HTML, so the Unicode extras must normalize too (the
-    extracted-text contract is Python's Unicode ``re.sub(r"\s+", " ",
+    extracted-text contract is Python's Unicode ``re.sub(r"\\s+", " ",
     t).strip()``). A heuristic extractor, not an HTML5 parser:
     malformed markup degrades gracefully, with one caveat — any
     unescaped ``<...>`` span in raw text (e.g. ``a < b and c > d``) is

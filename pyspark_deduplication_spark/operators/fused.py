@@ -342,3 +342,142 @@ def incremental_fused_dedup(
         wsigs=fresh_wsigs,
     ).filter(F.col("keep")).select(id_col)
     return fresh.join(keep, id_col, "left_semi")
+
+
+def incremental_fused_match_pairs(
+    new_batch: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    jaccard_threshold: float = 0.7,
+    cosine_threshold: float = 0.95,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    max_bucket_size: int | None = None,
+    n_cells: int = 16,
+    n_iter: int = 4,
+    n_probe: int = 2,
+    train_sample_mod: int = 1,
+    max_cell_size: int | None = None,
+    minhash_index: DataFrame | None = None,
+    semantic_index: tuple[DataFrame, DataFrame] | None = None,
+    weighted_threshold: float | None = None,
+    weighted_index: DataFrame | None = None,
+) -> DataFrame:
+    """The PAIR-level fused corpus probe: distinct (new_id, corpus_id)
+    rows for every batch doc that near-matches a corpus doc under ANY
+    armed signal — exactly ``incremental_fused_dedup``'s probe stage
+    with the ids kept instead of collapsed to a drop set. This is the
+    primitive quality-aware SURVIVORSHIP needs (streaming keep-best:
+    the decision is per matched corpus doc, so the probe cannot
+    pre-aggregate), and it is independently useful as a streaming
+    provenance/lineage report ("what did this batch collide with").
+
+    Same index contracts as ``incremental_fused_dedup``: pass the
+    persisted ``minhash_index`` / ``semantic_index`` /
+    ``weighted_index`` artifacts and the ``corpus`` argument is never
+    touched; guards forward to each leg's candidate machinery. The
+    corpus never self-joins. The returned frame is eagerly
+    materialized (ids only — tiny), so callers may fan it out freely.
+    """
+    if corpus is None and (minhash_index is None or semantic_index is None):
+        raise ValueError(
+            "incremental_fused_match_pairs: corpus=None requires BOTH "
+            "minhash_index and semantic_index")
+    if (corpus is None and weighted_threshold is not None
+            and weighted_index is None):
+        raise ValueError(
+            "incremental_fused_match_pairs: corpus=None with the "
+            "weighted leg armed requires weighted_index")
+
+    new_sigs = minhash_signatures(
+        new_batch, text_col, id_col, num_hashes, shingle_size).persist()
+    pre_collapsed = minhash_index is not None
+    own_corpus_sigs = minhash_index is None
+    corpus_sigs = minhash_index
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(
+            corpus, text_col, id_col, num_hashes, shingle_size).persist()
+    new_sigs.count()
+    if own_corpus_sigs:
+        corpus_sigs.count()
+    cand = incremental_minhash_candidates(
+        new_sigs, corpus_sigs, id_col, num_hashes, bands, max_bucket_size,
+        pre_collapsed)
+    new_sh = new_sigs.select(F.col(id_col).alias("new_id"),
+                             F.col("shingles").alias("sh_new"))
+    corpus_sh = corpus_sigs.select(F.col(id_col).alias("corpus_id"),
+                                   F.col("shingles").alias("sh_corpus"))
+    pairs = (
+        cand.join(new_sh, "new_id")
+        .join(corpus_sh, "corpus_id")
+        .filter(jaccard(F.col("sh_new"), F.col("sh_corpus"))
+                >= jaccard_threshold)
+        .select("new_id", "corpus_id")
+    )
+
+    sem_cand = incremental_semantic_dedup_candidates(
+        new_batch.select(F.col(id_col), F.col(vec_col)),
+        None if corpus is None
+        else corpus.select(F.col(id_col), F.col(vec_col)),
+        n_cells, id_col, vec_col, n_iter, n_probe, train_sample_mod,
+        max_cell_size, semantic_index,
+    )
+    from pyspark_deduplication_spark.functions.vectors import (
+        cosine_similarity_pd,
+    )
+
+    sem_pairs = (
+        sem_cand.filter(
+            cosine_similarity_pd(F.col("__nvec"), F.col("__cvec"))
+            >= cosine_threshold)
+        .select(F.col("__nid").alias("new_id"),
+                F.col("__cid").alias("corpus_id"))
+    )
+    pairs = pairs.unionByName(sem_pairs)
+
+    new_wsigs = None
+    own_corpus_wsigs = False
+    corpus_wsigs = weighted_index
+    if weighted_threshold is not None:
+        new_wsigs = weighted_minhash_signatures(
+            new_batch, text_col, id_col, num_hashes, shingle_size).persist()
+        w_pre_collapsed = weighted_index is not None
+        own_corpus_wsigs = weighted_index is None
+        if corpus_wsigs is None:
+            corpus_wsigs = weighted_minhash_signatures(
+                corpus, text_col, id_col, num_hashes,
+                shingle_size).persist()
+        new_wsigs.count()
+        if own_corpus_wsigs:
+            corpus_wsigs.count()
+        wcand = incremental_minhash_candidates(
+            new_wsigs, corpus_wsigs, id_col, num_hashes, bands,
+            max_bucket_size, w_pre_collapsed, content_col="whashes")
+        new_wh = new_wsigs.select(F.col(id_col).alias("new_id"),
+                                  F.col("whashes").alias("wh_new"))
+        corpus_wh = corpus_wsigs.select(F.col(id_col).alias("corpus_id"),
+                                        F.col("whashes").alias("wh_corpus"))
+        wtd_pairs = (
+            wcand.join(new_wh, "new_id")
+            .join(corpus_wh, "corpus_id")
+            .filter(weighted_jaccard_of(F.col("wh_new"),
+                                        F.col("wh_corpus"))
+                    >= weighted_threshold)
+            .select("new_id", "corpus_id")
+        )
+        pairs = pairs.unionByName(wtd_pairs)
+
+    # eager ids-only materialization BEFORE releasing the signature
+    # caches (the dup_ids discipline in incremental_fused_dedup)
+    out = pairs.distinct().localCheckpoint(eager=True)
+    if new_wsigs is not None:
+        new_wsigs.unpersist()
+    if own_corpus_wsigs:
+        corpus_wsigs.unpersist()
+    new_sigs.unpersist()
+    if own_corpus_sigs:
+        corpus_sigs.unpersist()
+    return out

@@ -242,6 +242,19 @@ def _epoch_partitions(spark, path: str) -> set[int]:
     return epochs
 
 
+def _hadoop_delete_path(spark, path: str) -> None:
+    """Recursively delete ``path`` if it exists — the quality-aware
+    survivorship rewrite needs it for epoch partitions EMPTIED by a
+    replacement wave: dynamic partition overwrite only replaces
+    partitions present in the written frame, so a fully-superseded
+    epoch's stale files must be removed explicitly or its rows would
+    resurrect on the next read."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
 def _sig_indexed_dedup_ingest(
     batch_df: DataFrame,
     epoch_id: int,
@@ -606,6 +619,7 @@ def streaming_fused_ingest(
     n_probe: int = 2,
     max_cell_size: int | None = 4096,
     weighted_threshold: float | None = None,
+    quality_col: str | None = None,
 ):
     """Continuously ingest (text, embedding) rows into a corpus that is
     near-dup-free under BOTH signals — the fused capstone of the ingest
@@ -643,7 +657,29 @@ def streaming_fused_ingest(
     ``_sig_indexed_dedup_ingest``): an index whose epoch partitions
     lag the corpus is backfilled from the corpus rows before any batch
     trusts it, so a mid-history index deletion costs one re-derivation
-    instead of silently admitting earlier epochs' near-dups forever."""
+    instead of silently admitting earlier epochs' near-dups forever.
+
+    ``quality_col`` arms QUALITY-AWARE SURVIVORSHIP (VERDICT r11 item
+    6 — the streaming carry-over of ``incremental_keep_best_quality_
+    docs``'s insert/drop/replace semantics): the stream must carry a
+    numeric quality column, and each batch doc that fused-matches the
+    standing corpus is decided per-doc instead of dropped wholesale —
+    *insert* when nothing matches, *drop* when the best-quality match
+    is at least as good (ties favor the STANDING corpus, so replays
+    are idempotent), *replace* when the batch doc is strictly better:
+    it lands AND every corpus doc it matched is retired — the affected
+    epochs' corpus partitions rewrite without the superseded rows and
+    their index entries re-derive from the rewritten rows (epochs
+    emptied entirely are deleted outright; dynamic overwrite cannot
+    express an empty partition). Batch-INTERNAL collapse keeps the
+    fused canonical member as ever — run a keep-best pass on the
+    batch upstream if within-batch survivorship must also be
+    quality-aware. Crash windows converge: the probe reads quality
+    from the CORPUS rows, so an index entry orphaned between the
+    corpus rewrite and the index re-derivation surfaces as a GHOST
+    match (no corpus row) on the replay, which schedules its epoch
+    for re-derivation instead of trusting it — the heal-before-trust
+    contract extended from missing partitions to stale entries."""
     from pyspark_deduplication_spark.operators.dedup import (
         build_minhash_index,
         build_weighted_minhash_index,
@@ -651,6 +687,7 @@ def streaming_fused_ingest(
     from pyspark_deduplication_spark.operators.fused import (
         fused_dedup,
         incremental_fused_dedup,
+        incremental_fused_match_pairs,
     )
     from pyspark_deduplication_spark.operators.knn import (
         assign_cells,
@@ -764,18 +801,156 @@ def streaming_fused_ingest(
                     .withColumn("cell_id", F.lit(0).cast("int"))
                     .limit(0)
                 )
-            fresh = incremental_fused_dedup(
-                batch_df, corpus=None, id_col=id_col, text_col=text_col,
-                vec_col=vec_col, jaccard_threshold=jaccard_threshold,
-                cosine_threshold=cosine_threshold, num_hashes=num_hashes,
-                bands=bands, shingle_size=shingle_size,
-                max_bucket_size=max_bucket_size, n_cells=n_cells,
-                n_iter=n_iter, n_probe=n_probe,
-                max_cell_size=max_cell_size,
-                minhash_index=mh_idx, semantic_index=(cents, sem_idx),
-                weighted_threshold=weighted_threshold,
-                weighted_index=w_idx,
-            )
+            if quality_col is None:
+                fresh = incremental_fused_dedup(
+                    batch_df, corpus=None, id_col=id_col,
+                    text_col=text_col,
+                    vec_col=vec_col, jaccard_threshold=jaccard_threshold,
+                    cosine_threshold=cosine_threshold,
+                    num_hashes=num_hashes,
+                    bands=bands, shingle_size=shingle_size,
+                    max_bucket_size=max_bucket_size, n_cells=n_cells,
+                    n_iter=n_iter, n_probe=n_probe,
+                    max_cell_size=max_cell_size,
+                    minhash_index=mh_idx, semantic_index=(cents, sem_idx),
+                    weighted_threshold=weighted_threshold,
+                    weighted_index=w_idx,
+                )
+            else:
+                # quality-aware survivorship: per-matched-pair probe,
+                # then insert/drop/replace per batch doc (docstring)
+                pairs = incremental_fused_match_pairs(
+                    batch_df, corpus=None, id_col=id_col,
+                    text_col=text_col,
+                    vec_col=vec_col, jaccard_threshold=jaccard_threshold,
+                    cosine_threshold=cosine_threshold,
+                    num_hashes=num_hashes,
+                    bands=bands, shingle_size=shingle_size,
+                    max_bucket_size=max_bucket_size, n_cells=n_cells,
+                    n_iter=n_iter, n_probe=n_probe,
+                    max_cell_size=max_cell_size,
+                    minhash_index=mh_idx, semantic_index=(cents, sem_idx),
+                    weighted_threshold=weighted_threshold,
+                    weighted_index=w_idx,
+                )
+                bq = batch_df.select(F.col(id_col).alias("new_id"),
+                                     F.col(quality_col).alias("__bq"))
+                if corpus_epochs:
+                    # quality is read from the CORPUS rows, not the
+                    # index — matches whose corpus row is gone are
+                    # GHOSTS (stale entries from a crash between the
+                    # corpus rewrite and the index re-derivation):
+                    # excluded from survivorship, healed below
+                    cq = (spark.read.parquet(corpus_dir)
+                          .where(F.col("epoch") < F.lit(epoch_id))
+                          .select(F.col(id_col).alias("corpus_id"),
+                                  F.col(quality_col).alias("__cq"),
+                                  F.col("epoch").alias("__cep")))
+                    m = (pairs.join(cq, "corpus_id", "left")
+                         .localCheckpoint(eager=True))
+                else:
+                    m = (pairs
+                         .withColumn("__cq",
+                                     F.lit(None).cast("double"))
+                         .withColumn("__cep", F.lit(None).cast("int")))
+                live = m.filter(F.col("__cq").isNotNull())
+                best = live.groupBy("new_id").agg(
+                    F.max("__cq").alias("__best_cq"))
+                # insert (no live match) or replace (strictly better);
+                # ties drop in favor of the standing corpus → replay
+                # idempotent
+                cand = batch_df.join(
+                    bq.join(best, "new_id", "left")
+                    .filter(F.col("__best_cq").isNull()
+                            | (F.col("__bq") > F.col("__best_cq")))
+                    .select(F.col("new_id").alias(id_col)),
+                    id_col, "left_semi")
+                if len(cand.take(1)) == 0:
+                    fresh = cand
+                else:
+                    keep = fused_dedup(
+                        cand, id_col, text_col, vec_col,
+                        jaccard_threshold, cosine_threshold, num_hashes,
+                        bands, shingle_size, max_bucket_size, n_cells,
+                        n_iter, 1, 1, max_cell_size,
+                        weighted_threshold=weighted_threshold,
+                    ).filter(F.col("keep")).select(id_col)
+                    fresh = (cand.join(keep, id_col, "left_semi")
+                             .localCheckpoint(eager=True))
+                # superseded = live matches of SURVIVING replacing docs
+                # (a replacer collapsed away batch-internally retires
+                # nothing — its kept sibling made its own decisions)
+                superseded = (
+                    live.join(fresh.select(F.col(id_col)
+                                           .alias("new_id")),
+                              "new_id", "left_semi")
+                    .select("corpus_id", "__cep").distinct()
+                    .localCheckpoint(eager=True))
+                ghosts = (m.filter(F.col("__cq").isNull())
+                          .select("corpus_id").distinct())
+                ghost_eps: set[int] = set()
+                if len(ghosts.take(1)) > 0:
+                    idx_paths = [sig_dir, idx_dir] + (
+                        [wsig_dir] if weighted_threshold is not None
+                        else [])
+                    for path in idx_paths:
+                        if not _hadoop_path_exists(spark, path):
+                            continue
+                        ge = (spark.read.parquet(path)
+                              .where(F.col("epoch") < F.lit(epoch_id))
+                              .select(F.col(id_col).alias("corpus_id"),
+                                      "epoch")
+                              .join(ghosts, "corpus_id", "left_semi")
+                              .select("epoch").distinct().collect())
+                        ghost_eps |= {r.epoch for r in ge}
+                sup_eps = {r[0] for r in superseded
+                           .select("__cep").distinct().collect()}
+                affected = sorted(sup_eps | ghost_eps)
+                if affected:
+                    remaining = (
+                        spark.read.parquet(corpus_dir)
+                        .where(F.col("epoch").isin(affected))
+                        .join(superseded.select(F.col("corpus_id")
+                                                .alias(id_col)),
+                              id_col, "left_anti")
+                        .localCheckpoint(eager=True))
+                    kept_eps = {r.epoch for r in remaining
+                                .select("epoch").distinct().collect()}
+                    emptied = [e for e in affected if e not in kept_eps]
+                    # corpus first, then indexes: a crash in between
+                    # leaves ghost entries the NEXT replay detects and
+                    # re-derives (the convergence note in the docstring)
+                    if kept_eps:
+                        (remaining.write.mode("overwrite")
+                         .option("partitionOverwriteMode", "dynamic")
+                         .partitionBy("epoch").parquet(corpus_dir))
+                    for e in emptied:
+                        _hadoop_delete_path(spark,
+                                            f"{corpus_dir}/epoch={e}")
+
+                    def _rederive(path: str, sign) -> None:
+                        if kept_eps:
+                            (sign(remaining.drop("epoch"))
+                             .join(remaining.select(id_col, "epoch"),
+                                   id_col)
+                             .write.mode("overwrite")
+                             .option("partitionOverwriteMode", "dynamic")
+                             .partitionBy("epoch").parquet(path))
+                        for e in emptied:
+                            _hadoop_delete_path(spark,
+                                                f"{path}/epoch={e}")
+
+                    _rederive(sig_dir, lambda df: build_minhash_index(
+                        df, text_col, id_col, num_hashes, shingle_size))
+                    _rederive(idx_dir, lambda df: assign_cells(
+                        df.select(F.col(id_col), F.col(vec_col)),
+                        cents, vec_col, 1))
+                    if weighted_threshold is not None:
+                        _rederive(
+                            wsig_dir,
+                            lambda df: build_weighted_minhash_index(
+                                df, text_col, id_col, num_hashes,
+                                shingle_size))
         else:
             keep = fused_dedup(
                 batch_df, id_col, text_col, vec_col, jaccard_threshold,

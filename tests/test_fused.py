@@ -209,3 +209,42 @@ def test_incremental_fused_weighted_probe_drops_corpus_repetition(spark):
         batch, corpus=None, minhash_index=mh, semantic_index=sem,
         weighted_threshold=0.5, weighted_index=w, **kw)
     assert sorted(r.doc_id for r in via_index.collect()) == [11]
+
+
+def test_incremental_fused_match_pairs_names_the_matches(spark,
+                                                         fused_fixture):
+    """The pair-level probe returns exactly WHO matched WHAT: batch
+    100 names corpus 0 (lexical), batch 101 names corpus 3
+    (semantic), nothing else pairs, and the distinct new_id set
+    equals the set incremental_fused_dedup drops in its probe stage
+    — the consistency contract that lets quality-aware survivorship
+    substitute the pair probe for the drop probe."""
+    from pyspark_deduplication_spark.operators.fused import (
+        incremental_fused_match_pairs,
+    )
+
+    corpus, batch = fused_fixture
+    pairs = incremental_fused_match_pairs(
+        batch, corpus, jaccard_threshold=0.7, cosine_threshold=0.999,
+        n_cells=2)
+    got = sorted((r.new_id, r.corpus_id) for r in pairs.collect())
+    assert got == [(100, 0), (101, 3)], got
+    # and through the persisted-index production shape
+    from pyspark_deduplication_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from pyspark_deduplication_spark.operators.knn import (
+        build_semantic_dedup_index,
+    )
+
+    mh_idx = build_minhash_index(corpus, "text", "doc_id")
+    sem_idx = build_semantic_dedup_index(
+        corpus.select("doc_id", "embedding"), n_cells=2,
+        vec_id="doc_id", vec_col="embedding")
+    got2 = sorted((r.new_id, r.corpus_id)
+                  for r in incremental_fused_match_pairs(
+                      batch, corpus=None, jaccard_threshold=0.7,
+                      cosine_threshold=0.999, n_cells=2,
+                      minhash_index=mh_idx,
+                      semantic_index=sem_idx).collect())
+    assert got2 == got, got2

@@ -1014,3 +1014,76 @@ def test_epoch_partitions_skips_non_integer_partition_dirs(spark, tmp_path):
     os.makedirs(f"{path}/epoch=__HIVE_DEFAULT_PARTITION__")
     os.makedirs(f"{path}/epoch=stray")
     assert _epoch_partitions(spark, path) == {0, 3}
+
+
+def test_streaming_fused_ingest_keep_best_survivorship(spark, tmp_path):
+    """quality_col arms insert/drop/replace across micro-batches
+    (VERDICT r11 item 6): a later better-quality near-dup REPLACES the
+    standing doc (its epoch partition rewrites without it and every
+    index re-derives — the replacement must itself be probe-able by
+    the next epoch), an equal-or-worse near-dup drops, fresh content
+    inserts, and an epoch whose every row is superseded is deleted
+    outright from the corpus and all index artifacts."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_fused_ingest,
+    )
+
+    def sent(prefix, n=30):
+        return " ".join(f"{prefix}w{i}" for i in range(n))
+
+    def variant(text, pos=15):
+        toks = text.split()
+        toks[pos] = toks[pos] + "x"
+        return " ".join(toks)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("quality", T.DoubleType()),
+    ])
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "kb_corpus")
+    ckpt = str(tmp_path / "ckpt")
+    alpha, beta, delta = sent("alpha"), sent("beta"), sent("delta")
+    f1 = [(1, alpha, [5.0, 0.0, 0.0, 0.0], 0.5),
+          (2, beta, [0.0, 5.0, 0.0, 0.0], 0.9)]
+    f2 = [(10, variant(alpha, 14), [0.0, 0.0, 5.0, 0.0], 0.8),  # > 0.5
+          (11, variant(beta, 14), [0.0, 0.0, 0.0, 5.0], 0.5),   # < 0.9
+          (12, delta, [3.0, 3.0, 0.0, 0.0], 0.1)]               # fresh
+    f3 = [(20, variant(alpha, 13), [0.0, 3.0, 3.0, 0.0], 0.95),  # > 0.8
+          (21, variant(delta, 14), [3.0, 0.0, 0.0, 3.0], 0.9)]   # > 0.1
+    for name, rows in [("f1", f1), ("f2", f2), ("f3", f3)]:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src}/{name}")
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_fused_ingest(
+        stream, corpus_dir, ckpt,
+        jaccard_threshold=0.7, cosine_threshold=0.999, n_cells=2,
+        quality_col="quality")
+    q.awaitTermination(240)
+
+    final = spark.read.parquet(corpus_dir)
+    got = {r.doc_id: (r.epoch, r.quality) for r in final.collect()}
+    # 1 replaced by 10 replaced by 20; 11 dropped; 12 replaced by 21
+    assert sorted(got) == [2, 20, 21], got
+    assert got[2] == (0, 0.9)
+    assert got[20][1] == 0.95 and got[21][1] == 0.9
+    # epoch 1 (f2's survivors) was fully superseded -> deleted outright
+    assert {e for e, _ in got.values()} == {0, 2}, got
+    assert not os.path.exists(f"{corpus_dir}/epoch=1")
+    # every index artifact tracks the corpus exactly (epoch-index
+    # consistency after the rewrite)
+    for suffix in ("_sigs", "_index"):
+        idx = spark.read.parquet(corpus_dir + suffix)
+        assert sorted(r.doc_id for r in idx.select("doc_id")
+                      .distinct().collect()) == [2, 20, 21], suffix
+        assert {r.epoch for r in idx.select("epoch")
+                .distinct().collect()} == {0, 2}, suffix
+        assert not os.path.exists(f"{corpus_dir}{suffix}/epoch=1")

@@ -36,9 +36,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WORK = "/tmp/scale_stream"
 
 
-def _prep_sources(spark, sf_dir: str, tag: str, n_batches: int) -> str:
+def _prep_sources(spark, sf_dir: str, tag: str, n_batches: int,
+                  with_quality: bool = False) -> str:
     """Join documents+embeddings and split into n_batches parquet files
-    (one micro-batch each under maxFilesPerTrigger=1)."""
+    (one micro-batch each under maxFilesPerTrigger=1). ``with_quality``
+    adds a deterministic per-doc quality score (KEEP_BEST=1 mode) —
+    replicated near-dups then carry DIFFERENT qualities, so later
+    batches genuinely trigger the replace path's epoch rewrites."""
     from pyspark.sql import functions as F
 
     src = f"{WORK}/{tag}/src"
@@ -47,6 +51,9 @@ def _prep_sources(spark, sf_dir: str, tag: str, n_batches: int) -> str:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").alias("doc_id"), "embedding")
     both = docs.join(emb, "doc_id")
+    if with_quality:
+        both = both.withColumn(
+            "quality", (F.col("doc_id") % 97).cast("double") / 96.0)
     for i in range(n_batches):
         (both.filter(F.col("doc_id") % n_batches == i)
          .coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}"))
@@ -54,7 +61,8 @@ def _prep_sources(spark, sf_dir: str, tag: str, n_batches: int) -> str:
 
 
 def _run_ingest(spark, src: str, tag: str, n_cells: int,
-                timeout_sec: int = 3600, ckpt: str | None = None) -> str:
+                timeout_sec: int = 3600, ckpt: str | None = None,
+                quality_col: str | None = None) -> str:
     from pyspark_deduplication_spark.streaming.ops import (
         streaming_fused_ingest,
     )
@@ -68,7 +76,8 @@ def _run_ingest(spark, src: str, tag: str, n_cells: int,
     q = streaming_fused_ingest(
         stream, corpus_dir, ckpt,
         jaccard_threshold=0.7, cosine_threshold=0.95,
-        n_cells=n_cells, weighted_threshold=0.5)
+        n_cells=n_cells, weighted_threshold=0.5,
+        quality_col=quality_col)
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise RuntimeError(f"{tag}: ingest did not finish in {timeout_sec}s")
@@ -90,6 +99,10 @@ def main() -> None:
 
     spark = get_spark("scale_stream")
     shutil.rmtree(WORK, ignore_errors=True)
+    # KEEP_BEST=1: drive the quality-aware survivorship spelling —
+    # insert/drop/replace with epoch rewrites — instead of drop-only
+    keep_best = os.environ.get("KEEP_BEST", "") == "1"
+    quality_col = "quality" if keep_best else None
 
     rows = []
     for tag, d, cells in (("base", base_dir, 16),
@@ -99,11 +112,13 @@ def main() -> None:
                 for t in ("documents.parquet", "embeddings.parquet")),
             target_partition_bytes=8 << 20, expansion=100.0)
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        src = _prep_sources(spark, d, tag, n_batches)
+        src = _prep_sources(spark, d, tag, n_batches,
+                            with_quality=keep_best)
 
         ckpt = f"{WORK}/{tag}/ckpt_{int(time.time()*1e6)}"
         t0 = time.perf_counter()
-        corpus_dir = _run_ingest(spark, src, tag, cells, ckpt=ckpt)
+        corpus_dir = _run_ingest(spark, src, tag, cells, ckpt=ckpt,
+                                 quality_col=quality_col)
         elapsed = time.perf_counter() - t0
 
         n_corpus = spark.read.parquet(corpus_dir).count()
@@ -119,7 +134,8 @@ def main() -> None:
         shutil.rmtree(corpus_dir + "_sigs")
         extra = spark.read.parquet(f"{src}/f0").limit(50)
         extra.coalesce(1).write.mode("overwrite").parquet(f"{src}/f_extra")
-        _run_ingest(spark, src, tag, cells, ckpt=ckpt)
+        _run_ingest(spark, src, tag, cells, ckpt=ckpt,
+                    quality_col=quality_col)
         healed = _epoch_partitions(spark, corpus_dir + "_sigs")
         assert corpus_epochs <= healed, (
             f"{tag}: heal left index epochs {sorted(healed)} behind "
@@ -135,7 +151,9 @@ def main() -> None:
 
     t_base, t_scaled = rows[0]["wall_sec"], rows[1]["wall_sec"]
     print(json.dumps({
-        "metric": "streaming_fused_ingest_sf1_scaling",
+        "metric": ("streaming_keep_best_ingest_sf1_scaling"
+                   if keep_best else
+                   "streaming_fused_ingest_sf1_scaling"),
         "factor": factor,
         "t_base_sec": t_base,
         "t_scaled_sec": t_scaled,
