@@ -2041,6 +2041,23 @@ def train_opq(
         raise ValueError(f"train_opq: unknown init {init!r}")
 
     sel = vectors.select(F.col(vec_id), F.col(vec_col))
+    # The reduced-space projection a′ = B(x − μ) is ROUND-INVARIANT (B
+    # and μ never change; only the square R does), so it is computed
+    # ONCE and cached: every Lloyd pass and every Procrustes stats
+    # pass of every round then reads the d_out-wide cached frame and
+    # applies only the cheap d_out×d_out rotation, instead of
+    # re-scanning the raw corpus and redoing the d_in×d_out projection
+    # per pass (VERDICT r11 item 7 — the report's cost was
+    # trainer-JOB-bound). The stats kernel is reused unchanged via the
+    # identity spelling: over a0, mean=0 and base=I make Ap = a0
+    # exactly. (The projection now sums in expression order rather
+    # than numpy's — a last-ulp reassociation the Lloyd 9dp rounding
+    # and the keep-best return already absorb.)
+    a0 = (project_pca(sel, (mean, base, ratios), vec_col, "__a0")
+          .select(F.col(vec_id), F.col("__a0")).persist())
+    a0.count()
+    zero_mu = [0.0] * d_out
+    eye_base = np.eye(d_out).tolist()
     history: list[float] = []
     codebook = None
     R = np.eye(d_out)
@@ -2063,7 +2080,7 @@ def train_opq(
     prev_book = None                    # warm start across rounds
     for _ in range(n_rounds):
         proj = project_pca(
-            sel, (mean, composed_rows(), ratios), vec_col, "__opq")
+            a0, (zero_mu, R.tolist(), ratios), "__a0", "__opq")
         codebook = train_pq_codebook(
             proj, dim=d_out, m_subspaces=m_subspaces, k_codes=k_codes,
             vec_id=vec_id, vec_col="__opq", n_iter=pq_iter,
@@ -2072,7 +2089,7 @@ def train_opq(
         prev_book = {(si, ci): w for si, rows_ in enumerate(books)
                      for ci, w in enumerate(rows_)}
         M, err, n = _opq_procrustes_stats(
-            sel, vec_col, mean, base, R.tolist(), books)
+            a0, "__a0", zero_mu, eye_base, R.tolist(), books)
         history.append(err / n / d_out)
         if best is None or history[-1] < best[0]:
             best = (history[-1], R.copy(), books)
@@ -2080,14 +2097,14 @@ def train_opq(
         R = Vh.T @ U.T                  # exact square-Procrustes update
     # final codebook in the final rotation + its distortion
     proj = project_pca(
-        sel, (mean, composed_rows(), ratios), vec_col, "__opq")
+        a0, (zero_mu, R.tolist(), ratios), "__a0", "__opq")
     codebook = train_pq_codebook(
         proj, dim=d_out, m_subspaces=m_subspaces, k_codes=k_codes,
         vec_id=vec_id, vec_col="__opq", n_iter=pq_iter,
         init_book=prev_book)
     books = collect_books(codebook)
     _, err, n = _opq_procrustes_stats(
-        sel, vec_col, mean, base, R.tolist(), books)
+        a0, "__a0", zero_mu, eye_base, R.tolist(), books)
     history.append(err / n / d_out)
     if history[-1] < best[0]:
         best = (history[-1], R, books)
@@ -2098,6 +2115,7 @@ def train_opq(
     # codebook) pair — the returned model's distortion is
     # min(history), never worse than the parametric init (history[0]).
     _, R, books = best
+    a0.unpersist()
     spark = vectors.sparkSession
     codebook = spark.createDataFrame(
         [(s, c, w) for s, rows_ in enumerate(books)

@@ -12128,80 +12128,68 @@ CATALOG: dict[str, Query] = {
 # tools/grade_window.py lists them). Rows-only entries stay after
 # position 50 so no graded slot records err:"no_oracle".
 _GRADED_ORDER = [
-    # (a) NEW this round (r11, never graded — highest rotation
-    # priority): the sampled planner twins (VERDICT r10 item 2), the
-    # C4/RedPajama rule report (item 5), and the published 50-token
-    # span window (item 8)
-    "lsh_banding_plan_sampled_docs",
-    "dup_threshold_sensitivity_sampled_docs",
-    "c4_quality_rules_docs",
-    "remove_dup_spans_w50_docs",
-    # (b) changed-code canaries: both exact planners were restructured
-    # this round (single-pass aggregation, no eager checkpoint —
-    # ADVICE r10), and remove_dup_spans_docs' oracle now comes from the
-    # span-parameterized generator
-    "lsh_banding_plan_docs",
-    "dup_threshold_sensitivity_docs",
-    "remove_dup_spans_docs",
-    # (c) stale-queue burn-down (VERDICT r10 item 1): the ENTIRE
-    # remaining r7 queue — after this window, no oracle-backed entry's
-    # last grade is older than r8
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q22_dormant_customers",
-    "quality_threshold_sweep",
-    "reservoir_sample_docs",
-    "snapshot_diff_customers",
-    "stateful_user_profiles",
-    "temperature_mixture_plan",
-    "token_quantile_sketch_docs",
-    "top3_customers_per_nation",
-    "vocab_growth_report",
-    "windowed_collect_set_parts",      # … end of the r7 queue
-    # (d) the r8 frontier (next-oldest grades), alphabetical head —
-    # 23 of 50; the tail (events_retention_cohorts …
-    # unigram_seed_pieces) queues for r12
-    "chunk_level_dedup_rate",
-    "count_distinct_parts",
-    "cube_lineitem_flags",
-    "customers_with_big_orders",
-    "customers_without_orders",
-    "dedup_exact_count",
-    "doc_language_id",
-    "doc_oov_rates",
-    "doc_regex_token_count",
-    "doc_repetition_scores",
-    "doc_top_terms",
-    "embedding_cluster_dedup",
-    "embedding_norm_stats",
-    "events_dedup_keep_earliest",
-    "events_dow_hour_heatmap",
-    "events_funnel",
-    "events_hourly_anomalies",
-    "events_hourly_windows",
-    "events_json_props",
-    "events_moving_average",
-    # (e) the late-r11 additions (never graded — highest rotation
-    # priority per the established policy, displacing eight
-    # r8-frontier entries to the r12 queue; the displaced spellings
-    # stay covered transitively — jaccard/fused legs ARE the overlap
-    # report's generators, faithful_fuzzy has its difflib point-oracle
-    # pytest): the raw C4 quality-signals table, the Gopher repetition
-    # signal/rule pair, the quality-aware survivorship pair (batch +
-    # incremental), the signal-overlap report with its hash-sampled
-    # 100 TB twin, and the web-ingest pair (HTML extraction, WARC
-    # parse); events_retention_cohorts heads the r12 queue
-    "c4_quality_signals_docs",
-    "gopher_repetition_signals_docs",
-    "gopher_repetition_rules_docs",
-    "dedup_keep_best_quality_docs",
-    "dedup_signal_overlap_report",
-    "dedup_signal_overlap_sampled_docs",
-    "incremental_keep_best_quality_docs",
+    # (a) NEW this round (r12, never graded — highest rotation
+    # priority): binary WARC ingest (VERDICT r11 item 3),
+    # main-content extraction (item 4), trained language ID (item 5)
+    "warc_binary_ingest_docs",
+    "main_content_extraction_docs",
+    "trained_language_id_report",
+    # (b) changed-code canary: strip_html's whitespace class and the
+    # HTML oracle both changed this round (the NBSP fix, item 1) —
+    # the entry must re-grade green under the new kernel
     "html_text_extraction_docs",
-    "warc_ingest_docs",
+    # (c) the ENTIRE 30-entry r8 stale queue (VERDICT r11 item 2) —
+    # after this window no oracle-backed entry's last grade is older
+    # than r9; these 30 double as the in-window stale canaries
+    # (target ≥10, have 46 with section d)
+    "events_retention_cohorts",
+    "events_sliding_windows",
+    "faithful_fuzzy_join_lev",
+    "fused_dedup_docs",
+    "hyperplane_ann_recall_report",
+    "incremental_dedup_docs",
+    "incremental_fused_dedup_docs_exact",
+    "jaccard_near_dup_docs",
+    "knn_bruteforce",
+    "levenshtein_links_customers",
+    "lsh_recall_report_md5",
+    "nation_revenue_share",
+    "overlap_near_dup_docs",
+    "q10_returned_items",
+    "q11_important_part_values",
+    "q15_top_supplier_per_year",
+    "q16_supplier_part_counts",
+    "q1_pricing_summary",
+    "q20_heavy_shippers",
+    "q2_min_cost_supplier",
+    "q4_order_priority_exists",
+    "q7_nation_trade_volume",
+    "q9_nation_year_revenue",
+    "range_join_value_bands",
+    "streaming_dedup_events",
+    "streaming_join_purchases_errors",
+    "streaming_sliding_windows",
+    "strip_boilerplate_docs",
+    "unigram_encode_seeded_docs",
+    "unigram_seed_pieces",
+    # (d) the r9 frontier, alphabetical head — 16 of 35; the tail
+    # (domain_capped_corpus … yearly_revenue_growth) queues for r13
+    "asof_purchases_to_errors",
+    "bpe_first_merge_pairs",
+    "corpus_mixture_plan",
+    "corpus_mixture_waterfill",
+    "cross_source_dup_matrix",
+    "cross_table_entity_match",
+    "customer_balance_ranks",
+    "daily_revenue_trailing_week",
+    "dedup_exact_parts",
+    "dedup_full_row",
+    "doc_chunks",
+    "doc_dup_span_fraction",
+    "doc_fingerprint_dedup",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "doc_unigram_logprob",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50
