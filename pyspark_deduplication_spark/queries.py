@@ -4602,6 +4602,201 @@ FROM fields f JOIN recs r ON r.doc_id = f.doc_id
 """
 
 
+def web_ingest_pipeline_docs(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The web-ingest CAPSTONE — the full production stage order in
+    one graded plan: WARC container (Content-Length-sliced parse, the
+    binary-safe reader) → HTML page → main-content extraction
+    (link-density block classifier) → token stats on the recovered
+    article. Each doc's text is escaped into the boilerplate-laden
+    page template (nav/related/footer chrome), the page becomes a
+    response record's payload in a per-source WARC blob, and the
+    pipeline must hand back exactly the normalized article text. Per
+    doc: declared-length match, main_ok (extraction equals the
+    normalized article through BOTH stages), and the extracted
+    article's token count (the number the quality rules downstream
+    would consume).
+
+    Scale shape: parse is the per-blob position fold (map-only, one
+    task per WARC file), extraction a map-only HOF projection over
+    payloads, token stats a projection — ONE join back to the corpus
+    for the expected text; nothing corpus-sized shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    crlf, blank = "\r\n", "\r\n\r\n"
+    esc = F.col("text")
+    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    page = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title><script>var nav = 1 < 2;</script></head><body>"
+              "<div class=\"nav\"><a href=\"/\">HomePage</a> | "
+              "<a href=\"/about\">AboutUs</a> | "
+              "<a href=\"/contact\">ContactUs</a></div>"
+              "<p id=\"main\">"),
+        esc,
+        F.lit("</p><div class=\"footer\"><a href=\"/terms\">Terms</a>"
+              " | <a href=\"/privacy\">Privacy</a> | copyright 2024"
+              "</div></body></html>"))
+    rec = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "WARC-Target-URI: doc://"),
+        F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit(crlf + "Content-Length: "),
+        F.length(page).cast("string"),
+        F.lit(blank), page, F.lit(blank))
+    blobs = (
+        docs.select("source", F.struct("doc_id", rec.alias("r")).alias("s"))
+        .groupBy("source")
+        .agg(F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list("s")), lambda x: x["r"]))
+            .alias("blob"))
+    )
+    parsed = (
+        blobs.select(F.explode(warc_records_sliced(F.col("blob")))
+                     .alias("r"))
+        .select(
+            F.regexp_extract(
+                warc_header_of(F.col("r.headers"), "WARC-Target-URI"),
+                r"doc://[^/]+/([0-9]+)", 1).cast("long").alias("doc_id"),
+            warc_header_of(F.col("r.headers"), "Content-Length")
+            .cast("long").alias("__clen"),
+            F.col("r.payload").alias("__page"))
+    )
+    extracted = extract_main_content(F.col("__page"))
+    want = F.trim(F.regexp_replace(F.col("text"), WS_RUN_RE, " "))
+    return (
+        parsed.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            (F.col("__clen") == F.length("__page")).cast("int")
+            .alias("content_length_ok"),
+            (extracted == want).cast("int").alias("main_ok"),
+            token_count(extracted).alias("n_article_tokens"))
+    )
+
+
+# The composed oracle: the recursive-CTE Content-Length march feeding
+# the block-classifier chain feeding the token-count idiom — each
+# stage the same SQL its standalone entry uses. {WS} is WS_RUN_RE.
+_WEB_INGEST_PIPELINE_ORACLE = """
+WITH RECURSIVE pages AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(text, '{WS}', ' ', 'g')) AS want,
+         '<html><head><title>' || source
+         || '</title><script>var nav = 1 < 2;</script></head><body>'
+         || '<div class="nav"><a href="/">HomePage</a> | '
+         || '<a href="/about">AboutUs</a> | '
+         || '<a href="/contact">ContactUs</a></div>'
+         || '<p id="main">'
+         || replace(replace(replace(text, '&', '&amp;'),
+                            '<', '&lt;'), '>', '&gt;')
+         || '</p><div class="footer"><a href="/terms">Terms</a>'
+         || ' | <a href="/privacy">Privacy</a> | copyright 2024'
+         || '</div></body></html>' AS page
+  FROM documents
+),
+built AS (
+  SELECT source, doc_id,
+         'WARC/1.0' || chr(13) || chr(10)
+         || 'WARC-Type: response' || chr(13) || chr(10)
+         || 'WARC-Target-URI: doc://' || source || '/' || doc_id
+         || chr(13) || chr(10)
+         || 'Content-Length: ' || len(page)
+         || chr(13) || chr(10) || chr(13) || chr(10)
+         || page || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+  FROM pages
+),
+blobs AS (
+  SELECT source, string_agg(rec, '' ORDER BY doc_id) AS blob
+  FROM built GROUP BY source
+),
+march AS (
+  SELECT source, blob, CAST(1 AS BIGINT) AS pos,
+         CAST(NULL AS VARCHAR) AS h, CAST(NULL AS VARCHAR) AS payload
+  FROM blobs
+  UNION ALL
+  SELECT source, blob,
+         payload_start + clen + 4 AS pos,
+         hdrs AS h,
+         substr(blob, payload_start, clen) AS payload
+  FROM (
+    SELECT source, blob, hdrs,
+           pos + 10 + (hd - 1) + 4 AS payload_start,
+           CAST(regexp_extract(hdrs,
+                '(?m)^Content-Length:\\s*([0-9]+)', 1) AS BIGINT) AS clen
+    FROM (
+      SELECT source, blob, pos, hd,
+             substr(blob, pos + 10, hd - 1) AS hdrs
+      FROM (
+        SELECT source, blob, pos,
+               strpos(substr(blob, pos + 10, 4096),
+                      chr(13)||chr(10)||chr(13)||chr(10)) AS hd
+        FROM march
+        WHERE substr(blob, pos, 10) = 'WARC/1.0' || chr(13)||chr(10)
+      ) w
+      WHERE hd > 0
+    ) x
+  ) y
+  WHERE clen IS NOT NULL
+),
+fields AS (
+  SELECT CAST(regexp_extract(h, 'doc://[^/]+/([0-9]+)', 1) AS BIGINT)
+           AS doc_id,
+         CAST(regexp_extract(h, '(?m)^Content-Length:\\s*([0-9]+)', 1)
+              AS BIGINT) AS clen,
+         payload AS page
+  FROM march WHERE h IS NOT NULL
+),
+blocks AS (
+  SELECT doc_id, clen, len(page) AS page_len,
+         regexp_split_to_array(
+           regexp_replace(regexp_replace(regexp_replace(page,
+             '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+           '(?i)</?(?:p|div|td|tr|table|ul|ol|li|h[1-6]|blockquote|br|nav|aside|footer|header|section|article)\\b[^>]*>'
+         ) AS bs
+  FROM fields
+),
+kept AS (
+  SELECT doc_id, clen, page_len,
+         array_to_string(list_filter(bs, b ->
+           len(trim(regexp_replace(regexp_replace(b,
+               '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g'))) >= 20
+           AND 3 * coalesce(list_sum(list_transform(
+                 regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                 a -> len(trim(regexp_replace(regexp_replace(a,
+                      '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g'))))), 0)
+               <= len(trim(regexp_replace(regexp_replace(b,
+                    '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g')))
+         ), ' ') AS joined
+  FROM blocks
+),
+stripped AS (
+  SELECT doc_id, clen, page_len,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(joined,
+                     '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+           '{WS}', ' ', 'g')) AS text
+  FROM kept
+)
+SELECT s.doc_id,
+       CAST(s.clen = s.page_len AS INT) AS content_length_ok,
+       CAST(s.text = p.want AS INT) AS main_ok,
+       CAST({NTOK} AS BIGINT) AS n_article_tokens
+FROM stripped s JOIN pages p ON p.doc_id = s.doc_id
+""".replace("{WS}", WS_RUN_RE).replace("{NTOK}", _NTOK_SQL)
+
+
 def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction — the scrub stage every training-data
     pipeline runs before text leaves quarantine. The fixture's document
@@ -11611,6 +11806,9 @@ CATALOG: dict[str, Query] = {
     "trained_language_id_report": Query(
         trained_language_id_report, _TRAINED_LANG_ORACLE,
         tags=["text", "model", "quality"]),
+    "web_ingest_pipeline_docs": Query(
+        web_ingest_pipeline_docs, _WEB_INGEST_PIPELINE_ORACLE,
+        tags=["text", "pipeline", "source", "quality"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),
@@ -12134,6 +12332,7 @@ _GRADED_ORDER = [
     "warc_binary_ingest_docs",
     "main_content_extraction_docs",
     "trained_language_id_report",
+    "web_ingest_pipeline_docs",
     # (b) changed-code canary: strip_html's whitespace class and the
     # HTML oracle both changed this round (the NBSP fix, item 1) —
     # the entry must re-grade green under the new kernel
@@ -12172,8 +12371,8 @@ _GRADED_ORDER = [
     "strip_boilerplate_docs",
     "unigram_encode_seeded_docs",
     "unigram_seed_pieces",
-    # (d) the r9 frontier, alphabetical head — 16 of 35; the tail
-    # (domain_capped_corpus … yearly_revenue_growth) queues for r13
+    # (d) the r9 frontier, alphabetical head — 15 of 35; the tail
+    # (doc_unigram_logprob … yearly_revenue_growth) queues for r13
     "asof_purchases_to_errors",
     "bpe_first_merge_pairs",
     "corpus_mixture_plan",
@@ -12189,7 +12388,6 @@ _GRADED_ORDER = [
     "doc_fingerprint_dedup",
     "doc_tfidf_top_terms",
     "doc_token_stats",
-    "doc_unigram_logprob",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

@@ -263,3 +263,38 @@ def test_trained_language_id_beats_heuristic(spark):
     assert n > 0
     assert trained > heur, (trained, heur)
     assert trained / n >= 0.8, (trained, n)
+
+
+def test_token_nb_char3_features_learn_without_word_list(spark):
+    """features='char3' (the fastText-style production language-ID
+    signal): boundary trigrams alone separate planted languages —
+    held-out docs classify correctly even for WORDS NEVER SEEN in
+    training, which token features cannot do."""
+    from pyspark_deduplication_spark.functions.scoring import (
+        nb_predict,
+        train_token_nb,
+    )
+
+    # two "languages" with disjoint character inventories
+    a_words = ["alfa", "arka", "fala", "klara", "karla", "lakk"]
+    b_words = ["zond", "dozy", "synod", "nyzod", "zodsy", "dyzon"]
+    rows = []
+    did = 0
+    for rep in range(10):
+        rows.append((did, " ".join(a_words[(rep + j) % 6]
+                                   for j in range(3)), "aa"))
+        rows.append((did + 1, " ".join(b_words[(rep + j) % 6]
+                                       for j in range(3)), "bb"))
+        did += 2
+    train = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    weights, penalties = train_token_nb(train, "lang", features="char3")
+    # held-out docs are UNSEEN words built from each language's
+    # character inventory — token-level features have no signal here
+    held = spark.createDataFrame(
+        [(900, "arfal kalla", "aa"), (901, "zynd dosyz", "bb"),
+         (902, "falk arla", "aa"), (903, "nozdy zysod", "bb")],
+        "doc_id long, text string, lang string")
+    got = {r.doc_id: r.nb_pred
+           for r in nb_predict(held, weights, penalties,
+                               features="char3").collect()}
+    assert got == {900: "aa", 901: "bb", 902: "aa", 903: "bb"}, got

@@ -229,13 +229,21 @@ def test_zordered_parquet_skips_on_every_dimension(spark, sf_dir, tmp_path):
     assert total >= 8
     # row count preserved
     assert spark.read.parquet(out).count() == li.count()
+    # Three probes per dimension, asserted on the MEAN admitting
+    # fraction: repartitionByRange's boundary sample seed depends on
+    # the session's RDD-id history, so a rare unlucky sample can leave
+    # ONE fat row group that a single mid-space probe lands in (flaked
+    # once in the r12 full-suite run, deterministic in isolation) —
+    # the layout property is about typical probes, not the worst one.
     for col, ranges in stats.items():
-        los = [lo for lo, _ in ranges]
-        his = [hi for _, hi in ranges]
-        probe = sorted(los)[len(los) // 2]  # a mid-space value
-        admitting = sum(1 for lo, hi in ranges if lo <= probe <= hi)
-        frac = admitting / total
-        assert frac <= 0.75, (col, frac)
+        los = sorted(lo for lo, _ in ranges)
+        fracs = []
+        for qtile in (1, 2, 3):
+            probe = los[len(los) * qtile // 4]
+            admitting = sum(1 for lo, hi in ranges if lo <= probe <= hi)
+            fracs.append(admitting / total)
+        assert sum(fracs) / len(fracs) <= 0.6, (col, fracs)
+        assert max(fracs) <= 0.9, (col, fracs)
     # and both dimensions cannot be globally sorted at once: at least
     # one row group must NOT span the full key space on either column
     for col, ranges in stats.items():
