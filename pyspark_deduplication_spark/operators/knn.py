@@ -1786,6 +1786,7 @@ def project_pca(
     model,
     vec_col: str = "embedding",
     out_col: str = "pca",
+    unroll_threshold: int = 512,
 ) -> DataFrame:
     """Project vectors onto a trained PCA basis — out[i] =
     Σ_j (x_j − mean_j)·W_ij, built as a per-row LITERAL expression
@@ -1801,9 +1802,16 @@ def project_pca(
     16×64), so wide models switch to a literal weight MATRIX walked by
     ``transform``/``zip_with``/``aggregate`` — a runtime loop in one
     compact expression, still JVM-side, with the mean folded into a
-    per-component bias (out_i = Σ_j x_j·W_ij − mean·W_i)."""
+    per-component bias (out_i = Σ_j x_j·W_ij − mean·W_i).
+
+    ``unroll_threshold=0`` forces the matrix spelling: callers that
+    re-plan the projection with FRESH weights many times per query
+    (train_opq's per-round rotation) pay Catalyst analysis + codegen
+    on the unrolled tree on every plan — measured +3 s per
+    ``opq_distortion_report`` run at 16×16 — while the matrix walk
+    keeps the tree three nodes wide no matter the model size."""
     mean, comps, _ = model
-    if len(comps) * len(mean) <= 512:
+    if len(comps) * len(mean) <= unroll_threshold:
         outs = []
         for row in comps:
             term = None
@@ -2054,8 +2062,8 @@ def train_opq(
     # than numpy's — a last-ulp reassociation the Lloyd 9dp rounding
     # and the keep-best return already absorb.)
     a0 = (project_pca(sel, (mean, base, ratios), vec_col, "__a0")
-          .select(F.col(vec_id), F.col("__a0")).persist())
-    a0.count()
+          .select(F.col(vec_id), F.col("__a0"))
+          .localCheckpoint(eager=True))
     zero_mu = [0.0] * d_out
     eye_base = np.eye(d_out).tolist()
     history: list[float] = []
@@ -2080,7 +2088,8 @@ def train_opq(
     prev_book = None                    # warm start across rounds
     for _ in range(n_rounds):
         proj = project_pca(
-            a0, (zero_mu, R.tolist(), ratios), "__a0", "__opq")
+            a0, (zero_mu, R.tolist(), ratios), "__a0", "__opq",
+            unroll_threshold=0)
         codebook = train_pq_codebook(
             proj, dim=d_out, m_subspaces=m_subspaces, k_codes=k_codes,
             vec_id=vec_id, vec_col="__opq", n_iter=pq_iter,
@@ -2097,7 +2106,8 @@ def train_opq(
         R = Vh.T @ U.T                  # exact square-Procrustes update
     # final codebook in the final rotation + its distortion
     proj = project_pca(
-        a0, (zero_mu, R.tolist(), ratios), "__a0", "__opq")
+        a0, (zero_mu, R.tolist(), ratios), "__a0", "__opq",
+        unroll_threshold=0)
     codebook = train_pq_codebook(
         proj, dim=d_out, m_subspaces=m_subspaces, k_codes=k_codes,
         vec_id=vec_id, vec_col="__opq", n_iter=pq_iter,
