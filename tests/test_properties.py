@@ -422,3 +422,44 @@ def test_strip_html_roundtrips_escaped_text(texts):
     for i, t in enumerate(texts):
         want = re.sub(r"\s+", " ", t).strip()
         assert got[i] == want, (i, got[i], want)
+
+
+@given(st.lists(
+    st.text(alphabet=st.sampled_from(
+        list("abWARC/1.0 ") + ["\r", "\n"]), min_size=0, max_size=60),
+    min_size=1, max_size=8))
+@example(["\r\n\r\n"])                      # bare record terminator
+@example(["WARC/1.0\r\n"])                  # bare version line
+@example(["x\r\n\r\nWARC/1.0\r\ny\r\n"])    # all three hazards at once
+@settings(max_examples=10, deadline=None)
+def test_warc_sliced_roundtrips_arbitrary_payloads(payloads):
+    """Content-Length slicing must round-trip ANY payload byte-exactly
+    — including payloads made of nothing but record terminators and
+    fake version lines (the warc_binary_ingest_docs contract on
+    arbitrary content). Record count and order must also survive."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        warc_header_of,
+        warc_records_sliced,
+    )
+
+    crlf, blank = "\r\n", "\r\n\r\n"
+    blob = "".join(
+        "WARC/1.0" + crlf + "WARC-Type: response" + crlf
+        + f"WARC-Target-URI: doc://p/{i}" + crlf
+        + f"Content-Length: {len(p)}" + blank + p + blank
+        for i, p in enumerate(payloads))
+    df = _SPARK.createDataFrame([(blob,)], "blob string")
+    rows = (df.select(F.posexplode(warc_records_sliced("blob"))
+                      .alias("pos", "r"))
+            .select("pos",
+                    warc_header_of(F.col("r.headers"), "WARC-Target-URI")
+                    .alias("uri"),
+                    F.col("r.payload").alias("p"))
+            .collect())
+    assert len(rows) == len(payloads), (len(rows), len(payloads))
+    for row in rows:
+        i = int(row.uri.rsplit("/", 1)[1])
+        assert row.pos == i
+        assert row.p == payloads[i], (i, row.p, payloads[i])
