@@ -56,3 +56,27 @@ def cosine_similarity_pd(a: pd.Series, b: pd.Series) -> pd.Series:
     with np.errstate(divide="ignore", invalid="ignore"):
         out = np.where(den > 0, num / den, 0.0)
     return pd.Series(out)
+
+
+def hashed_bow_embedding(col: Column | str, dim: int = 16,
+                         seed: str = "bow") -> Column:
+    """Deterministic hashed bag-of-words embedding of a text column —
+    ``array<double>`` of length ``dim``: each token hashes (xxhash64)
+    into one of ``dim`` buckets and the vector is the bucket-count
+    histogram. The cheap, model-free featurizer that lets the
+    semantic-dedup machinery (cosine cells, IVF) run over corpora
+    that have no learned embeddings yet — e.g. freshly crawled web
+    text in the streaming ingest loop. Pure native expressions: one
+    token-hash pass then a ``dim``-wide count transform; map-only,
+    zero shuffle. Cosine over raw counts is scale-invariant, so no
+    normalization pass is needed."""
+    from pyspark_deduplication_spark.functions.text import tokenize
+
+    toks = F.filter(tokenize(_as_col(col)), lambda t: t != F.lit(""))
+    bs = F.transform(
+        toks, lambda t: F.pmod(F.xxhash64(F.concat(t, F.lit(seed))),
+                               F.lit(dim)))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(bs, lambda b: b == i.cast("bigint")))
+        .cast("double"))

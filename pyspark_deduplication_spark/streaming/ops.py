@@ -989,6 +989,74 @@ def streaming_fused_ingest(
     return write_stream_foreach_batch(doc_stream, ingest, checkpoint_dir)
 
 
+def streaming_web_ingest(
+    blob_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    blob_col: str = "blob",
+    dim: int = 16,
+    jaccard_threshold: float = 0.7,
+    cosine_threshold: float = 0.95,
+    n_cells: int = 16,
+    max_bucket_size: int | None = 4096,
+    max_cell_size: int | None = 4096,
+):
+    """The streaming spelling of the web-ingest capstone
+    (``queries.web_ingest_pipeline_docs``): a stream of raw WARC blobs
+    runs the full production stage order per micro-batch — Content-
+    Length-sliced record parse → main-content extraction (the
+    link-density block classifier) → quality scoring → hashed-BoW
+    featurization — and lands in a corpus kept near-dup-free AND
+    best-quality by the quality-aware ``streaming_fused_ingest``
+    (insert/drop/replace with epoch rewrites). A re-crawl of a page
+    whose extraction got longer/cleaner therefore REPLACES the
+    standing copy instead of being dropped as a near-dup.
+
+    Every pre-ingest stage is a STATELESS streaming transformation
+    (parse + explode + map-only extraction/scoring/featurization), so
+    the only stateful machinery is the ingest's own epoch-partitioned
+    artifacts. Doc identity is ``xxhash64(WARC-Target-URI)`` (the CC
+    collapse and the packed survivorship keys need LONG ids; the raw
+    URI rides along as a ``uri`` column for provenance) — re-crawls
+    arrive as new rows and survive or replace on quality like any
+    other near-dup. The hashed-BoW vectors stand in for learned
+    embeddings (fresh crawl text has none yet); swap a real embedder
+    into ``vec_col`` upstream when one exists."""
+    from pyspark_deduplication_spark.functions.text import (
+        extract_main_content,
+        quality_features,
+        warc_header_of,
+        warc_records_sliced,
+    )
+    from pyspark_deduplication_spark.functions.vectors import (
+        hashed_bow_embedding,
+    )
+
+    rec = F.explode(warc_records_sliced(F.col(blob_col))).alias("r")
+    staged = (
+        blob_stream.select(rec)
+        .select(warc_header_of(F.col("r.headers"), "WARC-Target-URI")
+                .alias("uri"),
+                F.col("r.payload").alias("__page"))
+        .filter(F.col("uri") != "")
+        .withColumn("doc_id", F.xxhash64(F.col("uri")))
+        .withColumn("text", extract_main_content(F.col("__page")))
+        .drop("__page")
+    )
+    docs = staged.select(
+        "doc_id", "uri", "text",
+        hashed_bow_embedding(F.col("text"), dim).alias("embedding"),
+        quality_features(F.col("text"))["quality_score"]
+        .alias("quality"))
+    return streaming_fused_ingest(
+        docs, corpus_dir, checkpoint_dir,
+        id_col="doc_id", text_col="text", vec_col="embedding",
+        jaccard_threshold=jaccard_threshold,
+        cosine_threshold=cosine_threshold,
+        n_cells=n_cells, max_bucket_size=max_bucket_size,
+        max_cell_size=max_cell_size, quality_col="quality")
+
+
 def streaming_span_ingest(
     doc_stream: DataFrame,
     corpus_dir: str,

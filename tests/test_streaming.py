@@ -1087,3 +1087,69 @@ def test_streaming_fused_ingest_keep_best_survivorship(spark, tmp_path):
         assert {r.epoch for r in idx.select("epoch")
                 .distinct().collect()} == {0, 2}, suffix
         assert not os.path.exists(f"{corpus_dir}{suffix}/epoch=1")
+
+
+def test_streaming_web_ingest_end_to_end(spark, tmp_path):
+    """The streaming web capstone: raw WARC blobs stream in, pages
+    parse by Content-Length, articles extract through the block
+    classifier, and the corpus keeps the BEST extraction of each
+    near-dup family — a re-crawl whose article got better replaces
+    the standing copy; page chrome never reaches the corpus."""
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_web_ingest,
+    )
+
+    crlf, blank = "\r\n", "\r\n\r\n"
+
+    def page(article):
+        return (
+            "<html><head><title>T</title><script>var x = 1 < 2;"
+            "</script></head><body>"
+            "<div class=\"nav\"><a href=\"/\">HomePage</a> | "
+            "<a href=\"/a\">AboutUs</a> | "
+            "<a href=\"/c\">ContactUs</a></div>"
+            "<p id=\"main\">" + article + "</p>"
+            "<div class=\"footer\"><a href=\"/t\">Terms</a> | "
+            "<a href=\"/p\">Privacy</a> | <a href=\"/k\">Cookies</a>"
+            "</div></body></html>")
+
+    def rec(uri, article):
+        p = page(article)
+        return ("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+                + "WARC-Target-URI: " + uri + crlf
+                + "Content-Length: " + str(len(p)) + blank + p + blank)
+
+    art_a = " ".join(f"alpha{i}" for i in range(25))      # q = 0.75
+    toks = art_a.split()
+    toks[10] = "the"                                       # q = 0.80
+    art_a2 = " ".join(toks)
+    art_b = " ".join(f"beta{i}" for i in range(25))
+    art_c = " ".join(f"gamma{i}" for i in range(25))
+    f1 = rec("page://a", art_a) + rec("page://b", art_b)
+    f2 = rec("page://a2", art_a2) + rec("page://c", art_c)
+
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "web_corpus")
+    schema = T.StructType([T.StructField("blob", T.StringType())])
+    for name, blob in [("f1", f1), ("f2", f2)]:
+        spark.createDataFrame([(blob,)], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src}/{name}")
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_web_ingest(
+        stream, corpus_dir, str(tmp_path / "ckpt"),
+        cosine_threshold=0.999, n_cells=2)
+    q.awaitTermination(240)
+
+    rows = {r.uri: r for r in spark.read.parquet(corpus_dir).collect()}
+    # the better re-crawl replaced page://a; b and c stand
+    assert sorted(rows) == ["page://a2", "page://b", "page://c"], rows
+    assert rows["page://a2"].text == art_a2
+    assert rows["page://b"].text == art_b
+    assert abs(rows["page://a2"].quality - 0.80) < 1e-9
+    for r in rows.values():
+        assert "HomePage" not in r.text and "Terms" not in r.text
+        assert len(r.embedding) == 16 and sum(r.embedding) == 25.0
