@@ -229,21 +229,49 @@ def test_zordered_parquet_skips_on_every_dimension(spark, sf_dir, tmp_path):
     assert total >= 8
     # row count preserved
     assert spark.read.parquet(out).count() == li.count()
-    # Three probes per dimension, asserted on the MEAN admitting
-    # fraction: repartitionByRange's boundary sample seed depends on
-    # the session's RDD-id history, so a rare unlucky sample can leave
-    # ONE fat row group that a single mid-space probe lands in (flaked
-    # once in the r12 full-suite run, deterministic in isolation) —
-    # the layout property is about typical probes, not the worst one.
+    # The honest selectivity claim, measured two ways. Thresholds need
+    # real margin: repartitionByRange's boundary sample seed depends
+    # on the session's RDD-id history, and with only 8 z-cells over
+    # this fixture the per-probe admitting fraction genuinely runs
+    # 0.4–0.75 per dimension (r12 measured the distribution across
+    # RDD-id histories; two suite flakes came from thresholds set
+    # inside that band).
+    def mean_admitting(ranges_, n_groups):
+        los = sorted(lo for lo, _ in ranges_)
+        fracs = [
+            sum(1 for lo, hi in ranges_
+                if lo <= los[len(los) * q // 4] <= hi) / n_groups
+            for q in (1, 2, 3)
+        ]
+        return sum(fracs) / len(fracs)
+
+    # (1) absolute: typical probes on BOTH dimensions skip row groups
     for col, ranges in stats.items():
-        los = sorted(lo for lo, _ in ranges)
-        fracs = []
-        for qtile in (1, 2, 3):
-            probe = los[len(los) * qtile // 4]
-            admitting = sum(1 for lo, hi in ranges if lo <= probe <= hi)
-            fracs.append(admitting / total)
-        assert sum(fracs) / len(fracs) <= 0.6, (col, fracs)
-        assert max(fracs) <= 0.9, (col, fracs)
+        assert mean_admitting(ranges, total) <= 0.85, (
+            col, [r for r in ranges])
+    # (2) relative — the property a linear sort cannot have: against a
+    # l_partkey-sorted layout, the z-order's SECOND dimension
+    # (l_suppkey) is far more selective than the linear layout's,
+    # where every row group spans the whole suppkey space
+    from pyspark_deduplication_spark.sources.writers import (
+        write_sorted_parquet,
+    )
+
+    lin = str(tmp_path / "li_lin")
+    write_sorted_parquet(li, lin, ["l_partkey"], num_files=8)
+    lin_ranges, lin_total = [], 0
+    for f in sorted(glob.glob(f"{lin}/part-*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.row_group(0).column(i).path_in_schema: i
+               for i in range(meta.num_columns)}
+        for rg in range(meta.num_row_groups):
+            lin_total += 1
+            st = meta.row_group(rg).column(idx["l_suppkey"]).statistics
+            lin_ranges.append((st.min, st.max))
+    z_sup = mean_admitting(stats["l_suppkey"], total)
+    lin_sup = mean_admitting(lin_ranges, lin_total)
+    assert lin_sup > 0.95, lin_sup      # linear sort: suppkey unservable
+    assert z_sup <= 0.7 * lin_sup, (z_sup, lin_sup)
     # and both dimensions cannot be globally sorted at once: at least
     # one row group must NOT span the full key space on either column
     for col, ranges in stats.items():
