@@ -1741,6 +1741,11 @@ def trained_language_id_report(spark: SparkSession,
     (map-side combinable); inference = one (doc,bucket) aggregation +
     broadcast model join; nothing but the ≤1280-row model ever
     leaves its stage."""
+    return _trained_language_id(spark, sf_dir, features="token")
+
+
+def _trained_language_id(spark: SparkSession, sf_dir: str,
+                         features: str) -> DataFrame:
     from pyspark_deduplication_spark.functions.scoring import (
         nb_predict,
         train_token_nb,
@@ -1762,10 +1767,10 @@ def trained_language_id_report(spark: SparkSession,
     )
     weights, penalties = train_token_nb(
         synth.filter(~F.col("__eval")), "lang", "__text", "doc_id",
-        seed="langid")
+        seed="langid", features=features)
     evald = synth.filter(F.col("__eval"))
     preds = nb_predict(evald, weights, penalties, "__text", "doc_id",
-                       seed="langid")
+                       seed="langid", features=features)
     return (
         evald.select("doc_id", "lang",
                      detect_language(F.col("__text")).alias("__h"))
@@ -1792,7 +1797,11 @@ def _vocab_sql() -> str:
 # exact), same struct-max argmax (score, then label), same marker
 # heuristic as _LANG_ORACLE. 'text' in the tokens CTE is the SYNTH
 # text, so the shared _TOKENS_SQL idiom applies unchanged.
-_TRAINED_LANG_ORACLE = f"""
+def _trained_lang_oracle(features_sql: str) -> str:
+    """Build the trained-language-ID oracle for a feature stream —
+    shared by the token-unigram entry and its char-trigram twin (only
+    the unnest() source differs)."""
+    return f"""
 WITH synth AS (
   SELECT d.doc_id, d.lang, d.doc_id % 5 = 0 AS is_eval,
          d.text || ' '
@@ -1805,7 +1814,7 @@ WITH synth AS (
 ),
 toks AS (
   SELECT doc_id, lang, is_eval, t
-  FROM synth, unnest({_TOKENS_SQL}) AS u(t)
+  FROM synth, unnest({features_sql}) AS u(t)
   WHERE t <> ''
 ),
 counts AS (
@@ -1875,6 +1884,26 @@ SELECT n.true_lang AS lang,
 FROM nb_pred n JOIN h_pred h ON h.doc_id = n.doc_id
 GROUP BY 1
 """
+
+
+_TRAINED_LANG_ORACLE = _trained_lang_oracle(_TOKENS_SQL)
+# char trigrams of the normalized text INCLUDING spaces — the
+# boundary grams carry the signal (mirrors scoring._nb_features)
+_CHAR3_SQL = (f"list_transform(range(1, greatest(len({_NORM_SQL}) - 2, 1)"
+              f" + 1), i -> substr({_NORM_SQL}, CAST(i AS INT), 3))")
+_TRAINED_LANG_CHAR3_ORACLE = _trained_lang_oracle(_CHAR3_SQL)
+
+
+def trained_language_id_char3_report(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The char-trigram twin of ``trained_language_id_report`` —
+    ``features='char3'`` is the fastText-style production signal
+    (boundary grams, no word list at all; see
+    ``scoring._nb_features``). Same synthesis, same 80/20 split, same
+    marker-heuristic opponent; only the NB feature stream differs.
+    Graded as its own oracle-backed accuracy report so the production
+    spelling carries a driver grade, not just a pytest."""
+    return _trained_language_id(spark, sf_dir, features="char3")
 
 
 def top_word_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11805,6 +11834,9 @@ CATALOG: dict[str, Query] = {
         tags=["text", "pipeline", "quality"]),
     "trained_language_id_report": Query(
         trained_language_id_report, _TRAINED_LANG_ORACLE,
+        tags=["text", "model", "quality"]),
+    "trained_language_id_char3_report": Query(
+        trained_language_id_char3_report, _TRAINED_LANG_CHAR3_ORACLE,
         tags=["text", "model", "quality"]),
     "web_ingest_pipeline_docs": Query(
         web_ingest_pipeline_docs, _WEB_INGEST_PIPELINE_ORACLE,

@@ -74,6 +74,7 @@ NOTES = {
     "html_text_extraction_docs": "pure projection: synthesis + regexp strip chain + round-trip compare all map-only, whole-stage codegen, zero exchange",
     "warc_ingest_docs": "PARSING is the scale path: split + substring per blob then one explode, map-only; the per-source string_agg is synthesis-fixture machinery (production reads real bounded WARC files as blobs)",
     "web_ingest_pipeline_docs": "the capstone chain: Content-Length position fold (one task per WARC blob) -> map-only block-classifier extraction over payloads -> token-count projection; ONE join back to the corpus for the expected text; nothing corpus-sized shuffles",
+    "trained_language_id_char3_report": "same two-hash-agg trainer + broadcast inference as the token entry; the feature stream is a per-row char-trigram transform (map-only) — no extra shuffle anywhere",
     "trained_language_id_report": "training = two hash aggregations over exploded tokens (map-side combinable, no driver state); inference = one (doc,bucket) agg + BROADCAST of the <=1280-row model + broadcast penalty cross; 2^-20 dyadic weight grid keeps scores order-independent; corpus never shuffles for the model",
     "main_content_extraction_docs": "block split + per-block higher-order density/length gates + strip chain, all map-only regexp/HOF projection — zero shuffle, zero join; the page synthesis is fixture machinery (production runs the extractor on WARC-sliced payloads)",
     "warc_binary_ingest_docs": "Content-Length cursor scan as an Arrow pandas_udf per blob (sequential by nature; the native fold spelling measured O(records^2) — see BASELINE sf1 r12) — map-only, one explode, one join back; one blob = one task matches the CommonCrawl per-file layout; adversarial payloads (embedded blank lines / fake version lines / trailing CRLF) round-trip byte-exactly",
