@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from pyspark_deduplication_spark.functions.text import (
     normalize_text,
+    normalize_text_unicode,
     tokenize,
 )
 from pyspark_deduplication_spark.operators.sampling import hash_bucket
@@ -346,8 +347,12 @@ def _nb_features(text: Column, features: str) -> Column:
     md5 bucket hash."""
     if features == "token":
         return tokenize(text)
-    if features == "char3":
-        norm = normalize_text(text)
+    if features in ("char3", "char3u"):
+        # char3u: Unicode-aware normalization — the mode for real
+        # multilingual corpora, where the ASCII kernel deletes every
+        # non-Latin script before the trigrams ever form
+        norm = (normalize_text(text) if features == "char3"
+                else normalize_text_unicode(text))
         count = F.greatest(F.length(norm) - 2, F.lit(1))
         return F.transform(F.sequence(F.lit(1), count),
                            lambda i: norm.substr(i, F.lit(3)))

@@ -152,6 +152,33 @@ def tokenize(col: Column | str) -> Column:
     return F.split(normalize_text(col), r"\s+")
 
 
+def normalize_text_unicode(col: Column | str) -> Column:
+    """Unicode-aware canonical form — the multilingual twin of
+    ``normalize_text``, whose ``[^a-z0-9\\s]`` class DELETES every
+    non-Latin letter (é, ß, Cyrillic, CJK — acceptable for the ASCII
+    fixtures, fatal for a real multilingual corpus). Keeps letters of
+    ANY script and any decimal digit (``\\p{L}\\p{Nd}`` — Unicode
+    property classes, supported verbatim by both Java regex and RE2),
+    maps everything else (punctuation, symbols, Unicode spaces) to a
+    separator, collapses with ``WS_RUN_RE``, trims. Note the ONE
+    cross-engine caveat, which is why the graded catalog stays on the
+    ASCII kernel: ``lower()`` on exotic case mappings (dotted İ,
+    final sigma) can differ between the JVM and utf8proc — pin tests
+    cover semantics Spark-side; use for real multilingual corpora,
+    not for DuckDB-hash-gated fixtures."""
+    s = F.lower(_as_col(col))
+    s = F.regexp_replace(s, r"[^\p{L}\p{Nd}\s]", " ")
+    return F.trim(F.regexp_replace(s, WS_RUN_RE, " "))
+
+
+def tokenize_unicode(col: Column | str) -> Column:
+    """Whitespace tokens of the Unicode-normalized text. Space-free
+    scripts (CJK) come back as one token per run — pair with
+    char-n-gram features (``scoring._nb_features('char3u')``), which
+    need no word boundaries."""
+    return F.split(normalize_text_unicode(col), r"\s+")
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (LongType); empty/blank text counts 0,
     NULL text stays NULL.

@@ -1106,3 +1106,38 @@ def test_warc_records_parse_semantics(spark):
     assert rows[2].t == "response" and rows[2].p == "hello world"
     assert rows[2].u == "doc://src0/7"
     assert rows[3].t == "metadata" and rows[3].p == ""
+
+
+def test_unicode_normalize_keeps_every_script(spark):
+    """normalize_text_unicode pins: non-Latin letters survive (the
+    ASCII kernel deletes them), Unicode spaces separate, punctuation
+    and symbols strip, digits of any script stay."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        normalize_text,
+        normalize_text_unicode,
+        tokenize_unicode,
+    )
+
+    cases = [
+        (0, "Héllo, Wörld!", "héllo wörld", ["héllo", "wörld"]),
+        (1, "русский\xa0текст.", "русский текст",
+         ["русский", "текст"]),
+        (2, "中文文本，没有空格", "中文文本 没有空格",
+         ["中文文本", "没有空格"]),
+        (3, "mixed 123 αβγ—dash", "mixed 123 αβγ dash",
+         ["mixed", "123", "αβγ", "dash"]),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _, _ in cases],
+                               "i long, t string")
+    rows = {r.i: r for r in df.select(
+        "i", normalize_text_unicode("t").alias("u"),
+        normalize_text("t").alias("a"),
+        tokenize_unicode("t").alias("toks")).collect()}
+    for i, _, want_norm, want_toks in cases:
+        assert rows[i].u == want_norm, (i, rows[i].u)
+        assert rows[i].toks == want_toks, (i, rows[i].toks)
+    # and the ASCII kernel really does lose the non-Latin scripts —
+    # the reason the unicode twin exists
+    assert rows[1].a == "" and rows[2].a == ""

@@ -299,3 +299,39 @@ def test_token_nb_char3_features_learn_without_word_list(spark):
            for r in nb_predict(held, weights, penalties,
                                features="char3").collect()}
     assert got == {900: "aa", 901: "bb", 902: "aa", 903: "bb"}, got
+
+
+def test_token_nb_char3u_classifies_nonlatin_scripts(spark):
+    """features='char3u': real multilingual text — CJK (no spaces at
+    all) vs Cyrillic — classifies on char trigrams over the
+    Unicode-aware normalization; the ASCII 'char3' mode deletes both
+    scripts before features form, so its model has NOTHING (the gap
+    char3u closes)."""
+    from pyspark_deduplication_spark.functions.scoring import (
+        nb_predict,
+        train_token_nb,
+    )
+
+    zh = ["数据清洗管道处理大规模文本",
+          "重复数据删除是训练语料的关键步骤",
+          "向量索引支持近似最近邻搜索"]
+    ru = ["очистка данных в большом масштабе",
+          "удаление дубликатов из корпуса",
+          "векторный индекс для поиска соседей"]
+    rows = []
+    for i in range(3):
+        rows.append((2 * i, zh[i], "zh"))
+        rows.append((2 * i + 1, ru[i], "ru"))
+    train = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    held = spark.createDataFrame(
+        [(90, "大规模语料的清洗步骤", "zh"),
+         (91, "поиск дубликатов в данных", "ru")],
+        "doc_id long, text string, lang string")
+
+    w_u, p_u = train_token_nb(train, "lang", features="char3u")
+    got = {r.doc_id: r.nb_pred
+           for r in nb_predict(held, w_u, p_u, features="char3u").collect()}
+    assert got == {90: "zh", 91: "ru"}, got
+    # the ASCII mode strips both scripts -> zero feature rows at train
+    w_a, _ = train_token_nb(train, "lang", features="char3")
+    assert w_a.count() == 0
