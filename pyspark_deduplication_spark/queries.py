@@ -34,6 +34,7 @@ from pyspark_deduplication_spark.functions.text import (
     char_kgram_hashes_of,
     detect_language,
     doc_fingerprint,
+    entity_decode_sql,
     extract_main_content,
     normalize_text,
     pii_counts,
@@ -1759,11 +1760,16 @@ def _trained_language_id(spark: SparkSession, sf_dir: str,
                               % 8 + 1).cast("int"))
         for d in (1, 8, 64)
     ]
+    # coalesce, not bare text: concat_ws SKIPS nulls while the
+    # oracle's `||` PROPAGATES them — a NULL-text doc would keep its
+    # vocab words here but vanish from the oracle's every CTE
+    # (ADVICE r12). With coalesce both engines build ' w1 w2 w3'.
     synth = (
         docs.join(F.broadcast(vocab), "lang")
         .select("doc_id", "lang",
                 (F.col("doc_id") % 5 == 0).alias("__eval"),
-                F.concat_ws(" ", F.col("text"), *picks).alias("__text"))
+                F.concat_ws(" ", F.coalesce(F.col("text"), F.lit("")),
+                            *picks).alias("__text"))
     )
     weights, penalties = train_token_nb(
         synth.filter(~F.col("__eval")), "lang", "__text", "doc_id",
@@ -1804,7 +1810,7 @@ def _trained_lang_oracle(features_sql: str) -> str:
     return f"""
 WITH synth AS (
   SELECT d.doc_id, d.lang, d.doc_id % 5 = 0 AS is_eval,
-         d.text || ' '
+         coalesce(d.text, '') || ' '
            || vocab.ws[CAST(d.doc_id % 8 + 1 AS INT)] || ' '
            || vocab.ws[CAST(CAST(floor(d.doc_id / 8) AS BIGINT) % 8 + 1 AS INT)]
            || ' '
@@ -4185,12 +4191,18 @@ def html_text_extraction_docs(spark: SparkSession,
               "<!-- boilerplate comment -->"
               "<p id=\"main\">"),
         esc,
-        F.lit("</p><div>&quot;footer&#39;s&nbsp;mark&quot; &amp; done"
+        F.lit("</p><div>&quot;footer&#39;s&nbsp;mark&quot; "
+              "&#8212; it&#x2019;s&#0160;fine &amp;#38; done"
               "</div></body></html>"))
     norm_text = F.trim(F.regexp_replace(F.col("text"), WS_RUN_RE, " "))
+    # '&#8212;' / '&#x2019;' / zero-padded '&#0160;' exercise the
+    # bounded numeric-charref decode (VERDICT r12 item 3); the
+    # '&amp;#38;' must come back as the LITERAL '&#38;' — the
+    # single-pass ampersand rule's non-cascade pin.
     expected = F.trim(F.regexp_replace(F.concat(
         F.col("source"), F.lit(" Home | About "), norm_text,
-        F.lit(" \"footer's mark\" & done")), WS_RUN_RE, " "))
+        F.lit(" \"footer's mark\" — it’s fine &#38; done")),
+        WS_RUN_RE, " "))
     staged = docs.select(
         "doc_id", html.alias("__html"), expected.alias("__want"))
     extracted = strip_html(F.col("__html"))
@@ -4208,6 +4220,25 @@ def html_text_extraction_docs(spark: SparkSession,
 # WS_RUN_RE is spelled with literal characters precisely so it drops
 # into the RE2 '…' literal unchanged (VERDICT r11 item 1 — bare \\s is
 # ASCII-only in both engines and loses raw NBSP).
+
+
+def _strip_html_sql(expr: str) -> str:
+    """The full ``strip_html`` chain over a DuckDB expression — the
+    four tag-strip regexes, then the entity/charref decode GENERATED
+    from the same ``_CHARREFS``/``_HTML_ENTITIES`` tables the Spark
+    kernel walks (``text.entity_decode_sql`` — hand-copied nested
+    replaces drifted by construction), then the WS_RUN_RE collapse."""
+    tag_stripped = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"{expr}, "
+        "'(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'), "
+        "'(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'), "
+        "'(?s)<!--.*?-->', ' ', 'g'), "
+        "'<[^>]+>', ' ', 'g')")
+    return ("trim(regexp_replace(" + entity_decode_sql(tag_stripped)
+            + ", '" + WS_RUN_RE + "', ' ', 'g'))")
+
+
 _HTML_EXTRACT_ORACLE = """
 WITH built AS (
   SELECT doc_id,
@@ -4221,28 +4252,17 @@ WITH built AS (
          || '<p id="main">'
          || replace(replace(replace(text, '&', '&amp;'),
                             '<', '&lt;'), '>', '&gt;')
-         || '</p><div>&quot;footer&#39;s&nbsp;mark&quot; &amp; done'
+         || '</p><div>&quot;footer&#39;s&nbsp;mark&quot; '
+         || '&#8212; it&#x2019;s&#0160;fine &amp;#38; done'
          || '</div></body></html>' AS html,
          trim(regexp_replace(source || ' Home | About '
               || trim(regexp_replace(text, '{WS}', ' ', 'g'))
-              || ' "footer''s mark" & done', '{WS}', ' ', 'g')) AS want
+              || ' "footer''s mark" — it’s fine &#38; done',
+              '{WS}', ' ', 'g')) AS want
   FROM documents
 ),
 stripped AS (
-  SELECT doc_id, html, want,
-         trim(regexp_replace(
-           replace(replace(replace(replace(replace(replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(html,
-                     '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-                   '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-                 '(?s)<!--.*?-->', ' ', 'g'),
-               '<[^>]+>', ' ', 'g'),
-             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-           '{WS}', ' ', 'g')) AS extracted
+  SELECT doc_id, html, want, {STRIP} AS extracted
   FROM built
 )
 SELECT doc_id,
@@ -4251,7 +4271,7 @@ SELECT doc_id,
        CAST(extracted = want AS INT) AS round_trip_ok,
        CAST(contains(extracted, 'var leak') AS INT) AS script_leaked
 FROM stripped
-""".replace("{WS}", WS_RUN_RE)
+""".replace("{STRIP}", _strip_html_sql("html")).replace("{WS}", WS_RUN_RE)
 
 
 def warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4461,20 +4481,7 @@ kept AS (
   FROM blocks
 ),
 stripped AS (
-  SELECT doc_id, want,
-         trim(regexp_replace(
-           replace(replace(replace(replace(replace(replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(joined,
-                     '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-                   '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-                 '(?s)<!--.*?-->', ' ', 'g'),
-               '<[^>]+>', ' ', 'g'),
-             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-           '{WS}', ' ', 'g')) AS extracted
+  SELECT doc_id, want, {STRIP} AS extracted
   FROM kept
 )
 SELECT doc_id,
@@ -4484,7 +4491,7 @@ SELECT doc_id,
             OR contains(extracted, 'Related story')
             OR contains(extracted, 'copyright') AS INT) AS nav_leaked
 FROM stripped
-""".replace("{WS}", WS_RUN_RE)
+""".replace("{STRIP}", _strip_html_sql("joined")).replace("{WS}", WS_RUN_RE)
 
 
 def warc_binary_ingest_docs(spark: SparkSession,
@@ -4802,20 +4809,7 @@ kept AS (
   FROM blocks
 ),
 stripped AS (
-  SELECT doc_id, clen, page_len,
-         trim(regexp_replace(
-           replace(replace(replace(replace(replace(replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(joined,
-                     '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-                   '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-                 '(?s)<!--.*?-->', ' ', 'g'),
-               '<[^>]+>', ' ', 'g'),
-             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-           '{WS}', ' ', 'g')) AS text
+  SELECT doc_id, clen, page_len, {STRIP} AS text
   FROM kept
 )
 SELECT s.doc_id,
@@ -4823,7 +4817,8 @@ SELECT s.doc_id,
        CAST(s.text = p.want AS INT) AS main_ok,
        CAST({NTOK} AS BIGINT) AS n_article_tokens
 FROM stripped s JOIN pages p ON p.doc_id = s.doc_id
-""".replace("{WS}", WS_RUN_RE).replace("{NTOK}", _NTOK_SQL)
+""".replace("{STRIP}", _strip_html_sql("joined")) \
+   .replace("{WS}", WS_RUN_RE).replace("{NTOK}", _NTOK_SQL)
 
 
 def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:

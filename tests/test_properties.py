@@ -394,6 +394,11 @@ def test_repetition_signals_match_bruteforce(texts):
 @given(st.lists(TEXT, min_size=1, max_size=12))
 @example(["a & b < c > d", "&amp; already escaped", "  spaced   out  "])
 @example(["\xa0"])  # r11 falsifying example: raw NBSP (ASCII-\s gap)
+@example(["a\x0bb"])  # r12 ADVICE: \x0b is Java-\s but not RE2-\s
+# numeric charrefs IN RAW TEXT escape to '&amp;#...;' and must come
+# back as the literal charref, never double-decode (VERDICT r12 item
+# 3's non-cascading ampersand rule)
+@example(["&#160;", "&#x2019;", "price &#8364; now", "&#38;lt;"])
 @example(["a\xa0b", " line sep", "　 edge "])
 @settings(max_examples=8, deadline=None)
 def test_strip_html_roundtrips_escaped_text(texts):

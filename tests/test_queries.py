@@ -936,7 +936,15 @@ def test_unicode_whitespace_policy_pins(spark):
     # the class IS Python's \s minus ASCII — equivalence by enumeration
     py_ws = {c for c in map(chr, range(0x11000)) if re.match(r"\s", c)}
     assert set(UNICODE_EXTRA_WS) == py_ws - set(" \t\n\x0b\f\r")
-    assert WS_RUN_RE == "[\\s" + UNICODE_EXTRA_WS + "]+"
+    # ASCII spelled explicitly (NOT \s): RE2's \s omits \x0b while
+    # Java's includes it, so bare \s would silently diverge between
+    # Spark and the DuckDB oracles on vertical-tab text (ADVICE r12).
+    # The explicit class must still equal Python's FULL \s by match.
+    assert WS_RUN_RE == "[ \\t\\n\\x0b\\f\\r" + UNICODE_EXTRA_WS + "]+"
+    ws_re = re.compile(WS_RUN_RE)
+    for c in map(chr, range(0x11000)):
+        assert bool(ws_re.fullmatch(c)) == bool(re.fullmatch(r"\s", c)), (
+            hex(ord(c)))
 
     df = spark.createDataFrame(
         [(0, "a\xa0b"), (1, " x "), (2, "\xa0\xa0"),
