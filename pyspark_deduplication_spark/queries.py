@@ -46,6 +46,7 @@ from pyspark_deduplication_spark.functions.text import (
     warc_header_of,
     warc_records_of,
     warc_records_sliced,
+    warc_records_sliced_binary,
     tokenize,
     winnow_of,
     word_ngrams_all_of,
@@ -4635,6 +4636,104 @@ SELECT f.doc_id, f.warc_type,
        CAST(f.clen = len(f.payload) AS INT) AS content_length_ok,
        CAST(f.payload = r.hostile AS INT) AS payload_matches
 FROM fields f JOIN recs r ON r.doc_id = f.doc_id
+"""
+
+
+def warc_octet_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-BINARY WARC ingest — Content-Length slicing in OCTET
+    space (``functions.text.warc_records_sliced_binary``, VERDICT r12
+    item 2) proven on payloads where character offsets and byte
+    offsets genuinely diverge: every payload is wrapped in multi-byte
+    UTF-8 («…—…») ON TOP of the adversarial shapes from
+    ``warc_binary_ingest_docs`` (embedded blank line, fake version
+    line, trailing CRLF). ``Content-Length`` is the OCTET length, so
+    the string kernel's char cursor would jump 6 chars too far per
+    record and shred every subsequent record (pinned in pytest); the
+    binary kernel must recover each payload byte-exactly. The graded
+    values are content-derived — per doc: octet count, the
+    octets−chars surplus (>0 everywhere proves the multi-byte
+    planting), and the md5 of the recovered payload BYTES — so one
+    mis-sliced octet anywhere fails the hash gate. The oracle derives
+    the same values from the synthesis ground truth (DuckDB has no
+    BLOB substr to re-march bytes in SQL; md5-of-payload makes the
+    gate content-exact regardless).
+
+    Scale shape: synthesis groupBy is per-source; the parse is the
+    O(blob) Arrow cursor scan — map-only, one explode, NO join back
+    to the corpus (every output column comes from the parsed bytes).
+    One blob = one row = one task, the CommonCrawl per-file layout."""
+    docs = _t(spark, sf_dir, "documents")
+    crlf, blank = "\r\n", "\r\n\r\n"
+    hostile = F.concat(
+        F.lit("«"), F.substring("text", 1, 8),
+        F.lit(blank + "WARC/1.0" + crlf),
+        F.col("text"), F.lit(" — fin…»" + crlf))
+    rec = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "WARC-Target-URI: doc://"),
+        F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit(crlf + "Content-Length: "),
+        F.octet_length(hostile).cast("string"),
+        F.lit(blank), hostile, F.lit(blank))
+    blobs = (
+        docs.select("source", F.struct("doc_id", rec.alias("r")).alias("s"))
+        .groupBy("source")
+        # UTF-8 of a concatenation == concatenation of UTF-8: encoding
+        # the assembled blob once is byte-identical to concatenating
+        # per-record encodings, and keeps the synthesis native
+        .agg(F.encode(F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list("s")), lambda x: x["r"])),
+            "UTF-8").alias("blob"))
+    )
+    parsed = (
+        blobs.select(F.explode(warc_records_sliced_binary(F.col("blob")))
+                     .alias("r"))
+        .select(
+            F.regexp_extract(
+                warc_header_of(F.col("r.headers"), "WARC-Target-URI"),
+                r"doc://[^/]+/([0-9]+)", 1).cast("long").alias("doc_id"),
+            warc_header_of(F.col("r.headers"), "WARC-Type")
+            .alias("warc_type"),
+            warc_header_of(F.col("r.headers"), "Content-Length")
+            .cast("long").alias("__clen"),
+            F.col("r.payload").alias("__p"))
+    )
+    return parsed.select(
+        "doc_id", "warc_type",
+        # length() on BinaryType counts BYTES — octet semantics
+        (F.col("__clen") == F.length("__p")).cast("int")
+        .alias("content_length_ok"),
+        F.length("__p").cast("long").alias("payload_octets"),
+        (F.length("__p") - F.length(F.decode(F.col("__p"), "UTF-8")))
+        .cast("long").alias("octets_minus_chars"),
+        F.md5("__p").alias("payload_md5"),
+    )
+
+
+# Ground-truth derivation (not a byte re-march — DuckDB has no BLOB
+# substr/strpos): the synthesis is deterministic, so the oracle
+# computes each record's octet length, char surplus, and payload md5
+# directly from the hostile string. duckdb's md5(VARCHAR) hashes the
+# UTF-8 bytes — exactly what Spark's md5 over the recovered BINARY
+# payload hashes, so the comparison is content-exact: one mis-sliced
+# octet anywhere changes payload_md5 (or drops/garbles a row).
+_WARC_OCTET_INGEST_ORACLE = """
+WITH hostile AS (
+  SELECT doc_id,
+         '«' || substr(text, 1, 8)
+         || chr(13)||chr(10)||chr(13)||chr(10)
+         || 'WARC/1.0' || chr(13)||chr(10)
+         || text || ' — fin…»' || chr(13)||chr(10) AS h
+  FROM documents
+)
+SELECT doc_id,
+       'response' AS warc_type,
+       1 AS content_length_ok,
+       CAST(octet_length(encode(h)) AS BIGINT) AS payload_octets,
+       CAST(octet_length(encode(h)) - len(h) AS BIGINT)
+         AS octets_minus_chars,
+       md5(h) AS payload_md5
+FROM hostile
 """
 
 
@@ -11823,6 +11922,11 @@ CATALOG: dict[str, Query] = {
         tags=["text", "pipeline", "source"]),
     "warc_binary_ingest_docs": Query(
         warc_binary_ingest_docs, _WARC_BINARY_INGEST_ORACLE,
+        tags=["text", "pipeline", "source", "binary"]),
+    # r13 (VERDICT r12 item 2): octet-space slicing on a BinaryType
+    # blob, proven where char offsets provably mis-slice
+    "warc_octet_ingest_docs": Query(
+        warc_octet_ingest_docs, _WARC_OCTET_INGEST_ORACLE,
         tags=["text", "pipeline", "source", "binary"]),
     "main_content_extraction_docs": Query(
         main_content_extraction_docs, _MAIN_CONTENT_ORACLE,

@@ -1070,6 +1070,109 @@ def test_warc_sliced_binary_payloads(spark):
     assert old != len(cases)
 
 
+def test_warc_binary_kernel_octet_exact_gzip_and_ppm(spark):
+    """The BinaryType WARC kernel (VERDICT r12 item 2), pinned on
+    payloads a string column cannot even carry:
+
+    - TRUE binary payloads (bytes ≥ 0x80 that are not valid UTF-8,
+      including every adversarial sentinel shape) recover byte-exactly
+      by octet slicing;
+    - a real P6 PPM whose PIXELS include 0xFF/0x00 bytes and a fake
+      record terminator decodes through ``multimodal.parse_ppm``;
+    - on the multi-byte-UTF-8 fixture shape the STRING kernel's char
+      cursor provably mis-slices (Content-Length counts octets, the
+      payload has fewer chars than octets) while the binary kernel
+      round-trips — the reason the twin exists;
+    - ``gzip_members=True`` inflates a multi-member ``.warc.gz`` blob
+      (one gzip member per record, the CommonCrawl layout) to the same
+      records, and a truncated trailing member degrades to the records
+      already inflated, never to garbage."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        warc_header_of,
+        warc_records_sliced,
+        warc_records_sliced_binary,
+    )
+    from pyspark_deduplication_spark.operators.multimodal import parse_ppm
+
+    crlf, blank = b"\r\n", b"\r\n\r\n"
+
+    def rec(uri: str, payload: bytes) -> bytes:
+        return (b"WARC/1.0" + crlf + b"WARC-Type: response" + crlf
+                + b"WARC-Target-URI: " + uri.encode() + crlf
+                + b"Content-Length: " + str(len(payload)).encode()
+                + blank + payload + blank)
+
+    ppm = (b"P6\n2 2\n255\n"
+           + bytes([255, 0, 128, 13, 10, 13, 10, 87, 65, 82, 67, 0]))
+    cases = {
+        "doc://b/1": b"\xff\xfe raw bytes \r\n\r\nWARC/1.0\r\n tail \r\n",
+        "doc://b/2": ppm,
+        "doc://b/3": "café — multi-byte …".encode(),
+        "doc://b/4": b"",
+    }
+    blob = b"".join(rec(u, p) for u, p in cases.items())
+    df = spark.createDataFrame([(blob,)], "blob binary")
+    rows = (df.select(F.explode(warc_records_sliced_binary("blob"))
+                      .alias("r"))
+            .select(warc_header_of(F.col("r.headers"), "WARC-Target-URI")
+                    .alias("uri"), F.col("r.payload").alias("p"))
+            .collect())
+    assert {r.uri: bytes(r.p) for r in rows} == cases
+
+    # recovered binary image decodes: pixel bytes incl. 0xFF/0x00
+    got_ppm = next(bytes(r.p) for r in rows if r.uri == "doc://b/2")
+    w, h, px = parse_ppm(got_ppm)
+    assert (w, h) == (2, 2) and px[0, 0, 0] == 255 and px[0, 0, 2] == 128
+
+    # char cursor mis-slices where octets > chars: same records as a
+    # STRING blob (valid UTF-8 only, so it CAN ride a string column)
+    tcases = {u: p for u, p in cases.items() if u in ("doc://b/3",)}
+    tblob = b"".join(rec(u, p) for u, p in tcases.items()) \
+        + rec("doc://b/5", b"second record shreds")
+    sdf = spark.createDataFrame([(tblob.decode("utf-8"), tblob)],
+                                "sblob string, bblob binary")
+    n_char, n_byte = sdf.select(
+        F.size(warc_records_sliced("sblob")).alias("nc"),
+        F.size(warc_records_sliced_binary("bblob")).alias("nb"),
+    ).head()
+    assert n_byte == 2
+    # the char cursor overshoots record 1's payload (35 octets = 31
+    # chars), landing past the terminator → record 2 never parses
+    # cleanly: fewer records, and the first payload it DOES emit
+    # differs from the true bytes
+    assert n_char < n_byte
+    first_char_payload = sdf.select(
+        warc_records_sliced("sblob")[0]["payload"].alias("p")
+    ).head().p
+    assert first_char_payload.encode() != tcases["doc://b/3"]
+
+    # multi-member gzip: one member per record (CommonCrawl layout)
+    gz_parts = [gzip.compress(rec(u, p)) for u, p in cases.items()]
+    gz = b"".join(gz_parts)
+    gdf = spark.createDataFrame([(gz,)], "blob binary")
+    grows = (gdf.select(
+        F.explode(warc_records_sliced_binary("blob", gzip_members=True))
+        .alias("r"))
+        .select(warc_header_of(F.col("r.headers"), "WARC-Target-URI")
+                .alias("uri"), F.col("r.payload").alias("p"))
+        .collect())
+    assert {r.uri: bytes(r.p) for r in grows} == cases
+
+    # member 3 truncated to its bare 10-byte gzip header → inflation
+    # stops after the two complete members; the cursor scan (and its
+    # drop-partial-record guard) hands back exactly their records
+    trunc = b"".join(gz_parts[:2]) + gz_parts[2][:10]
+    tdf = spark.createDataFrame([(trunc,)], "blob binary")
+    n_trunc = tdf.select(
+        F.size(warc_records_sliced_binary("blob", gzip_members=True))
+        .alias("n")).head().n
+    assert n_trunc == 2
+
+
 def test_warc_records_parse_semantics(spark):
     """The WARC splitter on a hand-built multi-record blob: record
     count and per-record header/payload recovery, headers-only
