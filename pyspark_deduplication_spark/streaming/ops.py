@@ -671,10 +671,14 @@ def streaming_fused_ingest(
     epochs' corpus partitions rewrite without the superseded rows and
     their index entries re-derive from the rewritten rows (epochs
     emptied entirely are deleted outright; dynamic overwrite cannot
-    express an empty partition). Batch-INTERNAL collapse keeps the
-    fused canonical member as ever — run a keep-best pass on the
-    batch upstream if within-batch survivorship must also be
-    quality-aware. Crash windows converge: the probe reads quality
+    express an empty partition). Batch-INTERNAL collapse is also
+    quality-aware (ADVICE r12): the keeper per fused component is
+    the best-quality member (ties break to min-id, so replay stays
+    deterministic) — a strictly-better replacer is never collapsed
+    away in favor of a worse batch sibling. A live corpus row whose
+    quality is NULL competes at -inf — replaceable by any scored
+    doc, never mistaken for a ghost (liveness is an explicit marker,
+    not quality nullness). Crash windows converge: the probe reads quality
     from the CORPUS rows, so an index entry orphaned between the
     corpus rewrite and the index re-derivation surfaces as a GHOST
     match (no corpus row) on the replay, which schedules its epoch
@@ -840,22 +844,34 @@ def streaming_fused_ingest(
                     # index — matches whose corpus row is gone are
                     # GHOSTS (stale entries from a crash between the
                     # corpus rewrite and the index re-derivation):
-                    # excluded from survivorship, healed below
+                    # excluded from survivorship, healed below.
+                    # Liveness rides an EXPLICIT marker, not quality
+                    # nullness (ADVICE r12): a live corpus row whose
+                    # quality is NULL must not read as a ghost — it
+                    # would re-trigger the full epoch re-derivation
+                    # on every matching batch, forever, since the row
+                    # itself never goes away. Instead it competes at
+                    # -inf: any scored batch doc replaces it.
                     cq = (spark.read.parquet(corpus_dir)
                           .where(F.col("epoch") < F.lit(epoch_id))
                           .select(F.col(id_col).alias("corpus_id"),
                                   F.col(quality_col).alias("__cq"),
-                                  F.col("epoch").alias("__cep")))
+                                  F.col("epoch").alias("__cep"),
+                                  F.lit(True).alias("__clive")))
                     m = (pairs.join(cq, "corpus_id", "left")
                          .localCheckpoint(eager=True))
                 else:
                     m = (pairs
                          .withColumn("__cq",
                                      F.lit(None).cast("double"))
-                         .withColumn("__cep", F.lit(None).cast("int")))
-                live = m.filter(F.col("__cq").isNotNull())
+                         .withColumn("__cep", F.lit(None).cast("int"))
+                         .withColumn("__clive",
+                                     F.lit(None).cast("boolean")))
+                live = m.filter(F.col("__clive"))
                 best = live.groupBy("new_id").agg(
-                    F.max("__cq").alias("__best_cq"))
+                    F.max(F.coalesce(F.col("__cq"),
+                                     F.lit(float("-inf"))))
+                    .alias("__best_cq"))
                 # insert (no live match) or replace (strictly better);
                 # ties drop in favor of the standing corpus → replay
                 # idempotent
@@ -868,13 +884,34 @@ def streaming_fused_ingest(
                 if len(cand.take(1)) == 0:
                     fresh = cand
                 else:
-                    keep = fused_dedup(
+                    # batch-internal collapse keeps the BEST-QUALITY
+                    # member per fused component, not fused_dedup's
+                    # min-id canonical (ADVICE r12): under min-id a
+                    # strictly-better replacer could be collapsed
+                    # away in favor of a worse batch sibling — losing
+                    # both the quality win and the retirement its
+                    # survival would have triggered. Ties (equal
+                    # quality, incl. both NULL at -inf) break to
+                    # min-id, so replay stays deterministic.
+                    labels = fused_dedup(
                         cand, id_col, text_col, vec_col,
                         jaccard_threshold, cosine_threshold, num_hashes,
                         bands, shingle_size, max_bucket_size, n_cells,
                         n_iter, 1, 1, max_cell_size,
                         weighted_threshold=weighted_threshold,
-                    ).filter(F.col("keep")).select(id_col)
+                    ).select(id_col, "component")
+                    keep = (
+                        labels.join(
+                            cand.select(
+                                F.col(id_col),
+                                F.coalesce(
+                                    F.col(quality_col).cast("double"),
+                                    F.lit(float("-inf"))).alias("__q")),
+                            id_col)
+                        .withColumn("__rk", F.row_number().over(
+                            Window.partitionBy("component").orderBy(
+                                F.col("__q").desc(), F.col(id_col))))
+                        .filter(F.col("__rk") == 1).select(id_col))
                     fresh = (cand.join(keep, id_col, "left_semi")
                              .localCheckpoint(eager=True))
                 # superseded = live matches of SURVIVING replacing docs

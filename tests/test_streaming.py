@@ -1089,6 +1089,85 @@ def test_streaming_fused_ingest_keep_best_survivorship(spark, tmp_path):
         assert not os.path.exists(f"{corpus_dir}{suffix}/epoch=1")
 
 
+def test_streaming_keep_best_quality_collapse_and_null_quality(
+        spark, tmp_path):
+    """The two ADVICE r12 survivorship gaps, pinned:
+
+    1. batch-INTERNAL collapse is quality-aware — when one micro-batch
+       carries two near-dup siblings, the keeper is the best-QUALITY
+       member even when it has the larger id (min-id would keep the
+       worse sibling, losing both the quality win and the replacement
+       it should have triggered);
+    2. a live corpus row with NULL quality competes at -inf — any
+       scored challenger replaces it (it must NOT read as a ghost and
+       re-derive epochs forever), while a NULL-quality challenger
+       ties at -inf and drops in favor of the standing row (replay
+       idempotence)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_fused_ingest,
+    )
+
+    def sent(prefix, n=30):
+        return " ".join(f"{prefix}w{i}" for i in range(n))
+
+    def variant(text, pos):
+        toks = text.split()
+        toks[pos] = toks[pos] + "x"
+        return " ".join(toks)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("quality", T.DoubleType()),
+    ])
+    alpha, beta = sent("alpha"), sent("beta")
+    f1 = [(1, alpha, [5.0, 0.0, 0.0, 0.0], 0.5),
+          (2, beta, [0.0, 5.0, 0.0, 0.0], None)]  # live, NULL quality
+    # one micro-batch, one fused component {10, 11}: the BETTER
+    # sibling has the LARGER id, so min-id collapse would keep 10
+    # (0.2 < 0.5 → no replacement) — quality-aware collapse must keep
+    # 11 (0.9 > 0.5 → replaces doc 1); plus the NULL-quality family:
+    # 12 is scored and must replace the NULL-quality doc 2
+    f2 = [(10, variant(alpha, 14), [0.0, 0.0, 5.0, 0.0], 0.2),
+          (11, variant(alpha, 13), [0.0, 0.0, 0.0, 5.0], 0.9),
+          (12, variant(beta, 14), [0.0, 3.0, 0.0, 3.0], 0.3)]
+    # a NULL-quality challenger to the (scored) standing 12: tie at
+    # -inf never arises here — NULL vs 0.3 → NULL loses → drop
+    f3 = [(20, variant(beta, 13), [3.0, 0.0, 3.0, 0.0], None)]
+
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "nq_corpus")
+    for name, rows in [("f1", f1), ("f2", f2), ("f3", f3)]:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src}/{name}")
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_fused_ingest(
+        stream, corpus_dir, str(tmp_path / "ckpt"),
+        jaccard_threshold=0.7, cosine_threshold=0.999, n_cells=2,
+        quality_col="quality")
+    q.awaitTermination(240)
+
+    got = {r.doc_id: (r.epoch, r.quality) for r in
+           spark.read.parquet(corpus_dir).collect()}
+    # 1 replaced by 11 (best-quality sibling, not min-id 10);
+    # 2 (NULL) replaced by 12; 20 (NULL challenger) dropped
+    assert sorted(got) == [11, 12], got
+    assert got[11][1] == 0.9 and got[12][1] == 0.3
+    # epoch 0 fully superseded -> deleted; indexes track the corpus
+    assert not os.path.exists(f"{corpus_dir}/epoch=0")
+    for suffix in ("_sigs", "_index"):
+        idx = spark.read.parquet(corpus_dir + suffix)
+        assert sorted(r.doc_id for r in idx.select("doc_id")
+                      .distinct().collect()) == [11, 12], suffix
+
+
 def test_streaming_web_ingest_end_to_end(spark, tmp_path):
     """The streaming web capstone: raw WARC blobs stream in, pages
     parse by Content-Length, articles extract through the block
