@@ -1094,6 +1094,98 @@ def streaming_web_ingest(
         max_cell_size=max_cell_size, quality_col="quality")
 
 
+def compact_corpus_epochs(
+    spark: SparkSession,
+    corpus_dir: str,
+    keep_last: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+) -> dict | None:
+    """Compact the epoch-partitioned corpus (VERDICT r12 advisory 2):
+    the streaming ingests create ONE partition per micro-batch and
+    never merge them, so a long-lived stream accumulates thousands of
+    small parquet partitions — every corpus read pays the listing, and
+    the survivorship rewrite's affected-epoch logic walks an
+    ever-longer epoch set. This pass rewrites all epochs except the
+    newest ``keep_last`` into a single coarse partition and re-derives
+    their index entries, bounding partition count at
+    ``keep_last + compactions``.
+
+    The merged partition keeps epoch id ``max(compacted)`` — strictly
+    below every retained epoch and every future ``epoch_id``, so the
+    ingest's ``epoch < epoch_id`` probe filters and the replay
+    semantics are untouched. Content is exactly preserved: rows are
+    only re-labelled, and each index artifact present (MinHash sigs /
+    cell index / weighted sigs) re-derives the merged epoch's entries
+    from the merged rows — the same pure-function-of-the-rows
+    derivation the ingest's heal contract uses, so a crash anywhere
+    in the window converges on the next batch: corpus writes first
+    (a crash after it shows the same id in the merged and a stale
+    partition — identical rows, removed by the stale deletes on
+    re-run), indexes re-derive after (a lagging index is exactly the
+    ghost/heal window the ingest already detects and re-derives).
+
+    Driver state is the epoch-id list only (bounded); the data moves
+    as one distributed read + one write per artifact. Run it from the
+    maintenance cadence of the stream's owner — e.g. every K
+    micro-batches or on a size trigger — not inside the hot loop.
+    Returns ``{"compacted": [...], "into": e, "kept": [...]}`` or
+    ``None`` when fewer than two epochs are old enough to merge."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        build_minhash_index,
+        build_weighted_minhash_index,
+    )
+    from pyspark_deduplication_spark.operators.knn import assign_cells
+
+    base = corpus_dir.rstrip("/")
+    sig_dir = base + "_sigs"
+    cent_dir = base + "_centroids"
+    idx_dir = base + "_index"
+    wsig_dir = base + "_wsigs"
+
+    eps = sorted(_epoch_partitions(spark, base))
+    old = eps[:len(eps) - keep_last] if keep_last > 0 else eps
+    if len(old) < 2:
+        return None
+    target = max(old)
+    stale = [e for e in old if e != target]
+    merged = (
+        spark.read.parquet(base)
+        .where(F.col("epoch").isin(old))
+        .drop("epoch")
+        .localCheckpoint(eager=True)  # breaks lineage: we overwrite base
+    )
+    (merged.withColumn("epoch", F.lit(target))
+     .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     .partitionBy("epoch").parquet(base))
+    for e in stale:
+        _hadoop_delete_path(spark, f"{base}/epoch={e}")
+
+    def _reindex(path: str, sign) -> None:
+        if not _hadoop_path_exists(spark, path):
+            return
+        (sign(merged).withColumn("epoch", F.lit(target))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch").parquet(path))
+        for e in stale:
+            _hadoop_delete_path(spark, f"{path}/epoch={e}")
+
+    _reindex(sig_dir, lambda df: build_minhash_index(
+        df, text_col, id_col, num_hashes, shingle_size))
+    if _hadoop_path_exists(spark, cent_dir):
+        cents = spark.read.parquet(cent_dir)
+        _reindex(idx_dir, lambda df: assign_cells(
+            df.select(F.col(id_col), F.col(vec_col)), cents, vec_col, 1))
+    _reindex(wsig_dir, lambda df: build_weighted_minhash_index(
+        df, text_col, id_col, num_hashes, shingle_size))
+    return {"compacted": old, "into": target,
+            "kept": [e for e in eps if e not in old]}
+
+
 def streaming_span_ingest(
     doc_stream: DataFrame,
     corpus_dir: str,

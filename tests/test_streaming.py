@@ -1168,6 +1168,89 @@ def test_streaming_keep_best_quality_collapse_and_null_quality(
                       .distinct().collect()) == [11, 12], suffix
 
 
+def test_compact_corpus_epochs_preserves_content_and_probes(
+        spark, tmp_path):
+    """Epoch compaction (VERDICT r12 advisory 2): after five
+    single-doc micro-batches (five epoch partitions), compacting with
+    ``keep_last=2`` merges epochs {0,1,2} into epoch 2 — corpus and
+    index CONTENT are exactly preserved (only the epoch label moves),
+    the partition count drops to 3, and the stream keeps working:
+    a near-dup of the OLDEST compacted doc still probes out against
+    the re-derived index entries, while fresh content inserts."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        compact_corpus_epochs,
+        streaming_fused_ingest,
+    )
+
+    def sent(prefix, n=30):
+        return " ".join(f"{prefix}w{i}" for i in range(n))
+
+    def emb(i):
+        v = [0.0] * 8
+        v[i] = 5.0
+        return v
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "cp_corpus")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(5):
+        spark.createDataFrame([(i, sent(f"p{i}"), emb(i))], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+
+    def run():
+        stream = (spark.readStream.format("parquet").schema(schema)
+                  .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+        q = streaming_fused_ingest(
+            stream, corpus_dir, ckpt,
+            jaccard_threshold=0.7, cosine_threshold=0.999, n_cells=2)
+        q.awaitTermination(240)
+
+    run()
+    before = {r.doc_id: r.text for r in
+              spark.read.parquet(corpus_dir).collect()}
+    assert sorted(before) == [0, 1, 2, 3, 4]
+
+    stats = compact_corpus_epochs(spark, corpus_dir, keep_last=2)
+    assert stats == {"compacted": [0, 1, 2], "into": 2, "kept": [3, 4]}
+    after = spark.read.parquet(corpus_dir)
+    assert {r.doc_id: r.text for r in after.collect()} == before
+    assert {r.epoch for r in after.select("epoch").distinct()
+            .collect()} == {2, 3, 4}
+    parts = [d for d in os.listdir(corpus_dir) if d.startswith("epoch=")]
+    assert sorted(parts) == ["epoch=2", "epoch=3", "epoch=4"]
+    for suffix in ("_sigs", "_index"):
+        idx = spark.read.parquet(corpus_dir + suffix)
+        assert sorted(r.doc_id for r in idx.select("doc_id")
+                      .distinct().collect()) == [0, 1, 2, 3, 4], suffix
+        assert {r.epoch for r in idx.select("epoch").distinct()
+                .collect()} == {2, 3, 4}, suffix
+
+    # the stream continues over the compacted state: an exact clone of
+    # the OLDEST compacted doc must still probe out via the re-derived
+    # epoch-2 sig entries; fresh content inserts as epoch 5
+    spark.createDataFrame(
+        [(100, sent("p0"), emb(5)), (101, sent("fresh"), emb(6))],
+        schema).coalesce(1).write.mode("overwrite").parquet(f"{src}/f5")
+    run()
+    final = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
+    assert final == {0, 1, 2, 3, 4, 101}
+
+    # second compaction folds the survivors again — bounded forever
+    stats2 = compact_corpus_epochs(spark, corpus_dir, keep_last=2)
+    assert stats2 is not None and stats2["kept"] == [4, 5]
+    assert {r.doc_id for r in
+            spark.read.parquet(corpus_dir).collect()} == final
+
+
 def test_streaming_web_ingest_end_to_end(spark, tmp_path):
     """The streaming web capstone: raw WARC blobs stream in, pages
     parse by Content-Length, articles extract through the block
