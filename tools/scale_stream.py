@@ -17,6 +17,22 @@ index coverage for every standing corpus epoch, exercising
 epoch-coverage healing at 10× the only sizes pytest drives. The script
 asserts indexed epochs == corpus epochs afterward.
 
+Modes (env):
+    KEEP_BEST=1   — quality-aware survivorship (insert/drop/replace)
+    WEB_INGEST=1  — the streaming web capstone end-to-end (VERDICT r12
+                    item 5): documents synthesize into per-source WARC
+                    blobs (the web_ingest_pipeline_docs page template),
+                    and ``streaming_web_ingest`` runs Content-Length
+                    parse → main-content extraction → quality scoring →
+                    quality-aware fused ingest per micro-batch. The
+                    heal assertion applies unchanged (identity is
+                    xxhash64 of the target URI).
+
+After the heal run, ``compact_corpus_epochs(keep_last=2)`` executes in
+every mode and the row reports partition counts before/after plus a
+row-count identity check — the bounded-file-count evidence for
+long-lived streams (VERDICT r12 advisory 2).
+
 Usage:
     python tools/scale_stream.py [BASE_DIR] [SCALED_DIR] [FACTOR] [N_BATCHES]
     SPARK_GRAFT_DRIVER_MEM=48g recommended for the sf1 leg.
@@ -60,6 +76,73 @@ def _prep_sources(spark, sf_dir: str, tag: str, n_batches: int,
     return src
 
 
+def _prep_blob_sources(spark, sf_dir: str, tag: str,
+                       n_batches: int) -> str:
+    """Synthesize per-source WARC blobs from the documents table —
+    the ``web_ingest_pipeline_docs`` page template (nav/footer chrome
+    around the escaped article) packed into response records with
+    real Content-Lengths — split into n_batches blob files (one
+    micro-batch each). One blob row per (source, batch)."""
+    from pyspark.sql import functions as F
+
+    src = f"{WORK}/{tag}/src"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text")
+    crlf, blank = "\r\n", "\r\n\r\n"
+    esc = F.col("text")
+    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    page = F.concat(
+        F.lit("<html><head><title>t</title></head><body>"
+              "<div class=\"nav\"><a href=\"/\">HomePage</a> | "
+              "<a href=\"/a\">AboutUs</a> | "
+              "<a href=\"/c\">ContactUs</a></div>"
+              "<p id=\"main\">"),
+        esc,
+        F.lit("</p><div class=\"footer\"><a href=\"/t\">Terms</a> | "
+              "<a href=\"/p\">Privacy</a> | copyright 2024"
+              "</div></body></html>"))
+    rec = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "WARC-Target-URI: page://"),
+        F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit(crlf + "Content-Length: "),
+        F.length(page).cast("string"),
+        F.lit(blank), page, F.lit(blank))
+    staged = docs.select(
+        "source", (F.col("doc_id") % n_batches).alias("b"),
+        F.struct("doc_id", rec.alias("r")).alias("s"))
+    for i in range(n_batches):
+        (staged.filter(F.col("b") == i)
+         .groupBy("source")
+         .agg(F.concat_ws("", F.transform(
+             F.array_sort(F.collect_list("s")), lambda x: x["r"]))
+             .alias("blob"))
+         .coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}"))
+    return src
+
+
+def _run_web_ingest(spark, src: str, tag: str, n_cells: int,
+                    timeout_sec: int = 3600,
+                    ckpt: str | None = None) -> str:
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_web_ingest,
+    )
+
+    schema = spark.read.parquet(f"{src}/f0").schema
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    corpus_dir = f"{WORK}/{tag}/corpus"
+    if ckpt is None:
+        ckpt = f"{WORK}/{tag}/ckpt_{int(time.time()*1e6)}"
+    q = streaming_web_ingest(stream, corpus_dir, ckpt, n_cells=n_cells)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError(f"{tag}: web ingest did not finish in "
+                           f"{timeout_sec}s")
+    return corpus_dir
+
+
 def _run_ingest(spark, src: str, tag: str, n_cells: int,
                 timeout_sec: int = 3600, ckpt: str | None = None,
                 quality_col: str | None = None) -> str:
@@ -95,13 +178,19 @@ def main() -> None:
         get_spark,
         shuffle_partitions_for_bytes,
     )
-    from pyspark_deduplication_spark.streaming.ops import _epoch_partitions
+    from pyspark_deduplication_spark.streaming.ops import (
+        _epoch_partitions,
+        compact_corpus_epochs,
+    )
 
     spark = get_spark("scale_stream")
     shutil.rmtree(WORK, ignore_errors=True)
     # KEEP_BEST=1: drive the quality-aware survivorship spelling —
-    # insert/drop/replace with epoch rewrites — instead of drop-only
-    keep_best = os.environ.get("KEEP_BEST", "") == "1"
+    # insert/drop/replace with epoch rewrites — instead of drop-only.
+    # WEB_INGEST=1: the streaming web capstone (WARC parse → extract →
+    # score → keep-best ingest); quality-aware by construction.
+    web = os.environ.get("WEB_INGEST", "") == "1"
+    keep_best = os.environ.get("KEEP_BEST", "") == "1" and not web
     quality_col = "quality" if keep_best else None
 
     rows = []
@@ -112,13 +201,21 @@ def main() -> None:
                 for t in ("documents.parquet", "embeddings.parquet")),
             target_partition_bytes=8 << 20, expansion=100.0)
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        src = _prep_sources(spark, d, tag, n_batches,
-                            with_quality=keep_best)
+        if web:
+            src = _prep_blob_sources(spark, d, tag, n_batches)
+        else:
+            src = _prep_sources(spark, d, tag, n_batches,
+                                with_quality=keep_best)
+
+        def _run(ckpt):
+            if web:
+                return _run_web_ingest(spark, src, tag, cells, ckpt=ckpt)
+            return _run_ingest(spark, src, tag, cells, ckpt=ckpt,
+                               quality_col=quality_col)
 
         ckpt = f"{WORK}/{tag}/ckpt_{int(time.time()*1e6)}"
         t0 = time.perf_counter()
-        corpus_dir = _run_ingest(spark, src, tag, cells, ckpt=ckpt,
-                                 quality_col=quality_col)
+        corpus_dir = _run(ckpt)
         elapsed = time.perf_counter() - t0
 
         n_corpus = spark.read.parquet(corpus_dir).count()
@@ -134,24 +231,40 @@ def main() -> None:
         shutil.rmtree(corpus_dir + "_sigs")
         extra = spark.read.parquet(f"{src}/f0").limit(50)
         extra.coalesce(1).write.mode("overwrite").parquet(f"{src}/f_extra")
-        _run_ingest(spark, src, tag, cells, ckpt=ckpt,
-                    quality_col=quality_col)
+        _run(ckpt)
         healed = _epoch_partitions(spark, corpus_dir + "_sigs")
         assert corpus_epochs <= healed, (
             f"{tag}: heal left index epochs {sorted(healed)} behind "
             f"pre-heal corpus epochs {sorted(corpus_epochs)}")
+
+        # compaction (untimed): fold all but the newest 2 epochs into
+        # one partition — content must be row-for-row preserved and
+        # the partition count bounded (VERDICT r12 advisory 2)
+        eps_before = len(_epoch_partitions(spark, corpus_dir))
+        n_before = spark.read.parquet(corpus_dir).count()
+        compact_corpus_epochs(spark, corpus_dir, keep_last=2)
+        eps_after = len(_epoch_partitions(spark, corpus_dir))
+        n_after = spark.read.parquet(corpus_dir).count()
+        assert n_after == n_before, (
+            f"{tag}: compaction changed row count "
+            f"{n_before} -> {n_after}")
+        assert eps_after <= 3, f"{tag}: {eps_after} epochs post-compact"
 
         rows.append({"fixture": tag, "dir": d, "n_cells": cells,
                      "shuffle_partitions": parts,
                      "n_batches": n_batches,
                      "corpus_rows": n_corpus,
                      "wall_sec": round(elapsed, 2),
-                     "heal_epochs_ok": True})
+                     "heal_epochs_ok": True,
+                     "epochs_before_compact": eps_before,
+                     "epochs_after_compact": eps_after,
+                     "compact_rows_ok": True})
         print(json.dumps(rows[-1]), flush=True)
 
     t_base, t_scaled = rows[0]["wall_sec"], rows[1]["wall_sec"]
     print(json.dumps({
-        "metric": ("streaming_keep_best_ingest_sf1_scaling"
+        "metric": ("streaming_web_ingest_sf1_scaling" if web else
+                   "streaming_keep_best_ingest_sf1_scaling"
                    if keep_best else
                    "streaming_fused_ingest_sf1_scaling"),
         "factor": factor,
