@@ -11920,8 +11920,11 @@ CATALOG: dict[str, Query] = {
     "warc_ingest_docs": Query(
         warc_ingest_docs, _WARC_INGEST_ORACLE,
         tags=["text", "pipeline", "source"]),
+    # bench=True (r13, VERDICT r12 item 4): the binary-safe parse is
+    # the production ingest path — per-round perf tracking alongside
+    # the capstone
     "warc_binary_ingest_docs": Query(
-        warc_binary_ingest_docs, _WARC_BINARY_INGEST_ORACLE,
+        warc_binary_ingest_docs, _WARC_BINARY_INGEST_ORACLE, bench=True,
         tags=["text", "pipeline", "source", "binary"]),
     # r13 (VERDICT r12 item 2): octet-space slicing on a BinaryType
     # blob, proven where char offsets provably mis-slice
@@ -11937,8 +11940,11 @@ CATALOG: dict[str, Query] = {
     "trained_language_id_char3_report": Query(
         trained_language_id_char3_report, _TRAINED_LANG_CHAR3_ORACLE,
         tags=["text", "model", "quality"]),
+    # bench=True (r13, VERDICT r12 item 4): the capstone is the
+    # production path — it joins the headline set for per-round
+    # perf tracking
     "web_ingest_pipeline_docs": Query(
-        web_ingest_pipeline_docs, _WEB_INGEST_PIPELINE_ORACLE,
+        web_ingest_pipeline_docs, _WEB_INGEST_PIPELINE_ORACLE, bench=True,
         tags=["text", "pipeline", "source", "quality"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
@@ -12457,68 +12463,71 @@ CATALOG: dict[str, Query] = {
 # tools/grade_window.py lists them). Rows-only entries stay after
 # position 50 so no graded slot records err:"no_oracle".
 _GRADED_ORDER = [
-    # (a) NEW this round (r12, never graded — highest rotation
-    # priority): binary WARC ingest (VERDICT r11 item 3),
-    # main-content extraction (item 4), trained language ID (item 5)
-    "warc_binary_ingest_docs",
-    "main_content_extraction_docs",
-    "trained_language_id_report",
-    "web_ingest_pipeline_docs",
-    # (b) changed-code canary: strip_html's whitespace class and the
-    # HTML oracle both changed this round (the NBSP fix, item 1) —
-    # the entry must re-grade green under the new kernel
+    # (a) NEW this round (r13, never graded): octet-space binary WARC
+    # ingest (VERDICT r12 item 2) and the char-trigram trained
+    # language ID (judge-verified green r12, driver grade now
+    # official — VERDICT r12 item 1)
+    "warc_octet_ingest_docs",
+    "trained_language_id_char3_report",
+    # (b) changed-code canaries: strip_html gained the numeric-charref
+    # decode and WS_RUN_RE's explicit ASCII class (items 3 + ADVICE),
+    # warc_records_sliced gained the truncated-record guard, and the
+    # language-ID synthesis gained the NULL-text coalesce — every
+    # graded entry over those kernels re-grades under the new code
     "html_text_extraction_docs",
-    # (c) the ENTIRE 30-entry r8 stale queue (VERDICT r11 item 2) —
+    "main_content_extraction_docs",
+    "web_ingest_pipeline_docs",
+    "warc_binary_ingest_docs",
+    "trained_language_id_report",
+    # (c) the ENTIRE 34-entry r9 stale queue (VERDICT r12 item 1) —
     # after this window no oracle-backed entry's last grade is older
-    # than r9; these 30 double as the in-window stale canaries
-    # (target ≥10, have 46 with section d)
-    "events_retention_cohorts",
-    "events_sliding_windows",
-    "faithful_fuzzy_join_lev",
-    "fused_dedup_docs",
-    "hyperplane_ann_recall_report",
-    "incremental_dedup_docs",
-    "incremental_fused_dedup_docs_exact",
-    "jaccard_near_dup_docs",
-    "knn_bruteforce",
-    "levenshtein_links_customers",
-    "lsh_recall_report_md5",
-    "nation_revenue_share",
-    "overlap_near_dup_docs",
-    "q10_returned_items",
-    "q11_important_part_values",
-    "q15_top_supplier_per_year",
-    "q16_supplier_part_counts",
-    "q1_pricing_summary",
-    "q20_heavy_shippers",
-    "q2_min_cost_supplier",
-    "q4_order_priority_exists",
-    "q7_nation_trade_volume",
-    "q9_nation_year_revenue",
-    "range_join_value_bands",
-    "streaming_dedup_events",
-    "streaming_join_purchases_errors",
-    "streaming_sliding_windows",
-    "strip_boilerplate_docs",
-    "unigram_encode_seeded_docs",
-    "unigram_seed_pieces",
-    # (d) the r9 frontier, alphabetical head — 15 of 35; the tail
-    # (doc_unigram_logprob … yearly_revenue_growth) queues for r13
-    "asof_purchases_to_errors",
-    "bpe_first_merge_pairs",
-    "corpus_mixture_plan",
-    "corpus_mixture_waterfill",
-    "cross_source_dup_matrix",
-    "cross_table_entity_match",
-    "customer_balance_ranks",
-    "daily_revenue_trailing_week",
-    "dedup_exact_parts",
-    "dedup_full_row",
-    "doc_chunks",
-    "doc_dup_span_fraction",
-    "doc_fingerprint_dedup",
-    "doc_tfidf_top_terms",
-    "doc_token_stats",
+    # than r10; these 34 double as the in-window stale canaries
+    # (target ≥10)
+    "doc_unigram_logprob",
+    "domain_capped_corpus",
+    "dq_orders_report",
+    "duplicate_pressure_by_source",
+    "epoch_shuffle_docs",
+    "events_sessionize",
+    "fused_dedup_docs_weighted",
+    "fuzzy_clusters_parts",
+    "fuzzy_pairs_blocked_parts",
+    "gram_heavy_hitters_cms_checked",
+    "incremental_weighted_minhash_docs_exact",
+    "levenshtein_links_parts",
+    "lineitem_price_quantiles",
+    "lineitem_running_totals",
+    "media_dedup_by_content",
+    "ntile_customer_value",
+    "order_value_stats",
+    "pack_training_sequences",
+    "pii_redaction_report",
+    "pretoken_budget_by_segment",
+    "q21_late_sole_suppliers",
+    "quality_filter_docs",
+    "quality_weighted_sample",
+    "scd2_user_state_intervals",
+    "session_conversion_stats",
+    "set_ops_customer_segments",
+    "similarity_graph_degrees",
+    "source_capped_corpus",
+    "stratified_sample_docs",
+    "top_word_trigrams",
+    "union_evolved_schemas",
+    "unpivot_part_metrics",
+    "winnow_near_dup_docs",
+    "yearly_revenue_growth",
+    # (d) the r10 frontier, alphabetical head — 9 of 47; retiring part
+    # of the r14 stale queue a round early (the r9 precedent)
+    "asof_forward_tolerance",
+    "chunk_retrieval_eval",
+    "corpus_health_by_source",
+    "corpus_mixture_execute",
+    "curation_pipeline_docs",
+    "customer_rfm_segments",
+    "decontaminate_against_src0",
+    "doc_bigram_perplexity",
+    "doc_hashed_quality_score",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50
