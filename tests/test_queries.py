@@ -1033,14 +1033,26 @@ def test_unicode_lower_divergence_codepoints_pinned(spark):
     d_lower = {c: con.execute("select lower(?)", [c]).fetchone()[0]
                for c in chars}
     diverged = sorted(c for c in chars if s_lower[c] != d_lower[c])
-    # The pinned contract: dotted capital İ (U+0130) is the ONLY BMP
-    # letter the two engines lowercase differently on this stack —
-    # the JVM emits i + COMBINING DOT ABOVE (the Unicode full
-    # mapping), utf8proc emits bare 'i' (simple mapping). Final sigma
-    # (Σ→ς) is CONTEXTUAL in both engines' simple mappings (Σ lowers
-    # to σ unconditionally) so it does NOT diverge codepoint-wise.
-    assert diverged == ["İ"], [hex(ord(c)) for c in diverged]
+    # The pinned contract — two divergence classes, 9 codepoints:
+    # 1. MAPPING SEMANTICS: dotted capital İ (U+0130) — the JVM
+    #    applies the Unicode FULL mapping (i + COMBINING DOT ABOVE),
+    #    utf8proc the SIMPLE mapping (bare 'i'). Final sigma (Σ→ς)
+    #    is contextual in both engines' simple mappings (Σ lowers to
+    #    σ unconditionally) so it does NOT diverge codepoint-wise.
+    # 2. UNICODE VERSION SKEW: eight capitals added in Unicode
+    #    12-14 (Glagolitic caudate chrivi + seven Latin Extended-D
+    #    letters: Old Polish O, D/S with short stroke overlay,
+    #    closed insular G, Middle Scots S, sigmoid S, reversed half
+    #    H) — the JVM's casing tables know them, this DuckDB
+    #    build's utf8proc predates them and returns them UNCHANGED.
+    assert [ord(c) for c in diverged] == [
+        0x0130, 0x2C2F, 0xA7C0, 0xA7C7, 0xA7C9,
+        0xA7D0, 0xA7D6, 0xA7D8, 0xA7F5,
+    ], [hex(ord(c)) for c in diverged]
     assert s_lower["İ"] == "i̇" and d_lower["İ"] == "i"
+    for c in diverged[1:]:
+        # skew class: JVM lowers, utf8proc passes through
+        assert d_lower[c] == c and s_lower[c] != c, hex(ord(c))
 
 
 def test_main_content_extraction_semantics(spark):
