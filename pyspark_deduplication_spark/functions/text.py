@@ -619,6 +619,31 @@ def warc_records_sliced_binary(col: Column | str,
     return slice_records(_as_col(col))
 
 
+def gzip_member_blob(recs: Column | str) -> Column:
+    """Compress an ``array<string>`` of records into a multi-member
+    gzip blob — one member per element, the CommonCrawl ``.warc.gz``
+    layout. Synthesis scaffolding for gzip fixtures
+    (``queries.warc_gzip_ingest_docs``): gzip bytes are not
+    expressible natively in either engine, and the graded path is
+    always the PARSE (``warc_records_sliced_binary(gzip_members=
+    True)``), never this writer. gzip header bytes (mtime, os) vary
+    per invocation; the inflated payload is invariant under them."""
+    @F.pandas_udf("binary")
+    def _compress(arrs: pd.Series) -> pd.Series:
+        import gzip as _gzip
+
+        out = []
+        for arr in arrs:
+            if arr is None:
+                out.append(None)
+                continue
+            out.append(b"".join(_gzip.compress(r.encode("utf-8"))
+                                for r in arr))
+        return pd.Series(out)
+
+    return _compress(_as_col(recs))
+
+
 def warc_header_of(headers: Column, name: str) -> Column:
     """Value of a named WARC header from a record's header block
     (empty string when absent). Java∩RE2 regex."""

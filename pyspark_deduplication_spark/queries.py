@@ -36,6 +36,7 @@ from pyspark_deduplication_spark.functions.text import (
     doc_fingerprint,
     entity_decode_sql,
     extract_main_content,
+    gzip_member_blob,
     normalize_text,
     pii_counts,
     quality_features,
@@ -4724,6 +4725,98 @@ WITH hostile AS (
          || chr(13)||chr(10)||chr(13)||chr(10)
          || 'WARC/1.0' || chr(13)||chr(10)
          || text || ' — fin…»' || chr(13)||chr(10) AS h
+  FROM documents
+)
+SELECT doc_id,
+       'response' AS warc_type,
+       1 AS content_length_ok,
+       CAST(octet_length(encode(h)) AS BIGINT) AS payload_octets,
+       CAST(octet_length(encode(h)) - len(h) AS BIGINT)
+         AS octets_minus_chars,
+       md5(h) AS payload_md5
+FROM hostile
+"""
+
+
+def warc_gzip_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-member ``.warc.gz`` ingest — the CommonCrawl ON-DISK
+    layout (one gzip member per record), parsed by
+    ``warc_records_sliced_binary(gzip_members=True)``: member-by-
+    member inflation via ``zlib.decompressobj`` chained into the
+    octet cursor scan. Payloads carry the full adversarial battery
+    (multi-byte UTF-8 + embedded blank line + fake version line +
+    trailing CRLF), so neither the char kernel nor a sentinel search
+    could recover them even AFTER inflation.
+
+    The synthesis compresses each record with a Python ``gzip``
+    pandas_udf — compression is test scaffolding (gzip bytes are not
+    expressible natively in either engine); the PARSE is the graded
+    path. The oracle never gunzips: like ``warc_octet_ingest_docs``
+    it derives each record's octet count, char surplus, and payload
+    md5 from the synthesis ground truth, so one wrong inflated byte
+    anywhere flips the hash gate. gzip mtime/os header bytes vary
+    per run but never reach the output — payload bytes are
+    invariant under them.
+
+    Scale shape: synthesis groupBy per source; parse is map-only
+    (inflate + cursor scan per blob, one task per ``.warc.gz`` file
+    exactly as CommonCrawl ships them), one explode, no join back."""
+    docs = _t(spark, sf_dir, "documents")
+    crlf, blank = "\r\n", "\r\n\r\n"
+    hostile = F.concat(
+        F.lit("gz«"), F.substring("text", 1, 8),
+        F.lit(blank + "WARC/1.0" + crlf),
+        F.col("text"), F.lit(" …»" + crlf))
+    rec = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "WARC-Target-URI: doc://"),
+        F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit(crlf + "Content-Length: "),
+        F.octet_length(hostile).cast("string"),
+        F.lit(blank), hostile, F.lit(blank))
+
+    blobs = (
+        docs.select("source", F.struct("doc_id", rec.alias("r")).alias("s"))
+        .groupBy("source")
+        .agg(gzip_member_blob(F.transform(
+            F.array_sort(F.collect_list("s")), lambda x: x["r"]))
+            .alias("blob"))
+    )
+    parsed = (
+        blobs.select(F.explode(
+            warc_records_sliced_binary(F.col("blob"), gzip_members=True))
+            .alias("r"))
+        .select(
+            F.regexp_extract(
+                warc_header_of(F.col("r.headers"), "WARC-Target-URI"),
+                r"doc://[^/]+/([0-9]+)", 1).cast("long").alias("doc_id"),
+            warc_header_of(F.col("r.headers"), "WARC-Type")
+            .alias("warc_type"),
+            warc_header_of(F.col("r.headers"), "Content-Length")
+            .cast("long").alias("__clen"),
+            F.col("r.payload").alias("__p"))
+    )
+    return parsed.select(
+        "doc_id", "warc_type",
+        (F.col("__clen") == F.length("__p")).cast("int")
+        .alias("content_length_ok"),
+        F.length("__p").cast("long").alias("payload_octets"),
+        (F.length("__p") - F.length(F.decode(F.col("__p"), "UTF-8")))
+        .cast("long").alias("octets_minus_chars"),
+        F.md5("__p").alias("payload_md5"),
+    )
+
+
+# Ground truth from the synthesis (the warc_octet_ingest_docs
+# precedent): DuckDB cannot gunzip, and does not need to — the graded
+# values are pure functions of the hostile payload string.
+_WARC_GZIP_INGEST_ORACLE = """
+WITH hostile AS (
+  SELECT doc_id,
+         'gz«' || substr(text, 1, 8)
+         || chr(13)||chr(10)||chr(13)||chr(10)
+         || 'WARC/1.0' || chr(13)||chr(10)
+         || text || ' …»' || chr(13)||chr(10) AS h
   FROM documents
 )
 SELECT doc_id,
@@ -11931,6 +12024,11 @@ CATALOG: dict[str, Query] = {
     "warc_octet_ingest_docs": Query(
         warc_octet_ingest_docs, _WARC_OCTET_INGEST_ORACLE,
         tags=["text", "pipeline", "source", "binary"]),
+    # r13: the .warc.gz layout — member-per-record inflation chained
+    # into the octet scan; oracle derives ground truth, never gunzips
+    "warc_gzip_ingest_docs": Query(
+        warc_gzip_ingest_docs, _WARC_GZIP_INGEST_ORACLE,
+        tags=["text", "pipeline", "source", "binary"]),
     "main_content_extraction_docs": Query(
         main_content_extraction_docs, _MAIN_CONTENT_ORACLE,
         tags=["text", "pipeline", "quality"]),
@@ -12468,6 +12566,7 @@ _GRADED_ORDER = [
     # language ID (judge-verified green r12, driver grade now
     # official — VERDICT r12 item 1)
     "warc_octet_ingest_docs",
+    "warc_gzip_ingest_docs",
     "trained_language_id_char3_report",
     # (b) changed-code canaries: strip_html gained the numeric-charref
     # decode and WS_RUN_RE's explicit ASCII class (items 3 + ADVICE),
@@ -12517,7 +12616,7 @@ _GRADED_ORDER = [
     "unpivot_part_metrics",
     "winnow_near_dup_docs",
     "yearly_revenue_growth",
-    # (d) the r10 frontier, alphabetical head — 9 of 47; retiring part
+    # (d) the r10 frontier, alphabetical head — 8 of 47; retiring part
     # of the r14 stale queue a round early (the r9 precedent)
     "asof_forward_tolerance",
     "chunk_retrieval_eval",
@@ -12527,7 +12626,6 @@ _GRADED_ORDER = [
     "customer_rfm_segments",
     "decontaminate_against_src0",
     "doc_bigram_perplexity",
-    "doc_hashed_quality_score",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

@@ -78,6 +78,7 @@ NOTES = {
     "trained_language_id_report": "training = two hash aggregations over exploded tokens (map-side combinable, no driver state); inference = one (doc,bucket) agg + BROADCAST of the <=1280-row model + broadcast penalty cross; 2^-20 dyadic weight grid keeps scores order-independent; corpus never shuffles for the model",
     "main_content_extraction_docs": "block split + per-block higher-order density/length gates + strip chain, all map-only regexp/HOF projection — zero shuffle, zero join; the page synthesis is fixture machinery (production runs the extractor on WARC-sliced payloads)",
     "warc_binary_ingest_docs": "Content-Length cursor scan as an Arrow pandas_udf per blob (sequential by nature; the native fold spelling measured O(records^2) — see BASELINE sf1 r12) — map-only, one explode, one join back; one blob = one task matches the CommonCrawl per-file layout; adversarial payloads (embedded blank lines / fake version lines / trailing CRLF) round-trip byte-exactly",
+    "warc_gzip_ingest_docs": "the .warc.gz layout (r13): member-per-record zlib inflation chained into the octet cursor scan, one task per gzip blob — the exact CommonCrawl on-disk shape; synthesis compression is a scaffolding pandas_udf, the graded path is the parse; oracle derives ground truth without gunzipping",
     "warc_octet_ingest_docs": "the OCTET-space twin (r13): the identical cursor scan over a BinaryType blob, where offset arithmetic is octet arithmetic by construction — multi-byte UTF-8 payloads that would mis-slice under char offsets round-trip byte-exactly; map-only parse, one explode, NO join back (every graded column, incl. the md5-of-payload-bytes gate, comes from the parsed record itself)",
 }
 
