@@ -1211,7 +1211,8 @@ def test_compact_corpus_epochs_preserves_content_and_probes(
                   .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
         q = streaming_fused_ingest(
             stream, corpus_dir, ckpt,
-            jaccard_threshold=0.7, cosine_threshold=0.999, n_cells=2)
+            jaccard_threshold=0.7, cosine_threshold=0.999, n_cells=2,
+            weighted_threshold=0.5)  # arm _wsigs: all 3 re-derives
         q.awaitTermination(240)
 
     run()
@@ -1227,7 +1228,7 @@ def test_compact_corpus_epochs_preserves_content_and_probes(
             .collect()} == {2, 3, 4}
     parts = [d for d in os.listdir(corpus_dir) if d.startswith("epoch=")]
     assert sorted(parts) == ["epoch=2", "epoch=3", "epoch=4"]
-    for suffix in ("_sigs", "_index"):
+    for suffix in ("_sigs", "_index", "_wsigs"):
         idx = spark.read.parquet(corpus_dir + suffix)
         assert sorted(r.doc_id for r in idx.select("doc_id")
                       .distinct().collect()) == [0, 1, 2, 3, 4], suffix
