@@ -123,17 +123,33 @@ def main() -> None:
 
 
 def _baselines() -> dict[str, float]:
-    """Per-query baseline seconds parsed from BASELINE.md's
-    ``| name | sec | notes |`` table rows (non-numeric and non-catalog
-    rows skipped). Missing file → empty dict → no retries."""
+    """Per-query baseline seconds parsed from BASELINE.md. ONLY rows
+    of ``| query | sec | notes |`` tables count — the sf1 scaling
+    tables (``| query | sf0.1 s | sf1 s | ratio | exponent |``) share
+    the ``| name | number |`` row shape and must not overwrite the
+    warm-median baselines (their column 2 is a different quantity).
+    A query re-recorded in a later ``sec`` table wins (the r8
+    re-record precedent). Missing file → empty dict → no retries."""
     import re
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE.md")
     out: dict[str, float] = {}
+    in_sec_table = False
     try:
         with open(path, encoding="utf-8") as f:
             for line in f:
+                if line.startswith("|"):
+                    cols = [c.strip() for c in line.strip().strip("|")
+                            .split("|")]
+                    if len(cols) >= 2 and cols[1] in ("sec", "s"):
+                        in_sec_table = True
+                        continue
+                else:
+                    in_sec_table = False
+                    continue
+                if not in_sec_table:
+                    continue
                 m = re.match(
                     r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|",
                     line)
