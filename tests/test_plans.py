@@ -794,3 +794,34 @@ def test_cell_assignment_infers_no_scan_level_argmax_filter(spark, sf_dir):
                  if ln.lstrip().startswith("Condition :")
                  and "array_max" in ln]
     assert not offending, offending[0][:160]
+
+
+def test_warc_octet_parse_is_map_only_no_join(spark, sf_dir):
+    """Plan pins for the r13 binary WARC entries: the graded columns
+    come from the parsed record itself, so the plan must contain NO
+    join node at all (the ONE r12-era join-back is gone), exactly one
+    exchange (the per-source synthesis groupBy), and exactly one
+    ArrowEvalPython (the cursor-scan kernel — the one documented
+    Python stage; everything around it stays native)."""
+    from pyspark_deduplication_spark.queries import (
+        warc_gzip_ingest_docs,
+        warc_octet_ingest_docs,
+    )
+
+    import re
+
+    for fn in (warc_octet_ingest_docs, warc_gzip_ingest_docs):
+        plan = explain_str(fn(spark, sf_dir))
+
+        def nodes(name: str) -> set[str]:
+            # formatted explain prints each node in the tree AND the
+            # detail section — count unique node ids, not mentions
+            return set(re.findall(rf"\((\d+)\) {name}\b", plan))
+
+        assert not nodes("[A-Za-z]*Join"), fn.__name__
+        assert len(nodes("Exchange")) <= 1, fn.__name__  # synthesis agg
+        n_arrow = len(nodes("ArrowEvalPython"))
+        # octet entry: 1 (the scan); gzip entry: 2 (compress + scan)
+        assert 1 <= n_arrow <= 2, (fn.__name__, n_arrow)
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
