@@ -1122,11 +1122,12 @@ def compact_corpus_epochs(
     cell index / weighted sigs) re-derives the merged epoch's entries
     from the merged rows — the same pure-function-of-the-rows
     derivation the ingest's heal contract uses, so a crash anywhere
-    in the window converges on the next batch: corpus writes first
-    (a crash after it shows the same id in the merged and a stale
-    partition — identical rows, removed by the stale deletes on
-    re-run), indexes re-derive after (a lagging index is exactly the
-    ghost/heal window the ingest already detects and re-derives).
+    in the window converges on the next run: corpus writes first (a
+    crash after it shows the same id in the merged and a stale
+    partition — the merge id-dedups, so a re-run collapses the pair
+    back to one row before its stale deletes land), indexes
+    re-derive after (a lagging index is exactly the ghost/heal
+    window the ingest already detects and re-derives).
 
     Driver state is the epoch-id list only (bounded); the data moves
     as one distributed read + one write per artifact. Run it from the
@@ -1156,6 +1157,13 @@ def compact_corpus_epochs(
         spark.read.parquet(base)
         .where(F.col("epoch").isin(old))
         .drop("epoch")
+        # id-dedup makes the crash window CONVERGE rather than merely
+        # tolerate: a crash between the merged write and the stale
+        # deletes leaves the same row in epoch=target AND a stale
+        # partition — a plain re-run would fold both copies into the
+        # merged partition forever. Same id ⇒ same row here (rows are
+        # only ever re-labelled), so keep-any is exact.
+        .dropDuplicates([id_col])
         .localCheckpoint(eager=True)  # breaks lineage: we overwrite base
     )
     (merged.withColumn("epoch", F.lit(target))

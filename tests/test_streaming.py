@@ -1251,6 +1251,26 @@ def test_compact_corpus_epochs_preserves_content_and_probes(
     assert {r.doc_id for r in
             spark.read.parquet(corpus_dir).collect()} == final
 
+    # crash-window convergence: a crash between the merged write and
+    # the stale deletes leaves the same rows in the merged partition
+    # AND a stale one — simulate by resurrecting a stale partition as
+    # a full copy of the merged one, then re-run. The merge id-dedups,
+    # so the re-run must collapse the pair: no duplicate ids, content
+    # unchanged, stale partition gone again.
+    import shutil
+
+    merged_ep = stats2["into"]
+    shutil.copytree(f"{corpus_dir}/epoch={merged_ep}",
+                    f"{corpus_dir}/epoch={merged_ep - 1}")
+    dup_ids = (spark.read.parquet(corpus_dir)
+               .groupBy("doc_id").count().filter("count > 1").count())
+    assert dup_ids > 0  # the crash shape is real before the re-run
+    stats3 = compact_corpus_epochs(spark, corpus_dir, keep_last=2)
+    assert stats3 is not None and stats3["into"] == merged_ep
+    rows = spark.read.parquet(corpus_dir).collect()
+    assert {r.doc_id for r in rows} == final and len(rows) == len(final)
+    assert not os.path.exists(f"{corpus_dir}/epoch={merged_ep - 1}")
+
 
 def test_streaming_web_ingest_end_to_end(spark, tmp_path):
     """The streaming web capstone: raw WARC blobs stream in, pages
