@@ -1037,6 +1037,8 @@ def streaming_web_ingest(
     n_cells: int = 16,
     max_bucket_size: int | None = 4096,
     max_cell_size: int | None = 4096,
+    binary_blobs: bool = False,
+    gzip_members: bool = False,
 ):
     """The streaming spelling of the web-ingest capstone
     (``queries.web_ingest_pipeline_docs``): a stream of raw WARC blobs
@@ -1058,23 +1060,41 @@ def streaming_web_ingest(
     arrive as new rows and survive or replace on quality like any
     other near-dup. The hashed-BoW vectors stand in for learned
     embeddings (fresh crawl text has none yet); swap a real embedder
-    into ``vec_col`` upstream when one exists."""
+    into ``vec_col`` upstream when one exists.
+
+    ``binary_blobs=True`` reads the blob column as BINARY through the
+    octet-exact kernel (``warc_records_sliced_binary`` — required for
+    any non-ASCII page, where char offsets mis-slice Content-Length),
+    and ``gzip_members=True`` additionally inflates the multi-member
+    ``.warc.gz`` layout first — i.e. raw CommonCrawl files stream
+    straight into the keep-best corpus. Pages decode UTF-8 (replace
+    on garbage) before extraction."""
     from pyspark_deduplication_spark.functions.text import (
         extract_main_content,
         quality_features,
         warc_header_of,
         warc_records_sliced,
+        warc_records_sliced_binary,
     )
     from pyspark_deduplication_spark.functions.vectors import (
         hashed_bow_embedding,
     )
 
-    rec = F.explode(warc_records_sliced(F.col(blob_col))).alias("r")
+    if gzip_members and not binary_blobs:
+        raise ValueError("gzip_members requires binary_blobs=True "
+                         "(a gzip blob is bytes by definition)")
+    if binary_blobs:
+        rec = F.explode(warc_records_sliced_binary(
+            F.col(blob_col), gzip_members=gzip_members)).alias("r")
+        page = F.decode(F.col("r.payload"), "UTF-8")
+    else:
+        rec = F.explode(warc_records_sliced(F.col(blob_col))).alias("r")
+        page = F.col("r.payload")
     staged = (
         blob_stream.select(rec)
         .select(warc_header_of(F.col("r.headers"), "WARC-Target-URI")
                 .alias("uri"),
-                F.col("r.payload").alias("__page"))
+                page.alias("__page"))
         .filter(F.col("uri") != "")
         .withColumn("doc_id", F.xxhash64(F.col("uri")))
         .withColumn("text", extract_main_content(F.col("__page")))
