@@ -93,17 +93,20 @@ def main() -> None:
         per_query[name] = round(statistics.median(
             [_timed(name) for _ in range(runs)]), 3)
 
-    # One automatic retry for rows reading >2× their BASELINE.md value
-    # (min of the two samples — the same exoneration the judge's warm
-    # re-measure performs; a genuine plan regression reproduces, pure
-    # in-set position/GC noise does not). Retries run AFTER the full
+    # One automatic retry for rows reading >1.5× their BASELINE.md
+    # value (min of the two samples — the same exoneration the judge's
+    # warm re-measure performs; a genuine plan regression reproduces,
+    # pure in-set position/GC noise does not). 1.5×, not 2× (VERDICT
+    # r13 item 6): the false alarms that motivated the retry read
+    # 2-4×, but r13's only elevated row sat at 1.47× — exactly the
+    # band a 2× trigger never catches. Retries run AFTER the full
     # pass so the re-sample sees steady-state block-manager pressure.
     retried: list[str] = []
     if os.environ.get("BENCH_RETRY", "1") != "0":
         baselines = _baselines()
         for name, sec in list(per_query.items()):
             base = baselines.get(name)
-            if base and sec > 2.0 * base:
+            if base and sec > 1.5 * base:
                 retried.append(name)
                 per_query[name] = round(min(sec, _timed(name)), 3)
 
@@ -142,8 +145,14 @@ def _baselines() -> dict[str, float]:
                 if line.startswith("|"):
                     cols = [c.strip() for c in line.strip().strip("|")
                             .split("|")]
-                    if len(cols) >= 2 and cols[1] in ("sec", "s"):
-                        in_sec_table = True
+                    if len(cols) >= 2 and cols[1] and not re.match(
+                            r"^(?:[0-9.]+|:?-+:?)$", cols[1]):
+                        # any table HEADER row switches context —
+                        # 'sec'/'s' arms ingestion, anything else
+                        # DISARMS it (ADVICE r13: a scaling table
+                        # abutting a sec table with no prose line
+                        # between must not be ingested as baselines)
+                        in_sec_table = cols[1] in ("sec", "s")
                         continue
                 else:
                     in_sec_table = False

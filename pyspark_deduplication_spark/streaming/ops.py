@@ -923,7 +923,13 @@ def streaming_fused_ingest(
                               "new_id", "left_semi")
                     .select("corpus_id", "__cep").distinct()
                     .localCheckpoint(eager=True))
-                ghosts = (m.filter(F.col("__cq").isNull())
+                # ghost = matched corpus_id with NO corpus row — the
+                # LIVENESS marker is null, not the quality (ADVICE
+                # r13): a live row with NULL quality has __clive=True
+                # and __cq null; filtering on __cq would re-schedule
+                # the full epoch heal on every batch that matches it,
+                # forever, since the live row never goes away.
+                ghosts = (m.filter(F.col("__clive").isNull())
                           .select("corpus_id").distinct())
                 ghost_eps: set[int] = set()
                 if len(ghosts.take(1)) > 0:
@@ -1067,9 +1073,13 @@ def streaming_web_ingest(
     any non-ASCII page, where char offsets mis-slice Content-Length),
     and ``gzip_members=True`` additionally inflates the multi-member
     ``.warc.gz`` layout first — i.e. raw CommonCrawl files stream
-    straight into the keep-best corpus. Pages decode UTF-8 (replace
-    on garbage) before extraction."""
+    straight into the keep-best corpus. Pages decode through
+    ``decode_web_text`` — BOM / ``<meta charset>`` sniffing, legacy
+    charsets (windows-1252 et al.) transcoded, ``errors='replace'``
+    throughout — so a binary or garbage payload yields U+FFFDs, never
+    a crashed micro-batch (ADVICE r13)."""
     from pyspark_deduplication_spark.functions.text import (
+        decode_web_text,
         extract_main_content,
         quality_features,
         warc_header_of,
@@ -1086,7 +1096,11 @@ def streaming_web_ingest(
     if binary_blobs:
         rec = F.explode(warc_records_sliced_binary(
             F.col(blob_col), gzip_members=gzip_members)).alias("r")
-        page = F.decode(F.col("r.payload"), "UTF-8")
+        # charset-sniffing replace-decode (ADVICE r13 high): Spark 4's
+        # F.decode(…, 'UTF-8') RAISES on invalid bytes — one binary or
+        # legacy-encoded payload (routine in real .warc.gz) would
+        # crash the micro-batch and the stream would replay it forever
+        page = decode_web_text(F.col("r.payload"))
     else:
         rec = F.explode(warc_records_sliced(F.col(blob_col))).alias("r")
         page = F.col("r.payload")

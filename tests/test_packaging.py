@@ -65,8 +65,12 @@ def test_bench_baseline_parser_reads_headline_rows():
     """bench.py's auto-retry (VERDICT r12 item 8) keys off per-query
     baselines parsed from BASELINE.md's table rows — pin that the
     parser finds the headline rows (old and round-13 additions),
-    keeps the FIRST occurrence semantics stable for re-recorded rows,
-    and skips prose/non-numeric table lines."""
+    applies LATER-record-wins semantics for re-recorded rows (the r8
+    re-record precedent — a query re-measured in a later ``sec``
+    table supersedes the stale number), skips prose/non-numeric
+    table lines, and (ADVICE r13) is not fooled by a scaling table
+    placed immediately after a ``sec`` table with no prose between —
+    the header row itself disarms ingestion."""
     import importlib
     import sys
 
@@ -76,5 +80,42 @@ def test_bench_baseline_parser_reads_headline_rows():
     assert b["q1_pricing_summary"] == 1.7
     assert b["web_ingest_pipeline_docs"] == 4.3
     assert b["warc_binary_ingest_docs"] == 0.6
+    # VERDICT r13 item 6: the most expensive bench row now has a
+    # machine-readable baseline (was prose-only, excluded from retry)
+    assert b["opq_distortion_report"] == 11.0
+    # sf1 scaling-table rows must never leak in as baselines
+    assert "warc_octet_ingest_docs" not in b
     assert "total" not in b  # bold-total row is not a query
     assert all(isinstance(v, float) and v > 0 for v in b.values())
+
+
+def test_bench_baseline_parser_scaling_table_abutting_sec_table(
+        tmp_path):
+    """ADVICE r13 low: a scaling table placed DIRECTLY after a sec
+    table (no prose line between) must not have its sf rows ingested
+    as warm baselines — the scaling header row itself disarms
+    ingestion. Also pins later-record-wins for re-recorded rows."""
+    import importlib.util
+    import shutil
+
+    shutil.copy("/root/repo/bench.py", tmp_path / "bench.py")
+    (tmp_path / "BASELINE.md").write_text(
+        "| query | sec | notes |\n"
+        "|---|---|---|\n"
+        "| alpha_q | 2.0 | first record |\n"
+        "| query | sf0.1 s | sf1 s | ratio | exponent |\n"
+        "|---|---|---|---|---|\n"
+        "| scaled_q | 9.9 | 99.0 | 10.0 | 1.0 |\n"
+        "| alpha_q | 7.7 | 77.0 | 10.0 | 1.0 |\n"
+        "\n"
+        "prose between tables.\n"
+        "\n"
+        "| query | sec | notes |\n"
+        "|---|---|---|\n"
+        "| alpha_q | 3.0 | later re-record wins |\n")
+    spec = importlib.util.spec_from_file_location(
+        "bench_tmp", tmp_path / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    b = mod._baselines()
+    assert b == {"alpha_q": 3.0}, b

@@ -1340,3 +1340,108 @@ def test_unicode_normalize_keeps_every_script(spark):
     # and the ASCII kernel really does lose the non-Latin scripts —
     # the reason the unicode twin exists
     assert rows[1].a == "" and rows[2].a == ""
+
+
+def test_http_split_message_semantics(spark):
+    """HTTP message framing (VERDICT r13 item 3) on hand-built
+    payloads: status line / headers / body split at the first
+    CRLF CRLF scanned on BYTES (a multi-byte body cannot shift the
+    boundary), LF LF tolerated, header bytes decode latin-1
+    losslessly, non-HTTP payloads degrade to (''/''/whole-payload),
+    and the case-insensitive http_header_of reads real-world header
+    spellings."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        http_header_of,
+        http_split_message,
+    )
+
+    body_utf8 = "café — body with \r\n\r\n inside …".encode("utf-8")
+    full = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            b"X-Crawler: cc\r\n\r\n" + body_utf8)
+    lflf = (b"HTTP/1.0 301 Moved\nlocation: http://x/\n\n"
+            b"moved")
+    # latin-1 header byte 0xE9 (é) — must decode losslessly, not raise
+    lat = (b"HTTP/1.1 200 OK\r\nX-Note: caf\xe9\r\n\r\nok")
+    bare = b"<html>no http head</html>"
+    trunc = b"HTTP/1.1 200 OK\r\nContent-Type: text"  # no blank line
+    cases = [(0, full), (1, lflf), (2, lat), (3, bare), (4, trunc),
+             (5, None)]
+    df = spark.createDataFrame(cases, "i long, p binary")
+    rows = {r.i: r for r in df.select(
+        "i", http_split_message("p").alias("m")).select(
+        "i", "m.status_line", "m.headers", "m.body",
+        http_header_of(F.col("m.headers"), "Content-Type")
+        .alias("ct"),
+        http_header_of(F.col("m.headers"), "Location").alias("loc"),
+    ).collect()}
+    assert rows[0].status_line == "HTTP/1.1 200 OK"
+    assert bytes(rows[0].body) == body_utf8
+    assert rows[0].ct == "text/html; charset=utf-8"
+    assert rows[1].status_line == "HTTP/1.0 301 Moved"
+    assert bytes(rows[1].body) == b"moved"
+    assert rows[1].loc == "http://x/"  # case-insensitive match
+    assert rows[2].headers == "X-Note: caf\xe9"
+    assert bytes(rows[2].body) == b"ok"
+    # non-HTTP and truncated-head payloads: whole payload as body
+    for i, raw in [(3, bare), (4, trunc)]:
+        assert rows[i].status_line == "" and rows[i].headers == ""
+        assert bytes(rows[i].body) == raw
+    assert rows[5].status_line is None and rows[5].body is None
+
+
+def test_decode_web_text_charset_resolution(spark):
+    """Charset-sniffing replace-decode (ADVICE r13 high + VERDICT r13
+    item 4): BOM > Content-Type charset > <meta charset> > UTF-8
+    default; windows-1252 transcodes (where UTF-8-replace provably
+    garbles); WHATWG latin-1->cp1252 override; unknown labels fall
+    back; pure binary garbage yields U+FFFDs, never an exception."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        decode_web_text,
+        encode_text_bytes,
+    )
+
+    smart = "“smart” — €99 café"
+    cp = smart.encode("windows-1252")
+    assert cp.decode("utf-8", "replace") != smart  # would garble
+    cases = [
+        (0, b"\xef\xbb\xbfplain utf8 bom", None),
+        (1, cp, "text/html; charset=windows-1252"),
+        (2, b"<html><meta charset=windows-1252><body>" + cp, None),
+        (3, ("<meta http-equiv=\"Content-Type\" content=\"text/html; "
+             "charset=ISO-8859-1\">").encode() + cp, None),
+        (4, cp, "text/html; charset=not-a-real-charset"),
+        (5, b"\xff\x00\xfe binary junk", None),
+        (6, "utf8 by default — café".encode(), "text/html"),
+        (7, None, None),
+        (8, "﻿utf16 le".encode("utf-16-le"), None),
+    ]
+    df = spark.createDataFrame(cases, "i long, p binary, ct string")
+    rows = {r.i: r.t for r in df.select(
+        "i", decode_web_text("p", F.col("ct")).alias("t")).collect()}
+    assert rows[0] == "plain utf8 bom"         # BOM stripped
+    assert rows[1] == smart                    # header charset
+    # meta-sniffed decodes cover the WHOLE payload (markup included)
+    assert rows[2].endswith(smart) and "�" not in rows[2]
+    assert rows[3].endswith(smart) and "�" not in rows[3]  # WHATWG
+    # unknown label → default utf-8-replace → garbled but no crash
+    assert "�" in rows[4] and rows[4] != smart
+    assert "�" in rows[5]                 # binary junk survives
+    assert rows[6] == "utf8 by default — café"
+    assert rows[7] is None
+    assert rows[8] == "utf16 le"               # UTF-16LE BOM
+    # single-arg spelling (no content_type column) sniffs meta too
+    one = spark.createDataFrame([(cases[2][1],)], "p binary").select(
+        decode_web_text("p").alias("t")).head().t
+    assert one.endswith(smart) and "�" not in one
+    # encode_text_bytes is the synthesis scaffold: round-trips cp1252
+    # and degrades un-encodable codepoints to '?' instead of raising
+    enc = spark.createDataFrame([(smart,), ("中文",)], "t string") \
+        .select(encode_text_bytes("t", "windows-1252").alias("b")) \
+        .collect()
+    assert bytes(enc[0].b) == cp
+    assert bytes(enc[1].b) == b"??"

@@ -1102,7 +1102,15 @@ def test_streaming_keep_best_quality_collapse_and_null_quality(
        scored challenger replaces it (it must NOT read as a ghost and
        re-derive epochs forever), while a NULL-quality challenger
        ties at -inf and drops in favor of the standing row (replay
-       idempotence)."""
+       idempotence).
+
+    Phases 2-3 pin the ADVICE r13 ghost-classification bug: ghost
+    detection must key on the LIVENESS marker (``__clive`` null — no
+    corpus row), not on quality nullness — a STANDING NULL-quality
+    row matched by a losing challenger must trigger NO epoch rewrite
+    (under the ``__cq.isNull()`` spelling it re-ran the full heal —
+    corpus partition rewrite + index re-derivation — on every batch
+    that matched it, forever)."""
     import os
 
     from pyspark.sql import types as T
@@ -1167,6 +1175,56 @@ def test_streaming_keep_best_quality_collapse_and_null_quality(
         assert sorted(r.doc_id for r in idx.select("doc_id")
                       .distinct().collect()) == [11, 12], suffix
 
+    # --- phase 2: land a fresh NULL-quality family (doc 30) so a
+    # NULL-quality row is STANDING in the corpus (unlike doc 2, which
+    # was replaced in the same run it landed)
+    gamma = sent("gamma")
+    spark.createDataFrame(
+        [(30, gamma, [5.0, 5.0, 0.0, 0.0], None)], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{src}/f4")
+    stream2 = (spark.readStream.format("parquet").schema(schema)
+               .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    streaming_fused_ingest(
+        stream2, corpus_dir, str(tmp_path / "ckpt"),
+        jaccard_threshold=0.7, cosine_threshold=0.999, n_cells=2,
+        quality_col="quality").awaitTermination(240)
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(corpus_dir).collect()) \
+        == [11, 12, 30]
+
+    def artifact_snapshot():
+        snap = {}
+        for suffix in ("", "_sigs", "_index"):
+            for root, _dirs, files in os.walk(corpus_dir + suffix):
+                for f in files:
+                    p = os.path.join(root, f)
+                    snap[p] = os.path.getmtime(p)
+        return snap
+
+    before = artifact_snapshot()
+
+    # --- phase 3: a losing (NULL-quality) challenger matches the
+    # standing NULL-quality doc 30 — it must DROP (tie at -inf favors
+    # the standing row) and, critically, schedule NO epoch rewrite:
+    # doc 30 is LIVE (__clive set), so it is not a ghost even though
+    # its corpus quality is NULL
+    spark.createDataFrame(
+        [(31, variant(gamma, 14), [0.0, 5.0, 5.0, 0.0], None)],
+        schema).coalesce(1).write.mode("overwrite") \
+        .parquet(f"{src}/f5")
+    stream3 = (spark.readStream.format("parquet").schema(schema)
+               .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    streaming_fused_ingest(
+        stream3, corpus_dir, str(tmp_path / "ckpt"),
+        jaccard_threshold=0.7, cosine_threshold=0.999, n_cells=2,
+        quality_col="quality").awaitTermination(240)
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(corpus_dir).collect()) \
+        == [11, 12, 30]
+    # no corpus partition was rewritten and no index re-derived:
+    # every artifact file (name AND mtime) is exactly as before
+    assert artifact_snapshot() == before
+
 
 def test_streaming_web_ingest_from_gzip_binary_blobs(spark, tmp_path):
     """Raw CommonCrawl shape straight into the keep-best corpus:
@@ -1175,7 +1233,16 @@ def test_streaming_web_ingest_from_gzip_binary_blobs(spark, tmp_path):
     multi-byte UTF-8, so the char kernel would mis-slice), extract,
     and land; a better re-crawl of the same URI still replaces the
     standing copy. Also pins that gzip_members without binary_blobs
-    is rejected."""
+    is rejected.
+
+    ADVICE r13 (high): the batch also carries (a) a PURE-BINARY
+    payload (PNG magic + invalid-UTF-8 bytes — routine in real
+    .warc.gz) and (b) a windows-1252 page declaring its charset in
+    a <meta> tag. Under the old ``F.decode(payload, 'UTF-8')`` one
+    invalid byte raised MALFORMED_CHARACTER_CODING, crashed the
+    micro-batch, and the stream replayed it forever; with
+    ``decode_web_text`` the binary payload degrades to U+FFFDs and
+    the legacy page transcodes exactly."""
     import gzip
 
     import pytest
@@ -1198,20 +1265,38 @@ def test_streaming_web_ingest_from_gzip_binary_blobs(spark, tmp_path):
             "<a href=\"/p\">Privacy</a> | <a href=\"/k\">Cookies</a>"
             "</div></body></html>").encode("utf-8")
 
-    def rec(uri: str, article: str) -> bytes:
-        p = page(article)
+    def rec_bytes(uri: str, p: bytes) -> bytes:
         raw = (b"WARC/1.0" + crlf + b"WARC-Type: response" + crlf
                + b"WARC-Target-URI: " + uri.encode() + crlf
                + b"Content-Length: " + str(len(p)).encode()
                + blank + p + blank)
         return gzip.compress(raw)
 
+    def rec(uri: str, article: str) -> bytes:
+        return rec_bytes(uri, page(article))
+
     art_a = "« " + " ".join(f"alpha{i}" for i in range(25)) + " »"
     toks = art_a.split()
     toks[10] = "the"
     art_a2 = " ".join(toks)  # higher stopword ratio → better quality
     art_b = "— " + " ".join(f"beta{i}" for i in range(25)) + " …"
-    f1 = rec("page://a", art_a) + rec("page://b", art_b)
+    # (a) pure binary: PNG magic + bytes invalid as UTF-8
+    png_junk = b"\x89PNG\r\n\x1a\n" + bytes(range(128, 256)) * 4
+    # (b) windows-1252 page declaring its charset in <meta>
+    art_cp = ("“cp” " + " ".join(f"gamma{i}"
+                                           for i in range(25))
+              + " €99")
+    cp_page = ("<html><head><meta charset=windows-1252></head><body>"
+               "<div class=\"nav\"><a href=\"/\">HomePage</a> | "
+               "<a href=\"/a\">AboutUs</a> | "
+               "<a href=\"/c\">ContactUs</a></div>"
+               "<p id=\"main\">" + art_cp + "</p>"
+               "<div class=\"footer\"><a href=\"/t\">Terms</a> | "
+               "<a href=\"/p\">Privacy</a></div></body></html>"
+               ).encode("windows-1252")
+    f1 = (rec("page://a", art_a) + rec("page://b", art_b)
+          + rec_bytes("img://junk", png_junk)
+          + rec_bytes("page://cp", cp_page))
     f2 = rec("page://a", art_a2)
 
     src = str(tmp_path / "incoming")
@@ -1230,12 +1315,25 @@ def test_streaming_web_ingest_from_gzip_binary_blobs(spark, tmp_path):
     q.awaitTermination(240)
 
     rows = {r.uri: r for r in spark.read.parquet(corpus_dir).collect()}
-    assert sorted(rows) == ["page://a", "page://b"], sorted(rows)
+    # the stream TERMINATED (no decode crash) and every record —
+    # including the binary and legacy-charset ones — flowed through
+    assert "page://a" in rows and "page://b" in rows, sorted(rows)
     # the re-crawl REPLACED page://a's standing copy (same URI, same
     # doc_id — the quality probe decides, not identity)
     want_a2 = " ".join(art_a2.split())
     assert rows["page://a"].text == want_a2
     assert "«" in rows["page://b"].text or "—" in rows["page://b"].text
+    # the windows-1252 page transcoded exactly: curly quotes and the
+    # euro sign landed as the real codepoints, zero U+FFFD
+    assert "page://cp" in rows, sorted(rows)
+    cp_text = rows["page://cp"].text
+    assert "“cp”" in cp_text and "€99" in cp_text
+    assert "�" not in cp_text
+    # the binary record decoded to replacement junk (it may land or
+    # drop on quality — either is fine; it must never crash), and no
+    # nav/footer boilerplate leaked into any landed article
+    if "img://junk" in rows:
+        assert "�" in rows["img://junk"].text
     for r in rows.values():
         assert "HomePage" not in r.text and "Terms" not in r.text
 
