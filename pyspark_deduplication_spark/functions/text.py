@@ -537,7 +537,8 @@ _WARC_BIN_REC_T = "array<struct<headers:string,payload:binary>>"
 
 def warc_records_sliced_binary(col: Column | str,
                                max_header_bytes: int = 4096,
-                               gzip_members: bool = False) -> Column:
+                               gzip_members: bool | str = False
+                               ) -> Column:
     """The BinaryType twin of ``warc_records_sliced`` — the
     OCTET-correct WARC reader (VERDICT r12 item 2). ``Content-Length``
     counts octets; the string kernel's character offsets match octets
@@ -557,7 +558,10 @@ def warc_records_sliced_binary(col: Column | str,
     — by looping ``zlib.decompressobj`` over member boundaries
     (``unused_data`` hands the next member back); a truncated trailing
     member degrades to the records already inflated, mirroring the
-    truncated-tail contract of the scan itself. Same Arrow
+    truncated-tail contract of the scan itself. ``gzip_members=
+    "auto"`` sniffs the per-blob gzip magic (``1F 8B``) instead — the
+    spelling ``read_warc_dir`` uses so one directory listing can mix
+    ``.warc`` and ``.warc.gz`` files. Same Arrow
     ``pandas_udf`` cursor-scan shape as the string kernel (sequential
     by nature — each record's start depends on the previous declared
     length — and O(blob), the measured 277×-at-sf1 winner over the
@@ -590,7 +594,11 @@ def warc_records_sliced_binary(col: Column | str,
             if blob is None:
                 out.append(None)
                 continue
-            if gzip_members:
+            if gzip_members == "auto":
+                blob = bytes(blob)
+                if blob.startswith(b"\x1f\x8b"):
+                    blob = _inflate_members(blob)
+            elif gzip_members:
                 blob = _inflate_members(bytes(blob))
             recs: list[dict] = []
             pos, n = 0, len(blob)

@@ -33,10 +33,14 @@ from pyspark_deduplication_spark.functions.text import (
     WS_RUN_RE,
     char_kgram_hashes_of,
     detect_language,
+    decode_web_text,
     doc_fingerprint,
+    encode_text_bytes,
     entity_decode_sql,
     extract_main_content,
     gzip_member_blob,
+    http_header_of,
+    http_split_message,
     normalize_text,
     pii_counts,
     quality_features,
@@ -5011,6 +5015,408 @@ SELECT s.doc_id,
 FROM stripped s JOIN pages p ON p.doc_id = s.doc_id
 """.replace("{STRIP}", _strip_html_sql("joined")) \
    .replace("{WS}", WS_RUN_RE).replace("{NTOK}", _NTOK_SQL)
+
+
+def http_framed_ingest_docs(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """HTTP message framing inside WARC response payloads (VERDICT
+    r13 item 3) — real CommonCrawl ``WARC-Type: response`` payloads
+    are FULL HTTP messages (status line + response headers + CRLF
+    CRLF + body); without a framing stage every extracted "article"
+    opens with ``HTTP/1.1 200 OK…``. Each doc's page (multi-byte
+    «…» title chrome, so Content-Length counts octets ≠ chars) is
+    wrapped in an HTTP/1.1 response head, that WHOLE message becomes
+    the WARC payload, and the pipeline runs the real stage order:
+    octet-sliced WARC parse → ``http_split_message`` (byte-boundary
+    CRLF CRLF scan) → ``http_header_of`` Content-Type →
+    ``decode_web_text`` (charset from the header) → main-content
+    extraction. Graded per doc: HTTP status code, the Content-Type
+    surfaced as a column, the body's octet count (an off-by-CRLF
+    framing error shifts it), head_leaked (any HTTP-head text in the
+    article — must be 0), main_ok, and the article md5 (content-exact
+    gate). The oracle derives status/type/octets from the synthesis
+    ground truth and replicates the extraction chain over the bare
+    page — if Spark's split leaks head bytes into the body, the
+    extracted article differs and the hash gate fails.
+
+    Scale shape: synthesis groupBy per source; parse + split +
+    decode + extraction are all map-only Arrow/HOF stages over the
+    blob rows — ONE join back for the expected text; nothing
+    corpus-sized shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    crlf, blank = "\r\n", "\r\n\r\n"
+    esc = F.col("text")
+    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    page = F.concat(
+        F.lit("<html><head><title>«"), F.col("source"),
+        F.lit("—…»</title></head><body>"
+              "<div class=\"nav\"><a href=\"/\">HomePage</a> | "
+              "<a href=\"/about\">AboutUs</a> | "
+              "<a href=\"/contact\">ContactUs</a></div>"
+              "<p id=\"main\">"),
+        esc,
+        F.lit("</p><div class=\"footer\"><a href=\"/terms\">Terms</a>"
+              " | <a href=\"/privacy\">Privacy</a> | copyright 2024"
+              "</div></body></html>"))
+    msg = F.concat(
+        F.lit("HTTP/1.1 200 OK" + crlf
+              + "Content-Type: text/html; charset=utf-8" + crlf
+              + "Server: graft/1.0" + crlf + "X-Crawl-Source: "),
+        F.col("source"), F.lit(blank), page)
+    rec = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "WARC-Target-URI: doc://"),
+        F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit(crlf + "Content-Length: "),
+        F.octet_length(msg).cast("string"),
+        F.lit(blank), msg, F.lit(blank))
+    blobs = (
+        docs.select("source", F.struct("doc_id", rec.alias("r")).alias("s"))
+        .groupBy("source")
+        .agg(F.encode(F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list("s")), lambda x: x["r"])),
+            "UTF-8").alias("blob"))
+    )
+    parsed = (
+        blobs.select(F.explode(warc_records_sliced_binary(F.col("blob")))
+                     .alias("r"))
+        .select(
+            F.regexp_extract(
+                warc_header_of(F.col("r.headers"), "WARC-Target-URI"),
+                r"doc://[^/]+/([0-9]+)", 1).cast("long").alias("doc_id"),
+            http_split_message(F.col("r.payload")).alias("m"))
+        .select(
+            "doc_id", F.col("m.status_line").alias("__status"),
+            http_header_of(F.col("m.headers"), "Content-Type")
+            .alias("content_type"),
+            F.col("m.body").alias("__body"))
+    )
+    text = decode_web_text(F.col("__body"), F.col("content_type"))
+    extracted = extract_main_content(text)
+    want = F.trim(F.regexp_replace(F.col("text"), WS_RUN_RE, " "))
+    return (
+        parsed.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.regexp_extract(F.col("__status"),
+                             r"^HTTP/[0-9.]+ ([0-9]{3})", 1)
+            .cast("int").alias("status_code"),
+            "content_type",
+            F.length("__body").cast("long").alias("body_octets"),
+            extracted.contains("HTTP/1.1").cast("int")
+            .alias("head_leaked"),
+            (extracted == want).cast("int").alias("main_ok"),
+            F.md5(extracted).alias("article_md5"))
+    )
+
+
+# Ground truth: the oracle never marches HTTP bytes — it knows the
+# synthesized status/type, computes body_octets as the page's UTF-8
+# octet length, and replicates the block-classifier extraction over
+# the bare page. A framing bug on the Spark side (head bytes leaking
+# into the body, boundary off by a CRLF) changes body_octets and the
+# extracted article → hash gate fails.
+_HTTP_FRAMED_INGEST_ORACLE = """
+WITH built AS (
+  SELECT doc_id,
+         '<html><head><title>«' || source
+         || '—…»</title></head><body>'
+         || '<div class="nav"><a href="/">HomePage</a> | '
+         || '<a href="/about">AboutUs</a> | '
+         || '<a href="/contact">ContactUs</a></div>'
+         || '<p id="main">'
+         || replace(replace(replace(text, '&', '&amp;'),
+                            '<', '&lt;'), '>', '&gt;')
+         || '</p><div class="footer"><a href="/terms">Terms</a>'
+         || ' | <a href="/privacy">Privacy</a> | copyright 2024'
+         || '</div></body></html>' AS html,
+         trim(regexp_replace(text, '{WS}', ' ', 'g')) AS want
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, want, octet_length(encode(html)) AS body_octets,
+         regexp_split_to_array(
+           regexp_replace(regexp_replace(regexp_replace(html,
+             '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+           '(?i)</?(?:p|div|td|tr|table|ul|ol|li|h[1-6]|blockquote|br|nav|aside|footer|header|section|article)\\b[^>]*>'
+         ) AS bs
+  FROM built
+),
+kept AS (
+  SELECT doc_id, want, body_octets,
+         array_to_string(list_filter(bs, b ->
+           len(trim(regexp_replace(regexp_replace(b,
+               '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g'))) >= 20
+           AND 3 * coalesce(list_sum(list_transform(
+                 regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                 a -> len(trim(regexp_replace(regexp_replace(a,
+                      '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g'))))), 0)
+               <= len(trim(regexp_replace(regexp_replace(b,
+                    '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g')))
+         ), ' ') AS joined
+  FROM blocks
+),
+stripped AS (
+  SELECT doc_id, want, body_octets, {STRIP} AS extracted
+  FROM kept
+)
+SELECT doc_id,
+       200 AS status_code,
+       'text/html; charset=utf-8' AS content_type,
+       CAST(body_octets AS BIGINT) AS body_octets,
+       CAST(contains(extracted, 'HTTP/1.1') AS INT) AS head_leaked,
+       CAST(extracted = want AS INT) AS main_ok,
+       md5(extracted) AS article_md5
+FROM stripped
+""".replace("{STRIP}", _strip_html_sql("joined")).replace("{WS}", WS_RUN_RE)
+
+
+def charset_transcode_ingest_docs(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Charset transcoding (VERDICT r13 item 4) — real web text is a
+    mix of UTF-8 and legacy encodings; a UTF-8-only decode garbles
+    every windows-1252 page (curly quotes, em-dash, € live in the
+    0x80-0x9F block, byte-invalid as UTF-8). Each doc's
+    ASCII-sanitized text plus a cp1252-specific marker («smart»
+    quotes, €, accented letters) lands in a page DECLARING
+    windows-1252, the page is encoded to genuine cp1252 BYTES
+    (synthesis scaffolding, the ``gzip_member_blob`` pattern), and
+    ``decode_web_text`` must transcode it exactly — even rows resolve
+    the charset from a Content-Type header, odd rows from the
+    ``<meta charset>`` sniff, exercising BOTH resolution paths.
+    Graded per doc: the resolution path taken, utf8_surplus_octets
+    (UTF-8 length of the decoded text minus the cp1252 payload's
+    octet count — positive everywhere proves the payload was NOT
+    UTF-8), main_ok, and the article md5. The oracle derives
+    everything from the synthesis ground truth — DuckDB never sees
+    cp1252 bytes (its strings are UTF-8 by definition; ``len(page)``
+    IS the cp1252 octet count because cp1252 is single-byte).
+
+    Scale shape: encode + decode + extraction are map-only Arrow/HOF
+    stages; ONE join back for the expected text; no corpus-sized
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    marker = "“Smart” — €99 café und Fräulein"
+    ascii_text = F.trim(F.regexp_replace(
+        F.regexp_replace("text", "[^ -~]", ""), WS_RUN_RE, " "))
+    esc = ascii_text
+    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    page = F.concat(
+        F.lit("<html><head><meta charset=windows-1252>"
+              "<title>t</title></head><body>"
+              "<div class=\"nav\"><a href=\"/\">HomePage</a> | "
+              "<a href=\"/about\">AboutUs</a> | "
+              "<a href=\"/contact\">ContactUs</a></div>"
+              "<p id=\"main\">" + marker + " "),
+        esc,
+        F.lit("</p><div class=\"footer\"><a href=\"/terms\">Terms</a>"
+              " | <a href=\"/privacy\">Privacy</a> | copyright 2024"
+              "</div></body></html>"))
+    payload = encode_text_bytes(page, "windows-1252")
+    ct = F.when(F.col("doc_id") % 2 == 0,
+                F.lit("text/html; charset=windows-1252"))
+    staged = docs.select(
+        "doc_id", payload.alias("__p"), ct.alias("__ct"),
+        F.concat(F.lit(marker + " "), ascii_text).alias("__raw"))
+    decoded = decode_web_text(F.col("__p"), F.col("__ct"))
+    extracted = extract_main_content(decoded)
+    want = F.trim(F.regexp_replace(F.col("__raw"), WS_RUN_RE, " "))
+    return staged.select(
+        "doc_id",
+        F.when(F.col("__ct").isNotNull(), F.lit("header"))
+        .otherwise(F.lit("meta")).alias("charset_src"),
+        (F.octet_length(decoded) - F.length("__p")).cast("long")
+        .alias("utf8_surplus_octets"),
+        extracted.contains("�").cast("int").alias("garbled"),
+        (extracted == want).cast("int").alias("main_ok"),
+        F.md5(extracted).alias("article_md5"),
+    )
+
+
+# Ground truth without cp1252 bytes: DuckDB strings are UTF-8, and
+# cp1252 is single-byte, so len(page) IS the payload octet count and
+# octet_length(encode(page)) - len(page) IS the utf8 surplus. The
+# extraction chain runs over the (UTF-8) page — the SAME string
+# Spark's transcode must recover; one wrong byte anywhere and the
+# article md5 flips.
+_CHARSET_TRANSCODE_ORACLE = """
+WITH built AS (
+  SELECT doc_id,
+         '<html><head><meta charset=windows-1252>'
+         || '<title>t</title></head><body>'
+         || '<div class="nav"><a href="/">HomePage</a> | '
+         || '<a href="/about">AboutUs</a> | '
+         || '<a href="/contact">ContactUs</a></div>'
+         || '<p id="main">{MARK} '
+         || replace(replace(replace(sane, '&', '&amp;'),
+                            '<', '&lt;'), '>', '&gt;')
+         || '</p><div class="footer"><a href="/terms">Terms</a>'
+         || ' | <a href="/privacy">Privacy</a> | copyright 2024'
+         || '</div></body></html>' AS html,
+         trim(regexp_replace('{MARK} ' || sane, '{WS}', ' ', 'g'))
+           AS want
+  FROM (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(text, '[^ -~]', '', 'g'),
+                               '{WS}', ' ', 'g')) AS sane
+    FROM documents
+  )
+),
+blocks AS (
+  SELECT doc_id, want,
+         octet_length(encode(html)) - len(html) AS surplus,
+         regexp_split_to_array(
+           regexp_replace(regexp_replace(regexp_replace(html,
+             '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+           '(?i)</?(?:p|div|td|tr|table|ul|ol|li|h[1-6]|blockquote|br|nav|aside|footer|header|section|article)\\b[^>]*>'
+         ) AS bs
+  FROM built
+),
+kept AS (
+  SELECT doc_id, want, surplus,
+         array_to_string(list_filter(bs, b ->
+           len(trim(regexp_replace(regexp_replace(b,
+               '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g'))) >= 20
+           AND 3 * coalesce(list_sum(list_transform(
+                 regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                 a -> len(trim(regexp_replace(regexp_replace(a,
+                      '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g'))))), 0)
+               <= len(trim(regexp_replace(regexp_replace(b,
+                    '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g')))
+         ), ' ') AS joined
+  FROM blocks
+),
+stripped AS (
+  SELECT doc_id, want, surplus, {STRIP} AS extracted
+  FROM kept
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'header' ELSE 'meta' END
+         AS charset_src,
+       CAST(surplus AS BIGINT) AS utf8_surplus_octets,
+       CAST(contains(extracted, chr(65533)) AS INT) AS garbled,
+       CAST(extracted = want AS INT) AS main_ok,
+       md5(extracted) AS article_md5
+FROM stripped
+""".replace("{STRIP}", _strip_html_sql("joined")) \
+   .replace("{WS}", WS_RUN_RE) \
+   .replace("{MARK}", "“Smart” — €99 café und Fräulein")
+
+
+def warc_file_ingest_docs(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """ON-DISK ``.warc.gz`` ingestion, graded end-to-end (VERDICT r13
+    item 2 — "the first thing a real user does is point the engine at
+    a directory of actual .warc.gz files"): the query WRITES real
+    multi-member gzip WARC files (one file per source, one member per
+    record — the CommonCrawl layout) to a scratch directory via a
+    DISTRIBUTED foreachPartition writer (each task gzips and writes
+    its own files; nothing collects to the driver), then reads them
+    back through ``sources.readers.read_warc_dir`` — the binaryFile
+    source feeding the auto-gzip-sniffing octet cursor scan. Payloads
+    carry multi-byte UTF-8 plus the adversarial battery (embedded
+    blank line + fake version line), so the graded values — per-file
+    provenance (source recovered from the FILE NAME), octet count,
+    octets−chars surplus, payload md5 — prove byte-exact recovery
+    through disk, gzip framing, and the file source. The oracle
+    derives the same values from the synthesis ground truth (gzip
+    header bytes vary per run; payload bytes are invariant).
+
+    Scale shape: read side is scan → project → explode, map-only,
+    zero shuffle, one task per file (the CommonCrawl parallelism
+    grain — a gzip stream only inflates sequentially). The write side
+    is synthesis scaffolding."""
+    import hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    crlf, blank = "\r\n", "\r\n\r\n"
+    hostile = F.concat(
+        F.lit("«"), F.col("source"), F.lit("» "),
+        F.col("text"),
+        F.lit(blank + "WARC/1.0" + crlf + " …—fin" + crlf))
+    rec = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "WARC-Target-URI: doc://"),
+        F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit(crlf + "Content-Length: "),
+        F.octet_length(hostile).cast("string"),
+        F.lit(blank), hostile, F.lit(blank))
+    base = _os.path.join(
+        tempfile.gettempdir(), "warc_file_ingest",
+        hashlib.md5(sf_dir.encode()).hexdigest())
+    _shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(base, exist_ok=True)
+    per_src = (
+        docs.select("source", F.struct("doc_id", rec.alias("r")).alias("s"))
+        .groupBy("source")
+        .agg(F.transform(F.array_sort(F.collect_list("s")),
+                         lambda x: x["r"]).alias("recs"))
+    )
+
+    def _write(rows, base=base):
+        import gzip as _gzip
+        import os as __os
+        for r in rows:
+            data = b"".join(_gzip.compress(x.encode("utf-8"))
+                            for x in r["recs"])
+            tmp = __os.path.join(base, f".{r['source']}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            __os.replace(tmp, __os.path.join(
+                base, f"{r['source']}.warc.gz"))
+
+    per_src.foreachPartition(_write)
+
+    from pyspark_deduplication_spark.sources.readers import (
+        read_warc_dir,
+    )
+
+    parsed = read_warc_dir(spark, base)
+    return parsed.select(
+        F.regexp_extract(
+            warc_header_of(F.col("headers"), "WARC-Target-URI"),
+            r"doc://[^/]+/([0-9]+)", 1).cast("long").alias("doc_id"),
+        F.regexp_extract("warc_file", r"([^/]+)\.warc\.gz$", 1)
+        .alias("source"),
+        F.length("payload").cast("long").alias("payload_octets"),
+        (F.length("payload")
+         - F.length(F.decode(F.col("payload"), "UTF-8")))
+        .cast("long").alias("octets_minus_chars"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+# Same ground-truth derivation as the octet/gzip entries: the hostile
+# payload is deterministic from (source, text), so octet length, char
+# surplus, and md5 come straight from the synthesis string — one
+# wrong byte anywhere in write→gzip→disk→binaryFile→inflate→slice
+# flips payload_md5. File provenance: source must round-trip through
+# the FILE NAME, not the record headers.
+_WARC_FILE_INGEST_ORACLE = """
+WITH hostile AS (
+  SELECT doc_id, source,
+         '«' || source || '» ' || text
+         || chr(13)||chr(10)||chr(13)||chr(10)
+         || 'WARC/1.0' || chr(13)||chr(10)
+         || ' …—fin' || chr(13)||chr(10) AS h
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(octet_length(encode(h)) AS BIGINT) AS payload_octets,
+       CAST(octet_length(encode(h)) - len(h) AS BIGINT)
+         AS octets_minus_chars,
+       md5(h) AS payload_md5
+FROM hostile
+"""
 
 
 def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12044,6 +12450,24 @@ CATALOG: dict[str, Query] = {
     "web_ingest_pipeline_docs": Query(
         web_ingest_pipeline_docs, _WEB_INGEST_PIPELINE_ORACLE, bench=True,
         tags=["text", "pipeline", "source", "quality"]),
+    # r14 (VERDICT r13 item 3): HTTP message framing — response
+    # payloads are full HTTP messages; split the head off before
+    # extraction, surface Content-Type as a column
+    "http_framed_ingest_docs": Query(
+        http_framed_ingest_docs, _HTTP_FRAMED_INGEST_ORACLE,
+        tags=["text", "pipeline", "source", "binary"]),
+    # r14 (VERDICT r13 item 4): charset transcoding — windows-1252
+    # payloads resolved via Content-Type header (even rows) or <meta>
+    # sniff (odd rows), decoded exactly where UTF-8-replace garbles
+    "charset_transcode_ingest_docs": Query(
+        charset_transcode_ingest_docs, _CHARSET_TRANSCODE_ORACLE,
+        tags=["text", "pipeline", "binary"]),
+    # r14 (VERDICT r13 item 2): real on-disk .warc.gz files through
+    # the binaryFile source — write distributed, read via
+    # read_warc_dir, prove byte-exact recovery + file provenance
+    "warc_file_ingest_docs": Query(
+        warc_file_ingest_docs, _WARC_FILE_INGEST_ORACLE,
+        tags=["text", "pipeline", "source", "binary"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),
@@ -12561,71 +12985,75 @@ CATALOG: dict[str, Query] = {
 # tools/grade_window.py lists them). Rows-only entries stay after
 # position 50 so no graded slot records err:"no_oracle".
 _GRADED_ORDER = [
-    # (a) NEW this round (r13, never graded): octet-space binary WARC
-    # ingest (VERDICT r12 item 2) and the char-trigram trained
-    # language ID (judge-verified green r12, driver grade now
-    # official — VERDICT r12 item 1)
+    # Round-14 window (VERDICT r13 item 1 rotation). Composition:
+    # (a) 3 NEW never-graded entries, (b) 8 changed-code /
+    # cross-family canaries re-grading under this round's diff,
+    # (c) the ENTIRE 39-entry r10 stale queue — after this window no
+    # oracle-backed entry's last grade is older than r11, and the 39
+    # r10 re-grades double as the in-window stale-canary reserve
+    # (≥10, VERDICT r13 item 8: they span sql/window/streaming/
+    # dedup/quality/sampling/profiling families).
+    #
+    # (a) NEW this round: HTTP message framing (VERDICT r13 item 3),
+    # windows-1252 charset transcoding (item 4), and on-disk .warc.gz
+    # file ingestion through read_warc_dir (item 2)
+    "http_framed_ingest_docs",
+    "charset_transcode_ingest_docs",
+    "warc_file_ingest_docs",
+    # (b) changed-code canaries: warc_records_sliced_binary gained
+    # the gzip auto-sniff branch (read_warc_dir), and the web-ingest
+    # family shares the extraction/strip chain with the three new
+    # entries; events_sessionize + fused_dedup_docs_weighted are the
+    # streaming/fused cross-family canaries for the ghost-filter and
+    # decode_web_text changes in streaming/ops.py
     "warc_octet_ingest_docs",
     "warc_gzip_ingest_docs",
-    "trained_language_id_char3_report",
-    # (b) changed-code canaries: strip_html gained the numeric-charref
-    # decode and WS_RUN_RE's explicit ASCII class (items 3 + ADVICE),
-    # warc_records_sliced gained the truncated-record guard, and the
-    # language-ID synthesis gained the NULL-text coalesce — every
-    # graded entry over those kernels re-grades under the new code
+    "warc_binary_ingest_docs",
+    "web_ingest_pipeline_docs",
     "html_text_extraction_docs",
     "main_content_extraction_docs",
-    "web_ingest_pipeline_docs",
-    "warc_binary_ingest_docs",
-    "trained_language_id_report",
-    # (c) the ENTIRE 34-entry r9 stale queue (VERDICT r12 item 1) —
-    # after this window no oracle-backed entry's last grade is older
-    # than r10; these 34 double as the in-window stale canaries
-    # (target ≥10)
-    "doc_unigram_logprob",
-    "domain_capped_corpus",
-    "dq_orders_report",
-    "duplicate_pressure_by_source",
-    "epoch_shuffle_docs",
     "events_sessionize",
     "fused_dedup_docs_weighted",
-    "fuzzy_clusters_parts",
-    "fuzzy_pairs_blocked_parts",
-    "gram_heavy_hitters_cms_checked",
-    "incremental_weighted_minhash_docs_exact",
-    "levenshtein_links_parts",
-    "lineitem_price_quantiles",
-    "lineitem_running_totals",
-    "media_dedup_by_content",
-    "ntile_customer_value",
-    "order_value_stats",
-    "pack_training_sequences",
-    "pii_redaction_report",
-    "pretoken_budget_by_segment",
-    "q21_late_sole_suppliers",
-    "quality_filter_docs",
-    "quality_weighted_sample",
-    "scd2_user_state_intervals",
-    "session_conversion_stats",
-    "set_ops_customer_segments",
-    "similarity_graph_degrees",
-    "source_capped_corpus",
-    "stratified_sample_docs",
-    "top_word_trigrams",
-    "union_evolved_schemas",
-    "unpivot_part_metrics",
-    "winnow_near_dup_docs",
-    "yearly_revenue_growth",
-    # (d) the r10 frontier, alphabetical head — 8 of 47; retiring part
-    # of the r14 stale queue a round early (the r9 precedent)
-    "asof_forward_tolerance",
-    "chunk_retrieval_eval",
-    "corpus_health_by_source",
-    "corpus_mixture_execute",
-    "curation_pipeline_docs",
-    "customer_rfm_segments",
-    "decontaminate_against_src0",
-    "doc_bigram_perplexity",
+    # (c) the 39-entry r10 stale queue, oldest-first
+    "doc_hashed_quality_score",
+    "doc_quality_scores",
+    "doc_trained_quality_score",
+    "doc_trigram_perplexity",
+    "embedding_near_dups",
+    "embedding_norm_sketch",
+    "events_gapfill_hourly",
+    "golden_customer_records",
+    "gopher_quality_rules_docs",
+    "grouping_sets_order_revenue",
+    "hard_negative_mining_embeddings",
+    "incremental_decontaminate_docs",
+    "incremental_dup_span_removal_docs",
+    "knn_label_accuracy",
+    "leakage_safe_split_docs",
+    "merge_upsert_customers",
+    "order_interarrival_stats",
+    "order_priority_pivot",
+    "part_size_histogram",
+    "pivot_year_flag_revenue",
+    "price_quantity_stats",
+    "profile_customer_columns",
+    "q12_priority_by_quantity_band",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q1_sql_surface",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "rollup_order_stats",
+    "salted_agg_returnflag",
+    "streaming_enrich_user_tier",
+    "streaming_hourly_windows",
+    "surrogate_ids_parts",
+    "surrogate_ids_scalable_parts",
+    "topk_parts_per_brand_agg",
+    "train_val_test_split_docs",
+    "url_canonical_customers",
+    "weighted_jaccard_pairs_exact",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50

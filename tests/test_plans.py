@@ -825,3 +825,48 @@ def test_warc_octet_parse_is_map_only_no_join(spark, sf_dir):
         assert 1 <= n_arrow <= 2, (fn.__name__, n_arrow)
         assert "BatchEvalPython" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_r14_web_ingest_entries_plan_shapes(spark, sf_dir):
+    """Plan pins for the r14 entries (VERDICT r13 items 2-4):
+
+    - http_framed_ingest_docs: exactly ONE join (the expected-text
+      join-back), one synthesis exchange, and exactly three
+      ArrowEvalPython stages (WARC cursor scan, HTTP split, charset
+      decode) — everything around them native;
+    - charset_transcode_ingest_docs: NO join at all (want is computed
+      in the same projection), zero data-sized exchange, two Arrow
+      stages (cp1252 encode scaffold, charset decode);
+    - warc_file_ingest_docs read side: scan -> project -> Arrow scan
+      -> explode -> project; NO join, NO exchange of any kind (one
+      task per file is the parallelism grain).
+    """
+    import re
+
+    from pyspark_deduplication_spark.queries import (
+        charset_transcode_ingest_docs,
+        http_framed_ingest_docs,
+        warc_file_ingest_docs,
+    )
+
+    def nodes(plan: str, name: str) -> set[str]:
+        return set(re.findall(rf"\((\d+)\) {name}\b", plan))
+
+    plan = explain_str(http_framed_ingest_docs(spark, sf_dir))
+    assert len(nodes(plan, "[A-Za-z]*Join")) == 1, plan[:500]
+    assert len(nodes(plan, "Exchange")) <= 2  # synthesis agg + join
+    assert len(nodes(plan, "ArrowEvalPython")) == 3
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = explain_str(charset_transcode_ingest_docs(spark, sf_dir))
+    assert not nodes(plan, "[A-Za-z]*Join")
+    assert not nodes(plan, "Exchange")
+    assert len(nodes(plan, "ArrowEvalPython")) == 2
+    assert "BatchEvalPython" not in plan
+
+    plan = explain_str(warc_file_ingest_docs(spark, sf_dir))
+    assert not nodes(plan, "[A-Za-z]*Join")
+    assert not nodes(plan, "Exchange")
+    assert len(nodes(plan, "ArrowEvalPython")) == 1
+    assert "BatchEvalPython" not in plan

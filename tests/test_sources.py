@@ -597,3 +597,68 @@ def test_consolidate_epochs_logs_spared_newest_and_small_table_noop(
         assert consolidate_epochs(spark, path) == 2
     assert any("spares the newest epoch" in r.message
                for r in caplog.records)
+
+
+def test_read_warc_dir_roundtrips_real_gz_files(spark, tmp_path):
+    """On-disk WARC ingestion (VERDICT r13 item 2): write REAL
+    multi-member ``.warc.gz`` files (one gzip member per record, the
+    CommonCrawl layout) plus a plain ``.warc`` to a directory, then
+    ``read_warc_dir`` must hand back every record BYTE-exactly —
+    payloads include multi-byte UTF-8 and raw binary with embedded
+    CRLF/\\x00, the cases where anything less than octet arithmetic
+    mis-slices. Also pins: glob filtering (a stray .txt is ignored),
+    per-file provenance in warc_file, and the map-only plan shape
+    (no Exchange anywhere — scan, project, explode only)."""
+    import gzip
+
+    from pyspark_deduplication_spark.functions.text import (
+        warc_header_of,
+    )
+    from pyspark_deduplication_spark.sources.readers import (
+        read_warc_dir,
+    )
+
+    crlf, blank = b"\r\n", b"\r\n\r\n"
+
+    def rec(uri: str, payload: bytes) -> bytes:
+        return (b"WARC/1.0" + crlf + b"WARC-Type: response" + crlf
+                + b"WARC-Target-URI: " + uri.encode() + crlf
+                + b"Content-Length: " + str(len(payload)).encode()
+                + blank + payload + blank)
+
+    cases = {
+        "f1.warc.gz": {
+            "doc://1": "café — mükti-byte …".encode("utf-8"),
+            "doc://2": b"\x89PNG\r\n\x1a\n\x00\xffbinary\r\n\r\ntail",
+        },
+        "f2.warc.gz": {
+            "doc://3": b"plain ascii payload",
+        },
+        # uncompressed twin in the SAME directory: auto-sniff handles
+        "f3.warc": {
+            "doc://4": "unkomprimiert — ärger".encode("utf-8"),
+        },
+    }
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    for fname, recs in cases.items():
+        raw = b"".join(rec(u, p) for u, p in recs.items())
+        if fname.endswith(".gz"):
+            # one gzip MEMBER per record — the CommonCrawl layout
+            raw = b"".join(gzip.compress(rec(u, p))
+                           for u, p in recs.items())
+        (warc_dir / fname).write_bytes(raw)
+    (warc_dir / "stray.txt").write_bytes(b"not a warc")
+
+    df = read_warc_dir(spark, str(warc_dir))
+    got = (df.select(
+        F.element_at(F.split("warc_file", "/"), -1).alias("f"),
+        warc_header_of(F.col("headers"), "WARC-Target-URI")
+        .alias("uri"), "payload").collect())
+    want = {(f, u): p for f, recs in cases.items()
+            for u, p in recs.items()}
+    assert {(r.f, r.uri): bytes(r.payload) for r in got} == want
+
+    # plan shape: scan -> project -> explode; NO exchange
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

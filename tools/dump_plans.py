@@ -80,6 +80,9 @@ NOTES = {
     "warc_binary_ingest_docs": "Content-Length cursor scan as an Arrow pandas_udf per blob (sequential by nature; the native fold spelling measured O(records^2) — see BASELINE sf1 r12) — map-only, one explode, one join back; one blob = one task matches the CommonCrawl per-file layout; adversarial payloads (embedded blank lines / fake version lines / trailing CRLF) round-trip byte-exactly",
     "warc_gzip_ingest_docs": "the .warc.gz layout (r13): member-per-record zlib inflation chained into the octet cursor scan, one task per gzip blob — the exact CommonCrawl on-disk shape; synthesis compression is a scaffolding pandas_udf, the graded path is the parse; oracle derives ground truth without gunzipping",
     "warc_octet_ingest_docs": "the OCTET-space twin (r13): the identical cursor scan over a BinaryType blob, where offset arithmetic is octet arithmetic by construction — multi-byte UTF-8 payloads that would mis-slice under char offsets round-trip byte-exactly; map-only parse, one explode, NO join back (every graded column, incl. the md5-of-payload-bytes gate, comes from the parsed record itself)",
+    "http_framed_ingest_docs": "HTTP framing (r14): octet WARC parse -> http_split_message byte-boundary CRLF-CRLF scan -> charset-aware decode -> block-classifier extraction, every stage a map-only Arrow/HOF projection over blob rows; ONE join back for the expected text; a framing error (head bytes leaking into the body) flips body_octets and the article md5",
+    "charset_transcode_ingest_docs": "charset transcoding (r14): cp1252 encode (scaffolding) -> decode_web_text resolving the charset from the Content-Type header (even rows) or the <meta> sniff (odd rows) -> extraction; all map-only Arrow/HOF; ONE join back; utf8_surplus_octets > 0 everywhere proves the payload was not UTF-8",
+    "warc_file_ingest_docs": "on-disk .warc.gz ingestion (r14): distributed foreachPartition writer (synthesis scaffolding, no driver collect) -> binaryFile source scan -> auto-gzip-sniff inflation -> octet cursor scan; read side is scan->project->explode, map-only, ZERO exchange, one task per file — the CommonCrawl parallelism grain (gzip inflates sequentially; executors saturate on file count)",
 }
 
 HEADER_NOTES = """

@@ -27,6 +27,15 @@ Modes (env):
                     quality-aware fused ingest per micro-batch. The
                     heal assertion applies unchanged (identity is
                     xxhash64 of the target URI).
+    WARC_FILES=1  — WEB_INGEST, but the stream consumes REAL on-disk
+                    ``.warc.gz`` FILES (VERDICT r13 item 2): the prep
+                    writes one multi-member gzip file per (source,
+                    batch) — the CommonCrawl layout — and the query
+                    reads them through the ``binaryFile`` streaming
+                    source (maxFilesPerTrigger = #sources, so one
+                    trigger still ingests one batch-worth), inflating
+                    and octet-slicing inside the micro-batch. The
+                    heal extra-batch is a copied ``.warc.gz`` file.
 
 After the heal run, ``compact_corpus_epochs(keep_last=2)`` executes in
 every mode and the row reports partition counts before/after plus a
@@ -76,16 +85,14 @@ def _prep_sources(spark, sf_dir: str, tag: str, n_batches: int,
     return src
 
 
-def _prep_blob_sources(spark, sf_dir: str, tag: str,
-                       n_batches: int) -> str:
-    """Synthesize per-source WARC blobs from the documents table —
+def _staged_warc_records(spark, sf_dir: str, n_batches: int):
+    """Shared WARC-record synthesis for the blob and file modes:
+    one ``(source, b, s:struct<doc_id, r:string>)`` row per document —
     the ``web_ingest_pipeline_docs`` page template (nav/footer chrome
-    around the escaped article) packed into response records with
-    real Content-Lengths — split into n_batches blob files (one
-    micro-batch each). One blob row per (source, batch)."""
+    around the escaped article) packed into a response record with a
+    real Content-Length."""
     from pyspark.sql import functions as F
 
-    src = f"{WORK}/{tag}/src"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", "text")
     crlf, blank = "\r\n", "\r\n\r\n"
@@ -109,9 +116,19 @@ def _prep_blob_sources(spark, sf_dir: str, tag: str,
         F.lit(crlf + "Content-Length: "),
         F.length(page).cast("string"),
         F.lit(blank), page, F.lit(blank))
-    staged = docs.select(
+    return docs.select(
         "source", (F.col("doc_id") % n_batches).alias("b"),
         F.struct("doc_id", rec.alias("r")).alias("s"))
+
+
+def _prep_blob_sources(spark, sf_dir: str, tag: str,
+                       n_batches: int) -> str:
+    """Parquet-wrapped WARC blobs, one blob row per (source, batch),
+    split into n_batches parquet files (one micro-batch each)."""
+    from pyspark.sql import functions as F
+
+    src = f"{WORK}/{tag}/src"
+    staged = _staged_warc_records(spark, sf_dir, n_batches)
     for i in range(n_batches):
         (staged.filter(F.col("b") == i)
          .groupBy("source")
@@ -122,20 +139,78 @@ def _prep_blob_sources(spark, sf_dir: str, tag: str,
     return src
 
 
+def _prep_warc_files(spark, sf_dir: str, tag: str,
+                     n_batches: int) -> tuple[str, int]:
+    """REAL on-disk ``.warc.gz`` files (VERDICT r13 item 2): one
+    multi-member gzip file per (source, batch) — member per record,
+    the CommonCrawl layout — written DISTRIBUTED via foreachPartition
+    (each task gzips and writes its own files; nothing collects to
+    the driver). Returns (src_dir, n_sources)."""
+    from pyspark.sql import functions as F
+
+    src = f"{WORK}/{tag}/src"
+    staged = _staged_warc_records(spark, sf_dir, n_batches)
+    n_sources = staged.select("source").distinct().count()
+    for i in range(n_batches):
+        batch_dir = f"{src}/f{i}"
+        os.makedirs(batch_dir, exist_ok=True)
+        per_src = (staged.filter(F.col("b") == i)
+                   .groupBy("source")
+                   .agg(F.transform(F.array_sort(F.collect_list("s")),
+                                    lambda x: x["r"]).alias("recs")))
+
+        def _write(rows, batch_dir=batch_dir):
+            import gzip as _gzip
+            import os as _os
+            for r in rows:
+                data = b"".join(_gzip.compress(rec.encode("utf-8"))
+                                for rec in r["recs"])
+                tmp = _os.path.join(batch_dir, f".{r['source']}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(data)
+                _os.replace(tmp, _os.path.join(
+                    batch_dir, f"{r['source']}.warc.gz"))
+
+        per_src.foreachPartition(_write)
+    return src, n_sources
+
+
 def _run_web_ingest(spark, src: str, tag: str, n_cells: int,
                     timeout_sec: int = 3600,
-                    ckpt: str | None = None) -> str:
+                    ckpt: str | None = None,
+                    files_per_trigger: int | None = None) -> str:
+    from pyspark.sql import functions as F
+
     from pyspark_deduplication_spark.streaming.ops import (
         streaming_web_ingest,
     )
 
-    schema = spark.read.parquet(f"{src}/f0").schema
-    stream = (spark.readStream.format("parquet").schema(schema)
-              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
     corpus_dir = f"{WORK}/{tag}/corpus"
     if ckpt is None:
         ckpt = f"{WORK}/{tag}/ckpt_{int(time.time()*1e6)}"
-    q = streaming_web_ingest(stream, corpus_dir, ckpt, n_cells=n_cells)
+    if files_per_trigger is not None:
+        # WARC_FILES mode: the binaryFile streaming source hands each
+        # on-disk .warc.gz to the octet/gzip kernel; one trigger
+        # ingests one batch-dir worth of files
+        # binaryFile's schema is fixed but the STREAMING source still
+        # demands it be declared explicitly
+        bin_schema = ("path string, modificationTime timestamp, "
+                      "length long, content binary")
+        stream = (spark.readStream.format("binaryFile")
+                  .schema(bin_schema)
+                  .option("pathGlobFilter", "*.warc.gz")
+                  .option("maxFilesPerTrigger", str(files_per_trigger))
+                  .load(f"{src}/*"))
+        q = streaming_web_ingest(
+            stream.select(F.col("content").alias("blob")),
+            corpus_dir, ckpt, n_cells=n_cells,
+            binary_blobs=True, gzip_members=True)
+    else:
+        schema = spark.read.parquet(f"{src}/f0").schema
+        stream = (spark.readStream.format("parquet").schema(schema)
+                  .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+        q = streaming_web_ingest(stream, corpus_dir, ckpt,
+                                 n_cells=n_cells)
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise RuntimeError(f"{tag}: web ingest did not finish in "
@@ -189,7 +264,8 @@ def main() -> None:
     # insert/drop/replace with epoch rewrites — instead of drop-only.
     # WEB_INGEST=1: the streaming web capstone (WARC parse → extract →
     # score → keep-best ingest); quality-aware by construction.
-    web = os.environ.get("WEB_INGEST", "") == "1"
+    warc_files = os.environ.get("WARC_FILES", "") == "1"
+    web = os.environ.get("WEB_INGEST", "") == "1" or warc_files
     keep_best = os.environ.get("KEEP_BEST", "") == "1" and not web
     quality_col = "quality" if keep_best else None
 
@@ -201,7 +277,10 @@ def main() -> None:
                 for t in ("documents.parquet", "embeddings.parquet")),
             target_partition_bytes=8 << 20, expansion=100.0)
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        if web:
+        n_sources = None
+        if warc_files:
+            src, n_sources = _prep_warc_files(spark, d, tag, n_batches)
+        elif web:
             src = _prep_blob_sources(spark, d, tag, n_batches)
         else:
             src = _prep_sources(spark, d, tag, n_batches,
@@ -209,7 +288,9 @@ def main() -> None:
 
         def _run(ckpt):
             if web:
-                return _run_web_ingest(spark, src, tag, cells, ckpt=ckpt)
+                return _run_web_ingest(spark, src, tag, cells,
+                                       ckpt=ckpt,
+                                       files_per_trigger=n_sources)
             return _run_ingest(spark, src, tag, cells, ckpt=ckpt,
                                quality_col=quality_col)
 
@@ -229,8 +310,15 @@ def main() -> None:
         # checkpoint reprocessed all n_batches+1 files, roughly
         # doubling the untimed work).
         shutil.rmtree(corpus_dir + "_sigs")
-        extra = spark.read.parquet(f"{src}/f0").limit(50)
-        extra.coalesce(1).write.mode("overwrite").parquet(f"{src}/f_extra")
+        if warc_files:
+            import glob as _glob
+            first = sorted(_glob.glob(f"{src}/f0/*.warc.gz"))[0]
+            os.makedirs(f"{src}/f_extra", exist_ok=True)
+            shutil.copy(first, f"{src}/f_extra/extra.warc.gz")
+        else:
+            extra = spark.read.parquet(f"{src}/f0").limit(50)
+            extra.coalesce(1).write.mode("overwrite") \
+                .parquet(f"{src}/f_extra")
         _run(ckpt)
         healed = _epoch_partitions(spark, corpus_dir + "_sigs")
         assert corpus_epochs <= healed, (
@@ -263,7 +351,9 @@ def main() -> None:
 
     t_base, t_scaled = rows[0]["wall_sec"], rows[1]["wall_sec"]
     print(json.dumps({
-        "metric": ("streaming_web_ingest_sf1_scaling" if web else
+        "metric": ("streaming_warc_files_ingest_sf1_scaling"
+                   if warc_files else
+                   "streaming_web_ingest_sf1_scaling" if web else
                    "streaming_keep_best_ingest_sf1_scaling"
                    if keep_best else
                    "streaming_fused_ingest_sf1_scaling"),
