@@ -943,3 +943,120 @@ def compression_ratio(text: pd.Series) -> pd.Series:
         return len(zlib.compress(raw, 6)) / len(raw)
 
     return text.map(ratio)
+
+
+def http_decode_body(body: Column | str, headers: Column | str,
+                     max_chunk_head: int = 1024) -> Column:
+    """Undo HTTP transfer/content codings on a framed response body
+    (the follow-on to ``http_split_message`` a real CommonCrawl user
+    hits next): capture-era payloads routinely carry
+    ``Transfer-Encoding: chunked`` (hex-length-prefixed chunks that
+    must be reassembled before ANY byte of the entity is valid) and
+    ``Content-Encoding: gzip``/``deflate`` (the entity itself is
+    compressed). Order per RFC 9112: transfer coding comes OFF first,
+    then content coding. Returns the decoded entity BYTES (charset
+    decode stays a separate stage — ``decode_web_text``).
+
+    Tolerant by construction (crawl data is dirty): a malformed chunk
+    header or truncated chunk degrades to the bytes already
+    reassembled; a corrupt gzip/deflate stream degrades to the raw
+    (un-decoded) entity; unknown codings pass through. Never raises.
+
+    Arrow ``pandas_udf`` over (body, headers); map-only, zero
+    shuffle, O(payload).
+    """
+    import re as _re
+    import zlib as _zlib
+
+    te_re = _re.compile(r"(?mi)^Transfer-Encoding:[ \t]*([^\r\n]+)")
+    ce_re = _re.compile(r"(?mi)^Content-Encoding:[ \t]*([^\r\n]+)")
+
+    def _dechunk(data: bytes) -> bytes:
+        out, pos, n = [], 0, len(data)
+        while pos < n:
+            eol = data.find(b"\r\n", pos, pos + max_chunk_head)
+            if eol < 0:
+                break
+            head = data[pos:eol].split(b";", 1)[0].strip()
+            try:
+                clen = int(head, 16)
+            except ValueError:
+                break
+            if clen == 0:
+                break  # terminal chunk; trailers ignored
+            start = eol + 2
+            if start + clen > n:
+                break  # truncated chunk: keep what we have
+            out.append(data[start:start + clen])
+            pos = start + clen + 2  # skip chunk-data CRLF
+        return b"".join(out)
+
+    def _inflate(data: bytes, coding: str) -> bytes:
+        # wbits: gzip wrapper for gzip, auto zlib/raw for deflate
+        # (servers historically sent raw-deflate despite the RFC)
+        for wbits in ((31,) if coding == "gzip" else (15, -15)):
+            d = _zlib.decompressobj(wbits)
+            try:
+                out = d.decompress(data) + d.flush()
+            except _zlib.error:
+                continue
+            if out:
+                return out
+        return data  # corrupt stream: degrade to raw bytes
+
+    def _decode_one(body, hdrs):
+        if body is None:
+            return None
+        body = bytes(body)
+        hdrs = hdrs or ""
+        te = te_re.search(hdrs)
+        if te and "chunked" in te.group(1).lower():
+            body = _dechunk(body)
+        ce = ce_re.search(hdrs)
+        if ce:
+            coding = ce.group(1).strip().lower()
+            if coding in ("gzip", "x-gzip", "deflate"):
+                body = _inflate(
+                    body, "gzip" if "gzip" in coding else "deflate")
+        return body
+
+    @F.pandas_udf("binary")
+    def _decode(bodies: pd.Series, hdr: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_decode_one(b, h) for b, h in zip(bodies, hdr)])
+
+    return _decode(_as_col(body), _as_col(headers))
+
+
+def encode_http_coded_body(col: Column | str, use_gzip: Column,
+                           chunk_size: int = 512) -> Column:
+    """Apply HTTP codings to a page string — synthesis scaffolding
+    for coded-body fixtures (the ``gzip_member_blob`` pattern: the
+    graded path is always the DECODE, ``http_decode_body``). The
+    page's UTF-8 bytes are optionally gzip-compressed
+    (Content-Encoding), then ALWAYS chunked-transfer-encoded
+    (hex-length-prefixed ``chunk_size``-byte chunks + terminal
+    ``0\\r\\n\\r\\n``). ``use_gzip`` is a per-row boolean column so one
+    fixture mixes both coding stacks."""
+    @F.pandas_udf("binary")
+    def _encode(texts: pd.Series, gz: pd.Series) -> pd.Series:
+        import gzip as _gzip
+
+        out = []
+        for t, g in zip(texts, gz):
+            if t is None:
+                out.append(None)
+                continue
+            data = t.encode("utf-8")
+            if g:
+                data = _gzip.compress(data, mtime=0)
+            chunks = []
+            for i in range(0, len(data), chunk_size):
+                piece = data[i:i + chunk_size]
+                chunks.append(f"{len(piece):x}".encode("ascii")
+                              + b"\r\n" + piece + b"\r\n")
+            chunks.append(b"0\r\n\r\n")
+            out.append(b"".join(chunks))
+        return pd.Series(out)
+
+    return _encode(_as_col(col), _as_col(use_gzip))

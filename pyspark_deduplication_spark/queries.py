@@ -35,10 +35,12 @@ from pyspark_deduplication_spark.functions.text import (
     detect_language,
     decode_web_text,
     doc_fingerprint,
+    encode_http_coded_body,
     encode_text_bytes,
     entity_decode_sql,
     extract_main_content,
     gzip_member_blob,
+    http_decode_body,
     http_header_of,
     http_split_message,
     normalize_text,
@@ -5417,6 +5419,151 @@ SELECT doc_id, source,
        md5(h) AS payload_md5
 FROM hostile
 """
+
+
+def http_coded_body_ingest_docs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """HTTP transfer/content codings (the follow-on to
+    ``http_framed_ingest_docs`` a real CommonCrawl user hits next):
+    capture-era response bodies routinely arrive
+    ``Transfer-Encoding: chunked`` (hex-length-prefixed chunks that
+    must reassemble before ANY entity byte is valid) and — on top —
+    ``Content-Encoding: gzip`` (the entity itself compressed).
+    Every doc's page is chunk-encoded; EVEN doc_ids additionally
+    gzip the entity first (so both coding stacks grade in one
+    entry). The pipeline runs the real order: octet WARC parse →
+    ``http_split_message`` → ``http_decode_body`` (chunked off
+    first, then gzip — RFC 9112 order) → charset decode →
+    extraction. Graded per doc: the coding stack, the decoded
+    entity's octet count (one mis-assembled chunk shifts it), and
+    main_ok + article md5 (content-exact). The oracle derives
+    everything from the bare page — it never sees chunk framing or
+    gzip bytes.
+
+    Scale shape: same as the framing entry — synthesis groupBy per
+    source; parse/split/decode all map-only Arrow stages; ONE join
+    back for the expected text."""
+    docs = _t(spark, sf_dir, "documents")
+    crlf, blank = "\r\n", "\r\n\r\n"
+    esc = F.col("text")
+    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    page = F.concat(
+        F.lit("<html><head><title>«coded—…»</title></head><body>"
+              "<div class=\"nav\"><a href=\"/\">HomePage</a> | "
+              "<a href=\"/about\">AboutUs</a> | "
+              "<a href=\"/contact\">ContactUs</a></div>"
+              "<p id=\"main\">"),
+        esc,
+        F.lit("</p><div class=\"footer\"><a href=\"/terms\">Terms</a>"
+              " | <a href=\"/privacy\">Privacy</a> | copyright 2024"
+              "</div></body></html>"))
+    gz = (F.col("doc_id") % 2 == 0)
+    body = encode_http_coded_body(page, gz)
+    head = F.concat(
+        F.lit("HTTP/1.1 200 OK" + crlf
+              + "Content-Type: text/html; charset=utf-8" + crlf
+              + "Transfer-Encoding: chunked"),
+        F.when(gz, F.lit(crlf + "Content-Encoding: gzip"))
+        .otherwise(F.lit("")),
+        F.lit(blank))
+    msg = F.concat(F.encode(head, "UTF-8"), body)
+    rec = F.concat(
+        F.encode(F.concat(
+            F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+                  + "WARC-Target-URI: doc://"),
+            F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit(crlf + "Content-Length: "),
+            F.length(msg).cast("string"), F.lit(blank)), "UTF-8"),
+        msg, F.encode(F.lit(blank), "UTF-8"))
+    # per-doc binary records explode straight through the octet scan
+    # (binary concat of per-source records would need an O(n²) fold —
+    # the one-record-per-blob layout sidesteps it; multi-record blobs
+    # are already graded by the octet/gzip/file entries)
+    parsed = (
+        docs.select(rec.alias("__blob"), "doc_id")
+        .select("doc_id",
+                F.explode(warc_records_sliced_binary(F.col("__blob")))
+                .alias("r"))
+        .select("doc_id",
+                http_split_message(F.col("r.payload")).alias("m"))
+        .select("doc_id",
+                http_header_of(F.col("m.headers"), "Content-Type")
+                .alias("__ct"),
+                F.col("m.headers").alias("__h"),
+                F.col("m.body").alias("__body"))
+    )
+    entity = http_decode_body(F.col("__body"), F.col("__h"))
+    text = decode_web_text(entity, F.col("__ct"))
+    extracted = extract_main_content(text)
+    want = F.trim(F.regexp_replace(F.col("text"), WS_RUN_RE, " "))
+    return (
+        parsed.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("chunked+gzip"))
+            .otherwise(F.lit("chunked")).alias("codings"),
+            F.length(entity).cast("long").alias("entity_octets"),
+            (extracted == want).cast("int").alias("main_ok"),
+            F.md5(extracted).alias("article_md5"))
+    )
+
+
+_HTTP_CODED_BODY_ORACLE = """
+WITH built AS (
+  SELECT doc_id,
+         '<html><head><title>«coded—…»</title></head><body>'
+         || '<div class="nav"><a href="/">HomePage</a> | '
+         || '<a href="/about">AboutUs</a> | '
+         || '<a href="/contact">ContactUs</a></div>'
+         || '<p id="main">'
+         || replace(replace(replace(text, '&', '&amp;'),
+                            '<', '&lt;'), '>', '&gt;')
+         || '</p><div class="footer"><a href="/terms">Terms</a>'
+         || ' | <a href="/privacy">Privacy</a> | copyright 2024'
+         || '</div></body></html>' AS html,
+         trim(regexp_replace(text, '{WS}', ' ', 'g')) AS want
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, want, octet_length(encode(html)) AS entity_octets,
+         regexp_split_to_array(
+           regexp_replace(regexp_replace(regexp_replace(html,
+             '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+           '(?i)</?(?:p|div|td|tr|table|ul|ol|li|h[1-6]|blockquote|br|nav|aside|footer|header|section|article)\\b[^>]*>'
+         ) AS bs
+  FROM built
+),
+kept AS (
+  SELECT doc_id, want, entity_octets,
+         array_to_string(list_filter(bs, b ->
+           len(trim(regexp_replace(regexp_replace(b,
+               '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g'))) >= 20
+           AND 3 * coalesce(list_sum(list_transform(
+                 regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                 a -> len(trim(regexp_replace(regexp_replace(a,
+                      '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g'))))), 0)
+               <= len(trim(regexp_replace(regexp_replace(b,
+                    '<[^>]+>', ' ', 'g'), '{WS}', ' ', 'g')))
+         ), ' ') AS joined
+  FROM blocks
+),
+stripped AS (
+  SELECT doc_id, want, entity_octets, {STRIP} AS extracted
+  FROM kept
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'chunked+gzip'
+            ELSE 'chunked' END AS codings,
+       CAST(entity_octets AS BIGINT) AS entity_octets,
+       CAST(extracted = want AS INT) AS main_ok,
+       md5(extracted) AS article_md5
+FROM stripped
+""".replace("{STRIP}", _strip_html_sql("joined")).replace("{WS}", WS_RUN_RE)
 
 
 def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12468,6 +12615,12 @@ CATALOG: dict[str, Query] = {
     "warc_file_ingest_docs": Query(
         warc_file_ingest_docs, _WARC_FILE_INGEST_ORACLE,
         tags=["text", "pipeline", "source", "binary"]),
+    # r14 extension (outside the graded window; r15 rotation
+    # priority): HTTP transfer/content codings — chunked reassembly
+    # + Content-Encoding gzip, RFC 9112 order, before charset decode
+    "http_coded_body_ingest_docs": Query(
+        http_coded_body_ingest_docs, _HTTP_CODED_BODY_ORACLE,
+        tags=["text", "pipeline", "binary"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),

@@ -870,3 +870,28 @@ def test_r14_web_ingest_entries_plan_shapes(spark, sf_dir):
     assert not nodes(plan, "Exchange")
     assert len(nodes(plan, "ArrowEvalPython")) == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_http_coded_body_entry_map_only_one_join(spark, sf_dir):
+    """Plan pin for http_coded_body_ingest_docs (r14): per-doc binary
+    records skip the per-source groupBy entirely — the plan must have
+    NO exchange except the single expected-text join-back, exactly
+    one join, and four ArrowEvalPython stages (coded-body encode
+    scaffold, WARC cursor scan, HTTP split + body decode, charset
+    decode — Spark may fuse adjacent Arrow evals, so bound 3..5)."""
+    import re
+
+    from pyspark_deduplication_spark.queries import (
+        http_coded_body_ingest_docs,
+    )
+
+    plan = explain_str(http_coded_body_ingest_docs(spark, sf_dir))
+
+    def nodes(name: str) -> set[str]:
+        return set(re.findall(rf"\((\d+)\) {name}\b", plan))
+
+    assert len(nodes("[A-Za-z]*Join")) == 1
+    assert len(nodes("Exchange")) <= 1  # at most the join shuffle
+    assert 3 <= len(nodes("ArrowEvalPython")) <= 5
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -1445,3 +1445,63 @@ def test_decode_web_text_charset_resolution(spark):
         .collect()
     assert bytes(enc[0].b) == cp
     assert bytes(enc[1].b) == b"??"
+
+
+def test_http_decode_body_codings(spark):
+    """HTTP transfer/content codings (r14 follow-on to framing):
+    chunked reassembly (multi-chunk, extension params, terminal
+    chunk), gzip and both deflate flavors (zlib-wrapped and the
+    raw-deflate servers historically sent), RFC 9112 order
+    (chunked off FIRST, then content coding), and the degradation
+    contract — truncated chunk keeps reassembled bytes, corrupt
+    gzip degrades to raw bytes, unknown codings pass through,
+    no-coding headers pass through. Never raises."""
+    import gzip
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        http_decode_body,
+    )
+
+    page = ("café — the entity …" * 40).encode("utf-8")
+
+    def chunked(data: bytes, size: int = 100,
+                ext: bytes = b"") -> bytes:
+        out = []
+        for i in range(0, len(data), size):
+            p = data[i:i + size]
+            out.append(f"{len(p):x}".encode() + ext + b"\r\n"
+                       + p + b"\r\n")
+        return b"".join(out) + b"0\r\n\r\n"
+
+    gz = gzip.compress(page, mtime=0)
+    cases = [
+        # (id, body, headers, expected)
+        (0, chunked(page), "Transfer-Encoding: chunked", page),
+        (1, chunked(gz), "transfer-encoding: Chunked\r\n"
+         "Content-Encoding: gzip", page),           # order: TE first
+        (2, gz, "Content-Encoding: x-gzip", page),
+        (3, zlib.compress(page), "Content-Encoding: deflate", page),
+        (4, zlib.compress(page)[2:-4],
+         "Content-Encoding: deflate", page),        # raw deflate
+        (5, chunked(page, ext=b";name=val"),
+         "Transfer-Encoding: chunked", page),       # chunk extension
+        (6, chunked(page)[:150],
+         "Transfer-Encoding: chunked", page[:100]),  # truncated
+        (7, b"\x1f\x8bcorrupt", "Content-Encoding: gzip",
+         b"\x1f\x8bcorrupt"),                       # degrade to raw
+        (8, page, "Content-Encoding: br", page),    # unknown coding
+        (9, page, "", page),                        # no codings
+        (10, None, "Transfer-Encoding: chunked", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, b, h) for i, b, h, _ in cases],
+        "i long, body binary, h string")
+    got = {r.i: (None if r.e is None else bytes(r.e))
+           for r in df.select(
+               "i", http_decode_body("body", F.col("h"))
+               .alias("e")).collect()}
+    for i, _, _, want in cases:
+        assert got[i] == want, (i, got[i][:40] if got[i] else None)
