@@ -5566,6 +5566,89 @@ FROM stripped
 """.replace("{STRIP}", _strip_html_sql("joined")).replace("{WS}", WS_RUN_RE)
 
 
+def wet_text_ingest_docs(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """WET-layout ingest — CommonCrawl's pre-extracted-text sidecar
+    (``*.warc.wet.gz``): ``WARC-Type: conversion`` records whose
+    payloads are PLAIN TEXT, shipped interleaved with metadata in
+    real crawls. Each source's blob carries TWO records per doc — a
+    ``response`` record holding the HTML page and a ``conversion``
+    record holding the extracted text (multi-byte «…» framing, so
+    Content-Length is octets) — and the graded path must DISPATCH on
+    the record type: keep only the conversions, decode, and hand
+    back the text byte-exactly plus its token count (the first
+    number every WET consumer computes). If type dispatch fails, the
+    response records leak through and the row count itself breaks.
+
+    Scale shape: per-source gzip synthesis groupBy; inflation +
+    octet scan + type filter + token stats all map-only; NO join
+    back (every graded column comes from the conversion record)."""
+    docs = _t(spark, sf_dir, "documents")
+    crlf, blank = "\r\n", "\r\n\r\n"
+    wet = F.concat(F.lit("«wet» "), F.col("text"), F.lit(" …"))
+    html = F.concat(F.lit("<html><body><p>"), F.col("text"),
+                    F.lit("</p></body></html>"))
+
+    def _rec(wtype: str, payload):
+        return F.concat(
+            F.lit("WARC/1.0" + crlf + "WARC-Type: " + wtype + crlf
+                  + "WARC-Target-URI: doc://"),
+            F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit(crlf + "Content-Length: "),
+            F.octet_length(payload).cast("string"),
+            F.lit(blank), payload, F.lit(blank))
+
+    both = F.concat(_rec("response", html), _rec("conversion", wet))
+    blobs = (
+        docs.select("source",
+                    F.struct("doc_id", both.alias("r")).alias("s"))
+        .groupBy("source")
+        .agg(gzip_member_blob(F.transform(
+            F.array_sort(F.collect_list("s")), lambda x: x["r"]))
+            .alias("blob"))
+    )
+    parsed = (
+        blobs.select(F.explode(warc_records_sliced_binary(
+            F.col("blob"), gzip_members=True)).alias("r"))
+        .select(
+            warc_header_of(F.col("r.headers"), "WARC-Type")
+            .alias("warc_type"),
+            F.regexp_extract(
+                warc_header_of(F.col("r.headers"), "WARC-Target-URI"),
+                r"doc://[^/]+/([0-9]+)", 1).cast("long")
+            .alias("doc_id"),
+            F.col("r.payload").alias("__p"))
+        .filter(F.col("warc_type") == "conversion")
+    )
+    text = decode_web_text(F.col("__p"))
+    return parsed.select(
+        "doc_id", "warc_type",
+        F.length("__p").cast("long").alias("payload_octets"),
+        token_count(text).alias("n_tokens"),
+        F.md5("__p").alias("payload_md5"),
+    )
+
+
+# Ground truth: the conversion payload is deterministic from text, so
+# octets / token count / md5 come straight from the synthesis string;
+# the response records never appear (a dispatch failure breaks the
+# row count before it breaks values). {NTOK} operates on a column
+# named text, hence the aliased CTE.
+_WET_TEXT_INGEST_ORACLE = """
+WITH wet AS (
+  SELECT doc_id, '«wet» ' || text || ' …' AS text
+  FROM documents
+)
+SELECT doc_id,
+       'conversion' AS warc_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_octets,
+       CAST({NTOK} AS BIGINT) AS n_tokens,
+       md5(text) AS payload_md5
+FROM wet
+""".replace("{NTOK}", _NTOK_SQL)
+
+
 def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction — the scrub stage every training-data
     pipeline runs before text leaves quarantine. The fixture's document
@@ -12621,6 +12704,11 @@ CATALOG: dict[str, Query] = {
     "http_coded_body_ingest_docs": Query(
         http_coded_body_ingest_docs, _HTTP_CODED_BODY_ORACLE,
         tags=["text", "pipeline", "binary"]),
+    # r14 extension: WET sidecar layout — WARC-Type dispatch keeps
+    # only conversion (pre-extracted-text) records
+    "wet_text_ingest_docs": Query(
+        wet_text_ingest_docs, _WET_TEXT_INGEST_ORACLE,
+        tags=["text", "pipeline", "source", "binary"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),

@@ -1045,6 +1045,7 @@ def streaming_web_ingest(
     max_cell_size: int | None = 4096,
     binary_blobs: bool = False,
     gzip_members: bool = False,
+    http_messages: bool = False,
 ):
     """The streaming spelling of the web-ingest capstone
     (``queries.web_ingest_pipeline_docs``): a stream of raw WARC blobs
@@ -1077,10 +1078,26 @@ def streaming_web_ingest(
     ``decode_web_text`` — BOM / ``<meta charset>`` sniffing, legacy
     charsets (windows-1252 et al.) transcoded, ``errors='replace'``
     throughout — so a binary or garbage payload yields U+FFFDs, never
-    a crashed micro-batch (ADVICE r13)."""
+    a crashed micro-batch (ADVICE r13).
+
+    ``http_messages=True`` (requires ``binary_blobs``) treats each
+    payload as a FULL HTTP message — the real CommonCrawl record
+    shape — and runs the framing/coding chain before extraction:
+    ``http_split_message`` (byte-boundary head/body split) →
+    ``http_decode_body`` (chunked reassembly, then Content-Encoding
+    gunzip/inflate — RFC 9112 order) → ``decode_web_text`` with the
+    Content-Type header's charset. A non-HTTP payload degrades to
+    the whole-payload body (``http_split_message``'s contract), so
+    mixed streams keep working. With all three flags the stream
+    ingests genuine CommonCrawl bytes end-to-end: gzip members →
+    WARC records → HTTP messages → coded bodies → legacy charsets →
+    articles."""
     from pyspark_deduplication_spark.functions.text import (
         decode_web_text,
         extract_main_content,
+        http_decode_body,
+        http_header_of,
+        http_split_message,
         quality_features,
         warc_header_of,
         warc_records_sliced,
@@ -1093,19 +1110,36 @@ def streaming_web_ingest(
     if gzip_members and not binary_blobs:
         raise ValueError("gzip_members requires binary_blobs=True "
                          "(a gzip blob is bytes by definition)")
+    if http_messages and not binary_blobs:
+        raise ValueError("http_messages requires binary_blobs=True "
+                         "(an HTTP message is bytes by definition)")
     if binary_blobs:
         rec = F.explode(warc_records_sliced_binary(
             F.col(blob_col), gzip_members=gzip_members)).alias("r")
-        # charset-sniffing replace-decode (ADVICE r13 high): Spark 4's
-        # F.decode(…, 'UTF-8') RAISES on invalid bytes — one binary or
-        # legacy-encoded payload (routine in real .warc.gz) would
-        # crash the micro-batch and the stream would replay it forever
-        page = decode_web_text(F.col("r.payload"))
+        recs = blob_stream.select(rec)
+        if http_messages:
+            recs = recs.select(
+                "r", http_split_message(F.col("r.payload"))
+                .alias("__m"))
+            # charset from the Content-Type header outranks the
+            # <meta> sniff (decode_web_text's resolution order)
+            page = decode_web_text(
+                http_decode_body(F.col("__m.body"),
+                                 F.col("__m.headers")),
+                http_header_of(F.col("__m.headers"), "Content-Type"))
+        else:
+            # charset-sniffing replace-decode (ADVICE r13 high):
+            # Spark 4's F.decode(…, 'UTF-8') RAISES on invalid bytes —
+            # one binary or legacy-encoded payload (routine in real
+            # .warc.gz) would crash the micro-batch and the stream
+            # would replay it forever
+            page = decode_web_text(F.col("r.payload"))
     else:
         rec = F.explode(warc_records_sliced(F.col(blob_col))).alias("r")
+        recs = blob_stream.select(rec)
         page = F.col("r.payload")
     staged = (
-        blob_stream.select(rec)
+        recs
         .select(warc_header_of(F.col("r.headers"), "WARC-Target-URI")
                 .alias("uri"),
                 page.alias("__page"))

@@ -1511,3 +1511,113 @@ def test_streaming_web_ingest_end_to_end(spark, tmp_path):
     for r in rows.values():
         assert "HomePage" not in r.text and "Terms" not in r.text
         assert len(r.embedding) == 16 and sum(r.embedding) == 25.0
+
+
+def test_streaming_web_ingest_http_messages_mode(spark, tmp_path):
+    """The REAL CommonCrawl record shape end-to-end in one stream
+    (r14): multi-member ``.warc.gz`` blobs whose response payloads
+    are FULL HTTP messages — status line + headers + chunked
+    transfer coding, half of them Content-Encoding: gzip on top,
+    one windows-1252 page declaring its charset in Content-Type —
+    through ``streaming_web_ingest(binary_blobs=True,
+    gzip_members=True, http_messages=True)``: framing, chunk
+    reassembly, gunzip, charset transcode, extraction, and keep-best
+    ingest all inside the micro-batch. Also pins that http_messages
+    without binary_blobs is rejected and that a non-HTTP payload
+    (bare page) degrades to the whole-payload body and still lands."""
+    import gzip
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_web_ingest,
+    )
+
+    crlf, blank = b"\r\n", b"\r\n\r\n"
+
+    def page(article: str, charset: str = "utf-8",
+             meta: str = "") -> bytes:
+        return (
+            "<html><head>" + meta + "<title>«T»</title></head><body>"
+            "<div class=\"nav\"><a href=\"/\">HomePage</a> | "
+            "<a href=\"/a\">AboutUs</a> | "
+            "<a href=\"/c\">ContactUs</a></div>"
+            "<p id=\"main\">" + article + "</p>"
+            "<div class=\"footer\"><a href=\"/t\">Terms</a> | "
+            "<a href=\"/p\">Privacy</a> | <a href=\"/k\">Cookies</a>"
+            "</div></body></html>").encode(charset)
+
+    def chunked(data: bytes, size: int = 200) -> bytes:
+        out = []
+        for i in range(0, len(data), size):
+            p = data[i:i + size]
+            out.append(f"{len(p):x}".encode() + b"\r\n" + p + b"\r\n")
+        return b"".join(out) + b"0\r\n\r\n"
+
+    def http_msg(body: bytes, ct: str, *extra: str) -> bytes:
+        head = [b"HTTP/1.1 200 OK",
+                b"Content-Type: " + ct.encode()]
+        head += [e.encode() for e in extra]
+        return b"\r\n".join(head) + blank + body
+
+    def rec(uri: str, payload: bytes) -> bytes:
+        raw = (b"WARC/1.0" + crlf + b"WARC-Type: response" + crlf
+               + b"WARC-Target-URI: " + uri.encode() + crlf
+               + b"Content-Length: " + str(len(payload)).encode()
+               + blank + payload + blank)
+        return gzip.compress(raw)
+
+    art_a = "« " + " ".join(f"alpha{i}" for i in range(25)) + " »"
+    art_b = "— " + " ".join(f"beta{i}" for i in range(25)) + " …"
+    art_cp = "“cp” " + " ".join(f"gamma{i}" for i in range(25))
+    art_bare = "the " + " ".join(f"delta{i}" for i in range(25))
+
+    f1 = (
+        # chunked only
+        rec("page://a", http_msg(chunked(page(art_a)),
+                                 "text/html; charset=utf-8",
+                                 "Transfer-Encoding: chunked"))
+        # chunked + gzip entity
+        + rec("page://b", http_msg(
+            chunked(gzip.compress(page(art_b), mtime=0)),
+            "text/html; charset=utf-8",
+            "Transfer-Encoding: chunked",
+            "Content-Encoding: gzip"))
+        # windows-1252 via Content-Type, no transfer coding
+        + rec("page://cp", http_msg(page(art_cp, "windows-1252"),
+                                    "text/html; charset=windows-1252"))
+        # NON-HTTP payload: bare page degrades to whole-payload body
+        + rec("page://bare", page(art_bare))
+    )
+
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "hm_corpus")
+    schema = T.StructType([T.StructField("blob", T.BinaryType())])
+    spark.createDataFrame([(f1,)], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f1")
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_web_ingest(
+        stream, corpus_dir, str(tmp_path / "ckpt"),
+        cosine_threshold=0.999, n_cells=2,
+        binary_blobs=True, gzip_members=True, http_messages=True)
+    q.awaitTermination(240)
+
+    rows = {r.uri: r.text for r in
+            spark.read.parquet(corpus_dir).collect()}
+    assert sorted(rows) == ["page://a", "page://b", "page://bare",
+                            "page://cp"], sorted(rows)
+    assert rows["page://a"] == " ".join(art_a.split())
+    assert rows["page://b"] == " ".join(art_b.split())
+    assert rows["page://cp"] == " ".join(art_cp.split())
+    assert "�" not in rows["page://cp"] and "“cp”" in rows["page://cp"]
+    assert rows["page://bare"] == " ".join(art_bare.split())
+    for t in rows.values():
+        assert "HTTP/1.1" not in t and "HomePage" not in t
+
+    with pytest.raises(ValueError):
+        streaming_web_ingest(stream, corpus_dir,
+                             str(tmp_path / "ckpt2"),
+                             http_messages=True)

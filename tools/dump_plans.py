@@ -84,6 +84,7 @@ NOTES = {
     "charset_transcode_ingest_docs": "charset transcoding (r14): cp1252 encode (scaffolding) -> decode_web_text resolving the charset from the Content-Type header (even rows) or the <meta> sniff (odd rows) -> extraction; all map-only Arrow/HOF; ONE join back; utf8_surplus_octets > 0 everywhere proves the payload was not UTF-8",
     "warc_file_ingest_docs": "on-disk .warc.gz ingestion (r14): distributed foreachPartition writer (synthesis scaffolding, no driver collect) -> binaryFile source scan -> auto-gzip-sniff inflation -> octet cursor scan; read side is scan->project->explode, map-only, ZERO exchange, one task per file — the CommonCrawl parallelism grain (gzip inflates sequentially; executors saturate on file count)",
     "http_coded_body_ingest_docs": "HTTP codings (r14): per-doc binary record (no per-source groupBy — binary concat_ws doesn't exist and a fold is O(n^2); the multi-record layout is graded elsewhere) -> octet scan -> http split -> chunked reassembly + Content-Encoding gunzip (RFC 9112 order) -> charset decode -> extraction; all map-only Arrow stages, ONE join back",
+    "wet_text_ingest_docs": "WET sidecar layout (r14): per-source gzip synthesis groupBy -> member inflation + octet scan -> WARC-Type dispatch filter (conversion only; a dispatch failure breaks the row count) -> decode + token stats; map-only, NO join back — every graded column comes from the conversion record",
 }
 
 HEADER_NOTES = """
