@@ -98,17 +98,38 @@ def url_query(url: Column | str) -> Column:
     return F.regexp_extract(_c(url), _QUERY_RE, 1)
 
 
-def sorted_query(url: Column | str) -> Column:
-    """Query params sorted byte-lexicographically, empties dropped."""
+# Tracking/analytics query parameters that never distinguish the
+# fetched resource — the crawl-dedup convention: a re-crawl arriving
+# through a campaign link (utm_*) or a social-share click id
+# (fbclid/gclid/…) is the SAME page, and keying identity on the raw
+# query would double-ingest it. Name-prefix match, case-insensitive,
+# values irrelevant. Java∩RE2 dialect, anchored; a '^' prefix
+# guarantees a param whose VALUE contains 'utm_source=' survives.
+TRACKING_PARAM_RE = (
+    r"(?i)^(?:utm_[a-z0-9]+|fbclid|gclid|dclid|msclkid|twclid"
+    r"|yclid|igshid|mc_eid|mc_cid|_ga|_gl|ref_src|spm|s_kwcid)=")
+
+
+def sorted_query(url: Column | str,
+                 strip_tracking: bool = False) -> Column:
+    """Query params sorted byte-lexicographically, empties dropped;
+    ``strip_tracking`` additionally drops ``TRACKING_PARAM_RE``
+    matches (utm_*/fbclid/… — the crawl-identity spelling)."""
     parts = F.filter(
         F.split(url_query(url), "&"), lambda p: p != F.lit("")
     )
+    if strip_tracking:
+        parts = F.filter(parts, lambda p: ~p.rlike(TRACKING_PARAM_RE))
     return F.array_join(F.array_sort(parts), "&")
 
 
-def canonicalize_url(url: Column | str) -> Column:
+def canonicalize_url(url: Column | str,
+                     strip_tracking: bool = False) -> Column:
     """The full canonical spelling (see module contract); NULL for
-    non-absolute input."""
+    non-absolute input. ``strip_tracking=True`` drops tracking/
+    analytics params from the query first (crawl identity — see
+    ``TRACKING_PARAM_RE``); the default keeps them, preserving the
+    original contract for analytics consumers who key on them."""
     u = _c(url)
     scheme = url_scheme(u)
     host = url_host(u)
@@ -123,7 +144,7 @@ def canonicalize_url(url: Column | str) -> Column:
     user_at = F.when(user == "", F.lit("")).otherwise(
         F.concat(user, F.lit("@")))
     path = F.regexp_replace(url_path(u), r"/+$", "")
-    q = sorted_query(u)
+    q = sorted_query(u, strip_tracking=strip_tracking)
     q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
     return F.when(
         scheme != "",

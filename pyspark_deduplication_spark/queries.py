@@ -5649,6 +5649,68 @@ FROM wet
 """.replace("{NTOK}", _NTOK_SQL)
 
 
+
+def url_tracking_dedup_docs(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Tracking-param URL dedup (r14) — the crawl-identity gap the
+    canonical-spelling entry leaves open: a re-crawl arriving through
+    a campaign link (``?utm_source=…``) or a social click id
+    (``fbclid``/``gclid``) is the SAME page, but raw-query identity
+    double-ingests it. Each doc pair (2k, 2k+1) synthesizes the same
+    article URL — the even twin polluted with tracking params shuffled
+    BEFORE the real param (so sorting alone cannot save it) plus an
+    uppercase UTM spelling (case-insensitivity) and a decoy param
+    whose VALUE contains ``utm_source=`` (the anchored match must keep
+    it). ``canonicalize_url(strip_tracking=True)`` must collapse each
+    pair to one canonical key; per key: variant count and the kept
+    (min) doc id. The oracle derives the canonical string from the
+    synthesis ground truth.
+
+    Scale shape: map-only canonicalization (pure regex/array native
+    exprs, no UDF) + ONE aggregation exchange on the canonical key —
+    the exact shape of a 100 TB crawl-identity pass."""
+    from pyspark_deduplication_spark.functions.urls import (
+        canonicalize_url,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page_id = F.floor(F.col("doc_id") / 2).cast("long")
+    url = F.concat(
+        F.lit("https://www.example.com/p/"),
+        page_id.cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("?UTM_Medium=rss&page=1&note=utm_source"
+                           "%3Dkeeps&gclid=g"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("&utm_source=feed")))
+        .otherwise(F.lit("?note=utm_source%3Dkeeps&page=1")))
+    return (
+        docs.select(
+            canonicalize_url(url, strip_tracking=True)
+            .alias("canonical_url"),
+            "doc_id")
+        .groupBy("canonical_url")
+        .agg(F.count("*").cast("long").alias("n_variants"),
+             F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+# Ground truth: after tracking-strip both twins reduce to the same
+# sorted-query canonical string, so the oracle BUILDS it directly —
+# any canonicalization defect on the Spark side (case-sensitive match,
+# unanchored value hit on the decoy, sort-order dependence) splits a
+# pair and flips n_variants/keep_doc_id.
+_URL_TRACKING_DEDUP_ORACLE = """
+SELECT 'https://www.example.com/p/' || CAST(doc_id // 2 AS VARCHAR)
+         || '?note=utm_source%3Dkeeps&page=1' AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY canonical_url
+"""
+
+
 def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction — the scrub stage every training-data
     pipeline runs before text leaves quarantine. The fixture's document
@@ -12709,6 +12771,11 @@ CATALOG: dict[str, Query] = {
     "wet_text_ingest_docs": Query(
         wet_text_ingest_docs, _WET_TEXT_INGEST_ORACLE,
         tags=["text", "pipeline", "source", "binary"]),
+    # r14 extension: crawl-identity URL dedup — tracking params
+    # stripped, anchored case-insensitive match, sorted canonical key
+    "url_tracking_dedup_docs": Query(
+        url_tracking_dedup_docs, _URL_TRACKING_DEDUP_ORACLE,
+        tags=["url", "dedup"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),

@@ -1046,6 +1046,7 @@ def streaming_web_ingest(
     binary_blobs: bool = False,
     gzip_members: bool = False,
     http_messages: bool = False,
+    canonical_ids: bool = False,
 ):
     """The streaming spelling of the web-ingest capstone
     (``queries.web_ingest_pipeline_docs``): a stream of raw WARC blobs
@@ -1091,7 +1092,16 @@ def streaming_web_ingest(
     mixed streams keep working. With all three flags the stream
     ingests genuine CommonCrawl bytes end-to-end: gzip members →
     WARC records → HTTP messages → coded bodies → legacy charsets →
-    articles."""
+    articles.
+
+    ``canonical_ids=True`` keys doc identity on the CANONICAL URI
+    (``canonicalize_url(strip_tracking=True)`` — lowercased host,
+    sorted query, utm_*/fbclid/… dropped; non-absolute URIs fall back
+    to the raw spelling) instead of the raw ``WARC-Target-URI``: a
+    re-crawl arriving through a campaign link is the SAME page, and
+    raw-URI identity would double-ingest it past every quality gate.
+    The ``uri`` column keeps the raw spelling for provenance — the
+    corpus stores whichever variant survived."""
     from pyspark_deduplication_spark.functions.text import (
         decode_web_text,
         extract_main_content,
@@ -1138,13 +1148,23 @@ def streaming_web_ingest(
         rec = F.explode(warc_records_sliced(F.col(blob_col))).alias("r")
         recs = blob_stream.select(rec)
         page = F.col("r.payload")
+    if canonical_ids:
+        from pyspark_deduplication_spark.functions.urls import (
+            canonicalize_url,
+        )
+
+        ident = F.coalesce(
+            canonicalize_url(F.col("uri"), strip_tracking=True),
+            F.col("uri"))
+    else:
+        ident = F.col("uri")
     staged = (
         recs
         .select(warc_header_of(F.col("r.headers"), "WARC-Target-URI")
                 .alias("uri"),
                 page.alias("__page"))
         .filter(F.col("uri") != "")
-        .withColumn("doc_id", F.xxhash64(F.col("uri")))
+        .withColumn("doc_id", F.xxhash64(ident))
         .withColumn("text", extract_main_content(F.col("__page")))
         .drop("__page")
     )

@@ -113,3 +113,103 @@ def test_registrable_domain_wide_cctld_suffixes(spark):
     got = [r.d for r in
            df.select(registrable_domain(F.col("url")).alias("d")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_strip_tracking_params_semantics(spark):
+    """Tracking-param stripping (r14): utm_*/fbclid/gclid/… drop from
+    the canonical query — case-insensitively and ANCHORED on the
+    param name, so a decoy param whose VALUE mentions utm_source
+    survives; order-independence still comes from the sort; the
+    default (no strip) preserves the original contract."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.urls import (
+        canonicalize_url,
+        sorted_query,
+    )
+
+    cases = [
+        (0, "https://Ex.COM/a?UTM_Source=x&b=2&a=1", "a=1&b=2"),
+        (1, "https://ex.com/a?fbclid=abc&gclid=1&msclkid=2&a=1",
+         "a=1"),
+        # decoy: VALUE contains utm_source= — anchored match keeps it
+        (2, "https://ex.com/a?note=utm_source%3Dx&q=utm_medium=y",
+         "note=utm_source%3Dx&q=utm_medium=y"),
+        (3, "https://ex.com/a?utm_campaign=c", ""),
+        (4, "https://ex.com/a", ""),
+    ]
+    df = spark.createDataFrame(cases, "i long, u string, want string")
+    rows = df.select(
+        "i", "want",
+        sorted_query("u", strip_tracking=True).alias("got"),
+        canonicalize_url("u", strip_tracking=True).alias("canon"),
+        sorted_query("u").alias("raw")).collect()
+    for r in rows:
+        assert r.got == r.want, (r.i, r.got)
+    by_i = {r.i: r for r in rows}
+    # default keeps tracking params (original contract)
+    assert "utm_source" in by_i[0].raw.lower()
+    # canonical spelling composes: host lowercased, empty query absent
+    assert by_i[0].canon == "https://ex.com/a?a=1&b=2"
+    assert by_i[3].canon == "https://ex.com/a"
+
+
+def test_streaming_canonical_ids_collapse_recrawl(spark, tmp_path):
+    """canonical_ids=True (r14): a re-crawl of the same page arriving
+    through a campaign link (utm_*/gclid query) must carry the SAME
+    doc identity — with better quality it REPLACES the standing copy
+    instead of double-ingesting; the corpus ends with exactly one row
+    for the page, and uri keeps the raw spelling for provenance."""
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_web_ingest,
+    )
+
+    crlf, blank = b"\r\n", b"\r\n\r\n"
+
+    def page(article: str) -> bytes:
+        return (
+            "<html><body><div class=\"nav\"><a href=\"/\">HomePage"
+            "</a> | <a href=\"/a\">AboutUs</a> | "
+            "<a href=\"/c\">ContactUs</a></div>"
+            "<p id=\"main\">" + article + "</p>"
+            "<div class=\"footer\"><a href=\"/t\">Terms</a> | "
+            "<a href=\"/p\">Privacy</a> | <a href=\"/k\">Cookies</a>"
+            "</div></body></html>").encode("utf-8")
+
+    def rec(uri: str, article: str) -> bytes:
+        p = page(article)
+        return (b"WARC/1.0" + crlf + b"WARC-Type: response" + crlf
+                + b"WARC-Target-URI: " + uri.encode() + crlf
+                + b"Content-Length: " + str(len(p)).encode()
+                + blank + p + blank)
+
+    art = "« " + " ".join(f"word{i}" for i in range(25)) + " »"
+    toks = art.split()
+    toks[10] = "the"
+    art2 = " ".join(toks)  # higher stopword ratio → better quality
+    f1 = rec("https://ex.com/p/1?page=1", art)
+    f2 = rec("https://EX.com/p/1?utm_source=feed&page=1&gclid=g1",
+             art2)
+
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "cid_corpus")
+    schema = T.StructType([T.StructField("blob", T.BinaryType())])
+    for name, blob in [("f1", f1), ("f2", f2)]:
+        spark.createDataFrame([(blob,)], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src}/{name}")
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_web_ingest(
+        stream, corpus_dir, str(tmp_path / "ckpt"),
+        cosine_threshold=0.999, n_cells=2,
+        binary_blobs=True, canonical_ids=True)
+    q.awaitTermination(240)
+
+    rows = spark.read.parquet(corpus_dir).collect()
+    assert len(rows) == 1, [(r.uri, r.text) for r in rows]
+    assert rows[0].text == " ".join(art2.split())
+    # provenance: the RAW re-crawl spelling, not the canonical one
+    assert "utm_source" in rows[0].uri

@@ -85,6 +85,7 @@ NOTES = {
     "warc_file_ingest_docs": "on-disk .warc.gz ingestion (r14): distributed foreachPartition writer (synthesis scaffolding, no driver collect) -> binaryFile source scan -> auto-gzip-sniff inflation -> octet cursor scan; read side is scan->project->explode, map-only, ZERO exchange, one task per file — the CommonCrawl parallelism grain (gzip inflates sequentially; executors saturate on file count)",
     "http_coded_body_ingest_docs": "HTTP codings (r14): per-doc binary record (no per-source groupBy — binary concat_ws doesn't exist and a fold is O(n^2); the multi-record layout is graded elsewhere) -> octet scan -> http split -> chunked reassembly + Content-Encoding gunzip (RFC 9112 order) -> charset decode -> extraction; all map-only Arrow stages, ONE join back",
     "wet_text_ingest_docs": "WET sidecar layout (r14): per-source gzip synthesis groupBy -> member inflation + octet scan -> WARC-Type dispatch filter (conversion only; a dispatch failure breaks the row count) -> decode + token stats; map-only, NO join back — every graded column comes from the conversion record",
+    "url_tracking_dedup_docs": "crawl-identity URL dedup (r14): map-only canonicalization (pure regex/array natives, zero UDF) with anchored case-insensitive tracking-param strip -> ONE aggregation exchange on the canonical key — the exact shape of a 100 TB crawl-identity pass",
 }
 
 HEADER_NOTES = """
