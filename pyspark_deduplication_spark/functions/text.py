@@ -1060,3 +1060,33 @@ def encode_http_coded_body(col: Column | str, use_gzip: Column,
         return pd.Series(out)
 
     return _encode(_as_col(col), _as_col(use_gzip))
+
+
+# robots meta directives that exclude a page from indexes/corpora —
+# the polite-crawl convention every production pipeline respects.
+# Matches <meta name="robots" ...> (and the googlebot/bingbot agent
+# spellings) whose content mentions noindex, double/single/no quotes.
+# The two attribute ORDERS are separate alternatives because the
+# Java∩RE2 dialect has no lookahead (RE2 rejects (?=…)) — each
+# alternative is a plain left-to-right scan inside one tag, so both
+# drop verbatim into Spark rlike AND DuckDB regexp_matches.
+_ROBOTS_AGENTS = r"(?:robots|googlebot|bingbot)"
+NOINDEX_META_RE = (
+    r"(?is)<meta\b"
+    r"(?:"
+    r"[^>]{0,256}\bname\s*=\s*[\"']?" + _ROBOTS_AGENTS + r"\b"
+    r"[^>]{0,256}\bcontent\s*=\s*[\"']?[^\"'>]{0,128}noindex"
+    r"|"
+    r"[^>]{0,256}\bcontent\s*=\s*[\"']?[^\"'>]{0,128}noindex"
+    r"[^>]{0,256}\bname\s*=\s*[\"']?" + _ROBOTS_AGENTS + r"\b"
+    r")")
+
+
+def has_noindex(col: Column | str) -> Column:
+    """True when the page carries a robots noindex directive
+    (``<meta name=robots content=...noindex...>``, either attribute
+    order/quoting, googlebot/bingbot agent spellings included) —
+    the pre-extraction drop every polite training-data pipeline
+    applies. Native regex, map-only; RE2-safe so the oracle runs
+    the identical pattern."""
+    return _as_col(col).rlike(NOINDEX_META_RE)

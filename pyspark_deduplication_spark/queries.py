@@ -39,7 +39,9 @@ from pyspark_deduplication_spark.functions.text import (
     encode_text_bytes,
     entity_decode_sql,
     extract_main_content,
+    NOINDEX_META_RE,
     gzip_member_blob,
+    has_noindex,
     http_decode_body,
     http_header_of,
     http_split_message,
@@ -5708,6 +5710,142 @@ SELECT 'https://www.example.com/p/' || CAST(doc_id // 2 AS VARCHAR)
        min(doc_id) AS keep_doc_id
 FROM documents
 GROUP BY canonical_url
+"""
+
+
+
+def noindex_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots noindex filtering (r14) — the polite-crawl drop every
+    production pipeline applies before extraction: a page whose
+    ``<meta name=robots>`` (or googlebot/bingbot agent spelling)
+    content says ``noindex`` must not enter the corpus. A third of
+    the pages plant the directive — alternating attribute order,
+    quoting, and agent/case spellings — while EVERY page carries a
+    decoy ``<meta name=viewport content=noindex>`` (the name gate
+    must hold) and the negative controls declare ``index, follow``.
+    Per source: page count, noindex count, and the doc-id sum of the
+    KEPT pages (order-independent doc-granular proof of the filter).
+    The oracle replicates the synthesis and runs the IDENTICAL
+    RE2-safe pattern — cross-engine regex parity, not trusted ground
+    truth.
+
+    Scale shape: map-only native-regex classification + ONE
+    aggregation exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    directive = (
+        F.when((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 0),
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(F.col("doc_id") % 3 == 0,
+              F.lit("<META CONTENT='NOINDEX' NAME=googlebot>"))
+        .otherwise(F.lit('<meta name="robots" content="index, follow">')))
+    page = F.concat(
+        F.lit("<html><head>"), directive,
+        F.lit('<meta name="viewport" content="noindex">'
+              "</head><body><p>"),
+        F.col("text"), F.lit("</p></body></html>"))
+    flagged = has_noindex(page)
+    return (
+        docs.select("source", "doc_id", flagged.alias("__ni"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_pages"),
+             F.sum(F.col("__ni").cast("long")).alias("n_noindex"),
+             F.sum(F.when(~F.col("__ni"), F.col("doc_id"))
+                   .otherwise(F.lit(0))).alias("kept_doc_id_sum"))
+    )
+
+
+_NOINDEX_FILTER_ORACLE = """
+WITH built AS (
+  SELECT source, doc_id,
+         '<html><head>'
+         || CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+                 THEN '<meta name="robots" content="noindex, nofollow">'
+                 WHEN doc_id % 3 = 0
+                 THEN '<META CONTENT=''NOINDEX'' NAME=googlebot>'
+                 ELSE '<meta name="robots" content="index, follow">'
+            END
+         || '<meta name="viewport" content="noindex"></head><body><p>'
+         || text || '</p></body></html>' AS page
+  FROM documents
+),
+classified AS (
+  SELECT source, doc_id,
+         regexp_matches(page, '{RE}') AS ni
+  FROM built
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN ni THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_noindex,
+       CAST(sum(CASE WHEN ni THEN 0 ELSE doc_id END) AS BIGINT)
+         AS kept_doc_id_sum
+FROM classified
+GROUP BY source
+""".replace("{RE}", NOINDEX_META_RE.replace("'", "''"))
+
+
+
+def warc_digest_dedup_docs(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Digest-header dedup (r14) — the CHEAPEST crawl dedup there is:
+    CommonCrawl records carry ``WARC-Payload-Digest``, so exact
+    duplicates collapse on a header string WITHOUT decoding, parsing,
+    or even reading payload bytes (at 100 TB this is the difference
+    between a header-projection shuffle and a full-corpus text
+    pipeline). Synthesis plants content-sharing groups (every three
+    consecutive doc_ids share a payload, hence a digest) inside
+    per-source WARC blobs; the graded path parses records, projects
+    ONLY the digest header and URI doc id, and collapses per digest:
+    copy count and the kept (min) doc id. The oracle derives each
+    group's digest from the shared synthesis string — md5 agrees
+    across Spark, DuckDB, and the digest header by construction.
+
+    Scale shape: synthesis groupBy per source; parse + header
+    projection map-only; ONE aggregation exchange on the digest —
+    payload bytes never leave the record struct."""
+    docs = _t(spark, sf_dir, "documents")
+    crlf, blank = "\r\n", "\r\n\r\n"
+    shared = F.concat(F.lit("shared-"),
+                      F.floor(F.col("doc_id") / 3).cast("long")
+                      .cast("string"))
+    rec = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "WARC-Target-URI: doc://"),
+        F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit(crlf + "WARC-Payload-Digest: md5:"), F.md5(shared),
+        F.lit(crlf + "Content-Length: "),
+        F.octet_length(shared).cast("string"),
+        F.lit(blank), shared, F.lit(blank))
+    blobs = (
+        docs.select("source", F.struct("doc_id", rec.alias("r")).alias("s"))
+        .groupBy("source")
+        .agg(F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list("s")), lambda x: x["r"]))
+            .alias("blob"))
+    )
+    return (
+        blobs.select(F.explode(warc_records_sliced(F.col("blob")))
+                     .alias("r"))
+        .select(
+            warc_header_of(F.col("r.headers"), "WARC-Payload-Digest")
+            .alias("payload_digest"),
+            F.regexp_extract(
+                warc_header_of(F.col("r.headers"), "WARC-Target-URI"),
+                r"doc://[^/]+/([0-9]+)", 1).cast("long")
+            .alias("doc_id"))
+        .groupBy("payload_digest")
+        .agg(F.count("*").cast("long").alias("n_copies"),
+             F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+_WARC_DIGEST_DEDUP_ORACLE = """
+SELECT 'md5:' || md5('shared-' || CAST(doc_id // 3 AS VARCHAR))
+         AS payload_digest,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY payload_digest
 """
 
 
@@ -12757,8 +12895,10 @@ CATALOG: dict[str, Query] = {
     # r14 (VERDICT r13 item 2): real on-disk .warc.gz files through
     # the binaryFile source — write distributed, read via
     # read_warc_dir, prove byte-exact recovery + file provenance
+    # bench=True (r14): the on-disk file path IS the production
+    # ingest entry point — per-round perf tracking
     "warc_file_ingest_docs": Query(
-        warc_file_ingest_docs, _WARC_FILE_INGEST_ORACLE,
+        warc_file_ingest_docs, _WARC_FILE_INGEST_ORACLE, bench=True,
         tags=["text", "pipeline", "source", "binary"]),
     # r14 extension (outside the graded window; r15 rotation
     # priority): HTTP transfer/content codings — chunked reassembly
@@ -12776,6 +12916,16 @@ CATALOG: dict[str, Query] = {
     "url_tracking_dedup_docs": Query(
         url_tracking_dedup_docs, _URL_TRACKING_DEDUP_ORACLE,
         tags=["url", "dedup"]),
+    # r14 extension: robots noindex drop — identical RE2-safe pattern
+    # runs in BOTH engines (cross-engine regex parity)
+    "noindex_filter_docs": Query(
+        noindex_filter_docs, _NOINDEX_FILTER_ORACLE,
+        tags=["text", "quality", "pipeline"]),
+    # r14 extension: header-digest dedup — exact dupes collapse on
+    # WARC-Payload-Digest without touching payload bytes
+    "warc_digest_dedup_docs": Query(
+        warc_digest_dedup_docs, _WARC_DIGEST_DEDUP_ORACLE,
+        tags=["text", "dedup", "source"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),

@@ -86,6 +86,8 @@ NOTES = {
     "http_coded_body_ingest_docs": "HTTP codings (r14): per-doc binary record (no per-source groupBy — binary concat_ws doesn't exist and a fold is O(n^2); the multi-record layout is graded elsewhere) -> octet scan -> http split -> chunked reassembly + Content-Encoding gunzip (RFC 9112 order) -> charset decode -> extraction; all map-only Arrow stages, ONE join back",
     "wet_text_ingest_docs": "WET sidecar layout (r14): per-source gzip synthesis groupBy -> member inflation + octet scan -> WARC-Type dispatch filter (conversion only; a dispatch failure breaks the row count) -> decode + token stats; map-only, NO join back — every graded column comes from the conversion record",
     "url_tracking_dedup_docs": "crawl-identity URL dedup (r14): map-only canonicalization (pure regex/array natives, zero UDF) with anchored case-insensitive tracking-param strip -> ONE aggregation exchange on the canonical key — the exact shape of a 100 TB crawl-identity pass",
+    "noindex_filter_docs": "robots noindex drop (r14): map-only native-regex classification (RE2-safe two-alternative pattern, identical in both engines) -> ONE aggregation exchange; decoy meta + negative controls prove the name gate",
+    "warc_digest_dedup_docs": "digest-header dedup (r14): parse + header-only projection (payload bytes never leave the record struct) -> ONE aggregation exchange on WARC-Payload-Digest — at 100 TB the difference between a header shuffle and a full-text pipeline",
 }
 
 HEADER_NOTES = """
