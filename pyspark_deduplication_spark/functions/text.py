@@ -1000,7 +1000,10 @@ def http_decode_body(body: Column | str, headers: Column | str,
                 out = d.decompress(data) + d.flush()
             except _zlib.error:
                 continue
-            if out:
+            # success = bytes produced OR the stream terminator was
+            # reached — a VALID gzip of an EMPTY entity inflates to
+            # b'' with eof set and must not read as corrupt
+            if out or d.eof:
                 return out
         return data  # corrupt stream: degrade to raw bytes
 

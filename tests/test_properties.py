@@ -468,3 +468,111 @@ def test_warc_sliced_roundtrips_arbitrary_payloads(payloads):
         i = int(row.uri.rsplit("/", 1)[1])
         assert row.pos == i
         assert row.p == payloads[i], (i, row.p, payloads[i])
+
+
+@given(st.lists(st.binary(min_size=0, max_size=200),
+                min_size=1, max_size=6),
+       st.integers(min_value=1, max_value=64))
+@example([b"\r\n\r\nHTTP/1.1 200 OK\r\n\r\n"], 3)  # hazards in body
+@example([b""], 1)                                  # empty entity
+@settings(max_examples=10, deadline=None)
+def test_http_decode_body_chunked_gzip_roundtrips(bodies, chunk_size):
+    """For ANY entity bytes and ANY chunk size, chunked(entity) and
+    chunked(gzip(entity)) must both decode back byte-exactly through
+    http_decode_body (the r14 coded-body contract) — including
+    entities containing CRLF CRLF, bare chunk-header look-alikes, and
+    the empty entity."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        http_decode_body,
+    )
+
+    def chunked(data: bytes) -> bytes:
+        out = []
+        for i in range(0, len(data), chunk_size):
+            p = data[i:i + chunk_size]
+            out.append(f"{len(p):x}".encode() + b"\r\n" + p + b"\r\n")
+        return b"".join(out) + b"0\r\n\r\n"
+
+    rows = []
+    for i, b in enumerate(bodies):
+        rows.append((2 * i, chunked(b), "Transfer-Encoding: chunked"))
+        rows.append((2 * i + 1, chunked(gzip.compress(b, mtime=0)),
+                     "Transfer-Encoding: chunked\r\n"
+                     "Content-Encoding: gzip"))
+    df = _SPARK.createDataFrame(rows, "i long, body binary, h string")
+    got = {r.i: bytes(r.e) for r in df.select(
+        "i", http_decode_body("body", F.col("h")).alias("e"))
+        .collect()}
+    for i, b in enumerate(bodies):
+        assert got[2 * i] == b, (i, "chunked")
+        assert got[2 * i + 1] == b, (i, "chunked+gzip")
+
+
+@given(st.lists(st.binary(min_size=0, max_size=300),
+                min_size=1, max_size=6))
+@example([b"\r\n\r\n"])               # body IS the separator
+@example([b"HTTP/1.1 200 OK\r\n\r\nnested"])  # message-in-body
+@settings(max_examples=10, deadline=None)
+def test_http_split_roundtrips_arbitrary_bodies(bodies):
+    """http_split_message must hand back ANY body byte-exactly — the
+    CRLF CRLF boundary scan stops at the FIRST separator (a body
+    containing its own separator or a nested status line must not
+    re-split), and the status/header text survives latin-1-losslessly."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        http_split_message,
+    )
+
+    rows = [(i, b"HTTP/1.1 200 OK\r\nX-N: caf\xe9\r\n\r\n" + b)
+            for i, b in enumerate(bodies)]
+    df = _SPARK.createDataFrame(rows, "i long, p binary")
+    got = {r.i: r for r in df.select(
+        "i", http_split_message("p").alias("m"))
+        .select("i", "m.status_line", "m.headers", "m.body")
+        .collect()}
+    for i, b in enumerate(bodies):
+        assert got[i].status_line == "HTTP/1.1 200 OK"
+        assert got[i].headers == "X-N: caf\xe9"
+        assert bytes(got[i].body) == b, i
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd",
+                                                 "Zs", "Po"),
+                           max_codepoint=0xFF),
+    min_size=0, max_size=80), min_size=1, max_size=6))
+@example(["“smart” — €99 café"])
+@settings(max_examples=10, deadline=None)
+def test_decode_web_text_cp1252_header_roundtrips(texts):
+    """Any windows-1252-encodable text must round-trip byte-exactly
+    through encode_text_bytes → decode_web_text with the charset
+    declared in a Content-Type header — zero replacement chars (the
+    charset_transcode_ingest_docs contract, generalized)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_deduplication_spark.functions.text import (
+        decode_web_text,
+        encode_text_bytes,
+    )
+
+    # keep only cp1252-encodable inputs (strategy may emit e.g. U+0081)
+    texts = [t for t in texts
+             if all(c.encode("windows-1252", "ignore") for c in [t])
+             and t.encode("windows-1252", "replace")
+             .decode("windows-1252") == t]
+    if not texts:
+        return
+    df = _SPARK.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r.i: r.out for r in df.select(
+        "i", decode_web_text(
+            encode_text_bytes("t", "windows-1252"),
+            F.lit("text/html; charset=windows-1252")).alias("out"))
+        .collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == t, (i, got[i], t)

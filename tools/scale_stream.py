@@ -36,6 +36,11 @@ Modes (env):
                     trigger still ingests one batch-worth), inflating
                     and octet-slicing inside the micro-batch. The
                     heal extra-batch is a copied ``.warc.gz`` file.
+    HTTP_MESSAGES=1 — (WARC_FILES only) each record's payload is a
+                    FULL HTTP message (status + headers + body) and
+                    the stream frames it off per micro-batch
+                    (``streaming_web_ingest(http_messages=True)``) —
+                    the genuine CommonCrawl byte path end-to-end.
 
 After the heal run, ``compact_corpus_epochs(keep_last=2)`` executes in
 every mode and the row reports partition counts before/after plus a
@@ -85,7 +90,8 @@ def _prep_sources(spark, sf_dir: str, tag: str, n_batches: int,
     return src
 
 
-def _staged_warc_records(spark, sf_dir: str, n_batches: int):
+def _staged_warc_records(spark, sf_dir: str, n_batches: int,
+                         http_messages: bool = False):
     """Shared WARC-record synthesis for the blob and file modes:
     one ``(source, b, s:struct<doc_id, r:string>)`` row per document —
     the ``web_ingest_pipeline_docs`` page template (nav/footer chrome
@@ -109,13 +115,24 @@ def _staged_warc_records(spark, sf_dir: str, n_batches: int):
         F.lit("</p><div class=\"footer\"><a href=\"/t\">Terms</a> | "
               "<a href=\"/p\">Privacy</a> | copyright 2024"
               "</div></body></html>"))
+    if http_messages:
+        # the real CommonCrawl record shape: the payload is a FULL
+        # HTTP message; streaming_web_ingest(http_messages=True)
+        # frames it off before extraction
+        payload = F.concat(
+            F.lit("HTTP/1.1 200 OK" + crlf
+                  + "Content-Type: text/html; charset=utf-8" + crlf
+                  + "X-Crawl-Source: "),
+            F.col("source"), F.lit(blank), page)
+    else:
+        payload = page
     rec = F.concat(
         F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
               + "WARC-Target-URI: page://"),
         F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
         F.lit(crlf + "Content-Length: "),
-        F.length(page).cast("string"),
-        F.lit(blank), page, F.lit(blank))
+        F.length(payload).cast("string"),
+        F.lit(blank), payload, F.lit(blank))
     return docs.select(
         "source", (F.col("doc_id") % n_batches).alias("b"),
         F.struct("doc_id", rec.alias("r")).alias("s"))
@@ -139,8 +156,8 @@ def _prep_blob_sources(spark, sf_dir: str, tag: str,
     return src
 
 
-def _prep_warc_files(spark, sf_dir: str, tag: str,
-                     n_batches: int) -> tuple[str, int]:
+def _prep_warc_files(spark, sf_dir: str, tag: str, n_batches: int,
+                     http_messages: bool = False) -> tuple[str, int]:
     """REAL on-disk ``.warc.gz`` files (VERDICT r13 item 2): one
     multi-member gzip file per (source, batch) — member per record,
     the CommonCrawl layout — written DISTRIBUTED via foreachPartition
@@ -149,7 +166,8 @@ def _prep_warc_files(spark, sf_dir: str, tag: str,
     from pyspark.sql import functions as F
 
     src = f"{WORK}/{tag}/src"
-    staged = _staged_warc_records(spark, sf_dir, n_batches)
+    staged = _staged_warc_records(spark, sf_dir, n_batches,
+                                  http_messages=http_messages)
     n_sources = staged.select("source").distinct().count()
     for i in range(n_batches):
         batch_dir = f"{src}/f{i}"
@@ -178,7 +196,8 @@ def _prep_warc_files(spark, sf_dir: str, tag: str,
 def _run_web_ingest(spark, src: str, tag: str, n_cells: int,
                     timeout_sec: int = 3600,
                     ckpt: str | None = None,
-                    files_per_trigger: int | None = None) -> str:
+                    files_per_trigger: int | None = None,
+                    http_messages: bool = False) -> str:
     from pyspark.sql import functions as F
 
     from pyspark_deduplication_spark.streaming.ops import (
@@ -204,7 +223,8 @@ def _run_web_ingest(spark, src: str, tag: str, n_cells: int,
         q = streaming_web_ingest(
             stream.select(F.col("content").alias("blob")),
             corpus_dir, ckpt, n_cells=n_cells,
-            binary_blobs=True, gzip_members=True)
+            binary_blobs=True, gzip_members=True,
+            http_messages=http_messages)
     else:
         schema = spark.read.parquet(f"{src}/f0").schema
         stream = (spark.readStream.format("parquet").schema(schema)
@@ -265,6 +285,11 @@ def main() -> None:
     # WEB_INGEST=1: the streaming web capstone (WARC parse → extract →
     # score → keep-best ingest); quality-aware by construction.
     warc_files = os.environ.get("WARC_FILES", "") == "1"
+    # HTTP_MESSAGES=1 (WARC_FILES only — framing needs binary
+    # payloads): each record's payload is a full HTTP message and the
+    # stream frames it off per micro-batch
+    http_msgs = (os.environ.get("HTTP_MESSAGES", "") == "1"
+                 and warc_files)
     web = os.environ.get("WEB_INGEST", "") == "1" or warc_files
     keep_best = os.environ.get("KEEP_BEST", "") == "1" and not web
     quality_col = "quality" if keep_best else None
@@ -279,7 +304,8 @@ def main() -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         n_sources = None
         if warc_files:
-            src, n_sources = _prep_warc_files(spark, d, tag, n_batches)
+            src, n_sources = _prep_warc_files(
+                spark, d, tag, n_batches, http_messages=http_msgs)
         elif web:
             src = _prep_blob_sources(spark, d, tag, n_batches)
         else:
@@ -290,7 +316,8 @@ def main() -> None:
             if web:
                 return _run_web_ingest(spark, src, tag, cells,
                                        ckpt=ckpt,
-                                       files_per_trigger=n_sources)
+                                       files_per_trigger=n_sources,
+                                       http_messages=http_msgs)
             return _run_ingest(spark, src, tag, cells, ckpt=ckpt,
                                quality_col=quality_col)
 
