@@ -140,3 +140,131 @@ def test_shuffle_partitions_track_input_bytes(tmp_path):
     # driver fixtures are single files, not directories — must size too
     assert dir_input_bytes(str(d / "a.bin")) == 100
     assert dir_input_bytes(str(tmp_path / "missing")) == 0
+
+
+def test_commoncrawl_ingest_example_end_to_end(spark, tmp_path):
+    """The examples/commoncrawl_ingest.py recipe on REAL on-disk
+    ``.warc.gz`` segments — every r14 stage firing in one run:
+    digest-header exact dedup (payloads untouched), HTTP framing +
+    chunked/gzip body decode, charset transcode, robots-noindex drop,
+    non-200 drop, WET conversion-record drop, non-HTTP payload
+    degradation, tracking-param canonical identity collapse, and
+    MinHash keep-best-quality survivorship."""
+    import gzip
+    import sys
+
+    sys.path.insert(0, "examples")
+    try:
+        from commoncrawl_ingest import ingest_crawl_dir
+    finally:
+        sys.path.remove("examples")
+
+    crlf, blank = b"\r\n", b"\r\n\r\n"
+
+    def page(article, charset="utf-8", extra_head=""):
+        return (
+            "<html><head>" + extra_head + "<title>t</title></head>"
+            "<body><div class=\"nav\"><a href=\"/\">HomePage</a> | "
+            "<a href=\"/a\">AboutUs</a> | "
+            "<a href=\"/c\">ContactUs</a></div>"
+            "<p id=\"main\">" + article + "</p>"
+            "<div class=\"footer\"><a href=\"/t\">Terms</a> | "
+            "<a href=\"/p\">Privacy</a> | <a href=\"/k\">Cookies</a>"
+            "</div></body></html>").encode(charset)
+
+    def chunked(data, size=150):
+        out = []
+        for i in range(0, len(data), size):
+            p = data[i:i + size]
+            out.append(f"{len(p):x}".encode() + b"\r\n" + p + b"\r\n")
+        return b"".join(out) + b"0\r\n\r\n"
+
+    def http(body, ct="text/html; charset=utf-8", status=b"200 OK",
+             *extra):
+        head = [b"HTTP/1.1 " + status, b"Content-Type: " + ct.encode()]
+        head += [e.encode() for e in extra]
+        return b"\r\n".join(head) + blank + body
+
+    def rec(uri, payload, wtype=b"response", digest=None):
+        h = (b"WARC/1.0" + crlf + b"WARC-Type: " + wtype + crlf
+             + b"WARC-Target-URI: " + uri.encode() + crlf)
+        if digest:
+            h += b"WARC-Payload-Digest: md5:" + digest.encode() + crlf
+        return (h + b"Content-Length: " + str(len(payload)).encode()
+                + blank + payload + blank)
+
+    def words(prefix, n=25):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    art_a = words("alpha")
+    art_b = words("beta")
+    toks = art_b.split()
+    toks[10] = "the"
+    art_b2 = " ".join(toks)  # better quality (stopword ratio)
+    art_cp = "“cp” " + words("gamma")
+    art_bare = words("delta")
+
+    seg1 = (
+        # chunked 200 → kept
+        rec("https://ex.com/a?page=1",
+            http(chunked(page(art_a)), "text/html; charset=utf-8",
+                 b"200 OK", "Transfer-Encoding: chunked"))
+        # tracking-param re-crawl of the SAME page → canonical collapse
+        + rec("https://EX.com/a?utm_source=x&page=1",
+              http(chunked(page(art_a)), "text/html; charset=utf-8",
+                   b"200 OK", "Transfer-Encoding: chunked"))
+        # near-dup pair, second is better quality → survivorship
+        + rec("https://ex.com/b1", http(page(art_b)))
+        + rec("https://ex.com/b2", http(page(art_b2)))
+    )
+    seg2 = (
+        # exact dup planted twice under one digest → digest dedup
+        rec("https://ex.com/cp1",
+              http(page(art_cp, "windows-1252"),
+                   "text/html; charset=windows-1252"), digest="d1")
+        + rec("https://ex.com/cp2",
+              http(page(art_cp, "windows-1252"),
+                   "text/html; charset=windows-1252"), digest="d1")
+        # noindex → dropped
+        + rec("https://ex.com/ni", http(page(
+            words("noidx"), "utf-8",
+            "<meta name=\"robots\" content=\"noindex\">")))
+        # 404 → dropped
+        + rec("https://ex.com/404", http(page(words("gone")),
+                                         "text/html",
+                                         b"404 Not Found"))
+        # WET conversion record → dropped by type dispatch
+        + rec("https://ex.com/wet", b"plain text",
+              wtype=b"conversion")
+        # bare non-HTTP payload → degrades to whole-payload body, kept
+        + rec("https://ex.com/bare", page(art_bare))
+    )
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "seg1.warc.gz").write_bytes(gzip.compress(seg1))
+    (crawl / "seg2.warc.gz").write_bytes(gzip.compress(seg2))
+
+    out = {r.uri: r for r in
+           ingest_crawl_dir(spark, str(crawl)).collect()}
+
+    # a: exactly ONE row for the canonical pair (either raw spelling)
+    a_rows = [u for u in out if "/a?" in u]
+    assert len(a_rows) == 1, sorted(out)
+    assert out[a_rows[0]].text == " ".join(art_a.split())
+    # b: keep-best-quality kept b2 (the 'the' variant), dropped b1
+    assert "https://ex.com/b2" in out and "https://ex.com/b1" not in out
+    assert out["https://ex.com/b2"].text == " ".join(art_b2.split())
+    # cp: digest dedup kept ONE copy; charset transcoded exactly
+    cp_rows = [u for u in out if "/cp" in u]
+    assert len(cp_rows) == 1
+    assert "“cp”" in out[cp_rows[0]].text
+    assert "�" not in out[cp_rows[0]].text
+    # bare page survived the non-HTTP degradation path
+    assert out["https://ex.com/bare"].text == " ".join(art_bare.split())
+    # dropped: noindex, 404, WET conversion
+    for gone in ("/ni", "/404", "/wet"):
+        assert not any(gone in u for u in out), (gone, sorted(out))
+    # nothing leaked chrome or HTTP heads
+    for r in out.values():
+        assert "HomePage" not in r.text and "HTTP/1.1" not in r.text
+        assert r.quality is not None
