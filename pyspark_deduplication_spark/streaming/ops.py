@@ -1047,6 +1047,8 @@ def streaming_web_ingest(
     gzip_members: bool = False,
     http_messages: bool = False,
     canonical_ids: bool = False,
+    require_http_ok: bool = False,
+    drop_noindex: bool = False,
 ):
     """The streaming spelling of the web-ingest capstone
     (``queries.web_ingest_pipeline_docs``): a stream of raw WARC blobs
@@ -1101,10 +1103,18 @@ def streaming_web_ingest(
     re-crawl arriving through a campaign link is the SAME page, and
     raw-URI identity would double-ingest it past every quality gate.
     The ``uri`` column keeps the raw spelling for provenance — the
-    corpus stores whichever variant survived."""
+    corpus stores whichever variant survived.
+
+    ``require_http_ok=True`` (http_messages mode only) keeps 2xx
+    responses and non-HTTP payloads (the degradation class — a bare
+    page has no status to judge); 404s/redirect bodies/5xx error
+    pages never reach extraction. ``drop_noindex=True`` applies the
+    robots ``noindex`` drop (``has_noindex``) before extraction —
+    the polite-crawl contract, any mode."""
     from pyspark_deduplication_spark.functions.text import (
         decode_web_text,
         extract_main_content,
+        has_noindex,
         http_decode_body,
         http_header_of,
         http_split_message,
@@ -1123,6 +1133,10 @@ def streaming_web_ingest(
     if http_messages and not binary_blobs:
         raise ValueError("http_messages requires binary_blobs=True "
                          "(an HTTP message is bytes by definition)")
+    if require_http_ok and not http_messages:
+        raise ValueError("require_http_ok requires http_messages=True "
+                         "(there is no status line to judge without "
+                         "framing)")
     if binary_blobs:
         rec = F.explode(warc_records_sliced_binary(
             F.col(blob_col), gzip_members=gzip_members)).alias("r")
@@ -1131,6 +1145,14 @@ def streaming_web_ingest(
             recs = recs.select(
                 "r", http_split_message(F.col("r.payload"))
                 .alias("__m"))
+            if require_http_ok:
+                # non-HTTP payloads have status_line == '' (the
+                # degradation class — nothing to judge); real
+                # statuses must be 2xx
+                recs = recs.filter(
+                    (F.col("__m.status_line") == "")
+                    | F.col("__m.status_line")
+                    .rlike(r"^HTTP/[0-9.]+ 2[0-9][0-9]\b"))
             # charset from the Content-Type header outranks the
             # <meta> sniff (decode_web_text's resolution order)
             page = decode_web_text(
@@ -1164,6 +1186,11 @@ def streaming_web_ingest(
                 .alias("uri"),
                 page.alias("__page"))
         .filter(F.col("uri") != "")
+    )
+    if drop_noindex:
+        staged = staged.filter(~has_noindex(F.col("__page")))
+    staged = (
+        staged
         .withColumn("doc_id", F.xxhash64(ident))
         .withColumn("text", extract_main_content(F.col("__page")))
         .drop("__page")

@@ -1589,6 +1589,16 @@ def test_streaming_web_ingest_http_messages_mode(spark, tmp_path):
                                     "text/html; charset=windows-1252"))
         # NON-HTTP payload: bare page degrades to whole-payload body
         + rec("page://bare", page(art_bare))
+        # 404 body → require_http_ok must drop it before extraction
+        + rec("page://gone",
+              b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html"
+              + b"\r\n\r\n" + page("gone " * 30))
+        # robots noindex → drop_noindex must drop it
+        + rec("page://ni", http_msg(
+            page("noidx " + " ".join(f"n{i}" for i in range(25)),
+                 "utf-8",
+                 "<meta name=\"robots\" content=\"noindex\">"),
+            "text/html; charset=utf-8"))
     )
 
     src = str(tmp_path / "incoming")
@@ -1602,11 +1612,13 @@ def test_streaming_web_ingest_http_messages_mode(spark, tmp_path):
     q = streaming_web_ingest(
         stream, corpus_dir, str(tmp_path / "ckpt"),
         cosine_threshold=0.999, n_cells=2,
-        binary_blobs=True, gzip_members=True, http_messages=True)
+        binary_blobs=True, gzip_members=True, http_messages=True,
+        require_http_ok=True, drop_noindex=True)
     q.awaitTermination(240)
 
     rows = {r.uri: r.text for r in
             spark.read.parquet(corpus_dir).collect()}
+    # the 404 and the noindex page never landed
     assert sorted(rows) == ["page://a", "page://b", "page://bare",
                             "page://cp"], sorted(rows)
     assert rows["page://a"] == " ".join(art_a.split())
@@ -1621,3 +1633,7 @@ def test_streaming_web_ingest_http_messages_mode(spark, tmp_path):
         streaming_web_ingest(stream, corpus_dir,
                              str(tmp_path / "ckpt2"),
                              http_messages=True)
+    with pytest.raises(ValueError):
+        streaming_web_ingest(stream, corpus_dir,
+                             str(tmp_path / "ckpt3"),
+                             binary_blobs=True, require_http_ok=True)
