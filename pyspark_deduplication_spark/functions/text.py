@@ -1093,3 +1093,16 @@ def has_noindex(col: Column | str) -> Column:
     applies. Native regex, map-only; RE2-safe so the oracle runs
     the identical pattern."""
     return _as_col(col).rlike(NOINDEX_META_RE)
+
+
+def warc_date_of(headers: Column | str) -> Column:
+    """``WARC-Date`` as a TIMESTAMP — the crawl time every
+    freshness policy (keep-newest survivorship, recency-weighted
+    sampling, snapshot diffing) keys on. WARC dates are RFC-3339 UTC
+    (``2024-03-01T12:34:56Z``, optionally fractional seconds); an
+    absent or malformed header yields NULL (``try_to_timestamp``),
+    never an error. Native expressions, map-only."""
+    raw = warc_header_of(_as_col(headers), "WARC-Date")
+    return F.try_to_timestamp(
+        F.regexp_replace(raw, r"Z$", "+00:00"),
+        F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]XXX"))

@@ -217,3 +217,44 @@ def read_warc_dir(
     return (files.select(F.col("path").alias("warc_file"), rec)
             .select("warc_file", F.col("r.headers").alias("headers"),
                     F.col("r.payload").alias("payload")))
+
+
+def read_wet_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc.wet*",
+    gzip_members: bool | str = "auto",
+    recursive: bool = False,
+) -> DataFrame:
+    """Read a directory of WET files — CommonCrawl's
+    pre-extracted-text sidecar (``*.warc.wet.gz``): ``read_warc_dir``
+    narrowed to ``WARC-Type: conversion`` records with the payload
+    decoded to text (charset-sniffing replace decode — WET is
+    UTF-8-by-spec but real files carry strays). One row per document:
+
+    ``warc_file string, uri string, crawl_ts timestamp, text string``
+
+    The type filter runs BEFORE decode, so warcinfo/metadata records
+    cost a header regex, never a payload decode. Same plan shape as
+    ``read_warc_dir``: scan → project → explode → filter → project,
+    map-only, zero shuffle, one task per file."""
+    from pyspark_deduplication_spark.functions.text import (
+        decode_web_text,
+        warc_date_of,
+        warc_header_of,
+    )
+
+    recs = read_warc_dir(spark, path, glob=glob,
+                         gzip_members=gzip_members,
+                         recursive=recursive)
+    return (
+        recs
+        .filter(warc_header_of(F.col("headers"), "WARC-Type")
+                == "conversion")
+        .select(
+            "warc_file",
+            warc_header_of(F.col("headers"), "WARC-Target-URI")
+            .alias("uri"),
+            warc_date_of(F.col("headers")).alias("crawl_ts"),
+            decode_web_text(F.col("payload")).alias("text"))
+    )

@@ -662,3 +662,61 @@ def test_read_warc_dir_roundtrips_real_gz_files(spark, tmp_path):
     # plan shape: scan -> project -> explode; NO exchange
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_read_wet_dir_conversion_records_with_timestamps(
+        spark, tmp_path):
+    """read_wet_dir (r14): real on-disk ``.warc.wet.gz`` files —
+    warcinfo and conversion records interleaved, member-per-record
+    gzip — must yield ONE row per conversion record with the decoded
+    text and the WARC-Date as a TIMESTAMP; warcinfo records drop at
+    the type filter; absent/malformed dates yield NULL, never an
+    error; plan stays exchange-free."""
+    import datetime
+    import gzip
+
+    from pyspark_deduplication_spark.sources.readers import (
+        read_wet_dir,
+    )
+
+    crlf, blank = b"\r\n", b"\r\n\r\n"
+
+    def rec(wtype, uri, payload, date=None):
+        h = (b"WARC/1.0" + crlf + b"WARC-Type: " + wtype + crlf)
+        if uri:
+            h += b"WARC-Target-URI: " + uri.encode() + crlf
+        if date:
+            h += b"WARC-Date: " + date.encode() + crlf
+        return (h + b"Content-Length: " + str(len(payload)).encode()
+                + blank + payload + blank)
+
+    wet = (
+        gzip.compress(rec(b"warcinfo", "",
+                          b"software: graft-crawler/1.0"))
+        + gzip.compress(rec(b"conversion", "https://ex.com/a",
+                            "extraît — text «a»".encode("utf-8"),
+                            "2024-03-01T12:34:56Z"))
+        + gzip.compress(rec(b"conversion", "https://ex.com/b",
+                            b"plain b",
+                            "2024-03-01T12:34:56.123456Z"))
+        + gzip.compress(rec(b"conversion", "https://ex.com/c",
+                            b"no date record"))
+        + gzip.compress(rec(b"conversion", "https://ex.com/d",
+                            b"bad date", "yesterday-ish"))
+    )
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "seg.warc.wet.gz").write_bytes(wet)
+
+    df = read_wet_dir(spark, str(d))
+    rows = {r.uri: r for r in df.collect()}
+    assert sorted(rows) == ["https://ex.com/a", "https://ex.com/b",
+                            "https://ex.com/c", "https://ex.com/d"]
+    assert rows["https://ex.com/a"].text == "extraît — text «a»"
+    assert rows["https://ex.com/a"].crawl_ts == datetime.datetime(
+        2024, 3, 1, 12, 34, 56)
+    assert rows["https://ex.com/b"].crawl_ts is not None
+    assert rows["https://ex.com/c"].crawl_ts is None
+    assert rows["https://ex.com/d"].crawl_ts is None
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
