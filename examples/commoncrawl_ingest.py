@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T  # noqa: F401  (schema hooks)
 
 from pyspark_deduplication_spark.functions.text import (
+    HTTP_OK_RE,
     decode_web_text,
     extract_main_content,
     has_noindex,
@@ -104,7 +105,10 @@ def ingest_crawl_dir(
         "uri", http_split_message(F.col("payload")).alias("m"))
     ok = framed.filter(
         (F.col("m.status_line") == "")  # non-HTTP payload: keep as-is
-        | F.col("m.status_line").rlike(r"^HTTP/[0-9.]+ 200\b"))
+        # shared 2xx policy (ADVICE r14 low): same constant as the
+        # streaming twin's require_http_ok gate, so both spellings
+        # keep identical record sets
+        | F.col("m.status_line").rlike(HTTP_OK_RE))
     page = decode_web_text(
         http_decode_body(F.col("m.body"), F.col("m.headers")),
         http_header_of(F.col("m.headers"), "Content-Type"))

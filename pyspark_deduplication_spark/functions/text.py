@@ -660,6 +660,14 @@ def warc_header_of(headers: Column, name: str) -> Column:
 
 _HTTP_MSG_T = "struct<status_line:string,headers:string,body:binary>"
 
+# The ONE successful-response status policy (ADVICE r14 low): every
+# ingest spelling — streaming `require_http_ok`, the batch CommonCrawl
+# recipe, graded entries — gates on the same 2xx class so batch and
+# streaming twins keep identical record sets (201 Created / 203 / 206
+# partial captures appear in real crawls and are successful bodies).
+# Java∩RE2∩Python-re compatible.
+HTTP_OK_RE = r"^HTTP/[0-9.]+ 2[0-9][0-9]\b"
+
 
 def http_split_message(col: Column | str,
                        max_head_bytes: int = 8192) -> Column:
@@ -693,9 +701,18 @@ def http_split_message(col: Column | str,
                 bodies.append(None)
                 continue
             p = bytes(p)
-            sep, seplen = p.find(b"\r\n\r\n", 0, max_head_bytes), 4
-            if sep < 0:
-                sep, seplen = p.find(b"\n\n", 0, max_head_bytes), 2
+            # Earliest of CRLF CRLF vs bare LF LF wins (ADVICE r14
+            # medium): an LF-only head whose BODY contains \r\n\r\n
+            # within the window must split at the LF LF head boundary,
+            # not the body's blank line. \n\n is a strict substring of
+            # \r\n\r\n at offset+1, so on CRLF messages sep_lf ==
+            # sep_crlf + 1 and the CRLF match correctly wins the tie.
+            sep_crlf = p.find(b"\r\n\r\n", 0, max_head_bytes)
+            sep_lf = p.find(b"\n\n", 0, max_head_bytes)
+            if sep_crlf >= 0 and (sep_lf < 0 or sep_crlf < sep_lf):
+                sep, seplen = sep_crlf, 4
+            else:
+                sep, seplen = sep_lf, 2
             if sep < 0 or not p.startswith(b"HTTP/"):
                 stats.append("")
                 heads.append("")
@@ -1103,6 +1120,12 @@ def warc_date_of(headers: Column | str) -> Column:
     absent or malformed header yields NULL (``try_to_timestamp``),
     never an error. Native expressions, map-only."""
     raw = warc_header_of(_as_col(headers), "WARC-Date")
+    # WARC 1.1 permits ANY fractional-second precision and RFC 3339
+    # permits a lowercase zone letter (ADVICE r14 low): normalize the
+    # zone case-insensitively and truncate the fraction to Spark's
+    # microsecond precision, then parse with [.SSSSSS] (accepts 1-6
+    # fraction digits on the parse side).
+    norm = F.regexp_replace(raw, r"(?i)z$", "+00:00")
+    norm = F.regexp_replace(norm, r"(\.\d{6})\d+", "$1")
     return F.try_to_timestamp(
-        F.regexp_replace(raw, r"Z$", "+00:00"),
-        F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]XXX"))
+        norm, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX"))

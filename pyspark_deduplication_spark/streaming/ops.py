@@ -1112,6 +1112,7 @@ def streaming_web_ingest(
     robots ``noindex`` drop (``has_noindex``) before extraction —
     the polite-crawl contract, any mode."""
     from pyspark_deduplication_spark.functions.text import (
+        HTTP_OK_RE,
         decode_web_text,
         extract_main_content,
         has_noindex,
@@ -1151,8 +1152,7 @@ def streaming_web_ingest(
                 # statuses must be 2xx
                 recs = recs.filter(
                     (F.col("__m.status_line") == "")
-                    | F.col("__m.status_line")
-                    .rlike(r"^HTTP/[0-9.]+ 2[0-9][0-9]\b"))
+                    | F.col("__m.status_line").rlike(HTTP_OK_RE))
             # charset from the Content-Type header outranks the
             # <meta> sniff (decode_web_text's resolution order)
             page = decode_web_text(

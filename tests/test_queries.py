@@ -1392,6 +1392,69 @@ def test_http_split_message_semantics(spark):
     assert rows[5].status_line is None and rows[5].body is None
 
 
+def test_http_split_lf_head_crlf_in_body(spark):
+    """ADVICE r14 medium pin: an LF-only-header response whose BODY
+    contains a CRLF CRLF blank line inside the max_head_bytes window
+    must split at the EARLIER LF LF head boundary — not at the body's
+    blank line (which would append body bytes to the headers and
+    truncate/shift the returned body). Also pins the tie: on a normal
+    CRLF message the \\n\\n substring match at sep_crlf+1 must not
+    steal the boundary."""
+    from pyspark_deduplication_spark.functions.text import (
+        http_split_message,
+    )
+
+    body = b"part one\r\n\r\npart two"
+    lf_head = (b"HTTP/1.0 200 OK\nContent-Type: text/plain\n\n"
+               + body)
+    crlf_head = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                 b"\r\n" + body)
+    df = spark.createDataFrame(
+        [(0, lf_head), (1, crlf_head)], "i long, p binary")
+    rows = {r.i: r for r in df.select(
+        "i", http_split_message("p").alias("m")).select(
+        "i", "m.status_line", "m.headers", "m.body").collect()}
+    for i in (0, 1):
+        assert rows[i].status_line.startswith("HTTP/1.")
+        assert rows[i].headers == "Content-Type: text/plain"
+        assert bytes(rows[i].body) == body
+
+
+def test_warc_date_tolerant_parsing(spark):
+    """ADVICE r14 low pin: warc_date_of accepts ANY RFC-3339/WARC-1.1
+    fractional-second precision (1-9 digits, truncated to Spark's
+    microseconds) and a lowercase zone letter; malformed dates still
+    yield NULL, never an error."""
+    import datetime as dt
+
+    from pyspark_deduplication_spark.functions.text import (
+        warc_date_of,
+    )
+
+    def hdr(d):
+        return f"WARC-Type: response\r\nWARC-Date: {d}"
+
+    cases = [
+        (0, hdr("2024-03-01T12:34:56Z")),
+        (1, hdr("2024-03-01T12:34:56.5Z")),          # 1-digit frac
+        (2, hdr("2024-03-01T12:34:56.123456789Z")),  # 9-digit frac
+        (3, hdr("2024-03-01T12:34:56z")),            # lowercase z
+        (4, hdr("2024-03-01T12:34:56.25z")),         # both at once
+        (5, hdr("not-a-date")),
+        (6, "WARC-Type: response"),                  # absent
+    ]
+    df = spark.createDataFrame(cases, "i long, h string")
+    rows = {r.i: r.ts for r in df.select(
+        "i", warc_date_of("h").alias("ts")).collect()}
+    base = dt.datetime(2024, 3, 1, 12, 34, 56)
+    assert rows[0] == base
+    assert rows[1] == base.replace(microsecond=500000)
+    assert rows[2] == base.replace(microsecond=123456)  # truncated
+    assert rows[3] == base
+    assert rows[4] == base.replace(microsecond=250000)
+    assert rows[5] is None and rows[6] is None
+
+
 def test_decode_web_text_charset_resolution(spark):
     """Charset-sniffing replace-decode (ADVICE r13 high + VERDICT r13
     item 4): BOM > Content-Type charset > <meta charset> > UTF-8

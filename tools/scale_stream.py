@@ -131,7 +131,11 @@ def _staged_warc_records(spark, sf_dir: str, n_batches: int,
               + "WARC-Target-URI: page://"),
         F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
         F.lit(crlf + "Content-Length: "),
-        F.length(payload).cast("string"),
+        # octets, not characters (ADVICE r14 low): WARC_FILES mode
+        # UTF-8-encodes these records to .warc.gz and re-parses them
+        # with the OCTET-cursor binary kernel; equal for the ASCII
+        # fixture, correct by construction for any non-ASCII text
+        F.octet_length(payload).cast("string"),
         F.lit(blank), payload, F.lit(blank))
     return docs.select(
         "source", (F.col("doc_id") % n_batches).alias("b"),
