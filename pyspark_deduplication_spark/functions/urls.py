@@ -176,3 +176,39 @@ def registrable_domain(url_or_host: Column | str, is_host: bool = False) -> Colu
         .when(is_two_part, last3)
         .otherwise(last2)
     )
+
+
+def resolve_url(base: Column | str, ref: Column | str) -> Column:
+    """Resolve an HTTP ``Location`` reference against the URL of the
+    response that carried it (RFC 3986 §5, the cases real redirects
+    use) — the primitive redirect-aware crawl identity needs (VERDICT
+    r14 item 7: a 301 from a campaign URL to the canonical page names
+    the SAME document). Native expressions only, map-only:
+
+    - absolute (``scheme://…``): taken verbatim;
+    - scheme-relative (``//host/p``): base's scheme prepended;
+    - root-relative (``/p``): base's scheme+authority prepended;
+    - path-relative (``p``, ``../p``): resolved against the base's
+      directory WITHOUT dot-segment normalization (documented
+      approximation — real-world Location headers are overwhelmingly
+      absolute or root-relative; a surviving ``..`` keeps the URL
+      distinct rather than silently merging identities);
+    - empty/NULL ref: NULL (a 3xx without a Location resolves nowhere).
+
+    The result feeds ``canonicalize_url`` — resolution itself neither
+    lowercases nor re-orders anything."""
+    b, r = _c(base), _c(ref)
+    r = F.trim(r)
+    scheme = url_scheme(b)
+    authority = F.regexp_extract(b, _AUTH_RE, 1)
+    base_dir = F.regexp_replace(url_path(b), r"[^/]*$", "")
+    base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
+    return (
+        F.when(r.isNull() | (r == ""), F.lit(None).cast("string"))
+        .when(r.rlike(_SCHEME_RE), r)
+        .when(r.startswith("//"), F.concat(scheme, F.lit(":"), r))
+        .when(r.startswith("/"),
+              F.concat(scheme, F.lit("://"), authority, r))
+        .otherwise(F.concat(scheme, F.lit("://"), authority,
+                            base_dir, r))
+    )

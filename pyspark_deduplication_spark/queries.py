@@ -5859,6 +5859,710 @@ GROUP BY payload_digest
 """
 
 
+# ---------------------------------------------------------------------------
+# Batch CommonCrawl recipe + crawl-infrastructure entries (r15)
+# ---------------------------------------------------------------------------
+
+_CRLF, _CRBLANK = "\r\n", "\r\n\r\n"
+
+
+def _scratch_dir(spark: SparkSession, tag: str, sf_dir: str) -> str:
+    """Per-entry scratch directory for graded on-disk fixtures,
+    honoring ``spark.pyspark_dedup.scratch_dir`` (on a real cluster it
+    must name a shared filesystem — the ``warc_file_ingest_docs``
+    contract; the tempdir fallback is the local-mode spelling).
+    Recreated empty on every call, so replays are deterministic."""
+    import hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    root = spark.conf.get("spark.pyspark_dedup.scratch_dir", None) \
+        or tempfile.gettempdir()
+    base = _os.path.join(root, tag,
+                         hashlib.md5(sf_dir.encode()).hexdigest())
+    _shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(base, exist_ok=True)
+    return base
+
+
+def _write_blob(base: str, name: str, data: bytes) -> None:
+    """Atomic per-file write used by the distributed fixture writers
+    (executors must never expose a half-written file to the reader)."""
+    import os as _os
+
+    tmp = _os.path.join(base, "." + name + ".tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    _os.replace(tmp, _os.path.join(base, name))
+
+
+def _crawl_page(art: Column, extra_head: str = "") -> Column:
+    """The proven extraction template (the capstone chrome): nav and
+    footer blocks fail the link-density gate, so
+    ``extract_main_content`` recovers exactly the whitespace-collapsed
+    article."""
+    esc = art
+    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    return F.concat(
+        F.lit("<html><head>" + extra_head + "<title>t</title></head>"
+              "<body><div class=\"nav\"><a href=\"/\">HomePage</a> | "
+              "<a href=\"/a\">AboutUs</a> | "
+              "<a href=\"/c\">ContactUs</a></div>"
+              "<p id=\"main\">"),
+        esc,
+        F.lit("</p><div class=\"footer\"><a href=\"/t\">Terms</a> | "
+              "<a href=\"/p\">Privacy</a> | <a href=\"/k\">Cookies</a>"
+              "</div></body></html>"))
+
+
+def _http_msg(head: Column, body: Column) -> Column:
+    """Full HTTP message BYTES: status+header block (string column,
+    no trailing blank line) + CRLF CRLF + body (binary column)."""
+    return F.concat(F.encode(F.concat(head, F.lit(_CRBLANK)), "UTF-8"),
+                    body)
+
+
+def _http_chunked(body: Column) -> Column:
+    """Single-chunk ``Transfer-Encoding: chunked`` framing of a binary
+    body (hex size line + chunk + terminating 0-chunk) — valid chunked
+    coding that still requires real reassembly to decode."""
+    return F.concat(
+        F.encode(F.concat(F.lower(F.hex(F.octet_length(body))),
+                          F.lit(_CRLF)), "UTF-8"),
+        body,
+        F.encode(F.lit(_CRLF + "0" + _CRLF + _CRLF), "UTF-8"))
+
+
+def _warc_response_bytes(uri: Column, msg: Column,
+                         digest: Column | None = None) -> Column:
+    """A ``WARC-Type: response`` record as BYTES with an octet-exact
+    Content-Length over the (possibly non-UTF-8) message payload."""
+    hdr = F.concat(
+        F.lit("WARC/1.0" + _CRLF + "WARC-Type: response" + _CRLF
+              + "WARC-Target-URI: "), uri, F.lit(_CRLF))
+    if digest is not None:
+        hdr = F.concat(hdr, F.lit("WARC-Payload-Digest: "), digest,
+                       F.lit(_CRLF))
+    hdr = F.concat(hdr, F.lit("Content-Length: "),
+                   F.octet_length(msg).cast("string"), F.lit(_CRBLANK))
+    return F.concat(F.encode(hdr, "UTF-8"), msg,
+                    F.encode(F.lit(_CRBLANK), "UTF-8"))
+
+
+_CRAWL_CASES = ["chunked", "tracking", "digest", "neardup",
+                "cp1252", "noindex", "notfound", "bare"]
+
+
+def crawl_recipe_ingest_docs(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The batch CommonCrawl recipe GRADED end-to-end (VERDICT r14
+    item 2: ``crawl.ingest_crawl_dir`` was the one capstone without a
+    DuckDB gate). The synthesis writes real multi-member ``.warc.gz``
+    segments (one per source, distributed ``foreachPartition`` writer)
+    planting every stage's trigger, keyed by ``doc_id % 8``:
+
+    - ``chunked``  (0): 200 + Transfer-Encoding: chunked → kept;
+    - ``tracking`` (1): two captures, one with ``utm_source`` — the
+      canonical-URL collapse keeps the clean spelling;
+    - ``digest``   (2): two captures sharing a WARC-Payload-Digest —
+      the digest dedup keeps the min-URI copy, payloads untouched;
+    - ``neardup``  (3): identical article at two URIs → MinHash-LSH
+      connected components keep one (quality ties → min URI, the
+      recipe's deterministic survivorship order);
+    - ``cp1252``   (4): windows-1252 body + charset header →
+      transcoded exactly (the ``“€”`` marker proves it);
+    - ``noindex``  (5): robots-noindex page → ABSENT from the corpus;
+    - ``notfound`` (6): 404 → ABSENT;
+    - ``bare``     (7): non-HTTP payload → framing degradation, kept.
+
+    Incidental near-dup pairs among the fixture texts themselves (the
+    ~25 true J≥0.7 pairs at sf0.01) also merge; the oracle replicates
+    the FULL composed semantics — per-case survivor URIs, exact
+    3-gram-Jaccard pairs over the surviving universe, recursive-CTE
+    connected components, 6dp-quantized quality ranking with the URI
+    tie-break — and derives each survivor's text from synthesis
+    ground truth (content-exact md5 gate, no byte re-march).
+
+    Scale shape: the read side is the production plan — binaryFile
+    scan → octet cursor parse → map-only framing/decode/extraction,
+    with exactly the keyed exchanges the module docstring documents
+    (digest dedup, canonical collapse, banding, CC). bands=32 (2-row
+    bands) so banding recall is ~1 at J≥0.7 while the exact-Jaccard
+    verify keeps precision — the graded outcome is
+    deterministic-by-construction, not estimate-dependent."""
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 8).cast("int")
+    sid = F.col("doc_id").cast("string")
+    u = F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".ex.com/d"), sid)
+
+    art_plain = F.col("text")
+    # cp1252-encodable article: printable-ASCII-sanitized text plus a
+    # marker that UTF-8-replace-decode would provably garble
+    art_cp = F.concat(F.lit("“€” "), F.regexp_replace(
+        F.col("text"), r"[^\x20-\x7E]", " "))
+    body_utf8 = F.encode(_crawl_page(art_plain), "UTF-8")
+    body_cp = encode_text_bytes(_crawl_page(art_cp), "windows-1252")
+    body_noidx = F.encode(_crawl_page(
+        art_plain,
+        extra_head="<meta name=\"robots\" content=\"noindex\">"),
+        "UTF-8")
+    h200 = ("HTTP/1.1 200 OK" + _CRLF
+            + "Content-Type: text/html; charset=utf-8")
+    msg_plain = _http_msg(F.lit(h200), body_utf8)
+    msg_chunked = _http_msg(
+        F.lit(h200 + _CRLF + "Transfer-Encoding: chunked"),
+        _http_chunked(body_utf8))
+    msg_cp = _http_msg(
+        F.lit("HTTP/1.1 200 OK" + _CRLF
+              + "Content-Type: text/html; charset=windows-1252"),
+        body_cp)
+    msg_noidx = _http_msg(F.lit(h200), body_noidx)
+    msg_404 = _http_msg(
+        F.lit("HTTP/1.1 404 Not Found" + _CRLF
+              + "Content-Type: text/html; charset=utf-8"), body_utf8)
+
+    def rec_row(sub: int, rec: Column):
+        return F.struct(F.lit(sub).alias("sub"), rec.alias("rec"))
+
+    def one(rec: Column) -> Column:
+        return F.array(rec_row(0, rec))
+
+    def two(rec_a: Column, rec_b: Column) -> Column:
+        return F.array(rec_row(0, rec_a), rec_row(1, rec_b))
+
+    dg = F.concat(F.lit("md5:dg"), sid)
+    recs = (
+        F.when(k == 0, one(_warc_response_bytes(
+            F.concat(u, F.lit("?p=1")), msg_chunked)))
+        .when(k == 1, two(
+            _warc_response_bytes(F.concat(u, F.lit("?p=1")), msg_plain),
+            _warc_response_bytes(
+                F.concat(u, F.lit("?p=1&utm_source=x")), msg_plain)))
+        .when(k == 2, two(
+            _warc_response_bytes(F.concat(u, F.lit("a")), msg_plain,
+                                 digest=dg),
+            _warc_response_bytes(F.concat(u, F.lit("b")), msg_plain,
+                                 digest=dg)))
+        .when(k == 3, two(
+            _warc_response_bytes(F.concat(u, F.lit("x1")), msg_plain),
+            _warc_response_bytes(F.concat(u, F.lit("x2")), msg_plain)))
+        .when(k == 4, one(_warc_response_bytes(u, msg_cp)))
+        .when(k == 5, one(_warc_response_bytes(u, msg_noidx)))
+        .when(k == 6, one(_warc_response_bytes(u, msg_404)))
+        .otherwise(one(_warc_response_bytes(u, body_utf8))))
+
+    per_src = (
+        docs.select("source", "doc_id", F.explode(recs).alias("sr"))
+        .select("source", F.struct(
+            F.col("doc_id").alias("doc_id"),
+            F.col("sr.sub").alias("sub"),
+            F.col("sr.rec").alias("r")).alias("s"))
+        .groupBy("source")
+        .agg(F.transform(F.array_sort(F.collect_list("s")),
+                         lambda x: x["r"]).alias("recs"))
+    )
+    base = _scratch_dir(spark, "crawl_recipe_ingest", sf_dir)
+
+    def _write(rows, base=base):
+        import gzip as _gzip
+
+        for r in rows:
+            data = b"".join(_gzip.compress(bytes(x)) for x in r["recs"])
+            _write_blob(base, f"{r['source']}.warc.gz", data)
+
+    per_src.foreachPartition(_write)
+
+    from pyspark_deduplication_spark.crawl import ingest_crawl_dir
+
+    out = ingest_crawl_dir(spark, base, bands=32)
+    fid = F.regexp_extract("uri", r"\.ex\.com/d([0-9]+)", 1) \
+        .cast("long")
+    kind = F.element_at(
+        F.array(*[F.lit(c) for c in _CRAWL_CASES]),
+        (fid % 8 + 1).cast("int"))
+    return out.select(
+        fid.alias("doc_id"), kind.alias("kind"), "uri",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "quality")
+
+
+# The composed oracle: per-case survivor construction from synthesis
+# ground truth, then the FULL near-dup survivorship semantics — exact
+# 3-gram Jaccard (unrounded, the recipe's comparison) over the
+# surviving universe, recursive-CTE connected components, quality
+# formula 6dp-quantized, (quality DESC, uri ASC) ranking. {WS} is
+# WS_RUN_RE; {TOKENS}/{NTOK}/{STOP} the shared macros (they reference
+# a column named text, hence the aliased CTE).
+_CRAWL_RECIPE_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, CAST(doc_id % 8 AS INT) AS k,
+         'https://' || source || '.ex.com/d' || CAST(doc_id AS VARCHAR)
+           AS u,
+         text AS raw
+  FROM documents
+),
+arts AS (
+  SELECT doc_id, k, u,
+         CASE WHEN k = 4
+              THEN '“€” ' || regexp_replace(raw, '[^\\x20-\\x7E]', ' ', 'g')
+              ELSE raw END AS art
+  FROM base WHERE k NOT IN (5, 6)
+),
+univ AS (
+  SELECT doc_id, k,
+         CASE WHEN k = 0 THEN u || '?p=1'
+              WHEN k = 1 THEN u || '?p=1'
+              WHEN k = 2 THEN u || 'a'
+              WHEN k = 3 THEN u || 'x1'
+              ELSE u END AS uri,
+         trim(regexp_replace(art, '{{WS}}', ' ', 'g')) AS text
+  FROM arts
+  UNION ALL
+  SELECT doc_id, k, u || 'x2' AS uri,
+         trim(regexp_replace(art, '{{WS}}', ' ', 'g')) AS text
+  FROM arts WHERE k = 3
+),
+sh AS (
+  SELECT uri, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM (SELECT uri, {_TOKENS_SQL} AS t FROM univ)
+),
+pairs AS (
+  SELECT ua, ub FROM (
+    SELECT a.uri AS ua, b.uri AS ub,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                    AS DOUBLE) AS j
+    FROM sh a JOIN sh b
+      ON a.uri < b.uri
+     AND CAST(len(a.grams) AS DOUBLE) >= 0.7 * len(b.grams)
+     AND CAST(len(b.grams) AS DOUBLE) >= 0.7 * len(a.grams))
+  WHERE j >= 0.7
+),
+edges AS MATERIALIZED (
+  SELECT ua AS x, ub AS y FROM pairs
+  UNION SELECT ub, ua FROM pairs
+),
+reach(node, comp) AS (
+  SELECT x, x FROM edges
+  UNION
+  SELECT e.x, r.comp FROM edges e JOIN reach r ON e.y = r.node
+),
+labels AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+comp AS (
+  SELECT v.doc_id, v.k, v.uri, v.text,
+         coalesce(l.component, v.uri) AS component
+  FROM univ v LEFT JOIN labels l ON v.uri = l.node
+),
+qbase AS (
+  SELECT uri, len(text) AS n_chars,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         {_NTOK_SQL} AS n_tokens,
+         len(list_filter({_TOKENS_SQL}, t -> t IN {_STOPWORDS_IN}))
+           AS n_stop
+  FROM univ
+),
+scored AS (
+  SELECT uri, n_tokens,
+         round(0.5 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+               + 0.25 * (1.0 - least((CASE WHEN n_chars > 0
+                   THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                   ELSE 0.0 END) * 4, 1.0))
+               + 0.25 * least((CASE WHEN n_tokens > 0
+                   THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   ELSE 0.0 END) * 5, 1.0), 6) AS quality
+  FROM qbase
+),
+ranked AS (
+  SELECT c.doc_id, c.k, c.uri, c.text, s.quality, s.n_tokens,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY s.quality DESC, c.uri ASC) AS rn
+  FROM comp c JOIN scored s USING (uri)
+)
+SELECT doc_id,
+       CASE k WHEN 0 THEN 'chunked' WHEN 1 THEN 'tracking'
+              WHEN 2 THEN 'digest' WHEN 3 THEN 'neardup'
+              WHEN 4 THEN 'cp1252' ELSE 'bare' END AS kind,
+       uri, CAST(n_tokens AS BIGINT) AS n_tokens,
+       md5(text) AS text_md5, quality
+FROM ranked WHERE rn = 1
+""".replace("{WS}", WS_RUN_RE)
+
+
+def warc_corrupt_audit_docs(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Corrupt-segment ACCOUNTING graded end-to-end (VERDICT r14
+    item 3 — the no-silent-caps rule applied to the crawl reader):
+    real crawls carry damaged segments, and
+    ``read_warc_dir_report`` must report exactly what was lost while
+    the reader keeps everything that parses cleanly. Four files per
+    source plant every loss class the kernels distinguish:
+
+    - ``*_t.warc.gz``: all records, the LAST gzip member cut to its
+      10-byte header → n−1 records + 1 truncated member;
+    - ``*_c.warc.gz``: 3 good members + non-gzip garbage appended →
+      3 records + 1 corrupt member;
+    - ``*_m.warc``: 1 good record + a header block with no
+      Content-Length → 1 record + 1 malformed + 27 unparsed octets;
+    - ``*_r.warc``: 1 good record + a record declaring more payload
+      than the file holds → 1 record + 1 truncated record + 59
+      unparsed octets.
+
+    The graded values assert BOTH the recovered row counts AND the
+    reported loss — the dual obligation the rule imposes. Oracle
+    derives everything from per-source doc counts plus the planted
+    constants.
+
+    Scale shape: write side is synthesis scaffolding
+    (``foreachPartition``); the REPORT is the production path —
+    binaryFile scan → one Arrow accounting kernel per file, map-only,
+    zero exchange, one task per file."""
+    docs = _t(spark, sf_dir, "documents")
+    rec = F.concat(
+        F.lit("WARC/1.0" + _CRLF + "WARC-Type: response" + _CRLF
+              + "WARC-Target-URI: doc://"),
+        F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit(_CRLF + "Content-Length: "),
+        F.octet_length("text").cast("string"),
+        F.lit(_CRBLANK), F.col("text"), F.lit(_CRBLANK))
+    per_src = (
+        docs.select("source",
+                    F.struct("doc_id", rec.alias("r")).alias("s"))
+        .groupBy("source")
+        .agg(F.transform(F.array_sort(F.collect_list("s")),
+                         lambda x: x["r"]).alias("recs"))
+    )
+    base = _scratch_dir(spark, "warc_corrupt_audit", sf_dir)
+
+    def _write(rows, base=base):
+        import gzip as _gzip
+
+        mal = b"WARC/1.0\r\nX-Broken: yes\r\n\r\n"
+        tail = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"Content-Length: 100\r\n\r\nshort")
+        for r in rows:
+            recs = [x.encode("utf-8") for x in r["recs"]]
+            gz = [_gzip.compress(x) for x in recs]
+            _write_blob(base, f"{r['source']}_t.warc.gz",
+                        b"".join(gz[:-1]) + gz[-1][:10])
+            _write_blob(base, f"{r['source']}_c.warc.gz",
+                        b"".join(gz[:3]) + b"CORRUPTGARBAGE")
+            _write_blob(base, f"{r['source']}_m.warc", recs[0] + mal)
+            _write_blob(base, f"{r['source']}_r.warc", recs[0] + tail)
+
+    per_src.foreachPartition(_write)
+
+    from pyspark_deduplication_spark.sources.readers import (
+        read_warc_dir_report,
+    )
+
+    rep = read_warc_dir_report(spark, base)
+    code = F.regexp_extract("warc_file", r"_([tcmr])\.warc", 1)
+    kind = (F.when(code == "t", "truncated_gzip")
+            .when(code == "c", "corrupt_gzip")
+            .when(code == "m", "malformed")
+            .otherwise("truncated_record"))
+    return rep.select(
+        F.regexp_extract("warc_file", r"([^/]+)_[tcmr]\.warc", 1)
+        .alias("source"),
+        kind.alias("kind"),
+        "n_records", "corrupt_gzip_members", "truncated_gzip_members",
+        "malformed_records", "truncated_records", "unparsed_octets",
+        "clean")
+
+
+# Per-source doc counts + the planted constants (27 = the malformed
+# fragment's octets, 59 = the over-declared record fragment's octets —
+# both pinned by the kernel unit tests).
+_WARC_CORRUPT_AUDIT_ORACLE = """
+WITH n AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source)
+SELECT source, 'truncated_gzip' AS kind,
+       CAST(cnt - 1 AS BIGINT) AS n_records,
+       CAST(0 AS INT) AS corrupt_gzip_members,
+       CAST(1 AS INT) AS truncated_gzip_members,
+       CAST(0 AS INT) AS malformed_records,
+       CAST(0 AS INT) AS truncated_records,
+       CAST(0 AS BIGINT) AS unparsed_octets,
+       CAST(0 AS INT) AS clean
+FROM n
+UNION ALL
+SELECT source, 'corrupt_gzip', CAST(least(cnt, 3) AS BIGINT),
+       CAST(1 AS INT), CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT),
+       CAST(0 AS BIGINT), CAST(0 AS INT)
+FROM n
+UNION ALL
+SELECT source, 'malformed', CAST(1 AS BIGINT),
+       CAST(0 AS INT), CAST(0 AS INT), CAST(1 AS INT), CAST(0 AS INT),
+       CAST(27 AS BIGINT), CAST(0 AS INT)
+FROM n
+UNION ALL
+SELECT source, 'truncated_record', CAST(1 AS BIGINT),
+       CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT), CAST(1 AS INT),
+       CAST(59 AS BIGINT), CAST(0 AS INT)
+FROM n
+"""
+
+
+def wat_metadata_ingest_docs(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """WAT-sidecar ingest graded end-to-end (VERDICT r14 item 4 —
+    completes the WARC/WET/WAT container family): each source's
+    ``.warc.wat.gz`` file carries a warcinfo record plus one
+    ``WARC-Type: metadata`` record per page whose payload is the WAT
+    JSON envelope (title, outlink list, captured response headers).
+    ``read_wat_dir`` must dispatch on the record type, parse the
+    envelope (PERMISSIVE ``from_json``), and surface title/outlinks/
+    headers as typed columns. The WARC-Date uses a 2-digit fraction
+    and a LOWERCASE zone letter — the ADVICE r14 tolerance fix graded
+    in passing. Title carries a multi-byte marker so Content-Length
+    octets ≠ chars.
+
+    Scale shape: write side is scaffolding; read side is the
+    production plan — binaryFile scan → octet parse → type filter
+    BEFORE the JSON parse (metadata-only pays it) → map-only
+    ``from_json`` projection; zero exchange, one task per file."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    uri = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".ex.com/d"), sid)
+    title = F.concat(F.col("source"), F.lit(" «t»#"), sid)
+    links = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int")),
+        lambda i: F.struct(
+            F.lit("A@/href").alias("path"),
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".ex.com/l"), sid, F.lit("_"),
+                     i.cast("string")).alias("url")))
+    env = F.to_json(F.struct(F.struct(F.struct(F.struct(
+        F.create_map(
+            F.lit("Server"),
+            F.concat(F.lit("srv-"), (F.col("doc_id") % 5).cast("string")),
+            F.lit("Content-Type"), F.lit("text/html"),
+        ).alias("Headers"),
+        F.struct(
+            F.struct(title.alias("Title")).alias("Head"),
+            links.alias("Links"),
+        ).alias("HTML-Metadata"),
+    ).alias("HTTP-Response-Metadata")).alias("Payload-Metadata"))
+        .alias("Envelope")))
+    mm = F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0")
+    date = F.concat(F.lit("2024-03-01T12:"), mm, F.lit(":56.25z"))
+    rec = F.concat(
+        F.lit("WARC/1.0" + _CRLF + "WARC-Type: metadata" + _CRLF
+              + "WARC-Target-URI: "), uri,
+        F.lit(_CRLF + "WARC-Date: "), date,
+        F.lit(_CRLF + "Content-Length: "),
+        F.octet_length(env).cast("string"),
+        F.lit(_CRBLANK), env, F.lit(_CRBLANK))
+    per_src = (
+        docs.select("source",
+                    F.struct("doc_id", rec.alias("r")).alias("s"))
+        .groupBy("source")
+        .agg(F.transform(F.array_sort(F.collect_list("s")),
+                         lambda x: x["r"]).alias("recs"))
+    )
+    base = _scratch_dir(spark, "wat_metadata_ingest", sf_dir)
+
+    def _write(rows, base=base):
+        import gzip as _gzip
+
+        info_payload = b"software: graft-wat/1.0"
+        info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: "
+                + str(len(info_payload)).encode() + b"\r\n\r\n"
+                + info_payload + b"\r\n\r\n")
+        for r in rows:
+            data = _gzip.compress(info) + b"".join(
+                _gzip.compress(x.encode("utf-8")) for x in r["recs"])
+            _write_blob(base, f"{r['source']}.warc.wat.gz", data)
+
+    per_src.foreachPartition(_write)
+
+    from pyspark_deduplication_spark.sources.readers import read_wat_dir
+
+    wat = read_wat_dir(spark, base)
+    return wat.select(
+        F.regexp_extract("uri", r"/d([0-9]+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("warc_file", r"([^/]+)\.warc\.wat\.gz$", 1)
+        .alias("source"),
+        # string-render (the catalog's timestamp determinism rule) —
+        # microsecond precision proves the tolerant fraction parse
+        F.date_format("crawl_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("crawl_ts"),
+        "title",
+        F.size("outlinks").cast("long").alias("n_links"),
+        F.element_at("outlinks", 1).alias("first_link"),
+        F.element_at("outlinks", -1).alias("last_link"),
+        F.element_at("http_headers", F.lit("Server")).alias("server"))
+
+
+# Ground truth is fully arithmetic: every graded field derives from
+# (doc_id, source); the warcinfo record must be absent (type dispatch)
+# and the tolerant WARC-Date parse lands on make_timestamp's exact
+# fractional second.
+_WAT_METADATA_ORACLE = """
+SELECT doc_id, source,
+       strftime(make_timestamp(2024, 3, 1, 12, doc_id % 60, 56.25),
+                '%Y-%m-%d %H:%M:%S.%f') AS crawl_ts,
+       source || ' «t»#' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(doc_id % 3 + 1 AS BIGINT) AS n_links,
+       'https://' || source || '.ex.com/l' || CAST(doc_id AS VARCHAR)
+         || '_0' AS first_link,
+       'https://' || source || '.ex.com/l' || CAST(doc_id AS VARCHAR)
+         || '_' || CAST(doc_id % 3 AS VARCHAR) AS last_link,
+       'srv-' || CAST(doc_id % 5 AS VARCHAR) AS server
+FROM documents
+"""
+
+
+def redirect_identity_ingest_docs(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Redirect-aware crawl identity graded end-to-end (VERDICT r14
+    item 7): a 301 from an old URL to a page's canonical home names
+    the SAME document, and the recipe must collapse a 301→200 pair to
+    one corpus row instead of discarding the Location edge at the
+    status gate. Per doc the segment plants THREE captures:
+
+    - ``old-…/dN`` 200 with a stale placeholder body;
+    - ``old-…/dN?utm_campaign=x`` 301 → (even docs) ``mid-…/dN`` which
+      301s on to ``new-…/dN`` — a 2-hop chain, and the redirect SOURCE
+      carries a tracking param so edge keys exercise
+      ``strip_tracking``; odd docs 301 straight to ``new``;
+    - ``new-…/dN`` 200 with the real article.
+
+    With ``redirect_hops=2`` the old capture's identity resolves
+    through the chain to the new URL, the canonical collapse keeps the
+    ``new-`` row, and each doc yields exactly ONE corpus row — a
+    failure leaves two rows per doc and breaks the count before any
+    value. Articles are doc-id-salted per token, so shingle sets are
+    pairwise disjoint across docs: the near-dup stage provably finds
+    nothing, isolating the redirect mechanism under grade.
+
+    Scale shape: redirect harvesting is a filter + map over framed
+    heads; resolution is ``redirect_hops`` keyed equi-joins (AQE
+    broadcasts the edge side when small); everything else is the
+    recipe's production plan."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    old = F.concat(F.lit("https://old-"), F.col("source"),
+                   F.lit(".ex.com/d"), sid)
+    mid = F.concat(F.lit("https://mid-"), F.col("source"),
+                   F.lit(".ex.com/d"), sid)
+    new = F.concat(F.lit("https://new-"), F.col("source"),
+                   F.lit(".ex.com/d"), sid)
+    salted = F.array_join(
+        F.transform(F.split(F.col("text"), " "),
+                    lambda t: F.concat(F.lit("w"), sid, F.lit("_"), t)),
+        " ")
+    stale = F.concat(F.lit("stale mirror of document number "), sid,
+                     F.lit(" kept only until the move completes"))
+    h200 = ("HTTP/1.1 200 OK" + _CRLF
+            + "Content-Type: text/html; charset=utf-8")
+
+    def redirect_to(target: Column) -> Column:
+        return _http_msg(
+            F.concat(F.lit("HTTP/1.1 301 Moved Permanently" + _CRLF
+                           + "Content-Type: text/html" + _CRLF
+                           + "Location: "), target),
+            F.encode(F.lit("<html><body>Moved</body></html>"),
+                     "UTF-8"))
+
+    rec_old = _warc_response_bytes(
+        old, _http_msg(F.lit(h200), F.encode(_crawl_page(stale),
+                                             "UTF-8")))
+    rec_new = _warc_response_bytes(
+        new, _http_msg(F.lit(h200), F.encode(_crawl_page(salted),
+                                             "UTF-8")))
+    src_utm = F.concat(old, F.lit("?utm_campaign=x"))
+    even = F.col("doc_id") % 2 == 0
+    hop1 = _warc_response_bytes(
+        src_utm, F.when(even, redirect_to(mid))
+        .otherwise(redirect_to(new)))
+    hop2 = _warc_response_bytes(mid, redirect_to(new))
+
+    def rec_row(sub: int, rec: Column):
+        return F.struct(F.lit(sub).alias("sub"), rec.alias("rec"))
+
+    recs = F.when(even, F.array(
+        rec_row(0, rec_old), rec_row(1, hop1), rec_row(2, hop2),
+        rec_row(3, rec_new))) \
+        .otherwise(F.array(
+            rec_row(0, rec_old), rec_row(1, hop1), rec_row(3, rec_new)))
+    per_src = (
+        docs.select("source", "doc_id", F.explode(recs).alias("sr"))
+        .select("source", F.struct(
+            F.col("doc_id").alias("doc_id"),
+            F.col("sr.sub").alias("sub"),
+            F.col("sr.rec").alias("r")).alias("s"))
+        .groupBy("source")
+        .agg(F.transform(F.array_sort(F.collect_list("s")),
+                         lambda x: x["r"]).alias("recs"))
+    )
+    base = _scratch_dir(spark, "redirect_identity_ingest", sf_dir)
+
+    def _write(rows, base=base):
+        import gzip as _gzip
+
+        for r in rows:
+            data = b"".join(_gzip.compress(bytes(x)) for x in r["recs"])
+            _write_blob(base, f"{r['source']}.warc.gz", data)
+
+    per_src.foreachPartition(_write)
+
+    from pyspark_deduplication_spark.crawl import ingest_crawl_dir
+
+    out = ingest_crawl_dir(spark, base, redirect_hops=2)
+    return out.select(
+        F.regexp_extract("uri", r"/d([0-9]+)$", 1).cast("long")
+        .alias("doc_id"),
+        "uri",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "quality")
+
+
+# One row per doc, always the new-URL spelling carrying the salted
+# article; n_tokens/quality via the shared macros over the salted
+# text (the aliased-CTE convention).
+_REDIRECT_IDENTITY_ORACLE = f"""
+WITH univ AS (
+  SELECT doc_id,
+         'https://new-' || source || '.ex.com/d'
+           || CAST(doc_id AS VARCHAR) AS uri,
+         trim(regexp_replace(array_to_string(list_transform(
+           string_split(raw, ' '),
+           t -> 'w' || CAST(doc_id AS VARCHAR) || '_' || t), ' '),
+           '{{WS}}', ' ', 'g')) AS text
+  FROM (SELECT doc_id, source, text AS raw FROM documents)
+),
+qbase AS (
+  SELECT doc_id, uri, text, len(text) AS n_chars,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         {_NTOK_SQL} AS n_tokens,
+         len(list_filter({_TOKENS_SQL}, t -> t IN {_STOPWORDS_IN}))
+           AS n_stop
+  FROM univ
+)
+SELECT doc_id, uri, CAST(n_tokens AS BIGINT) AS n_tokens,
+       md5(text) AS text_md5,
+       round(0.5 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+             + 0.25 * (1.0 - least((CASE WHEN n_chars > 0
+                 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                 ELSE 0.0 END) * 4, 1.0))
+             + 0.25 * least((CASE WHEN n_tokens > 0
+                 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 ELSE 0.0 END) * 5, 1.0), 6) AS quality
+FROM qbase
+""".replace("{WS}", WS_RUN_RE)
+
+
 def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction — the scrub stage every training-data
     pipeline runs before text leaves quarantine. The fixture's document
@@ -12936,6 +13640,22 @@ CATALOG: dict[str, Query] = {
     "warc_digest_dedup_docs": Query(
         warc_digest_dedup_docs, _WARC_DIGEST_DEDUP_ORACLE,
         tags=["text", "dedup", "source"]),
+    # r15 extension: the batch CommonCrawl recipe graded end-to-end
+    # (composed stage interactions under one oracle), plus the
+    # crawl-infrastructure entries — loss accounting, WAT sidecar,
+    # redirect-aware identity
+    "crawl_recipe_ingest_docs": Query(
+        crawl_recipe_ingest_docs, _CRAWL_RECIPE_ORACLE, bench=True,
+        tags=["text", "dedup", "pipeline", "source"]),
+    "warc_corrupt_audit_docs": Query(
+        warc_corrupt_audit_docs, _WARC_CORRUPT_AUDIT_ORACLE,
+        tags=["text", "source"]),
+    "wat_metadata_ingest_docs": Query(
+        wat_metadata_ingest_docs, _WAT_METADATA_ORACLE,
+        tags=["text", "source"]),
+    "redirect_identity_ingest_docs": Query(
+        redirect_identity_ingest_docs, _REDIRECT_IDENTITY_ORACLE,
+        tags=["text", "dedup", "pipeline", "source"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),
