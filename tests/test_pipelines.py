@@ -268,3 +268,123 @@ def test_commoncrawl_ingest_example_end_to_end(spark, tmp_path):
     for r in out.values():
         assert "HomePage" not in r.text and "HTTP/1.1" not in r.text
         assert r.quality is not None
+
+
+def test_crawl_redirect_identity_collapse(spark, tmp_path, caplog):
+    """Redirect-aware identity (r15 — VERDICT r14 item 7): a page
+    captured at its OLD url plus a 301 chain (old→mid→new, the source
+    hop carrying a tracking param) plus the NEW capture must collapse
+    to ONE corpus row keyed on the new canonical URL when
+    redirect_hops covers the chain — and stay two rows when redirects
+    are off (the edge exists but is unused). Also smoke-checks
+    warn_on_loss on a clean crawl (no warnings)."""
+    import gzip
+    import logging
+
+    from pyspark_deduplication_spark.crawl import ingest_crawl_dir
+
+    crlf, blank = b"\r\n", b"\r\n\r\n"
+
+    def page(article):
+        return (
+            "<html><head><title>t</title></head>"
+            "<body><div class=\"nav\"><a href=\"/\">HomePage</a> | "
+            "<a href=\"/a\">AboutUs</a> | "
+            "<a href=\"/c\">ContactUs</a></div>"
+            "<p id=\"main\">" + article + "</p>"
+            "<div class=\"footer\"><a href=\"/t\">Terms</a> | "
+            "<a href=\"/p\">Privacy</a> | <a href=\"/k\">Cookies</a>"
+            "</div></body></html>").encode()
+
+    def http(body, *extra, status=b"200 OK"):
+        head = [b"HTTP/1.1 " + status,
+                b"Content-Type: text/html; charset=utf-8"]
+        head += [e.encode() for e in extra]
+        return b"\r\n".join(head) + blank + body
+
+    def rec(uri, payload):
+        return (b"WARC/1.0" + crlf + b"WARC-Type: response" + crlf
+                + b"WARC-Target-URI: " + uri.encode() + crlf
+                + b"Content-Length: " + str(len(payload)).encode()
+                + blank + payload + blank)
+
+    stale = "stale mirror kept only until the move completes ok"
+    art = " ".join(f"fresh{i}" for i in range(30))
+    seg = (
+        rec("https://old.ex.com/p", http(page(stale)))
+        + rec("https://old.ex.com/p?utm_campaign=x",
+              http(b"<html><body>Moved</body></html>",
+                   "Location: https://mid.ex.com/p",
+                   status=b"301 Moved Permanently"))
+        + rec("https://mid.ex.com/p",
+              http(b"<html><body>Moved</body></html>",
+                   "Location: /q",  # root-relative hop
+                   status=b"301 Moved Permanently"))
+        + rec("https://mid.ex.com/q",
+              http(b"<html><body>Moved</body></html>",
+                   "Location: https://new.ex.com/p",
+                   status=b"301 Moved Permanently"))
+        + rec("https://new.ex.com/p", http(page(art)))
+    )
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "seg.warc.gz").write_bytes(gzip.compress(seg))
+
+    # hops=3 covers old→mid/p→mid/q→new; the stale capture merges
+    # into the new identity and keep-best survivorship picks a single
+    # row (min uri on the quality tie is new < old lexicographically
+    # only via the canonical collapse: both rows carry the SAME
+    # doc_id, and the collapse keeps the min-uri spelling)
+    with caplog.at_level(logging.WARNING):
+        out = ingest_crawl_dir(spark, str(crawl), redirect_hops=3,
+                               warn_on_loss=True).collect()
+    assert not [r for r in caplog.records
+                if "ingest_crawl_dir: loss" in r.getMessage()]
+    assert len(out) == 1, [(r.uri, r.text) for r in out]
+    assert out[0].uri == "https://new.ex.com/p"
+    assert out[0].text == art
+
+    # redirects off: old and new captures stay distinct identities
+    off = ingest_crawl_dir(spark, str(crawl)).collect()
+    assert sorted(r.uri for r in off) == [
+        "https://new.ex.com/p", "https://old.ex.com/p"]
+
+
+def test_crawl_warn_on_loss_reports_bad_segment(spark, tmp_path,
+                                                caplog):
+    """warn_on_loss surfaces a damaged segment (truncated gzip tail)
+    as a logged warning while the recipe still returns every cleanly
+    parsed record — the no-silent-caps contract in the recipe
+    spelling."""
+    import gzip
+    import logging
+
+    from pyspark_deduplication_spark.crawl import ingest_crawl_dir
+
+    crlf, blank = b"\r\n", b"\r\n\r\n"
+    art = " ".join(f"word{i}" for i in range(30))
+    page = ("<html><body><p id=\"main\">" + art + "</p></body></html>"
+            ).encode()
+    msg = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+           + page)
+
+    def rec(uri, payload):
+        return (b"WARC/1.0" + crlf + b"WARC-Type: response" + crlf
+                + b"WARC-Target-URI: " + uri.encode() + crlf
+                + b"Content-Length: " + str(len(payload)).encode()
+                + blank + payload + blank)
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "seg.warc.gz").write_bytes(
+        gzip.compress(rec("https://a.ex.com/1", msg))
+        + gzip.compress(rec("https://a.ex.com/2", msg))[:10])
+
+    with caplog.at_level(logging.WARNING):
+        out = ingest_crawl_dir(spark, str(crawl),
+                               warn_on_loss=True).collect()
+    msgs = [r.getMessage() for r in caplog.records
+            if "ingest_crawl_dir: loss" in r.getMessage()]
+    assert len(msgs) == 1 and "1 truncated gzip member" in msgs[0], msgs
+    assert [r.uri for r in out] == ["https://a.ex.com/1"]
+    assert out[0].text == art

@@ -720,3 +720,136 @@ def test_read_wet_dir_conversion_records_with_timestamps(
     assert rows["https://ex.com/d"].crawl_ts is None
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_warc_accounting_report_counts(spark, tmp_path):
+    """read_warc_dir_report (r15 — VERDICT r14 item 3, no-silent-caps):
+    every loss class the kernels distinguish is counted per file —
+    truncated/corrupt gzip members, malformed records (no
+    Content-Length), over-declared truncated records, unparsed tail
+    octets — while the recovered record counts match what
+    read_warc_dir itself yields; a clean file reports clean=1 and
+    zeros; the plan stays exchange-free."""
+    import gzip
+
+    from pyspark_deduplication_spark.sources.readers import (
+        read_warc_dir,
+        read_warc_dir_report,
+    )
+
+    crlf, blank = b"\r\n", b"\r\n\r\n"
+
+    def rec(uri, payload):
+        return (b"WARC/1.0" + crlf + b"WARC-Type: response" + crlf
+                + b"WARC-Target-URI: " + uri + crlf
+                + b"Content-Length: " + str(len(payload)).encode()
+                + blank + payload + blank)
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "good.warc.gz").write_bytes(
+        gzip.compress(rec(b"u://a", b"hello"))
+        + gzip.compress(rec(b"u://b", b"world")))
+    (d / "trunc.warc.gz").write_bytes(
+        gzip.compress(rec(b"u://c", b"keep"))
+        + gzip.compress(rec(b"u://d", b"lost"))[:10])
+    (d / "corrupt.warc.gz").write_bytes(
+        gzip.compress(rec(b"u://e", b"keep2")) + b"NOTGZIPGARBAGE")
+    (d / "mal.warc").write_bytes(
+        rec(b"u://f", b"ok") + b"WARC/1.0\r\nX-Broken: yes\r\n\r\n")
+    (d / "tail.warc").write_bytes(
+        rec(b"u://g", b"ok2") + b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: 100\r\n\r\nshort")
+
+    rep = read_warc_dir_report(spark, str(d))
+    rows = {r.warc_file.rsplit("/", 1)[-1]: r for r in rep.collect()}
+    # (n_records, corrupt, trunc_gz, malformed, trunc_rec, unparsed, clean)
+    want = {
+        "good.warc.gz": (2, 0, 0, 0, 0, 0, 1),
+        "trunc.warc.gz": (1, 0, 1, 0, 0, 0, 0),
+        "corrupt.warc.gz": (1, 1, 0, 0, 0, 0, 0),
+        "mal.warc": (1, 0, 0, 1, 0, 27, 0),
+        "tail.warc": (1, 0, 0, 0, 1, 59, 0),
+    }
+    assert set(rows) == set(want)
+    for name, exp in want.items():
+        r = rows[name]
+        got = (r.n_records, r.corrupt_gzip_members,
+               r.truncated_gzip_members, r.malformed_records,
+               r.truncated_records, r.unparsed_octets, r.clean)
+        assert got == exp, (name, got, exp)
+
+    # the report's counts agree with the reader's actual yield
+    yields = {r.warc_file.rsplit("/", 1)[-1]: r.cnt for r in
+              read_warc_dir(spark, str(d))
+              .groupBy("warc_file").count()
+              .withColumnRenamed("count", "cnt").collect()}
+    for name, exp in want.items():
+        assert yields.get(name, 0) == exp[0], name
+
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_read_wat_dir_envelope_parse(spark, tmp_path):
+    """read_wat_dir (r15 — completes WARC/WET/WAT): metadata records
+    parse to typed title/outlinks/headers columns; warcinfo and
+    response records drop at the type filter; unparseable JSON yields
+    NULL envelope columns (PERMISSIVE), never an error; the tolerant
+    WARC-Date parse accepts a short fraction + lowercase z; plan is
+    exchange-free."""
+    import datetime
+    import gzip
+    import json
+
+    from pyspark_deduplication_spark.sources.readers import read_wat_dir
+
+    crlf, blank = b"\r\n", b"\r\n\r\n"
+
+    def rec(wtype, uri, payload, date=None):
+        h = b"WARC/1.0" + crlf + b"WARC-Type: " + wtype + crlf
+        if uri:
+            h += b"WARC-Target-URI: " + uri.encode() + crlf
+        if date:
+            h += b"WARC-Date: " + date.encode() + crlf
+        return (h + b"Content-Length: " + str(len(payload)).encode()
+                + blank + payload + blank)
+
+    env = {"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": {
+        "Headers": {"Server": "nginx", "Content-Type": "text/html"},
+        "HTML-Metadata": {
+            "Head": {"Title": "Página «uno»"},
+            "Links": [{"path": "A@/href", "url": "https://t/1"},
+                      {"path": "A@/href", "url": "https://t/2"}],
+        }}}}}
+    wat = (
+        gzip.compress(rec(b"warcinfo", "", b"software: x"))
+        + gzip.compress(rec(
+            b"metadata", "https://page/1",
+            json.dumps(env, ensure_ascii=False).encode(),
+            "2024-03-01T12:05:56.25z"))
+        + gzip.compress(rec(b"metadata", "https://page/2",
+                            b"{ not json ["))
+        + gzip.compress(rec(b"response", "https://page/3",
+                            b"<html>body</html>"))
+    )
+    d = tmp_path / "wat"
+    d.mkdir()
+    (d / "seg.warc.wat.gz").write_bytes(wat)
+
+    df = read_wat_dir(spark, str(d))
+    rows = {r.uri: r for r in df.collect()}
+    assert sorted(rows) == ["https://page/1", "https://page/2"]
+    r1 = rows["https://page/1"]
+    assert r1.title == "Página «uno»"
+    assert r1.outlinks == ["https://t/1", "https://t/2"]
+    assert dict(r1.http_headers) == {"Server": "nginx",
+                                     "Content-Type": "text/html"}
+    assert r1.crawl_ts == datetime.datetime(
+        2024, 3, 1, 12, 5, 56, 250000)
+    r2 = rows["https://page/2"]
+    assert r2.title is None and r2.outlinks is None
+    assert r2.http_headers is None and r2.crawl_ts is None
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

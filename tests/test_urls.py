@@ -213,3 +213,39 @@ def test_streaming_canonical_ids_collapse_recrawl(spark, tmp_path):
     assert rows[0].text == " ".join(art2.split())
     # provenance: the RAW re-crawl spelling, not the canonical one
     assert "utm_source" in rows[0].uri
+
+
+def test_resolve_url_reference_cases(spark):
+    """resolve_url (r15 — redirect-aware identity): RFC 3986 §5 cases
+    real Location headers use. Absolute verbatim; scheme-relative gets
+    the base scheme; root-relative the base authority; path-relative
+    the base directory (no dot-segment normalization — documented);
+    empty/NULL resolves to NULL; an authority-only base resolves
+    root-relative refs against the bare host."""
+    from pyspark_deduplication_spark.functions.urls import resolve_url
+
+    cases = [
+        (0, "https://a.com/x/y?q=1", "https://b.com/p"),
+        (1, "https://a.com/x/y", "//cdn.com/z"),
+        (2, "https://a.com/x/y", "/root"),
+        (3, "https://a.com/x/y", "rel"),
+        (4, "https://a.com/x/y", "  /sp  "),   # header whitespace
+        (5, "https://a.com/x/y", ""),
+        (6, "https://a.com/x/y", None),
+        (7, "https://a.com", "/p"),
+        (8, "http://u:p@a.com:8080/d/e", "/q"),  # authority intact
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(cases, "i long, b string, r string")
+    got = {row.i: row.out for row in df.select(
+        "i", resolve_url(F.col("b"), F.col("r")).alias("out"))
+        .collect()}
+    assert got[0] == "https://b.com/p"
+    assert got[1] == "https://cdn.com/z"
+    assert got[2] == "https://a.com/root"
+    assert got[3] == "https://a.com/x/rel"
+    assert got[4] == "https://a.com/sp"
+    assert got[5] is None and got[6] is None
+    assert got[7] == "https://a.com/p"
+    assert got[8] == "http://u:p@a.com:8080/q"

@@ -88,6 +88,10 @@ NOTES = {
     "url_tracking_dedup_docs": "crawl-identity URL dedup (r14): map-only canonicalization (pure regex/array natives, zero UDF) with anchored case-insensitive tracking-param strip -> ONE aggregation exchange on the canonical key — the exact shape of a 100 TB crawl-identity pass",
     "noindex_filter_docs": "robots noindex drop (r14): map-only native-regex classification (RE2-safe two-alternative pattern, identical in both engines) -> ONE aggregation exchange; decoy meta + negative controls prove the name gate",
     "warc_digest_dedup_docs": "digest-header dedup (r14): parse + header-only projection (payload bytes never leave the record struct) -> ONE aggregation exchange on WARC-Payload-Digest — at 100 TB the difference between a header shuffle and a full-text pipeline",
+    "crawl_recipe_ingest_docs": "the batch CommonCrawl recipe graded whole (r15): binaryFile scan -> octet cursor parse -> digest-dedup window (header projection exchange) -> HTTP framing/coding/charset decode (map-only Arrow) -> noindex gate -> extraction -> canonical-identity collapse (second keyed exchange) -> banded MinHash (bands=32 so recall~1; exact-Jaccard verify keeps precision) -> CC -> quality-ranked survivorship window; exactly the keyed exchanges the crawl module documents, nothing corpus-sized beyond them",
+    "warc_corrupt_audit_docs": "loss accounting (r15): distributed fixture writer plants truncated/corrupt gzip members + malformed/over-declared records; the REPORT path is binaryFile scan -> ONE Arrow accounting kernel per file (shared inflate/scan helpers with the plain reader — counts cannot drift), map-only, ZERO exchange; graded values assert recovered rows AND reported loss (no-silent-caps)",
+    "wat_metadata_ingest_docs": "WAT sidecar (r15): binaryFile scan -> octet parse -> WARC-Type dispatch BEFORE the JSON parse (non-metadata records cost a header regex) -> PERMISSIVE from_json envelope projection (title/outlinks/headers); map-only, zero exchange, one task per file; tolerant WARC-Date parse (short fraction + lowercase z) graded in passing",
+    "redirect_identity_ingest_docs": "redirect-aware identity (r15): 3xx Location edges harvested from framed heads BEFORE the status gate discards them; identity = canonical URL resolved through redirect_hops keyed equi-joins (AQE broadcasts the edge side when small); doc-id-salted articles make shingle sets pairwise disjoint, so the near-dup stage provably contributes nothing — the graded collapse is the redirect mechanism alone",
 }
 
 HEADER_NOTES = """
