@@ -601,6 +601,384 @@ def streaming_embedding_ingest(
     return write_stream_foreach_batch(vec_stream, ingest, checkpoint_dir)
 
 
+def fused_ingest_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    *,
+    corpus_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    jaccard_threshold: float = 0.7,
+    cosine_threshold: float = 0.95,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    max_bucket_size: int | None = 4096,
+    n_cells: int = 16,
+    n_iter: int = 4,
+    n_probe: int = 2,
+    max_cell_size: int | None = 4096,
+    weighted_threshold: float | None = None,
+    quality_col: str | None = None,
+) -> None:
+    """ONE epoch of the fused corpus ingest — the exact merge
+    ``streaming_fused_ingest`` runs per micro-batch, extracted to a
+    callable so BATCH pipelines can drive the same artifacts (r15:
+    ``crawl.ingest_crawl_incremental`` ingests crawl N+1 against
+    crawl N's persisted corpus through THIS function — cross-mode
+    equivalence is by construction, not by reimplementation; pinned
+    in ``tests/test_pipelines.py``). Semantics — probe indexes,
+    heal-before-trust, quality-aware insert/drop/replace, ghost
+    detection, epoch appends — are documented on the streaming
+    wrapper's docstring."""
+    from pyspark_deduplication_spark.operators.dedup import (
+        build_minhash_index,
+        build_weighted_minhash_index,
+    )
+    from pyspark_deduplication_spark.operators.fused import (
+        fused_dedup,
+        incremental_fused_dedup,
+        incremental_fused_match_pairs,
+    )
+    from pyspark_deduplication_spark.operators.knn import (
+        assign_cells,
+        train_centroids,
+    )
+
+    base = corpus_dir.rstrip("/")
+    sig_dir = base + "_sigs"
+    cent_dir = base + "_centroids"
+    idx_dir = base + "_index"
+    wsig_dir = base + "_wsigs"
+
+
+    spark = batch_df.sparkSession
+    if len(batch_df.take(1)) == 0:
+        return
+    if _hadoop_path_exists(spark, cent_dir):
+        # transient read errors past the existence probes propagate
+        # (runtime retries); genuinely-missing paths are the
+        # centroids-committed-first crash window — empty stand-ins
+        # reduce the probe to the batch-internal fused collapse
+        cents = spark.read.parquet(cent_dir)
+        corpus_epochs = {e for e in
+                         _epoch_partitions(spark, corpus_dir)
+                         if e < epoch_id}
+
+        def _heal(path: str, sign) -> None:
+            # heal-before-trust (the _sig_indexed_dedup_ingest
+            # contract, advisory r8): an index missing epochs the
+            # corpus has (deleted mid-history) would silently admit
+            # those epochs' near-dups forever — re-derive the
+            # uncovered epochs' entries from their corpus rows
+            # (pure function of the rows → idempotent on replay)
+            missing = corpus_epochs - {
+                e for e in _epoch_partitions(spark, path)
+                if e < epoch_id}
+            if missing:
+                miss_rows = spark.read.parquet(corpus_dir).where(
+                    F.col("epoch").isin(sorted(missing)))
+                (sign(miss_rows.drop("epoch"))
+                 .join(miss_rows.select(id_col, "epoch"), id_col)
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("epoch")
+                 .parquet(path))
+
+        if corpus_epochs:
+            _heal(sig_dir, lambda df: build_minhash_index(
+                df, text_col, id_col, num_hashes, shingle_size))
+            _heal(idx_dir, lambda df: assign_cells(
+                df.select(F.col(id_col), F.col(vec_col)),
+                cents, vec_col, 1))
+            mh_idx = (spark.read.parquet(sig_dir)
+                      .where(F.col("epoch") < F.lit(epoch_id))
+                      .drop("epoch"))
+        else:
+            mh_idx = build_minhash_index(
+                batch_df, text_col, id_col, num_hashes,
+                shingle_size).limit(0)
+        w_idx = None
+        if weighted_threshold is not None:
+            if corpus_epochs:
+                _heal(wsig_dir,
+                      lambda df: build_weighted_minhash_index(
+                          df, text_col, id_col, num_hashes,
+                          shingle_size))
+                w_idx = (spark.read.parquet(wsig_dir)
+                         .where(F.col("epoch") < F.lit(epoch_id))
+                         .drop("epoch"))
+            else:
+                w_idx = build_weighted_minhash_index(
+                    batch_df, text_col, id_col, num_hashes,
+                    shingle_size).limit(0)
+        if corpus_epochs:
+            sem_idx = (
+                spark.read.parquet(idx_dir)
+                .where(F.col("epoch") < F.lit(epoch_id))
+                .select(F.col(id_col).alias("__cid"),
+                        F.col(vec_col).alias("__cvec"), "cell_id")
+            )
+            if max_cell_size is not None:
+                # probe-time mega-cell cap: the standing entries
+                # accumulate ACROSS epochs, so a per-epoch cap at
+                # append time cannot bound a degenerate cell's
+                # total — cap the deterministic hash-ranked subset
+                # here instead (the MinHash leg's per-bucket cap
+                # already re-applies at probe time; this is its
+                # cell twin). Safe because idx_dir is a pure index
+                # — the corpus content lives in corpus_dir — and
+                # lossless-in-spirit: survivors hold no exact
+                # clones (cosine 1 ≥ any threshold drops them), so
+                # the cap trades only the marginal recall the
+                # batch operators document.
+                from pyspark_deduplication_spark.operators.sampling \
+                    import cap_per_group
+
+                sem_idx = (
+                    sem_idx.withColumn(
+                        "__ord",
+                        F.struct(F.xxhash64(F.col("__cid")),
+                                 F.col("__cid")))
+                    .transform(lambda d: cap_per_group(
+                        d, "cell_id", "__ord", max_cell_size))
+                    .filter(F.col("__kept"))
+                    .drop("__ord", "__kept")
+                )
+        else:
+            sem_idx = (
+                batch_df.select(F.col(id_col).alias("__cid"),
+                                F.col(vec_col).alias("__cvec"))
+                .withColumn("cell_id", F.lit(0).cast("int"))
+                .limit(0)
+            )
+        if quality_col is None:
+            fresh = incremental_fused_dedup(
+                batch_df, corpus=None, id_col=id_col,
+                text_col=text_col,
+                vec_col=vec_col, jaccard_threshold=jaccard_threshold,
+                cosine_threshold=cosine_threshold,
+                num_hashes=num_hashes,
+                bands=bands, shingle_size=shingle_size,
+                max_bucket_size=max_bucket_size, n_cells=n_cells,
+                n_iter=n_iter, n_probe=n_probe,
+                max_cell_size=max_cell_size,
+                minhash_index=mh_idx, semantic_index=(cents, sem_idx),
+                weighted_threshold=weighted_threshold,
+                weighted_index=w_idx,
+            )
+        else:
+            # quality-aware survivorship: per-matched-pair probe,
+            # then insert/drop/replace per batch doc (docstring)
+            pairs = incremental_fused_match_pairs(
+                batch_df, corpus=None, id_col=id_col,
+                text_col=text_col,
+                vec_col=vec_col, jaccard_threshold=jaccard_threshold,
+                cosine_threshold=cosine_threshold,
+                num_hashes=num_hashes,
+                bands=bands, shingle_size=shingle_size,
+                max_bucket_size=max_bucket_size, n_cells=n_cells,
+                n_iter=n_iter, n_probe=n_probe,
+                max_cell_size=max_cell_size,
+                minhash_index=mh_idx, semantic_index=(cents, sem_idx),
+                weighted_threshold=weighted_threshold,
+                weighted_index=w_idx,
+            )
+            bq = batch_df.select(F.col(id_col).alias("new_id"),
+                                 F.col(quality_col).alias("__bq"))
+            if corpus_epochs:
+                # quality is read from the CORPUS rows, not the
+                # index — matches whose corpus row is gone are
+                # GHOSTS (stale entries from a crash between the
+                # corpus rewrite and the index re-derivation):
+                # excluded from survivorship, healed below.
+                # Liveness rides an EXPLICIT marker, not quality
+                # nullness (ADVICE r12): a live corpus row whose
+                # quality is NULL must not read as a ghost — it
+                # would re-trigger the full epoch re-derivation
+                # on every matching batch, forever, since the row
+                # itself never goes away. Instead it competes at
+                # -inf: any scored batch doc replaces it.
+                cq = (spark.read.parquet(corpus_dir)
+                      .where(F.col("epoch") < F.lit(epoch_id))
+                      .select(F.col(id_col).alias("corpus_id"),
+                              F.col(quality_col).alias("__cq"),
+                              F.col("epoch").alias("__cep"),
+                              F.lit(True).alias("__clive")))
+                m = (pairs.join(cq, "corpus_id", "left")
+                     .localCheckpoint(eager=True))
+            else:
+                m = (pairs
+                     .withColumn("__cq",
+                                 F.lit(None).cast("double"))
+                     .withColumn("__cep", F.lit(None).cast("int"))
+                     .withColumn("__clive",
+                                 F.lit(None).cast("boolean")))
+            live = m.filter(F.col("__clive"))
+            best = live.groupBy("new_id").agg(
+                F.max(F.coalesce(F.col("__cq"),
+                                 F.lit(float("-inf"))))
+                .alias("__best_cq"))
+            # insert (no live match) or replace (strictly better);
+            # ties drop in favor of the standing corpus → replay
+            # idempotent
+            cand = batch_df.join(
+                bq.join(best, "new_id", "left")
+                .filter(F.col("__best_cq").isNull()
+                        | (F.col("__bq") > F.col("__best_cq")))
+                .select(F.col("new_id").alias(id_col)),
+                id_col, "left_semi")
+            if len(cand.take(1)) == 0:
+                fresh = cand
+            else:
+                # batch-internal collapse keeps the BEST-QUALITY
+                # member per fused component, not fused_dedup's
+                # min-id canonical (ADVICE r12): under min-id a
+                # strictly-better replacer could be collapsed
+                # away in favor of a worse batch sibling — losing
+                # both the quality win and the retirement its
+                # survival would have triggered. Ties (equal
+                # quality, incl. both NULL at -inf) break to
+                # min-id, so replay stays deterministic.
+                labels = fused_dedup(
+                    cand, id_col, text_col, vec_col,
+                    jaccard_threshold, cosine_threshold, num_hashes,
+                    bands, shingle_size, max_bucket_size, n_cells,
+                    n_iter, 1, 1, max_cell_size,
+                    weighted_threshold=weighted_threshold,
+                ).select(id_col, "component")
+                keep = (
+                    labels.join(
+                        cand.select(
+                            F.col(id_col),
+                            F.coalesce(
+                                F.col(quality_col).cast("double"),
+                                F.lit(float("-inf"))).alias("__q")),
+                        id_col)
+                    .withColumn("__rk", F.row_number().over(
+                        Window.partitionBy("component").orderBy(
+                            F.col("__q").desc(), F.col(id_col))))
+                    .filter(F.col("__rk") == 1).select(id_col))
+                fresh = (cand.join(keep, id_col, "left_semi")
+                         .localCheckpoint(eager=True))
+            # superseded = live matches of SURVIVING replacing docs
+            # (a replacer collapsed away batch-internally retires
+            # nothing — its kept sibling made its own decisions)
+            superseded = (
+                live.join(fresh.select(F.col(id_col)
+                                       .alias("new_id")),
+                          "new_id", "left_semi")
+                .select("corpus_id", "__cep").distinct()
+                .localCheckpoint(eager=True))
+            # ghost = matched corpus_id with NO corpus row — the
+            # LIVENESS marker is null, not the quality (ADVICE
+            # r13): a live row with NULL quality has __clive=True
+            # and __cq null; filtering on __cq would re-schedule
+            # the full epoch heal on every batch that matches it,
+            # forever, since the live row never goes away.
+            ghosts = (m.filter(F.col("__clive").isNull())
+                      .select("corpus_id").distinct())
+            ghost_eps: set[int] = set()
+            if len(ghosts.take(1)) > 0:
+                idx_paths = [sig_dir, idx_dir] + (
+                    [wsig_dir] if weighted_threshold is not None
+                    else [])
+                for path in idx_paths:
+                    if not _hadoop_path_exists(spark, path):
+                        continue
+                    ge = (spark.read.parquet(path)
+                          .where(F.col("epoch") < F.lit(epoch_id))
+                          .select(F.col(id_col).alias("corpus_id"),
+                                  "epoch")
+                          .join(ghosts, "corpus_id", "left_semi")
+                          .select("epoch").distinct().collect())
+                    ghost_eps |= {r.epoch for r in ge}
+            sup_eps = {r[0] for r in superseded
+                       .select("__cep").distinct().collect()}
+            affected = sorted(sup_eps | ghost_eps)
+            if affected:
+                remaining = (
+                    spark.read.parquet(corpus_dir)
+                    .where(F.col("epoch").isin(affected))
+                    .join(superseded.select(F.col("corpus_id")
+                                            .alias(id_col)),
+                          id_col, "left_anti")
+                    .localCheckpoint(eager=True))
+                kept_eps = {r.epoch for r in remaining
+                            .select("epoch").distinct().collect()}
+                emptied = [e for e in affected if e not in kept_eps]
+                # corpus first, then indexes: a crash in between
+                # leaves ghost entries the NEXT replay detects and
+                # re-derives (the convergence note in the docstring)
+                if kept_eps:
+                    (remaining.write.mode("overwrite")
+                     .option("partitionOverwriteMode", "dynamic")
+                     .partitionBy("epoch").parquet(corpus_dir))
+                for e in emptied:
+                    _hadoop_delete_path(spark,
+                                        f"{corpus_dir}/epoch={e}")
+
+                def _rederive(path: str, sign) -> None:
+                    if kept_eps:
+                        (sign(remaining.drop("epoch"))
+                         .join(remaining.select(id_col, "epoch"),
+                               id_col)
+                         .write.mode("overwrite")
+                         .option("partitionOverwriteMode", "dynamic")
+                         .partitionBy("epoch").parquet(path))
+                    for e in emptied:
+                        _hadoop_delete_path(spark,
+                                            f"{path}/epoch={e}")
+
+                _rederive(sig_dir, lambda df: build_minhash_index(
+                    df, text_col, id_col, num_hashes, shingle_size))
+                _rederive(idx_dir, lambda df: assign_cells(
+                    df.select(F.col(id_col), F.col(vec_col)),
+                    cents, vec_col, 1))
+                if weighted_threshold is not None:
+                    _rederive(
+                        wsig_dir,
+                        lambda df: build_weighted_minhash_index(
+                            df, text_col, id_col, num_hashes,
+                            shingle_size))
+    else:
+        keep = fused_dedup(
+            batch_df, id_col, text_col, vec_col, jaccard_threshold,
+            cosine_threshold, num_hashes, bands, shingle_size,
+            max_bucket_size, n_cells, n_iter, 1, 1, max_cell_size,
+            weighted_threshold=weighted_threshold,
+        ).filter(F.col("keep")).select(id_col)
+        fresh = batch_df.join(keep, id_col, "left_semi")
+        cents = train_centroids(
+            fresh.select(F.col(id_col), F.col(vec_col)),
+            n_cells, id_col, vec_col, n_iter, 1)
+        cents.write.mode("overwrite").parquet(cent_dir)
+    # one materialization feeds the three epoch appends
+    fresh = fresh.localCheckpoint(eager=True)
+
+    def _epoch_append(df: DataFrame, path: str) -> None:
+        (df.withColumn("epoch", F.lit(epoch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(path))
+
+    _epoch_append(
+        build_minhash_index(fresh, text_col, id_col, num_hashes,
+                            shingle_size), sig_dir)
+    _epoch_append(
+        assign_cells(fresh.select(F.col(id_col), F.col(vec_col)),
+                     cents, vec_col, 1), idx_dir)
+    if weighted_threshold is not None:
+        _epoch_append(
+            build_weighted_minhash_index(
+                fresh, text_col, id_col, num_hashes, shingle_size),
+            wsig_dir)
+    _epoch_append(fresh, corpus_dir)
+
+
+
 def streaming_fused_ingest(
     doc_stream: DataFrame,
     corpus_dir: str,
@@ -684,350 +1062,19 @@ def streaming_fused_ingest(
     match (no corpus row) on the replay, which schedules its epoch
     for re-derivation instead of trusting it — the heal-before-trust
     contract extended from missing partitions to stale entries."""
-    from pyspark_deduplication_spark.operators.dedup import (
-        build_minhash_index,
-        build_weighted_minhash_index,
-    )
-    from pyspark_deduplication_spark.operators.fused import (
-        fused_dedup,
-        incremental_fused_dedup,
-        incremental_fused_match_pairs,
-    )
-    from pyspark_deduplication_spark.operators.knn import (
-        assign_cells,
-        train_centroids,
-    )
-
-    base = corpus_dir.rstrip("/")
-    sig_dir = base + "_sigs"
-    cent_dir = base + "_centroids"
-    idx_dir = base + "_index"
-    wsig_dir = base + "_wsigs"
-
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if len(batch_df.take(1)) == 0:
-            return
-        if _hadoop_path_exists(spark, cent_dir):
-            # transient read errors past the existence probes propagate
-            # (runtime retries); genuinely-missing paths are the
-            # centroids-committed-first crash window — empty stand-ins
-            # reduce the probe to the batch-internal fused collapse
-            cents = spark.read.parquet(cent_dir)
-            corpus_epochs = {e for e in
-                             _epoch_partitions(spark, corpus_dir)
-                             if e < epoch_id}
-
-            def _heal(path: str, sign) -> None:
-                # heal-before-trust (the _sig_indexed_dedup_ingest
-                # contract, advisory r8): an index missing epochs the
-                # corpus has (deleted mid-history) would silently admit
-                # those epochs' near-dups forever — re-derive the
-                # uncovered epochs' entries from their corpus rows
-                # (pure function of the rows → idempotent on replay)
-                missing = corpus_epochs - {
-                    e for e in _epoch_partitions(spark, path)
-                    if e < epoch_id}
-                if missing:
-                    miss_rows = spark.read.parquet(corpus_dir).where(
-                        F.col("epoch").isin(sorted(missing)))
-                    (sign(miss_rows.drop("epoch"))
-                     .join(miss_rows.select(id_col, "epoch"), id_col)
-                     .write.mode("overwrite")
-                     .option("partitionOverwriteMode", "dynamic")
-                     .partitionBy("epoch")
-                     .parquet(path))
-
-            if corpus_epochs:
-                _heal(sig_dir, lambda df: build_minhash_index(
-                    df, text_col, id_col, num_hashes, shingle_size))
-                _heal(idx_dir, lambda df: assign_cells(
-                    df.select(F.col(id_col), F.col(vec_col)),
-                    cents, vec_col, 1))
-                mh_idx = (spark.read.parquet(sig_dir)
-                          .where(F.col("epoch") < F.lit(epoch_id))
-                          .drop("epoch"))
-            else:
-                mh_idx = build_minhash_index(
-                    batch_df, text_col, id_col, num_hashes,
-                    shingle_size).limit(0)
-            w_idx = None
-            if weighted_threshold is not None:
-                if corpus_epochs:
-                    _heal(wsig_dir,
-                          lambda df: build_weighted_minhash_index(
-                              df, text_col, id_col, num_hashes,
-                              shingle_size))
-                    w_idx = (spark.read.parquet(wsig_dir)
-                             .where(F.col("epoch") < F.lit(epoch_id))
-                             .drop("epoch"))
-                else:
-                    w_idx = build_weighted_minhash_index(
-                        batch_df, text_col, id_col, num_hashes,
-                        shingle_size).limit(0)
-            if corpus_epochs:
-                sem_idx = (
-                    spark.read.parquet(idx_dir)
-                    .where(F.col("epoch") < F.lit(epoch_id))
-                    .select(F.col(id_col).alias("__cid"),
-                            F.col(vec_col).alias("__cvec"), "cell_id")
-                )
-                if max_cell_size is not None:
-                    # probe-time mega-cell cap: the standing entries
-                    # accumulate ACROSS epochs, so a per-epoch cap at
-                    # append time cannot bound a degenerate cell's
-                    # total — cap the deterministic hash-ranked subset
-                    # here instead (the MinHash leg's per-bucket cap
-                    # already re-applies at probe time; this is its
-                    # cell twin). Safe because idx_dir is a pure index
-                    # — the corpus content lives in corpus_dir — and
-                    # lossless-in-spirit: survivors hold no exact
-                    # clones (cosine 1 ≥ any threshold drops them), so
-                    # the cap trades only the marginal recall the
-                    # batch operators document.
-                    from pyspark_deduplication_spark.operators.sampling \
-                        import cap_per_group
-
-                    sem_idx = (
-                        sem_idx.withColumn(
-                            "__ord",
-                            F.struct(F.xxhash64(F.col("__cid")),
-                                     F.col("__cid")))
-                        .transform(lambda d: cap_per_group(
-                            d, "cell_id", "__ord", max_cell_size))
-                        .filter(F.col("__kept"))
-                        .drop("__ord", "__kept")
-                    )
-            else:
-                sem_idx = (
-                    batch_df.select(F.col(id_col).alias("__cid"),
-                                    F.col(vec_col).alias("__cvec"))
-                    .withColumn("cell_id", F.lit(0).cast("int"))
-                    .limit(0)
-                )
-            if quality_col is None:
-                fresh = incremental_fused_dedup(
-                    batch_df, corpus=None, id_col=id_col,
-                    text_col=text_col,
-                    vec_col=vec_col, jaccard_threshold=jaccard_threshold,
-                    cosine_threshold=cosine_threshold,
-                    num_hashes=num_hashes,
-                    bands=bands, shingle_size=shingle_size,
-                    max_bucket_size=max_bucket_size, n_cells=n_cells,
-                    n_iter=n_iter, n_probe=n_probe,
-                    max_cell_size=max_cell_size,
-                    minhash_index=mh_idx, semantic_index=(cents, sem_idx),
-                    weighted_threshold=weighted_threshold,
-                    weighted_index=w_idx,
-                )
-            else:
-                # quality-aware survivorship: per-matched-pair probe,
-                # then insert/drop/replace per batch doc (docstring)
-                pairs = incremental_fused_match_pairs(
-                    batch_df, corpus=None, id_col=id_col,
-                    text_col=text_col,
-                    vec_col=vec_col, jaccard_threshold=jaccard_threshold,
-                    cosine_threshold=cosine_threshold,
-                    num_hashes=num_hashes,
-                    bands=bands, shingle_size=shingle_size,
-                    max_bucket_size=max_bucket_size, n_cells=n_cells,
-                    n_iter=n_iter, n_probe=n_probe,
-                    max_cell_size=max_cell_size,
-                    minhash_index=mh_idx, semantic_index=(cents, sem_idx),
-                    weighted_threshold=weighted_threshold,
-                    weighted_index=w_idx,
-                )
-                bq = batch_df.select(F.col(id_col).alias("new_id"),
-                                     F.col(quality_col).alias("__bq"))
-                if corpus_epochs:
-                    # quality is read from the CORPUS rows, not the
-                    # index — matches whose corpus row is gone are
-                    # GHOSTS (stale entries from a crash between the
-                    # corpus rewrite and the index re-derivation):
-                    # excluded from survivorship, healed below.
-                    # Liveness rides an EXPLICIT marker, not quality
-                    # nullness (ADVICE r12): a live corpus row whose
-                    # quality is NULL must not read as a ghost — it
-                    # would re-trigger the full epoch re-derivation
-                    # on every matching batch, forever, since the row
-                    # itself never goes away. Instead it competes at
-                    # -inf: any scored batch doc replaces it.
-                    cq = (spark.read.parquet(corpus_dir)
-                          .where(F.col("epoch") < F.lit(epoch_id))
-                          .select(F.col(id_col).alias("corpus_id"),
-                                  F.col(quality_col).alias("__cq"),
-                                  F.col("epoch").alias("__cep"),
-                                  F.lit(True).alias("__clive")))
-                    m = (pairs.join(cq, "corpus_id", "left")
-                         .localCheckpoint(eager=True))
-                else:
-                    m = (pairs
-                         .withColumn("__cq",
-                                     F.lit(None).cast("double"))
-                         .withColumn("__cep", F.lit(None).cast("int"))
-                         .withColumn("__clive",
-                                     F.lit(None).cast("boolean")))
-                live = m.filter(F.col("__clive"))
-                best = live.groupBy("new_id").agg(
-                    F.max(F.coalesce(F.col("__cq"),
-                                     F.lit(float("-inf"))))
-                    .alias("__best_cq"))
-                # insert (no live match) or replace (strictly better);
-                # ties drop in favor of the standing corpus → replay
-                # idempotent
-                cand = batch_df.join(
-                    bq.join(best, "new_id", "left")
-                    .filter(F.col("__best_cq").isNull()
-                            | (F.col("__bq") > F.col("__best_cq")))
-                    .select(F.col("new_id").alias(id_col)),
-                    id_col, "left_semi")
-                if len(cand.take(1)) == 0:
-                    fresh = cand
-                else:
-                    # batch-internal collapse keeps the BEST-QUALITY
-                    # member per fused component, not fused_dedup's
-                    # min-id canonical (ADVICE r12): under min-id a
-                    # strictly-better replacer could be collapsed
-                    # away in favor of a worse batch sibling — losing
-                    # both the quality win and the retirement its
-                    # survival would have triggered. Ties (equal
-                    # quality, incl. both NULL at -inf) break to
-                    # min-id, so replay stays deterministic.
-                    labels = fused_dedup(
-                        cand, id_col, text_col, vec_col,
-                        jaccard_threshold, cosine_threshold, num_hashes,
-                        bands, shingle_size, max_bucket_size, n_cells,
-                        n_iter, 1, 1, max_cell_size,
-                        weighted_threshold=weighted_threshold,
-                    ).select(id_col, "component")
-                    keep = (
-                        labels.join(
-                            cand.select(
-                                F.col(id_col),
-                                F.coalesce(
-                                    F.col(quality_col).cast("double"),
-                                    F.lit(float("-inf"))).alias("__q")),
-                            id_col)
-                        .withColumn("__rk", F.row_number().over(
-                            Window.partitionBy("component").orderBy(
-                                F.col("__q").desc(), F.col(id_col))))
-                        .filter(F.col("__rk") == 1).select(id_col))
-                    fresh = (cand.join(keep, id_col, "left_semi")
-                             .localCheckpoint(eager=True))
-                # superseded = live matches of SURVIVING replacing docs
-                # (a replacer collapsed away batch-internally retires
-                # nothing — its kept sibling made its own decisions)
-                superseded = (
-                    live.join(fresh.select(F.col(id_col)
-                                           .alias("new_id")),
-                              "new_id", "left_semi")
-                    .select("corpus_id", "__cep").distinct()
-                    .localCheckpoint(eager=True))
-                # ghost = matched corpus_id with NO corpus row — the
-                # LIVENESS marker is null, not the quality (ADVICE
-                # r13): a live row with NULL quality has __clive=True
-                # and __cq null; filtering on __cq would re-schedule
-                # the full epoch heal on every batch that matches it,
-                # forever, since the live row never goes away.
-                ghosts = (m.filter(F.col("__clive").isNull())
-                          .select("corpus_id").distinct())
-                ghost_eps: set[int] = set()
-                if len(ghosts.take(1)) > 0:
-                    idx_paths = [sig_dir, idx_dir] + (
-                        [wsig_dir] if weighted_threshold is not None
-                        else [])
-                    for path in idx_paths:
-                        if not _hadoop_path_exists(spark, path):
-                            continue
-                        ge = (spark.read.parquet(path)
-                              .where(F.col("epoch") < F.lit(epoch_id))
-                              .select(F.col(id_col).alias("corpus_id"),
-                                      "epoch")
-                              .join(ghosts, "corpus_id", "left_semi")
-                              .select("epoch").distinct().collect())
-                        ghost_eps |= {r.epoch for r in ge}
-                sup_eps = {r[0] for r in superseded
-                           .select("__cep").distinct().collect()}
-                affected = sorted(sup_eps | ghost_eps)
-                if affected:
-                    remaining = (
-                        spark.read.parquet(corpus_dir)
-                        .where(F.col("epoch").isin(affected))
-                        .join(superseded.select(F.col("corpus_id")
-                                                .alias(id_col)),
-                              id_col, "left_anti")
-                        .localCheckpoint(eager=True))
-                    kept_eps = {r.epoch for r in remaining
-                                .select("epoch").distinct().collect()}
-                    emptied = [e for e in affected if e not in kept_eps]
-                    # corpus first, then indexes: a crash in between
-                    # leaves ghost entries the NEXT replay detects and
-                    # re-derives (the convergence note in the docstring)
-                    if kept_eps:
-                        (remaining.write.mode("overwrite")
-                         .option("partitionOverwriteMode", "dynamic")
-                         .partitionBy("epoch").parquet(corpus_dir))
-                    for e in emptied:
-                        _hadoop_delete_path(spark,
-                                            f"{corpus_dir}/epoch={e}")
-
-                    def _rederive(path: str, sign) -> None:
-                        if kept_eps:
-                            (sign(remaining.drop("epoch"))
-                             .join(remaining.select(id_col, "epoch"),
-                                   id_col)
-                             .write.mode("overwrite")
-                             .option("partitionOverwriteMode", "dynamic")
-                             .partitionBy("epoch").parquet(path))
-                        for e in emptied:
-                            _hadoop_delete_path(spark,
-                                                f"{path}/epoch={e}")
-
-                    _rederive(sig_dir, lambda df: build_minhash_index(
-                        df, text_col, id_col, num_hashes, shingle_size))
-                    _rederive(idx_dir, lambda df: assign_cells(
-                        df.select(F.col(id_col), F.col(vec_col)),
-                        cents, vec_col, 1))
-                    if weighted_threshold is not None:
-                        _rederive(
-                            wsig_dir,
-                            lambda df: build_weighted_minhash_index(
-                                df, text_col, id_col, num_hashes,
-                                shingle_size))
-        else:
-            keep = fused_dedup(
-                batch_df, id_col, text_col, vec_col, jaccard_threshold,
-                cosine_threshold, num_hashes, bands, shingle_size,
-                max_bucket_size, n_cells, n_iter, 1, 1, max_cell_size,
-                weighted_threshold=weighted_threshold,
-            ).filter(F.col("keep")).select(id_col)
-            fresh = batch_df.join(keep, id_col, "left_semi")
-            cents = train_centroids(
-                fresh.select(F.col(id_col), F.col(vec_col)),
-                n_cells, id_col, vec_col, n_iter, 1)
-            cents.write.mode("overwrite").parquet(cent_dir)
-        # one materialization feeds the three epoch appends
-        fresh = fresh.localCheckpoint(eager=True)
-
-        def _epoch_append(df: DataFrame, path: str) -> None:
-            (df.withColumn("epoch", F.lit(epoch_id))
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("epoch")
-             .parquet(path))
-
-        _epoch_append(
-            build_minhash_index(fresh, text_col, id_col, num_hashes,
-                                shingle_size), sig_dir)
-        _epoch_append(
-            assign_cells(fresh.select(F.col(id_col), F.col(vec_col)),
-                         cents, vec_col, 1), idx_dir)
-        if weighted_threshold is not None:
-            _epoch_append(
-                build_weighted_minhash_index(
-                    fresh, text_col, id_col, num_hashes, shingle_size),
-                wsig_dir)
-        _epoch_append(fresh, corpus_dir)
+        fused_ingest_epoch(
+            batch_df, epoch_id, corpus_dir=corpus_dir,
+            id_col=id_col, text_col=text_col, vec_col=vec_col,
+            jaccard_threshold=jaccard_threshold,
+            cosine_threshold=cosine_threshold,
+            num_hashes=num_hashes, bands=bands,
+            shingle_size=shingle_size,
+            max_bucket_size=max_bucket_size, n_cells=n_cells,
+            n_iter=n_iter, n_probe=n_probe,
+            max_cell_size=max_cell_size,
+            weighted_threshold=weighted_threshold,
+            quality_col=quality_col)
 
     return write_stream_foreach_batch(doc_stream, ingest, checkpoint_dir)
 
