@@ -388,3 +388,96 @@ def test_crawl_warn_on_loss_reports_bad_segment(spark, tmp_path,
     assert len(msgs) == 1 and "1 truncated gzip member" in msgs[0], msgs
     assert [r.uri for r in out] == ["https://a.ex.com/1"]
     assert out[0].text == art
+
+
+def test_incremental_crawl_matches_streaming_twin(spark, tmp_path):
+    """Cross-crawl incremental batch mode (r15 — VERDICT r14 item 8):
+    ingesting two synthetic crawls SEQUENTIALLY through
+    ``ingest_crawl_incremental`` must land the same corpus content as
+    the streaming twin consuming the same WARC bytes as two
+    micro-batches — equivalence is by construction (both drive
+    ``fused_ingest_epoch``), and this pins it: crawl 2 carries a
+    strictly-better near-dup (replace), a worse near-dup (drop), and
+    a new doc (insert) against crawl 1's persisted corpus."""
+    import gzip
+
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.crawl import (
+        ingest_crawl_incremental,
+    )
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_web_ingest,
+    )
+
+    crlf, blank = b"\r\n", b"\r\n\r\n"
+
+    def page(article):
+        return (
+            "<html><head><title>t</title></head>"
+            "<body><div class=\"nav\"><a href=\"/\">HomePage</a> | "
+            "<a href=\"/a\">AboutUs</a> | "
+            "<a href=\"/c\">ContactUs</a></div>"
+            "<p id=\"main\">" + article + "</p>"
+            "<div class=\"footer\"><a href=\"/t\">Terms</a> | "
+            "<a href=\"/p\">Privacy</a> | <a href=\"/k\">Cookies</a>"
+            "</div></body></html>").encode()
+
+    def rec(uri, article):
+        msg = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+               b"charset=utf-8" + blank + page(article))
+        return (b"WARC/1.0" + crlf + b"WARC-Type: response" + crlf
+                + b"WARC-Target-URI: " + uri.encode() + crlf
+                + b"Content-Length: " + str(len(msg)).encode()
+                + blank + msg + blank)
+
+    art_a = " ".join(f"alpha{i}" for i in range(25))
+    toks = art_a.split()
+    toks[5], toks[11] = "the", "and"
+    art_a_better = " ".join(toks)  # near-dup, higher stopword ratio
+    art_b = "the of and " + " ".join(f"beta{i}" for i in range(22))
+    art_b_worse = art_b.replace("the ", "qq1 ", 1)  # stopword lost
+    art_c = " ".join(f"gamma{i}" for i in range(25))
+
+    seg1 = (rec("https://a.ex.com/p1", art_a)
+            + rec("https://b.ex.com/p2", art_b))
+    seg2 = (rec("https://a.ex.com/p1b", art_a_better)
+            + rec("https://b.ex.com/p2b", art_b_worse)
+            + rec("https://c.ex.com/p3", art_c))
+
+    # ---- batch: two crawl directories ingested sequentially --------
+    for i, seg in [(1, seg1), (2, seg2)]:
+        d = tmp_path / f"crawl{i}"
+        d.mkdir()
+        (d / "seg.warc.gz").write_bytes(gzip.compress(seg))
+    corpus_b = str(tmp_path / "corpus_batch")
+    ingest_crawl_incremental(spark, str(tmp_path / "crawl1"), corpus_b)
+    final_b = ingest_crawl_incremental(
+        spark, str(tmp_path / "crawl2"), corpus_b)
+    got_b = sorted((r.uri, r.text) for r in final_b.collect())
+
+    # ---- streaming twin: same bytes as two micro-batches -----------
+    src = str(tmp_path / "blobs")
+    schema = T.StructType([T.StructField("blob", T.BinaryType())])
+    for name, seg in [("f1", gzip.compress(seg1)),
+                      ("f2", gzip.compress(seg2))]:
+        spark.createDataFrame([(seg,)], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src}/{name}")
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    corpus_s = str(tmp_path / "corpus_stream")
+    q = streaming_web_ingest(
+        stream, corpus_s, str(tmp_path / "ckpt"),
+        binary_blobs=True, gzip_members=True, http_messages=True,
+        canonical_ids=True)
+    q.awaitTermination(240)
+    got_s = sorted((r.uri, r.text)
+                   for r in spark.read.parquet(corpus_s).collect())
+
+    want = sorted([
+        ("https://a.ex.com/p1b", " ".join(art_a_better.split())),
+        ("https://b.ex.com/p2", " ".join(art_b.split())),
+        ("https://c.ex.com/p3", " ".join(art_c.split())),
+    ])
+    assert got_b == want, got_b
+    assert got_s == want, got_s
