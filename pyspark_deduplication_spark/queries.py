@@ -6421,6 +6421,172 @@ FROM documents
 """
 
 
+def crawl_media_dedup_docs(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Real-media crawl records wired into multimodal dedup (VERDICT
+    r14 item 6): a crawl is not all HTML — image/audio captures must
+    DISPATCH on the framed ``Content-Type`` into the right dedup
+    family. Per doc (``doc_id % 4``) the synthesized ``.warc.gz``
+    segments carry a full HTTP message whose body is:
+
+    - 0 → a REAL P6 PPM image (16×16, bytes seeded by the doc's
+      media group ``doc_id // 8``) — decoded by ``parse_ppm`` and
+      clustered perceptually (``media_near_dup_perceptual``: dHash →
+      Hamming-banded join → CC); group twins (e.g. docs 0 and 4)
+      carry identical pixels → Hamming 0;
+    - 1 → a REAL PCM16 WAV whose 64-segment amplitude envelope is
+      group-seeded — ``parse_wav_pcm16`` → energy-profile phash →
+      ``audio_near_dup_perceptual``;
+    - 2 → a JPEG payload: an UNSUPPORTED codec in this container
+      (the strict multimodal contract — ``image_dhash`` would raise
+      ``NotImplementedError``), so it takes the content-digest path
+      (sha2 groups — ``media_exact_dedup``'s key), twins planted
+      byte-identical;
+    - 3 → text/html — the control: must stay OUT of every media
+      family (a dispatch leak breaks row counts).
+
+    Graded per CLUSTER: media kind, group id (arithmetic ground
+    truth), member count, min-id keep — a spurious perceptual merge
+    of distinct groups or a missed twin changes the cluster rows
+    before any value. Oracle is pure doc_id arithmetic.
+
+    Scale shape: decode/hash passes are one ``mapInPandas`` scan per
+    family (payload bytes never shuffle — only 8-byte hashes move
+    through the Hamming-banded candidate joins); the sha2 and summary
+    aggregations are ONE keyed exchange each; dispatch is a map-only
+    filter on framed headers."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = (docs.select("source", "doc_id").groupBy("source")
+               .agg(F.sort_array(F.collect_list("doc_id"))
+                    .alias("ids")))
+    base = _scratch_dir(spark, "crawl_media_dedup", sf_dir)
+
+    def _write(rows, base=base):
+        import gzip as _gzip
+        import hashlib as _hl
+        import struct as _st
+
+        def ppm(gid: int) -> bytes:
+            return (b"P6\n16 16\n255\n"
+                    + _hl.shake_128(f"img{gid}".encode()).digest(768))
+
+        def wav(gid: int) -> bytes:
+            env = _hl.shake_128(f"wav{gid}".encode()).digest(64)
+            frames = bytearray()
+            for s in range(64):
+                amp = (env[s] + 1) * 100
+                for i in range(16):
+                    frames += _st.pack("<h", amp if i % 2 == 0
+                                       else -amp)
+            data = bytes(frames)
+            fmt = _st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            return (b"RIFF" + _st.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + _st.pack("<I", 16) + fmt
+                    + b"data" + _st.pack("<I", len(data)) + data)
+
+        def jpg(gid: int) -> bytes:
+            return (b"\xff\xd8\xff\xe0"
+                    + _hl.shake_128(f"jpg{gid}".encode()).digest(256)
+                    + b"\xff\xd9")
+
+        def html(did: int) -> bytes:
+            art = " ".join(f"media{did}tok{j}" for j in range(20))
+            return ("<html><body><p id=\"main\">" + art
+                    + "</p></body></html>").encode()
+
+        cts = ["image/x-portable-pixmap", "audio/x-wav",
+               "image/jpeg", "text/html"]
+        for r in rows:
+            members = []
+            for did in r["ids"]:
+                kind, gid = did % 4, did // 8
+                body = [ppm, wav, jpg, html][kind](
+                    gid if kind != 3 else did)
+                msg = (f"HTTP/1.1 200 OK\r\nContent-Type: "
+                       f"{cts[kind]}\r\n\r\n").encode() + body
+                rec = ((f"WARC/1.0\r\nWARC-Type: response\r\n"
+                        f"WARC-Target-URI: https://{r['source']}"
+                        f".ex.com/m{did}\r\n"
+                        f"Content-Length: {len(msg)}\r\n\r\n")
+                       .encode() + msg + b"\r\n\r\n")
+                members.append(_gzip.compress(rec))
+            _write_blob(base, f"{r['source']}.warc.gz",
+                        b"".join(members))
+
+    per_src.foreachPartition(_write)
+
+    from pyspark_deduplication_spark.operators.multimodal import (
+        audio_near_dup_perceptual,
+        media_near_dup_perceptual,
+    )
+    from pyspark_deduplication_spark.sources.readers import (
+        read_warc_dir,
+    )
+
+    recs = read_warc_dir(spark, base)
+    typed = (recs.select(
+        F.regexp_extract(
+            warc_header_of(F.col("headers"), "WARC-Target-URI"),
+            r"/m([0-9]+)$", 1).cast("long").alias("media_id"),
+        http_split_message(F.col("payload")).alias("m"))
+        .select(
+            "media_id",
+            http_header_of(F.col("m.headers"), "Content-Type")
+            .alias("ct"),
+            F.col("m.body").alias("payload")))
+
+    def summarize(clustered: DataFrame, kind: str) -> DataFrame:
+        return (clustered.groupBy("component")
+                .agg(F.count("*").cast("long").alias("n_members"),
+                     F.min("media_id").alias("keep_doc_id"))
+                .select(F.lit(kind).alias("media_kind"),
+                        F.floor(F.col("keep_doc_id") / 8).cast("long")
+                        .alias("gid"),
+                        "n_members", "keep_doc_id"))
+
+    img_sum = summarize(media_near_dup_perceptual(
+        typed.filter(F.col("ct") == "image/x-portable-pixmap")
+        .select("media_id", "payload")), "ppm")
+    wav_sum = summarize(audio_near_dup_perceptual(
+        typed.filter(F.col("ct") == "audio/x-wav")
+        .select("media_id", "payload")), "wav")
+    jpg_sum = (typed.filter(F.col("ct") == "image/jpeg")
+               .groupBy(F.sha2("payload", 256).alias("__k"))
+               .agg(F.count("*").cast("long").alias("n_members"),
+                    F.min("media_id").alias("keep_doc_id"))
+               .select(F.lit("jpeg").alias("media_kind"),
+                       F.floor(F.col("keep_doc_id") / 8).cast("long")
+                       .alias("gid"),
+                       "n_members", "keep_doc_id"))
+    html_sum = (typed.filter(F.col("ct").startswith("text/html"))
+                .select(F.lit("html").alias("media_kind"),
+                        F.col("media_id").alias("gid"),
+                        F.lit(1).cast("long").alias("n_members"),
+                        F.col("media_id").alias("keep_doc_id")))
+    return (img_sum.unionByName(wav_sum).unionByName(jpg_sum)
+            .unionByName(html_sum))
+
+
+# Pure arithmetic: clusters ARE the planted media groups (doc_id//8
+# within each doc_id%4 family); a perceptual mis-merge or missed twin
+# shifts n_members/keep before any value is compared.
+_CRAWL_MEDIA_DEDUP_ORACLE = """
+SELECT 'ppm' AS media_kind, doc_id // 8 AS gid,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(doc_id) AS keep_doc_id
+FROM documents WHERE doc_id % 4 = 0 GROUP BY doc_id // 8
+UNION ALL
+SELECT 'wav', doc_id // 8, CAST(count(*) AS BIGINT), min(doc_id)
+FROM documents WHERE doc_id % 4 = 1 GROUP BY doc_id // 8
+UNION ALL
+SELECT 'jpeg', doc_id // 8, CAST(count(*) AS BIGINT), min(doc_id)
+FROM documents WHERE doc_id % 4 = 2 GROUP BY doc_id // 8
+UNION ALL
+SELECT 'html', doc_id, CAST(1 AS BIGINT), doc_id
+FROM documents WHERE doc_id % 4 = 3
+"""
+
+
 def redirect_identity_ingest_docs(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Redirect-aware crawl identity graded end-to-end (VERDICT r14
@@ -13656,6 +13822,9 @@ CATALOG: dict[str, Query] = {
     "redirect_identity_ingest_docs": Query(
         redirect_identity_ingest_docs, _REDIRECT_IDENTITY_ORACLE,
         tags=["text", "dedup", "pipeline", "source"]),
+    "crawl_media_dedup_docs": Query(
+        crawl_media_dedup_docs, _CRAWL_MEDIA_DEDUP_ORACLE,
+        tags=["multimodal", "dedup", "source"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),
