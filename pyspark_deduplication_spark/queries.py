@@ -14342,75 +14342,78 @@ CATALOG: dict[str, Query] = {
 # tools/grade_window.py lists them). Rows-only entries stay after
 # position 50 so no graded slot records err:"no_oracle".
 _GRADED_ORDER = [
-    # Round-14 window (VERDICT r13 item 1 rotation). Composition:
-    # (a) 3 NEW never-graded entries, (b) 8 changed-code /
-    # cross-family canaries re-grading under this round's diff,
-    # (c) the ENTIRE 39-entry r10 stale queue — after this window no
-    # oracle-backed entry's last grade is older than r11, and the 39
-    # r10 re-grades double as the in-window stale-canary reserve
-    # (≥10, VERDICT r13 item 8: they span sql/window/streaming/
-    # dedup/quality/sampling/profiling families).
+    # Round-15 window (VERDICT r14 item 1 rotation, staggered as the
+    # judge prescribed). Composition:
+    # (a) the 5 never-graded r14 entries (judge-parity-green r14,
+    #     staged first);
+    # (b) the 5 NEW r15 entries (batch recipe capstone, loss
+    #     accounting, WAT sidecar, redirect identity, media dispatch);
+    # (c) the 35 OLDEST entries of the r11 stale queue (oldest-first —
+    #     these double as the in-window stale-canary reserve, >=10 by
+    #     a wide margin, spanning sql/window/events/dedup/quality/
+    #     embedding families); the remaining 14 r11-stale entries
+    #     queue for r16 via tools/grade_window.py;
+    # (d) 5 cross-family canaries re-grading under this round's diff
+    #     (http_split_message boundary fix, warc kernel refactor,
+    #     crawl-recipe survivorship change, fused-ingest extraction):
+    #     relational, fused-dedup, events, trained-scoring, and the
+    #     r14 watch row warc_file_ingest_docs (fresh driver evidence
+    #     for its re-measure).
     #
-    # (a) NEW this round: HTTP message framing (VERDICT r13 item 3),
-    # windows-1252 charset transcoding (item 4), and on-disk .warc.gz
-    # file ingestion through read_warc_dir (item 2)
-    "http_framed_ingest_docs",
-    "charset_transcode_ingest_docs",
-    "warc_file_ingest_docs",
-    # (b) changed-code canaries: warc_records_sliced_binary gained
-    # the gzip auto-sniff branch (read_warc_dir), and the web-ingest
-    # family shares the extraction/strip chain with the three new
-    # entries; events_sessionize + fused_dedup_docs_weighted are the
-    # streaming/fused cross-family canaries for the ghost-filter and
-    # decode_web_text changes in streaming/ops.py
-    "warc_octet_ingest_docs",
-    "warc_gzip_ingest_docs",
-    "warc_binary_ingest_docs",
-    "web_ingest_pipeline_docs",
-    "html_text_extraction_docs",
-    "main_content_extraction_docs",
-    "events_sessionize",
+    # (a) never-graded r14 entries
+    "http_coded_body_ingest_docs",
+    "wet_text_ingest_docs",
+    "url_tracking_dedup_docs",
+    "noindex_filter_docs",
+    "warc_digest_dedup_docs",
+    # (b) new r15 entries
+    "crawl_recipe_ingest_docs",
+    "warc_corrupt_audit_docs",
+    "wat_metadata_ingest_docs",
+    "redirect_identity_ingest_docs",
+    "crawl_media_dedup_docs",
+    # (c) oldest 35 of the r11 stale queue
+    "c4_quality_rules_docs",
+    "c4_quality_signals_docs",
+    "chunk_level_dedup_rate",
+    "count_distinct_parts",
+    "cube_lineitem_flags",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "dedup_exact_count",
+    "dedup_keep_best_quality_docs",
+    "dedup_signal_overlap_report",
+    "dedup_signal_overlap_sampled_docs",
+    "doc_language_id",
+    "doc_oov_rates",
+    "doc_regex_token_count",
+    "doc_repetition_scores",
+    "doc_top_terms",
+    "dup_threshold_sensitivity_docs",
+    "dup_threshold_sensitivity_sampled_docs",
+    "embedding_cluster_dedup",
+    "embedding_norm_stats",
+    "events_dedup_keep_earliest",
+    "events_dow_hour_heatmap",
+    "events_funnel",
+    "events_hourly_anomalies",
+    "events_hourly_windows",
+    "events_json_props",
+    "events_moving_average",
+    "gopher_repetition_rules_docs",
+    "gopher_repetition_signals_docs",
+    "incremental_keep_best_quality_docs",
+    "lsh_banding_plan_docs",
+    "lsh_banding_plan_sampled_docs",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    # (d) cross-family canaries
+    "q1_pricing_summary",
     "fused_dedup_docs_weighted",
-    # (c) the 39-entry r10 stale queue, oldest-first
-    "doc_hashed_quality_score",
-    "doc_quality_scores",
+    "events_sessionize",
     "doc_trained_quality_score",
-    "doc_trigram_perplexity",
-    "embedding_near_dups",
-    "embedding_norm_sketch",
-    "events_gapfill_hourly",
-    "golden_customer_records",
-    "gopher_quality_rules_docs",
-    "grouping_sets_order_revenue",
-    "hard_negative_mining_embeddings",
-    "incremental_decontaminate_docs",
-    "incremental_dup_span_removal_docs",
-    "knn_label_accuracy",
-    "leakage_safe_split_docs",
-    "merge_upsert_customers",
-    "order_interarrival_stats",
-    "order_priority_pivot",
-    "part_size_histogram",
-    "pivot_year_flag_revenue",
-    "price_quantity_stats",
-    "profile_customer_columns",
-    "q12_priority_by_quantity_band",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q1_sql_surface",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "rollup_order_stats",
-    "salted_agg_returnflag",
-    "streaming_enrich_user_tier",
-    "streaming_hourly_windows",
-    "surrogate_ids_parts",
-    "surrogate_ids_scalable_parts",
-    "topk_parts_per_brand_agg",
-    "train_val_test_split_docs",
-    "url_canonical_customers",
-    "weighted_jaccard_pairs_exact",
+    "warc_file_ingest_docs",
 ]
 
 assert len(_GRADED_ORDER) == len(set(_GRADED_ORDER)) == 50
