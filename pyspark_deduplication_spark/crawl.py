@@ -87,6 +87,76 @@ def _canon(uri: Column) -> Column:
         canonicalize_url(uri, strip_tracking=True), uri)
 
 
+_UA_LINE_RE = r"(?i)^user-agent[ \t]*:"
+_DISALLOW_LINE_RE = r"(?i)^disallow[ \t]*:"
+_ROBOTS_VALUE_RE = r"(?i)^[a-z-]+[ \t]*:[ \t]*(.*)$"
+
+
+def robots_star_rules(robots: DataFrame,
+                      domain_col: str = "domain",
+                      robots_col: str = "robots_txt") -> DataFrame:
+    """Parse per-domain ``robots.txt`` bodies into the Disallow
+    prefixes that bind the wildcard agent ``*`` — the politeness
+    input a crawl-curation pass needs before URLs enter the corpus
+    (the in-page ``noindex`` gate's site-level sibling).
+
+    The REP (RFC 9309) operational subset implemented, entirely in
+    native expressions:
+
+    - comments (``#`` to end of line) stripped, blank lines skipped;
+    - a GROUP is a run of consecutive ``User-agent`` lines followed
+      by its rules — gaps-and-islands over one window: a group starts
+      at a ``User-agent`` line whose previous significant line is not
+      one (``lag`` + running ``sum``), so multi-agent headers
+      (``User-agent: bingbot`` / ``User-agent: *``) share one group;
+    - a group binds ``*`` when ANY of its agent lines names ``*``
+      (case-insensitive, inline comments tolerated);
+    - its non-empty ``Disallow`` values are emitted as ``(domain,
+      prefix)`` rows; ``Disallow:`` with an empty value is
+      allow-all and yields nothing; rules before any group header
+      bind no agent and drop.
+
+    Prefix-match application is the caller's join (see
+    ``robots_txt_filter_docs``): blocked iff any prefix is a prefix
+    of the URL path — RFC 9309 §2.2.2 longest-match is not needed
+    for a Disallow-only rule set, where any hit blocks.
+
+    Scale shape: robots bodies are KBs and one row per domain, so the
+    explode fan-out is bounded; both windows key on the domain (one
+    exchange) and the output is broadcast-sized by construction."""
+    lines = robots.select(
+        domain_col,
+        F.posexplode(F.split(F.col(robots_col), "\n"))
+        .alias("pos", "__raw"))
+    sig = (
+        lines.select(
+            domain_col, "pos",
+            F.trim(F.regexp_replace("__raw", "#.*$", "")).alias("__ln"))
+        .where(F.col("__ln") != ""))
+    is_ua = F.col("__ln").rlike(_UA_LINE_RE)
+    is_dis = F.col("__ln").rlike(_DISALLOW_LINE_RE)
+    value = F.trim(F.regexp_extract("__ln", _ROBOTS_VALUE_RE, 1))
+    w = Window.partitionBy(domain_col).orderBy("pos")
+    ua_start = is_ua & ~F.coalesce(
+        F.lag(is_ua).over(w), F.lit(False))
+    tagged = sig.select(
+        domain_col, "pos",
+        is_ua.alias("__ua"), is_dis.alias("__dis"),
+        value.alias("__val"),
+        F.sum(ua_start.cast("int")).over(w).alias("__grp"))
+    wg = Window.partitionBy(domain_col, "__grp")
+    star = F.max(
+        (F.col("__ua") & (F.lower(F.col("__val")) == "*")).cast("int")
+    ).over(wg) == 1
+    return (
+        tagged
+        .withColumn("__star", star)
+        .where(F.col("__dis") & F.col("__star")
+               & (F.col("__grp") > 0) & (F.col("__val") != ""))
+        .select(domain_col, F.col("__val").alias("prefix"))
+    )
+
+
 def redirect_edges(framed: DataFrame,
                    uri_col: str = "uri",
                    msg_col: str = "m") -> DataFrame:

@@ -6729,6 +6729,355 @@ FROM qbase
 """.replace("{WS}", WS_RUN_RE)
 
 
+def url_blocklist_filter_docs(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Domain-blocklist URL filtering (r15) — the RefinedWeb-style
+    curation gate: a small curated list of banned OWNER domains must
+    drop every URL whose registrable domain matches, including
+    subdomain spellings (``ads.`` / ``www.``) and two-part-suffix
+    hosts (``site3.co.uk``), while leaving lookalike hosts that merely
+    CONTAIN a banned name (``evil-tracker1.com``) alone — the
+    exact-registrable-match contract, not substring matching. Each doc
+    synthesizes one URL across five host shapes (two subdomain
+    spellings of a ``tracker{{k}}.com`` family, a ``co.uk`` two-part
+    suffix family, a safe family, and the substring decoy); the
+    blocklist bans ``tracker{{1,3,5}}.com`` and ``site3.co.uk``.
+    Per source: URL count, blocked count, and the doc-id sum of the
+    KEPT rows (doc-granular proof of the filter).
+
+    Scale shape: map-only ``registrable_domain`` extraction + a
+    BROADCAST left join against the (tiny, by definition) blocklist —
+    zero shuffle for the membership test — + ONE aggregation exchange.
+    At 100 TB the blocklist is still KBs; this is the textbook
+    broadcast-dimension shape."""
+    from pyspark_deduplication_spark.functions.urls import (
+        registrable_domain,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 5
+    host = (
+        F.when(m == 0, F.concat(F.lit("ads.tracker"), k, F.lit(".com")))
+        .when(m == 1, F.concat(F.lit("www.tracker"), k, F.lit(".com")))
+        .when(m == 2, F.concat(F.lit("news.site"), k, F.lit(".co.uk")))
+        .when(m == 3, F.concat(F.lit("cdn.safe"), k, F.lit(".org")))
+        .otherwise(F.concat(F.lit("evil-tracker"), k, F.lit(".com"))))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"),
+                   F.col("doc_id").cast("string"))
+    blocklist = spark.createDataFrame(
+        [("tracker1.com",), ("tracker3.com",), ("tracker5.com",),
+         ("site3.co.uk",)], "blocked_domain string")
+    with_domain = docs.select(
+        "source", "doc_id",
+        registrable_domain(url).alias("__dom"))
+    flagged = with_domain.join(
+        F.broadcast(blocklist),
+        with_domain["__dom"] == blocklist["blocked_domain"],
+        "left")
+    blocked = F.col("blocked_domain").isNotNull()
+    return (
+        flagged.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_urls"),
+             F.sum(blocked.cast("long")).alias("n_blocked"),
+             F.sum(F.when(~blocked, F.col("doc_id")).otherwise(F.lit(0)))
+             .alias("kept_doc_id_sum"))
+    )
+
+
+# Ground truth from the synthesis arithmetic: blocked iff the host
+# shape lands on a banned registrable domain — subdomain spellings
+# (m in 0,1) of tracker{1,3,5}.com, or the co.uk family at k=3. The
+# decoy family (m=4) and the safe family (m=3) are never blocked, so
+# a substring-matching bug (decoy caught) or a suffix-table bug
+# (site3.co.uk missed) flips n_blocked/kept_doc_id_sum.
+_URL_BLOCKLIST_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN (doc_id % 5 IN (0, 1)
+                           AND doc_id % 7 IN (1, 3, 5))
+                       OR (doc_id % 5 = 2 AND doc_id % 7 = 3)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST(sum(CASE WHEN (doc_id % 5 IN (0, 1)
+                           AND doc_id % 7 IN (1, 3, 5))
+                       OR (doc_id % 5 = 2 AND doc_id % 7 = 3)
+                     THEN 0 ELSE doc_id END) AS BIGINT)
+         AS kept_doc_id_sum
+FROM documents
+GROUP BY source
+"""
+
+
+def wat_link_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink graph analytics (r15) — the aggregation a WAT sidecar
+    exists to feed: explode per-page outlinks into (src registrable
+    domain → dst registrable domain) edges, drop INTRA-domain edges
+    (same owner linking to itself — navigation, not endorsement; the
+    registrable level, so ``s1.example.org → s2.example.org`` counts
+    as intra), and report per destination domain its in-degree and
+    how many DISTINCT source domains endorse it — the link-based
+    quality prior crawl curation ranks domains by. Each doc plants
+    1–4 outlinks whose hosts alternate ``www.``/``cdn.`` subdomain
+    spellings of a ``d{{k}}news.net`` family (the registrable collapse
+    must merge them) plus, on even docs, an intra-domain link that
+    must NOT survive the filter.
+
+    Scale shape: native ``sequence``/``transform`` array synthesis,
+    one explode (map-side), map-only domain extraction, ONE
+    aggregation exchange on dst domain. At crawl scale the explode
+    fan-out is bounded by links-per-page; the single shuffle key is
+    the destination domain — the same shape as a 100 TB anchor-text
+    pass."""
+    from pyspark_deduplication_spark.functions.urls import (
+        registrable_domain,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    j = (F.col("doc_id") % 6).cast("string")
+    src_url = F.concat(F.lit("https://www.blog"), j, F.lit(".org/p"),
+                       F.col("doc_id").cast("string"))
+    idx = F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int"))
+    outlinks = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.when(i % 2 == 0, F.lit("https://www.d"))
+            .otherwise(F.lit("https://cdn.d")),
+            ((F.col("doc_id") * 7 + i * 13) % 23).cast("string"),
+            F.lit("news.net/x"), i.cast("string")))
+    intra = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.array(F.concat(F.lit("https://blog"), j,
+                         F.lit(".org/nav")))).otherwise(
+        F.array().cast("array<string>"))
+    edges = (
+        docs.select(
+            "doc_id",
+            registrable_domain(src_url).alias("src_domain"),
+            F.explode(F.concat(outlinks, intra)).alias("dst_url"))
+        .select("doc_id", "src_domain",
+                registrable_domain(F.col("dst_url")).alias("dst_domain"))
+        .where(F.col("dst_domain") != F.col("src_domain")))
+    return (
+        edges.groupBy("dst_domain")
+        .agg(F.count("*").cast("long").alias("in_degree"),
+             F.count_distinct("src_domain").alias("n_src_domains"),
+             F.min("doc_id").alias("min_src_doc"))
+    )
+
+
+# Ground truth: unnest i over 0..doc_id%4; dst domain is pure
+# arithmetic ('d' || (doc_id*7+i*13)%23 || 'news.net'); src domain is
+# 'blog' || doc_id%6 || '.org'. The intra-domain planted link maps
+# back to the src domain and must vanish, so the oracle simply never
+# generates it — if the Spark side fails to filter it (or collapses
+# subdomains wrong), in_degree diverges.
+_WAT_LINK_GRAPH_ORACLE = """
+WITH fanout AS (
+  SELECT d.doc_id,
+         'blog' || CAST(d.doc_id % 6 AS VARCHAR) || '.org'
+           AS src_domain,
+         'd' || CAST((d.doc_id * 7 + i.i * 13) % 23 AS VARCHAR)
+           || 'news.net' AS dst_domain
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, d.doc_id % 4)) AS i)
+         AS i
+)
+SELECT dst_domain,
+       CAST(count(*) AS BIGINT) AS in_degree,
+       CAST(count(DISTINCT src_domain) AS BIGINT) AS n_src_domains,
+       min(doc_id) AS min_src_doc
+FROM fanout
+GROUP BY dst_domain
+"""
+
+
+def paragraph_dedup_rebuild_docs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup with corpus REBUILD (r15) — the
+    step beyond ``chunk_level_dedup_rate``'s signal: duplicated
+    passages are actually REMOVED (first occurrence wins, globally
+    ordered by (doc_id, chunk position)) and each document is
+    reconstructed from its surviving chunks in original order — the
+    spelling CCNet applies at paragraph granularity to strip shared
+    boilerplate before training. A third of the docs plant an
+    identical 16-token boilerplate prefix (cookie-banner analog), so
+    exactly one copy survives corpus-wide and every later doc's
+    rebuild must drop it. Per doc: chunk count, kept count, and the
+    md5 of the rebuilt text (NULL when nothing survives).
+
+    Scale shape: map-only chunking (``chunk_documents``: sequence/
+    transform/posexplode, no shuffle), ONE window exchange keyed on
+    chunk text for the global first-occurrence rank, ONE aggregation
+    exchange to rebuild docs — two shuffles total, both keyed, the
+    same shape at 100 TB (chunk-text keys are high-cardinality, so
+    no skew; the rank window state per key is the occurrence list of
+    one passage)."""
+    from pyspark.sql import Window
+
+    from pyspark_deduplication_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BOILERPLATE_16 + " "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+    chunks = chunk_documents(docs, "text", size=16, overlap=0).select(
+        "doc_id", "chunk_index", "chunk_text")
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_index")
+    ranked = chunks.withColumn("__rn", F.row_number().over(w))
+    kept = F.when(
+        F.col("__rn") == 1,
+        F.struct(F.col("chunk_index").alias("p"),
+                 F.col("chunk_text").alias("c")))
+    agg = ranked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum((F.col("__rn") == 1).cast("long")).alias("n_kept"),
+        F.array_sort(F.collect_list(kept)).alias("__kept"))
+    rebuilt = F.array_join(
+        F.transform(F.col("__kept"), lambda s: s["c"]), " ")
+    return agg.select(
+        "doc_id", "n_chunks", "n_kept",
+        F.when(F.col("n_kept") > 0, F.md5(rebuilt))
+        .alias("kept_text_md5"))
+
+
+# 16 normalization-stable lowercase words — one exact chunk window, so
+# the planted prefix is a single shared chunk corpus-wide.
+_BOILERPLATE_16 = ("terms of service apply to all content on this "
+                   "site please read the full policy carefully")
+
+# Same chunk CTE as _CHUNK_DEDUP_ORACLE over the boilerplate-planted
+# text; the global first-occurrence rank and the ordered rebuild are
+# plain window SQL, so DuckDB replicates removal AND reconstruction
+# (string_agg ignores the NULLed-out duplicate chunks, ORDER BY p
+# restores document order; md5 gates the rebuilt bytes exactly).
+_PARAGRAPH_DEDUP_REBUILD_ORACLE = f"""
+WITH univ AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN '{_BOILERPLATE_16} ' || text
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM univ),
+w AS (
+  SELECT doc_id, t,
+         greatest(CAST(ceil(CAST(len(t) AS DOUBLE) / 16.0) AS BIGINT), 1)
+           AS nw
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, i AS p,
+         array_to_string(t[i*16+1 : i*16+16], ' ') AS chunk
+  FROM w, unnest(range(0, nw)) AS r(i)
+),
+ranked AS (
+  SELECT doc_id, p, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, p)
+           AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+            THEN md5(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                                ' ' ORDER BY p))
+            ELSE NULL END AS kept_text_md5
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+def robots_txt_filter_docs(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """robots.txt politeness filtering (r15) — the site-level gate
+    completing the polite-crawl family (page-level ``noindex`` landed
+    r14): parse each domain's robots.txt into the Disallow prefixes
+    binding agent ``*`` (``crawl.robots_star_rules``: comment strip,
+    blank-line skip, gaps-and-islands grouping so multi-agent headers
+    share one group, case-insensitive directives, inline comments,
+    empty-Disallow allow-all) and test each doc's URL path against
+    them with REP prefix semantics (``/cgi`` blocks ``/cgi-bin/x``).
+    Even domains plant a two-rule star group headed by a
+    ``bingbot``+``*`` multi-agent run (plus a Googlebot-only decoy
+    group whose ``/private`` rule must NOT leak); odd domains plant a
+    case-variant ``User-Agent: *`` with an inline comment and an
+    empty Disallow — allow-all. Per doc: its domain's star-rule count
+    and the blocked verdict.
+
+    Scale shape: the robots corpus is one tiny row per domain (parse
+    windows key on domain); rules stay broadcast-sized by
+    construction, so the probe join is a BROADCAST hash join — zero
+    shuffle on the 100 TB side — + ONE aggregation exchange."""
+    from pyspark_deduplication_spark.crawl import robots_star_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id") % 8
+    ds = d.cast("string")
+    domain = F.concat(F.lit("site"), ds, F.lit(".com"))
+    probes = docs.select(
+        "doc_id", domain.alias("domain"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/tmp"), ds, F.lit("/a")))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/cgi-bin/x"))
+        .otherwise(F.lit("/public/x")).alias("path"))
+    dd = F.col("__d").cast("string")
+    robots_txt = F.when(
+        F.col("__d") % 2 == 0,
+        F.concat(
+            F.lit("# policy\nUser-agent: Googlebot\n"
+                  "Disallow: /private\n\n"
+                  "User-agent: bingbot\nUser-agent: *\n"
+                  "Disallow: /tmp"), dd,
+            F.lit("\nAllow: /tmp"), dd,
+            F.lit("/ok\nDisallow: /cgi\n"))).otherwise(
+        F.lit("User-Agent: *  # wildcard\nDisallow:\n\n"
+              "User-agent: Googlebot\nDisallow: /g\n"))
+    robots = (
+        docs.select(d.alias("__d")).distinct()
+        .select(F.concat(F.lit("site"), dd, F.lit(".com"))
+                .alias("domain"),
+                robots_txt.alias("robots_txt")))
+    rules = robots_star_rules(robots)
+    joined = probes.join(F.broadcast(rules), "domain", "left")
+    hit = (F.col("prefix").isNotNull()
+           & F.col("path").startswith(F.col("prefix")))
+    return (
+        joined.groupBy("doc_id", "domain", "path")
+        .agg(F.sum(F.col("prefix").isNotNull().cast("long"))
+             .alias("n_star_rules"),
+             (F.coalesce(F.max(hit.cast("long")), F.lit(0)) == 1)
+             .alias("blocked"))
+    )
+
+
+# Ground truth from the synthesis arithmetic, derived INDEPENDENTLY
+# of the parse: even domains carry exactly two star rules
+# (/tmp{d}, /cgi) — so blocked iff the domain is even and the probe
+# path lands on either prefix family — odd domains carry none (the
+# empty Disallow is allow-all; the Googlebot /g rule must not bind).
+# Any parse defect (decoy group leaking /private, the multi-agent
+# run missing *, the inline comment breaking the wildcard match)
+# flips n_star_rules or blocked.
+_ROBOTS_TXT_FILTER_ORACLE = """
+SELECT doc_id,
+       'site' || CAST(doc_id % 8 AS VARCHAR) || '.com' AS domain,
+       CASE WHEN doc_id % 3 = 0
+            THEN '/tmp' || CAST(doc_id % 8 AS VARCHAR) || '/a'
+            WHEN doc_id % 3 = 1 THEN '/cgi-bin/x'
+            ELSE '/public/x' END AS path,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS BIGINT)
+         AS n_star_rules,
+       (doc_id % 2 = 0 AND doc_id % 3 IN (0, 1)) AS blocked
+FROM documents
+"""
+
+
 def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction — the scrub stage every training-data
     pipeline runs before text leaves quarantine. The fixture's document
@@ -13825,6 +14174,19 @@ CATALOG: dict[str, Query] = {
     "crawl_media_dedup_docs": Query(
         crawl_media_dedup_docs, _CRAWL_MEDIA_DEDUP_ORACLE,
         tags=["multimodal", "dedup", "source"]),
+    # r15 curation-gate family (staged for the r16 grade window)
+    "url_blocklist_filter_docs": Query(
+        url_blocklist_filter_docs, _URL_BLOCKLIST_ORACLE,
+        tags=["text", "pipeline"]),
+    "wat_link_graph_docs": Query(
+        wat_link_graph_docs, _WAT_LINK_GRAPH_ORACLE,
+        tags=["text", "profiling"]),
+    "paragraph_dedup_rebuild_docs": Query(
+        paragraph_dedup_rebuild_docs, _PARAGRAPH_DEDUP_REBUILD_ORACLE,
+        tags=["text", "dedup", "pipeline"]),
+    "robots_txt_filter_docs": Query(
+        robots_txt_filter_docs, _ROBOTS_TXT_FILTER_ORACLE,
+        tags=["text", "pipeline", "source"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),

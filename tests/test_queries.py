@@ -1568,3 +1568,32 @@ def test_http_decode_body_codings(spark):
                .alias("e")).collect()}
     for i, _, _, want in cases:
         assert got[i] == want, (i, got[i][:40] if got[i] else None)
+
+
+def test_paragraph_dedup_rebuild_semantics(spark, tmp_path):
+    """Hand corpus: doc 1 repeats doc 0's 16-token opening chunk;
+    first occurrence (doc 0) survives, doc 1's rebuild drops it but
+    keeps its own tail — and a doc whose ENTIRE content is a
+    duplicate rebuilds to NULL md5."""
+    from pyspark_deduplication_spark.queries import (
+        paragraph_dedup_rebuild_docs,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(16))
+    tail = "unique closing words here"
+    docs = spark.createDataFrame(
+        # doc_id % 3 == 1/2: no boilerplate planting interference
+        [(1, f"{shared} {tail}"),
+         (2, f"{shared} other ending entirely"),
+         (5, shared)],
+        "doc_id long, text string")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           paragraph_dedup_rebuild_docs(spark, str(tmp_path)).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_kept == 2
+    assert out[2].n_chunks == 2 and out[2].n_kept == 1
+    assert out[5].n_chunks == 1 and out[5].n_kept == 0
+    assert out[5].kept_text_md5 is None
+    import hashlib
+    assert out[2].kept_text_md5 == hashlib.md5(
+        b"other ending entirely").hexdigest()
