@@ -110,6 +110,25 @@ TRACKING_PARAM_RE = (
     r"|yclid|igshid|mc_eid|mc_cid|_ga|_gl|ref_src|spm|s_kwcid)=")
 
 
+def surt_key(url: Column | str) -> Column:
+    """SURT-style sort key for a capture index (the CDX convention):
+    lowercased host labels REVERSED and comma-joined, then ``)`` and
+    the path — ``https://www.Example.com/a/b`` →
+    ``com,example,www)/a/b`` — so captures sort domain-first and a
+    range scan over one registrable domain is a contiguous index
+    slice. Operational subset: host + path only (query/fragment
+    dropped, no canonicalization beyond host lowercasing — feed
+    ``canonicalize_url`` output when identity-grade keys are needed);
+    '' path renders ``)/ ``-less as ``)/``. NULL for non-absolute
+    input (no extractable host)."""
+    host = F.lower(url_host(url))
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = url_path(url)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(
+        F.concat(rev, F.lit(")"), path))
+
+
 def sorted_query(url: Column | str,
                  strip_tracking: bool = False) -> Column:
     """Query params sorted byte-lexicographically, empties dropped;

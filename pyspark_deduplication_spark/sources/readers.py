@@ -309,6 +309,64 @@ def read_warc_dir_report(
     return out.withColumn("clean", no_loss.cast("int"))
 
 
+def read_warc_cdx(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    max_header_bytes: int = 4096,
+    recursive: bool = False,
+) -> DataFrame:
+    """Build a capture index (CDX) over a directory of WARC files —
+    the random-access sidecar every archive consumer generates once
+    so later fetches read ONE record's bytes instead of scanning
+    segments: one row per capture with its byte extent in the
+    on-disk file.
+
+    ``warc_file string, file_size long, surt string, uri string,
+    crawl_ts timestamp, digest string, offset long, length long``
+
+    ``surt`` is the domain-reversed sort key (``surt_key``) so
+    captures cluster domain-first; ``digest`` is hex md5 of the
+    payload (CommonCrawl's CDX uses SHA1-base32 — documented
+    deviation, same role: content identity without a fetch);
+    ``offset``/``length`` follow ``warc_cdx_records_binary``'s layout
+    contract — the compressed gzip member's extent for ``.warc.gz``
+    (fetch = read, gunzip, scan), the record's own span for bare
+    ``.warc``. ``file_size`` (from ``binaryFile``) lets a consumer
+    assert tail coverage (last offset+length == file_size on a clean
+    one-record-per-member archive).
+
+    Same plan as ``read_warc_dir``: binaryFile scan with
+    ``pathGlobFilter`` pushdown → project → explode; map-only, zero
+    shuffle, one task per file. Sorting/partitioning the finished
+    index by ``surt`` is the caller's write-side choice."""
+    from pyspark_deduplication_spark.functions.text import (
+        warc_cdx_records_binary,
+        warc_date_of,
+        warc_header_of,
+    )
+    from pyspark_deduplication_spark.functions.urls import surt_key
+
+    reader = (spark.read.format("binaryFile")
+              .option("pathGlobFilter", glob))
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    files = reader.load(path)
+    rec = F.explode(warc_cdx_records_binary(
+        F.col("content"), max_header_bytes=max_header_bytes)).alias("r")
+    caps = files.select(F.col("path").alias("warc_file"),
+                        F.col("length").alias("file_size"), rec)
+    uri = warc_header_of(F.col("r.headers"), "WARC-Target-URI")
+    return caps.select(
+        "warc_file", "file_size",
+        surt_key(uri).alias("surt"),
+        uri.alias("uri"),
+        warc_date_of(F.col("r.headers")).alias("crawl_ts"),
+        F.col("r.digest").alias("digest"),
+        F.col("r.offset").alias("offset"),
+        F.col("r.length").alias("length"))
+
+
 def read_wat_dir(
     spark: SparkSession,
     path: str,

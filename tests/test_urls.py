@@ -249,3 +249,20 @@ def test_resolve_url_reference_cases(spark):
     assert got[5] is None and got[6] is None
     assert got[7] == "https://a.com/p"
     assert got[8] == "http://u:p@a.com:8080/q"
+
+
+def test_surt_key(spark):
+    from pyspark_deduplication_spark.functions.urls import surt_key
+
+    df = spark.createDataFrame(
+        [(0, "https://www.Example.COM/a/b?q=1#f"),
+         (1, "http://single/"),
+         (2, "https://Example.com"),
+         (3, "not-a-url")],
+        "i long, u string")
+    got = {r.i: r.s for r in
+           df.select("i", surt_key(F.col("u")).alias("s")).collect()}
+    assert got[0] == "com,example,www)/a/b"
+    assert got[1] == "single)/"
+    assert got[2] == "com,example)/"
+    assert got[3] is None
