@@ -7173,6 +7173,96 @@ FROM documents
 """
 
 
+def pagerank_link_domains(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Domain authority via fixed-iteration PageRank (r15) — the
+    iterative link-graph score crawl curation ranks domains by (the
+    WAT outlink surface's second consumer, beyond
+    ``wat_link_graph_docs``' one-pass degrees). Edge synthesis is the
+    link-graph family's arithmetic (``blog{{j}}.org`` sources fanning
+    1–4 links into a ``d{{k}}news.net`` family) plus BACK edges from
+    every fifth doc's first target, so the graph has cycles and the
+    power iteration genuinely mixes (pure fan-out would converge in
+    one step). ``operators.graph.pagerank``: 5 iterations,
+    damping 0.85, unnormalized spelling, ranks quantized to 6dp —
+    cross-engine float convention.
+
+    The oracle UNROLLS the same 5 iterations as a generated CTE
+    chain (c1/r1 … c5/r5) over the identical edge arithmetic, so
+    DuckDB verifies every round's join-aggregate fixpoint — a graded
+    iterative-algorithm entry, not rows-only.
+
+    Scale shape: per iteration one src-keyed equi-join (rank side is
+    |nodes| rows), one dst-keyed aggregation, one node-keyed left
+    join; stats-stripped checkpoint every 3 rounds truncates
+    lineage. At 100 TB the edge list shuffles by key only; AQE skew
+    split covers mega-in-degree destinations."""
+    from pyspark_deduplication_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    j = (F.col("doc_id") % 6).cast("string")
+    src_dom = F.concat(F.lit("blog"), j, F.lit(".org"))
+    idx = F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int"))
+    dsts = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.lit("d"),
+            ((F.col("doc_id") * 7 + i * 13) % 23).cast("string"),
+            F.lit("news.net")))
+    fwd = docs.select(src_dom.alias("src"),
+                      F.explode(dsts).alias("dst"))
+    rev = (docs.where(F.col("doc_id") % 5 == 0)
+           .select(F.concat(F.lit("d"),
+                            ((F.col("doc_id") * 7) % 23).cast("string"),
+                            F.lit("news.net")).alias("src"),
+                   src_dom.alias("dst")))
+    ranks = pagerank(fwd.unionByName(rev), iterations=5)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """Generate the unrolled power-iteration CTE chain — one
+    (contrib, rank) block per iteration, same damping constants and
+    edge arithmetic as the Spark entry."""
+    blocks = ["""
+WITH raw AS (
+  SELECT 'blog' || CAST(d.doc_id % 6 AS VARCHAR) || '.org' AS src,
+         'd' || CAST((d.doc_id * 7 + i.i * 13) % 23 AS VARCHAR)
+           || 'news.net' AS dst
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, d.doc_id % 4)) AS i)
+         AS i
+  UNION ALL
+  SELECT 'd' || CAST((doc_id * 7) % 23 AS VARCHAR) || 'news.net',
+         'blog' || CAST(doc_id % 6 AS VARCHAR) || '.org'
+  FROM documents WHERE doc_id % 5 = 0
+),
+edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+        FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 AS rank FROM nodes)"""]
+    for i in range(1, iters + 1):
+        blocks.append(f""",
+c{i} AS (
+  SELECT e.dst AS node, sum(r.rank / g.deg) AS s
+  FROM edges e JOIN r{i - 1} r ON e.src = r.node
+       JOIN deg g ON e.src = g.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node, 0.15 + 0.85 * coalesce(c.s, 0) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)""")
+    blocks.append(
+        f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}")
+    return "".join(blocks)
+
+
+_PAGERANK_ORACLE = _pagerank_oracle_sql()
+
+
 def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction — the scrub stage every training-data
     pipeline runs before text leaves quarantine. The fixture's document
@@ -14278,13 +14368,16 @@ CATALOG: dict[str, Query] = {
         tags=["text", "profiling"]),
     "paragraph_dedup_rebuild_docs": Query(
         paragraph_dedup_rebuild_docs, _PARAGRAPH_DEDUP_REBUILD_ORACLE,
-        tags=["text", "dedup", "pipeline"]),
+        bench=True, tags=["text", "dedup", "pipeline"]),
     "robots_txt_filter_docs": Query(
         robots_txt_filter_docs, _ROBOTS_TXT_FILTER_ORACLE,
         tags=["text", "pipeline", "source"]),
     "cdx_capture_index_docs": Query(
         cdx_capture_index_docs, _CDX_CAPTURE_INDEX_ORACLE,
         tags=["text", "source"]),
+    "pagerank_link_domains": Query(
+        pagerank_link_domains, _PAGERANK_ORACLE,
+        tags=["text", "profiling", "iterative"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),

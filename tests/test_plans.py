@@ -895,3 +895,37 @@ def test_http_coded_body_entry_map_only_one_join(spark, sf_dir):
     assert 3 <= len(nodes("ArrowEvalPython")) <= 5
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r15_curation_gate_plan_shapes(spark, sf_dir):
+    """Blocklist + robots gates: corpus side joins by BROADCAST only
+    (the blocklist/rule set is KB-sized by definition); no
+    SortMergeJoin, no cross product."""
+    from pyspark_deduplication_spark.queries import (
+        robots_txt_filter_docs,
+        url_blocklist_filter_docs,
+    )
+
+    for fn in (url_blocklist_filter_docs, robots_txt_filter_docs):
+        df = fn(spark, sf_dir)
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert not has_cartesian_or_bnl(df), fn.__name__
+
+
+def test_paragraph_rebuild_two_keyed_exchanges(spark, sf_dir):
+    """Chunking map-only; exactly the rank-window exchange (chunk
+    text) and the rebuild aggregation exchange (doc) move data."""
+    from pyspark_deduplication_spark.queries import (
+        paragraph_dedup_rebuild_docs,
+    )
+
+    import re
+
+    plan = explain_str(paragraph_dedup_rebuild_docs(spark, sf_dir))
+    # hashpartitioning exchanges only — no broadcast needed, no range
+    # (global sort) exchange anywhere
+    assert "rangepartitioning" not in plan.lower()
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, plan

@@ -92,6 +92,12 @@ NOTES = {
     "warc_corrupt_audit_docs": "loss accounting (r15): distributed fixture writer plants truncated/corrupt gzip members + malformed/over-declared records; the REPORT path is binaryFile scan -> ONE Arrow accounting kernel per file (shared inflate/scan helpers with the plain reader — counts cannot drift), map-only, ZERO exchange; graded values assert recovered rows AND reported loss (no-silent-caps)",
     "wat_metadata_ingest_docs": "WAT sidecar (r15): binaryFile scan -> octet parse -> WARC-Type dispatch BEFORE the JSON parse (non-metadata records cost a header regex) -> PERMISSIVE from_json envelope projection (title/outlinks/headers); map-only, zero exchange, one task per file; tolerant WARC-Date parse (short fraction + lowercase z) graded in passing",
     "redirect_identity_ingest_docs": "redirect-aware identity (r15): 3xx Location edges harvested from framed heads BEFORE the status gate discards them; identity = canonical URL resolved through redirect_hops keyed equi-joins (AQE broadcasts the edge side when small); doc-id-salted articles make shingle sets pairwise disjoint, so the near-dup stage provably contributes nothing — the graded collapse is the redirect mechanism alone",
+    "url_blocklist_filter_docs": "domain-blocklist gate (r15): map-only registrable_domain extraction -> BROADCAST left join against the KB-sized blocklist (zero shuffle for membership) -> ONE aggregation exchange; exact-registrable match, never substring",
+    "wat_link_graph_docs": "outlink graph (r15): native sequence/transform synthesis + one map-side explode -> registrable-domain projection -> intra-domain filter -> ONE aggregation exchange on dst domain; fan-out bounded by links-per-page — the 100 TB anchor-text shape",
+    "paragraph_dedup_rebuild_docs": "CCNet-style rebuild dedup (r15): chunking map-only (sequence/transform/posexplode); ONE window exchange keyed on chunk text for the global first-occurrence rank; ONE doc-keyed aggregation rebuilds surviving text in order (array_sort render) — two keyed shuffles total, high-cardinality keys, no skew",
+    "robots_txt_filter_docs": "robots.txt politeness gate (r15): per-domain line explode -> gaps-and-islands group windows (keyed on domain, robots bodies KB-sized) -> rule set broadcast onto the probe side (zero shuffle on the corpus) -> ONE aggregation exchange",
+    "cdx_capture_index_docs": "capture index (r15): binaryFile scan -> Arrow CDX kernel (per-record compressed-member extents + digest) -> explode, map-only, one task per file; the extent audit adds ONE window keyed by file; index emission is embarrassingly parallel over segments",
+    "pagerank_link_domains": "fixed-iteration PageRank (r15): per round one src-keyed equi-join (rank side |nodes|-sized) + one dst-keyed aggregation + one node-keyed left join; stats-stripped checkpoint every 3 rounds truncates lineage; oracle unrolls the identical 5 rounds as a CTE chain",
 }
 
 HEADER_NOTES = """
