@@ -129,6 +129,39 @@ def surt_key(url: Column | str) -> Column:
         F.concat(rev, F.lit(")"), path))
 
 
+def sitemap_entries(xml: Column | str) -> Column:
+    """Parse a ``<urlset>`` sitemap body into
+    ``array<struct<loc:string, lastmod:string>>`` — the crawl
+    discovery input that pairs with the robots.txt gate (sitemaps are
+    how sites VOLUNTEER URLs; robots is how they withhold them).
+    Native regexps only, map-only; the operational subset:
+
+    - one struct per ``<url>…</url>`` block (non-greedy dotall split,
+      so multi-line pretty-printed sitemaps work);
+    - ``<loc>``/``<lastmod>`` values whitespace-trimmed; a missing or
+      empty tag yields NULL (``lastmod`` is optional per the
+      protocol);
+    - the tag match is anchored on the literal ``<loc>`` opener, so
+      namespaced decoys (``<image:loc>``, common in image sitemap
+      extensions) never leak into the URL inventory;
+    - ``<sitemapindex>`` index files yield an empty array (no
+      ``<url>`` blocks) — recursing into child sitemaps is a fetch
+      concern, not a parse concern.
+    """
+    blocks = F.regexp_extract_all(
+        _c(xml), F.lit(r"(?s)<url>(.*?)</url>"), 1)
+
+    def field(b: Column, tag: str) -> Column:
+        v = F.regexp_extract(
+            b, rf"(?s)<{tag}>\s*([^<]*?)\s*</{tag}>", 1)
+        return F.when(v == "", F.lit(None).cast("string")).otherwise(v)
+
+    return F.transform(
+        blocks,
+        lambda b: F.struct(field(b, "loc").alias("loc"),
+                           field(b, "lastmod").alias("lastmod")))
+
+
 def sorted_query(url: Column | str,
                  strip_tracking: bool = False) -> Column:
     """Query params sorted byte-lexicographically, empties dropped;

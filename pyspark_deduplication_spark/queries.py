@@ -7263,6 +7263,249 @@ r{i} AS (
 _PAGERANK_ORACLE = _pagerank_oracle_sql()
 
 
+def anchor_text_profile_docs(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (r15) — the classic link signal: what
+    OTHER pages' link text says about a destination is a stronger
+    description than the page's own words (the reason search engines
+    and crawl-curation quality priors aggregate it). Each doc plants
+    1–4 links whose anchors draw from a 5-term vocabulary keyed by
+    (doc_id + i); per destination registrable domain: anchor count,
+    distinct terms, and the plurality anchor term — tie-broken
+    deterministically by (count, term) struct max, the engine's
+    cross-engine argmax convention.
+
+    Scale shape: map-side explode (fan-out bounded by links-per-page)
+    → ONE aggregation exchange on (domain, term) → per-domain
+    struct-max aggregation (second keyed exchange, domain-keyed).
+    The (domain, term) key spreads a mega-domain's anchors across
+    partitions before the final domain rollup touches only the
+    per-term counts — the anchor-text shape that survives
+    facebook.com at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.concat(F.lit("d"),
+                     ((F.col("doc_id") * 7 + i * 13) % 23)
+                     .cast("string"),
+                     F.lit("news.net")).alias("dom"),
+            F.concat(F.lit("term"),
+                     ((F.col("doc_id") + i) % 5).cast("string"))
+            .alias("term")))
+    exploded = docs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.dom").alias("dst_domain"),
+        F.col("p.term").alias("term"))
+    per_term = (exploded.groupBy("dst_domain", "term")
+                .agg(F.count("*").cast("long").alias("cnt")))
+    return (
+        per_term.groupBy("dst_domain")
+        .agg(F.sum("cnt").alias("n_anchors"),
+             F.count("*").cast("long").alias("n_terms"),
+             F.max(F.struct(F.col("cnt"), F.col("term")))
+             .alias("__top"))
+        .select("dst_domain", "n_anchors", "n_terms",
+                F.col("__top.term").alias("top_term"),
+                F.col("__top.cnt").alias("top_term_cnt"))
+    )
+
+
+# Ground truth: the same fan-out arithmetic unnested in SQL; the
+# plurality term re-derived with a (cnt, term)-ordered row_number —
+# identical tie-break to the Spark struct-max.
+_ANCHOR_TEXT_PROFILE_ORACLE = """
+WITH fanout AS (
+  SELECT 'd' || CAST((d.doc_id * 7 + i.i * 13) % 23 AS VARCHAR)
+           || 'news.net' AS dst_domain,
+         'term' || CAST((d.doc_id + i.i) % 5 AS VARCHAR) AS term
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, d.doc_id % 4)) AS i)
+         AS i
+),
+per_term AS (
+  SELECT dst_domain, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM fanout GROUP BY dst_domain, term
+),
+ranked AS (
+  SELECT dst_domain, term, cnt,
+         row_number() OVER (PARTITION BY dst_domain
+                            ORDER BY cnt DESC, term DESC) AS rn,
+         sum(cnt) OVER (PARTITION BY dst_domain) AS n_anchors,
+         count(*) OVER (PARTITION BY dst_domain) AS n_terms
+  FROM per_term
+)
+SELECT dst_domain,
+       CAST(n_anchors AS BIGINT) AS n_anchors,
+       CAST(n_terms AS BIGINT) AS n_terms,
+       term AS top_term,
+       cnt AS top_term_cnt
+FROM ranked WHERE rn = 1
+"""
+
+
+def cdx_revisit_dedup_docs(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Cross-crawl revisit detection (r15) — how a monthly crawl
+    avoids re-storing the unchanged web: captures of the same URL
+    whose payload digest matches an earlier crawl's become REVISIT
+    references instead of stored copies (the WARC `revisit` record /
+    CommonCrawl dedup convention). Two crawls of the same page set
+    are written as real `.warc.gz` files (crawl `b` changes the
+    content of every EVEN doc only), both indexed with
+    ``read_warc_cdx``, and per page the index is reduced by surt:
+    capture count, distinct digest count, and the unchanged verdict —
+    a digest-only decision, no payload comparison.
+
+    Scale shape: the index build is the CDX map-only kernel (one task
+    per file); the reduction is ONE aggregation exchange on surt —
+    at 100 TB, exactly the header-sized shuffle that makes
+    digest-based cross-crawl dedup cheap (payload bytes never move)."""
+    docs = _t(spark, sf_dir, "documents")
+    crlf, blank = "\r\n", "\r\n\r\n"
+    base = _scratch_dir(spark, "cdx_revisit", sf_dir)
+
+    def crawl_rec(tag: str, month: str):
+        body = F.when(
+            (F.lit(tag) == "b") & (F.col("doc_id") % 2 == 0),
+            F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text"))
+        return F.concat(
+            F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+                  + "WARC-Target-URI: https://p.ex/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(crlf + f"WARC-Date: 2024-{month}-01T00:00:00Z"
+                  + crlf + "Content-Length: "),
+            F.octet_length(body).cast("string"),
+            F.lit(blank), body, F.lit(blank))
+
+    per_src = (
+        docs.select(
+            "source",
+            F.struct("doc_id", crawl_rec("a", "03").alias("ra"),
+                     crawl_rec("b", "04").alias("rb")).alias("s"))
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("s")).alias("recs")))
+
+    def _write(rows, base=base):
+        import gzip as _gzip
+        for r in rows:
+            for tag in ("a", "b"):
+                _write_blob(
+                    base, f"{r['source']}_{tag}.warc.gz",
+                    b"".join(_gzip.compress(s["r" + tag].encode("utf-8"))
+                             for s in r["recs"]))
+
+    per_src.foreachPartition(_write)
+
+    from pyspark_deduplication_spark.sources.readers import (
+        read_warc_cdx,
+    )
+
+    idx = read_warc_cdx(spark, base)
+    return (
+        idx.groupBy("surt")
+        .agg(F.count("*").cast("long").alias("n_captures"),
+             F.count_distinct("digest").alias("n_digests"))
+        .select(
+            F.regexp_extract("surt", r"/d/([0-9]+)", 1).cast("long")
+            .alias("doc_id"),
+            "n_captures", "n_digests",
+            (F.col("n_digests") == 1).alias("revisit"))
+    )
+
+
+# Ground truth: every page captured twice; odd pages unchanged (one
+# digest → revisit), even pages changed in crawl b (two digests).
+_CDX_REVISIT_ORACLE = """
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS n_captures,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_digests,
+       (doc_id % 2 <> 0) AS revisit
+FROM documents
+"""
+
+
+def sitemap_inventory_docs(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Sitemap URL inventory (r15) — the discovery-side complement to
+    the robots.txt gate: parse each domain's ``<urlset>`` sitemap
+    into its volunteered URLs and report per domain the inventory a
+    crawl scheduler consumes (URL count, how many carry ``lastmod``,
+    the freshest ``lastmod``, the first URL). Every doc contributes a
+    pretty-printed ``<url>`` block (multi-line, so the dotall split
+    is exercised) with ``lastmod`` on two docs out of three and an
+    ``<image:loc>`` namespaced decoy on EVERY block — the anchored
+    tag match must not leak it into the inventory.
+
+    Scale shape: the per-domain XML assembly is synthesis scaffolding
+    (one groupBy); the graded path is ``sitemap_entries`` — map-only
+    native regexps — one explode, ONE aggregation exchange on the
+    domain. Real sitemaps are ≤50k URLs / 50 MB by protocol, so one
+    sitemap = one row = one task is the natural grain."""
+    from pyspark_deduplication_spark.functions.urls import (
+        sitemap_entries,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id") % 8
+    ds = d.cast("string")
+    lastmod = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(F.lit("\n    <lastmod>2024-02-"),
+                 F.lpad(((F.col("doc_id") % 28) + 1).cast("string"),
+                        2, "0"),
+                 F.lit("</lastmod>"))).otherwise(F.lit(""))
+    block = F.concat(
+        F.lit("  <url>\n    <loc> https://site"), ds,
+        F.lit(".com/p/"), F.col("doc_id").cast("string"),
+        F.lit(" </loc>"), lastmod,
+        F.lit("\n    <image:loc>https://cdn.ex/i.png</image:loc>"
+              "\n  </url>\n"))
+    sitemaps = (
+        docs.select(d.alias("__d"),
+                    F.struct("doc_id", block.alias("b")).alias("s"))
+        .groupBy("__d")
+        .agg(F.concat(
+            F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")),
+                            lambda x: x["b"]), ""),
+            F.lit("</urlset>\n")).alias("xml")))
+    entries = sitemaps.select(
+        F.concat(F.lit("site"), F.col("__d").cast("string"),
+                 F.lit(".com")).alias("domain"),
+        F.explode(sitemap_entries(F.col("xml"))).alias("e"))
+    return (
+        entries.groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_urls"),
+             F.sum(F.col("e.lastmod").isNotNull().cast("long"))
+             .alias("n_with_lastmod"),
+             F.max("e.lastmod").alias("newest_lastmod"),
+             F.min("e.loc").alias("first_loc"))
+    )
+
+
+# Ground truth from the synthesis arithmetic: the parse must trim the
+# padded <loc>, skip the <image:loc> decoy, NULL the missing lastmod
+# (doc_id % 3 = 0), and string-min/max match the constructed values.
+_SITEMAP_INVENTORY_ORACLE = """
+SELECT 'site' || CAST(doc_id % 8 AS VARCHAR) || '.com' AS domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_lastmod,
+       max(CASE WHEN doc_id % 3 <> 0
+                THEN '2024-02-' || lpad(CAST((doc_id % 28) + 1
+                                             AS VARCHAR), 2, '0')
+           END) AS newest_lastmod,
+       min('https://site' || CAST(doc_id % 8 AS VARCHAR)
+           || '.com/p/' || CAST(doc_id AS VARCHAR)) AS first_loc
+FROM documents
+GROUP BY domain
+"""
+
+
 def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction — the scrub stage every training-data
     pipeline runs before text leaves quarantine. The fixture's document
@@ -14378,6 +14621,15 @@ CATALOG: dict[str, Query] = {
     "pagerank_link_domains": Query(
         pagerank_link_domains, _PAGERANK_ORACLE,
         tags=["text", "profiling", "iterative"]),
+    "anchor_text_profile_docs": Query(
+        anchor_text_profile_docs, _ANCHOR_TEXT_PROFILE_ORACLE,
+        tags=["text", "profiling"]),
+    "cdx_revisit_dedup_docs": Query(
+        cdx_revisit_dedup_docs, _CDX_REVISIT_ORACLE,
+        tags=["text", "dedup", "source", "incremental"]),
+    "sitemap_inventory_docs": Query(
+        sitemap_inventory_docs, _SITEMAP_INVENTORY_ORACLE,
+        tags=["text", "source"]),
     "pretoken_budget_by_segment": Query(pretoken_budget_by_segment,
                                         _PRETOKEN_ORACLE,
                                         tags=["text", "tokens"]),

@@ -381,7 +381,9 @@ def read_wat_dir(
     envelope. One row per page:
 
     ``warc_file string, uri string, crawl_ts timestamp, title string,
-    outlinks array<string>, http_headers map<string,string>``
+    outlinks array<string>,
+    links array<struct<url:string,text:string>>,
+    http_headers map<string,string>``
 
     ``title`` is ``Envelope.Payload-Metadata.HTTP-Response-Metadata.
     HTML-Metadata.Head.Title``; ``outlinks`` the ``url`` field of each
@@ -405,6 +407,7 @@ def read_wat_dir(
     link_t = T.StructType([
         T.StructField("path", T.StringType()),
         T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
     ])
     env_t = T.StructType([T.StructField("Envelope", T.StructType([
         T.StructField("Payload-Metadata", T.StructType([
@@ -444,6 +447,12 @@ def read_wat_dir(
                 F.col("__env")["Envelope"]["Payload-Metadata"][
                     "HTTP-Response-Metadata"]["HTML-Metadata"]["Links"],
                 lambda x: x["url"]).alias("outlinks"),
+            F.transform(
+                F.col("__env")["Envelope"]["Payload-Metadata"][
+                    "HTTP-Response-Metadata"]["HTML-Metadata"]["Links"],
+                lambda x: F.struct(x["url"].alias("url"),
+                                   x["text"].alias("text")))
+            .alias("links"),
             F.col("__env")["Envelope"]["Payload-Metadata"][
                 "HTTP-Response-Metadata"]["Headers"]
             .alias("http_headers"))

@@ -819,7 +819,8 @@ def test_read_wat_dir_envelope_parse(spark, tmp_path):
         "Headers": {"Server": "nginx", "Content-Type": "text/html"},
         "HTML-Metadata": {
             "Head": {"Title": "Página «uno»"},
-            "Links": [{"path": "A@/href", "url": "https://t/1"},
+            "Links": [{"path": "A@/href", "url": "https://t/1",
+                       "text": "first anchor"},
                       {"path": "A@/href", "url": "https://t/2"}],
         }}}}}
     wat = (
@@ -843,6 +844,9 @@ def test_read_wat_dir_envelope_parse(spark, tmp_path):
     r1 = rows["https://page/1"]
     assert r1.title == "Página «uno»"
     assert r1.outlinks == ["https://t/1", "https://t/2"]
+    # anchor text rides along; a link without one yields NULL text
+    assert [(x.url, x.text) for x in r1.links] == [
+        ("https://t/1", "first anchor"), ("https://t/2", None)]
     assert dict(r1.http_headers) == {"Server": "nginx",
                                      "Content-Type": "text/html"}
     assert r1.crawl_ts == datetime.datetime(

@@ -266,3 +266,33 @@ def test_surt_key(spark):
     assert got[1] == "single)/"
     assert got[2] == "com,example)/"
     assert got[3] is None
+
+
+def test_sitemap_entries_parse(spark):
+    from pyspark_deduplication_spark.functions.urls import sitemap_entries
+
+    urlset = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc> https://a.com/1 </loc>
+    <lastmod>2024-01-02</lastmod>
+    <image:loc>https://cdn/i.png</image:loc>
+  </url>
+  <url><loc>https://a.com/2</loc></url>
+  <url><lastmod>2024-01-03</lastmod></url>
+</urlset>"""
+    index = """<sitemapindex>
+  <sitemap><loc>https://a.com/sitemap1.xml</loc></sitemap>
+</sitemapindex>"""
+    df = spark.createDataFrame([(0, urlset), (1, index), (2, None)],
+                               "i long, xml string")
+    got = {r.i: r.e for r in
+           df.select("i", sitemap_entries(F.col("xml")).alias("e"))
+           .collect()}
+    assert [(e.loc, e.lastmod) for e in got[0]] == [
+        ("https://a.com/1", "2024-01-02"),  # trimmed; decoy skipped
+        ("https://a.com/2", None),          # lastmod optional
+        (None, "2024-01-03"),               # loc-less block -> NULL
+    ]
+    assert got[1] == []   # index file: no <url> blocks
+    assert got[2] is None

@@ -98,6 +98,9 @@ NOTES = {
     "robots_txt_filter_docs": "robots.txt politeness gate (r15): per-domain line explode -> gaps-and-islands group windows (keyed on domain, robots bodies KB-sized) -> rule set broadcast onto the probe side (zero shuffle on the corpus) -> ONE aggregation exchange",
     "cdx_capture_index_docs": "capture index (r15): binaryFile scan -> Arrow CDX kernel (per-record compressed-member extents + digest) -> explode, map-only, one task per file; the extent audit adds ONE window keyed by file; index emission is embarrassingly parallel over segments",
     "pagerank_link_domains": "fixed-iteration PageRank (r15): per round one src-keyed equi-join (rank side |nodes|-sized) + one dst-keyed aggregation + one node-keyed left join; stats-stripped checkpoint every 3 rounds truncates lineage; oracle unrolls the identical 5 rounds as a CTE chain",
+    "anchor_text_profile_docs": "anchor-text aggregation (r15): map-side explode -> ONE (domain, term) aggregation exchange (spreads a mega-domain before the rollup) -> per-domain struct-max rollup (second, domain-keyed) — the facebook.com-at-100TB shape",
+    "cdx_revisit_dedup_docs": "cross-crawl revisit detection (r15): two-crawl fixture writer (scaffolding) -> CDX map-only kernel, one task per file -> ONE surt-keyed aggregation over (surt, digest) header rows — payload bytes never shuffle; the digest decides revisit vs stored copy",
+    "sitemap_inventory_docs": "sitemap inventory (r15): per-domain XML assembly is scaffolding (one groupBy); the graded path is map-only native-regexp block parsing -> explode -> ONE domain-keyed aggregation; one sitemap (<=50k URLs by protocol) = one row = one task",
 }
 
 HEADER_NOTES = """
