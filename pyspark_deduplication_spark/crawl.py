@@ -68,6 +68,7 @@ from pyspark_deduplication_spark.functions.text import (
 )
 from pyspark_deduplication_spark.functions.urls import (
     canonicalize_url,
+    registrable_domain,
     resolve_url,
 )
 from pyspark_deduplication_spark.sources.readers import (
@@ -157,6 +158,58 @@ def robots_star_rules(robots: DataFrame,
     )
 
 
+def apply_url_politeness(
+    df: DataFrame,
+    uri_col: str = "uri",
+    blocked_domains: list[str] | None = None,
+    robots_rules: DataFrame | None = None,
+) -> DataFrame:
+    """Drop rows whose URI fails SITE-level politeness — the two
+    gates a crawl applies before spending any parse/extract work:
+
+    - ``blocked_domains``: registrable-domain membership in a curated
+      ban list (subdomain spellings collapse onto the owner key;
+      exact match, never substring — the ``url_blocklist_filter_docs``
+      contract);
+    - ``robots_rules``: ``(domain, prefix)`` rows as produced by
+      ``robots_star_rules`` — a row whose path starts with any of its
+      domain's star Disallow prefixes drops (REP prefix semantics).
+
+    Both are LEFT ANTI joins against broadcast-sized right sides
+    (a ban list and a rule set are KBs by definition): zero shuffle
+    on the corpus stream, stateless, and therefore legal in both the
+    batch recipe and the streaming twin (stream-static anti join).
+    The robots join is equi-keyed on the domain with the prefix
+    test as a hash-join residual — never a nested loop."""
+    if blocked_domains:
+        bl = df.sparkSession.createDataFrame(
+            [(d,) for d in blocked_domains], "blocked_domain string")
+        df = (df.withColumn(
+                "__pol_dom", registrable_domain(F.col(uri_col)))
+              .join(F.broadcast(bl),
+                    F.col("__pol_dom") == F.col("blocked_domain"),
+                    "left_anti")
+              .drop("__pol_dom"))
+    if robots_rules is not None:
+        from pyspark_deduplication_spark.functions.urls import url_path
+
+        path = url_path(F.col(uri_col))
+        path = F.when(path == "", F.lit("/")).otherwise(path)
+        rules = robots_rules.select(
+            F.col("domain").alias("__pol_rdom"),
+            F.col("prefix").alias("__pol_rpre"))
+        df = (df.withColumn(
+                "__pol_dom", registrable_domain(F.col(uri_col)))
+              .withColumn("__pol_path", path)
+              .join(F.broadcast(rules),
+                    (F.col("__pol_dom") == F.col("__pol_rdom"))
+                    & F.col("__pol_path").startswith(
+                        F.col("__pol_rpre")),
+                    "left_anti")
+              .drop("__pol_dom", "__pol_path"))
+    return df
+
+
 def redirect_edges(framed: DataFrame,
                    uri_col: str = "uri",
                    msg_col: str = "m") -> DataFrame:
@@ -219,6 +272,8 @@ def ingest_crawl_dir(
     min_quality: float | None = None,
     redirect_hops: int = 0,
     warn_on_loss: bool = False,
+    blocked_domains: list[str] | None = None,
+    robots_rules: DataFrame | None = None,
 ) -> DataFrame:
     """Directory of WARC segments → curated article corpus
     (``doc_id, uri, text, quality``); see module docstring for the
@@ -227,7 +282,11 @@ def ingest_crawl_dir(
     ``redirect_hops > 0`` arms redirect-aware identity (3xx Location
     chains resolved before canonical collapse); ``warn_on_loss``
     logs a warning per unclean segment via
-    ``read_warc_dir_report`` (one extra pass over the bytes)."""
+    ``read_warc_dir_report`` (one extra pass over the bytes);
+    ``blocked_domains``/``robots_rules`` arm the site-level
+    politeness gates (``apply_url_politeness``) right after the
+    response filter — BEFORE any digest/parse/extract work is spent
+    on a banned or disallowed URL."""
     if warn_on_loss:
         bad = (read_warc_dir_report(spark, crawl_dir, glob=glob)
                .filter(F.col("clean") == 0).collect())
@@ -255,6 +314,9 @@ def ingest_crawl_dir(
         .filter(F.col("__type") == "response")
         .filter(F.col("uri") != "")
     )
+    responses = apply_url_politeness(
+        responses, "uri", blocked_domains=blocked_domains,
+        robots_rules=robots_rules)
 
     # exact dedup on the digest header, payload bytes untouched; a
     # record without a digest is its own group (row_number over uri

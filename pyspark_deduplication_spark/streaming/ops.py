@@ -1096,6 +1096,8 @@ def streaming_web_ingest(
     canonical_ids: bool = False,
     require_http_ok: bool = False,
     drop_noindex: bool = False,
+    blocked_domains: list[str] | None = None,
+    robots_rules: DataFrame | None = None,
 ):
     """The streaming spelling of the web-ingest capstone
     (``queries.web_ingest_pipeline_docs``): a stream of raw WARC blobs
@@ -1157,7 +1159,11 @@ def streaming_web_ingest(
     page has no status to judge); 404s/redirect bodies/5xx error
     pages never reach extraction. ``drop_noindex=True`` applies the
     robots ``noindex`` drop (``has_noindex``) before extraction —
-    the polite-crawl contract, any mode."""
+    the polite-crawl contract, any mode. ``blocked_domains`` /
+    ``robots_rules`` arm the SITE-level gates via the batch recipe's
+    ``crawl.apply_url_politeness`` (stateless broadcast anti joins —
+    legal stream-static), so both spellings drop identical record
+    sets."""
     from pyspark_deduplication_spark.functions.text import (
         HTTP_OK_RE,
         decode_web_text,
@@ -1234,6 +1240,16 @@ def streaming_web_ingest(
                 page.alias("__page"))
         .filter(F.col("uri") != "")
     )
+    if blocked_domains or robots_rules is not None:
+        # site-level politeness, same helper as the batch recipe:
+        # stateless broadcast anti joins, legal stream-static
+        from pyspark_deduplication_spark.crawl import (
+            apply_url_politeness,
+        )
+
+        staged = apply_url_politeness(
+            staged, "uri", blocked_domains=blocked_domains,
+            robots_rules=robots_rules)
     if drop_noindex:
         staged = staged.filter(~has_noindex(F.col("__page")))
     staged = (

@@ -481,3 +481,58 @@ def test_incremental_crawl_matches_streaming_twin(spark, tmp_path):
     ])
     assert got_b == want, got_b
     assert got_s == want, got_s
+
+
+def test_crawl_politeness_gates(spark, tmp_path):
+    """Site-level politeness in the batch recipe (r15): a banned
+    registrable domain (captured through a subdomain spelling) and a
+    robots star-Disallow prefix hit must both drop BEFORE extraction;
+    a lookalike domain containing the banned name and a non-matching
+    path survive. Gates off → all four pages land."""
+    import gzip
+
+    from pyspark_deduplication_spark.crawl import (
+        ingest_crawl_dir,
+        robots_star_rules,
+    )
+
+    crlf, blank = b"\r\n", b"\r\n\r\n"
+
+    def page(article):
+        return ("<html><body><p id=\"main\">" + article
+                + "</p></body></html>").encode()
+
+    def http(body):
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                + blank + body)
+
+    def rec(uri, payload):
+        return (b"WARC/1.0" + crlf + b"WARC-Type: response" + crlf
+                + b"WARC-Target-URI: " + uri.encode() + crlf
+                + b"Content-Length: " + str(len(payload)).encode()
+                + blank + payload + blank)
+
+    def art(tag):
+        return " ".join(f"{tag}{i}" for i in range(30))
+
+    seg = (
+        rec("https://ads.banned.com/x", http(page(art("a"))))
+        + rec("https://not-banned.com/x", http(page(art("b"))))
+        + rec("https://ok.com/tmp/secret", http(page(art("c"))))
+        + rec("https://ok.com/public/fine", http(page(art("d"))))
+    )
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "seg.warc.gz").write_bytes(gzip.compress(seg))
+
+    rules = robots_star_rules(spark.createDataFrame(
+        [("ok.com", "User-agent: *\nDisallow: /tmp\n")],
+        "domain string, robots_txt string"))
+    out = ingest_crawl_dir(spark, str(crawl),
+                           blocked_domains=["banned.com"],
+                           robots_rules=rules).collect()
+    assert sorted(r.uri for r in out) == [
+        "https://not-banned.com/x", "https://ok.com/public/fine"]
+
+    off = ingest_crawl_dir(spark, str(crawl)).collect()
+    assert len(off) == 4

@@ -1637,3 +1637,61 @@ def test_streaming_web_ingest_http_messages_mode(spark, tmp_path):
         streaming_web_ingest(stream, corpus_dir,
                              str(tmp_path / "ckpt3"),
                              binary_blobs=True, require_http_ok=True)
+
+
+def test_streaming_web_ingest_politeness_gates(spark, tmp_path):
+    """The streaming twin of the batch politeness gates (r15):
+    blocked_domains + robots_rules are stream-static broadcast anti
+    joins inside the micro-batch — a banned-domain capture and a
+    robots-disallowed path never land; the lookalike domain and the
+    allowed path do."""
+    import gzip
+
+    from pyspark.sql import types as T
+
+    from pyspark_deduplication_spark.crawl import robots_star_rules
+    from pyspark_deduplication_spark.streaming.ops import (
+        streaming_web_ingest,
+    )
+
+    crlf, blank = b"\r\n", b"\r\n\r\n"
+
+    def rec(uri, article):
+        payload = ("<html><body><p id=\"main\">" + article
+                   + "</p></body></html>").encode()
+        raw = (b"WARC/1.0" + crlf + b"WARC-Type: response" + crlf
+               + b"WARC-Target-URI: " + uri.encode() + crlf
+               + b"Content-Length: " + str(len(payload)).encode()
+               + blank + payload + blank)
+        return gzip.compress(raw)
+
+    def art(tag):
+        return " ".join(f"{tag}{i}" for i in range(30))
+
+    f1 = (rec("https://ads.banned.com/x", art("a"))
+          + rec("https://not-banned.com/x", art("b"))
+          + rec("https://ok.com/tmp/secret", art("c"))
+          + rec("https://ok.com/public/fine", art("d")))
+
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "pol_corpus")
+    schema = T.StructType([T.StructField("blob", T.BinaryType())])
+    spark.createDataFrame([(f1,)], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/f1")
+
+    rules = robots_star_rules(spark.createDataFrame(
+        [("ok.com", "User-agent: *\nDisallow: /tmp\n")],
+        "domain string, robots_txt string"))
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", "1").load(f"{src}/*"))
+    q = streaming_web_ingest(
+        stream, corpus_dir, str(tmp_path / "ckpt"),
+        cosine_threshold=0.999, n_cells=2,
+        binary_blobs=True, gzip_members=True,
+        blocked_domains=["banned.com"], robots_rules=rules)
+    q.awaitTermination(240)
+
+    uris = sorted(r.uri for r in spark.read.parquet(corpus_dir)
+                  .collect())
+    assert uris == ["https://not-banned.com/x",
+                    "https://ok.com/public/fine"], uris
