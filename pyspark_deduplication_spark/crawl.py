@@ -320,11 +320,41 @@ def ingest_crawl_dir(
 
     # exact dedup on the digest header, payload bytes untouched; a
     # record without a digest is its own group (row_number over uri
-    # keeps replays deterministic)
+    # keeps replays deterministic). The explicit keyed repartition IS
+    # the window's exchange (same key, same width — no second
+    # shuffle); pinning its width matters because everything after
+    # this exchange is the CPU-bound decode/extract chain and AQE
+    # coalesces by shuffle BYTES — a few MB of compressed payloads
+    # read as "one partition" while the per-row decode work is
+    # enormous (measured: the whole chain ran on 1 of 32 cores at
+    # sf0.1 — guide §2.5's bytes-vs-compute mismatch, the
+    # `_spread_for_lloyd` pathology). The width is sized from the
+    # INPUT BYTES (driver metadata, no job), not the core count: a
+    # fixture-sized crawl must not shatter into per-core specks —
+    # three chained Arrow kernels × 32 tasks of ~200 rows each spend
+    # more on Python-worker churn than on decoding (measured 2-8×
+    # slower than 4-6 right-sized tasks), while a real crawl's bytes
+    # saturate the session's shuffle width anyway. ~4 MB of gzipped
+    # WARC per task ≈ ~12 MB of payload — seconds of decode work, the
+    # grain where worker startup amortizes. Non-local crawl_dir (no
+    # metadata) falls back to the session width.
+    from pyspark_deduplication_spark.session import (
+        dir_input_bytes,
+        shuffle_partitions_for_bytes,
+    )
+
+    conf_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    in_bytes = dir_input_bytes(crawl_dir)
+    width = conf_width if in_bytes <= 0 else min(
+        conf_width,
+        shuffle_partitions_for_bytes(
+            in_bytes, target_partition_bytes=4 << 20, expansion=3,
+            floor=1))
     digest_key = F.when(F.col("__digest") != "", F.col("__digest")) \
         .otherwise(F.concat(F.lit("nodigest:"), F.col("uri")))
     unique = (
         responses.withColumn("__dk", digest_key)
+        .repartition(width, F.col("__dk"))
         .withColumn("__rk", F.row_number().over(
             Window.partitionBy("__dk").orderBy("uri")))
         .filter(F.col("__rk") == 1)
@@ -359,7 +389,11 @@ def ingest_crawl_dir(
             F.xxhash64(F.col("__canon")).alias("doc_id"),
             "uri",
             extract_main_content(F.col("__page")).alias("text"))
-        # canonical-URL collapse: campaign-link twins of one page
+        # canonical-URL collapse: campaign-link twins of one page.
+        # Same pinned-width keyed repartition as the digest window:
+        # the quality-features kernel downstream must not run on an
+        # AQE-coalesced single partition.
+        .repartition(width, F.col("doc_id"))
         .withColumn("__rk", F.row_number().over(
             Window.partitionBy("doc_id").orderBy("uri")))
         .filter(F.col("__rk") == 1).drop("__rk")
@@ -369,6 +403,17 @@ def ingest_crawl_dir(
         .withColumn("quality", F.round(
             quality_features(F.col("text"))["quality_score"], 6))
     )
+    # Materialize the curated-docs frame ONCE before the fan-out: it
+    # feeds (a) the MinHash signature pass, (b) the CC node list, and
+    # (c) the survivorship join — without this, the whole HTTP
+    # framing → body decode → charset → noindex → extraction chain
+    # (five Arrow kernels over the payload bytes, the dominant cost of
+    # the recipe) re-executes once per consumer (measured 3× at sf0.1:
+    # 16.8s → 10.4s). At cluster scale this is the persisted
+    # curated-docs intermediate table every production crawl pipeline
+    # writes anyway; localCheckpoint releases its blocks with the plan
+    # (guide §5: cache only what is reused AND expensive to recompute).
+    docs = docs.localCheckpoint(eager=True)
 
     # near-dup survivorship: banded MinHash candidates (the 100 TB
     # spelling — skew-capped, never all-pairs) → connected components

@@ -527,6 +527,7 @@ def minhash_dedup(
     bands: int = 16,
     shingle_size: int = 3,
     max_bucket_size: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate removal: LSH candidates → exact-Jaccard verify at
     ``threshold`` → connected components over the surviving pair graph →
@@ -534,12 +535,16 @@ def minhash_dedup(
     ``max_bucket_size`` forwards the m² skew cap (``_cap_buckets``) —
     arm it (e.g. 4096) on corpora that may contain degenerate
     mega-buckets; the incremental/fused family members arm it by
-    default at their call sites."""
+    default at their call sites. ``sigs`` forwards a precomputed,
+    caller-materialized ``minhash_signatures`` frame for ``df`` (the
+    ``minhash_candidate_pairs`` contract) so callers that already
+    signed the rows — the incremental path signs the batch once and
+    reuses it for survivors — skip a second full signing pass."""
     from pyspark_deduplication_spark.operators.linkage import connected_components
 
     edges = minhash_candidate_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_size,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, sigs=sigs,
     ).filter(F.col("jaccard_sim") >= threshold)
     comps = connected_components(edges, "id_a", "id_b")  # (node, component)
     losers = comps.filter(F.col("node") != F.col("component")).select(
@@ -730,16 +735,19 @@ def weighted_minhash_dedup(
     bands: int = 16,
     shingle_size: int = 3,
     max_bucket_size: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate removal under tf-weighted Jaccard: ICWS-LSH
     candidates → exact Σmin/Σmax verify at ``threshold`` → connected
     components → keep the min-id doc per component. ``max_bucket_size``
-    forwards the shared m² skew cap, as in :func:`minhash_dedup`."""
+    forwards the shared m² skew cap, and ``sigs`` a precomputed,
+    caller-materialized ``weighted_minhash_signatures`` frame, as in
+    :func:`minhash_dedup`."""
     from pyspark_deduplication_spark.operators.linkage import connected_components
 
     edges = weighted_minhash_candidate_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_size,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, sigs=sigs,
     ).filter(F.col("weighted_jaccard_sim") >= threshold)
     comps = connected_components(edges, "id_a", "id_b")
     losers = comps.filter(F.col("node") != F.col("component")).select(
@@ -820,13 +828,20 @@ def incremental_weighted_minhash_dedup(
         .select(F.col("new_id").alias(id_col))
         .distinct()
     )
+    # same drop-list + signature-reuse shape as the set path: one
+    # id-only checkpoint gates docs AND the batch signatures, so the
+    # within-batch dedup skips its second ICWS signing pass
+    dup_ids = dup_ids.localCheckpoint(eager=True)
     fresh = new_docs.join(dup_ids, on=id_col, how="left_anti")
     fresh = fresh.localCheckpoint(eager=True)
+    fresh_sigs = new_sigs.join(dup_ids, on=id_col, how="left_anti") \
+        .localCheckpoint(eager=True)
     new_sigs.unpersist()
     if own_corpus_sigs:
         corpus_sigs.unpersist()
     return weighted_minhash_dedup(fresh, text_col, id_col, threshold,
-                                  num_hashes, bands, shingle_size)
+                                  num_hashes, bands, shingle_size,
+                                  sigs=fresh_sigs)
 
 
 def clone_representatives(
@@ -1022,13 +1037,24 @@ def incremental_minhash_dedup(
         .select(F.col("new_id").alias(id_col))
         .distinct()
     )
+    # Materialize the drop list once: it gates BOTH the surviving docs
+    # and their already-computed signatures (ids only — model-state
+    # sized next to the shingle frames it filters).
+    dup_ids = dup_ids.localCheckpoint(eager=True)
     fresh = new_docs.join(dup_ids, on=id_col, how="left_anti")
     fresh = fresh.localCheckpoint(eager=True)
+    # Survivors' signatures are a filter over the batch signatures
+    # computed above — reusing them saves the second full signing pass
+    # (normalize + shingle + hash over every surviving row) the old
+    # spelling paid inside minhash_dedup.
+    fresh_sigs = new_sigs.join(dup_ids, on=id_col, how="left_anti") \
+        .localCheckpoint(eager=True)
     new_sigs.unpersist()
     if own_corpus_sigs:
         corpus_sigs.unpersist()
     return minhash_dedup(fresh, text_col, id_col, threshold,
-                         num_hashes, bands, shingle_size)
+                         num_hashes, bands, shingle_size,
+                         sigs=fresh_sigs)
 
 
 # ---------------------------------------------------------------------------

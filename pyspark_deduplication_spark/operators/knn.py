@@ -316,6 +316,91 @@ def _spread_for_lloyd(df: DataFrame) -> DataFrame:
         int(spark.conf.get("spark.sql.shuffle.partitions")))
 
 
+def _unit_rows(cents: list[tuple[int, list[float]]]) -> list[list[float]]:
+    """Driver-side unit normalization of centroid rows — the SAME
+    python-float arithmetic ``_cell_sim_structs`` folds into its
+    literals, shared so the Arrow Lloyd kernel scores against
+    bit-identical centroid values."""
+    import math
+
+    out = []
+    for _cid, c in cents:
+        n = math.sqrt(sum(x * x for x in c))
+        out.append([x / n for x in c] if n > 0 else list(c))
+    return out
+
+
+def _lloyd_centroid_stats(train: DataFrame,
+                          cents: list[tuple[int, list[float]]],
+                          vec_col: str) -> DataFrame:
+    """One Lloyd round's sufficient statistics as a vectorized Arrow
+    pass: per partition, assign each vector to its argmax-unit-dot cell
+    and emit per-(cell_id, pos) partial sums + member counts. Replaces
+    the n_cells×dim literal-expression round (assignment expression +
+    posexplode + hash aggregate): the literal tree re-planned,
+    re-optimized and re-codegen'd on EVERY round (fresh literals defeat
+    the codegen cache) and its zip_with/aggregate HOFs are interpreted —
+    measured 1.5s/round vs 0.45s for this kernel at sf0.1 (guide §4.2).
+    The arithmetic reproduces the JVM expression exactly where it is
+    deterministic: centroids unit-normalize driver-side with the same
+    python floats, the dot accumulates position-sequentially in float64
+    (``acc + x_i*c_i``, the ``F.aggregate`` order), ties break to the
+    smallest cell id (np.argmax first-index = max (sim, negid) struct),
+    and per-key partial sums accumulate in row order within a batch
+    (``np.cumsum``). Cross-batch/cross-partition merge order differs in
+    association exactly like the hash-aggregate's partition merge — the
+    9dp rounding downstream absorbs both. Output partials are ≤
+    partitions × n_cells × dim scalar rows — model state, never
+    corpus-sized."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cents_sorted = sorted(cents)
+    cids = [cid for cid, _ in cents_sorted]
+    unit = np.asarray(_unit_rows(cents_sorted), dtype=np.float64)
+    dim = unit.shape[1]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            vs = [v for v in pdf[vec_col]
+                  if v is not None and len(v) == dim]
+            if not vs:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+            sims = np.zeros((X.shape[0], unit.shape[0]))
+            for i in range(dim):
+                sims += X[:, i:i + 1] * unit[:, i]
+            best = np.argmax(sims, axis=1)
+            for bi in range(unit.shape[0]):
+                mask = best == bi
+                m = int(mask.sum())
+                if not m:
+                    continue
+                part = np.cumsum(X[mask], axis=0)[-1]
+                cid = cids[bi]
+                if cid in sums:
+                    sums[cid] = sums[cid] + part
+                    counts[cid] += m
+                else:
+                    sums[cid] = part
+                    counts[cid] = m
+        if sums:
+            yield pd.DataFrame({
+                "cell_id": [cid for cid in sums for _ in range(dim)],
+                "pos": [p for cid in sums for p in range(dim)],
+                "s": [float(sums[cid][p]) for cid in sums
+                      for p in range(dim)],
+                "n": [counts[cid] for cid in sums for _ in range(dim)],
+            })
+
+    return train.select(F.col(vec_col)).mapInPandas(
+        stats, "cell_id long, pos int, s double, n long")
+
+
 def train_centroids(
     vectors: DataFrame,
     n_cells: int = 16,
@@ -393,20 +478,16 @@ def train_centroids(
     train.persist()
     try:
         for _ in range(n_iter):
-            assigned = train.select(
-                _nearest_cell_expr(sorted(cents.items()),
-                                   vec_col).alias("cell_id"),
-                F.col(vec_col),
-            )
+            # assignment + partial sums in ONE vectorized Arrow pass
+            # (see _lloyd_centroid_stats — the literal-expression round
+            # re-planned and re-codegen'd per iteration); the final
+            # merge + 9dp rounding stays the same Spark aggregation.
             sums = (
-                assigned.select(
-                    "cell_id",
-                    F.posexplode(F.col(vec_col).cast("array<double>"))
-                    .alias("pos", "val"),
-                )
+                _lloyd_centroid_stats(train, sorted(cents.items()),
+                                      vec_col)
                 .groupBy("cell_id", "pos")
-                .agg(F.round(F.sum("val"), 9).alias("s"),
-                     F.count("*").alias("n"))
+                .agg(F.round(F.sum("s"), 9).alias("s"),
+                     F.sum("n").alias("n"))
                 .collect()  # ≤ n_cells × dim scalar rows — model state
             )
             dim = len(next(iter(cents.values())))
@@ -1146,6 +1227,79 @@ def _subvec(vec_col: str, m: int, sub_dim: int):
     return F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)
 
 
+def _lloyd_pq_stats(train: DataFrame,
+                    book: dict[tuple[int, int], list[float]],
+                    m_subspaces: int, sub: int,
+                    vec_col: str) -> DataFrame:
+    """One PQ-Lloyd round's sufficient statistics as a vectorized Arrow
+    pass — the product-quantizer sibling of ``_lloyd_centroid_stats``
+    (same motivation: the per-round literal codeword table +
+    interpreted zip_with/aggregate argmin-L2 re-planned and
+    re-codegen'd every iteration). Consumes the raw vectors and slices
+    subspaces in the kernel, so the posexplode fan-out never
+    materializes either. Arithmetic mirrors the JVM expression:
+    distances accumulate position-sequentially in float64
+    (``acc + (a-b)*(a-b)``), ties break to the smallest code
+    (first-index argmin over codes in ascending order; NaN distances
+    demote to +inf, matching struct-min's NaN-largest ordering), and
+    per-(subspace, code, pos) partials accumulate in row order within
+    a batch. Final merge + 9dp rounding stays in Spark."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    dim = m_subspaces * sub
+    books = []
+    for s in range(m_subspaces):
+        codes = sorted(c for m, c in book if m == s)
+        books.append((codes, np.asarray(
+            [book[(s, c)] for c in codes], dtype=np.float64)))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums: dict[tuple[int, int], np.ndarray] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for pdf in batches:
+            vs = [v for v in pdf[vec_col]
+                  if v is not None and len(v) == dim]
+            if not vs:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+            for s, (codes, cw) in enumerate(books):
+                Zs = X[:, s * sub:(s + 1) * sub]
+                d = np.zeros((Zs.shape[0], cw.shape[0]))
+                for i in range(sub):
+                    diff = Zs[:, i:i + 1] - cw[:, i]
+                    d += diff * diff
+                d = np.where(np.isnan(d), np.inf, d)
+                best = np.argmin(d, axis=1)
+                for bi in range(cw.shape[0]):
+                    mask = best == bi
+                    m = int(mask.sum())
+                    if not m:
+                        continue
+                    part = np.cumsum(Zs[mask], axis=0)[-1]
+                    key = (s, codes[bi])
+                    if key in sums:
+                        sums[key] = sums[key] + part
+                        counts[key] += m
+                    else:
+                        sums[key] = part
+                        counts[key] = m
+        if sums:
+            yield pd.DataFrame({
+                "subspace": [k[0] for k in sums for _ in range(sub)],
+                "code": [k[1] for k in sums for _ in range(sub)],
+                "pos": [p for _ in sums for p in range(sub)],
+                "s": [float(sums[k][p]) for k in sums
+                      for p in range(sub)],
+                "n": [counts[k] for k in sums for _ in range(sub)],
+            })
+
+    return train.select(F.col(vec_col)).mapInPandas(
+        stats, "subspace int, code long, pos int, s double, n long")
+
+
 def train_pq_codebook(
     vectors: DataFrame,
     dim: int,
@@ -1243,49 +1397,22 @@ def train_pq_codebook(
         train = train.filter(
             F.pmod(F.xxhash64(F.col(vec_id)), F.lit(train_sample_mod)) == 0
         )
-    rows = train.select(
-        F.posexplode(
-            F.array(*[
-                _subvec(vec_col, m, sub).cast("array<double>")
-                for m in range(m_subspaces)
-            ])
-        ).alias("subspace", "__sv")
-    )
     # Spread (size-conditional) + pin across Lloyd rounds — same
-    # rationale as train_centroids; the stream is (subspace, sub_dim
-    # floats) per vector-slice, sample-sized under train_sample_mod.
-    rows = _spread_for_lloyd(rows)
-    rows.persist()
+    # rationale as train_centroids; the subspace slicing now happens
+    # inside the Arrow kernel (_lloyd_pq_stats), so the stream is the
+    # raw vectors, sample-sized under train_sample_mod.
+    train = _spread_for_lloyd(train)
+    train.persist()
     try:
         for _ in range(n_iter):
-            # literal codeword table indexed by subspace, then argmin-L2
-            cw_lit = F.array(*[
-                F.array(*[
-                    F.struct(
-                        F.lit(code).alias("code"),
-                        F.array(*[F.lit(float(x))
-                                  for x in book[(m, code)]]).alias("cw"),
-                    )
-                    for code in sorted(c for s, c in book if s == m)
-                ])
-                for m in range(m_subspaces)
-            ])
-            cand = F.element_at(cw_lit, F.col("subspace") + 1)
-            d2 = lambda c: F.aggregate(  # noqa: E731
-                F.zip_with(F.col("__sv"), c["cw"],
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            best = F.array_min(
-                F.transform(cand, lambda c: F.struct(d2(c).alias("d"),
-                                                     c["code"].alias("code")))
-            )["code"]
+            # assignment + partial sums in ONE vectorized Arrow pass
+            # per round (see _lloyd_pq_stats); final merge + 9dp
+            # rounding stays the same Spark aggregation.
             sums = (
-                rows.select("subspace", best.alias("code"),
-                            F.posexplode(F.col("__sv")).alias("pos", "val"))
+                _lloyd_pq_stats(train, book, m_subspaces, sub, vec_col)
                 .groupBy("subspace", "code", "pos")
-                .agg(F.round(F.sum("val"), 9).alias("s"),
-                     F.count("*").alias("n"))
+                .agg(F.round(F.sum("s"), 9).alias("s"),
+                     F.sum("n").alias("n"))
                 .collect()  # ≤ m·k·sub_dim scalar rows — model state
             )
             new: dict[tuple[int, int], list[float]] = {}
@@ -1300,7 +1427,7 @@ def train_pq_codebook(
                 for key, cw in book.items()
             }
     finally:
-        rows.unpersist()
+        train.unpersist()
     return spark.createDataFrame(
         [(m, c, w) for (m, c), w in sorted(book.items())],
         "subspace int, code long, codeword array<double>",

@@ -323,17 +323,29 @@ def connected_components(
     # upstream pipeline (e.g. MinHash banding) re-executes per reference.
     edges = _checkpoint(edges.select(F.col(src).alias("e_src"),
                                      F.col(dst).alias("e_dst")))
-    sym = (
+    # Checkpoint sym BEFORE deriving labels: labels aggregate over sym,
+    # so ordering the two materializations this way scans the edge list
+    # once instead of twice (the old labels-first order re-ran the
+    # union+distinct from the edges checkpoint).
+    sym = _checkpoint(
         edges.select(F.col("e_src").alias("u"), F.col("e_dst").alias("v"))
-        .union(edges.select(F.col("e_dst").alias("u"), F.col("e_src").alias("v")))
+        .union(edges.select(F.col("e_dst").alias("u"),
+                            F.col("e_src").alias("v")))
         .distinct()
     )
+    # Init each node's label to min(node, min one-hop neighbor) — the
+    # first propagation round folded into the init aggregation (the
+    # init needs a per-node pass over sym anyway, so the min() rides
+    # the same exchange for free). The fixpoint is unchanged — labels
+    # stay min-reachable-id monotone — but star/pair components (the
+    # overwhelming shape of near-dup graphs) now converge AT init, so
+    # the loop's first sum check terminates one full
+    # propagate+double+checkpoint round earlier.
     labels = _checkpoint(
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy("u").agg(F.min("v").alias("__mv"))
+        .select(F.col("u").alias("node"),
+                F.least(F.col("u"), F.col("__mv")).alias("component"))
     )
-    sym = _checkpoint(sym)
 
     # Convergence detection without an extra join: per-node labels are
     # non-increasing (every update is F.least(old, ...)), so the label

@@ -12296,21 +12296,41 @@ def doc_dup_span_fraction(
     gram_expr = word_ngrams_all_of(F.col("__t"), n)
     if hash_grams:
         gram_expr = F.transform(gram_expr, lambda g: F.xxhash64(g))
-    grams = (
-        docs.select("doc_id", tokenize(F.col("text")).alias("__t"))
-        .select("doc_id",
-                F.posexplode(gram_expr).alias("pos", "gram"))
+    tok = docs.select("doc_id", tokenize(F.col("text")).alias("__t"))
+    # One explode, one gram-keyed exchange (r15 reshape): the former
+    # spelling exploded the positional gram stream THREE times (dup-df
+    # aggregate, semi-join probe, per-doc totals) and shuffled it
+    # across five exchanges. Instead: (a) totals are pure arithmetic —
+    # ``word_ngrams_all_of`` emits exactly ``greatest(|tokens|−n+1, 1)``
+    # windows, so the per-doc window count needs no gram build, explode
+    # or shuffle at all; (b) the gram stream explodes ONCE (directly
+    # over the expression — staging the array in a named column lets
+    # InferFiltersFromConstraints push a ``size(<whole gram chain>)>0``
+    # filter below the projection, re-running tokenize+n-gram per row
+    # inside an interpreted Filter: measured 11s vs 0.6s at sf0.1);
+    # per-(gram, doc) position counts aggregate on the gram-keyed
+    # repartition, the document-frequency window rides the SAME
+    # partitioning (zero new exchange), and duplicated-window counts
+    # reduce per doc from rows already (gram, doc)-distinct. Semantics
+    # unchanged: df(g) = rows per gram in the (gram, doc) aggregate; a
+    # doc's duplicated positions = Σ its per-gram position counts over
+    # grams with df ≥ 2.
+    gd = (
+        tok.select("doc_id", F.explode(gram_expr).alias("gram"))
+        .repartition(F.col("gram"))
+        .groupBy("gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__np"))
     )
-    dup_grams = (
-        grams.select("doc_id", "gram").distinct()
-        .groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") >= 2).select("gram")
+    dups = (
+        gd.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        .filter(F.col("__df") >= 2)
+        .groupBy("doc_id").agg(F.sum("__np").alias("n_dup_windows"))
     )
-    marked = grams.join(dup_grams, "gram", "left_semi")
-    totals = grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_windows"))
-    dups = marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup_windows"))
+    totals = tok.select(
+        "doc_id",
+        F.greatest(F.size("__t") - (n - 1), F.lit(1)).cast("long")
+        .alias("n_windows"))
     return (
         totals.join(dups, "doc_id", "left")
         .select(
