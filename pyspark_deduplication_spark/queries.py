@@ -4897,6 +4897,19 @@ def web_ingest_pipeline_docs(spark: SparkSession,
             warc_header_of(F.col("r.headers"), "Content-Length")
             .cast("long").alias("__clen"),
             F.col("r.payload").alias("__page"))
+        # spread the parsed records before the extraction stage: the
+        # per-source blob aggregate coalesces to a handful of
+        # partitions by BYTES (AQE), the expected-text join broadcasts
+        # (so it never widens the stream), and the block-classifier
+        # regex chain downstream is CPU-per-row work that then ran on
+        # ONE core at sf0.1 (measured 3.2s of the query's 5.3s). One
+        # keyed exchange of the parsed pages, full-width extraction —
+        # the same bytes-vs-compute mismatch fixed in ingest_crawl_dir.
+        # Width pinned explicitly (an unpinned keyed repartition is
+        # itself AQE-coalescible, which would undo the spread); the
+        # conf keeps cluster sizing with the deployment.
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                     F.col("doc_id"))
     )
     extracted = extract_main_content(F.col("__page"))
     want = F.trim(F.regexp_replace(F.col("text"), WS_RUN_RE, " "))
@@ -6063,6 +6076,14 @@ def crawl_recipe_ingest_docs(spark: SparkSession,
         .groupBy("source")
         .agg(F.transform(F.array_sort(F.collect_list("s")),
                          lambda x: x["r"]).alias("recs"))
+        # one gzip job per source blob: the group aggregate AQE-
+        # coalesces its ~20 one-blob rows into 1-2 partitions by
+        # bytes, serializing the per-file gzip compression in the
+        # writer below; a pinned keyed respread makes the writer
+        # one-task-per-source (identical bytes out — the writer is
+        # per-row, any partitioning is correct)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                     F.col("source"))
     )
     base = _scratch_dir(spark, "crawl_recipe_ingest", sf_dir)
 
