@@ -438,16 +438,20 @@ def train_centroids(
     Returns (cell_id, centroid array<double>), always broadcastable.
     """
     spark = vectors.sparkSession
-    w = Window.partitionBy("__cell").orderBy(F.col(vec_id))
+    # hash-elected representative per cell as a min_by aggregate: same
+    # election as the former row_number-over-window spelling (the row
+    # with the minimum id per cell) but with map-side partial
+    # aggregation instead of a full per-cell sort — shuffles one
+    # candidate row per (partition, cell) rather than every row
     init = (
         vectors.select(
             F.col(vec_id),
             F.col(vec_col),
             F.pmod(F.xxhash64(F.col(vec_id)), F.lit(n_cells)).alias("__cell"),
         )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col("__cell").alias("cell_id"), F.col(vec_col).alias("centroid"))
+        .groupBy("__cell")
+        .agg(F.min_by(F.col(vec_col), F.col(vec_id)).alias("centroid"))
+        .select(F.col("__cell").alias("cell_id"), "centroid")
     )
     if n_iter <= 0:
         return init
@@ -1367,7 +1371,8 @@ def train_pq_codebook(
     else:
         parts = []
         for m in range(m_subspaces):
-            w = Window.partitionBy("__code").orderBy(F.col(vec_id))
+            # min_by election instead of a row_number window — same
+            # representative (min id per code), map-side combinable
             parts.append(
                 vectors.select(
                     F.col(vec_id),
@@ -1375,8 +1380,9 @@ def train_pq_codebook(
                     F.pmod(F.xxhash64(F.lit(m), F.col(vec_id)),
                            F.lit(k_codes)).alias("__code"),
                 )
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
+                .groupBy("__code")
+                .agg(F.min_by(F.col("codeword"), F.col(vec_id))
+                     .alias("codeword"))
                 .select(F.lit(m).alias("subspace"),
                         F.col("__code").alias("code"), "codeword")
             )

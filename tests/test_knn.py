@@ -1369,3 +1369,108 @@ def test_semantic_dedup_family_survives_empty_input(spark):
     out = incremental_semantic_dedup(
         batch, corpus, threshold=0.3, n_cells=4, max_cell_size=4096)
     assert out.count() == 0
+
+
+def test_lloyd_arrow_stats_match_literal_expression_round(spark, sf_dir):
+    """The r15 Arrow Lloyd kernels must reproduce the literal-expression
+    round they replaced EXACTLY: same argmax/argmin assignment (ties to
+    the smaller cell/code id), same 9dp-rounded per-(key, pos) sums and
+    member counts. Pinned against the original spelling built inline
+    from the same public pieces (_nearest_cell_expr + posexplode +
+    hash aggregate) over the real fixture vectors."""
+    from pyspark_deduplication_spark.operators.knn import (
+        _lloyd_centroid_stats,
+        _lloyd_pq_stats,
+        _nearest_cell_expr,
+        _subvec,
+    )
+
+    emb = _load(spark, sf_dir).select("vec_id", "embedding")
+    cents = {
+        int(r["vec_id"]) % 8: [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    }
+    cents = {i: cents[k] for i, k in enumerate(sorted(cents))}
+
+    # --- centroid round: literal-expression spelling (the pre-r15 plan)
+    assigned = emb.select(
+        _nearest_cell_expr(sorted(cents.items()), "embedding")
+        .alias("cell_id"),
+        F.col("embedding"),
+    )
+    want = {
+        (int(r["cell_id"]), int(r["pos"])): (float(r["s"]), int(r["n"]))
+        for r in assigned.select(
+            "cell_id",
+            F.posexplode(F.col("embedding").cast("array<double>"))
+            .alias("pos", "val"))
+        .groupBy("cell_id", "pos")
+        .agg(F.round(F.sum("val"), 9).alias("s"),
+             F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        (int(r["cell_id"]), int(r["pos"])): (float(r["s"]), int(r["n"]))
+        for r in _lloyd_centroid_stats(emb, sorted(cents.items()),
+                                       "embedding")
+        .groupBy("cell_id", "pos")
+        .agg(F.round(F.sum("s"), 9).alias("s"), F.sum("n").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    # --- PQ round: literal codeword-table spelling vs the Arrow kernel
+    m_sub, k_codes, dim = 4, 4, len(next(iter(cents.values())))
+    sub = dim // m_sub
+    book = {
+        (m, c): cents[c][m * sub:(m + 1) * sub]
+        for m in range(m_sub) for c in range(k_codes)
+    }
+    rows = emb.select(
+        F.posexplode(F.array(*[
+            _subvec("embedding", m, sub).cast("array<double>")
+            for m in range(m_sub)
+        ])).alias("subspace", "__sv"))
+    cw_lit = F.array(*[
+        F.array(*[
+            F.struct(
+                F.lit(code).alias("code"),
+                F.array(*[F.lit(float(x))
+                          for x in book[(m, code)]]).alias("cw"),
+            )
+            for code in range(k_codes)
+        ])
+        for m in range(m_sub)
+    ])
+    cand = F.element_at(cw_lit, F.col("subspace") + 1)
+
+    def d2(c):
+        return F.aggregate(
+            F.zip_with(F.col("__sv"), c["cw"],
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    best = F.array_min(
+        F.transform(cand, lambda c: F.struct(d2(c).alias("d"),
+                                             c["code"].alias("code")))
+    )["code"]
+    want_pq = {
+        (int(r["subspace"]), int(r["code"]), int(r["pos"])):
+            (float(r["s"]), int(r["n"]))
+        for r in rows.select(
+            "subspace", best.alias("code"),
+            F.posexplode(F.col("__sv")).alias("pos", "val"))
+        .groupBy("subspace", "code", "pos")
+        .agg(F.round(F.sum("val"), 9).alias("s"),
+             F.count("*").alias("n"))
+        .collect()
+    }
+    got_pq = {
+        (int(r["subspace"]), int(r["code"]), int(r["pos"])):
+            (float(r["s"]), int(r["n"]))
+        for r in _lloyd_pq_stats(emb, book, m_sub, sub, "embedding")
+        .groupBy("subspace", "code", "pos")
+        .agg(F.round(F.sum("s"), 9).alias("s"), F.sum("n").alias("n"))
+        .collect()
+    }
+    assert got_pq == want_pq

@@ -313,16 +313,36 @@ def test_tfidf_df_join_is_broadcast_and_no_bnl(spark):
     assert not has_cartesian_or_bnl(q)
 
 
-def test_dup_span_semi_join_no_cartesian(spark):
-    """Span-level dup pressure: duplicated-gram filter semi-joins back
-    onto the gram stream — never a Cartesian/BNL; the final per-doc
-    totals/dups join is equi-keyed on doc_id."""
+def test_dup_span_single_explode_single_gram_exchange(spark):
+    """Span-level dup pressure, r15 reshape: ONE gram explode (the old
+    spelling exploded the positional stream three times and semi-joined
+    it back), per-doc totals as pure arithmetic (no second Generate),
+    the df-window riding the gram-keyed repartition, and no
+    Cartesian/BNL anywhere. Also pins the InferFiltersFromConstraints
+    regression: no size(<gram chain>) filter may reappear below the
+    Generate (staging the gram array in a named column re-ran
+    tokenize+n-gram per row inside a scan-level Filter — measured 11s
+    vs 0.6s at sf0.1)."""
     from pyspark_deduplication_spark.queries import doc_dup_span_fraction
+
+    import re
 
     q = doc_dup_span_fraction(spark, "/root/testdata/sf0.001")
     plan = explain_str(q)
     assert not has_cartesian_or_bnl(q)
-    assert "LeftSemi" in plan, plan
+    # one Generate node (the formatted dump names each node once in the
+    # tree and once in the details section — count detail headers)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    # gram stream shuffles exactly once before the doc_id aggregation:
+    # the explicit gram repartition that the (gram, doc) aggregate and
+    # the df window both ride
+    assert len(re.findall(r"\(\d+\) Exchange\nInput.*gram",
+                          plan)) <= 1, plan
+    # the scan-level filter must stay the cheap blank-text guard — not
+    # an inferred size(<whole gram expression>) > 0 over the chain
+    scan_filters = [ln for ln in plan.splitlines()
+                    if "Filter" in ln and "sequence(" in ln]
+    assert not scan_filters, scan_filters
 
 
 def test_pivot_has_one_data_sized_exchange(spark):

@@ -39,7 +39,7 @@ NOTES = {
     "hll_distinct_rollup": "per-group sketch partials merge map-side; union rollup reads sketches, not raw data",
     "train_val_test_split_docs": "split assignment is a pure projection (zero shuffle); one aggregation exchange",
     "doc_tfidf_top_terms": "term dictionary broadcast onto per-doc tf counts; top-k window only on the id slice",
-    "doc_dup_span_fraction": "grams map-only; one (gram, doc-count) shuffle; duplicated grams semi-join back onto the positional stream — no BNL/Cartesian",
+    "doc_dup_span_fraction": "r15 reshape: per-doc totals are pure arithmetic (no explode); ONE gram explode onto ONE gram-keyed exchange that both the (gram, doc) aggregate and the df window ride; doc-keyed reduction — no semi-join, no BNL/Cartesian",
     "pivot_year_flag_revenue": "explicit pivot values — no discovery job; one data-sized exchange, pivotfirst re-shuffles grouped rows only",
     "price_quantity_stats": "exact decimal power sums in one aggregation pass; closed-form corr on the 3-row result",
     "remove_dup_spans_docs": "grams + tokens map-only; dup grams semi-join, covered positions anti-join; one reassembly shuffle keyed by doc — no BNL/Cartesian",
@@ -73,7 +73,7 @@ NOTES = {
     "incremental_keep_best_quality_docs": "batch postings equi-join the corpus gram index (no batch x corpus cross join, corpus never self-joins); the (quality, lowest-id) winner is one packed-BIGINT max per batch doc; quality map-only",
     "html_text_extraction_docs": "pure projection: synthesis + regexp strip chain + round-trip compare all map-only, whole-stage codegen, zero exchange",
     "warc_ingest_docs": "PARSING is the scale path: split + substring per blob then one explode, map-only; the per-source string_agg is synthesis-fixture machinery (production reads real bounded WARC files as blobs)",
-    "web_ingest_pipeline_docs": "the capstone chain: Content-Length position fold (one task per WARC blob) -> map-only block-classifier extraction over payloads -> token-count projection; ONE join back to the corpus for the expected text; nothing corpus-sized shuffles",
+    "web_ingest_pipeline_docs": "the capstone chain: Content-Length position fold (one task per WARC blob) -> pinned keyed respread (r15: the broadcast expected-text join never widens the AQE-coalesced parse, so extraction ran one-core) -> map-only block-classifier extraction -> token-count projection; ONE broadcast join back to the corpus",
     "trained_language_id_char3_report": "same two-hash-agg trainer + broadcast inference as the token entry; the feature stream is a per-row char-trigram transform (map-only) — no extra shuffle anywhere",
     "trained_language_id_report": "training = two hash aggregations over exploded tokens (map-side combinable, no driver state); inference = one (doc,bucket) agg + BROADCAST of the <=1280-row model + broadcast penalty cross; 2^-20 dyadic weight grid keeps scores order-independent; corpus never shuffles for the model",
     "main_content_extraction_docs": "block split + per-block higher-order density/length gates + strip chain, all map-only regexp/HOF projection — zero shuffle, zero join; the page synthesis is fixture machinery (production runs the extractor on WARC-sliced payloads)",
@@ -88,7 +88,7 @@ NOTES = {
     "url_tracking_dedup_docs": "crawl-identity URL dedup (r14): map-only canonicalization (pure regex/array natives, zero UDF) with anchored case-insensitive tracking-param strip -> ONE aggregation exchange on the canonical key — the exact shape of a 100 TB crawl-identity pass",
     "noindex_filter_docs": "robots noindex drop (r14): map-only native-regex classification (RE2-safe two-alternative pattern, identical in both engines) -> ONE aggregation exchange; decoy meta + negative controls prove the name gate",
     "warc_digest_dedup_docs": "digest-header dedup (r14): parse + header-only projection (payload bytes never leave the record struct) -> ONE aggregation exchange on WARC-Payload-Digest — at 100 TB the difference between a header shuffle and a full-text pipeline",
-    "crawl_recipe_ingest_docs": "the batch CommonCrawl recipe graded whole (r15): binaryFile scan -> octet cursor parse -> digest-dedup window (header projection exchange) -> HTTP framing/coding/charset decode (map-only Arrow) -> noindex gate -> extraction -> canonical-identity collapse (second keyed exchange) -> banded MinHash (bands=32 so recall~1; exact-Jaccard verify keeps precision) -> CC -> quality-ranked survivorship window; exactly the keyed exchanges the crawl module documents, nothing corpus-sized beyond them",
+    "crawl_recipe_ingest_docs": "the batch CommonCrawl recipe graded whole (r15): binaryFile scan -> octet cursor parse -> digest-dedup window on an input-bytes-sized keyed repartition (the decode chain must not run on an AQE-coalesced single partition) -> HTTP framing/coding/charset decode (map-only Arrow) -> noindex gate -> extraction -> canonical-identity collapse (same pinned width) -> curated docs checkpointed ONCE before the fan-out (r15: the chain re-executed 3x) -> banded MinHash (bands=32) -> CC -> quality-ranked survivorship window",
     "warc_corrupt_audit_docs": "loss accounting (r15): distributed fixture writer plants truncated/corrupt gzip members + malformed/over-declared records; the REPORT path is binaryFile scan -> ONE Arrow accounting kernel per file (shared inflate/scan helpers with the plain reader — counts cannot drift), map-only, ZERO exchange; graded values assert recovered rows AND reported loss (no-silent-caps)",
     "wat_metadata_ingest_docs": "WAT sidecar (r15): binaryFile scan -> octet parse -> WARC-Type dispatch BEFORE the JSON parse (non-metadata records cost a header regex) -> PERMISSIVE from_json envelope projection (title/outlinks/headers); map-only, zero exchange, one task per file; tolerant WARC-Date parse (short fraction + lowercase z) graded in passing",
     "redirect_identity_ingest_docs": "redirect-aware identity (r15): 3xx Location edges harvested from framed heads BEFORE the status gate discards them; identity = canonical URL resolved through redirect_hops keyed equi-joins (AQE broadcasts the edge side when small); doc-id-salted articles make shingle sets pairwise disjoint, so the near-dup stage provably contributes nothing — the graded collapse is the redirect mechanism alone",
