@@ -11,6 +11,8 @@ projection over the ``documents`` table (one scan, one pass).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -885,35 +887,40 @@ def http_split_message(col: Column | str,
                 heads.append(None)
                 bodies.append(None)
                 continue
-            p = bytes(p)
-            # Earliest of CRLF CRLF vs bare LF LF wins (ADVICE r14
-            # medium): an LF-only head whose BODY contains \r\n\r\n
-            # within the window must split at the LF LF head boundary,
-            # not the body's blank line. \n\n is a strict substring of
-            # \r\n\r\n at offset+1, so on CRLF messages sep_lf ==
-            # sep_crlf + 1 and the CRLF match correctly wins the tie.
-            sep_crlf = p.find(b"\r\n\r\n", 0, max_head_bytes)
-            sep_lf = p.find(b"\n\n", 0, max_head_bytes)
-            if sep_crlf >= 0 and (sep_lf < 0 or sep_crlf < sep_lf):
-                sep, seplen = sep_crlf, 4
-            else:
-                sep, seplen = sep_lf, 2
-            if sep < 0 or not p.startswith(b"HTTP/"):
-                stats.append("")
-                heads.append("")
-                bodies.append(p)
-                continue
-            head = p[:sep].decode("latin-1")
-            line, _, rest = head.partition("\r\n")
-            if "\r\n" not in head and "\n" in head:
-                line, _, rest = head.partition("\n")
+            line, rest, body = _http_split_one(bytes(p), max_head_bytes)
             stats.append(line)
             heads.append(rest)
-            bodies.append(p[sep + seplen:])
+            bodies.append(body)
         return pd.DataFrame({"status_line": stats, "headers": heads,
                              "body": bodies})
 
     return _split(_as_col(col))
+
+
+def _http_split_one(p: bytes,
+                    max_head_bytes: int) -> tuple[str, str, bytes]:
+    """Per-row core of ``http_split_message`` — shared verbatim by the
+    fused ``http_message_page`` kernel so the two spellings cannot
+    diverge. Returns ``(status_line, headers, body)``."""
+    # Earliest of CRLF CRLF vs bare LF LF wins (ADVICE r14
+    # medium): an LF-only head whose BODY contains \r\n\r\n
+    # within the window must split at the LF LF head boundary,
+    # not the body's blank line. \n\n is a strict substring of
+    # \r\n\r\n at offset+1, so on CRLF messages sep_lf ==
+    # sep_crlf + 1 and the CRLF match correctly wins the tie.
+    sep_crlf = p.find(b"\r\n\r\n", 0, max_head_bytes)
+    sep_lf = p.find(b"\n\n", 0, max_head_bytes)
+    if sep_crlf >= 0 and (sep_lf < 0 or sep_crlf < sep_lf):
+        sep, seplen = sep_crlf, 4
+    else:
+        sep, seplen = sep_lf, 2
+    if sep < 0 or not p.startswith(b"HTTP/"):
+        return "", "", p
+    head = p[:sep].decode("latin-1")
+    line, _, rest = head.partition("\r\n")
+    if "\r\n" not in head and "\n" in head:
+        line, _, rest = head.partition("\n")
+    return line, rest, p[sep + seplen:]
 
 
 def http_header_of(headers: Column, name: str) -> Column:
@@ -969,63 +976,74 @@ def decode_web_text(payload: Column | str,
     to the default. ``errors='replace'`` throughout — garbage decodes
     to U+FFFD, never an exception. Arrow ``pandas_udf``; map-only,
     zero shuffle, O(payload)."""
-    import codecs as _codecs
-    import re as _re
-
-    meta_re = _re.compile(
-        rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)",
-        _re.I)
-    ct_re = _re.compile(r"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)",
-                        _re.I)
-    _cache: dict[str, str | None] = {}
-
-    def _resolve(label: str) -> str | None:
-        label = label.strip().lower()
-        if label not in _cache:
-            name = _WHATWG_CHARSET_OVERRIDES.get(label, label)
-            try:
-                _codecs.lookup(name)
-                _cache[label] = name
-            except LookupError:
-                _cache[label] = None
-        return _cache[label]
-
-    def _decode_one(p, ct) -> str | None:
-        if p is None:
-            return None
-        p = bytes(p)
-        if p.startswith(b"\xef\xbb\xbf"):
-            return p[3:].decode("utf-8", "replace")
-        if p.startswith(b"\xff\xfe"):
-            return p[2:].decode("utf-16-le", "replace")
-        if p.startswith(b"\xfe\xff"):
-            return p[2:].decode("utf-16-be", "replace")
-        charset = None
-        if ct:
-            m = ct_re.search(ct)
-            if m:
-                charset = _resolve(m.group(1))
-        if charset is None:
-            m = meta_re.search(p[:sniff_bytes])
-            if m:
-                charset = _resolve(m.group(1).decode("ascii",
-                                                     "replace"))
-        return p.decode(charset or default_charset, "replace")
-
     if content_type is None:
         @F.pandas_udf("string")
         def _decode(payloads: pd.Series) -> pd.Series:
             return pd.Series(
-                [_decode_one(p, None) for p in payloads])
+                [_decode_web_text_one(p, None, default_charset,
+                                      sniff_bytes)
+                 for p in payloads])
 
         return _decode(_as_col(payload))
 
     @F.pandas_udf("string")
     def _decode_ct(payloads: pd.Series, cts: pd.Series) -> pd.Series:
         return pd.Series(
-            [_decode_one(p, ct) for p, ct in zip(payloads, cts)])
+            [_decode_web_text_one(p, ct, default_charset, sniff_bytes)
+             for p, ct in zip(payloads, cts)])
 
     return _decode_ct(_as_col(payload), _as_col(content_type))
+
+
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.I)
+_CT_CHARSET_RE = re.compile(
+    r"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.I)
+_CHARSET_CACHE: dict[str, str | None] = {}
+
+
+def _resolve_charset(label: str) -> str | None:
+    """codecs.lookup through the WHATWG override table, memoized;
+    unknown labels resolve to None (caller falls back to default)."""
+    import codecs as _codecs
+
+    label = label.strip().lower()
+    if label not in _CHARSET_CACHE:
+        name = _WHATWG_CHARSET_OVERRIDES.get(label, label)
+        try:
+            _codecs.lookup(name)
+            _CHARSET_CACHE[label] = name
+        except LookupError:
+            _CHARSET_CACHE[label] = None
+    return _CHARSET_CACHE[label]
+
+
+def _decode_web_text_one(p, ct, default_charset: str,
+                         sniff_bytes: int) -> str | None:
+    """Per-row core of ``decode_web_text`` — shared verbatim by the
+    fused ``http_message_page`` kernel so the two spellings cannot
+    diverge (BOM > Content-Type > meta sniff > default, always
+    replace-decode)."""
+    if p is None:
+        return None
+    p = bytes(p)
+    if p.startswith(b"\xef\xbb\xbf"):
+        return p[3:].decode("utf-8", "replace")
+    if p.startswith(b"\xff\xfe"):
+        return p[2:].decode("utf-16-le", "replace")
+    if p.startswith(b"\xfe\xff"):
+        return p[2:].decode("utf-16-be", "replace")
+    charset = None
+    if ct:
+        m = _CT_CHARSET_RE.search(ct)
+        if m:
+            charset = _resolve_charset(m.group(1))
+    if charset is None:
+        m = _META_CHARSET_RE.search(p[:sniff_bytes])
+        if m:
+            charset = _resolve_charset(
+                m.group(1).decode("ascii", "replace"))
+    return p.decode(charset or default_charset, "replace")
 
 
 def encode_text_bytes(col: Column | str, charset: str) -> Column:
@@ -1167,70 +1185,153 @@ def http_decode_body(body: Column | str, headers: Column | str,
     Arrow ``pandas_udf`` over (body, headers); map-only, zero
     shuffle, O(payload).
     """
-    import re as _re
-    import zlib as _zlib
-
-    te_re = _re.compile(r"(?mi)^Transfer-Encoding:[ \t]*([^\r\n]+)")
-    ce_re = _re.compile(r"(?mi)^Content-Encoding:[ \t]*([^\r\n]+)")
-
-    def _dechunk(data: bytes) -> bytes:
-        out, pos, n = [], 0, len(data)
-        while pos < n:
-            eol = data.find(b"\r\n", pos, pos + max_chunk_head)
-            if eol < 0:
-                break
-            head = data[pos:eol].split(b";", 1)[0].strip()
-            try:
-                clen = int(head, 16)
-            except ValueError:
-                break
-            if clen == 0:
-                break  # terminal chunk; trailers ignored
-            start = eol + 2
-            if start + clen > n:
-                break  # truncated chunk: keep what we have
-            out.append(data[start:start + clen])
-            pos = start + clen + 2  # skip chunk-data CRLF
-        return b"".join(out)
-
-    def _inflate(data: bytes, coding: str) -> bytes:
-        # wbits: gzip wrapper for gzip, auto zlib/raw for deflate
-        # (servers historically sent raw-deflate despite the RFC)
-        for wbits in ((31,) if coding == "gzip" else (15, -15)):
-            d = _zlib.decompressobj(wbits)
-            try:
-                out = d.decompress(data) + d.flush()
-            except _zlib.error:
-                continue
-            # success = bytes produced OR the stream terminator was
-            # reached — a VALID gzip of an EMPTY entity inflates to
-            # b'' with eof set and must not read as corrupt
-            if out or d.eof:
-                return out
-        return data  # corrupt stream: degrade to raw bytes
-
-    def _decode_one(body, hdrs):
-        if body is None:
-            return None
-        body = bytes(body)
-        hdrs = hdrs or ""
-        te = te_re.search(hdrs)
-        if te and "chunked" in te.group(1).lower():
-            body = _dechunk(body)
-        ce = ce_re.search(hdrs)
-        if ce:
-            coding = ce.group(1).strip().lower()
-            if coding in ("gzip", "x-gzip", "deflate"):
-                body = _inflate(
-                    body, "gzip" if "gzip" in coding else "deflate")
-        return body
-
     @F.pandas_udf("binary")
     def _decode(bodies: pd.Series, hdr: pd.Series) -> pd.Series:
         return pd.Series(
-            [_decode_one(b, h) for b, h in zip(bodies, hdr)])
+            [_http_decode_body_one(b, h, max_chunk_head)
+             for b, h in zip(bodies, hdr)])
 
     return _decode(_as_col(body), _as_col(headers))
+
+
+_TE_RE = re.compile(r"(?mi)^Transfer-Encoding:[ \t]*([^\r\n]+)")
+_CE_RE = re.compile(r"(?mi)^Content-Encoding:[ \t]*([^\r\n]+)")
+
+
+def _dechunk(data: bytes, max_chunk_head: int) -> bytes:
+    out, pos, n = [], 0, len(data)
+    while pos < n:
+        eol = data.find(b"\r\n", pos, pos + max_chunk_head)
+        if eol < 0:
+            break
+        head = data[pos:eol].split(b";", 1)[0].strip()
+        try:
+            clen = int(head, 16)
+        except ValueError:
+            break
+        if clen == 0:
+            break  # terminal chunk; trailers ignored
+        start = eol + 2
+        if start + clen > n:
+            break  # truncated chunk: keep what we have
+        out.append(data[start:start + clen])
+        pos = start + clen + 2  # skip chunk-data CRLF
+    return b"".join(out)
+
+
+def _inflate(data: bytes, coding: str) -> bytes:
+    import zlib as _zlib
+
+    # wbits: gzip wrapper for gzip, auto zlib/raw for deflate
+    # (servers historically sent raw-deflate despite the RFC)
+    for wbits in ((31,) if coding == "gzip" else (15, -15)):
+        d = _zlib.decompressobj(wbits)
+        try:
+            out = d.decompress(data) + d.flush()
+        except _zlib.error:
+            continue
+        # success = bytes produced OR the stream terminator was
+        # reached — a VALID gzip of an EMPTY entity inflates to
+        # b'' with eof set and must not read as corrupt
+        if out or d.eof:
+            return out
+    return data  # corrupt stream: degrade to raw bytes
+
+
+def _http_decode_body_one(body, hdrs, max_chunk_head: int):
+    """Per-row core of ``http_decode_body`` — shared verbatim by the
+    fused ``http_message_page`` kernel so the two spellings cannot
+    diverge (chunked off first, then gzip/deflate; never raises)."""
+    if body is None:
+        return None
+    body = bytes(body)
+    hdrs = hdrs or ""
+    te = _TE_RE.search(hdrs)
+    if te and "chunked" in te.group(1).lower():
+        body = _dechunk(body, max_chunk_head)
+    ce = _CE_RE.search(hdrs)
+    if ce:
+        coding = ce.group(1).strip().lower()
+        if coding in ("gzip", "x-gzip", "deflate"):
+            body = _inflate(
+                body, "gzip" if "gzip" in coding else "deflate")
+    return body
+
+
+_HTTP_OK_PAT = re.compile(HTTP_OK_RE)
+# Python twin of http_header_of(headers, 'Content-Type'): Java's
+# (?m)^ matches at the start, after \n, after a bare \r, and after
+# U+0085 (all reachable in a latin-1-decoded head; U+2028/U+2029
+# are not latin-1-expressible), so the alternation reproduces the
+# JVM match positions exactly.
+_CT_HEADER_PAT = re.compile(
+    "(?i)(?:^|[\r\n\u0085])content-type:[ \t]*([^\r\n]+)")
+
+_HTTP_PAGE_T = "struct<status_line:string,headers:string,page:string>"
+
+
+def http_message_page(col: Column | str,
+                      default_charset: str = "utf-8",
+                      sniff_bytes: int = 2048,
+                      max_head_bytes: int = 8192,
+                      max_chunk_head: int = 1024) -> Column:
+    """FUSED web-ingest decode chain: ``http_split_message`` →
+    ``http_decode_body`` → ``decode_web_text`` as ONE Arrow pass
+    (guide §4.1). The three-kernel spelling moves the payload bytes
+    across the JVM↔Python boundary three times (split ships the whole
+    payload out and the body back; body decode ships the body out and
+    the entity back; charset decode ships the entity out and the page
+    back). Composed pipelines (the batch CommonCrawl recipe) pay that
+    boundary per record on the dominant column; this kernel ships the
+    payload out ONCE and only the decoded page string comes back.
+
+    Per-row semantics are the individual kernels' per-row cores —
+    ``_http_split_one`` / ``_http_decode_body_one`` /
+    ``_decode_web_text_one`` — called in the same order with the same
+    arguments, so the fusion CANNOT diverge from the chained spelling
+    (pinned row-by-row in ``tests/test_text.py``). The Content-Type
+    lookup reproduces ``http_header_of`` via ``_CT_HEADER_PAT`` and
+    the status gate reproduces the recipe's ``HTTP_OK_RE`` filter.
+
+    Returns ``struct<status_line, headers, page>``; ``page`` is only
+    decoded for rows the recipe keeps (empty status line = non-HTTP
+    payload, or a 2xx status) — other rows (3xx/4xx/5xx) return a
+    NULL page, which the caller's unchanged status-line filter drops
+    anyway; their ``status_line``/``headers`` still carry the
+    redirect-harvest surface. Map-only, zero shuffle, O(payload)."""
+    @F.pandas_udf(_HTTP_PAGE_T)
+    def _frame(payloads: pd.Series) -> pd.DataFrame:
+        stats, heads, pages = [], [], []
+        for p in payloads:
+            if p is None:
+                stats.append(None)
+                heads.append(None)
+                pages.append(None)
+                continue
+            line, rest, body = _http_split_one(bytes(p), max_head_bytes)
+            stats.append(line)
+            heads.append(rest)
+            if line == "" or _HTTP_OK_PAT.search(line) is not None:
+                entity = _http_decode_body_one(body, rest,
+                                               max_chunk_head)
+                m = _CT_HEADER_PAT.search(rest) if rest else None
+                ct = m.group(1) if m else ""
+                pages.append(_decode_web_text_one(
+                    entity, ct, default_charset, sniff_bytes))
+            else:
+                pages.append(None)
+        return pd.DataFrame({"status_line": stats, "headers": heads,
+                             "page": pages})
+
+    # asNondeterministic (guide §4.4): the caller filters on
+    # m.status_line/m.page and then projects m.page — a deterministic
+    # UDF gets DUPLICATED by the optimizer (one ArrowEvalPython below
+    # the pushed filter, a second for the projection; plan evidence in
+    # plans/r15/crawl_decode_chain_*.txt), so every kept record paid
+    # the whole decode twice. The function is in fact deterministic —
+    # the flag only forbids the optimizer from cloning/reordering it,
+    # yielding a single evaluation per record.
+    return _frame.asNondeterministic()(_as_col(col))
 
 
 def encode_http_coded_body(col: Column | str, use_gzip: Column,

@@ -273,6 +273,70 @@ def _minhash_signature(h1: Column, h2: Column, num_hashes: int) -> Column:
     return kernel(h1, h2)
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark size conf ('128MB', '1g', '134217728b') to bytes."""
+    s = conf_val.strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+                      ("g", 1 << 30), ("t", 1 << 40), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(float(s) * mult)
+
+
+def _spread_deficient_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Round-robin-by-key a KERNEL-BOUND document stream when its scan
+    parallelism is deficient (guide §2.5's bytes-vs-compute mismatch,
+    the third rediscovery after ``_spread_for_lloyd`` and the crawl
+    digest window): the signature builders below run hundreds of
+    regex/hash/Arrow ops per ROW, but a compact corpus parquet plans
+    ~⌈bytes/maxPartitionBytes⌉ scan splits — at bench SF one 0.6 MB
+    file = ONE task on one of 32 cores (measured 2.7 s vs 0.9 s
+    spread for the signature pass; winnow_near_dup_docs carries the
+    same guard inline).
+
+    Scale-safe by construction: the split estimate comes from driver
+    file metadata (no job), and the spread only fires when the
+    estimated split count is well under the session width — a 100 TB
+    corpus has orders of magnitude more splits than cores, so the
+    exchange never triggers there; a mid-size corpus whose scan
+    under-fills a big cluster pays ONE keyed exchange of the text for
+    cores/splits× kernel parallelism (winnow's trade, made
+    conditional). Non-file-backed inputs (checkpointed intermediates,
+    e.g. the crawl recipe's curated docs — already width-pinned by
+    their producer) pass through untouched."""
+    spark = df.sparkSession
+    try:
+        files = [f for f in df.inputFiles() if f]
+    except Exception:
+        return df
+    if not files:
+        return df
+    import os as _os
+
+    total = 0
+    for f in files:
+        p = f.split("://", 1)[-1] if f.startswith("file:") else f
+        p = p.replace("file:", "", 1)
+        try:
+            total += _os.path.getsize(p)
+        except OSError:
+            return df
+    try:
+        max_split = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    except Exception:
+        max_split = 128 << 20
+    open_cost = 4 << 20  # spark.sql.files.openCostInBytes default
+    est_splits = max(1, -(-(total + open_cost * len(files)) // max_split))
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if est_splits * 4 >= width:
+        return df
+    return df.repartition(width, F.col(key_col))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -295,6 +359,7 @@ def minhash_signatures(
     # shingle and signature projections and defeat Catalyst's expensive-
     # expression reuse — measured 4.5× slower (the shingle expression gets
     # inlined into all signature slots).
+    df = _spread_deficient_scan(df, id_col)
     tokenized = df.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
     )
@@ -636,6 +701,7 @@ def weighted_minhash_signatures(
             sigs.append(val.astype(np.int64))
         return pd.Series(sigs)
 
+    df = _spread_deficient_scan(df, id_col)
     tokenized = df.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
     grams = tokenized.select(
@@ -830,10 +896,13 @@ def incremental_weighted_minhash_dedup(
     )
     # same drop-list + signature-reuse shape as the set path: one
     # id-only checkpoint gates docs AND the batch signatures, so the
-    # within-batch dedup skips its second ICWS signing pass
-    dup_ids = dup_ids.localCheckpoint(eager=True)
+    # within-batch dedup skips its second ICWS signing pass. Same
+    # laziness split as the set path: dup_ids/fresh materialize inside
+    # fresh_sigs' eager job / the final anti-join; fresh_sigs stays
+    # EAGER (band + verify fan-out race, unpersist ordering).
+    dup_ids = dup_ids.localCheckpoint(eager=False)
     fresh = new_docs.join(dup_ids, on=id_col, how="left_anti")
-    fresh = fresh.localCheckpoint(eager=True)
+    fresh = fresh.localCheckpoint(eager=False)
     fresh_sigs = new_sigs.join(dup_ids, on=id_col, how="left_anti") \
         .localCheckpoint(eager=True)
     new_sigs.unpersist()
@@ -1039,14 +1108,23 @@ def incremental_minhash_dedup(
     )
     # Materialize the drop list once: it gates BOTH the surviving docs
     # and their already-computed signatures (ids only — model-state
-    # sized next to the shingle frames it filters).
-    dup_ids = dup_ids.localCheckpoint(eager=True)
+    # sized next to the shingle frames it filters). Lazy: fresh_sigs'
+    # EAGER checkpoint below is the first action over it and stores
+    # the blocks as a side effect (one action instead of three for
+    # the whole drop-list/survivor trio — the CC-loop lesson).
+    dup_ids = dup_ids.localCheckpoint(eager=False)
     fresh = new_docs.join(dup_ids, on=id_col, how="left_anti")
-    fresh = fresh.localCheckpoint(eager=True)
+    # lazy too: consumed exactly once, by minhash_dedup's final
+    # anti-join (its band/verify work reads fresh_sigs, not fresh)
+    fresh = fresh.localCheckpoint(eager=False)
     # Survivors' signatures are a filter over the batch signatures
     # computed above — reusing them saves the second full signing pass
     # (normalize + shingle + hash over every surviving row) the old
-    # spelling paid inside minhash_dedup.
+    # spelling paid inside minhash_dedup. EAGER is load-bearing here:
+    # fresh_sigs fans out to the band self-join AND the shingle
+    # verify join-back inside one job (the not-yet-cached-partition
+    # race measured at 22s vs 8s), and new_sigs.unpersist() below must
+    # not evict blocks a lazy checkpoint still needs.
     fresh_sigs = new_sigs.join(dup_ids, on=id_col, how="left_anti") \
         .localCheckpoint(eager=True)
     new_sigs.unpersist()

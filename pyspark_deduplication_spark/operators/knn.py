@@ -769,10 +769,14 @@ def semantic_dedup_edges(
     # localCheckpoint (not persist+count): storage is released when the
     # plan is garbage-collected, so repeated calls in a long-lived
     # session (bench loops, incremental pipelines) don't accumulate
-    # pinned cache partitions.
+    # pinned cache partitions. Lazy (eager=False): the trainer's init
+    # collect is the first action over ``reps`` and materializes the
+    # checkpoint blocks as a side effect — one Spark action instead of
+    # two (the CC-loop lesson; ~0.3s of fixed per-action cost at bench
+    # SF).
     with_rep = clone_representatives(
         vectors.select(F.col(vec_id), F.col(vec_col)), vec_id, vec_col
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     star = with_rep.filter(F.col(vec_id) != F.col("__rep")).select(
         F.col("__rep").alias("id_a"), F.col(vec_id).alias("id_b")
     )
@@ -1033,7 +1037,10 @@ def incremental_semantic_dedup(
     )
     dup_ids = _semantic_hit_ids(cand, threshold, vec_id)
     fresh = new_vectors.join(dup_ids, vec_id, "left_anti")
-    fresh = fresh.localCheckpoint()
+    # lazy checkpoint: the batch-internal semantic_dedup's clone
+    # collapse + trainer init is the first action over ``fresh`` and
+    # materializes the blocks inside its own job — one action saved
+    fresh = fresh.localCheckpoint(eager=False)
     keep = semantic_dedup(
         fresh, threshold, n_cells, vec_id, vec_col, n_iter, 1,
         train_sample_mod, max_cell_size,
@@ -2194,9 +2201,12 @@ def train_opq(
     # exactly. (The projection now sums in expression order rather
     # than numpy's — a last-ulp reassociation the Lloyd 9dp rounding
     # and the keep-best return already absorb.)
+    # lazy checkpoint: round 1's codebook-init collect is the first
+    # action over a0 and materializes the projection blocks inside its
+    # own job — one action saved vs the former eager materialization
     a0 = (project_pca(sel, (mean, base, ratios), vec_col, "__a0")
           .select(F.col(vec_id), F.col("__a0"))
-          .localCheckpoint(eager=True))
+          .localCheckpoint(eager=False))
     zero_mu = [0.0] * d_out
     eye_base = np.eye(d_out).tolist()
     history: list[float] = []

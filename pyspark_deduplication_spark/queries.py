@@ -8886,6 +8886,14 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     exact = dedup_fingerprint(docs, "text", "doc_id").drop("fingerprint")
+    # The exact-dedup survivors feed TWO jobs — the MinHash signature
+    # pass and minhash_dedup's final anti-join — and the frame is a
+    # full scan + md5 + window chain: checkpoint it once (lazily: the
+    # signature materialization is the first action and stores the
+    # blocks as a side effect; guide §2.4 — don't recompute what a
+    # consumer already materialized). At cluster scale this is the
+    # persisted exact-dedup intermediate every corpus pipeline writes.
+    exact = exact.localCheckpoint(eager=False)
     near = minhash_dedup(exact, "text", "doc_id", threshold=0.7,
                          num_hashes=64, bands=16)
     return (

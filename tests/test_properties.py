@@ -576,3 +576,90 @@ def test_decode_web_text_cp1252_header_roundtrips(texts):
         .collect()}
     for i, t in enumerate(texts):
         assert got[i] == t, (i, got[i], t)
+
+@given(st.lists(st.binary(min_size=0, max_size=300),
+                min_size=1, max_size=5))
+@example([b""])
+@settings(max_examples=10, deadline=None)
+def test_http_message_page_equals_chained_kernels(payloads):
+    """The fused web-ingest kernel (http_message_page — r15, one Arrow
+    pass) must agree ROW-BY-ROW with the chained three-kernel spelling
+    (http_split_message -> http_decode_body -> decode_web_text with
+    http_header_of Content-Type) on status line, headers, and — for
+    every row the recipe's 2xx/non-HTTP gate keeps — the decoded page;
+    gate-dropped rows must return a NULL page. Adversarial fixed rows
+    plant every divergence hazard: LF-only heads with CRLF CRLF in the
+    body, chunked+gzip bodies, charset via header / meta sniff / BOM,
+    a bare-\x85 line break before Content-Type (the Java (?m)^ twin),
+    3xx/4xx statuses, 206 partials, and non-HTTP blobs."""
+    import gzip
+    import re as _re
+
+    from pyspark_deduplication_spark.functions.text import (
+        HTTP_OK_RE,
+        decode_web_text,
+        http_decode_body,
+        http_header_of,
+        http_message_page,
+        http_split_message,
+    )
+
+    def chunked(data: bytes) -> bytes:
+        out = []
+        for i in range(0, len(data), 7):
+            p = data[i:i + 7]
+            out.append(f"{len(p):x}".encode() + b"\r\n" + p + b"\r\n")
+        return b"".join(out) + b"0\r\n\r\n"
+
+    fixed = [
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+        b"charset=windows-1252\r\n\r\n"
+        + "café €99 “ok”".encode("windows-1252"),
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n"
+        b"Content-Type: text/plain; charset=utf-8\r\n\r\n"
+        + chunked(gzip.compress(
+            "hello ☃ chunked".encode(), mtime=0)),
+        b"HTTP/1.0 200 OK\nContent-Type: text/plain\n\nA\r\n\r\nB",
+        b"HTTP/1.1 301 Moved\r\nLocation: https://ex.com/x\r\n\r\nstale",
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone",
+        b"HTTP/1.1 206 Partial\r\nContent-Type: text/plain\r\n\r\npart",
+        b"HTTP/1.1 200 OK\r\n\r\n<meta charset=shift_jis>"
+        + "日本語".encode("shift_jis"),
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+        + "\ufeffwide".encode("utf-16-le"),
+        b"HTTP/1.1 200 OK\r\nA: b\x85Content-Type: text/plain; "
+        b"charset=windows-1252\r\n\r\n"
+        + "—dash".encode("windows-1252"),
+        b"\x89PNG\r\n\x1a\njunkjunk",
+        b"",
+    ]
+    rows = [(i, p) for i, p in enumerate(fixed + payloads)]
+    rows.append((len(rows), None))
+    df = _SPARK.createDataFrame(rows, "i long, p binary")
+
+    m1 = http_split_message("p")
+    chained = df.select(
+        "i", m1.alias("m")).select(
+        "i", "m.status_line", "m.headers",
+        decode_web_text(
+            http_decode_body(F.col("m.body"), F.col("m.headers")),
+            http_header_of(F.col("m.headers"), "Content-Type"))
+        .alias("page"))
+    fused = df.select("i", http_message_page("p").alias("f")).select(
+        "i", "f.status_line", "f.headers", "f.page")
+
+    want = {r.i: r for r in chained.collect()}
+    got = {r.i: r for r in fused.collect()}
+    assert set(want) == set(got)
+    ok_pat = _re.compile(HTTP_OK_RE)
+    for i, w in want.items():
+        g = got[i]
+        assert g.status_line == w.status_line, i
+        assert g.headers == w.headers, i
+        keeps = w.status_line is not None and (
+            w.status_line == "" or ok_pat.search(w.status_line))
+        if keeps:
+            assert g.page == w.page, (i, g.page, w.page)
+        else:
+            assert g.page is None, (i, g.page)
