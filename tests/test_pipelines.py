@@ -71,6 +71,14 @@ def test_example_airflow_dag_importable_and_tasks_run(spark, tmp_path,
         dagmod = importlib.import_module("airflow_etl_dag")
     finally:
         sys.path.remove("examples")
+    # The task callables call get_spark() with PRODUCTION defaults;
+    # builder.getOrCreate() on the already-running test session applies
+    # any runtime-settable SQL confs it was given — notably a
+    # core-count shuffle width — onto the SHARED session, leaking a
+    # 32-wide conf into every later test (it flipped the
+    # width-dependent deficient-scan spread pin in test_plans).
+    # Snapshot and restore.
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
     # no scheduler in this container: the DAG object is gated off but
     # the callables are always defined
     assert dagmod.DAG is None
@@ -81,10 +89,13 @@ def test_example_airflow_dag_importable_and_tasks_run(spark, tmp_path,
     src = str(tmp_path / "incoming")
     write_csv(df, src)
 
-    staged = dagmod.extract_task(src, str(tmp_path / "staged"))
-    transformed = dagmod.transform_task(staged, str(tmp_path / "xform"))
-    dagmod.load_task(transformed, jdbc_url=None,
-                     csv_path=str(tmp_path / "final"))
+    try:
+        staged = dagmod.extract_task(src, str(tmp_path / "staged"))
+        transformed = dagmod.transform_task(staged, str(tmp_path / "xform"))
+        dagmod.load_task(transformed, jdbc_url=None,
+                         csv_path=str(tmp_path / "final"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
     out = spark.read.parquet(transformed)
     assert out.count() == 2  # the (jo, doe, 1 elm st) pair deduped
     assert "surrogate" in [c.lower() for c in out.columns] or \

@@ -80,11 +80,30 @@ def test_q1_single_shuffle_wide_codegen(spark):
 
 
 def test_minhash_signatures_no_shuffle(spark, sf_dir):
+    """Signature building is map-only UNLESS the scan is deficient:
+    ``_spread_deficient_scan`` (r15, guide §2.5) adds exactly ONE keyed
+    respread when the file-split estimate is well under the session
+    width (tiny corpus, wide session), and must stay out of the plan
+    when scan parallelism is adequate — the 100 TB case, where splits
+    outnumber cores by orders of magnitude."""
     from pyspark_deduplication_spark.operators.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    plan = explain_str(minhash_signatures(docs))
-    assert "Exchange" not in plan  # signature stage must be map-only
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # adequate parallelism (width ≤ 4× the single-split estimate):
+        # map-only, no Exchange anywhere
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        plan = explain_str(minhash_signatures(docs))
+        assert "Exchange" not in plan
+        # deficient scan (1 split vs 32-wide session): exactly one
+        # id-keyed respread so the kernel-bound chain uses the cores
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        plan = explain_str(minhash_signatures(docs))
+        assert plan.count("+- Exchange") == 1, plan
+        assert "hashpartitioning(doc_id" in plan
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def test_q6_all_filters_pushed_scan_pruned(spark):
