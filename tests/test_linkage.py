@@ -161,3 +161,40 @@ def test_checkpoint_strips_inherited_stats(spark):
     # sanity: raw Spark really does inherit (the behavior we strip) —
     # if this ever stops holding upstream, the strip can be retired
     assert inherited == est(j)
+
+
+def test_propagate_union_spelling_matches_join_spelling(spark):
+    """r15: the CC propagate step became a UNION into the neighbor-min
+    aggregation (one keyed join + exchange fewer per round). Pin that
+    one round of the new spelling equals the old
+    aggregate-then-join-back formulation on a graph with chains, a
+    star, a pair and a singleton-in-sym shape."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),        # chain
+         (10, 11), (10, 12), (10, 13),          # star
+         (20, 21)],                              # pair
+        "id_a long, id_b long")
+    e = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.distinct()
+    labels = (sym.groupBy("u").agg(F.min("v").alias("__mv"))
+              .select(F.col("u").alias("node"),
+                      F.least(F.col("u"), F.col("__mv")).alias("component")))
+
+    old = labels.join(
+        sym.join(labels, sym.v == labels.node, "inner")
+        .select(F.col("u").alias("node"), F.col("component"))
+        .groupBy("node").agg(F.min("component").alias("nbr_component")),
+        "node", "left",
+    ).select(
+        "node",
+        F.least(F.col("component"),
+                F.coalesce(F.col("nbr_component"),
+                           F.col("component"))).alias("component"),
+    )
+    new = (sym.join(labels, sym.v == labels.node, "inner")
+           .select(F.col("u").alias("node"), F.col("component"))
+           .union(labels.select("node", "component"))
+           .groupBy("node").agg(F.min("component").alias("component")))
+    assert sorted(map(tuple, old.collect())) == \
+        sorted(map(tuple, new.collect()))
