@@ -25,6 +25,8 @@ and AQE's skew-join splitting handles hot buckets (e.g. boilerplate docs).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -286,6 +288,15 @@ def _size_bytes(conf_val: str) -> int:
     return int(float(s) * mult)
 
 
+# Compressed bytes of kernel input per spread task (~a few hundred KiB
+# of decompressed text): small enough that a deficient single-split
+# scan still fans out (0.58 MB sf0.1 docs parquet → 5 tasks), large
+# enough that each task amortizes its Python worker (32 tasks of ~150
+# rows measured SLOWER than 1 at the driver — VERDICT r15 item 1).
+_SPREAD_TASK_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_TASK_BYTES", 128 << 10))
+
+
 def _spread_deficient_scan(df: DataFrame, key_col: str) -> DataFrame:
     """Round-robin-by-key a KERNEL-BOUND document stream when its scan
     parallelism is deficient (guide §2.5's bytes-vs-compute mismatch,
@@ -303,10 +314,23 @@ def _spread_deficient_scan(df: DataFrame, key_col: str) -> DataFrame:
     corpus has orders of magnitude more splits than cores, so the
     exchange never triggers there; a mid-size corpus whose scan
     under-fills a big cluster pays ONE keyed exchange of the text for
-    cores/splits× kernel parallelism (winnow's trade, made
-    conditional). Non-file-backed inputs (checkpointed intermediates,
-    e.g. the crawl recipe's curated docs — already width-pinned by
-    their producer) pass through untouched."""
+    extra kernel parallelism (winnow's trade, made conditional).
+    Non-file-backed inputs (checkpointed intermediates, e.g. the crawl
+    recipe's curated docs — already width-pinned by their producer)
+    pass through untouched.
+
+    The spread width derives from the INPUT BYTES, not the session
+    width (VERDICT r15 item 1 — the round's main regression): at bench
+    SF, 32 chained-Arrow tasks of ~150 rows each spend more on Python
+    worker spawn/churn than the kernel wins back (the driver measured
+    the minhash family 0.46-0.76× vs r14 and ANTI-scaling 0.53 at 8v32
+    when this spread used the full session width), while the same
+    guide-§2.5 rule the crawl digest window uses (~128 KiB of
+    compressed text per task ≈ a few hundred KiB decompressed, floor 2,
+    cap = session width) keeps every task big enough to amortize its
+    worker. A mid-size corpus still reaches full width (bytes/128 KiB
+    crosses any core count long before the est_splits guard stops
+    firing)."""
     spark = df.sparkSession
     try:
         files = [f for f in df.inputFiles() if f]
@@ -314,14 +338,12 @@ def _spread_deficient_scan(df: DataFrame, key_col: str) -> DataFrame:
         return df
     if not files:
         return df
-    import os as _os
-
     total = 0
     for f in files:
         p = f.split("://", 1)[-1] if f.startswith("file:") else f
         p = p.replace("file:", "", 1)
         try:
-            total += _os.path.getsize(p)
+            total += os.path.getsize(p)
         except OSError:
             return df
     try:
@@ -331,10 +353,24 @@ def _spread_deficient_scan(df: DataFrame, key_col: str) -> DataFrame:
         max_split = 128 << 20
     open_cost = 4 << 20  # spark.sql.files.openCostInBytes default
     est_splits = max(1, -(-(total + open_cost * len(files)) // max_split))
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # defensive conf read (ADVICE r15): a non-integer platform value
+    # must skip the optional spread, not crash signature building
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return df
     if est_splits * 4 >= width:
         return df
-    return df.repartition(width, F.col(key_col))
+    from pyspark_deduplication_spark.session import (
+        shuffle_partitions_for_bytes,
+    )
+
+    spread = shuffle_partitions_for_bytes(
+        total, target_partition_bytes=_SPREAD_TASK_BYTES,
+        floor=2, cap=width)
+    if spread <= est_splits:
+        return df
+    return df.repartition(spread, F.col(key_col))
 
 
 def minhash_signatures(
