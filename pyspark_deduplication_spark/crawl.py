@@ -369,8 +369,23 @@ def ingest_crawl_dir(
     # cores verbatim, equivalence pinned in tests/test_properties.py).
     framed = unique.select(
         "uri", http_message_page(F.col("payload")).alias("m"))
-    # redirect edges harvest BEFORE the status gate discards 3xx
-    edges = redirect_edges(framed) if redirect_hops > 0 else None
+    # redirect edges harvest BEFORE the status gate discards 3xx.
+    # Edges read only status_line/headers, but as a second consumer of
+    # the fused (non-deterministic) kernel they would re-run the FULL
+    # dechunk+inflate+charset decode for every 2xx record (ADVICE r15:
+    # asNondeterministic blocks nested-field pruning). Frame the edge
+    # scan with the cheap head-split kernel instead — same per-row
+    # _http_split_one core, so status_line/headers are identical, and
+    # no body decoding happens on this branch.
+    if redirect_hops > 0:
+        from pyspark_deduplication_spark.functions.text import (
+            http_split_message,
+        )
+
+        edges = redirect_edges(unique.select(
+            "uri", http_split_message(F.col("payload")).alias("m")))
+    else:
+        edges = None
     ok = framed.filter(
         (F.col("m.status_line") == "")  # non-HTTP payload: keep as-is
         # shared 2xx policy (ADVICE r14 low): same constant as the

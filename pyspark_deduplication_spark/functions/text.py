@@ -1258,7 +1258,14 @@ def _http_decode_body_one(body, hdrs, max_chunk_head: int):
     return body
 
 
-_HTTP_OK_PAT = re.compile(HTTP_OK_RE)
+# Python twin of the caller's JVM ``rlike(HTTP_OK_RE)`` gate. re.ASCII
+# pins ``\b`` to [A-Za-z0-9_] exactly like Java's default (non-UNICODE)
+# word boundary — without it a malformed status line like
+# 'HTTP/1.1 200à' (non-ASCII letter right after the code) passes the
+# JVM filter but failed this gate, so the row survived the filter with
+# a NULL page and was silently dropped downstream where the chained
+# spelling kept it (ADVICE r15).
+_HTTP_OK_PAT = re.compile(HTTP_OK_RE, re.ASCII)
 # Python twin of http_header_of(headers, 'Content-Type'): Java's
 # (?m)^ matches at the start, after \n, after a bare \r, and after
 # U+0085 (all reachable in a latin-1-decoded head; U+2028/U+2029
@@ -1289,7 +1296,7 @@ def http_message_page(col: Column | str,
     ``_http_split_one`` / ``_http_decode_body_one`` /
     ``_decode_web_text_one`` — called in the same order with the same
     arguments, so the fusion CANNOT diverge from the chained spelling
-    (pinned row-by-row in ``tests/test_text.py``). The Content-Type
+    (pinned row-by-row in ``tests/test_properties.py``). The Content-Type
     lookup reproduces ``http_header_of`` via ``_CT_HEADER_PAT`` and
     the status gate reproduces the recipe's ``HTTP_OK_RE`` filter.
 
