@@ -897,10 +897,18 @@ def build_semantic_dedup_index(
 
     reps = corpus.select(F.col(vec_id), F.col(vec_col))
     if max_cell_size is not None:
+        # The clone-collapse window fans out into THREE consumers here
+        # (the trainer's init aggregate, the Lloyd training stream's
+        # persist, and the assignment scan building the index) — without
+        # a checkpoint each one re-runs the scan + window exchange.
+        # Lazy: the trainer's init collect is the first action and
+        # stores the blocks as a side effect (the CC-loop lesson; same
+        # shape as semantic_dedup_edges' batch-side collapse).
         reps = (
             clone_representatives(reps, vec_id, vec_col)
             .filter(F.col(vec_id) == F.col("__rep"))
             .select(F.col(vec_id), F.col(vec_col))
+            .localCheckpoint(eager=False)
         )
     cents = train_centroids(
         reps, n_cells, vec_id, vec_col, n_iter, train_sample_mod
@@ -1321,7 +1329,8 @@ def train_pq_codebook(
     n_iter: int = 4,
     train_sample_mod: int = 1,
     init_book: dict | None = None,
-) -> DataFrame:
+    _return_book: bool = False,
+) -> DataFrame | dict:
     """PQ codebook: the vector space splits into ``m_subspaces``
     contiguous slices; each subspace gets ``k_codes`` codewords trained
     by per-subspace L2 k-means (Lloyd), initialized from deterministic
@@ -1372,6 +1381,8 @@ def train_pq_codebook(
         book: dict[tuple[int, int], list[float]] = {
             k: [float(x) for x in v] for k, v in init_book.items()}
         if n_iter <= 0:
+            if _return_book:
+                return book
             return spark.createDataFrame(
                 [(m, c, w) for (m, c), w in sorted(book.items())],
                 "subspace int, code long, codeword array<double>")
@@ -1396,7 +1407,7 @@ def train_pq_codebook(
         init = parts[0]
         for p in parts[1:]:
             init = init.unionAll(p)
-        if n_iter <= 0:
+        if n_iter <= 0 and not _return_book:
             return init
 
         # {(subspace, code): codeword} — m·k rows of model state
@@ -1405,6 +1416,8 @@ def train_pq_codebook(
                 [float(x) for x in r["codeword"]]
             for r in init.collect()
         }
+        if n_iter <= 0:
+            return book
     train = vectors.select(F.col(vec_id), F.col(vec_col))
     if train_sample_mod > 1:
         train = train.filter(
@@ -1441,6 +1454,13 @@ def train_pq_codebook(
             }
     finally:
         train.unpersist()
+    if _return_book:
+        # the trained {(subspace, code): codeword} dict IS the model
+        # state the Lloyd loop already holds driver-side — returning
+        # it directly lets iterative callers (train_opq) skip a
+        # createDataFrame → collect round-trip per round (VERDICT r15
+        # item 5: batch model-state collects per iteration)
+        return book
     return spark.createDataFrame(
         [(m, c, w) for (m, c), w in sorted(book.items())],
         "subspace int, code long, codeword array<double>",
@@ -2217,13 +2237,16 @@ def train_opq(
         return [[float(x) for x in row]
                 for row in (R @ np.asarray(base, dtype=np.float64))]
 
-    def collect_books(cb):
-        rows = cb.collect()             # m·k bounded model state
+    def to_books(book):
+        # {(subspace, code): codeword} → per-subspace codeword lists,
+        # code-ascending — the same ordering collect_books derived from
+        # the codebook frame before the dict pass-through existed
+        # (VERDICT r15 item 5: the per-round createDataFrame → collect
+        # round-trip was a pure model-state echo, one job per round)
         books = []
         for s in range(m_subspaces):
             codes = sorted(
-                (int(r["code"]), [float(x) for x in r["codeword"]])
-                for r in rows if int(r["subspace"]) == s)
+                (c, w) for (s2, c), w in book.items() if s2 == s)
             books.append([w for _, w in codes])
         return books
 
@@ -2233,11 +2256,11 @@ def train_opq(
         proj = project_pca(
             a0, (zero_mu, R.tolist(), ratios), "__a0", "__opq",
             unroll_threshold=0)
-        codebook = train_pq_codebook(
+        trained = train_pq_codebook(
             proj, dim=d_out, m_subspaces=m_subspaces, k_codes=k_codes,
             vec_id=vec_id, vec_col="__opq", n_iter=pq_iter,
-            init_book=prev_book)
-        books = collect_books(codebook)
+            init_book=prev_book, _return_book=True)
+        books = to_books(trained)
         prev_book = {(si, ci): w for si, rows_ in enumerate(books)
                      for ci, w in enumerate(rows_)}
         M, err, n = _opq_procrustes_stats(
@@ -2251,11 +2274,11 @@ def train_opq(
     proj = project_pca(
         a0, (zero_mu, R.tolist(), ratios), "__a0", "__opq",
         unroll_threshold=0)
-    codebook = train_pq_codebook(
+    trained = train_pq_codebook(
         proj, dim=d_out, m_subspaces=m_subspaces, k_codes=k_codes,
         vec_id=vec_id, vec_col="__opq", n_iter=pq_iter,
-        init_book=prev_book)
-    books = collect_books(codebook)
+        init_book=prev_book, _return_book=True)
+    books = to_books(trained)
     _, err, n = _opq_procrustes_stats(
         a0, "__a0", zero_mu, eye_base, R.tolist(), books)
     history.append(err / n / d_out)
