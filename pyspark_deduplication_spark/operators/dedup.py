@@ -910,11 +910,13 @@ def incremental_weighted_minhash_dedup(
     # unpersisted — evicting a caller-provided train-once index would
     # force every later ingest batch to re-materialize it
     own_corpus_sigs = corpus_sigs is None
+    # both eager caches in ONE action — the set-path union-count shape
     if own_corpus_sigs:
         corpus_sigs = weighted_minhash_signatures(
             corpus, text_col, id_col, num_hashes, shingle_size).persist()
-        corpus_sigs.count()
-    new_sigs.count()
+        new_sigs.unionByName(corpus_sigs).count()
+    else:
+        new_sigs.count()
     cand = incremental_minhash_candidates(
         new_sigs, corpus_sigs, id_col, num_hashes, bands, max_bucket_size,
         pre_collapsed, content_col="whashes")
@@ -1121,13 +1123,17 @@ def incremental_minhash_dedup(
     # unpersisted — evicting a caller-provided train-once index would
     # force every later ingest batch to re-materialize it
     own_corpus_sigs = corpus_sigs is None
+    # eager: both frames are read by the band probe AND the shingle
+    # join-back — see the fan-out race note in minhash_candidate_pairs.
+    # Both caches materialize in ONE action (count over the union
+    # computes each persisted child and stores its blocks as a side
+    # effect) instead of one job per frame.
     if own_corpus_sigs:
         corpus_sigs = minhash_signatures(
             corpus, text_col, id_col, num_hashes, shingle_size).persist()
-        corpus_sigs.count()
-    # eager: both frames are read by the band probe AND the shingle
-    # join-back — see the fan-out race note in minhash_candidate_pairs
-    new_sigs.count()
+        new_sigs.unionByName(corpus_sigs).count()
+    else:
+        new_sigs.count()
     cand = incremental_minhash_candidates(
         new_sigs, corpus_sigs, id_col, num_hashes, bands, max_bucket_size,
         pre_collapsed)

@@ -456,6 +456,10 @@ def train_centroids(
     if n_iter <= 0:
         return init
 
+    # NOTE: the init collect deliberately keeps AQE ON — this job also
+    # materializes any upstream lazy checkpoints (clone-collapse
+    # windows, anti-join survivors), which are DATA-sized at scale;
+    # only the per-round stats jobs below are bounded by construction.
     cents: dict[int, list[float]] = {
         int(r["cell_id"]): [float(x) for x in r["centroid"]]
         for r in init.collect()  # n_cells rows — model state, tiny
@@ -481,19 +485,26 @@ def train_centroids(
     train = _spread_for_lloyd(train)
     train.persist()
     try:
+        from pyspark_deduplication_spark.session import model_state_exec
+
         for _ in range(n_iter):
             # assignment + partial sums in ONE vectorized Arrow pass
             # (see _lloyd_centroid_stats — the literal-expression round
             # re-planned and re-codegen'd per iteration); the final
             # merge + 9dp rounding stays the same Spark aggregation.
-            sums = (
-                _lloyd_centroid_stats(train, sorted(cents.items()),
-                                      vec_col)
-                .groupBy("cell_id", "pos")
-                .agg(F.round(F.sum("s"), 9).alias("s"),
-                     F.sum("n").alias("n"))
-                .collect()  # ≤ n_cells × dim scalar rows — model state
-            )
+            # AQE off for the round (model_state_exec): the ONLY
+            # exchange carries ≤ partitions × n_cells × dim scalar
+            # rows at ANY corpus size, so adaptive re-planning buys
+            # nothing and costs one extra job per round.
+            with model_state_exec(spark):
+                sums = (
+                    _lloyd_centroid_stats(train, sorted(cents.items()),
+                                          vec_col)
+                    .groupBy("cell_id", "pos")
+                    .agg(F.round(F.sum("s"), 9).alias("s"),
+                         F.sum("n").alias("n"))
+                    .collect()  # ≤ n_cells × dim rows — model state
+                )
             dim = len(next(iter(cents.values())))
             new: dict[int, list[float]] = {}
             counts: dict[int, int] = {}
@@ -1410,7 +1421,9 @@ def train_pq_codebook(
         if n_iter <= 0 and not _return_book:
             return init
 
-        # {(subspace, code): codeword} — m·k rows of model state
+        # {(subspace, code): codeword} — m·k rows of model state.
+        # AQE stays ON here: this job may also materialize upstream
+        # lazy checkpoints (data-sized at scale) — see train_centroids.
         book = {
             (int(r["subspace"]), int(r["code"])):
                 [float(x) for x in r["codeword"]]
@@ -1430,17 +1443,23 @@ def train_pq_codebook(
     train = _spread_for_lloyd(train)
     train.persist()
     try:
+        from pyspark_deduplication_spark.session import model_state_exec
+
         for _ in range(n_iter):
             # assignment + partial sums in ONE vectorized Arrow pass
             # per round (see _lloyd_pq_stats); final merge + 9dp
-            # rounding stays the same Spark aggregation.
-            sums = (
-                _lloyd_pq_stats(train, book, m_subspaces, sub, vec_col)
-                .groupBy("subspace", "code", "pos")
-                .agg(F.round(F.sum("s"), 9).alias("s"),
-                     F.sum("n").alias("n"))
-                .collect()  # ≤ m·k·sub_dim scalar rows — model state
-            )
+            # rounding stays the same Spark aggregation. AQE off per
+            # round: the only exchange is ≤ m·k·sub_dim scalar rows
+            # per map partition at any corpus size (model_state_exec).
+            with model_state_exec(spark):
+                sums = (
+                    _lloyd_pq_stats(train, book, m_subspaces, sub,
+                                    vec_col)
+                    .groupBy("subspace", "code", "pos")
+                    .agg(F.round(F.sum("s"), 9).alias("s"),
+                         F.sum("n").alias("n"))
+                    .collect()  # ≤ m·k·sub_dim rows — model state
+                )
             new: dict[tuple[int, int], list[float]] = {}
             counts: dict[tuple[int, int], int] = {}
             for r in sums:

@@ -371,6 +371,16 @@ def connected_components(
             F.sum(F.col("component").cast("decimal(38,0)"))
         ).collect()[0][0]
 
+    # NOTE (r16, measured and rejected): two variants of making the
+    # loop's joins cheaper at model-state size were A/B'd and both
+    # LOST to the current shape — (a) AQE off for the rounds regressed
+    # 2× (semantic_dedup 6.8 → 13.0 s): with stripped stats the static
+    # planner picks sort-merge and it is AQE's runtime broadcast
+    # conversion that keeps rounds cheap; (b) an explicit
+    # F.broadcast(labels) hint gated on a sym.count() measured net
+    # zero — the per-round broadcast rebuild plus the count job eat
+    # exactly what the skipped conversion saves. The loop stays on
+    # AQE with unhinted joins.
     prev_sum = _label_sum(labels)
     for _ in range(max_iterations):
         # Propagate = min over {own label} ∪ {neighbors' labels}, spelled

@@ -120,6 +120,29 @@ def dir_input_bytes(path: str) -> int:
     return total
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def model_state_exec(spark):
+    """Temporarily disable adaptive query execution around an action
+    whose EVERY exchange is model-state-sized by construction (Lloyd
+    sufficient statistics: ≤ partitions × k × dim scalar rows; CC label
+    sums over a small graph). AQE's value is runtime re-planning of
+    DATA-sized shuffles (coalescing, skew splits); for a bounded-size
+    shuffle it only adds one extra job submission + re-optimization per
+    exchange — measured ~0.1-0.3 s of fixed cost per iterative round at
+    bench SF, × rounds × callers. Restores the previous setting on
+    exit; the engine never runs driver threads concurrently, so the
+    session-wide toggle cannot race another query."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def get_spark(
     app_name: str = "pyspark_deduplication_spark",
     master: str | None = None,
