@@ -4897,20 +4897,27 @@ def web_ingest_pipeline_docs(spark: SparkSession,
             warc_header_of(F.col("r.headers"), "Content-Length")
             .cast("long").alias("__clen"),
             F.col("r.payload").alias("__page"))
-        # spread the parsed records before the extraction stage: the
-        # per-source blob aggregate coalesces to a handful of
-        # partitions by BYTES (AQE), the expected-text join broadcasts
-        # (so it never widens the stream), and the block-classifier
-        # regex chain downstream is CPU-per-row work that then ran on
-        # ONE core at sf0.1 (measured 3.2s of the query's 5.3s). One
-        # keyed exchange of the parsed pages, full-width extraction —
-        # the same bytes-vs-compute mismatch fixed in ingest_crawl_dir.
-        # Width pinned explicitly (an unpinned keyed repartition is
-        # itself AQE-coalescible, which would undo the spread); the
-        # conf keeps cluster sizing with the deployment.
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                     F.col("doc_id"))
     )
+    # spread the parsed records before the extraction stage: the
+    # per-source blob aggregate coalesces to a handful of partitions
+    # by BYTES (AQE), the expected-text join broadcasts (so it never
+    # widens the stream), and the block-classifier regex chain
+    # downstream is CPU-per-row work that then ran on ONE core at
+    # sf0.1 (measured 3.2s of the query's 5.3s). The r15 spelling
+    # pinned the SESSION width here; the driver's 8-core control
+    # showed that anti-scaling (0.73 at 8v32 — 32 tasks of ~150 rows
+    # cost more in exchange + scheduling than the extraction wins
+    # back), and a direct probe read 2.0-2.2s at width 5 vs 2.4-2.9s
+    # at width 32. The shared bytes-derived spread (~128 KiB of
+    # compressed text per task, floor 2, cap session width) sizes it;
+    # its est-splits guard is a no-op once the scan has real
+    # parallelism, where the groupBy's own session-width exchange
+    # already spreads the stream.
+    from pyspark_deduplication_spark.operators.dedup import (
+        _spread_deficient_scan,
+    )
+
+    parsed = _spread_deficient_scan(parsed, "doc_id")
     extracted = extract_main_content(F.col("__page"))
     want = F.trim(F.regexp_replace(F.col("text"), WS_RUN_RE, " "))
     return (
